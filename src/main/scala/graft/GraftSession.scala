@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory for the graft engine.
+  *
+  * Design notes (scale-first):
+  *  - `spark.sql.ansi.enabled=false`: the reference pipeline relies on
+  *    legacy cast semantics — `INT(admnum)` with admnum ≈ 5.6e10 silently
+  *    overflows, `INT(insnum)` on free text yields null
+  *    (reference: dags/scripts/spark/data_preparation.py:445-447). Spark 4
+  *    defaults ANSI **on**, so we pin it off for parity.
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *    are what keep the same plans healthy at 100 TB.
+  *  - shuffle partitions sized to cores locally; on a real cluster this is
+  *    superseded by AQE's coalescing from
+  *    `spark.sql.adaptive.coalescePartitions.initialPartitionNum`.
+  */
+object GraftSession {
+  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def builder(appName: String, cores: Int = cpus): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+      // reader rejects; read as epoch-nanos LongType instead.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply graft-required configs to an externally-created session (e.g.
+    * the driver-owned session in Verify/Bench). Only runtime-settable confs. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+}

@@ -1,13 +1,477 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.StarAnalytics
+import graft.etl.CapstoneEtl
+import graft.ops.{Dedup, Events, Multimodal, Similarity, TextStats}
+
+/** Driver contract — the engine's declared query surface.
+  *
+  * Naming rule: every aliased output column matches between the Spark
+  * query and its DuckDB oracle (the driver sorts columns by name before
+  * hashing). Numeric outputs are aligned to BIGINT/exact-cents on both
+  * sides so hashes can't drift on float summation order; per-row double
+  * arithmetic (same IEEE ops, same order) is kept as double.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val RefRaw = "/root/reference/dags/data/raw-data"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.tune(spark)
+    StarAnalytics.visitsByRegion(spark, "/root/testdata/sf0.001")
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-data extension ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+      (s, dir) => { GraftSession.tune(s); f(s, dir) }
+
+    Map(
+      // ---- core relational (SURVEY.md §2.3-2.9) ----
+      "q01_pricing_summary" -> q { (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+            sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long")).as("sum_disc_cents"))
+      },
+      "q02_revenue_filter" -> q { (s, dir) =>
+        t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1995-01-01") &&
+                 col("l_shipdate") < lit("1996-01-01") &&
+                 col("l_discount").between(0.05, 0.07) &&
+                 col("l_quantity") < 24)
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(round(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+              .as("revenue_cents"))
+      },
+      "q03_orders_by_segment" -> q { (s, dir) =>
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("order_cnt"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      },
+      "q04_customers_no_orders" -> q { (s, dir) =>
+        t(s, dir, "customer").alias("c")
+          .join(t(s, dir, "orders").alias("o"),
+            col("c.c_custkey") === col("o.o_custkey"), "left")
+          .where(col("o.o_orderkey").isNull)
+          .select(col("c.c_custkey"), col("c.c_name"))
+      },
+      "q05_lang_dim_join" -> q { (s, dir) =>
+        import s.implicits._
+        val langDim = Seq(
+          ("EN", "English"), ("FR", "French"), ("ES", "Spanish"),
+          ("DE", "German"), ("ZH", "Chinese")).toDF("lang_code", "lang_name")
+        t(s, dir, "documents").alias("d")
+          .join(broadcast(langDim).alias("l"),
+            upper(col("d.lang")) === col("l.lang_code"), "left")
+          .groupBy(coalesce(col("l.lang_name"), lit("Unknown")).as("lang_name"))
+          .agg(count(lit(1)).as("doc_cnt"))
+      },
+      "q06_date_dim" -> q { (s, dir) =>
+        val o = t(s, dir, "orders").select(to_date(col("o_orderdate")).as("date"))
+        val l = t(s, dir, "lineitem").select(to_date(col("l_shipdate")).as("date"))
+        o.distinct().union(l.distinct()).distinct()
+          .select(col("date").as("date_key"),
+            year(col("date")).cast("long").as("year"),
+            quarter(col("date")).cast("long").as("quarter"),
+            month(col("date")).cast("long").as("month"),
+            dayofmonth(col("date")).cast("long").as("day"),
+            weekofyear(col("date")).cast("long").as("week"))
+      },
+      "q07_top5_nations_monthly" -> q { (s, dir) =>
+        StarAnalytics.top5NationsPerMonth(s, dir)
+      },
+      "q08_top5_nations_ytd" -> q { (s, dir) =>
+        StarAnalytics.top5NationsYtd(s, dir)
+      },
+      "q09_orders_per_year" -> q { (s, dir) =>
+        StarAnalytics.visitsByYear(s, dir)
+      },
+      "q10_orders_by_region" -> q { (s, dir) =>
+        StarAnalytics.visitsByRegion(s, dir)
+      },
+      "q11_scalar_funcs" -> q { (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_mktsegment")).distinct()
+          .select(
+            col("c_mktsegment"),
+            initcap(lower(col("c_mktsegment"))).as("seg_title"),
+            coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+              .as("seg_nvl"))
+      },
+      "q12_sas_parse" -> q { (s, dir) =>
+        import graft.parse.Parsers
+        val lines = t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("doc_id"), lit(" =  '"), col("source"), lit("'")).as("country_line"),
+            concat(lit("'"), col("source"), lit("'\t=\t'"), col("lang"), lit(" '")).as("port_line"))
+        lines.select(
+          col("doc_id"),
+          Parsers.parseCountryCode(col("country_line")).as("c_code"),
+          Parsers.parseCountryName(col("country_line")).as("c_name"),
+          Parsers.parsePortCode(col("port_line")).as("p_code"),
+          Parsers.parsePortName(col("port_line")).as("p_name"))
+      },
+      "q13_sas_date" -> q { (s, dir) =>
+        import graft.parse.Parsers
+        t(s, dir, "orders").select(col("o_orderkey"),
+          Parsers.sasDate(col("o_orderkey") % 20000).as("sas_date"))
+      },
+      "q14_quality_summary" -> q { (s, dir) =>
+        def m(name: String, df: DataFrame, c: String) =
+          df.agg(count(lit(1)).as("row_cnt"),
+              (count(lit(1)) - count(col(c))).as("null_cnt"))
+            .select(lit(name).as("table_name"), lit(c).as("column_name"),
+              col("row_cnt"), col("null_cnt"))
+        m("orders", t(s, dir, "orders"), "o_custkey")
+          .unionByName(m("lineitem", t(s, dir, "lineitem"), "l_orderkey"))
+          .unionByName(m("customer", t(s, dir, "customer"), "c_name"))
+          .unionByName(m("documents", t(s, dir, "documents"), "text"))
+      },
+      // ---- training-data ops (text) ----
+      "q15_text_stats" -> q { (s, dir) =>
+        TextStats.statsFor(t(s, dir, "documents"))
+      },
+      "q16_dedup_exact" -> q { (s, dir) =>
+        Dedup.exactDuplicates(t(s, dir, "documents"))
+      },
+      "q17_minhash_sig" -> q { (s, dir) =>
+        Dedup.minHashSignatures(t(s, dir, "documents"), numHashes = 8, shingleSize = 2)
+      },
+      "q18_neardup_pairs" -> q { (s, dir) =>
+        Dedup.nearDuplicates(t(s, dir, "documents"), numHashes = 8,
+          rowsPerBand = 2, shingleSize = 2, threshold = 0.35)
+      },
+      "q19_simhash" -> q { (s, dir) =>
+        Dedup.simHash(t(s, dir, "documents"))
+      },
+      // ---- training-data ops (embeddings) ----
+      "q20_cosine_topk" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(em.where(col("vec_id") < 20), em, k = 5)
+      },
+      "q21_lsh_ann" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        Similarity.lshTopK(em.where(col("vec_id") < 20), em, k = 5)
+      },
+      "q22_cosine_neardup" -> q { (s, dir) =>
+        Similarity.cosineNearDuplicates(t(s, dir, "embeddings"), threshold = 0.4)
+      },
+      // ---- events ----
+      "q23_events_hourly" -> q { (s, dir) =>
+        Events.hourlyAgg(t(s, dir, "events"))
+      },
+      "q24_sessionize" -> q { (s, dir) =>
+        Events.sessionize(t(s, dir, "events"))
+      },
+      // ---- multimodal ----
+      "q25_multimodal_features" -> q { (s, dir) =>
+        Multimodal.decodeFeaturesExpr(Multimodal.withPayload(t(s, dir, "documents")))
+      },
+      // ---- ETL over the reference's own raw fixtures (rows-only checks;
+      //      golden value tests live in ScalaTest) ----
+      "etl_dim_countries" -> q { (s, _) =>
+        import graft.io.Io
+        CapstoneEtl.dimCountries(CapstoneEtl.stagingCountries(
+          CapstoneEtl.stagingIntCountries(
+            Io.readText(s, s"$RefRaw/internal_country_codes.txt")),
+          CapstoneEtl.unmatchedCountries(
+            Io.readCsvUntyped(s, s"$RefRaw/unmatched_countries_updated.csv")),
+          CapstoneEtl.stagingCountryCodes(
+            Io.readCsv(s, s"$RefRaw/country_codes.csv", CapstoneEtl.countryCodesSchema))))
+      },
+      "etl_dim_port_of_entry" -> q { (s, _) =>
+        CapstoneEtl.dimPortOfEntry(
+          graft.io.Io.readText(s, s"$RefRaw/port_of_entry.txt"))
+      },
+      "etl_dim_date" -> q { (s, _) =>
+        CapstoneEtl.dimDate(CapstoneEtl.factImmigration(
+          graft.io.Io.readParquet(s, s"$RefRaw/sas_data")))
+      })
+  }
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles. Conventions to keep hashes identical to Spark:
+  //  * every sum is wrapped CAST(... AS BIGINT) (DuckDB sums promote to
+  //    HUGEINT), counts are BIGINT on both sides;
+  //  * date-part extracts are BIGINT in DuckDB, Spark side casts to long;
+  //  * money/value aggregates are exact integer cents (per-row round →
+  //    BIGINT → sum), never float sums;
+  //  * regexp_replace gets the 'g' flag (Spark replaces all by default).
+  // -------------------------------------------------------------------
+
+  /** DuckDB list expr: word shingles of size 2 over `text`, distinct. */
+  private val DuckTokens =
+    "regexp_split_to_array(trim(text), '\\s+')"
+  private val DuckShingles =
+    s"""(CASE WHEN length(trim(text)) = 0 OR len($DuckTokens) < 2 THEN []::VARCHAR[]
+        ELSE list_distinct(list_transform(range(1, len($DuckTokens)),
+             i -> array_to_string(($DuckTokens)[i:i+1], ' '))) END)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           count(*) AS cnt,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_revenue_filter" ->
+      """SELECT count(*) AS cnt,
+           CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q03_orders_by_segment" ->
+      """SELECT c_mktsegment, count(*) AS order_cnt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q04_customers_no_orders" ->
+      """SELECT c.c_custkey, c.c_name
+         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         WHERE o.o_orderkey IS NULL""",
+    "q05_lang_dim_join" ->
+      """SELECT coalesce(l.lang_name, 'Unknown') AS lang_name, count(*) AS doc_cnt
+         FROM documents d
+         LEFT JOIN (VALUES ('EN','English'),('FR','French'),('ES','Spanish'),
+                           ('DE','German'),('ZH','Chinese')) AS l(lang_code, lang_name)
+           ON upper(d.lang) = l.lang_code
+         GROUP BY 1""",
+    "q06_date_dim" ->
+      """SELECT d AS date_key, year(d) AS year, quarter(d) AS quarter,
+           month(d) AS month, day(d) AS day, weekofyear(d) AS week
+         FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+               UNION
+               SELECT CAST(l_shipdate AS DATE) FROM lineitem)""",
+    "q07_top5_nations_monthly" ->
+      """WITH monthly AS (
+           SELECT month(o_orderdate) AS order_month, n_name AS nation_name,
+                  count(*) AS order_cnt
+           FROM orders JOIN customer ON o_custkey = c_custkey
+                       JOIN nation ON c_nationkey = n_nationkey
+           WHERE year(o_orderdate) = 1995
+           GROUP BY 1, 2)
+         SELECT order_month, nation_name, order_cnt, rnk FROM (
+           SELECT *, row_number() OVER (PARTITION BY order_month
+             ORDER BY order_cnt DESC, nation_name) AS rnk FROM monthly)
+         WHERE rnk <= 5""",
+    "q08_top5_nations_ytd" ->
+      """SELECT n_name AS nation_name, count(*) AS order_cnt
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         WHERE year(o_orderdate) = 1995
+         GROUP BY 1 ORDER BY order_cnt DESC, nation_name LIMIT 5""",
+    "q09_orders_per_year" ->
+      """SELECT year(o_orderdate) AS order_year, count(*) AS order_cnt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM orders GROUP BY 1""",
+    "q10_orders_by_region" ->
+      """SELECT r_name AS region_name, count(*) AS order_cnt
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1""",
+    "q11_scalar_funcs" ->
+      """SELECT c_mktsegment,
+           upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS seg_title,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_nvl
+         FROM (SELECT DISTINCT c_mktsegment FROM customer)""",
+    "q12_sas_parse" ->
+      """WITH lines AS (
+           SELECT doc_id,
+             doc_id || ' =  ''' || source || '''' AS country_line,
+             '''' || source || '''' || chr(9) || '=' || chr(9) || '''' || lang || ' ''' AS port_line
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_extract(trim(country_line), '^([0-9]+) (\s*=\s*) ('')(.+)('')$', 1)) AS c_code,
+           trim(regexp_extract(trim(country_line), '^([0-9]+) (\s*=\s*) ('')(.+)('')$', 4)) AS c_name,
+           trim(regexp_extract(trim(port_line), '^('')(.+)('')(\s*)(=)(\s*)('')(.+)('')$', 2)) AS p_code,
+           trim(regexp_extract(trim(port_line), '^('')(.+)('')(\s*)(=)(\s*)('')(.+)('')$', 8)) AS p_name
+         FROM lines""",
+    "q13_sas_date" ->
+      """SELECT o_orderkey,
+           DATE '1960-01-01' + CAST(o_orderkey % 20000 AS INTEGER) AS sas_date
+         FROM orders""",
+    "q14_quality_summary" ->
+      """SELECT 'orders' AS table_name, 'o_custkey' AS column_name,
+              count(*) AS row_cnt, count(*) - count(o_custkey) AS null_cnt FROM orders
+         UNION ALL
+         SELECT 'lineitem', 'l_orderkey', count(*), count(*) - count(l_orderkey) FROM lineitem
+         UNION ALL
+         SELECT 'customer', 'c_name', count(*), count(*) - count(c_name) FROM customer
+         UNION ALL
+         SELECT 'documents', 'text', count(*), count(*) - count(text) FROM documents""",
+    "q15_text_stats" -> s"""
+      WITH base AS (
+        SELECT doc_id, text,
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END AS toks
+        FROM documents),
+      stats AS (
+        SELECT doc_id, text, toks,
+          len(toks) AS n_toks,
+          len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stops,
+          len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct_i,
+          len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
+          len(list_filter(toks, x -> x IN ('le','la','et','est'))) AS s_fr,
+          len(list_filter(toks, x -> x IN ('el','la','y','es'))) AS s_es,
+          len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de
+        FROM base)
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(n_toks AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]{1,6}|[0-9]|[!-/:-@\\[-`{-~]')) AS BIGINT) AS n_subwords,
+        CAST(n_punct_i AS BIGINT) AS n_punct,
+        round(CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(n_stops AS DOUBLE) / n_toks END, 4) AS stopword_ratio,
+        round(CASE WHEN n_toks = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n_toks END, 4) AS mean_token_len,
+        round((CASE WHEN length(text) BETWEEN 100 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
+              (CASE WHEN CAST(n_punct_i AS DOUBLE) <= length(text) * 0.1 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
+              (CASE WHEN (CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(n_stops AS DOUBLE) / n_toks END)
+                    BETWEEN 0.01 AND 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 1) AS quality_score,
+        CASE
+            WHEN s_en > 0 AND s_en >= greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+            WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+            WHEN s_es > 0 AND s_es >= greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+            WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_de) THEN 'de'
+            ELSE 'und' END AS lang_pred,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\\[-`{-~]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM stats""",
+    "q16_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS keep_doc_id, count(*) AS dup_cnt
+         FROM documents GROUP BY 1""",
+    "q17_minhash_sig" -> s"""
+      WITH sh AS (SELECT doc_id, $DuckShingles AS shingles FROM documents)
+      SELECT doc_id,
+        list_min(list_transform(shingles, s -> md5('0|' || s))) AS mh0,
+        list_min(list_transform(shingles, s -> md5('1|' || s))) AS mh1,
+        list_min(list_transform(shingles, s -> md5('2|' || s))) AS mh2,
+        list_min(list_transform(shingles, s -> md5('3|' || s))) AS mh3,
+        list_min(list_transform(shingles, s -> md5('4|' || s))) AS mh4,
+        list_min(list_transform(shingles, s -> md5('5|' || s))) AS mh5,
+        list_min(list_transform(shingles, s -> md5('6|' || s))) AS mh6,
+        list_min(list_transform(shingles, s -> md5('7|' || s))) AS mh7
+      FROM sh WHERE len(shingles) > 0""",
+    "q18_neardup_pairs" -> s"""
+      WITH sh AS (SELECT doc_id, $DuckShingles AS shingles FROM documents),
+      sigs AS (
+        SELECT doc_id,
+          list_min(list_transform(shingles, s -> md5('0|' || s))) AS mh0,
+          list_min(list_transform(shingles, s -> md5('1|' || s))) AS mh1,
+          list_min(list_transform(shingles, s -> md5('2|' || s))) AS mh2,
+          list_min(list_transform(shingles, s -> md5('3|' || s))) AS mh3,
+          list_min(list_transform(shingles, s -> md5('4|' || s))) AS mh4,
+          list_min(list_transform(shingles, s -> md5('5|' || s))) AS mh5,
+          list_min(list_transform(shingles, s -> md5('6|' || s))) AS mh6,
+          list_min(list_transform(shingles, s -> md5('7|' || s))) AS mh7
+        FROM sh WHERE len(shingles) > 0),
+      bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS h FROM sigs UNION ALL
+        SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs UNION ALL
+        SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs UNION ALL
+        SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT p.doc_a, p.doc_b,
+          len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+          len(sa.shingles) + len(sb.shingles)
+            - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS uni
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b)
+      SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+      FROM verified
+      WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35""",
+    "q19_simhash" -> s"""
+      WITH base AS (
+        SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                              ELSE $DuckTokens END) AS tok
+        FROM documents),
+      h AS (SELECT doc_id,
+          (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 +
+          (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 +
+          (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16 +
+          (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS h16
+        FROM base),
+      s AS (SELECT doc_id,
+        ${(0 until 16).map(j =>
+          s"sum(CASE WHEN (h16 // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+          .mkString(", ")}
+        FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST(${(0 until 16).map(j =>
+          s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+      FROM s""",
+    "q20_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 20),
+           c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                 FROM embeddings),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+             FROM q JOIN c ON query_id <> neighbor_id)
+         SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+                round(sim, 4) AS cos_sim
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
+         WHERE rnk <= 5""",
+    "q22_cosine_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4""",
+    "q23_events_hourly" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_idx, event_type,
+           count(*) AS event_cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           count(DISTINCT user_id) AS distinct_users,
+           (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start_epoch_s
+         FROM events GROUP BY 1, 2, 6""",
+    "q24_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+           g AS (SELECT *,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+           s AS (SELECT *,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+             FROM g)
+         SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM s GROUP BY user_id, session_seq""",
+    "q25_multimodal_features" ->
+      """SELECT doc_id,
+           'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+           md5(text) AS checksum
+         FROM documents""")
 }

@@ -1,0 +1,40 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink operators (SURVEY.md §2.1 S1-S5, §2.2 K1-K2).
+  *
+  * Scale notes: explicit schemas skip the CSV inference pass (a full extra
+  * read at 100 TB); parquet writes are overwrite-mode full refreshes like
+  * the reference (data_preparation.py:196); the partitioned fact write
+  * keeps `partitionBy(year, month)` so per-period queries prune partitions
+  * at the file-index level.
+  */
+object Io {
+
+  /** S1 — text-line scan: one row per line, single `value` column. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** S2 — CSV with explicit schema + header (no inference pass). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              sep: String = ","): DataFrame =
+    spark.read.schema(schema).option("header", "true").option("sep", sep).csv(path)
+
+  /** S3 — CSV header-only: every column lands as string, cast later. */
+  def readCsvUntyped(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** S4 — parquet scan (glob ok), schema from footer. */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** K1 — full-refresh parquet write. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** K2 — partitioned full-refresh parquet write (fact tables). */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
+}

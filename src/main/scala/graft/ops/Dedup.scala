@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash), MinHash+LSH banding, SimHash, n-gram Jaccard
+  * verification.
+  *
+  * Scale design:
+  *  - every stage keys shuffles on a *digest* (md5/band hash), which is
+  *    uniformly distributed — no skew regardless of document content;
+  *  - MinHash/LSH turns the O(n²) all-pairs problem into
+  *    explode(shingles) → per-doc signature → band-bucket self-join,
+  *    where only same-bucket pairs are compared (the standard
+  *    Broder/Indyk construction);
+  *  - all hashing is md5-hex (engine-portable, deterministic) rather than
+  *    murmur3, so results are oracle-checkable; the hex strings compare
+  *    lexicographically which is order-isomorphic to the 128-bit value.
+  */
+object Dedup {
+
+  /** Word shingles of size n as an array column ([] if too few tokens). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextStats.tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Exact dedup: keep the lowest doc_id per normalized-content
+    * fingerprint. Output one row per distinct content with its duplicate
+    * count. Single hash-shuffle on the digest. */
+  def exactDuplicates(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), TextStats.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_cnt"))
+
+  /** MinHash signature: k permutations simulated by salted md5 over the
+    * shingle set; minhash_i = lexicographic min of md5(i || shingle).
+    * One explode + one hash-agg — no pairwise work. */
+  def minHashSignatures(docs: DataFrame, textCol: String = "text",
+                        numHashes: Int = 8, shingleSize: Int = 3): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"),
+        explode(wordShingles(col(textCol), shingleSize)).as("shingle"))
+    val aggs = (0 until numHashes).map { i =>
+      min(md5(to_binary(concat(lit(s"$i|"), col("shingle")), lit("utf-8"))))
+        .as(s"mh$i")
+    }
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over the minhash signature: band j = md5 of its rows.
+    * Docs sharing any band hash are near-dup candidates. */
+  def lshBands(signatures: DataFrame, numHashes: Int = 8,
+               rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"),
+        md5(to_binary(concat_ws("|", cols: _*), lit("utf-8"))).as("band_hash"))
+    }
+    signatures.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs from shared LSH buckets (doc_a < doc_b, distinct).
+    * The self-join keys on (band_id, band_hash) — uniform, skew-free. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for a pair set: explode both shingle sets,
+    * count intersection via join, |A∪B| = |A|+|B|-|A∩B|. */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
+                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      wordShingles(col(textCol), shingleSize).as("sh"))
+    val withSets = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .where(col("uni") > 0)
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
+    * pairs → exact-Jaccard verify. */
+  def nearDuplicates(docs: DataFrame, textCol: String = "text",
+                     numHashes: Int = 8, rowsPerBand: Int = 2,
+                     shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sigs = minHashSignatures(docs, textCol, numHashes, shingleSize)
+    val pairs = candidatePairs(lshBands(sigs, numHashes, rowsPerBand))
+    jaccardVerify(docs, pairs, textCol, shingleSize, threshold)
+  }
+
+  /** 16-bit SimHash over the token multiset, using the first 4 hex chars
+    * of md5(token) as the per-token hash. bit_j(doc) = sign of
+    * Σ_tokens (±1). Engine-portable (md5 + arithmetic only). */
+  def simHash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextStats.tokens(col(textCol))).as("tok"))
+      .withColumn("h16", conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, 4), 16, 10)
+        .cast("int"))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(shiftright(col("h16"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
+          .reduce(_ + _).cast("long").as("simhash"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale design:
+  *  - `bruteForceTopK` broadcasts the (small) query set against the corpus
+  *    — one pass over the corpus, no shuffle of the big side; per-partition
+  *    top-k via the rank window is bounded by |queries| × k rows out;
+  *  - `lshTopK` is the scale path: sign-random-projection (SRP) bucket
+  *    keys shrink the candidate set from |corpus| to the colliding bucket,
+  *    trading recall for a |corpus|/2^planes-fold reduction in distance
+  *    computations — the standard Charikar construction;
+  *  - dot products use the higher-order `aggregate` over `zip_with`
+  *    (codegen'd, no UDF); accumulation is in index order (deterministic).
+  */
+object Similarity {
+
+  /** Deterministic "random" hyperplane component for (plane, dim):
+    * md5-derived value in [-0.5, 0.5). Reproducible across runs/engines. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"srp|$plane|$dim".getBytes("UTF-8"))
+    val v = java.nio.ByteBuffer.wrap(h).getLong(0)
+    (v.toDouble / Long.MaxValue.toDouble) / 2.0
+  }
+
+  /** Dot product of two array<float/double> columns, double accumulator. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (baseline).
+    * `queries` and `corpus` must both have (idCol, vecCol). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** SRP-LSH bucket key: `planes` sign bits of deterministic hyperplane
+    * dot products, packed into an int. */
+  def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { pIdx =>
+      val proj = (0 until dim).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeComponent(pIdx, d))
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1 << pIdx)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via SRP-LSH: candidates = same-bucket rows (plus queries join on
+    * bucket key — a hash join, not a cross join), then exact re-rank.
+    * Recall < 1.0 by construction; bucket count 2^planes tunes the
+    * candidates-per-query ratio at scale. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int = 64,
+              planes: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        srpBucket(col(vecCol), dim, planes).as("bucket")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      srpBucket(col(vecCol), dim, planes).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold.
+    * Brute-force form for correctness; at scale, feed `candidatePairs`
+    * from an SRP bucketing instead of the full cross product. */
+  def cosineNearDuplicates(vectors: DataFrame, threshold: Double,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs) so
+  * they run inside whole-stage codegen over a 100 TB `documents` scan.
+  */
+object TextStats {
+
+  /** Whitespace tokenization; empty/blank text → 0 tokens. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-pieces + digits + punctuation as separate
+    * tokens (regexp-count of the piece pattern). */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]{1,6}|[0-9]|[!-/:-@\\[-`{-~]"))
+
+  /** ASCII punctuation count (explicit class — identical under Java regex
+    * and RE2). */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[!-/:-@\\[-`{-~]"))
+
+  private val StopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isin(StopwordsEn: _*))
+    when(size(toks) === 0, lit(0.0)).otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * healthy stopword ratio. Deterministic, SQL-expressible. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(100, 10000), lit(0.4)).otherwise(lit(0.0))
+    val punctOk = when(punctCount(text).cast("double") <= length(text) * 0.1, lit(0.3))
+      .otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text).between(0.01, 0.6), lit(0.3)).otherwise(lit(0.0))
+    round(lenOk + punctOk + stopOk, 1)
+  }
+
+  /** N-gram-heuristic language ID: score a handful of marker words per
+    * language over the token set; argmax with deterministic tie-break.
+    * (A real system would use character-trigram profiles; the decision
+    * structure — per-language marker hit counts → argmax — is the same.) */
+  def langIdHeuristic(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is"),
+      "fr" -> Seq("le", "la", "et", "est"),
+      "es" -> Seq("el", "la", "y", "es"),
+      "de" -> Seq("der", "die", "und", "ist"))
+    val toks = tokens(text)
+    val scores = markers.map { case (lang, ws) =>
+      lang -> size(filter(toks, t => t.isin(ws: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s > 0 && s === best && acc === "und", lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Canonical text normalization for fingerprint/dedup: lowercase, strip
+    * punctuation, collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[!-/:-@\\[-`{-~]", " "), "\\s+", " "))
+
+  /** Content fingerprint: 128-bit md5 of normalized text (hex string).
+    * Stable across engines — the dedup join key at scale. */
+  def fingerprint(text: Column): Column = md5(to_binary(normalized(text), lit("utf-8")))
+
+  /** Full per-document stats projection used by `queries`. */
+  def statsFor(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      tokenCount(t).cast("long").as("n_tokens"),
+      subwordCount(t).cast("long").as("n_subwords"),
+      punctCount(t).cast("long").as("n_punct"),
+      round(stopwordRatio(t), 4).as("stopword_ratio"),
+      round(meanTokenLen(t), 4).as("mean_token_len"),
+      qualityScore(t).as("quality_score"),
+      langIdHeuristic(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}
