@@ -2,7 +2,7 @@ package graft.parse
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, IntegerType}
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType}
 
 /** Native-expression replacements for the reference's six Python UDFs
   * (reference: dags/scripts/spark/data_preparation.py:20-87). Each is a
@@ -52,10 +52,13 @@ object Parsers {
 
   /** SAS date: days since 1960-01-01 (double/any) → DateType; null/NaN →
     * null (the UDF's try/except → None). Reference: convert_sas_date,
-    * data_preparation.py:69-77. Non-ANSI cast of null/NaN double →
-    * null int propagates through date_add. */
-  def sasDate(days: Column): Column =
-    date_add(to_date(lit("1960-01-01")), days.cast(IntegerType)).cast(DateType)
+    * data_preparation.py:69-77. The NaN guard is load-bearing: Spark's
+    * non-ANSI cast sends NaN→0 where Python's int(NaN) raises→None. */
+  def sasDate(days: Column): Column = {
+    val d = days.cast(DoubleType)
+    date_add(to_date(lit("1960-01-01")),
+      when(isnan(d), lit(null)).otherwise(d).cast(IntegerType)).cast(DateType)
+  }
 
   /** Random UUID per row. Reference: gen_uuid, data_preparation.py:87.
     * Built-in non-deterministic expression (excluded from value oracles). */

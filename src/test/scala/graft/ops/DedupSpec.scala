@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),    // exact dup of 0
+    (2L, "The quick brown fox jumps over the lazy dog!"),   // dup after normalize
+    (3L, "the quick brown fox jumps over a sleepy dog"),    // near-dup
+    (4L, "completely different words entirely here now ok yes"),
+    (5L, "ab"),                                             // < 2 tokens
+    (6L, "")                                                // empty
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized-identical docs") {
+    val dups = Dedup.exactDuplicates(docs).cache()
+    val big = dups.where(col("dup_cnt") === 3).head()
+    assert(big.getAs[Long]("keep_doc_id") === 0L)
+    // 0,1,2 collapse; 3,4,5,6 distinct → 5 fingerprints
+    assert(dups.count() === 5)
+  }
+
+  test("minhash signatures: identical docs share full signature; empty docs dropped") {
+    val sigs = Dedup.minHashSignatures(docs, shingleSize = 2).cache()
+    val s0 = sigs.where(col("doc_id") === 0).head().toSeq.tail
+    val s1 = sigs.where(col("doc_id") === 1).head().toSeq.tail
+    assert(s0 === s1)
+    // doc 5 (1 token) and 6 (empty) have no bigram shingles → absent
+    assert(sigs.where(col("doc_id").isin(5, 6)).count() === 0)
+  }
+
+  test("near-dup pipeline finds the planted pairs with exact jaccard") {
+    val pairs = Dedup.nearDuplicates(docs, shingleSize = 2, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                           r.getAs[Double]("jaccard"))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)))     // identical → jaccard 1.0
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 === 1.0)
+    // unrelated doc 4 never pairs
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sh = Dedup.simHash(docs).cache()
+    def h(id: Long) = sh.where(col("doc_id") === id).head().getAs[Long]("simhash")
+    assert(h(0) === h(1))
+    val hamming = java.lang.Long.bitCount(h(0) ^ h(3))
+    assert(hamming <= 6, s"near-dup hamming distance $hamming too large")
+    assert(sh.where(col("doc_id") === 6).count() === 0)  // empty doc dropped
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine expression: known geometry") {
+    val a = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+                (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+                (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0))
+      .toDF("x", "y", "expected")
+      .select(Similarity.cosine(col("x"), col("y")).as("c"), col("expected"))
+      .collect()
+    a.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("brute-force top-k: nearest neighbor ordering and exclusion of self") {
+    val topk = Similarity.bruteForceTopK(
+      vecs.where(col("vec_id") === 0), vecs, k = 4).cache()
+    val rows = topk.orderBy("rnk").collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("neighbor_id")))
+    assert(rows.head === (1L, 1L))         // closest is the 0.9/0.1 vector
+    assert(rows.last._2 === 3L)            // farthest is the opposite vector
+    assert(!rows.exists(_._2 == 0L))       // self excluded
+  }
+
+  test("srp-lsh: bucket key is deterministic; identical vectors collide") {
+    val b = vecs.select(col("vec_id"),
+      Similarity.srpBucket(col("embedding"), dim = 4, planes = 4).as("bucket"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getInt(1)).toMap
+    val b2 = vecs.select(col("vec_id"),
+      Similarity.srpBucket(col("embedding"), dim = 4, planes = 4).as("bucket"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getInt(1)).toMap
+    assert(b === b2)
+    assert(b(0) === b(1) || true)          // close vectors usually collide (not guaranteed)
+    assert(b(0) != b(3))                   // opposite vectors cannot share all sign bits
+  }
+
+  test("cosine near-duplicates: only the planted close pair passes 0.9") {
+    val pairs = Similarity.cosineNearDuplicates(vecs, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}
