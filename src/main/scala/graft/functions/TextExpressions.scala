@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for text dedup primitives.
+  *
+  * MinHashSignature computes the whole k-permutation signature per row in
+  * one pass over the shingle array — replacing the
+  * explode → 8×md5 → groupBy(doc).min formulation, which shuffles one row
+  * per (doc, shingle). At 100 TB that explode shuffle dominates; here the
+  * signature never leaves the row.
+  *
+  * Semantics are identical to min(md5(utf8(s"$i|" + shingle))) per salt i
+  * (lexicographic min over lowercase hex), so DuckDB oracles expressed
+  * with list_min(list_transform(...)) hash-match exactly.
+  *
+  * CodegenFallback is deliberate: the md5 inner loop is the entire cost;
+  * one virtual eval call per row is noise, and the expression stays a
+  * single scan-local projection either way.
+  */
+object TextExpressions {
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = hexDigits(b >>> 4)
+      out(i * 2 + 1) = hexDigits(b & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** tokens array → k-minhash signature over n-token shingles, fused:
+    * shingles are built and hashed on the fly, never materialized.
+    * min over all shingles == min over distinct shingles, so the result
+    * matches the distinct-shingle oracle formulation exactly. Returns
+    * null when the doc has fewer than `shingleSize` tokens. */
+  case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    // null is also produced for too-short docs, not only null input
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val tokens = input.asInstanceOf[ArrayData]
+      val n = tokens.numElements()
+      if (n < shingleSize) return null
+      val toks = new Array[String](n)
+      var t = 0
+      while (t < n) { toks(t) = tokens.getUTF8String(t).toString; t += 1 }
+      val md = MessageDigest.getInstance("MD5")
+      val mins = new Array[String](numHashes)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= n - shingleSize) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleSize) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val shingle = sb.toString
+        var h = 0
+        while (h < numHashes) {
+          md.reset()
+          val digest = hex(md.digest((h.toString + "|" + shingle).getBytes("UTF-8")))
+          if (mins(h) == null || digest.compareTo(mins(h)) < 0) mins(h) = digest
+          h += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins.map(UTF8String.fromString(_)).toArray[Any])
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** k minhash values (lowercase md5 hex) over word n-shingles of a
+    * token-array column; null when the doc is shorter than the shingle. */
+  def shingle_minhash(tokens: Column, shingleSize: Int, numHashes: Int): Column =
+    ColumnBridge.column(ShingleMinHash(
+      ColumnBridge.expression(tokens), shingleSize, numHashes))
+}

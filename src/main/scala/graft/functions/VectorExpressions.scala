@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for embedding math.
+  *
+  * Spark's higher-order functions (`aggregate`, `zip_with`) are
+  * CodegenFallback: every evaluation allocates intermediate arrays and
+  * interprets the lambda. For an all-pairs similarity join that is the
+  * entire runtime. These expressions generate a tight fused Java loop
+  * instead (whole-stage-codegen friendly), turning the brute-force
+  * cosine stage from interpreter-bound to memory-bandwidth-bound.
+  *
+  * Float math note: elements are widened to double and accumulated in
+  * index order — the same fold order as `aggregate(zip_with(...))` and
+  * DuckDB's list_dot_product, so results stay bit-identical to the
+  * oracle formulation.
+  */
+object VectorExpressions {
+
+  private def elemKind(e: Expression): DataType = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => t
+    case other => throw new IllegalArgumentException(
+      s"expected array<float|double>, got $other")
+  }
+
+  private def loadExpr(arr: String, i: String, t: DataType): String = t match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _         => s"$arr.getDouble($i)"
+  }
+
+  /** Σ x_i·y_i over two numeric arrays (double accumulator). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val lt = elemKind(left); val rt = elemKind(right)
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xi * yi
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double ${ev.value}Acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          ${ev.value}Acc += (${loadExpr(a, i, elemKind(left))}) * (${loadExpr(b, i, elemKind(right))});
+        }
+        ${ev.value} = ${ev.value}Acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Fused cosine similarity: one pass accumulating x·y, x·x, y·y, then
+    * xy / (sqrt(xx) * sqrt(yy)) — the same arithmetic shape as computing
+    * the three dot products separately, with a third of the traversals. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val lt = elemKind(left); val rt = elemKind(right)
+      val n = math.min(x.numElements(), y.numElements())
+      var xy = 0.0; var xx = 0.0; var yy = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+        xy += xi * yi; xx += xi * xi; yy += yi * yi
+        i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val xy = ctx.freshName("xy")
+        val xx = ctx.freshName("xx")
+        val yy = ctx.freshName("yy")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = ${loadExpr(a, i, elemKind(left))};
+          double $yv = ${loadExpr(b, i, elemKind(right))};
+          $xy += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
+        }
+        ${ev.value} = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -39,17 +39,21 @@ object Dedup {
 
   /** MinHash signature: k permutations simulated by salted md5 over the
     * shingle set; minhash_i = lexicographic min of md5(i || shingle).
-    * One explode + one hash-agg — no pairwise work. */
+    * Computed per-row by a native expression (no explode, no shuffle —
+    * the signature never leaves the scan projection). */
   def minHashSignatures(docs: DataFrame, textCol: String = "text",
                         numHashes: Int = 8, shingleSize: Int = 3): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"),
-        explode(wordShingles(col(textCol), shingleSize)).as("shingle"))
-    val aggs = (0 until numHashes).map { i =>
-      min(md5(to_binary(concat(lit(s"$i|"), col("shingle")), lit("utf-8"))))
-        .as(s"mh$i")
-    }
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sig = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.shingle_minhash(
+        TextStats.tokens(col(textCol)), shingleSize, numHashes).as("sig"))
+      // materialization barrier: without it, splitting `sig` into k
+      // columns re-evaluates the signature expression per column, and a
+      // downstream self-join doubles that again. The exchange computes it
+      // once and is shared via ReuseExchange on both join sides.
+      .repartition(col("doc_id"))
+      .where(col("sig").isNotNull)
+    sig.select(col("doc_id") +:
+      (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** LSH banding over the minhash signature: band j = md5 of its rows.
