@@ -8,7 +8,23 @@ object Scratch {
     val e = SparkEntry.entry(spark)
     println("=== entry() result ===")
     e.show(10, truncate = false)
-    println(s"entry rows: ${e.count()}")
+
+    // drive the streaming surface end-to-end: file source → windowed agg
+    // with watermark → memory sink, availableNow
+    import org.apache.spark.sql.streaming.Trigger
+    // the streaming file source wants a directory; stage the single-file
+    // testdata table into one
+    val srcDir = java.nio.file.Files.createTempDirectory("events-src").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = streaming.EventsStream.readEvents(spark, srcDir)
+    val q = streaming.EventsStream.hourlyAggStream(stream)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    println("=== streaming hourly agg (first 5 rows, of " +
+      spark.table("hourly").count() + ") ===")
+    spark.table("hourly").orderBy("hour_idx", "event_type").show(5)
     spark.stop()
   }
 }

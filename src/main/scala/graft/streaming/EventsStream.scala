@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twin of graft.ops.Events.
+  *
+  * The reference pipeline is batch-only (SURVEY.md §2.12); its scaling
+  * answer is "partition by date and run daily" (README.md:116-117). This
+  * module is the continuous version of that story: the same event-stream
+  * semantics expressed over `readStream`, so a daily batch and a live
+  * stream share one engine.
+  *
+  * Scale design: the windowed aggregate is a streaming state store keyed
+  * by (window, event_type) — watermarking bounds state; sessionization
+  * keeps one small state record per active user and emits sessions as
+  * soon as a gap closes them, so state size tracks active users, not
+  * event volume.
+  */
+object EventsStream {
+
+  /** events.parquet physical schema (ts = epoch-nanos int64; see
+    * GraftSession nanosAsLong). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
+
+  /** Tumbling 1-hour event-time window with a 1-hour watermark: count +
+    * exact value cents per (window, event_type). Late data beyond the
+    * watermark is dropped; state for closed windows is evicted. */
+  def hourlyAggStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000L")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("event_cnt"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        (unix_timestamp(col("window.start")) / 3600).cast("long").as("hour_idx"),
+        col("event_type"), col("event_cnt"), col("value_cents"))
+
+  // ---- stateful sessionization --------------------------------------
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+                         event_type: String, value: Double, props: String)
+  /** Open session carried across micro-batches for one user. */
+  final case class SessionState(sessionSeq: Long, startUs: Long, lastUs: Long,
+                                nEvents: Long, valueCents: Long)
+  final case class Session(user_id: Long, session_seq: Long, n_events: Long,
+                           session_start_us: Long, session_end_us: Long,
+                           value_cents: Long)
+
+  private val GapUs: Long = 30L * 60L * 1000L * 1000L
+
+  /** flatMapGroupsWithState sessionizer: emits a session whenever a
+    * >30-min gap (or new data in a later batch) closes it; the open
+    * session persists in the state store. Semantics match
+    * Events.sessionize for the emitted (closed) sessions. */
+  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[Session]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var closed = List.newBuilder[Session]
+          var cur = state.getOption
+          for (e <- sorted) {
+            val tsUs = e.ts / 1000L
+            val cents = math.round(e.value * 100).toLong
+            cur match {
+              case Some(s) if tsUs - s.lastUs <= GapUs =>
+                cur = Some(s.copy(lastUs = tsUs, nEvents = s.nEvents + 1,
+                  valueCents = s.valueCents + cents))
+              case Some(s) =>
+                closed += Session(userId, s.sessionSeq, s.nEvents, s.startUs,
+                  s.lastUs, s.valueCents)
+                cur = Some(SessionState(s.sessionSeq + 1, tsUs, tsUs, 1, cents))
+              case None =>
+                cur = Some(SessionState(1, tsUs, tsUs, 1, cents))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

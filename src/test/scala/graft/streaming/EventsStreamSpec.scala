@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.ops.Events
+
+/** Streaming twins must agree with the batch operators on the same data. */
+class EventsStreamSpec extends SparkSpec {
+
+  private lazy val srcDir: String = {
+    val dir = Files.createTempDirectory("events-stream").toString
+    // two time-ordered files → two micro-batches with maxFilesPerTrigger=1,
+    // so session state genuinely crosses batch boundaries (split must be
+    // by time, not round-robin: the sessionizer assumes in-order batches)
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
+    val mid = ev.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    ev.where(col("ts") < mid).coalesce(1).write.parquet(s"$dir/a")
+    ev.where(col("ts") >= mid).coalesce(1).write.parquet(s"$dir/b")
+    dir
+  }
+
+  private def sourceGlob = s"$srcDir/*"
+
+  test("streaming hourly window agg equals batch hourlyAgg") {
+    val stream = EventsStream.readEvents(spark, sourceGlob)
+    val q = EventsStream.hourlyAggStream(stream)
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("hourly_stream")
+      .groupBy("hour_idx", "event_type")   // update mode may emit a key twice; keep latest via max
+      .agg(max("event_cnt").as("event_cnt"), max("value_cents").as("value_cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val want = Events.hourlyAgg(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .collect().map(r => (r.getAs[Long]("hour_idx"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("event_cnt"), r.getAs[Long]("value_cents"))).toMap
+    assert(got === want)
+  }
+
+  test("stateful sessionization: closed sessions match batch; state spans micro-batches") {
+    import spark.implicits._
+    val stream = EventsStream.readEvents(spark, sourceGlob, maxFilesPerTrigger = Some(1))
+      .as[EventsStream.Event]
+    val q = EventsStream.sessionizeStream(stream)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sessions_stream")
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "value_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val batch = Events.sessionize(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "value_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // the stream's still-open last session per user is held in state, so
+    // emitted sessions = batch sessions minus each user's final one
+    assert(got.subsetOf(batch))
+    val lastPerUser = batch.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    assert(got === batch -- lastPerUser)
+  }
+}
