@@ -184,6 +184,34 @@ object SparkEntry {
       "q25_multimodal_features" -> q { (s, dir) =>
         Multimodal.decodeFeaturesExpr(Multimodal.withPayload(t(s, dir, "documents")))
       },
+      // ---- SQL surface / JSON / dedup-apply / IVF ----
+      "q26_sql_surface" -> q { (s, dir) =>
+        graft.sql.GraftCatalog.sql(s, dir,
+          """SELECT l_orderkey, o_orderdate, o_orderpriority,
+               sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) AS revenue_cents
+             FROM customer JOIN orders ON c_custkey = o_custkey
+                           JOIN lineitem ON l_orderkey = o_orderkey
+             WHERE c_mktsegment = 'BUILDING'
+               AND o_orderdate < timestamp '1995-03-15'
+               AND l_shipdate > timestamp '1995-03-15'
+             GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+             LIMIT 10""")
+      },
+      "q27_json_props" -> q { (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .agg(count(lit(1)).as("event_cnt"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      },
+      "q28_dedup_corpus" -> q { (s, dir) =>
+        Dedup.exactDedupedCorpus(t(s, dir, "documents"))
+          .select("doc_id", "lang", "n_chars")
+      },
+      "q29_ivf_ann" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        Similarity.ivfTopK(em.where(col("vec_id") < 20), em, k = 5)
+      },
       // ---- ETL over the reference's own raw fixtures (rows-only checks;
       //      golden value tests live in ScalaTest) ----
       "etl_dim_countries" -> q { (s, _) =>
@@ -466,6 +494,27 @@ object SparkEntry {
            min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM s GROUP BY user_id, session_seq""",
+    "q26_sql_surface" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
+    "q27_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           count(*) AS event_cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1""",
+    "q28_dedup_corpus" ->
+      """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         JOIN (SELECT min(doc_id) AS doc_id FROM documents
+               GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')))) k
+           ON d.doc_id = k.doc_id""",
     "q25_multimodal_features" ->
       """SELECT doc_id,
            'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type,

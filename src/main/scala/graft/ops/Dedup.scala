@@ -37,6 +37,14 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Apply exact dedup: the corpus with only the keeper (lowest doc_id)
+    * of each normalized-content group. Left-semi join against the keeper
+    * set — no row payload shuffled for the probe side's non-matches. */
+  def exactDedupedCorpus(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.join(
+      exactDuplicates(docs, textCol).select(col("keep_doc_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
   /** MinHash signature: k permutations simulated by salted md5 over the
     * shingle set; minhash_i = lexicographic min of md5(i || shingle).
     * Computed per-row by a native expression (no explode, no shuffle —

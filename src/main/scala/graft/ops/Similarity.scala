@@ -93,6 +93,46 @@ object Similarity {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus
+    * into `nlist` cells; a query probes only its `nprobe` nearest cells
+    * and re-ranks exactly. The scale path when SRP buckets are too
+    * coarse: |corpus|/nlist·nprobe distance computations per query, and
+    * the cell assignment is a plain hash join on cluster id. Training is
+    * seeded and runs once over (a sample of) the corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featCorpus = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .fit(featCorpus.select("features"))
+    val assigned = model.transform(featCorpus)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+    // nprobe nearest cells per query: centroid set is tiny (nlist rows) —
+    // broadcast literal relation, rank by exact distance
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wCell = Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("dist", -cosine(col("qv"), col("centroid")))
+      .withColumn("cell_rnk", row_number().over(wCell))
+      .where(col("cell_rnk") <= nprobe)
+      .select("query_id", "qv", "cell")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold.
     * Brute-force form for correctness; at scale, feed `candidatePairs`
     * from an SRP bucketing instead of the full cross product. */
@@ -102,6 +142,28 @@ object Similarity {
     val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** Scale path for near-dup pairs: SRP buckets gate the self-join
+    * (equi-join on bucket, not a cross product), then exact cosine
+    * verification. Recall < 1 by construction — near-identical vectors
+    * share all sign bits with high probability. */
+  def cosineNearDuplicatesLsh(vectors: DataFrame, threshold: Double,
+                              dim: Int = 64, planes: Int = 4,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val withBucket = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      srpBucket(col(vecCol), dim, planes).as("bucket"))
+      // materialize the 256-term bucket expression once; both join sides
+      // reuse this exchange
+      .repartition(col("bucket"))
+    val a = withBucket.select(col("id").as("id_a"), col("v").as("va"), col("bucket"))
+    val b = withBucket.select(col("id").as("id_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .where(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))

@@ -47,6 +47,23 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0) != b(3))                   // opposite vectors cannot share all sign bits
   }
 
+  test("ivf ann: probing all cells reproduces the brute-force top-k") {
+    val q = vecs.where(col("vec_id") === 0)
+    val ivf = Similarity.ivfTopK(q, vecs, k = 3, nlist = 2, nprobe = 2)
+      .orderBy("rnk").collect().map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("neighbor_id")))
+    val brute = Similarity.bruteForceTopK(q, vecs, k = 3)
+      .orderBy("rnk").collect().map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("neighbor_id")))
+    assert(ivf.toSeq === brute.toSeq)
+  }
+
+  test("lsh near-duplicates: subset of brute-force pairs; catches identical-direction pair") {
+    val pairs = Similarity.cosineNearDuplicatesLsh(vecs, threshold = 0.9, dim = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val brute = Similarity.cosineNearDuplicates(vecs, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.subsetOf(brute))
+  }
+
   test("cosine near-duplicates: only the planted close pair passes 0.9") {
     val pairs = Similarity.cosineNearDuplicates(vecs, threshold = 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
