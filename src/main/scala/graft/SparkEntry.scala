@@ -212,6 +212,21 @@ object SparkEntry {
         val em = t(s, dir, "embeddings")
         Similarity.ivfTopK(em.where(col("vec_id") < 20), em, k = 5)
       },
+      "q30_asof_join" -> q { (s, dir) =>
+        import graft.ops.AsOf
+        val ev = t(s, dir, "events")
+          .withColumn("ts_us", expr("ts div 1000L"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us")
+        // dedupe right side per (user, time): as-of needs a unique frontier
+        val signups = ev.where(col("event_type") === "signup")
+          .groupBy("user_id", "ts_us")
+          .agg(max("event_id").as("signup_event_id"))
+        AsOf.asofJoin(purchases, signups, Seq("user_id"), "ts_us",
+          Seq("signup_event_id"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("asof_ts_us").as("signup_ts_us"), col("asof_signup_event_id").as("signup_event_id"))
+      },
       // ---- ETL over the reference's own raw fixtures (rows-only checks;
       //      golden value tests live in ScalaTest) ----
       "etl_dim_countries" -> q { (s, _) =>
@@ -510,6 +525,15 @@ object SparkEntry {
            count(*) AS event_cnt,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1""",
+    "q30_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+           p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+           s AS (SELECT user_id, ts_us, max(event_id) AS signup_event_id
+                 FROM e WHERE event_type = 'signup' GROUP BY user_id, ts_us)
+         SELECT p.event_id, p.user_id, p.ts_us,
+                s.ts_us AS signup_ts_us, s.signup_event_id
+         FROM p ASOF LEFT JOIN s
+           ON p.user_id = s.user_id AND p.ts_us >= s.ts_us""",
     "q28_dedup_corpus" ->
       """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          JOIN (SELECT min(doc_id) AS doc_id FROM documents

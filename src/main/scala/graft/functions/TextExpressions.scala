@@ -95,4 +95,47 @@ object TextExpressions {
   def shingle_minhash(tokens: Column, shingleSize: Int, numHashes: Int): Column =
     ColumnBridge.column(ShingleMinHash(
       ColumnBridge.expression(tokens), shingleSize, numHashes))
+
+  /** tokens array → distinct word n-shingles (first-occurrence order) —
+    * the native twin of transform(sequence…)+slice+concat_ws+
+    * array_distinct, which is four nested CodegenFallback HOFs. */
+  case class WordShingles(child: Expression, shingleSize: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val tokens = input.asInstanceOf[ArrayData]
+      val n = tokens.numElements()
+      if (n < shingleSize) return new GenericArrayData(Array.empty[Any])
+      val toks = new Array[String](n)
+      var t = 0
+      while (t < n) { toks(t) = tokens.getUTF8String(t).toString; t += 1 }
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= n - shingleSize) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleSize) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def word_shingles(tokens: Column, shingleSize: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), shingleSize))
 }

@@ -20,14 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word shingles of size n as an array column ([] if too few tokens). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextStats.tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+  /** Word shingles of size n as an array column ([] if too few tokens).
+    * Native expression — the equivalent HOF chain (transform + slice +
+    * concat_ws + array_distinct) is interpreter-bound. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.word_shingles(TextStats.tokens(text), n)
 
   /** Exact dedup: keep the lowest doc_id per normalized-content
     * fingerprint. Output one row per distinct content with its duplicate
