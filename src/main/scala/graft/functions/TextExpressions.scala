@@ -138,4 +138,54 @@ object TextExpressions {
 
   def word_shingles(tokens: Column, shingleSize: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), shingleSize))
+
+  /** One pass over the token array producing every token-derived stat the
+    * text-quality pipeline needs: counts, stopword hits, total length,
+    * and per-language marker hits. Replaces five separate interpreted
+    * `filter`/`aggregate` HOF evaluations over the same array. */
+  case class TokenStats(child: Expression, stopwords: Seq[String],
+                        markers: Seq[(String, Seq[String])])
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.catalyst.InternalRow
+
+    override def dataType: DataType = StructType(
+      StructField("n_tokens", LongType, nullable = false) +:
+      StructField("n_stops", LongType, nullable = false) +:
+      StructField("sum_token_len", LongType, nullable = false) +:
+      markers.map { case (lang, _) =>
+        StructField(s"s_$lang", LongType, nullable = false) })
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val stopSet = stopwords.toSet
+    @transient private lazy val markerSets = markers.map(_._2.toSet)
+
+    override def nullSafeEval(input: Any): Any = {
+      val tokens = input.asInstanceOf[ArrayData]
+      val n = tokens.numElements()
+      var stops = 0L; var sumLen = 0L
+      val langHits = new Array[Long](markers.size)
+      var i = 0
+      while (i < n) {
+        val t = tokens.getUTF8String(i)
+        sumLen += t.numChars()
+        val s = t.toString
+        if (stopSet.contains(s)) stops += 1
+        var m = 0
+        while (m < markerSets.length) {
+          if (markerSets(m).contains(s)) langHits(m) += 1
+          m += 1
+        }
+        i += 1
+      }
+      InternalRow.fromSeq(n.toLong +: stops +: sumLen +: langHits.toSeq)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def token_stats(tokens: Column, stopwords: Seq[String],
+                  markers: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(TokenStats(ColumnBridge.expression(tokens), stopwords, markers))
 }

@@ -83,19 +83,55 @@ object TextStats {
     * Stable across engines — the dedup join key at scale. */
   def fingerprint(text: Column): Column = md5(to_binary(normalized(text), lit("utf-8")))
 
-  /** Full per-document stats projection used by `queries`. */
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "la", "y", "es"),
+    "de" -> Seq("der", "die", "und", "ist"))
+
+  /** Full per-document stats projection used by `queries`.
+    *
+    * Two stages split by an exchange: stage 1 computes everything that
+    * touches the raw text (codegen'd regexp stats + one fused TokenStats
+    * pass over the token array) and drops the text; stage 2 derives the
+    * ratios/score/lang from the small struct. The barrier stops Catalyst
+    * from inlining the TokenStats expression once per derived column, and
+    * only slim columns ride the shuffle — not the documents themselves. */
   def statsFor(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    docs.select(
+    val stage1 = docs.select(
       col("doc_id"),
       length(t).cast("long").as("n_chars"),
-      tokenCount(t).cast("long").as("n_tokens"),
       subwordCount(t).cast("long").as("n_subwords"),
       punctCount(t).cast("long").as("n_punct"),
-      round(stopwordRatio(t), 4).as("stopword_ratio"),
-      round(meanTokenLen(t), 4).as("mean_token_len"),
-      qualityScore(t).as("quality_score"),
-      langIdHeuristic(t).as("lang_pred"),
+      graft.functions.TextExpressions.token_stats(tokens(t), StopwordsEn, LangMarkers)
+        .as("ts"),
       fingerprint(t).as("fingerprint"))
+      .repartition(col("doc_id"))
+    val nTok = col("ts.n_tokens")
+    val ratio = when(nTok === 0, lit(0.0))
+      .otherwise(col("ts.n_stops").cast("double") / nTok)
+    val langScores = LangMarkers.map { case (lang, _) => lang -> col(s"ts.s_$lang") }
+    val best = langScores.map(_._2).reduce((a, b) => greatest(a, b))
+    val langPred = langScores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s > 0 && s === best && acc === "und", lit(lang)).otherwise(acc)
+    }
+    stage1.select(
+      col("doc_id"),
+      col("n_chars"),
+      nTok.as("n_tokens"),
+      col("n_subwords"),
+      col("n_punct"),
+      round(ratio, 4).as("stopword_ratio"),
+      round(when(nTok === 0, lit(0.0))
+        .otherwise(col("ts.sum_token_len").cast("double") / nTok), 4)
+        .as("mean_token_len"),
+      round(
+        when(col("n_chars").between(100, 10000), lit(0.4)).otherwise(lit(0.0)) +
+        when(col("n_punct").cast("double") <= col("n_chars") * 0.1, lit(0.3)).otherwise(lit(0.0)) +
+        when(ratio.between(0.01, 0.6), lit(0.3)).otherwise(lit(0.0)), 1)
+        .as("quality_score"),
+      langPred.as("lang_pred"),
+      col("fingerprint"))
   }
 }
