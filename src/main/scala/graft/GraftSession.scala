@@ -34,6 +34,8 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
       // reader rejects; read as epoch-nanos LongType instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep catalog-table data (bucketed writes) out of the repo cwd
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
 
   def local(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()

@@ -227,6 +227,42 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("ts_us"),
             col("asof_ts_us").as("signup_ts_us"), col("asof_signup_event_id").as("signup_event_id"))
       },
+      "q31_rollup" -> q { (s, dir) =>
+        t(s, dir, "orders")
+          .rollup(year(col("o_orderdate")).cast("long").as("order_year"),
+                  col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_cnt"))
+      },
+      "q32_setops" -> q { (s, dir) =>
+        val od = t(s, dir, "orders").select(to_date(col("o_orderdate")).as("d"))
+        val sd = t(s, dir, "lineitem").select(to_date(col("l_shipdate")).as("d"))
+        od.intersect(sd).withColumn("which", lit("both"))
+          .union(od.except(sd).withColumn("which", lit("order_only")))
+      },
+      "q33_pivot" -> q { (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "purchase", "signup", "error", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0)
+      },
+      "q34_percentiles" -> q { (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("value_cents", round(col("value") * 100).cast("long"))
+          .groupBy("event_type")
+          .agg(
+            expr("percentile(value_cents, 0.5)").as("p50_cents"),
+            expr("percentile(value_cents, 0.95)").as("p95_cents"),
+            min("value_cents").as("min_cents"),
+            max("value_cents").as("max_cents"))
+      },
+      "q35_approx_distinct" -> q { (s, dir) =>
+        // HLL sketch — engine-specific estimate, so rows-only check; the
+        // spec asserts the estimate is within 5% of exact
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      },
       // ---- ETL over the reference's own raw fixtures (rows-only checks;
       //      golden value tests live in ScalaTest) ----
       "etl_dim_countries" -> q { (s, _) =>
@@ -525,6 +561,36 @@ object SparkEntry {
            count(*) AS event_cnt,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1""",
+    "q31_rollup" ->
+      """SELECT year(o_orderdate) AS order_year, o_orderpriority,
+              count(*) AS order_cnt
+         FROM orders
+         GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)""",
+    "q32_setops" ->
+      """SELECT d, 'both' AS which FROM
+           (SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+            INTERSECT
+            SELECT CAST(l_shipdate AS DATE) FROM lineitem)
+         UNION ALL
+         SELECT d, 'order_only' FROM
+           (SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+            EXCEPT
+            SELECT CAST(l_shipdate AS DATE) FROM lineitem)""",
+    "q33_pivot" ->
+      """SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY user_id""",
+    "q34_percentiles" ->
+      """SELECT event_type,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) AS p95_cents,
+           min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+           max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+         FROM events GROUP BY event_type""",
     "q30_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
            p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),

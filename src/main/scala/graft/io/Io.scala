@@ -37,4 +37,16 @@ object Io {
   /** K2 — partitioned full-refresh parquet write (fact tables). */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
+
+  /** Bucketed catalog-table write: co-locates join/agg keys so repeated
+    * joins on the bucket key need no shuffle at all (the 100 TB answer
+    * for fact-to-fact joins that can't broadcast). Requires saveAsTable
+    * (bucket metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -43,6 +43,18 @@ class EventsSpec extends SparkSpec {
     assert(u2.head.getAs[Long]("value_cents") === 200)   // 125 + 75
   }
 
+  test("approx_count_distinct within 5% of exact on real events") {
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val rows = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx"),
+           countDistinct(col("user_id")).as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
+      assert(math.abs(a - e) / e <= 0.05, s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+
   test("props JSON extraction") {
     val k = events.select(Events.propsKey(col("props")).as("k"))
       .collect().map(_.getInt(0)).toSeq
