@@ -256,6 +256,14 @@ object SparkEntry {
             min("value_cents").as("min_cents"),
             max("value_cents").as("max_cents"))
       },
+      "q36_rolling_fingerprint" -> q { (s, dir) =>
+        t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.TextExpressions.rolling_hash_min(col("text"), 16)
+            .as("fingerprint_min"))
+      },
+      "q37_frame_sample" -> q { (s, dir) =>
+        Multimodal.frameSample(t(s, dir, "documents"))
+      },
       "q35_approx_distinct" -> q { (s, dir) =>
         // HLL sketch — engine-specific estimate, so rows-only check; the
         // spec asserts the estimate is within 5% of exact
@@ -561,6 +569,23 @@ object SparkEntry {
            count(*) AS event_cnt,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1""",
+    "q36_rolling_fingerprint" ->
+      """SELECT doc_id,
+           CASE WHEN length(text) < 16 THEN NULL ELSE
+             list_min(list_transform(range(1, length(text) - 14),
+               i -> list_reduce(
+                 list_transform(range(0, 16), j -> CAST(ord(substr(text, i + j, 1)) AS BIGINT)),
+                 (acc, c) -> (acc * 31 + c) % 2147483647)))
+           END AS fingerprint_min
+         FROM documents""",
+    "q37_frame_sample" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+                  unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx
+           FROM documents)
+         SELECT doc_id, frame_idx,
+                md5(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+         FROM f WHERE frame_idx % 4 = 0""",
     "q31_rollup" ->
       """SELECT year(o_orderdate) AS order_year, o_orderpriority,
               count(*) AS order_cnt

@@ -188,4 +188,50 @@ object TextExpressions {
   def token_stats(tokens: Column, stopwords: Seq[String],
                   markers: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(TokenStats(ColumnBridge.expression(tokens), stopwords, markers))
+
+  /** Rabin-Karp rolling-hash document fingerprint: the polynomial hash
+    *   h(i) = Σ_j code(c[i+j]) · B^(w-1-j)  mod M
+    * of every length-`window` character window, reduced to its minimum
+    * (winnowing-style robust fingerprint: shared substrings → shared
+    * window hashes regardless of position). O(n) via the rolling update;
+    * exact integer arithmetic (B=31, M=2^31-1) so any engine reproduces
+    * it. Null for docs shorter than the window. */
+  case class RollingHashMin(child: Expression, window: Int)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.types.LongType
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    private val B = 31L
+    private val M = 2147483647L  // 2^31 - 1
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val n = s.length
+      if (n < window) return null
+      // B^(w-1) mod M for the roll-out term
+      var bPow = 1L
+      var p = 0
+      while (p < window - 1) { bPow = (bPow * B) % M; p += 1 }
+      var h = 0L
+      var i = 0
+      while (i < window) { h = (h * B + s.charAt(i).toLong) % M; i += 1 }
+      var min = h
+      i = window
+      while (i < n) {
+        val out = (s.charAt(i - window).toLong * bPow) % M
+        h = ((h - out + M) % M * B + s.charAt(i).toLong) % M
+        if (h < min) min = h
+        i += 1
+      }
+      min
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def rolling_hash_min(text: Column, window: Int): Column =
+    ColumnBridge.column(RollingHashMin(ColumnBridge.expression(text), window))
 }

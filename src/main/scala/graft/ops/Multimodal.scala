@@ -52,6 +52,23 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: treat the payload as a sequence of fixed-size
+    * frames, keep every `every`-th, one output row per sampled frame
+    * (the video-keyframe extraction shape: generator fan-out, per-frame
+    * checksum, no shuffle). */
+  def frameSample(docs: DataFrame, textCol: String = "text",
+                  frameChars: Int = 64, every: Int = 4): DataFrame = {
+    val frames = expr(
+      s"""CASE WHEN length($textCol) = 0 THEN array()
+          ELSE transform(
+            sequence(0, cast(ceil(length($textCol) / $frameChars.0) as int) - 1),
+            i -> substring($textCol, i * $frameChars + 1, $frameChars)) END""")
+    docs.select(col("doc_id"), posexplode(frames).as(Seq("frame_idx", "frame")))
+      .where(col("frame_idx") % every === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(to_binary(col("frame"), lit("utf-8"))).as("frame_md5"))
+  }
+
   /** Expression-only twin of decodeFeatures (same output, pure Catalyst —
     * used by the oracle-checked query; proves the two paths agree). */
   def decodeFeaturesExpr(media: DataFrame): DataFrame =
