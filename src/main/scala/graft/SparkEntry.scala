@@ -256,6 +256,9 @@ object SparkEntry {
             min("value_cents").as("min_cents"),
             max("value_cents").as("max_cents"))
       },
+      "q38_cosine_neardup_lsh" -> q { (s, dir) =>
+        Similarity.cosineNearDuplicatesLsh(t(s, dir, "embeddings"), threshold = 0.4)
+      },
       "q36_rolling_fingerprint" -> q { (s, dir) =>
         t(s, dir, "documents").select(col("doc_id"),
           graft.functions.TextExpressions.rolling_hash_min(col("text"), 16)
@@ -311,7 +314,29 @@ object SparkEntry {
         ELSE list_distinct(list_transform(range(1, len($DuckTokens)),
              i -> array_to_string(($DuckTokens)[i:i+1], ' '))) END)"""
 
+  /** SRP bucket expression for the q38 oracle: the exact hyperplane
+    * constants from Similarity.planeComponent embedded as double
+    * literals, with the same left-associated accumulation order as the
+    * Spark expression — so the sign bits (and thus buckets) agree
+    * bit-for-bit. */
+  private def duckSrpBucket(vecExpr: String, dim: Int = 64, planes: Int = 4): String =
+    (0 until planes).map { p =>
+      val proj = (0 until dim)
+        .map(d => s"$vecExpr[${d + 1}] * ${graft.ops.Similarity.planeComponent(p, d)}")
+        .mkString(" + ")
+      s"(CASE WHEN ($proj) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+    "q38_cosine_neardup_lsh" -> s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      b AS (SELECT vec_id, e, ${duckSrpBucket("e")} AS bucket FROM v)
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        round(list_dot_product(a.e, c.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE list_dot_product(a.e, c.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))) >= 0.4""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            count(*) AS cnt,

@@ -23,8 +23,9 @@ import graft.functions.VectorExpressions
 object Similarity {
 
   /** Deterministic "random" hyperplane component for (plane, dim):
-    * md5-derived value in [-0.5, 0.5). Reproducible across runs/engines. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+    * md5-derived value in [-0.5, 0.5). Reproducible across runs/engines.
+    * Exposed so oracle SQL can embed the identical constants. */
+  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(s"srp|$plane|$dim".getBytes("UTF-8"))
     val v = java.nio.ByteBuffer.wrap(h).getLong(0)
