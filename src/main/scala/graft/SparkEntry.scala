@@ -256,6 +256,9 @@ object SparkEntry {
             min("value_cents").as("min_cents"),
             max("value_cents").as("max_cents"))
       },
+      "q39_curated_corpus" -> q { (s, dir) =>
+        graft.ops.Curation.curate(t(s, dir, "documents"))
+      },
       "q38_cosine_neardup_lsh" -> q { (s, dir) =>
         Similarity.cosineNearDuplicatesLsh(t(s, dir, "embeddings"), threshold = 0.4)
       },
@@ -327,7 +330,75 @@ object SparkEntry {
       s"(CASE WHEN ($proj) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Normalized-content md5 (shared by q15/q16/q28/q39 oracles). */
+  private val DuckFingerprint =
+    """md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')))"""
+
   def oracleSql: Map[String, String] = Map(
+    "q39_curated_corpus" -> s"""
+      WITH keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY $DuckFingerprint),
+      sh AS (SELECT doc_id, $DuckShingles AS shingles FROM documents),
+      sigs AS (
+        SELECT doc_id,
+          ${(0 until 8).map(i =>
+            s"list_min(list_transform(shingles, s -> md5('$i|' || s))) AS mh$i").mkString(", ")}
+        FROM sh WHERE len(shingles) > 0),
+      bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS h FROM sigs UNION ALL
+        SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs UNION ALL
+        SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs UNION ALL
+        SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT p.doc_b,
+          len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+          len(sa.shingles) + len(sb.shingles)
+            - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS uni
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b),
+      losers AS (
+        SELECT DISTINCT doc_b AS doc_id FROM verified
+        WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35),
+      surviving AS (
+        SELECT k.doc_id FROM keep k LEFT JOIN losers l ON k.doc_id = l.doc_id
+        WHERE l.doc_id IS NULL),
+      base AS (
+        SELECT d.doc_id, d.text,
+          CASE WHEN length(trim(d.text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(d.text), '\\s+') END AS toks
+        FROM documents d JOIN surviving s ON d.doc_id = s.doc_id),
+      stats AS (
+        SELECT doc_id, text, toks,
+          len(toks) AS n_toks,
+          len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stops,
+          len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct_i,
+          len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
+          len(list_filter(toks, x -> x IN ('le','la','et','est'))) AS s_fr,
+          len(list_filter(toks, x -> x IN ('el','la','y','es'))) AS s_es,
+          len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de
+        FROM base),
+      scored AS (
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(n_toks AS BIGINT) AS n_tokens,
+          round((CASE WHEN length(text) BETWEEN 100 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
+                (CASE WHEN CAST(n_punct_i AS DOUBLE) <= length(text) * 0.1 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
+                (CASE WHEN (CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(n_stops AS DOUBLE) / n_toks END)
+                      BETWEEN 0.01 AND 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 1) AS quality_score,
+          CASE
+            WHEN s_en > 0 AND s_en >= greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+            WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+            WHEN s_es > 0 AND s_es >= greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+            WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_de) THEN 'de'
+            ELSE 'und' END AS lang_pred
+        FROM stats)
+      SELECT doc_id, n_chars, n_tokens, quality_score, lang_pred
+      FROM scored WHERE quality_score >= 0.7""",
     "q38_cosine_neardup_lsh" -> s"""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       b AS (SELECT vec_id, e, ${duckSrpBucket("e")} AS bucket FROM v)
