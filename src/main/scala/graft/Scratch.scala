@@ -25,6 +25,18 @@ object Scratch {
     println("=== streaming hourly agg (first 5 rows, of " +
       spark.table("hourly").count() + ") ===")
     spark.table("hourly").orderBy("hour_idx", "event_type").show(5)
+
+    // streaming exact dedup over a staged documents dir
+    val docsDir = java.nio.file.Files.createTempDirectory("docs-src").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(docsDir)
+    val dq = streaming.EventsStream.dedupStream(
+        streaming.EventsStream.readDocuments(spark, docsDir))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    dq.awaitTermination(120000)
+    println("=== streaming dedup kept " + spark.table("dedup").count() +
+      " of 500 docs ===")
     spark.stop()
   }
 }

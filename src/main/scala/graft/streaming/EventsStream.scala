@@ -53,6 +53,33 @@ object EventsStream {
         (unix_timestamp(col("window.start")) / 3600).cast("long").as("hour_idx"),
         col("event_type"), col("event_cnt"), col("value_cents"))
 
+  // ---- streaming exact dedup ----------------------------------------
+
+  /** documents.parquet physical schema for file-source streams. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocuments(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(documentsSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
+
+  /** Streaming exact dedup: the first document seen per normalized
+    * content fingerprint passes; later arrivals — same batch or any
+    * later batch — are dropped by the dedup state store. The streaming
+    * twin of Dedup.exactDedupedCorpus (keeper = first-seen rather than
+    * min-id, the natural streaming semantics). */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.ops.TextStats.fingerprint(col("text")))
+      .dropDuplicates("fingerprint")
+
   // ---- stateful sessionization --------------------------------------
 
   final case class Event(event_id: Long, ts: Long, user_id: Long,

@@ -41,6 +41,27 @@ class EventsStreamSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming exact dedup: duplicate in a later micro-batch is dropped") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("docs-stream").toString
+    import spark.implicits._
+    // batch 1: docs 0,1 ; batch 2: doc 2 = dup of 0 (after normalization), doc 3 new
+    Seq((0L, "Hello, World!", "en", "s", 13L), (1L, "something else", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/a")
+    Seq((2L, "hello world", "en", "s", 11L), (3L, "a third document", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/b")
+    val q = EventsStream.dedupStream(
+        EventsStream.readDocuments(spark, s"$dir/*", maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ids = spark.table("dedup_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 1L, 3L))   // doc 2 deduped against batch-1 state
+  }
+
   test("stateful sessionization: closed sessions match batch; state spans micro-batches") {
     import spark.implicits._
     val stream = EventsStream.readEvents(spark, sourceGlob, maxFilesPerTrigger = Some(1))
