@@ -38,6 +38,16 @@ object Io {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
 
+  /** Incremental partitioned write: with dynamic partition overwrite,
+    * only partitions present in `df` are replaced — the daily-batch
+    * cadence the reference describes (README.md:116-117) without
+    * rewriting the historical fact. At 100 TB this is the difference
+    * between touching one day and touching three years. */
+  def overwritePartitions(df: DataFrame, path: String, cols: String*): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*).mode("overwrite").parquet(path)
+
   /** Bucketed catalog-table write: co-locates join/agg keys so repeated
     * joins on the bucket key need no shuffle at all (the 100 TB answer
     * for fact-to-fact joins that can't broadcast). Requires saveAsTable

@@ -44,4 +44,31 @@ object DataQuality {
   /** Run the full matrix (reference: dags/dag_immigration.py:337-348). */
   def checkAll(checks: Seq[(DataFrame, String, String)]): Seq[CheckResult] =
     checks.map { case (df, t, c) => check(df, t, c) }
+
+  /** Engine extras beyond the reference's two gates. */
+
+  /** Fail if `column` has duplicate values (PK-style uniqueness — the
+    * check Redshift declares but never enforces). One aggregation pass. */
+  def checkUnique(df: DataFrame, table: String, column: String): Unit = {
+    val Row(rows: Long, distinct: Long) =
+      df.agg(count(col(column)), countDistinct(col(column))).head()
+    if (rows != distinct)
+      throw new IllegalStateException(
+        s"Data quality check failed. $table column $column has " +
+          s"${rows - distinct} duplicate values")
+  }
+
+  /** Fail if any non-null fact key lacks a match in the dimension
+    * (referential integrity); left-anti join, dim side broadcastable. */
+  def checkForeignKey(fact: DataFrame, factCol: String,
+                      dim: DataFrame, dimCol: String,
+                      factName: String, dimName: String): Unit = {
+    val orphans = fact.where(col(factCol).isNotNull)
+      .join(dim, fact(factCol) === dim(dimCol), "left_anti")
+      .count()
+    if (orphans > 0)
+      throw new IllegalStateException(
+        s"Data quality check failed. $factName.$factCol has $orphans " +
+          s"values missing from $dimName.$dimCol")
+  }
 }
