@@ -45,8 +45,6 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            scols, srows = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").description, None
             sres = con.execute(f"SELECT * FROM read_parquet({files!r})")
             scols = [d[0] for d in sres.description]; srows = sres.fetchall()
             ores = con.execute(sql)

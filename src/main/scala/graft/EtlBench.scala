@@ -10,18 +10,7 @@ import graft.etl.CapstoneEtl
 object EtlBench {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("etl-bench")
-    val in = Files.createTempDirectory("etl-bench-in")
-    Seq("internal_country_codes.txt", "country_codes.csv",
-        "unmatched_countries_updated.csv", "airlines.csv",
-        "port_of_entry.txt", "us-cities-demographics.csv", "sas_data")
-      .foreach { f =>
-        Files.createSymbolicLink(in.resolve(f),
-          Paths.get(s"/root/reference/dags/data/raw-data/$f"))
-      }
-    Files.write(in.resolve("GlobalLandTemperaturesByCountry.csv"),
-      Seq("dt,AverageTemperature,AverageTemperatureUncertainty,Country",
-          "1950-01-01,10.5,0.3,Afghanistan",
-          "1950-02-01,11.0,0.2,Albania").mkString("\n").getBytes)
+    val in = graft.etl.RefFixtures.stage()
     val out = Files.createTempDirectory("etl-bench-out").toString
     val t0 = System.nanoTime()
     CapstoneEtl.run(spark, in.toString, out)

@@ -338,7 +338,8 @@ object SparkEntry {
     "q39_curated_corpus" -> s"""
       WITH keep AS (
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY $DuckFingerprint),
-      sh AS (SELECT doc_id, $DuckShingles AS shingles FROM documents),
+      sh AS (SELECT d.doc_id, $DuckShingles AS shingles
+             FROM documents d JOIN keep USING (doc_id)),
       sigs AS (
         SELECT doc_id,
           ${(0 until 8).map(i =>

@@ -208,7 +208,10 @@ object TextExpressions {
 
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
-      val n = s.length
+      // Unicode code points, not UTF-16 code units — matches ord()/
+      // character-length semantics in SQL engines for non-BMP text
+      val cps = s.codePoints().toArray
+      val n = cps.length
       if (n < window) return null
       // B^(w-1) mod M for the roll-out term
       var bPow = 1L
@@ -216,12 +219,12 @@ object TextExpressions {
       while (p < window - 1) { bPow = (bPow * B) % M; p += 1 }
       var h = 0L
       var i = 0
-      while (i < window) { h = (h * B + s.charAt(i).toLong) % M; i += 1 }
+      while (i < window) { h = (h * B + cps(i).toLong) % M; i += 1 }
       var min = h
       i = window
       while (i < n) {
-        val out = (s.charAt(i - window).toLong * bPow) % M
-        h = ((h - out + M) % M * B + s.charAt(i).toLong) % M
+        val out = (cps(i - window).toLong * bPow) % M
+        h = ((h - out + M) % M * B + cps(i).toLong) % M
         if (h < min) min = h
         i += 1
       }

@@ -24,7 +24,11 @@ object Curation {
     * stages with quality_score ≥ minQuality. */
   def curate(docs: DataFrame, params: Params = Params()): DataFrame = {
     val keepers = Dedup.exactDedupedCorpus(docs)
-    val nearDupLosers = Dedup.nearDuplicates(docs,
+    // LSH runs on the exact-dedup survivors only: any near-dup pair
+    // involving a dropped exact-duplicate is represented by its keeper
+    // (identical content ⇒ identical shingles), so the loser set over
+    // keepers is the same — without re-hashing the duplicates.
+    val nearDupLosers = Dedup.nearDuplicates(keepers,
         numHashes = params.numHashes, rowsPerBand = params.rowsPerBand,
         shingleSize = params.shingleSize, threshold = params.jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()

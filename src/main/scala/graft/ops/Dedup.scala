@@ -65,6 +65,9 @@ object Dedup {
     * Docs sharing any band hash are near-dup candidates. */
   def lshBands(signatures: DataFrame, numHashes: Int = 8,
                rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand) " +
+        "or trailing signature rows would be silently unused")
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))

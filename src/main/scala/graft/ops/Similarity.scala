@@ -156,11 +156,13 @@ object Similarity {
                               dim: Int = 64, planes: Int = 4,
                               idCol: String = "vec_id",
                               vecCol: String = "embedding"): DataFrame = {
+    // NOTE: no repartition(bucket) barrier here — with only 2^planes
+    // distinct buckets that would collapse the corpus into ≤2^planes
+    // partitions and serialize the join at scale. The join's own
+    // exchange handles co-location; the bucket expression evaluates once
+    // per side, which is cheap relative to the pair verification.
     val withBucket = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       srpBucket(col(vecCol), dim, planes).as("bucket"))
-      // materialize the 256-term bucket expression once; both join sides
-      // reuse this exchange
-      .repartition(col("bucket"))
     val a = withBucket.select(col("id").as("id_a"), col("v").as("va"), col("bucket"))
     val b = withBucket.select(col("id").as("id_b"), col("v").as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))

@@ -17,10 +17,15 @@ object Skew {
 
   /** Equi-join `big ⨝ small` on `key`, salted. `spreadCol` is any
     * big-side column with per-row variety (an id) used to derive the
-    * deterministic salt. */
+    * deterministic salt. Only inner/left joins are valid: under right or
+    * full-outer, an unmatched replicated small-side row would surface
+    * once per salt. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  spreadCol: String, numSalts: Int,
                  joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins only, got $joinType " +
+        "(right/full would duplicate unmatched small-side rows per salt)")
     val salted = big.withColumn("__salt", pmod(hash(col(spreadCol)), lit(numSalts)))
     val replicated = small
       .withColumn("__salt", explode(array((0 until numSalts).map(lit): _*)))

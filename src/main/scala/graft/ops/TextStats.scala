@@ -58,11 +58,7 @@ object TextStats {
     * (A real system would use character-trigram profiles; the decision
     * structure — per-language marker hit counts → argmax — is the same.) */
   def langIdHeuristic(text: Column): Column = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "is"),
-      "fr" -> Seq("le", "la", "et", "est"),
-      "es" -> Seq("el", "la", "y", "es"),
-      "de" -> Seq("der", "die", "und", "ist"))
+    val markers = LangMarkers
     val toks = tokens(text)
     val scores = markers.map { case (lang, ws) =>
       lang -> size(filter(toks, t => t.isin(ws: _*)))

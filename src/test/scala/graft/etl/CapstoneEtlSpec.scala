@@ -13,27 +13,15 @@ import graft.SparkSpec
   */
 class CapstoneEtlSpec extends SparkSpec {
 
-  private val refRaw = "/root/reference/dags/data/raw-data"
-  private lazy val inputDir: String = {
-    val dir = Files.createTempDirectory("etl-input")
-    Seq("internal_country_codes.txt", "country_codes.csv",
-        "unmatched_countries_updated.csv", "airlines.csv",
-        "port_of_entry.txt", "us-cities-demographics.csv", "sas_data")
-      .foreach { f =>
-        Files.createSymbolicLink(dir.resolve(f), Paths.get(s"$refRaw/$f"))
-      }
-    // temperature fixture: mixed-case countries, nulls, an unknown country
-    val rows = Seq(
-      "dt,AverageTemperature,AverageTemperatureUncertainty,Country",
-      "1950-01-01,10.5,0.3,afghanistan",     // case-insensitive match
-      "1950-02-01,11.25,0.2,Afghanistan",
-      "1950-03-01,,0.2,Afghanistan",          // null temp → filtered
-      "1950-01-01,20.125,0.4,Albania",
-      "1950-01-01,15.0,0.1,Atlantis")         // unmatched → filtered
-    Files.write(dir.resolve("GlobalLandTemperaturesByCountry.csv"),
-      rows.mkString("\n").getBytes)
-    dir.toString
-  }
+  // temperature fixture: mixed-case countries, nulls, an unknown country
+  private lazy val inputDir: String = RefFixtures.stage(Seq(
+    "dt,AverageTemperature,AverageTemperatureUncertainty,Country",
+    "1950-01-01,10.5,0.3,afghanistan",     // case-insensitive match
+    "1950-02-01,11.25,0.2,Afghanistan",
+    "1950-03-01,,0.2,Afghanistan",          // null temp → filtered
+    "1950-01-01,20.125,0.4,Albania",
+    "1950-01-01,15.0,0.1,Atlantis")         // unmatched → filtered
+  ).toString
 
   private lazy val out = CapstoneEtl.build(spark, inputDir).tables
 

@@ -11,18 +11,7 @@ import graft.SparkSpec
 class PipelineRunSpec extends SparkSpec {
 
   test("run(): writes 13 tables, partitions the fact, passes quality gates") {
-    val in = Files.createTempDirectory("etl-run-in")
-    Seq("internal_country_codes.txt", "country_codes.csv",
-        "unmatched_countries_updated.csv", "airlines.csv",
-        "port_of_entry.txt", "us-cities-demographics.csv", "sas_data")
-      .foreach { f =>
-        Files.createSymbolicLink(in.resolve(f),
-          Paths.get(s"/root/reference/dags/data/raw-data/$f"))
-      }
-    Files.write(in.resolve("GlobalLandTemperaturesByCountry.csv"),
-      Seq("dt,AverageTemperature,AverageTemperatureUncertainty,Country",
-          "1950-01-01,10.5,0.3,Afghanistan",
-          "1950-02-01,11.0,0.2,Albania").mkString("\n").getBytes)
+    val in = RefFixtures.stage()
     val out = Files.createTempDirectory("etl-run-out").toString
 
     CapstoneEtl.run(spark, in.toString, out)   // throws if a quality gate fails

@@ -32,7 +32,9 @@ class BucketedJoinSpec extends SparkSpec {
         .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
       val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("ShuffleExchange"),
+      // shuffle nodes print as "Exchange hashpartitioning(...)"; broadcast
+      // would be "BroadcastExchange" (disabled above anyway)
+      assert(!plan.contains("Exchange hashpartitioning"),
         s"expected shuffle-free bucketed join, got:\n$plan")
       // and it still computes the right thing
       val total = joined.agg(sum("n")).head().getLong(0)

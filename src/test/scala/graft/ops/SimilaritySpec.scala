@@ -43,7 +43,6 @@ class SimilaritySpec extends SparkSpec {
       Similarity.srpBucket(col("embedding"), dim = 4, planes = 4).as("bucket"))
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getInt(1)).toMap
     assert(b === b2)
-    assert(b(0) === b(1) || true)          // close vectors usually collide (not guaranteed)
     assert(b(0) != b(3))                   // opposite vectors cannot share all sign bits
   }
 
