@@ -80,17 +80,46 @@ object Dedup {
   }
 
   /** Candidate pairs from shared LSH buckets (doc_a < doc_b, distinct).
-    * The self-join keys on (band_id, band_hash) — uniform, skew-free. */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.alias("a")
-    val b = bands.alias("b")
-    a.join(b,
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+    * The self-join keys on (band_id, band_hash) — uniform, skew-free
+    * for ordinary content.
+    *
+    * `maxBucketSize`: a corpus with huge duplicate clusters makes some
+    * buckets quadratic (a 10k-copy cluster is 50M intra-bucket pairs).
+    * With a cap, oversized buckets emit only (min-doc, other) star pairs
+    * instead of all pairs — every member still links to the cluster
+    * representative, so connected-component dedup is unchanged, but the
+    * pair count per bucket drops from O(n²) to O(n). None = exact
+    * all-pairs (the oracle-checked default). */
+  def candidatePairs(bands: DataFrame, maxBucketSize: Option[Int] = None): DataFrame =
+    maxBucketSize match {
+      case None =>
+        val a = bands.alias("a")
+        val b = bands.alias("b")
+        a.join(b,
+            col("a.band_id") === col("b.band_id") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_id", "band_hash")
+        val annotated = bands
+          .withColumn("__n", count(lit(1)).over(w))
+          .withColumn("__min", min(col("doc_id")).over(w))
+        val small = annotated.where(col("__n") <= cap)
+          .select("doc_id", "band_id", "band_hash")
+        val a = small.alias("a")
+        val b = small.alias("b")
+        val smallPairs = a.join(b,
+            col("a.band_id") === col("b.band_id") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val starPairs = annotated.where(col("__n") > cap && col("doc_id") =!= col("__min"))
+          .select(col("__min").as("doc_a"), col("doc_id").as("doc_b"))
+        smallPairs.union(starPairs).distinct()
+    }
 
   /** Exact n-gram Jaccard for a pair set: explode both shingle sets,
     * count intersection via join, |A∪B| = |A|+|B|-|A∩B|. */

@@ -45,6 +45,22 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("candidatePairs bucket cap: oversized buckets emit star pairs, small buckets all pairs") {
+    // band rows: bucket X has 4 docs (over cap 3 → star from min), bucket Y has 2
+    val bands = Seq(
+      (10L, 0, "X"), (11L, 0, "X"), (12L, 0, "X"), (13L, 0, "X"),
+      (20L, 0, "Y"), (21L, 0, "Y"))
+      .toDF("doc_id", "band_id", "band_hash")
+    val capped = Dedup.candidatePairs(bands, maxBucketSize = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L)))
+    val uncapped = Dedup.candidatePairs(bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size === 6 + 1)   // C(4,2) + C(2,2)
+    // every doc in the big bucket still reaches the representative
+    assert(capped.filter(p => p._1 == 10L).map(_._2) === Set(11L, 12L, 13L))
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = Dedup.simHash(docs).cache()
     def h(id: Long) = sh.where(col("doc_id") === id).head().getAs[Long]("simhash")
