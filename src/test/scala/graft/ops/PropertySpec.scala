@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+/** Randomized cross-checks: operators vs independent in-memory reference
+  * implementations on generated data (seeded via Gen.sample determinism
+  * not required — any sample must satisfy the property). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin matches a naive per-row scan on random data") {
+    val keys = 1 to 5
+    val leftRows = Gen.listOfN(60, for {
+      k <- Gen.oneOf(keys); t <- Gen.choose(0L, 100L)
+    } yield (k, t)).sample.get.zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }
+    val rightRows = Gen.listOfN(40, for {
+      k <- Gen.oneOf(keys); t <- Gen.choose(0L, 100L); v <- Gen.choose(0, 999)
+    } yield (k, t, v)).sample.get
+      // as-of requires a unique (key, time) frontier on the right
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val left = leftRows.toDF("id", "k", "t")
+    val right = rightRows.toDF("k", "t", "v")
+    val got = AsOf.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Integer]("asof_v")).map(_.toInt)).toMap
+    leftRows.foreach { case (id, k, t) =>
+      val expect = rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(id) === expect, s"id=$id k=$k t=$t")
+    }
+  }
+
+  test("bruteForceTopK matches a naive cosine ranking on random vectors") {
+    val vecs = Gen.listOfN(30, Gen.listOfN(8, Gen.choose(-100, 100)))
+      .sample.get.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_ / 100.0f).toArray) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df.where(col("vec_id") === 0), df, k = 5)
+      .orderBy("rnk").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (xy, xx, yy) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((xy, xx, yy), (x, y)) =>
+          (xy + x.toDouble * y.toDouble, xx + x.toDouble * x.toDouble,
+           yy + y.toDouble * y.toDouble)
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    val q = vecs.head._2
+    val expect = vecs.tail
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(5).map(_._1)
+    assert(got === expect)
+  }
+}
