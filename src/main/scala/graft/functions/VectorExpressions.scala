@@ -96,7 +96,11 @@ object VectorExpressions {
         xy += xi * yi; xx += xi * xi; yy += yi * yi
         i += 1
       }
-      xy / (math.sqrt(xx) * math.sqrt(yy))
+      // zero-magnitude vectors: similarity 0, not NaN (NaN sorts above
+      // every double in Spark, which would rank a zero vector as the
+      // nearest neighbor of everything)
+      if (xx == 0.0 || yy == 0.0) 0.0
+      else xy / (math.sqrt(xx) * math.sqrt(yy))
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -116,7 +120,8 @@ object VectorExpressions {
           double $yv = ${loadExpr(b, i, elemKind(right))};
           $xy += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
         }
-        ${ev.value} = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+        ${ev.value} = ($xx == 0.0 || $yy == 0.0) ? 0.0
+          : $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
         """
       })
 

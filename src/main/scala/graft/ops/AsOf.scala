@@ -27,7 +27,11 @@ object AsOf {
                prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
     val payload = struct((timeCol +: rightValueCols).map(col): _*)
-    val r = right.select(
+    // a null right time would sort first (nulls-first) with a non-null
+    // payload struct and become a bogus "match"; it can never satisfy
+    // time <= left-time, so drop it up front
+    val rightClean = right.where(col(timeCol).isNotNull)
+    val r = rightClean.select(
       (partitionCols.map(col) :+ col(timeCol).as("__t") :+
         payload.as("__payload") :+ lit(0).as("__side")): _*)
     val l = left.select(

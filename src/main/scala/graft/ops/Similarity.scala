@@ -61,7 +61,10 @@ object Similarity {
   }
 
   /** SRP-LSH bucket key: `planes` sign bits of deterministic hyperplane
-    * dot products, packed into an int. */
+    * dot products, packed into an int. Fails fast if a vector is shorter
+    * than `dim` — the nulls from out-of-range element_at would otherwise
+    * silently send every row to bucket 0, collapsing the LSH gate into a
+    * full cross product. */
   def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { pIdx =>
       val proj = (0 until dim).map { d =>
@@ -69,7 +72,9 @@ object Similarity {
       }.reduce(_ + _)
       when(proj >= 0, lit(1 << pIdx)).otherwise(lit(0))
     }
-    bits.reduce(_ + _)
+    when(size(vec) >= dim, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"srpBucket: vector shorter than dim=$dim: size "), size(vec))))
   }
 
   /** ANN via SRP-LSH: candidates = same-bucket rows (plus queries join on

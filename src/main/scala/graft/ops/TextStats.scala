@@ -43,30 +43,41 @@ object TextStats {
       .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
   }
 
-  /** Composite quality score in [0,1]: length band + low punctuation +
-    * healthy stopword ratio. Deterministic, SQL-expressible. */
-  def qualityScore(text: Column): Column = {
-    val lenOk = when(length(text).between(100, 10000), lit(0.4)).otherwise(lit(0.0))
-    val punctOk = when(punctCount(text).cast("double") <= length(text) * 0.1, lit(0.3))
+  /** Single source of truth for the quality formula — statsFor and the
+    * per-column helper both build from this (the DuckDB oracles encode it
+    * a second time; drift shows up as an oracle hash failure). */
+  private[graft] def qualityExpr(nChars: Column, nPunct: Column,
+                                 stopRatio: Column): Column = {
+    val lenOk = when(nChars.between(100, 10000), lit(0.4)).otherwise(lit(0.0))
+    val punctOk = when(nPunct.cast("double") <= nChars * 0.1, lit(0.3))
       .otherwise(lit(0.0))
-    val stopOk = when(stopwordRatio(text).between(0.01, 0.6), lit(0.3)).otherwise(lit(0.0))
+    val stopOk = when(stopRatio.between(0.01, 0.6), lit(0.3)).otherwise(lit(0.0))
     round(lenOk + punctOk + stopOk, 1)
   }
+
+  /** Single source of truth for the language argmax: first language in
+    * marker order with a positive, maximal score; 'und' otherwise. */
+  private[graft] def langArgmaxExpr(scores: Seq[(String, Column)]): Column = {
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s > 0 && s === best && acc === "und", lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * healthy stopword ratio. Deterministic, SQL-expressible. */
+  def qualityScore(text: Column): Column =
+    qualityExpr(length(text), punctCount(text), stopwordRatio(text))
 
   /** N-gram-heuristic language ID: score a handful of marker words per
     * language over the token set; argmax with deterministic tie-break.
     * (A real system would use character-trigram profiles; the decision
     * structure — per-language marker hit counts → argmax — is the same.) */
   def langIdHeuristic(text: Column): Column = {
-    val markers = LangMarkers
     val toks = tokens(text)
-    val scores = markers.map { case (lang, ws) =>
+    langArgmaxExpr(LangMarkers.map { case (lang, ws) =>
       lang -> size(filter(toks, t => t.isin(ws: _*)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s > 0 && s === best && acc === "und", lit(lang)).otherwise(acc)
-    }
+    })
   }
 
   /** Canonical text normalization for fingerprint/dedup: lowercase, strip
@@ -107,11 +118,8 @@ object TextStats {
     val nTok = col("ts.n_tokens")
     val ratio = when(nTok === 0, lit(0.0))
       .otherwise(col("ts.n_stops").cast("double") / nTok)
-    val langScores = LangMarkers.map { case (lang, _) => lang -> col(s"ts.s_$lang") }
-    val best = langScores.map(_._2).reduce((a, b) => greatest(a, b))
-    val langPred = langScores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s > 0 && s === best && acc === "und", lit(lang)).otherwise(acc)
-    }
+    val langPred = langArgmaxExpr(
+      LangMarkers.map { case (lang, _) => lang -> col(s"ts.s_$lang") })
     stage1.select(
       col("doc_id"),
       col("n_chars"),
@@ -122,11 +130,7 @@ object TextStats {
       round(when(nTok === 0, lit(0.0))
         .otherwise(col("ts.sum_token_len").cast("double") / nTok), 4)
         .as("mean_token_len"),
-      round(
-        when(col("n_chars").between(100, 10000), lit(0.4)).otherwise(lit(0.0)) +
-        when(col("n_punct").cast("double") <= col("n_chars") * 0.1, lit(0.3)).otherwise(lit(0.0)) +
-        when(ratio.between(0.01, 0.6), lit(0.3)).otherwise(lit(0.0)), 1)
-        .as("quality_score"),
+      qualityExpr(col("n_chars"), col("n_punct"), ratio).as("quality_score"),
       langPred.as("lang_pred"),
       col("fingerprint"))
   }

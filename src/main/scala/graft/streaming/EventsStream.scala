@@ -109,10 +109,17 @@ object EventsStream {
           var cur = state.getOption
           for (e <- sorted) {
             val tsUs = e.ts / 1000L
-            val cents = math.round(e.value * 100).toLong
+            // same rounding as Spark's round(): HALF_UP away from zero
+            // (JVM Math.round is half-up toward +inf, diverging on
+            // negative cents)
+            val cents = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
             cur match {
               case Some(s) if tsUs - s.lastUs <= GapUs =>
-                cur = Some(s.copy(lastUs = tsUs, nEvents = s.nEvents + 1,
+                // max(): an out-of-order straggler from a later batch must
+                // not move the session end backwards
+                cur = Some(s.copy(lastUs = math.max(s.lastUs, tsUs),
+                  nEvents = s.nEvents + 1,
                   valueCents = s.valueCents + cents))
               case Some(s) =>
                 closed += Session(userId, s.sessionSeq, s.nEvents, s.startUs,

@@ -18,7 +18,9 @@ class SimilaritySpec extends SparkSpec {
   test("cosine expression: known geometry") {
     val a = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
                 (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
-                (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0))
+                (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+                // zero vector → 0, not NaN (NaN would outrank everything)
+                (Array(0.0f, 0.0f), Array(1.0f, 0.0f), 0.0))
       .toDF("x", "y", "expected")
       .select(Similarity.cosine(col("x"), col("y")).as("c"), col("expected"))
       .collect()
