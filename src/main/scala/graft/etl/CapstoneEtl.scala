@@ -273,15 +273,26 @@ object CapstoneEtl {
   }
 
   /** Full pipeline: build → write (fact_immigration partitioned by
-    * year/month, K2) → quality gates (matrix from dag_immigration.py:337-348). */
+    * year/month, K2) → quality gates (matrix from dag_immigration.py:337-348).
+    *
+    * The 13 output writes are independent (the reference fans them out as
+    * 11 parallel Airflow loads, dag_immigration.py:355-386); submitting
+    * them concurrently lets Spark overlap their jobs and keep all cores
+    * busy through the small-table writes. */
   def run(spark: SparkSession, inputPath: String, outputPath: String): Unit = {
     val out = build(spark, inputPath)
-    out.tables.foreach {
-      case ("fact_immigration", df) =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = out.tables.toSeq.map {
+      case ("fact_immigration", df) => Future {
         Io.writePartitioned(df, s"$outputPath/fact_immigration.parquet", "year", "month")
-      case (name, df) =>
+      }
+      case (name, df) => Future {
         Io.writeParquet(df, s"$outputPath/$name.parquet")
+      }
     }
+    Await.result(Future.sequence(writes), Duration.Inf)
     val read = (n: String) => spark.read.parquet(s"$outputPath/$n.parquet")
     DataQuality.checkAll(Seq(
       (read("fact_immigration"), "fact_immigration", "id"),
