@@ -80,6 +80,34 @@ object EventsStream {
       .withColumn("fingerprint", graft.ops.TextStats.fingerprint(col("text")))
       .dropDuplicates("fingerprint")
 
+  // ---- stream-stream join -------------------------------------------
+
+  /** Watermarked stream-stream join: attribute each purchase to a signup
+    * by the same user within the preceding `windowDays`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * the state store retains only the active window of each side —
+    * unbounded streams, bounded state. */
+  def purchaseAttribution(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val base = events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000L")))
+    val purchases = base.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_time").as("purchase_time"), col("value"))
+      .withWatermark("purchase_time", "1 hour")
+    val signups = base.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"),
+        col("user_id").as("s_user_id"),
+        col("event_time").as("signup_time"))
+      .withWatermark("signup_time", "1 hour")
+    purchases.join(signups,
+      col("user_id") === col("s_user_id") &&
+      col("signup_time") <= col("purchase_time") &&
+      col("signup_time") >= col("purchase_time") - expr(s"INTERVAL $windowDays DAYS"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_time"),
+        col("signup_id"), col("signup_time"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+  }
+
   // ---- stateful sessionization --------------------------------------
 
   final case class Event(event_id: Long, ts: Long, user_id: Long,

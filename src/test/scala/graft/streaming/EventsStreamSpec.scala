@@ -41,6 +41,28 @@ class EventsStreamSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("stream-stream join matches the equivalent batch join") {
+    val stream = EventsStream.readEvents(spark, sourceGlob)
+    val q = EventsStream.purchaseAttribution(stream)
+      .writeStream.format("memory").queryName("attrib_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("attrib_stream")
+      .select("purchase_id", "signup_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch equivalent over the same data
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = EventsStream.purchaseAttribution(ev)
+      .select("purchase_id", "signup_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // inner stream-stream join with watermarks emits matched pairs whose
+    // watermark has passed; over a finite input the last window may be
+    // held back, so stream results ⊆ batch and cover most of it
+    assert(got.subsetOf(batch))
+    assert(batch.isEmpty || got.size >= batch.size * 8 / 10,
+      s"stream emitted ${got.size} of ${batch.size} pairs")
+  }
+
   test("streaming exact dedup: duplicate in a later micro-batch is dropped") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("docs-stream").toString
