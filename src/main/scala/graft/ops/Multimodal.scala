@@ -39,6 +39,26 @@ object Multimodal {
     (n % 640, (n * 7) % 480, hex)
   }
 
+  final case class ResizedMedia(doc_id: Long, media_type: String,
+                                width: Int, height: Int,
+                                thumbnail: Array[Byte])
+
+  /** STUB resize: deterministic fake — a real implementation calls the
+    * image library here. The "thumbnail" is a strided byte sample of the
+    * payload (content-dependent, reproducible); dims are the requested
+    * target. Same per-partition batch boundary as decodeFeatures. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    media.as[MediaRow](Encoders.product[MediaRow]).mapPartitions { rows =>
+      // per-partition init of a real codec would go here
+      rows.map { r =>
+        val stride = math.max(1, r.payload.length / (targetW * targetH / 64 + 1))
+        val thumb = r.payload.indices.by(stride).map(r.payload).toArray
+        ResizedMedia(r.doc_id, r.media_type, targetW, targetH, thumb)
+      }
+    }
+  }
+
   /** Per-partition batch "decode": the mapPartitions boundary a native
     * decoder needs (amortized codec init per partition, not per row). */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {

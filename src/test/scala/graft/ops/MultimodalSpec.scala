@@ -20,6 +20,28 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[String]("media_type") === "image/fake-0")
   }
 
+  test("resize stub: deterministic strided thumbnail with target dims") {
+    val media = Multimodal.withPayload(docs)
+    val out = Multimodal.resizeStub(media, 32, 32).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(0L).width === 32 && out(0L).height === 32)
+    // deterministic: same input → same thumbnail bytes
+    val again = Multimodal.resizeStub(media, 32, 32).collect()
+      .map(r => r.doc_id -> r.thumbnail.toSeq).toMap
+    assert(out.view.mapValues(_.thumbnail.toSeq).toMap === again)
+    // content-dependent, smaller than or equal to the payload
+    assert(out(1L).thumbnail.length <= 700)
+  }
+
+  test("frame sampling keeps every 4th frame with checksums") {
+    val frames = Multimodal.frameSample(docs, frameChars = 8, every = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")))
+    // doc 1 has 700 chars → 88 frames → 44 sampled (even indices)
+    assert(frames.count(_._1 == 1L) === 44)
+    assert(frames.filter(_._1 == 1L).forall(_._2 % 2 == 0))
+    assert(!frames.exists(_._1 == 2L))   // empty doc yields no frames
+  }
+
   test("mapPartitions decode path agrees with the expression path") {
     val media = Multimodal.withPayload(docs)
     val viaPartitions = Multimodal.decodeFeatures(media)
