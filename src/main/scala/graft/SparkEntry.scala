@@ -256,6 +256,16 @@ object SparkEntry {
             min("value_cents").as("min_cents"),
             max("value_cents").as("max_cents"))
       },
+      "q40_subqueries" -> q { (s, dir) =>
+        graft.sql.GraftCatalog.sql(s, dir,
+          """SELECT o_orderkey, o_totalprice
+             FROM orders o
+             WHERE EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey
+                             AND l.l_returnflag = 'R')
+               AND CAST(round(o_totalprice * 100) AS BIGINT) >
+                   (SELECT CAST(round(avg(o_totalprice) * 100) AS BIGINT) FROM orders)""")
+      },
       "q39_curated_corpus" -> q { (s, dir) =>
         graft.ops.Curation.curate(t(s, dir, "documents"))
       },
@@ -335,6 +345,14 @@ object SparkEntry {
     """md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')))"""
 
   def oracleSql: Map[String, String] = Map(
+    "q40_subqueries" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_returnflag = 'R')
+           AND CAST(round(o_totalprice * 100) AS BIGINT) >
+               (SELECT CAST(round(avg(o_totalprice) * 100) AS BIGINT) FROM orders)""",
     "q39_curated_corpus" -> s"""
       WITH keep AS (
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY $DuckFingerprint),
