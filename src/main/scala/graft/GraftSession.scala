@@ -44,13 +44,21 @@ object GraftSession {
   }
 
   /** Apply graft-required configs to an externally-created session (e.g.
-    * the driver-owned session in Verify/Bench). Only runtime-settable confs. */
+    * the driver-owned session in Verify/Bench). Only runtime-settable
+    * confs. Idempotent and cheap on repeat calls: re-setting confs and
+    * re-registering functions on every query invalidates analyzer/plan
+    * caches (~0.2s per call measured), so tune once per session. */
+  private val TunedMarker = "spark.graft.tuned"
+
   def tune(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    GraftExtensions.register(spark)
+    if (!spark.conf.getOption(TunedMarker).contains("true")) {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      GraftExtensions.register(spark)
+      spark.conf.set(TunedMarker, "true")
+    }
     spark
   }
 }

@@ -61,10 +61,10 @@ object Similarity {
   }
 
   /** SRP-LSH bucket key: `planes` sign bits of deterministic hyperplane
-    * dot products, packed into an int. Fails fast if a vector is shorter
-    * than `dim` — the nulls from out-of-range element_at would otherwise
-    * silently send every row to bucket 0, collapsing the LSH gate into a
-    * full cross product. */
+    * dot products, packed into an int. Callers must validate vector
+    * length ≥ dim first (see [[requireDim]]) — out-of-range element_at
+    * yields nulls that would silently send every row to bucket 0,
+    * collapsing the LSH gate into a full cross product. */
   def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { pIdx =>
       val proj = (0 until dim).map { d =>
@@ -72,10 +72,18 @@ object Similarity {
       }.reduce(_ + _)
       when(proj >= 0, lit(1 << pIdx)).otherwise(lit(0))
     }
-    when(size(vec) >= dim, bits.reduce(_ + _))
-      .otherwise(raise_error(concat(
-        lit(s"srpBucket: vector shorter than dim=$dim: size "), size(vec))))
+    bits.reduce(_ + _)
   }
+
+  /** One-time driver-side guard: embedding columns are fixed-width, so
+    * checking one row catches a dim mismatch without a per-row branch in
+    * the hot bucket expression. */
+  private def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit =
+    df.select(size(col(vecCol)).as("n")).head(1).foreach { r =>
+      require(r.getInt(0) >= dim,
+        s"srpBucket: vectors have ${r.getInt(0)} dims, need >= $dim " +
+          "(a shorter vector would silently map every row to bucket 0)")
+    }
 
   /** ANN via SRP-LSH: candidates = same-bucket rows (plus queries join on
     * bucket key — a hash join, not a cross join), then exact re-rank.
@@ -84,6 +92,7 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int = 64,
               planes: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    requireDim(corpus, vecCol, dim)
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         srpBucket(col(vecCol), dim, planes).as("bucket")))
@@ -166,6 +175,7 @@ object Similarity {
     // partitions and serialize the join at scale. The join's own
     // exchange handles co-location; the bucket expression evaluates once
     // per side, which is cheap relative to the pair verification.
+    requireDim(vectors, vecCol, dim)
     val withBucket = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       srpBucket(col(vecCol), dim, planes).as("bucket"))
     val a = withBucket.select(col("id").as("id_a"), col("v").as("va"), col("bucket"))

@@ -65,6 +65,12 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.subsetOf(brute))
   }
 
+  test("lsh paths fail fast on vectors shorter than dim") {
+    val e = intercept[IllegalArgumentException](
+      Similarity.cosineNearDuplicatesLsh(vecs, threshold = 0.5, dim = 64))
+    assert(e.getMessage.contains("dims"))
+  }
+
   test("cosine near-duplicates: only the planted close pair passes 0.9") {
     val pairs = Similarity.cosineNearDuplicates(vecs, threshold = 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
