@@ -123,15 +123,38 @@ object EventsStream {
 
   /** flatMapGroupsWithState sessionizer: emits a session whenever a
     * >30-min gap (or new data in a later batch) closes it; the open
-    * session persists in the state store. Semantics match
-    * Events.sessionize for the emitted (closed) sessions. */
-  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    * session persists in the state store. With `flushIdle = true`, an
+    * event-time timeout also flushes sessions whose gap window has
+    * passed the watermark — so idle users' sessions eventually emit
+    * instead of living in state forever (and state is evicted).
+    * Semantics match Events.sessionize for the emitted sessions. */
+  def sessionizeStream(events: Dataset[Event],
+                       flushIdle: Boolean = false): Dataset[Session] = {
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val outEnc = Encoders.product[Session]
-    events.groupByKey(_.user_id)(Encoders.scalaLong)
+    val (prepared, timeoutConf) =
+      if (flushIdle) {
+        import events.sparkSession.implicits._
+        // the watermark column must survive into the stateful operator's
+        // child plan; .as[Event] tolerates the extra column
+        val withTime = events
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000L")))
+          .withWatermark("event_time", "30 minutes")
+          .as[Event]
+        (withTime, GroupStateTimeout.EventTimeTimeout())
+      } else (events, GroupStateTimeout.NoTimeout())
+    prepared.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (flushIdle && state.hasTimedOut) {
+            val flushed = state.getOption.map { s =>
+              Session(userId, s.sessionSeq, s.nEvents, s.startUs, s.lastUs,
+                s.valueCents)
+            }
+            state.remove()
+            flushed.iterator
+          } else {
           val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
           var closed = List.newBuilder[Session]
           var cur = state.getOption
@@ -158,7 +181,12 @@ object EventsStream {
             }
           }
           cur.foreach(state.update)
+          if (flushIdle) cur.foreach { s =>
+            // flush once the gap window passes the watermark
+            state.setTimeoutTimestamp(s.lastUs / 1000L + 30L * 60L * 1000L)
+          }
           closed.result().iterator
+          }
       }
   }
 }

@@ -41,6 +41,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("sessionization with idle flush emits every batch session") {
+    import spark.implicits._
+    val stream = EventsStream.readEvents(spark, sourceGlob, maxFilesPerTrigger = Some(1))
+      .as[EventsStream.Event]
+    val q = EventsStream.sessionizeStream(stream, flushIdle = true)
+      .writeStream.format("memory").queryName("sessions_flush")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sessions_flush")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = Events.sessionize(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // timeout flushes idle sessions; only sessions still inside the final
+    // watermark window can be missing
+    assert(got.subsetOf(batch))
+    assert(got.size > (batch.size * 9) / 10,
+      s"flush emitted ${got.size} of ${batch.size} sessions")
+  }
+
   test("stream-stream join matches the equivalent batch join") {
     val stream = EventsStream.readEvents(spark, sourceGlob)
     val q = EventsStream.purchaseAttribution(stream)
