@@ -34,6 +34,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash signature agreement estimates jaccard similarity") {
+    // two docs sharing a known fraction of bigram shingles: with k=64
+    // salted permutations, P(mh_i equal) = jaccard, so the agreeing
+    // fraction concentrates near it (±~0.18 at k=64 w.h.p.)
+    val common = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, common + " " + (1 to 20).map(i => s"a$i").mkString(" ")),
+      (1L, common + " " + (1 to 20).map(i => s"b$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, numHashes = 64, shingleSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq.tail).toMap
+    val agree = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    val est = agree.toDouble / 64
+    // true bigram jaccard: both docs share the 59 common-prefix bigrams
+    // plus each has 20+1 unique ones → 59 / (59 + 21 + 21)
+    val truth = 59.0 / 101.0
+    assert(math.abs(est - truth) < 0.18, s"estimate $est vs true $truth")
+  }
+
   test("bruteForceTopK matches a naive cosine ranking on random vectors") {
     val vecs = Gen.listOfN(30, Gen.listOfN(8, Gen.choose(-100, 100)))
       .sample.get.zipWithIndex
