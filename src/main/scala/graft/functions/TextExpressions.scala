@@ -189,6 +189,43 @@ object TextExpressions {
                   markers: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(TokenStats(ColumnBridge.expression(tokens), stopwords, markers))
 
+  /** |A ∩ B| / |A ∪ B| over two distinct-element string arrays in one
+    * hash-set pass (array_intersect + three size() calls walk the arrays
+    * several times and allocate the intersection array). Returns null if
+    * both sides are empty (0/0). */
+  case class ArrayJaccard(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    import org.apache.spark.sql.types.DoubleType
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      if (nx == 0 && ny == 0) return null
+      val set = new java.util.HashSet[String](nx * 2)
+      var i = 0
+      while (i < nx) { set.add(x.getUTF8String(i).toString); i += 1 }
+      var inter = 0
+      i = 0
+      while (i < ny) {
+        if (set.contains(y.getUTF8String(i).toString)) inter += 1
+        i += 1
+      }
+      inter.toDouble / (nx + ny - inter)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def array_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Rabin-Karp rolling-hash document fingerprint: the polynomial hash
     *   h(i) = Σ_j code(c[i+j]) · B^(w-1-j)  mod M
     * of every length-`window` character window, reduced to its minimum

@@ -121,8 +121,8 @@ object Dedup {
         smallPairs.union(starPairs).distinct()
     }
 
-  /** Exact n-gram Jaccard for a pair set: explode both shingle sets,
-    * count intersection via join, |A∪B| = |A|+|B|-|A∩B|. */
+  /** Exact n-gram Jaccard for a pair set: join each side's shingle set
+    * to the pair, one fused set-intersection pass per pair. */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
                     shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = docs.select(col("doc_id"),
@@ -131,10 +131,8 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
     withSets
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .where(col("uni") > 0)
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .withColumn("jaccard",
+        graft.functions.TextExpressions.array_jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
