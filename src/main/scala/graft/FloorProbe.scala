@@ -18,7 +18,8 @@ object FloorProbe {
     }
     time("warm, AQE on ")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // tune() re-enables AQE inside fn; probe with a raw variant instead
+    // probe a raw query too, to separate query-path overhead from the
+    // underlying plan cost (tune() is idempotent and won't reset confs)
     val raw = (s: org.apache.spark.sql.SparkSession) => {
       import org.apache.spark.sql.functions._
       s.read.parquet(s"$dir/orders.parquet")

@@ -263,8 +263,10 @@ object SparkEntry {
              WHERE EXISTS (SELECT 1 FROM lineitem l
                            WHERE l.l_orderkey = o.o_orderkey
                              AND l.l_returnflag = 'R')
-               AND CAST(round(o_totalprice * 100) AS BIGINT) >
-                   (SELECT CAST(round(avg(o_totalprice) * 100) AS BIGINT) FROM orders)""")
+               AND CAST(round(o_totalprice * 100) AS BIGINT) *
+                     (SELECT count(*) FROM orders) >
+                   (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    FROM orders)""")
       },
       "q39_curated_corpus" -> q { (s, dir) =>
         graft.ops.Curation.curate(t(s, dir, "documents"))
@@ -351,8 +353,10 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM lineitem l
                        WHERE l.l_orderkey = o.o_orderkey
                          AND l.l_returnflag = 'R')
-           AND CAST(round(o_totalprice * 100) AS BIGINT) >
-               (SELECT CAST(round(avg(o_totalprice) * 100) AS BIGINT) FROM orders)""",
+           AND CAST(round(o_totalprice * 100) AS BIGINT) *
+                 (SELECT count(*) FROM orders) >
+               (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                FROM orders)""",
     "q39_curated_corpus" -> s"""
       WITH keep AS (
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY $DuckFingerprint),

@@ -284,15 +284,24 @@ object CapstoneEtl {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.Try
     val writes = out.tables.toSeq.map {
-      case ("fact_immigration", df) => Future {
+      case ("fact_immigration", df) => Future(Try {
         Io.writePartitioned(df, s"$outputPath/fact_immigration.parquet", "year", "month")
-      }
-      case (name, df) => Future {
+      })
+      case (name, df) => Future(Try {
         Io.writeParquet(df, s"$outputPath/$name.parquet")
-      }
+      })
     }
-    Await.result(Future.sequence(writes), Duration.Inf)
+    // wait for EVERY write to finish before reporting failure: throwing
+    // on the first error would leave sibling writes mutating the output
+    // dir in the background, and would drop their exceptions
+    val outcomes = Await.result(Future.sequence(writes), Duration.Inf)
+    val failures = outcomes.collect { case scala.util.Failure(e) => e }
+    failures.headOption.foreach { first =>
+      failures.tail.foreach(first.addSuppressed)
+      throw first
+    }
     val read = (n: String) => spark.read.parquet(s"$outputPath/$n.parquet")
     DataQuality.checkAll(Seq(
       (read("fact_immigration"), "fact_immigration", "id"),

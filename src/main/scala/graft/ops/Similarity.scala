@@ -75,13 +75,16 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** One-time driver-side guard: embedding columns are fixed-width, so
-    * checking one row catches a dim mismatch without a per-row branch in
-    * the hot bucket expression. */
+  /** One-time driver-side guard: embedding columns are fixed-width (a
+    * schema-level contract of every real vector store), so checking one
+    * row catches a dim mismatch without a per-row branch in the hot
+    * bucket expression. A mixed-width corpus violating that contract is
+    * NOT fully caught here — only the sampled row is checked. */
   private def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit =
     df.select(size(col(vecCol)).as("n")).head(1).foreach { r =>
-      require(r.getInt(0) >= dim,
-        s"srpBucket: vectors have ${r.getInt(0)} dims, need >= $dim " +
+      val n = if (r.isNullAt(0)) 0 else r.getInt(0)
+      require(n >= dim,
+        s"srpBucket: vectors have $n dims, need >= $dim " +
           "(a shorter vector would silently map every row to bucket 0)")
     }
 
@@ -93,6 +96,7 @@ object Similarity {
               planes: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     requireDim(corpus, vecCol, dim)
+    requireDim(queries, vecCol, dim)
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         srpBucket(col(vecCol), dim, planes).as("bucket")))

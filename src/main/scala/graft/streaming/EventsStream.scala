@@ -31,6 +31,11 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Canonical nanos→timestamp conversion for event time — single
+    * definition so the window agg, stream-stream join, and session
+    * watermarks can never desynchronize on the unit math. */
+  private def eventTime = timestamp_micros(expr("ts div 1000L"))
+
   /** File-source stream over a directory of events parquet files. */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -44,7 +49,7 @@ object EventsStream {
     * watermark is dropped; state for closed windows is evicted. */
   def hourlyAggStream(events: DataFrame): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000L")))
+      .withColumn("event_time", eventTime)
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("event_cnt"),
@@ -89,7 +94,7 @@ object EventsStream {
     * unbounded streams, bounded state. */
   def purchaseAttribution(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val base = events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000L")))
+      .withColumn("event_time", eventTime)
     val purchases = base.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("event_time").as("purchase_time"), col("value"))
@@ -127,7 +132,12 @@ object EventsStream {
     * event-time timeout also flushes sessions whose gap window has
     * passed the watermark — so idle users' sessions eventually emit
     * instead of living in state forever (and state is evicted).
-    * Semantics match Events.sessionize for the emitted sessions. */
+    *
+    * Session contents (start/end/events/cents) match Events.sessionize;
+    * `session_seq` numbering restarts after an idle flush evicts a
+    * user's state (bounded state ⇔ no forever-counters), so the stable
+    * session key is (user_id, session_start_us), not (user_id,
+    * session_seq). */
   def sessionizeStream(events: Dataset[Event],
                        flushIdle: Boolean = false): Dataset[Session] = {
     implicit val stateEnc = Encoders.product[SessionState]
@@ -138,7 +148,7 @@ object EventsStream {
         // the watermark column must survive into the stateful operator's
         // child plan; .as[Event] tolerates the extra column
         val withTime = events
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000L")))
+          .withColumn("event_time", eventTime)
           .withWatermark("event_time", "30 minutes")
           .as[Event]
         (withTime, GroupStateTimeout.EventTimeTimeout())

@@ -33,7 +33,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).thumbnail.length <= 700)
   }
 
-  test("frame sampling keeps every 4th frame with checksums") {
+  test("frame sampling keeps every 2nd of 8-char frames with checksums") {
     val frames = Multimodal.frameSample(docs, frameChars = 8, every = 2)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")))
     // doc 1 has 700 chars → 88 frames → 44 sampled (even indices)

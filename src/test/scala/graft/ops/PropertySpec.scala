@@ -47,9 +47,10 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq.tail).toMap
     val agree = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
     val est = agree.toDouble / 64
-    // true bigram jaccard: both docs share the 59 common-prefix bigrams
-    // plus each has 20+1 unique ones → 59 / (59 + 21 + 21)
-    val truth = 59.0 / 101.0
+    // true bigram jaccard: 80 tokens → 79 bigrams per doc; 59 shared
+    // (within the common prefix), 20 unique each (the bridge bigram
+    // "w60 a1"/"w60 b1" plus 19 suffix bigrams) → 59 / (59 + 20 + 20)
+    val truth = 59.0 / 99.0
     assert(math.abs(est - truth) < 0.18, s"estimate $est vs true $truth")
   }
 
