@@ -342,6 +342,15 @@ object SparkEntry {
       s"(CASE WHEN ($proj) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Minhash_i over a `shingles` list column for the DuckDB oracles —
+    * integer-arithmetic twin of TextExpressions.ShingleMinHash
+    * (Kirsch-Mitzenmacher over one md5 per shingle):
+    * hash_i(s) = (md5_number_upper(s) + i·md5_number_lower(s)) mod 2^31-1,
+    * each operand pre-reduced mod 2^31-1 to stay inside UBIGINT. */
+  private def duckMh(i: Int): String =
+    s"list_min(list_transform(shingles, s -> CAST((md5_number_upper(s) % 2147483647 + " +
+      s"$i * (md5_number_lower(s) % 2147483647)) % 2147483647 AS BIGINT))) AS mh$i"
+
   /** Normalized-content md5 (shared by q15/q16/q28/q39 oracles). */
   private val DuckFingerprint =
     """md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')))"""
@@ -364,8 +373,7 @@ object SparkEntry {
              FROM documents d JOIN keep USING (doc_id)),
       sigs AS (
         SELECT doc_id,
-          ${(0 until 8).map(i =>
-            s"list_min(list_transform(shingles, s -> md5('$i|' || s))) AS mh$i").mkString(", ")}
+          ${(0 until 8).map(duckMh).mkString(", ")}
         FROM sh WHERE len(shingles) > 0),
       bands AS (
         SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS h FROM sigs UNION ALL
@@ -567,27 +575,13 @@ object SparkEntry {
     "q17_minhash_sig" -> s"""
       WITH sh AS (SELECT doc_id, $DuckShingles AS shingles FROM documents)
       SELECT doc_id,
-        list_min(list_transform(shingles, s -> md5('0|' || s))) AS mh0,
-        list_min(list_transform(shingles, s -> md5('1|' || s))) AS mh1,
-        list_min(list_transform(shingles, s -> md5('2|' || s))) AS mh2,
-        list_min(list_transform(shingles, s -> md5('3|' || s))) AS mh3,
-        list_min(list_transform(shingles, s -> md5('4|' || s))) AS mh4,
-        list_min(list_transform(shingles, s -> md5('5|' || s))) AS mh5,
-        list_min(list_transform(shingles, s -> md5('6|' || s))) AS mh6,
-        list_min(list_transform(shingles, s -> md5('7|' || s))) AS mh7
+        ${(0 until 8).map(duckMh).mkString(",\n        ")}
       FROM sh WHERE len(shingles) > 0""",
     "q18_neardup_pairs" -> s"""
       WITH sh AS (SELECT doc_id, $DuckShingles AS shingles FROM documents),
       sigs AS (
         SELECT doc_id,
-          list_min(list_transform(shingles, s -> md5('0|' || s))) AS mh0,
-          list_min(list_transform(shingles, s -> md5('1|' || s))) AS mh1,
-          list_min(list_transform(shingles, s -> md5('2|' || s))) AS mh2,
-          list_min(list_transform(shingles, s -> md5('3|' || s))) AS mh3,
-          list_min(list_transform(shingles, s -> md5('4|' || s))) AS mh4,
-          list_min(list_transform(shingles, s -> md5('5|' || s))) AS mh5,
-          list_min(list_transform(shingles, s -> md5('6|' || s))) AS mh6,
-          list_min(list_transform(shingles, s -> md5('7|' || s))) AS mh7
+          ${(0 until 8).map(duckMh).mkString(",\n          ")}
         FROM sh WHERE len(shingles) > 0),
       bands AS (
         SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS h FROM sigs UNION ALL

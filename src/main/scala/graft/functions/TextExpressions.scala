@@ -46,13 +46,23 @@ object TextExpressions {
     * shingles are built and hashed on the fly, never materialized.
     * min over all shingles == min over distinct shingles, so the result
     * matches the distinct-shingle oracle formulation exactly. Returns
-    * null when the doc has fewer than `shingleSize` tokens. */
+    * null when the doc has fewer than `shingleSize` tokens.
+    *
+    * The k permutations use the Kirsch-Mitzenmacher construction over a
+    * single md5 per shingle:  hash_i(s) = (u + i·l) mod M  with
+    * u = uint64-LE(digest[0:8]), l = uint64-LE(digest[8:16]) (each
+    * pre-reduced mod M), M = 2^31-1. One digest instead of k makes the
+    * signature ~k× cheaper; u/l match DuckDB's `md5_number_upper/lower`
+    * exactly, so the oracle is pure integer arithmetic. */
   case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    import org.apache.spark.sql.types.LongType
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     // null is also produced for too-short docs, not only null input
     override def nullable: Boolean = true
+
+    private val M = 2147483647L  // 2^31 - 1
 
     override def nullSafeEval(input: Any): Any = {
       val tokens = input.asInstanceOf[ArrayData]
@@ -62,7 +72,7 @@ object TextExpressions {
       var t = 0
       while (t < n) { toks(t) = tokens.getUTF8String(t).toString; t += 1 }
       val md = MessageDigest.getInstance("MD5")
-      val mins = new Array[String](numHashes)
+      val mins = Array.fill(numHashes)(Long.MaxValue)
       val sb = new java.lang.StringBuilder(64)
       var i = 0
       while (i <= n - shingleSize) {
@@ -73,24 +83,37 @@ object TextExpressions {
           sb.append(toks(i + j))
           j += 1
         }
-        val shingle = sb.toString
+        md.reset()
+        val d = md.digest(sb.toString.getBytes("UTF-8"))
+        // little-endian uint64 of bytes [0,8) and [8,16), ≡ DuckDB
+        // md5_number_upper / md5_number_lower
+        var u = 0L; var l = 0L
+        var b = 7
+        while (b >= 0) {
+          u = (u << 8) | (d(b) & 0xffL)
+          l = (l << 8) | (d(b + 8) & 0xffL)
+          b -= 1
+        }
+        u = java.lang.Long.remainderUnsigned(u, M)
+        l = java.lang.Long.remainderUnsigned(l, M)
         var h = 0
+        var v = u
         while (h < numHashes) {
-          md.reset()
-          val digest = hex(md.digest((h.toString + "|" + shingle).getBytes("UTF-8")))
-          if (mins(h) == null || digest.compareTo(mins(h)) < 0) mins(h) = digest
+          if (v < mins(h)) mins(h) = v
+          v += l                    // (u + (h+1)·l); both < M so no overflow
+          if (v >= M) v -= M
           h += 1
         }
         i += 1
       }
-      new GenericArrayData(mins.map(UTF8String.fromString(_)).toArray[Any])
+      new GenericArrayData(mins.map(Long.box).toArray[Any])
     }
 
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
 
-  /** k minhash values (lowercase md5 hex) over word n-shingles of a
+  /** k minhash values (longs in [0, 2^31-1)) over word n-shingles of a
     * token-array column; null when the doc is shorter than the shingle. */
   def shingle_minhash(tokens: Column, shingleSize: Int, numHashes: Int): Column =
     ColumnBridge.column(ShingleMinHash(

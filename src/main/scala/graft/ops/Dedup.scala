@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *    explode(shingles) → per-doc signature → band-bucket self-join,
   *    where only same-bucket pairs are compared (the standard
   *    Broder/Indyk construction);
-  *  - all hashing is md5-hex (engine-portable, deterministic) rather than
-  *    murmur3, so results are oracle-checkable; the hex strings compare
-  *    lexicographically which is order-isomorphic to the 128-bit value.
+  *  - all hashing derives from md5 (engine-portable, deterministic)
+  *    rather than murmur3, so results are oracle-checkable; the k minhash
+  *    permutations are Kirsch-Mitzenmacher combinations (u + i·l mod
+  *    2^31-1) of one digest per shingle — see
+  *    [[graft.functions.TextExpressions.ShingleMinHash]].
   */
 object Dedup {
 
@@ -42,10 +44,11 @@ object Dedup {
       exactDuplicates(docs, textCol).select(col("keep_doc_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
-  /** MinHash signature: k permutations simulated by salted md5 over the
-    * shingle set; minhash_i = lexicographic min of md5(i || shingle).
-    * Computed per-row by a native expression (no explode, no shuffle —
-    * the signature never leaves the scan projection). */
+  /** MinHash signature: k permutations via Kirsch-Mitzenmacher
+    * combination of a single md5 per shingle; minhash_i = min over
+    * shingles of (u + i·l) mod 2^31-1 (u, l = the digest's two uint64
+    * halves). Computed per-row by a native expression (no explode, no
+    * shuffle — the signature never leaves the scan projection). */
   def minHashSignatures(docs: DataFrame, textCol: String = "text",
                         numHashes: Int = 8, shingleSize: Int = 3): DataFrame = {
     val sig = docs.select(col("doc_id"),

@@ -10,18 +10,24 @@ class GraftExtensionsSpec extends SparkSpec {
                 shingle_minhash(array('a', 'b', 'c'), 2, 2) AS mh""").head()
     assert(r.getDouble(0) === 1.0)
     assert(r.getDouble(1) === 11.0)
-    assert(r.getSeq[String](2).length === 2)
+    assert(r.getSeq[Long](2).length === 2)
   }
 
-  test("shingle_minhash SQL result matches the salted-md5 definition") {
+  test("shingle_minhash SQL result matches the Kirsch-Mitzenmacher definition") {
     GraftExtensions.register(spark)
     // shingles of ['a','b','c'] with n=2: "a b", "b c"
-    val mh = spark.sql("SELECT shingle_minhash(array('a','b','c'), 2, 1) AS mh")
-      .head().getSeq[String](0)
-    val expected = Seq("0|a b", "0|b c").map { s =>
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }.min
-    assert(mh.head === expected)
+    val mh = spark.sql("SELECT shingle_minhash(array('a','b','c'), 2, 3) AS mh")
+      .head().getSeq[Long](0)
+    val M = 2147483647L
+    def hash(s: String, i: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      def le(off: Int): Long =
+        (7 to 0 by -1).foldLeft(0L)((acc, b) => (acc << 8) | (d(off + b) & 0xffL))
+      (java.lang.Long.remainderUnsigned(le(0), M) +
+        i * java.lang.Long.remainderUnsigned(le(8), M)) % M
+    }
+    val expected = (0 until 3).map(i => Seq("a b", "b c").map(hash(_, i)).min)
+    assert(mh === expected)
   }
 }
