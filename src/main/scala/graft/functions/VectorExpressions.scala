@@ -129,6 +129,60 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** argmax over a fixed centroid set of cosine(vec, centroid_i), ties to
+    * the lowest cell; zero-magnitude pairs score 0 (as CosineSimilarity).
+    * The centroid matrix lives in the expression instance, not in
+    * generated code — an equivalent array-of-struct-literals formulation
+    * embeds nlist×dim double literals into codegen and pays seconds of
+    * janino compile before the first row. CodegenFallback: one virtual
+    * call per row around a tight primitive loop. */
+  case class NearestCell(child: Expression, centroids: Seq[Seq[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types.IntegerType
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val matrix: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+    @transient private lazy val norms: Array[Double] =
+      matrix.map(c => math.sqrt(c.map(x => x * x).sum))
+    @transient private lazy val isFloat = elemKind(child) == FloatType
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val vec = new Array[Double](n)
+      var d = 0
+      var nv = 0.0
+      while (d < n) {
+        val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        vec(d) = x; nv += x * x; d += 1
+      }
+      val normV = math.sqrt(nv)
+      var best = 0; var bestCos = -2.0
+      var i = 0
+      while (i < matrix.length) {
+        val c = matrix(i)
+        val m = math.min(c.length, n)
+        var dotCv = 0.0
+        d = 0
+        while (d < m) { dotCv += c(d) * vec(d); d += 1 }
+        val cos = if (norms(i) == 0.0 || normV == 0.0) 0.0
+                  else dotCv / (norms(i) * normV)
+        if (cos > bestCos) { bestCos = cos; best = i }
+        i += 1
+      }
+      best
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def nearest_cell(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(NearestCell(ColumnBridge.expression(vec), centroids))
+
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -112,29 +112,86 @@ object Similarity {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Driver-side spherical k-means (Lloyd's, cosine assignment) over a
+    * bounded training sample. Deterministic: first-`nlist` init over the
+    * lowest-id sample, ties to the lowest cell. Centroids are plain
+    * component means — cosine is scale-invariant in the centroid, so
+    * normalizing them would not change any assignment. */
+  private def trainCentroids(train: Array[Array[Double]], nlist: Int,
+                             maxIter: Int): Array[Array[Double]] = {
+    val dim = train.head.length
+    var cent = train.take(nlist).map(_.clone)
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.ofDim[Double](cent.length, dim)
+      val cnts = new Array[Long](cent.length)
+      train.foreach { v =>
+        val c = nearestCell(cent, v)
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+        cnts(c) += 1
+      }
+      cent = cent.indices.map { i =>
+        if (cnts(i) == 0) cent(i)             // empty cell keeps its centroid
+        else sums(i).map(_ / cnts(i))
+      }.toArray
+      iter += 1
+    }
+    cent
+  }
+
+  /** argmax of cosine(v, centroid), ties to the lowest cell; zero-norm
+    * inputs rank below everything. */
+  private def nearestCell(cent: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestCos = -2.0
+    var i = 0
+    while (i < cent.length) {
+      val c = cent(i)
+      var dotCv = 0.0; var nc = 0.0; var nv = 0.0
+      var d = 0
+      while (d < v.length) {
+        dotCv += c(d) * v(d); nc += c(d) * c(d); nv += v(d) * v(d); d += 1
+      }
+      val cos = if (nc == 0 || nv == 0) -2.0 else dotCv / math.sqrt(nc * nv)
+      if (cos > bestCos) { bestCos = cos; best = i }
+      i += 1
+    }
+    best
+  }
+
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus
     * into `nlist` cells; a query probes only its `nprobe` nearest cells
     * and re-ranks exactly. The scale path when SRP buckets are too
     * coarse: |corpus|/nlist·nprobe distance computations per query, and
-    * the cell assignment is a plain hash join on cluster id. Training is
-    * seeded and runs once over (a sample of) the corpus. */
+    * the cell assignment is a plain hash join on cluster id.
+    *
+    * Training follows the standard IVF recipe: a bounded sample
+    * (lowest `maxTrain` ids — one TakeOrdered pass, deterministic) is
+    * collected to the driver, spherical k-means runs locally, and the
+    * tiny centroid set is broadcast back as literals. The corpus itself
+    * is never shuffled for training, so the 100 TB path is one scan for
+    * assignment + one hash join — no MLlib iteration jobs. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
-              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val featCorpus = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .fit(featCorpus.select("features"))
-    val assigned = model.transform(featCorpus)
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
-    // nprobe nearest cells per query: centroid set is tiny (nlist rows) —
-    // broadcast literal relation, rank by exact distance
+              vecCol: String = "embedding", maxIter: Int = 5,
+              maxTrain: Int = 4096): DataFrame = {
+    val train = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy("id").limit(maxTrain)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(train.nonEmpty, "ivfTopK: empty corpus")
+    val cent = trainCentroids(train, math.min(nlist, train.length), maxIter)
+
+    // distributed cell assignment: a native argmax expression holding the
+    // centroid matrix — ties to the lowest cell, one scan, no shuffle
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      VectorExpressions.nearest_cell(col(vecCol), cent.map(_.toSeq).toSeq).as("cell"))
+
     val spark = queries.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+    val centroids = cent.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wCell = Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))
     val probed = q.crossJoin(broadcast(centroids))
