@@ -1,0 +1,155 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native aggregate functions.
+  *
+  * TopKByScore replaces the `row_number() OVER (PARTITION BY q ORDER BY
+  * score DESC)` + `rnk <= k` idiom for top-k-per-group. The window form
+  * shuffles EVERY scored candidate row to its group's partition and
+  * sorts there — at 100 TB the shuffle is |corpus|·|queries| rows. As a
+  * TypedImperativeAggregate, partial aggregation runs map-side: each
+  * input partition reduces to ≤ k rows per group before the exchange,
+  * so the shuffle carries at most |partitions|·|groups|·k heap entries
+  * and nothing is globally sorted (O(n log k) streaming instead).
+  */
+object AggExpressions {
+
+  /** Bounded top-k buffer: binary min-heap keyed "worst first" so the
+    * eviction candidate is O(1). Ordering: higher score wins; equal
+    * scores break ties to the LOWER id (matching
+    * `ORDER BY score DESC, id ASC`). */
+  final class TopKBuffer(val k: Int) {
+    var size = 0
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+
+    // a is worse than b ⇔ a ranks after b in (score desc, id asc)
+    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 < s2 || (s1 == s2 && i1 > i2)
+
+    private def siftUp(pos0: Int): Unit = {
+      var pos = pos0
+      while (pos > 0) {
+        val parent = (pos - 1) >> 1
+        if (worse(scores(pos), ids(pos), scores(parent), ids(parent))) {
+          swap(pos, parent); pos = parent
+        } else return
+      }
+    }
+
+    private def siftDown(pos0: Int): Unit = {
+      var pos = pos0
+      while (true) {
+        val l = 2 * pos + 1; val r = l + 1
+        var worst = pos
+        if (l < size && worse(scores(l), ids(l), scores(worst), ids(worst))) worst = l
+        if (r < size && worse(scores(r), ids(r), scores(worst), ids(worst))) worst = r
+        if (worst == pos) return
+        swap(pos, worst); pos = worst
+      }
+    }
+
+    private def swap(a: Int, b: Int): Unit = {
+      val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+
+    def add(score: Double, id: Long): Unit =
+      if (size < k) {
+        scores(size) = score; ids(size) = id; size += 1
+        siftUp(size - 1)
+      } else if (worse(scores(0), ids(0), score, id)) {
+        scores(0) = score; ids(0) = id
+        siftDown(0)
+      }
+
+    def mergeFrom(other: TopKBuffer): Unit = {
+      var i = 0
+      while (i < other.size) { add(other.scores(i), other.ids(i)); i += 1 }
+    }
+
+    /** (score, id) pairs ranked best-first. */
+    def sorted: Array[(Double, Long)] =
+      (0 until size).map(i => (scores(i), ids(i)))
+        .sortBy { case (s, i) => (-s, i) }.toArray
+  }
+
+  /** Top-k (id, score) pairs per group as array<struct<rnk, neighbor_id,
+    * cos_sim>>, ranked by (score desc, id asc) — exactly the window
+    * `row_number` contract, minus the global per-group sort. */
+  case class TopKByScore(score: Expression, id: Expression, k: Int,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[TopKBuffer] {
+    require(k > 0, s"TopKByScore: k must be positive, got $k")
+
+    override def children: Seq[Expression] = Seq(score, id)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("rnk", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("cos_sim", DoubleType, nullable = false))),
+      containsNull = false)
+
+    override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+    override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+      val s = score.eval(input)
+      val i = id.eval(input)
+      if (s != null && i != null)
+        b.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+      b
+    }
+
+    override def merge(b: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+      b.mergeFrom(other); b
+    }
+
+    override def eval(b: TopKBuffer): Any = {
+      val ranked = b.sorted
+      new GenericArrayData(ranked.zipWithIndex.map { case ((s, i), r) =>
+        InternalRow((r + 1).toLong, i, s)
+      }.toArray[Any])
+    }
+
+    override def serialize(b: TopKBuffer): Array[Byte] = {
+      val buf = ByteBuffer.allocate(4 + 16 * b.size)
+      buf.putInt(b.size)
+      var i = 0
+      while (i < b.size) { buf.putDouble(b.scores(i)); buf.putLong(b.ids(i)); i += 1 }
+      buf.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+      val buf = ByteBuffer.wrap(bytes)
+      val n = buf.getInt
+      val b = new TopKBuffer(k)
+      var i = 0
+      while (i < n) { b.add(buf.getDouble, buf.getLong); i += 1 }
+      b
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): TopKByScore =
+      copy(score = newChildren(0), id = newChildren(1))
+  }
+
+  /** Aggregate column: top-k (score desc, id asc) pairs of a group. */
+  def top_k_by_score(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(TopKByScore(
+      ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+      .toAggregateExpression())
+}

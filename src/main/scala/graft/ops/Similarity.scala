@@ -45,6 +45,21 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     VectorExpressions.cosine_similarity(a, b)
 
+  /** Rank scored (query_id, neighbor_id, cos_sim) candidates to each
+    * query's top k via the bounded-heap aggregate: partial aggregation
+    * reduces every input partition to ≤ k rows per query BEFORE the
+    * exchange, where the equivalent rank-window formulation shuffles and
+    * sorts every candidate row. Ordering contract is identical:
+    * (cos_sim desc, neighbor_id asc), ranks 1-based. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.AggExpressions.top_k_by_score(
+        col("cos_sim"), col("neighbor_id").cast("long"), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("nb"))
+      .select(col("query_id"), col("nb.rnk").as("rnk"),
+        col("nb.neighbor_id").as("neighbor_id"),
+        round(col("nb.cos_sim"), 4).as("cos_sim"))
+
   /** Exact top-k cosine neighbors for each query vector (baseline).
     * `queries` and `corpus` must both have (idCol, vecCol). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -53,11 +68,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos_sim"), 4).as("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** SRP-LSH bucket key: `planes` sign bits of deterministic hyperplane
@@ -105,11 +116,7 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos_sim"), 4).as("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** Driver-side spherical k-means (Lloyd's, cosine assignment) over a
@@ -199,14 +206,10 @@ object Similarity {
       .withColumn("cell_rnk", row_number().over(wCell))
       .where(col("cell_rnk") <= nprobe)
       .select("query_id", "qv", "cell")
-    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
-    assigned.join(broadcast(probed), Seq("cell"))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos_sim"), 4).as("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold.

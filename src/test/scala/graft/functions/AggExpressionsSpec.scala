@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AggExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("top_k_by_score ranks (score desc, id asc) with ties and truncates to k") {
+    val rows = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.5), (1L, 13L, 0.99),
+      (2L, 20L, 0.1))
+      .toDF("query_id", "neighbor_id", "cos_sim")
+    val out = rows.groupBy("query_id")
+      .agg(AggExpressions.top_k_by_score(col("cos_sim"), col("neighbor_id"), 3).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("nb"))
+      .select($"query_id", $"nb.rnk", $"nb.neighbor_id", $"nb.cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out === Set(
+      (1L, 1L, 13L, 0.99), (1L, 2L, 10L, 0.9), (1L, 3L, 11L, 0.9),
+      (2L, 1L, 20L, 0.1)))
+  }
+
+  test("partial-merge path: many partitions reduce to the same global top-k") {
+    // force the merge path: 64 input partitions, every row a distinct id;
+    // the exact global top-5 must survive partial aggregation
+    val n = 5000
+    val df = spark.range(n).repartition(64)
+      .select(lit(1L).as("query_id"), col("id").as("neighbor_id"),
+        (col("id") % 997).cast("double").as("cos_sim"))
+    val got = df.groupBy("query_id")
+      .agg(AggExpressions.top_k_by_score(col("cos_sim"), col("neighbor_id"), 5).as("topk"))
+      .select(explode(col("topk")).as("nb"))
+      .select($"nb.rnk", $"nb.neighbor_id", $"nb.cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expect = (0L until n).map(i => (i, (i % 997).toDouble))
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+      .zipWithIndex.map { case ((id, s), r) => (r + 1L, id, s) }
+    assert(got === expect)
+  }
+
+  test("plan does partial aggregation before the exchange") {
+    val df = spark.range(100)
+      .select((col("id") % 7).as("query_id"), col("id").as("neighbor_id"),
+        rand(7).as("cos_sim"))
+      .groupBy("query_id")
+      .agg(AggExpressions.top_k_by_score(col("cos_sim"), col("neighbor_id"), 3).as("topk"))
+    val plan = df.queryExecution.executedPlan.toString
+    // ObjectHashAggregate appears twice — partial map-side, final after
+    // the exchange — the property that bounds the shuffle to k per group
+    assert("ObjectHashAggregate".r.findAllIn(plan).size === 2, plan)
+    assert(plan.contains("Exchange"), plan)
+  }
+}
