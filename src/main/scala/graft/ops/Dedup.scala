@@ -125,11 +125,18 @@ object Dedup {
     }
 
   /** Exact n-gram Jaccard for a pair set: join each side's shingle set
-    * to the pair, one fused set-intersection pass per pair. */
+    * to the pair, one fused set-intersection pass per pair.
+    *
+    * The `repartition(doc_id)` exchange materializes the shingle sets
+    * once; both pair-side joins read the same exchange via ReuseExchange
+    * (a semi-join gate on pair membership was tried and is slower here —
+    * it duplicates the whole LSH subtree into the filter's plan, which
+    * costs more than shingling the non-candidate docs). */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
                     shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      wordShingles(col(textCol), shingleSize).as("sh"))
+    val sh = docs
+      .select(col("doc_id"), wordShingles(col(textCol), shingleSize).as("sh"))
+      .repartition(col("doc_id"))
     val withSets = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
