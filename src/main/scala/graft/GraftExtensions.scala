@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{TextExpressions, VectorExpressions}
+import graft.functions.{AggExpressions, TextExpressions, VectorExpressions}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so the `spark.sql` surface can call them
@@ -38,7 +38,11 @@ object GraftExtensions {
     "cosine_similarity" -> (es => VectorExpressions.CosineSimilarity(es(0), es(1))),
     "dot_product" -> (es => VectorExpressions.DotProduct(es(0), es(1))),
     "shingle_minhash" -> (es => TextExpressions.ShingleMinHash(es(0),
-      intArg(es(1), "shingleSize"), intArg(es(2), "numHashes"))))
+      intArg(es(1), "shingleSize"), intArg(es(2), "numHashes"))),
+    // aggregate: top_k_by_score(score, id, k) → array<struct<rnk,
+    // neighbor_id, cos_sim>> ranked (score desc, id asc)
+    "top_k_by_score" -> (es => AggExpressions.TopKByScore(es(0), es(1),
+      intArg(es(2), "k")).toAggregateExpression()))
 
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =

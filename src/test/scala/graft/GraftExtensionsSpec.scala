@@ -30,4 +30,17 @@ class GraftExtensionsSpec extends SparkSpec {
     val expected = (0 until 3).map(i => Seq("a b", "b c").map(hash(_, i)).min)
     assert(mh === expected)
   }
+
+  test("top_k_by_score usable as a SQL aggregate") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.7))
+      .toDF("g", "id", "s").createOrReplaceTempView("scored")
+    val rows = spark.sql(
+      """SELECT g, nb.rnk, nb.neighbor_id
+         FROM (SELECT g, top_k_by_score(s, id, 2) AS topk FROM scored GROUP BY g),
+         LATERAL explode(topk) AS t(nb)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, 1L, 11L), (1L, 2L, 12L)))
+  }
 }
