@@ -5,7 +5,7 @@ package graft
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("scratch")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SCRATCH_DIR", "/root/testdata/sf0.1")
     def time(name: String, n: Int = 4): Unit = {
       val fn = SparkEntry.queries(name)
       val ts = (1 to n).map { _ =>

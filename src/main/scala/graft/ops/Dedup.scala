@@ -51,14 +51,15 @@ object Dedup {
     * shuffle — the signature never leaves the scan projection). */
   def minHashSignatures(docs: DataFrame, textCol: String = "text",
                         numHashes: Int = 8, shingleSize: Int = 3): DataFrame = {
+    // No materialization barrier here: splitting `sig` into k columns can
+    // re-evaluate the (now single-md5) expression per column, but an
+    // explicit repartition would hide the scan's size statistics from
+    // join selection — downstream self-joins then fall back from
+    // broadcast to sort-merge and shuffle every candidate row, which at
+    // 10× data measured 14× slower than re-evaluating the cheap hash.
     val sig = docs.select(col("doc_id"),
       graft.functions.TextExpressions.shingle_minhash(
         TextStats.tokens(col(textCol)), shingleSize, numHashes).as("sig"))
-      // materialization barrier: without it, splitting `sig` into k
-      // columns re-evaluates the signature expression per column, and a
-      // downstream self-join doubles that again. The exchange computes it
-      // once and is shared via ReuseExchange on both join sides.
-      .repartition(col("doc_id"))
       .where(col("sig").isNotNull)
     sig.select(col("doc_id") +:
       (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
@@ -127,16 +128,17 @@ object Dedup {
   /** Exact n-gram Jaccard for a pair set: join each side's shingle set
     * to the pair, one fused set-intersection pass per pair.
     *
-    * The `repartition(doc_id)` exchange materializes the shingle sets
-    * once; both pair-side joins read the same exchange via ReuseExchange
-    * (a semi-join gate on pair membership was tried and is slower here —
-    * it duplicates the whole LSH subtree into the filter's plan, which
-    * costs more than shingling the non-candidate docs). */
+    * The shingle side stays a bare scan+project so join selection sees
+    * the parquet size statistics and broadcasts it — the pair side (the
+    * side that explodes under dense duplication) then never shuffles.
+    * Two rejected alternatives, both measured slower: a repartition
+    * barrier (hides the stats → sort-merge join of the pair explosion;
+    * 14× slower at 10× data) and a pair-membership semi-join gate
+    * (duplicates the whole LSH subtree into the filter's plan). */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
                     shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = docs
       .select(col("doc_id"), wordShingles(col(textCol), shingleSize).as("sh"))
-      .repartition(col("doc_id"))
     val withSets = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
