@@ -38,7 +38,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // between queries (untimed): let the ContextCleaner reap the
+      // previous query's broadcast blocks, so a late query isn't measured
+      // under the accumulated memory of every earlier one
+      System.gc()
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

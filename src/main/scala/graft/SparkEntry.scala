@@ -637,6 +637,20 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
          WHERE rnk <= 5""",
+    "q21_lsh_ann" -> s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      b AS (SELECT vec_id, e, ${duckSrpBucket("e")} AS bucket FROM v),
+      q AS (SELECT vec_id AS query_id, e AS qv, bucket FROM b WHERE vec_id < 20),
+      scored AS (
+        SELECT query_id, c.vec_id AS neighbor_id,
+          list_dot_product(qv, c.e) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        FROM q JOIN b c ON q.bucket = c.bucket AND query_id <> c.vec_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+             round(sim, 4) AS cos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
+      WHERE rnk <= 5""",
     "q22_cosine_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
