@@ -18,29 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * per (doc, shingle). At 100 TB that explode shuffle dominates; here the
   * signature never leaves the row.
   *
-  * Semantics are identical to min(md5(utf8(s"$i|" + shingle))) per salt i
-  * (lexicographic min over lowercase hex), so DuckDB oracles expressed
-  * with list_min(list_transform(...)) hash-match exactly.
+  * Semantics are identical per permutation i to
+  * min over shingles of (md5_number_upper(s) + i·md5_number_lower(s))
+  * mod 2^31-1 (operands pre-reduced), so DuckDB oracles expressed with
+  * list_min(list_transform(...)) over the same integer arithmetic
+  * hash-match exactly.
   *
   * CodegenFallback is deliberate: the md5 inner loop is the entire cost;
   * one virtual eval call per row is noise, and the expression stays a
   * single scan-local projection either way.
   */
 object TextExpressions {
-
-  private val hexDigits = "0123456789abcdef".toCharArray
-
-  private def hex(bytes: Array[Byte]): String = {
-    val out = new Array[Char](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      out(i * 2) = hexDigits(b >>> 4)
-      out(i * 2 + 1) = hexDigits(b & 0x0f)
-      i += 1
-    }
-    new String(out)
-  }
 
   /** tokens array → k-minhash signature over n-token shingles, fused:
     * shingles are built and hashed on the fly, never materialized.
