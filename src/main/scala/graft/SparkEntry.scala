@@ -198,6 +198,17 @@ object SparkEntry {
              ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
              LIMIT 10""")
       },
+      // the native bounded-heap aggregate driven from the SQL surface:
+      // top-3 orders by price per market segment
+      "q41_topk_per_group" -> q { (s, dir) =>
+        graft.sql.GraftCatalog.sql(s, dir,
+          """SELECT c_mktsegment, nb.rnk AS rnk, nb.neighbor_id AS o_orderkey,
+               nb.cos_sim AS totalprice
+             FROM (SELECT c_mktsegment, top_k_by_score(o_totalprice, o_orderkey, 3) AS topk
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+                   GROUP BY c_mktsegment),
+             LATERAL explode(topk) AS t(nb)""")
+      },
       "q27_json_props" -> q { (s, dir) =>
         t(s, dir, "events")
           .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -691,6 +702,13 @@ object SparkEntry {
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
          LIMIT 10""",
+    "q41_topk_per_group" ->
+      """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey, totalprice
+         FROM (SELECT c_mktsegment, o_orderkey, o_totalprice AS totalprice,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rnk <= 3""",
     "q27_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            count(*) AS event_cnt,
