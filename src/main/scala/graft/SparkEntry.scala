@@ -202,8 +202,8 @@ object SparkEntry {
       // top-3 orders by price per market segment
       "q41_topk_per_group" -> q { (s, dir) =>
         graft.sql.GraftCatalog.sql(s, dir,
-          """SELECT c_mktsegment, nb.rnk AS rnk, nb.neighbor_id AS o_orderkey,
-               nb.cos_sim AS totalprice
+          """SELECT c_mktsegment, nb.rnk AS rnk, nb.id AS o_orderkey,
+               nb.score AS totalprice
              FROM (SELECT c_mktsegment, top_k_by_score(o_totalprice, o_orderkey, 3) AS topk
                    FROM orders JOIN customer ON o_custkey = c_custkey
                    GROUP BY c_mktsegment),

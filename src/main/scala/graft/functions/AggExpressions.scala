@@ -26,15 +26,20 @@ object AggExpressions {
   /** Bounded top-k buffer: binary min-heap keyed "worst first" so the
     * eviction candidate is O(1). Ordering: higher score wins; equal
     * scores break ties to the LOWER id (matching
-    * `ORDER BY score DESC, id ASC`). */
+    * `ORDER BY score DESC, id ASC`). Scores compare under Spark SQL's
+    * total ordering: NaN above every double (ranks first under desc),
+    * -0.0 equal to 0.0 (normalized on insert). */
   final class TopKBuffer(val k: Int) {
     var size = 0
     val scores = new Array[Double](k)
     val ids = new Array[Long](k)
 
-    // a is worse than b ⇔ a ranks after b in (score desc, id asc)
-    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 < s2 || (s1 == s2 && i1 > i2)
+    // a is worse than b ⇔ a ranks after b in (score desc, id asc);
+    // java.lang.Double.compare gives the NaN-greatest total order
+    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c < 0 || (c == 0 && i1 > i2)
+    }
 
     private def siftUp(pos0: Int): Unit = {
       var pos = pos0
@@ -63,7 +68,8 @@ object AggExpressions {
       val ti = ids(a); ids(a) = ids(b); ids(b) = ti
     }
 
-    def add(score: Double, id: Long): Unit =
+    def add(score0: Double, id: Long): Unit = {
+      val score = if (score0 == 0.0) 0.0 else score0   // -0.0 ≡ 0.0 in SQL
       if (size < k) {
         scores(size) = score; ids(size) = id; size += 1
         siftUp(size - 1)
@@ -71,33 +77,46 @@ object AggExpressions {
         scores(0) = score; ids(0) = id
         siftDown(0)
       }
+    }
 
     def mergeFrom(other: TopKBuffer): Unit = {
       var i = 0
       while (i < other.size) { add(other.scores(i), other.ids(i)); i += 1 }
     }
 
-    /** (score, id) pairs ranked best-first. */
+    /** (score, id) pairs ranked best-first — sorted with the same
+      * comparator the heap uses, so ranking is consistent with
+      * admission/eviction even for NaN. */
     def sorted: Array[(Double, Long)] =
       (0 until size).map(i => (scores(i), ids(i)))
-        .sortBy { case (s, i) => (-s, i) }.toArray
+        .sortWith { case ((s1, i1), (s2, i2)) => worse(s2, i2, s1, i1) }
+        .toArray
   }
 
-  /** Top-k (id, score) pairs per group as array<struct<rnk, neighbor_id,
-    * cos_sim>>, ranked by (score desc, id asc) — exactly the window
-    * `row_number` contract, minus the global per-group sort. */
+  /** Top-k (id, score) pairs per group as array<struct<rnk, id, score>>,
+    * ranked by (score desc, id asc) — the window `row_number` ordering
+    * contract, minus the global per-group sort. Two deliberate
+    * differences from the window form, both on degenerate input: rows
+    * with a null score or id are dropped (the window would rank them
+    * last), and NaN scores rank first under Spark's NaN-greatest total
+    * order (identical to the window). */
   case class TopKByScore(score: Expression, id: Expression, k: Int,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[TopKBuffer] {
+      extends TypedImperativeAggregate[TopKBuffer]
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     require(k > 0, s"TopKByScore: k must be positive, got $k")
 
     override def children: Seq[Expression] = Seq(score, id)
+    // analysis-time coercion: int/float scores and int ids arrive as
+    // double/long, so SQL-surface calls can't ClassCastException the
+    // executors
+    override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("rnk", LongType, nullable = false),
-      StructField("neighbor_id", LongType, nullable = false),
-      StructField("cos_sim", DoubleType, nullable = false))),
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
       containsNull = false)
 
     override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)

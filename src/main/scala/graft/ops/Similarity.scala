@@ -57,8 +57,8 @@ object Similarity {
         col("cos_sim"), col("neighbor_id").cast("long"), k).as("topk"))
       .select(col("query_id"), explode(col("topk")).as("nb"))
       .select(col("query_id"), col("nb.rnk").as("rnk"),
-        col("nb.neighbor_id").as("neighbor_id"),
-        round(col("nb.cos_sim"), 4).as("cos_sim"))
+        col("nb.id").as("neighbor_id"),
+        round(col("nb.score"), 4).as("cos_sim"))
 
   /** Exact top-k cosine neighbors for each query vector (baseline).
     * `queries` and `corpus` must both have (idCol, vecCol). */
@@ -130,10 +130,11 @@ object Similarity {
     var cent = train.take(nlist).map(_.clone)
     var iter = 0
     while (iter < maxIter) {
+      val norms = cent.map(c => math.sqrt(c.map(x => x * x).sum))
       val sums = Array.ofDim[Double](cent.length, dim)
       val cnts = new Array[Long](cent.length)
       train.foreach { v =>
-        val c = nearestCell(cent, v)
+        val c = nearestCell(cent, norms, v)
         var d = 0
         while (d < dim) { sums(c)(d) += v(d); d += 1 }
         cnts(c) += 1
@@ -147,19 +148,27 @@ object Similarity {
     cent
   }
 
-  /** argmax of cosine(v, centroid), ties to the lowest cell; zero-norm
-    * inputs rank below everything. */
-  private def nearestCell(cent: Array[Array[Double]], v: Array[Double]): Int = {
-    var best = 0; var bestCos = -2.0
+  /** argmax of cosine(v, centroid), ties to the lowest cell. Zero-norm
+    * pairs score 0.0 and the sqrt form is sqrt(nc)·sqrt(nv) — the SAME
+    * arithmetic as [[VectorExpressions.NearestCell]], so training
+    * assigns every vector to the cell the distributed expression will
+    * later put it in. */
+  private def nearestCell(cent: Array[Array[Double]], norms: Array[Double],
+                          v: Array[Double]): Int = {
+    var nv = 0.0
+    var d = 0
+    while (d < v.length) { nv += v(d) * v(d); d += 1 }
+    val normV = math.sqrt(nv)
+    var best = 0; var bestCos = java.lang.Double.NEGATIVE_INFINITY
     var i = 0
     while (i < cent.length) {
       val c = cent(i)
-      var dotCv = 0.0; var nc = 0.0; var nv = 0.0
-      var d = 0
-      while (d < v.length) {
-        dotCv += c(d) * v(d); nc += c(d) * c(d); nv += v(d) * v(d); d += 1
-      }
-      val cos = if (nc == 0 || nv == 0) -2.0 else dotCv / math.sqrt(nc * nv)
+      val m = math.min(c.length, v.length)
+      var dotCv = 0.0
+      d = 0
+      while (d < m) { dotCv += c(d) * v(d); d += 1 }
+      val cos = if (norms(i) == 0.0 || normV == 0.0) 0.0
+                else dotCv / (norms(i) * normV)
       if (cos > bestCos) { bestCos = cos; best = i }
       i += 1
     }

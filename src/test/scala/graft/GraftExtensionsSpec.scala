@@ -37,10 +37,24 @@ class GraftExtensionsSpec extends SparkSpec {
     Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.7))
       .toDF("g", "id", "s").createOrReplaceTempView("scored")
     val rows = spark.sql(
-      """SELECT g, nb.rnk, nb.neighbor_id
+      """SELECT g, nb.rnk, nb.id
          FROM (SELECT g, top_k_by_score(s, id, 2) AS topk FROM scored GROUP BY g),
          LATERAL explode(topk) AS t(nb)""")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows === Set((1L, 1L, 11L), (1L, 2L, 12L)))
+  }
+
+  test("top_k_by_score coerces int scores and ids instead of crashing executors") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1, 7, 30), (1, 8, 20)).toDF("g", "id", "s")
+      .createOrReplaceTempView("scored_int")
+    val rows = spark.sql(
+      """SELECT nb.rnk, nb.id, nb.score
+         FROM (SELECT g, top_k_by_score(s, id, 1) AS topk
+               FROM scored_int GROUP BY g),
+         LATERAL explode(topk) AS t(nb)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows === Set((1L, 7L, 30.0)))
   }
 }

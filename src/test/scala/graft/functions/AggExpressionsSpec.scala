@@ -15,7 +15,7 @@ class AggExpressionsSpec extends SparkSpec {
     val out = rows.groupBy("query_id")
       .agg(AggExpressions.top_k_by_score(col("cos_sim"), col("neighbor_id"), 3).as("topk"))
       .select(col("query_id"), explode(col("topk")).as("nb"))
-      .select($"query_id", $"nb.rnk", $"nb.neighbor_id", $"nb.cos_sim")
+      .select($"query_id", $"nb.rnk", $"nb.id", $"nb.score")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
     assert(out === Set(
@@ -33,7 +33,7 @@ class AggExpressionsSpec extends SparkSpec {
     val got = df.groupBy("query_id")
       .agg(AggExpressions.top_k_by_score(col("cos_sim"), col("neighbor_id"), 5).as("topk"))
       .select(explode(col("topk")).as("nb"))
-      .select($"nb.rnk", $"nb.neighbor_id", $"nb.cos_sim")
+      .select($"nb.rnk", $"nb.id", $"nb.score")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val expect = (0L until n).map(i => (i, (i % 997).toDouble))
       .sortBy { case (id, s) => (-s, id) }.take(5)
