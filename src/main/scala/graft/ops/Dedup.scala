@@ -51,15 +51,16 @@ object Dedup {
     * shuffle — the signature never leaves the scan projection). */
   def minHashSignatures(docs: DataFrame, textCol: String = "text",
                         numHashes: Int = 8, shingleSize: Int = 3): DataFrame = {
-    // No materialization barrier here: splitting `sig` into k columns can
-    // re-evaluate the (now single-md5) expression per column, but an
-    // explicit repartition would hide the scan's size statistics from
-    // join selection — downstream self-joins then fall back from
-    // broadcast to sort-merge and shuffle every candidate row, which at
-    // 10× data measured 14× slower than re-evaluating the cheap hash.
+    // Generator barrier: explode of a single-element array evaluates the
+    // signature expression exactly once per row (CollapseProject cannot
+    // inline through a Generate), WITHOUT an exchange — so downstream
+    // join selection still sees the scan's size statistics and keeps
+    // broadcasting. A repartition barrier here measured 14× slower at
+    // 10× data (stats hidden → sort-merge join of the pair explosion);
+    // no barrier at all re-evaluates the hash k times per row.
     val sig = docs.select(col("doc_id"),
-      graft.functions.TextExpressions.shingle_minhash(
-        TextStats.tokens(col(textCol)), shingleSize, numHashes).as("sig"))
+      explode(array(graft.functions.TextExpressions.shingle_minhash(
+        TextStats.tokens(col(textCol)), shingleSize, numHashes))).as("sig"))
       .where(col("sig").isNotNull)
     sig.select(col("doc_id") +:
       (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
