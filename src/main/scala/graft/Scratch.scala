@@ -15,6 +15,10 @@ object Scratch {
       }
       println(f"$name: ${ts.map(t => f"$t%.2f").mkString(", ")}")
     }
+    // flagship smoke (driver contract: rows > 0 on sf0.001)
+    val entryRows = SparkEntry.entry(spark).count()
+    println(s"entry: $entryRows rows")
+    assert(entryRows > 0, "entry() returned no rows")
     // warm the session on something cheap first
     time("q03_orders_by_segment")
     args.foreach(a => time(a))
