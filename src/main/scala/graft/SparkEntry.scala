@@ -603,14 +603,18 @@ object SparkEntry {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
+      hs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(shingles, x -> md5_number_lower(x))) AS h
+        FROM sh),
       verified AS (
         SELECT p.doc_a, p.doc_b,
-          len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
-          len(sa.shingles) + len(sb.shingles)
-            - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS uni
+          len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS inter,
+          len(sa.h) + len(sb.h)
+            - len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS uni
         FROM pairs p
-        JOIN sh sa ON sa.doc_id = p.doc_a
-        JOIN sh sb ON sb.doc_id = p.doc_b)
+        JOIN hs sa ON sa.doc_id = p.doc_a
+        JOIN hs sb ON sb.doc_id = p.doc_b)
       SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
       FROM verified
       WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35""",

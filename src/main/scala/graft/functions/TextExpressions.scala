@@ -150,6 +150,66 @@ object TextExpressions {
   def word_shingles(tokens: Column, shingleSize: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), shingleSize))
 
+  /** tokens array → distinct 64-bit hashes of the distinct word
+    * n-shingles, hash = little-endian uint64 of md5-digest bytes [8,16)
+    * — exactly DuckDB's `md5_number_lower`, so an oracle can mirror the
+    * set with list_distinct(list_transform(shingles, md5_number_lower)).
+    *
+    * Purpose: Jaccard verification over candidate pairs. A corpus-scale
+    * pair join drags each side's shingle set through a shuffle or
+    * broadcast; 8-byte longs instead of ~20-char strings cut that
+    * payload ~5× and make the per-pair intersection allocation-free
+    * (primitive probes, no String materialization per element). */
+  case class ShingleHashes(child: Expression, shingleSize: Int)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.types.LongType
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val tokens = input.asInstanceOf[ArrayData]
+      val n = tokens.numElements()
+      if (n < shingleSize) return new GenericArrayData(Array.empty[Any])
+      val toks = new Array[String](n)
+      var t = 0
+      while (t < n) { toks(t) = tokens.getUTF8String(t).toString; t += 1 }
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= n - shingleSize) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleSize) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val md = MessageDigest.getInstance("MD5")
+      // distinct on hash values too — mirrors the oracle's outer
+      // list_distinct, so even a collision stays engine-identical
+      val out = new java.util.LinkedHashSet[java.lang.Long]()
+      val it = seen.iterator()
+      while (it.hasNext) {
+        md.reset()
+        val d = md.digest(it.next().getBytes("UTF-8"))
+        var l = 0L
+        var b = 15
+        while (b >= 8) { l = (l << 8) | (d(b) & 0xffL); b -= 1 }
+        out.add(l)
+      }
+      new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]].toArray[Any])
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def shingle_hashes(tokens: Column, shingleSize: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), shingleSize))
+
   /** One pass over the token array producing every token-derived stat the
     * text-quality pipeline needs: counts, stopword hits, total length,
     * and per-language marker hits. Replaces five separate interpreted
@@ -200,23 +260,34 @@ object TextExpressions {
                   markers: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(TokenStats(ColumnBridge.expression(tokens), stopwords, markers))
 
-  /** |A ∩ B| / |A ∪ B| over two distinct-element string arrays in one
-    * hash-set pass (array_intersect + three size() calls walk the arrays
-    * several times and allocate the intersection array). Returns null if
-    * both sides are empty (0/0). */
+  /** |A ∩ B| / |A ∪ B| over two distinct-element arrays in one hash-set
+    * pass (array_intersect + three size() calls walk the arrays several
+    * times and allocate the intersection array). Returns null if both
+    * sides are empty (0/0). Element type string or long; the long path
+    * (shingle hashes) probes an open-addressed primitive table — zero
+    * allocation per pair, which matters when a dense duplicate cluster
+    * turns LSH candidates into millions of verify rows. */
   case class ArrayJaccard(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
       with CodegenFallback {
-    import org.apache.spark.sql.types.DoubleType
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def nullable: Boolean = true
+
+    @transient private lazy val longElems =
+      left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val nx = x.numElements(); val ny = y.numElements()
       if (nx == 0 && ny == 0) return null
+      val inter = if (longElems) interLong(x, y, nx, ny) else interStr(x, y, nx, ny)
+      inter.toDouble / (nx + ny - inter)
+    }
+
+    private def interStr(x: ArrayData, y: ArrayData, nx: Int, ny: Int): Int = {
       val set = new java.util.HashSet[String](nx * 2)
       var i = 0
       while (i < nx) { set.add(x.getUTF8String(i).toString); i += 1 }
@@ -226,7 +297,42 @@ object TextExpressions {
         if (set.contains(y.getUTF8String(i).toString)) inter += 1
         i += 1
       }
-      inter.toDouble / (nx + ny - inter)
+      inter
+    }
+
+    // open addressing with linear probing; 0 is the empty slot, an
+    // actual 0 element is tracked by a flag (md5-derived values are
+    // never 0 in practice, but correctness shouldn't rely on that)
+    private def interLong(x: ArrayData, y: ArrayData, nx: Int, ny: Int): Int = {
+      var cap = 4
+      while (cap < nx * 2) cap <<= 1
+      val mask = cap - 1
+      val table = new Array[Long](cap)
+      var hasZero = false
+      var i = 0
+      while (i < nx) {
+        val v = x.getLong(i)
+        if (v == 0L) hasZero = true
+        else {
+          var s = (java.lang.Long.hashCode(v * -7046029254386353131L)) & mask
+          while (table(s) != 0L && table(s) != v) s = (s + 1) & mask
+          table(s) = v
+        }
+        i += 1
+      }
+      var inter = 0
+      i = 0
+      while (i < ny) {
+        val v = y.getLong(i)
+        if (v == 0L) { if (hasZero) inter += 1 }
+        else {
+          var s = (java.lang.Long.hashCode(v * -7046029254386353131L)) & mask
+          while (table(s) != 0L && table(s) != v) s = (s + 1) & mask
+          if (table(s) == v) inter += 1
+        }
+        i += 1
+      }
+      inter
     }
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

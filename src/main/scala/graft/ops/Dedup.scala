@@ -98,8 +98,16 @@ object Dedup {
   def candidatePairs(bands: DataFrame, maxBucketSize: Option[Int] = None): DataFrame =
     maxBucketSize match {
       case None =>
-        val a = bands.alias("a")
-        val b = bands.alias("b")
+        // Co-partition the band stream on the join key: ReuseExchange then
+        // serves both self-join sides from ONE materialization of the
+        // minhash→bands subtree (otherwise the signature expression chain
+        // runs twice, once per side), and the join needs no further
+        // exchange. At corpus scale the band relation cannot broadcast
+        // anyway — shuffle-on-digest is the plan that survives 100 TB.
+        val parts = bands.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        val keyed = bands.repartition(parts, col("band_id"), col("band_hash"))
+        val a = keyed.alias("a")
+        val b = keyed.alias("b")
         a.join(b,
             col("a.band_id") === col("b.band_id") &&
             col("a.band_hash") === col("b.band_hash") &&
@@ -129,6 +137,11 @@ object Dedup {
   /** Exact n-gram Jaccard for a pair set: join each side's shingle set
     * to the pair, one fused set-intersection pass per pair.
     *
+    * The per-doc set is carried as 64-bit shingle *hashes*
+    * (md5_number_lower — engine-portable), not the shingle strings: at
+    * millions of candidate pairs the verify join drags two set payloads
+    * per pair, and longs are ~5× smaller and intersect allocation-free.
+    *
     * The shingle side stays a bare scan+project so join selection sees
     * the parquet size statistics and broadcasts it — the pair side (the
     * side that explodes under dense duplication) then never shuffles.
@@ -139,7 +152,9 @@ object Dedup {
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
                     shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = docs
-      .select(col("doc_id"), wordShingles(col(textCol), shingleSize).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.shingle_hashes(
+          TextStats.tokens(col(textCol)), shingleSize).as("sh"))
     val withSets = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
