@@ -282,6 +282,10 @@ object SparkEntry {
       "q39_curated_corpus" -> q { (s, dir) =>
         graft.ops.Curation.curate(t(s, dir, "documents"))
       },
+      "q42_neardup_components" -> q { (s, dir) =>
+        Dedup.connectedComponents(Dedup.nearDuplicates(t(s, dir, "documents"),
+          numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35))
+      },
       "q38_cosine_neardup_lsh" -> q { (s, dir) =>
         Similarity.cosineNearDuplicatesLsh(t(s, dir, "embeddings"), threshold = 0.4)
       },
@@ -352,6 +356,37 @@ object SparkEntry {
         .mkString(" + ")
       s"(CASE WHEN ($proj) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Shared CTE chain (no leading WITH) of the MinHash-LSH near-dup
+    * pipeline: shingles → signatures → bands → candidate pairs →
+    * hash-set Jaccard `verified(doc_a, doc_b, inter, uni)`. q18 filters
+    * it to pairs; q42 closes it transitively into components. */
+  private lazy val DuckNearDupCtes = s"""sh AS (SELECT doc_id, $DuckShingles AS shingles FROM documents),
+      sigs AS (
+        SELECT doc_id,
+          ${(0 until 8).map(duckMh).mkString(",\n          ")}
+        FROM sh WHERE len(shingles) > 0),
+      bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS h FROM sigs UNION ALL
+        SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs UNION ALL
+        SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs UNION ALL
+        SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
+      hs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(shingles, x -> md5_number_lower(x))) AS h
+        FROM sh),
+      verified AS (
+        SELECT p.doc_a, p.doc_b,
+          len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS inter,
+          len(sa.h) + len(sb.h)
+            - len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS uni
+        FROM pairs p
+        JOIN hs sa ON sa.doc_id = p.doc_a
+        JOIN hs sb ON sb.doc_id = p.doc_b)"""
 
   /** Minhash_i over a `shingles` list column for the DuckDB oracles —
     * integer-arithmetic twin of TextExpressions.ShingleMinHash
@@ -589,35 +624,23 @@ object SparkEntry {
         ${(0 until 8).map(duckMh).mkString(",\n        ")}
       FROM sh WHERE len(shingles) > 0""",
     "q18_neardup_pairs" -> s"""
-      WITH sh AS (SELECT doc_id, $DuckShingles AS shingles FROM documents),
-      sigs AS (
-        SELECT doc_id,
-          ${(0 until 8).map(duckMh).mkString(",\n          ")}
-        FROM sh WHERE len(shingles) > 0),
-      bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS h FROM sigs UNION ALL
-        SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs UNION ALL
-        SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs UNION ALL
-        SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
-      hs AS (
-        SELECT doc_id,
-          list_distinct(list_transform(shingles, x -> md5_number_lower(x))) AS h
-        FROM sh),
-      verified AS (
-        SELECT p.doc_a, p.doc_b,
-          len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS inter,
-          len(sa.h) + len(sb.h)
-            - len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS uni
-        FROM pairs p
-        JOIN hs sa ON sa.doc_id = p.doc_a
-        JOIN hs sb ON sb.doc_id = p.doc_b)
+      WITH $DuckNearDupCtes
       SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
       FROM verified
       WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35""",
+    "q42_neardup_components" -> s"""
+      WITH RECURSIVE $DuckNearDupCtes,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM verified
+        WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35
+        UNION
+        SELECT doc_b, doc_a FROM verified
+        WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35),
+      reach(u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v)
+      SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u""",
     "q19_simhash" -> s"""
       WITH base AS (
         SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]

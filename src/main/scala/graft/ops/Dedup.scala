@@ -175,6 +175,86 @@ object Dedup {
     jaccardVerify(docs, pairs, textCol, shingleSize, threshold)
   }
 
+  /** Connected components over a near-dup pair graph: every doc that
+    * appears in `pairs` is labeled with the minimum doc_id reachable
+    * through the pair relation (the component representative).
+    * Output: (doc_id, component_id), one row per distinct doc in pairs.
+    *
+    * Transitive closure is what turns pairwise "A≈B" into corpus-level
+    * dedup policy: in a chain A≈B≈C, pairwise dropping can keep both
+    * endpoints; component labeling keeps exactly one doc per duplicate
+    * cluster.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    * round is two hash-shuffles on node id, converges in O(log n) rounds
+    * independent of component diameter, and never materializes a
+    * neighbor list (no collect_set — a 10M-member duplicate cluster at
+    * corpus scale would kill any per-node list). Each round is
+    * checkpointed to truncate the iterative lineage (locally via
+    * localCheckpoint; on a cluster this is where a reliable checkpoint
+    * dir would go). Convergence is an exact set-equality check
+    * (count + anti-join), the same cost class as one round. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // orient large→small; drop self-loops
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint = disjoint stars: u → component min; centers map to themselves
+    edges.select(col("u").as("doc_id"), col("v").as("component_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("component_id")).distinct())
+  }
+
+  /** Large-star: every node links its strictly-larger neighbors to the
+    * minimum of its neighborhood (including itself). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.where(col("v") > col("u")).join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v")).distinct()
+  }
+
+  /** Small-star: every node links its smaller neighbors (and itself) to
+    * the minimum among them. Input edges are already oriented
+    * large→small, so min(v) over the group is the neighborhood min. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("m"))
+    e.join(mins, "u")
+      .select(explode(array(
+        struct(col("v").as("a"), col("m").as("b")),
+        struct(col("u").as("a"), col("m").as("b")))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+  }
+
+  /** Transitive near-dup dedup: the corpus with every duplicate cluster
+    * reduced to its representative (minimum doc_id). Composes the LSH
+    * pipeline with connected components. */
+  def nearDedupedCorpus(docs: DataFrame, textCol: String = "text",
+                        numHashes: Int = 8, rowsPerBand: Int = 2,
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDuplicates(docs, textCol, numHashes, rowsPerBand,
+      shingleSize, threshold)
+    val losers = connectedComponents(pairs)
+      .where(col("doc_id") =!= col("component_id"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** 16-bit SimHash over the token multiset, using the first 4 hex chars
     * of md5(token) as the per-token hash. bit_j(doc) = sign of
     * Σ_tokens (±1). Engine-portable (md5 + arithmetic only). */

@@ -61,6 +61,39 @@ class DedupSpec extends SparkSpec {
     assert(capped.filter(p => p._1 == 10L).map(_._2) === Set(11L, 12L, 13L))
   }
 
+  test("connectedComponents labels chains, cliques, and long paths with the component min") {
+    // two components: a 12-node path (worst-case diameter for naive
+    // propagation — exercises multiple star rounds) and a triangle
+    val path = (0L until 11L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (path ++ tri).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 15)
+    (0L to 11L).foreach(i => assert(comp(i) === 0L, s"node $i"))
+    (100L to 102L).foreach(i => assert(comp(i) === 100L, s"node $i"))
+  }
+
+  test("connectedComponents handles reversed/duplicate/self edges and empty input") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+  }
+
+  test("nearDedupedCorpus keeps one representative per transitive cluster") {
+    // docs 0,1,2,3 chain into one cluster at threshold 0.3 (0≈1≈2≈3);
+    // component min 0 survives, 4 is unrelated, 5/6 have no shingles
+    val kept = Dedup.nearDedupedCorpus(docs, shingleSize = 2, threshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && kept.contains(4L))
+    assert(!kept.contains(1L) && !kept.contains(2L))
+    // every doc not in any pair passes through untouched
+    assert(kept.contains(5L) && kept.contains(6L))
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = Dedup.simHash(docs).cache()
     def h(id: Long) = sh.where(col("doc_id") === id).head().getAs[Long]("simhash")
