@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.StarAnalytics
 import graft.etl.CapstoneEtl
-import graft.ops.{Dedup, Events, Multimodal, Similarity, TextStats}
+import graft.ops.{Contamination, Dedup, Events, Multimodal, Sampling, Similarity, TextStats}
 
 /** Driver contract — the engine's declared query surface.
   *
@@ -285,6 +285,21 @@ object SparkEntry {
       "q42_neardup_components" -> q { (s, dir) =>
         Dedup.connectedComponents(Dedup.nearDuplicates(t(s, dir, "documents"),
           numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35))
+      },
+      "q43_contamination" -> q { (s, dir) =>
+        // every 17th doc plays the benchmark/eval set; the rest is corpus
+        val docs = t(s, dir, "documents")
+        Contamination.score(
+          docs.where(col("doc_id") % 17 =!= 0),
+          docs.where(col("doc_id") % 17 === 0),
+          shingleSize = 2)
+      },
+      "q44_stratified_sample" -> q { (s, dir) =>
+        Sampling.stratifiedSample(t(s, dir, "orders"),
+          col("o_orderpriority"), col("o_orderkey"),
+          Map("1-URGENT" -> 1000000L, "2-HIGH" -> 250000L, "3-MEDIUM" -> 50000L),
+          defaultPpm = 10000L)
+          .select("o_orderkey", "o_orderpriority")
       },
       "q38_cosine_neardup_lsh" -> q { (s, dir) =>
         Similarity.cosineNearDuplicatesLsh(t(s, dir, "embeddings"), threshold = 0.4)
@@ -641,6 +656,35 @@ object SparkEntry {
         UNION
         SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v)
       SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u""",
+    "q43_contamination" -> s"""
+      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+      bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+      u AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform($DuckShingles,
+          x -> md5_number_lower(x)))) AS h
+        FROM bench),
+      csh AS (
+        SELECT doc_id, list_distinct(list_transform($DuckShingles,
+          x -> md5_number_lower(x))) AS hs
+        FROM corpus),
+      hit AS (
+        SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM (SELECT doc_id, unnest(hs) AS h FROM csh) e
+        JOIN u ON e.h = u.h GROUP BY e.doc_id)
+      SELECT c.doc_id, CAST(len(c.hs) AS BIGINT) AS n_shingles,
+        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+        round(coalesce(h.n_hit, 0) / len(c.hs), 4) AS contamination
+      FROM csh c LEFT JOIN hit h ON c.doc_id = h.doc_id
+      WHERE len(c.hs) > 0""",
+    "q44_stratified_sample" -> """
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE (md5_number_lower('graft|' || CAST(o_orderkey AS VARCHAR))
+             & 9223372036854775807) % 1000000 <
+        CASE o_orderpriority
+          WHEN '1-URGENT' THEN 1000000
+          WHEN '2-HIGH' THEN 250000
+          WHEN '3-MEDIUM' THEN 50000
+          ELSE 10000 END""",
     "q19_simhash" -> s"""
       WITH base AS (
         SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]

@@ -210,6 +210,73 @@ object TextExpressions {
   def shingle_hashes(tokens: Column, shingleSize: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), shingleSize))
 
+  /** Number of distinct word n-shingles — the set construction of
+    * [[WordShingles]] without materializing the array (and without the
+    * per-shingle md5 of [[ShingleHashes]]): the cheap denominator for
+    * overlap ratios. */
+  case class ShingleCount(child: Expression, shingleSize: Int)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.types.LongType
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val tokens = input.asInstanceOf[ArrayData]
+      val n = tokens.numElements()
+      if (n < shingleSize) return 0L
+      val toks = new Array[String](n)
+      var t = 0
+      while (t < n) { toks(t) = tokens.getUTF8String(t).toString; t += 1 }
+      val seen = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= n - shingleSize) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleSize) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.size.toLong
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def shingle_count(tokens: Column, shingleSize: Int): Column =
+    ColumnBridge.column(ShingleCount(ColumnBridge.expression(tokens), shingleSize))
+
+  /** Scalar 64-bit md5 hash of a string: little-endian uint64 of digest
+    * bytes [8,16) — bit-identical to DuckDB's `md5_number_lower`, which
+    * is what keeps hash-derived sampling and bucketing decisions
+    * reproducible across engines (murmur3/xxhash64 are Spark-private). */
+  case class Md5Lower64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.types.LongType
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val md = MessageDigest.getInstance("MD5")
+      val d = md.digest(input.asInstanceOf[UTF8String].getBytes)
+      var l = 0L
+      var b = 15
+      while (b >= 8) { l = (l << 8) | (d(b) & 0xffL); b -= 1 }
+      l
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def md5_lower64(text: Column): Column =
+    ColumnBridge.column(Md5Lower64(ColumnBridge.expression(text)))
+
   /** One pass over the token array producing every token-derived stat the
     * text-quality pipeline needs: counts, stopword hits, total length,
     * and per-language marker hits. Replaces five separate interpreted

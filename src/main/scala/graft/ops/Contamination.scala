@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: for each corpus document, the
+  * fraction of its word n-gram shingles that appear anywhere in a
+  * benchmark/eval set. High overlap flags train-test leakage — a
+  * first-class gate in any LLM training-data pipeline.
+  *
+  * Scale design (corpus ~100 TB, benchmark ~MBs — eval sets are small):
+  *  - the benchmark's distinct shingle-hash universe is tiny → broadcast;
+  *  - the corpus side is ONE hash pass: project shingle hashes, explode,
+  *    broadcast-inner-join against the benchmark universe — the join
+  *    filters to hits *before* any exchange, so the only shuffled rows
+  *    are actual contamination hits (rare by construction), partially
+  *    aggregated map-side;
+  *  - docs with zero hits are restored by a final left join against a
+  *    bare (doc_id) projection — a second corpus scan, but one that
+  *    reads a single column and does no hashing.
+  * Shingles are carried as 64-bit md5-derived hashes (engine-portable,
+  * see [[graft.functions.TextExpressions.ShingleHashes]]), never as
+  * strings. */
+object Contamination {
+
+  /** Distinct shingle-hash universe of the benchmark set. */
+  def shingleUniverse(bench: DataFrame, textCol: String = "text",
+                      shingleSize: Int = 3): DataFrame =
+    bench.select(explode(graft.functions.TextExpressions.shingle_hashes(
+        TextStats.tokens(col(textCol)), shingleSize)).as("h"))
+      .distinct()
+
+  /** Per-document contamination: (doc_id, n_shingles, n_contaminated,
+    * contamination ∈ [0,1]). Docs with no shingles (shorter than the
+    * shingle size) are excluded — 0/0 has no meaningful score. */
+  def score(corpus: DataFrame, bench: DataFrame, textCol: String = "text",
+            shingleSize: Int = 3): DataFrame = {
+    val universe = shingleUniverse(bench, textCol, shingleSize)
+    val exploded = corpus.select(col("doc_id"),
+        graft.functions.TextExpressions.shingle_hashes(
+          TextStats.tokens(col(textCol)), shingleSize).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val hits = exploded.join(broadcast(universe), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+    // restore zero-hit docs; the denominator comes from the set-only
+    // shingle_count (no per-shingle md5), so this second corpus pass
+    // skips the hashing that dominates the exploded side
+    val totals = corpus.select(col("doc_id"),
+        graft.functions.TextExpressions.shingle_count(
+          TextStats.tokens(col(textCol)), shingleSize).as("n_shingles"))
+      .where(col("n_shingles") > 0)
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_shingles"), 4)
+          .as("contamination"))
+  }
+}

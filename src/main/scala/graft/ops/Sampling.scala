@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling for training-data mixture control.
+  *
+  * `df.sample()` draws from a per-partition RNG: the sample changes with
+  * partitioning, retries, and engine version — useless for reproducible
+  * corpus construction or cross-engine verification. Here membership is
+  * a pure function of the row's id and a salt:
+  *
+  *   keep  ⇔  (md5_lower64(salt ‖ id) & Long.MaxValue) % 1_000_000 < ppm
+  *
+  * so the same row set is selected on any cluster size, any engine
+  * (DuckDB: `md5_number_lower`), and any run — and different salts give
+  * independent samples from the same corpus. Rates are parts-per-million
+  * integers: no float thresholds, no rounding drift.
+  *
+  * Scale: a pure scan-local filter — no shuffle, no driver state; the
+  * stratified variant folds the rate table into a literal CASE chain
+  * (strata maps are human-sized), so it stays a filter too and pushes
+  * into the scan like any other predicate.
+  */
+object Sampling {
+
+  val Million = 1000000L
+
+  /** The deterministic keep-predicate: hash the salted id into [0, 1e6)
+    * and keep rows below the rate. The &Long.MaxValue mask keeps the
+    * modulo non-negative in both engines' integer semantics. */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(graft.functions.TextExpressions.md5_lower64(
+      concat(lit(salt), lit("|"), id.cast("string")))
+      .bitwiseAND(lit(Long.MaxValue)), lit(Million))
+
+  /** Uniform deterministic sample at ppm parts-per-million. */
+  def hashSample(df: DataFrame, id: Column, ppm: Long,
+                 salt: String = "graft"): DataFrame = {
+    require(ppm >= 0 && ppm <= Million, s"ppm $ppm out of [0, $Million]")
+    df.where(hashBucket(id, salt) < lit(ppm))
+  }
+
+  /** Per-stratum deterministic sample: each stratum value draws at its
+    * own ppm rate (absent strata at defaultPpm). This is the mixture
+    * knob of a training-data pipeline — e.g. keep 100% of high-quality
+    * docs, 5% of boilerplate, 0% of a blocked language. */
+  def stratifiedSample(df: DataFrame, strata: Column, id: Column,
+                       ratesPpm: Map[String, Long], defaultPpm: Long = 0L,
+                       salt: String = "graft"): DataFrame = {
+    (ratesPpm.values.toSeq :+ defaultPpm).foreach(p =>
+      require(p >= 0 && p <= Million, s"ppm $p out of [0, $Million]"))
+    val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (k, p)) =>
+      when(strata === lit(k), lit(p)).otherwise(acc)
+    }
+    df.where(hashBucket(id, salt) < rate)
+  }
+}

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // bench doc 100 has bigrams {a b, b c, c d}
+  private lazy val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+
+  private lazy val corpus = Seq(
+    (0L, "a b c d"),          // identical → contamination 1.0
+    (1L, "x y z w q"),        // disjoint → 0.0
+    (2L, "a b c x y"),        // bigrams {a b, b c, c x, x y}: 2/4 hit
+    (3L, "a")                 // no bigrams → excluded
+  ).toDF("doc_id", "text")
+
+  test("contamination score is the contaminated-shingle fraction") {
+    val out = Contamination.score(corpus, bench, shingleSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out(0L) === ((3L, 3L, 1.0)))
+    assert(out(1L) === ((4L, 0L, 0.0)))
+    assert(out(2L) === ((4L, 2L, 0.5)))
+  }
+
+  test("empty benchmark yields zero contamination everywhere") {
+    val out = Contamination.score(corpus, bench.where(lit(false)), shingleSize = 2)
+    assert(out.where(col("n_contaminated") =!= 0).count() === 0)
+    assert(out.count() === 3)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 10000L).toDF("id")
+
+  test("hashSample is deterministic and partitioning-independent") {
+    val a = Sampling.hashSample(ids, col("id"), 250000L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids.repartition(7), col("id"), 250000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("hashSample rate is accurate and monotone in ppm") {
+    val quarter = Sampling.hashSample(ids, col("id"), 250000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(math.abs(quarter.size - 2500) < 200, s"got ${quarter.size}")
+    // a lower rate with the same salt selects a subset (same hash order)
+    val tenth = Sampling.hashSample(ids, col("id"), 100000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(tenth.subsetOf(quarter))
+    assert(Sampling.hashSample(ids, col("id"), 0L).count() === 0)
+    assert(Sampling.hashSample(ids, col("id"), 1000000L).count() === 10000)
+  }
+
+  test("different salts draw independent samples") {
+    val a = Sampling.hashSample(ids, col("id"), 300000L, salt = "a")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids, col("id"), 300000L, salt = "b")
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (a & b).size.toDouble / 10000
+    // independent 30% draws overlap ~9%; allow wide tolerance
+    assert(overlap > 0.04 && overlap < 0.16, s"overlap $overlap")
+  }
+
+  test("stratifiedSample applies per-stratum and default rates") {
+    val rows = (0L until 6000L).map(i =>
+      (i, Seq("keep", "half", "other")((i % 3).toInt))).toDF("id", "grp")
+    val sampled = Sampling.stratifiedSample(rows, col("grp"), col("id"),
+        Map("keep" -> 1000000L, "half" -> 500000L), defaultPpm = 0L)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled("keep") === 2000L)
+    assert(math.abs(sampled("half") - 1000L) < 120, s"got ${sampled.get("half")}")
+    assert(!sampled.contains("other"))
+  }
+}
