@@ -26,9 +26,21 @@ object Contamination {
   /** Distinct shingle-hash universe of the benchmark set. */
   def shingleUniverse(bench: DataFrame, textCol: String = "text",
                       shingleSize: Int = 3): DataFrame =
-    bench.select(explode(graft.functions.TextExpressions.shingle_hashes(
-        TextStats.tokens(col(textCol)), shingleSize)).as("h"))
+    hashed(bench, textCol, shingleSize)
+      .select(explode(col("sh")).as("h"))
       .distinct()
+
+  /** (doc_id, sh: array<long>) behind a generator barrier: explode of a
+    * single-element array evaluates the hash expression exactly once per
+    * row. Without it, InferFiltersFromGenerate clones the expression
+    * into the generator's inferred size()/isnotnull() filter and the
+    * md5 pass runs up to 3× per row (same idiom, same reason as
+    * [[Dedup.minHashSignatures]]). */
+  private def hashed(docs: DataFrame, textCol: String,
+                     shingleSize: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array(graft.functions.TextExpressions.shingle_hashes(
+        TextStats.tokens(col(textCol)), shingleSize))).as("sh"))
 
   /** Per-document contamination: (doc_id, n_shingles, n_contaminated,
     * contamination ∈ [0,1]). Docs with no shingles (shorter than the
@@ -36,19 +48,18 @@ object Contamination {
   def score(corpus: DataFrame, bench: DataFrame, textCol: String = "text",
             shingleSize: Int = 3): DataFrame = {
     val universe = shingleUniverse(bench, textCol, shingleSize)
-    val exploded = corpus.select(col("doc_id"),
-        graft.functions.TextExpressions.shingle_hashes(
-          TextStats.tokens(col(textCol)), shingleSize).as("sh"))
+    val exploded = hashed(corpus, textCol, shingleSize)
       .select(col("doc_id"), explode(col("sh")).as("h"))
     val hits = exploded.join(broadcast(universe), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"))
     // restore zero-hit docs; the denominator comes from the set-only
     // shingle_count (no per-shingle md5), so this second corpus pass
-    // skips the hashing that dominates the exploded side
+    // skips the hashing that dominates the exploded side (barrier again:
+    // the >0 filter would otherwise clone the expression)
     val totals = corpus.select(col("doc_id"),
-        graft.functions.TextExpressions.shingle_count(
-          TextStats.tokens(col(textCol)), shingleSize).as("n_shingles"))
+        explode(array(graft.functions.TextExpressions.shingle_count(
+          TextStats.tokens(col(textCol)), shingleSize))).as("n_shingles"))
       .where(col("n_shingles") > 0)
     totals.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
