@@ -1,0 +1,12 @@
+package graft
+// Dev-only: print the post-execution (AQE-final) plan of one query.
+object ExplainExec {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("explain-exec")
+    val df = SparkEntry.queries(args(1))(spark, args(0))
+    val plan = df.queryExecution.executedPlan
+    plan.execute().count()
+    println(plan.toString.take(9000))
+    spark.stop()
+  }
+}

@@ -301,6 +301,9 @@ object SparkEntry {
           defaultPpm = 10000L)
           .select("o_orderkey", "o_orderpriority")
       },
+      "q45_tfidf_terms" -> q { (s, dir) =>
+        graft.ops.Tfidf.topTerms(t(s, dir, "documents"), k = 5)
+      },
       "q38_cosine_neardup_lsh" -> q { (s, dir) =>
         Similarity.cosineNearDuplicatesLsh(t(s, dir, "embeddings"), threshold = 0.4)
       },
@@ -685,6 +688,35 @@ object SparkEntry {
           WHEN '2-HIGH' THEN 250000
           WHEN '3-MEDIUM' THEN 50000
           ELSE 10000 END""",
+    "q45_tfidf_terms" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                              ELSE $DuckTokens END) AS term
+        FROM documents),
+      tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2),
+      len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tfc GROUP BY 1),
+      dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+      sc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                    (SELECT CAST(sum(tf) AS BIGINT) FROM tfc) AS tot_tokens),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+          round(t.tf * (ln((s.n_docs + 1) / (d.df + 1)) + 1), 4) AS tfidf,
+          round(ln((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                   / (d.df + CAST(0.5 AS DOUBLE)) + 1)
+                * t.tf * (CAST(1.2 AS DOUBLE) + 1)
+                / (t.tf + CAST(1.2 AS DOUBLE) *
+                   ((1 - CAST(0.75 AS DOUBLE)) +
+                    CAST(0.75 AS DOUBLE) * l.doc_len
+                      / (s.tot_tokens / s.n_docs))), 4) AS bm25
+        FROM tfc t JOIN dfc d USING (term) JOIN len l USING (doc_id)
+        CROSS JOIN sc s),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term ASC) AS rnk
+        FROM scored)
+      SELECT doc_id, term, tf, df, tfidf, bm25, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 5""",
     "q19_simhash" -> s"""
       WITH base AS (
         SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
