@@ -304,6 +304,13 @@ object SparkEntry {
       "q45_tfidf_terms" -> q { (s, dir) =>
         graft.ops.Tfidf.topTerms(t(s, dir, "documents"), k = 5)
       },
+      "q46_decontaminate" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        Dedup.crossNearDuplicates(
+          docs.where(col("doc_id") % 17 =!= 0),
+          docs.where(col("doc_id") % 17 === 0),
+          numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35)
+      },
       "q38_cosine_neardup_lsh" -> q { (s, dir) =>
         Similarity.cosineNearDuplicatesLsh(t(s, dir, "embeddings"), threshold = 0.4)
       },
@@ -659,6 +666,40 @@ object SparkEntry {
         UNION
         SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v)
       SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u""",
+    "q46_decontaminate" -> {
+      def side(name: String, pred: String) = s"""
+      sh_$name AS (SELECT doc_id, $DuckShingles AS shingles
+                   FROM documents WHERE $pred),
+      sig_$name AS (
+        SELECT doc_id,
+          ${(0 until 8).map(duckMh).mkString(",\n          ")}
+        FROM sh_$name WHERE len(shingles) > 0),
+      band_$name AS (
+        SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS h FROM sig_$name UNION ALL
+        SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig_$name UNION ALL
+        SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig_$name UNION ALL
+        SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig_$name),
+      hs_$name AS (
+        SELECT doc_id,
+          list_distinct(list_transform(shingles, x -> md5_number_lower(x))) AS h
+        FROM sh_$name)"""
+      s"""
+      WITH ${side("c", "doc_id % 17 <> 0")},
+      ${side("b", "doc_id % 17 = 0")},
+      cand AS (
+        SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_doc_id
+        FROM band_c c JOIN band_b b ON c.band_id = b.band_id AND c.h = b.h),
+      v AS (
+        SELECT p.doc_id, p.bench_doc_id,
+          len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS inter,
+          len(sa.h) + len(sb.h)
+            - len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS uni
+        FROM cand p
+        JOIN hs_c sa ON sa.doc_id = p.doc_id
+        JOIN hs_b sb ON sb.doc_id = p.bench_doc_id)
+      SELECT doc_id, bench_doc_id, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+      FROM v WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35"""
+    },
     "q43_contamination" -> s"""
       WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
       bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),

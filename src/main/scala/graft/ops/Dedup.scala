@@ -175,6 +175,44 @@ object Dedup {
     jaccardVerify(docs, pairs, textCol, shingleSize, threshold)
   }
 
+  /** Cross-corpus near-duplicates (doc-level decontamination): MinHash-
+    * LSH join of a training corpus against a benchmark/eval set,
+    * returning (doc_id, bench_doc_id, jaccard) for every corpus doc
+    * that is a near-copy of a benchmark doc. Complements
+    * [[Contamination.score]] (shingle-fraction leakage) with whole-
+    * document fuzzy matching — the "drop eval look-alikes" gate.
+    *
+    * Scale: the benchmark side is eval-set-sized, so its band relation
+    * broadcasts (stats-driven) and the corpus side never shuffles for
+    * candidate generation; verification joins carry 64-bit shingle
+    * hashes, not strings. */
+  def crossNearDuplicates(corpus: DataFrame, bench: DataFrame,
+                          textCol: String = "text",
+                          numHashes: Int = 8, rowsPerBand: Int = 2,
+                          shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val bandsC = lshBands(minHashSignatures(corpus, textCol, numHashes, shingleSize),
+      numHashes, rowsPerBand)
+    val bandsB = lshBands(minHashSignatures(bench, textCol, numHashes, shingleSize),
+      numHashes, rowsPerBand)
+    val cand = bandsC.alias("c").join(bandsB.alias("b"),
+        col("c.band_id") === col("b.band_id") &&
+        col("c.band_hash") === col("b.band_hash"))
+      .select(col("c.doc_id").as("doc_id"), col("b.doc_id").as("bench_doc_id"))
+      .distinct()
+    val shC = corpus.select(col("doc_id"),
+      graft.functions.TextExpressions.shingle_hashes(
+        TextStats.tokens(col(textCol)), shingleSize).as("sh_a"))
+    val shB = bench.select(col("doc_id").as("bench_doc_id"),
+      graft.functions.TextExpressions.shingle_hashes(
+        TextStats.tokens(col(textCol)), shingleSize).as("sh_b"))
+    cand.join(shC, "doc_id").join(shB, "bench_doc_id")
+      .withColumn("jaccard",
+        graft.functions.TextExpressions.array_jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("bench_doc_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Connected components over a near-dup pair graph: every doc that
     * appears in `pairs` is labeled with the minimum doc_id reachable
     * through the pair relation (the component representative).

@@ -61,6 +61,24 @@ class DedupSpec extends SparkSpec {
     assert(capped.filter(p => p._1 == 10L).map(_._2) === Set(11L, 12L, 13L))
   }
 
+  test("crossNearDuplicates flags corpus docs that near-match the benchmark only") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "totally unrelated benchmark question text here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossNearDuplicates(docs, bench, shingleSize = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = out.map(p => (p._1, p._2) -> p._3).toMap
+    // exact copy of bench 100 → jaccard 1.0; near-dup doc 3 also flagged
+    assert(byPair((0L, 100L)) === 1.0)
+    assert(byPair.contains((3L, 100L)))
+    // doc 4 (unrelated) never pairs, and bench 101 matches nothing
+    assert(!out.exists(p => p._1 == 4L))
+    assert(!out.exists(p => p._2 == 101L))
+    // output never pairs corpus docs with each other
+    assert(out.forall(p => p._2 >= 100L))
+  }
+
   test("connectedComponents labels chains, cliques, and long paths with the component min") {
     // two components: a 12-node path (worst-case diameter for naive
     // propagation — exercises multiple star rounds) and a triangle
