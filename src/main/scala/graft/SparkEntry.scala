@@ -311,6 +311,24 @@ object SparkEntry {
           docs.where(col("doc_id") % 17 === 0),
           numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35)
       },
+      "q48_profile" -> q { (s, dir) =>
+        graft.quality.Profiler.profile(
+          t(s, dir, "orders")
+            .withColumn("o_orderdate", to_date(col("o_orderdate"))),
+          Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"))
+      },
+      "q47_grouping_sets" -> q { (s, dir) =>
+        graft.sql.GraftCatalog.sql(s, dir,
+          """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               o_orderpriority,
+               count(*) AS order_cnt,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents,
+               CAST(grouping_id() AS BIGINT) AS gid
+             FROM orders
+             GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority),
+                                     (year(o_orderdate), o_orderpriority))""")
+      },
       "q38_cosine_neardup_lsh" -> q { (s, dir) =>
         Similarity.cosineNearDuplicatesLsh(t(s, dir, "embeddings"), threshold = 0.4)
       },
@@ -700,6 +718,30 @@ object SparkEntry {
       SELECT doc_id, bench_doc_id, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
       FROM v WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35"""
     },
+    "q48_profile" -> {
+      def one(c: String, expr: String) = s"""
+        SELECT '$c' AS column_name,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) - count($expr) AS BIGINT) AS n_nulls,
+          CAST(count(DISTINCT $expr) AS BIGINT) AS n_distinct,
+          CAST(min($expr) AS VARCHAR) AS min_value,
+          CAST(max($expr) AS VARCHAR) AS max_value
+        FROM orders"""
+      Seq("o_orderkey" -> "o_orderkey", "o_custkey" -> "o_custkey",
+        "o_orderpriority" -> "o_orderpriority",
+        "o_orderdate" -> "CAST(o_orderdate AS DATE)")
+        .map { case (c, e) => one(c, e) }.mkString(" UNION ALL ")
+    },
+    "q47_grouping_sets" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_cnt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(grouping(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority),
+                                 (year(o_orderdate), o_orderpriority))""",
     "q43_contamination" -> s"""
       WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
       bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
