@@ -311,6 +311,10 @@ object SparkEntry {
           docs.where(col("doc_id") % 17 === 0),
           numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35)
       },
+      "q49_chunked" -> q { (s, dir) =>
+        graft.ops.Chunker.slidingWindows(t(s, dir, "documents"),
+          chunkTokens = 40, stride = 30)
+      },
       "q48_profile" -> q { (s, dir) =>
         graft.quality.Profiler.profile(
           t(s, dir, "orders")
@@ -718,6 +722,20 @@ object SparkEntry {
       SELECT doc_id, bench_doc_id, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
       FROM v WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35"""
     },
+    "q49_chunked" -> s"""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE $DuckTokens END AS toks
+        FROM documents),
+      c AS (
+        SELECT doc_id, toks, unnest(CASE WHEN len(toks) > 0
+          THEN range(0, CAST(ceil(greatest(len(toks) - 40, 0) / 30.0) AS INT) + 1)
+          ELSE []::BIGINT[] END) AS chunk_id
+        FROM t)
+      SELECT doc_id, chunk_id,
+        CAST(len(toks[chunk_id*30+1 : chunk_id*30+40]) AS BIGINT) AS n_tokens,
+        array_to_string(toks[chunk_id*30+1 : chunk_id*30+40], ' ') AS chunk_text
+      FROM c""",
     "q48_profile" -> {
       def one(c: String, expr: String) = s"""
         SELECT '$c' AS column_name,
