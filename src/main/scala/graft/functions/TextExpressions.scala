@@ -107,6 +107,59 @@ object TextExpressions {
     ColumnBridge.column(ShingleMinHash(
       ColumnBridge.expression(tokens), shingleSize, numHashes))
 
+  /** Distinct word n-shingles of a token array, first-occurrence order;
+    * empty for docs shorter than the shingle. Single source of the
+    * shingle construction shared by every shingle expression — the
+    * expressions must agree exactly for oracle parity. */
+  private def distinctShingles(tokens: ArrayData,
+                               shingleSize: Int): java.util.LinkedHashSet[String] = {
+    val seen = new java.util.LinkedHashSet[String]()
+    val n = tokens.numElements()
+    if (n < shingleSize) return seen
+    val toks = new Array[String](n)
+    var t = 0
+    while (t < n) { toks(t) = tokens.getUTF8String(t).toString; t += 1 }
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= n - shingleSize) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleSize) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen
+  }
+
+  /** little-endian uint64 of md5-digest bytes [8,16) — bit-identical to
+    * DuckDB's `md5_number_lower`; the one hash every cross-engine-
+    * reproducible decision (sampling, shingle sets) derives from. */
+  private def lower64(d: Array[Byte]): Long = {
+    var l = 0L
+    var b = 15
+    while (b >= 8) { l = (l << 8) | (d(b) & 0xffL); b -= 1 }
+    l
+  }
+
+  /** Distinct 64-bit hashes of the distinct shingles. Dedupe happens in
+    * HASH space (mirroring the oracle's outer list_distinct), so even a
+    * within-doc collision stays engine-identical. */
+  private def distinctShingleHashes(tokens: ArrayData, shingleSize: Int)
+      : java.util.LinkedHashSet[java.lang.Long] = {
+    val md = MessageDigest.getInstance("MD5")
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val it = distinctShingles(tokens, shingleSize).iterator()
+    while (it.hasNext) {
+      md.reset()
+      out.add(lower64(md.digest(it.next().getBytes("UTF-8"))))
+    }
+    out
+  }
+
   /** tokens array → distinct word n-shingles (first-occurrence order) —
     * the native twin of transform(sequence…)+slice+concat_ws+
     * array_distinct, which is four nested CodegenFallback HOFs. */
@@ -116,26 +169,7 @@ object TextExpressions {
     override def nullIntolerant: Boolean = true
 
     override def nullSafeEval(input: Any): Any = {
-      val tokens = input.asInstanceOf[ArrayData]
-      val n = tokens.numElements()
-      if (n < shingleSize) return new GenericArrayData(Array.empty[Any])
-      val toks = new Array[String](n)
-      var t = 0
-      while (t < n) { toks(t) = tokens.getUTF8String(t).toString; t += 1 }
-      val seen = new java.util.LinkedHashSet[String]()
-      val sb = new java.lang.StringBuilder(64)
-      var i = 0
-      while (i <= n - shingleSize) {
-        sb.setLength(0)
-        var j = 0
-        while (j < shingleSize) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        seen.add(sb.toString)
-        i += 1
-      }
+      val seen = distinctShingles(input.asInstanceOf[ArrayData], shingleSize)
       val out = new Array[Any](seen.size)
       val it = seen.iterator()
       var k = 0
@@ -167,39 +201,7 @@ object TextExpressions {
     override def nullIntolerant: Boolean = true
 
     override def nullSafeEval(input: Any): Any = {
-      val tokens = input.asInstanceOf[ArrayData]
-      val n = tokens.numElements()
-      if (n < shingleSize) return new GenericArrayData(Array.empty[Any])
-      val toks = new Array[String](n)
-      var t = 0
-      while (t < n) { toks(t) = tokens.getUTF8String(t).toString; t += 1 }
-      val seen = new java.util.LinkedHashSet[String]()
-      val sb = new java.lang.StringBuilder(64)
-      var i = 0
-      while (i <= n - shingleSize) {
-        sb.setLength(0)
-        var j = 0
-        while (j < shingleSize) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        seen.add(sb.toString)
-        i += 1
-      }
-      val md = MessageDigest.getInstance("MD5")
-      // distinct on hash values too — mirrors the oracle's outer
-      // list_distinct, so even a collision stays engine-identical
-      val out = new java.util.LinkedHashSet[java.lang.Long]()
-      val it = seen.iterator()
-      while (it.hasNext) {
-        md.reset()
-        val d = md.digest(it.next().getBytes("UTF-8"))
-        var l = 0L
-        var b = 15
-        while (b >= 8) { l = (l << 8) | (d(b) & 0xffL); b -= 1 }
-        out.add(l)
-      }
+      val out = distinctShingleHashes(input.asInstanceOf[ArrayData], shingleSize)
       new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]].toArray[Any])
     }
 
@@ -210,39 +212,19 @@ object TextExpressions {
   def shingle_hashes(tokens: Column, shingleSize: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), shingleSize))
 
-  /** Number of distinct word n-shingles — the set construction of
-    * [[WordShingles]] without materializing the array (and without the
-    * per-shingle md5 of [[ShingleHashes]]): the cheap denominator for
-    * overlap ratios. */
+  /** Number of distinct shingle HASHES — |[[ShingleHashes]]| without
+    * materializing the array. Counts in hash space, not string space,
+    * so it is collision-consistent with every hash-set consumer (an
+    * oracle counting len(list_distinct(list_transform(...))) must see
+    * the same denominator even if two shingles collide). */
   case class ShingleCount(child: Expression, shingleSize: Int)
       extends UnaryExpression with CodegenFallback {
     import org.apache.spark.sql.types.LongType
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
 
-    override def nullSafeEval(input: Any): Any = {
-      val tokens = input.asInstanceOf[ArrayData]
-      val n = tokens.numElements()
-      if (n < shingleSize) return 0L
-      val toks = new Array[String](n)
-      var t = 0
-      while (t < n) { toks(t) = tokens.getUTF8String(t).toString; t += 1 }
-      val seen = new java.util.HashSet[String]()
-      val sb = new java.lang.StringBuilder(64)
-      var i = 0
-      while (i <= n - shingleSize) {
-        sb.setLength(0)
-        var j = 0
-        while (j < shingleSize) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        seen.add(sb.toString)
-        i += 1
-      }
-      seen.size.toLong
-    }
+    override def nullSafeEval(input: Any): Any =
+      distinctShingleHashes(input.asInstanceOf[ArrayData], shingleSize).size.toLong
 
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
@@ -263,11 +245,7 @@ object TextExpressions {
 
     override def nullSafeEval(input: Any): Any = {
       val md = MessageDigest.getInstance("MD5")
-      val d = md.digest(input.asInstanceOf[UTF8String].getBytes)
-      var l = 0L
-      var b = 15
-      while (b >= 8) { l = (l << 8) | (d(b) & 0xffL); b -= 1 }
-      l
+      lower64(md.digest(input.asInstanceOf[UTF8String].getBytes))
     }
 
     override protected def withNewChildInternal(c: Expression): Expression =

@@ -24,6 +24,9 @@ object Chunker {
   def slidingWindows(docs: DataFrame, textCol: String = "text",
                      chunkTokens: Int = 50, stride: Int = 40): DataFrame = {
     require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    require(stride <= chunkTokens,
+      s"stride ($stride) > chunkTokens ($chunkTokens) would leave tokens " +
+        "uncovered and emit empty trailing windows")
     val toks: Column = TextStats.tokens(col(textCol))
     val n = size(toks)
     val nChunks = (ceil(greatest(n - chunkTokens, lit(0)).cast("double") / stride) + 1)

@@ -53,10 +53,10 @@ object Contamination {
     val hits = exploded.join(broadcast(universe), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"))
-    // restore zero-hit docs; the denominator comes from the set-only
-    // shingle_count (no per-shingle md5), so this second corpus pass
-    // skips the hashing that dominates the exploded side (barrier again:
-    // the >0 filter would otherwise clone the expression)
+    // restore zero-hit docs; the denominator comes from shingle_count —
+    // the distinct-HASH count (collision-consistent with the universe
+    // join and the oracle's list_distinct-of-hashes), scalar so no array
+    // materializes and no generator-inferred filter can clone it
     val totals = corpus.select(col("doc_id"),
         explode(array(graft.functions.TextExpressions.shingle_count(
           TextStats.tokens(col(textCol)), shingleSize))).as("n_shingles"))

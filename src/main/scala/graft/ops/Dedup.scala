@@ -150,19 +150,30 @@ object Dedup {
     * 14× slower at 10× data) and a pair-membership semi-join gate
     * (duplicates the whole LSH subtree into the filter's plan). */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
-                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"),
+                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame =
+    jaccardVerifyAcross(docs, docs, pairs, "doc_a", "doc_b",
+      textCol, shingleSize, threshold)
+
+  /** Two-sided form of [[jaccardVerify]]: the a-side of each pair joins
+    * `left`, the b-side joins `right` (pass the same frame twice for the
+    * within-corpus case). The single implementation keeps both callers'
+    * verification semantics — hash payloads, plan shape, rounding —
+    * identical by construction. */
+  private def jaccardVerifyAcross(left: DataFrame, right: DataFrame,
+                                  pairs: DataFrame, aCol: String, bCol: String,
+                                  textCol: String, shingleSize: Int,
+                                  threshold: Double): DataFrame = {
+    def sh(d: DataFrame, as: String, setName: String) =
+      d.select(col("doc_id").as(as),
         graft.functions.TextExpressions.shingle_hashes(
-          TextStats.tokens(col(textCol)), shingleSize).as("sh"))
-    val withSets = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-    withSets
+          TextStats.tokens(col(textCol)), shingleSize).as(setName))
+    pairs
+      .join(sh(left, aCol, "sh_a"), aCol)
+      .join(sh(right, bCol, "sh_b"), bCol)
       .withColumn("jaccard",
         graft.functions.TextExpressions.array_jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col(aCol), col(bCol), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
@@ -199,18 +210,8 @@ object Dedup {
         col("c.band_hash") === col("b.band_hash"))
       .select(col("c.doc_id").as("doc_id"), col("b.doc_id").as("bench_doc_id"))
       .distinct()
-    val shC = corpus.select(col("doc_id"),
-      graft.functions.TextExpressions.shingle_hashes(
-        TextStats.tokens(col(textCol)), shingleSize).as("sh_a"))
-    val shB = bench.select(col("doc_id").as("bench_doc_id"),
-      graft.functions.TextExpressions.shingle_hashes(
-        TextStats.tokens(col(textCol)), shingleSize).as("sh_b"))
-    cand.join(shC, "doc_id").join(shB, "bench_doc_id")
-      .withColumn("jaccard",
-        graft.functions.TextExpressions.array_jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_id"), col("bench_doc_id"),
-        round(col("jaccard"), 4).as("jaccard"))
+    jaccardVerifyAcross(corpus, bench, cand, "doc_id", "bench_doc_id",
+      textCol, shingleSize, threshold)
   }
 
   /** Connected components over a near-dup pair graph: every doc that

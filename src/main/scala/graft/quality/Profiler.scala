@@ -22,6 +22,10 @@ object Profiler {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // names are interpolated into the stack() expression string — reject
+    // anything that could parse as something else
+    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column name '$c' is not a plain identifier; alias it first"))
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"nn_$c"),
         countDistinct(col(c)).as(s"nd_$c"),

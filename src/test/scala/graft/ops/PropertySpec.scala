@@ -34,6 +34,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches driver-side union-find on random graphs") {
+    // fixed seed: a failing graph must be reproducible to debug
+    val rnd = new scala.util.Random(20260812L)
+    val edges = Seq.fill(150)((rnd.nextLong(61), rnd.nextLong(61)))
+    // reference: plain union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.filter(e => e._1 != e._2).flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = nodes.map(n => n -> find(n)).toMap
+    // find() roots at the minimum only if unions always attach the
+    // larger root — they do above, so root == component min
+    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
   test("minhash signature agreement estimates jaccard similarity") {
     // two docs sharing a known fraction of bigram shingles: with k=64
     // salted permutations, P(mh_i equal) = jaccard, so the agreeing
