@@ -39,6 +39,16 @@ object GraftExtensions {
     "dot_product" -> (es => VectorExpressions.DotProduct(es(0), es(1))),
     "shingle_minhash" -> (es => TextExpressions.ShingleMinHash(es(0),
       intArg(es(1), "shingleSize"), intArg(es(2), "numHashes"))),
+    "word_shingles" -> (es => TextExpressions.WordShingles(es(0),
+      intArg(es(1), "shingleSize"))),
+    "shingle_hashes" -> (es => TextExpressions.ShingleHashes(es(0),
+      intArg(es(1), "shingleSize"))),
+    "shingle_count" -> (es => TextExpressions.ShingleCount(es(0),
+      intArg(es(1), "shingleSize"))),
+    "array_jaccard" -> (es => TextExpressions.ArrayJaccard(es(0), es(1))),
+    "md5_lower64" -> (es => TextExpressions.Md5Lower64(es(0))),
+    "rolling_hash_min" -> (es => TextExpressions.RollingHashMin(es(0),
+      intArg(es(1), "window"))),
     // aggregate: top_k_by_score(score, id, k) → array<struct<rnk,
     // neighbor_id, cos_sim>> ranked (score desc, id asc)
     "top_k_by_score" -> (es => AggExpressions.TopKByScore(es(0), es(1),

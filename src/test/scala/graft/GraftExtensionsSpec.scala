@@ -13,6 +13,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](2).length === 2)
   }
 
+  test("text/hash expressions callable from SQL: shingles, jaccard, md5, rolling hash") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT word_shingles(array('a','b','c'), 2) AS ws,
+                shingle_count(array('a','b','c'), 2) AS sc,
+                array_jaccard(shingle_hashes(array('a','b','c'), 2),
+                              shingle_hashes(array('a','b','d'), 2)) AS j,
+                md5_lower64('graft|123') AS h,
+                rolling_hash_min('abcdef', 3) AS rh""").head()
+    assert(r.getSeq[String](0) === Seq("a b", "b c"))
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.0 / 3)   // {a b} shared of {a b, b c, b d}
+    // value cross-checked against DuckDB md5_number_lower('graft|123')
+    assert(r.getLong(3) === 7039385733986126920L)
+    assert(r.getLong(4) > 0)
+  }
+
   test("shingle_minhash SQL result matches the Kirsch-Mitzenmacher definition") {
     GraftExtensions.register(spark)
     // shingles of ['a','b','c'] with n=2: "a b", "b c"
