@@ -41,6 +41,24 @@ class EventsStreamSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("deterministic hash sampling is streaming-safe and equals its batch twin") {
+    // stateless scan-local filters (the Sampling ops) must behave
+    // identically on a stream: same rows kept, regardless of batching
+    val stream = EventsStream.readEvents(spark, sourceGlob)
+    val sampled = graft.ops.Sampling.hashSample(stream, col("event_id"), 300000L)
+    val q = sampled.writeStream.format("memory").queryName("sampled_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sampled_stream")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want = graft.ops.Sampling.hashSample(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+        col("event_id"), 300000L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("sessionization with idle flush emits every batch session") {
     import spark.implicits._
     val stream = EventsStream.readEvents(spark, sourceGlob, maxFilesPerTrigger = Some(1))
