@@ -311,6 +311,15 @@ object SparkEntry {
           docs.where(col("doc_id") % 17 === 0),
           numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35)
       },
+      "q50_histogram" -> q { (s, dir) =>
+        // fixed-width value histogram in integer-cents space (exact
+        // cross-engine arithmetic); one groupBy on the bucket index
+        t(s, dir, "orders")
+          .select((floor(col("o_totalprice").cast("double") / 25000) * 25000)
+            .cast("long").as("bucket_lo"))
+          .groupBy("bucket_lo")
+          .agg(count(lit(1)).as("order_cnt"))
+      },
       "q49_chunked" -> q { (s, dir) =>
         graft.ops.Chunker.slidingWindows(t(s, dir, "documents"),
           chunkTokens = 40, stride = 30)
@@ -722,6 +731,11 @@ object SparkEntry {
       SELECT doc_id, bench_doc_id, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
       FROM v WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35"""
     },
+    "q50_histogram" ->
+      """SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000) * 25000 AS BIGINT)
+           AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS order_cnt
+         FROM orders GROUP BY 1""",
     "q49_chunked" -> s"""
       WITH t AS (
         SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
