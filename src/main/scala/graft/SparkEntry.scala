@@ -311,6 +311,19 @@ object SparkEntry {
           docs.where(col("doc_id") % 17 === 0),
           numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35)
       },
+      "q51_training_samples" -> q { (s, dir) =>
+        // end-to-end sample prep: curate (dedup chain + quality gate) →
+        // per-language deterministic mixture sampling → chunk into
+        // training windows
+        val curated = graft.ops.Curation.curate(t(s, dir, "documents"))
+        val sampled = Sampling.stratifiedSample(curated,
+          col("lang_pred"), col("doc_id"),
+          Map("en" -> 1000000L, "fr" -> 500000L), defaultPpm = 250000L,
+          salt = "mix")
+        graft.ops.Chunker.slidingWindows(
+          t(s, dir, "documents").join(sampled.select("doc_id"), "doc_id"),
+          chunkTokens = 40, stride = 30)
+      },
       "q50_histogram" -> q { (s, dir) =>
         // fixed-width value histogram in integer-cents space (exact
         // cross-engine arithmetic); one groupBy on the bucket index
@@ -457,18 +470,7 @@ object SparkEntry {
   private val DuckFingerprint =
     """md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')))"""
 
-  def oracleSql: Map[String, String] = Map(
-    "q40_subqueries" ->
-      """SELECT o_orderkey, o_totalprice
-         FROM orders o
-         WHERE EXISTS (SELECT 1 FROM lineitem l
-                       WHERE l.l_orderkey = o.o_orderkey
-                         AND l.l_returnflag = 'R')
-           AND CAST(round(o_totalprice * 100) AS BIGINT) *
-                 (SELECT count(*) FROM orders) >
-               (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                FROM orders)""",
-    "q39_curated_corpus" -> s"""
+  private lazy val DuckCuratedSql = s"""
       WITH keep AS (
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY $DuckFingerprint),
       sh AS (SELECT d.doc_id, $DuckShingles AS shingles
@@ -531,7 +533,20 @@ object SparkEntry {
             ELSE 'und' END AS lang_pred
         FROM stats)
       SELECT doc_id, n_chars, n_tokens, quality_score, lang_pred
-      FROM scored WHERE quality_score >= 0.7""",
+      FROM scored WHERE quality_score >= 0.7"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q40_subqueries" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_returnflag = 'R')
+           AND CAST(round(o_totalprice * 100) AS BIGINT) *
+                 (SELECT count(*) FROM orders) >
+               (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                FROM orders)""",
+    "q39_curated_corpus" -> DuckCuratedSql,
     "q38_cosine_neardup_lsh" -> s"""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       b AS (SELECT vec_id, e, ${duckSrpBucket("e")} AS bucket FROM v)
@@ -731,6 +746,28 @@ object SparkEntry {
       SELECT doc_id, bench_doc_id, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
       FROM v WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35"""
     },
+    "q51_training_samples" -> s"""
+      WITH curated AS ($DuckCuratedSql),
+      sampled AS (
+        SELECT doc_id FROM curated
+        WHERE (md5_number_lower('mix|' || CAST(doc_id AS VARCHAR))
+               & 9223372036854775807) % 1000000 <
+          CASE lang_pred WHEN 'en' THEN 1000000
+                         WHEN 'fr' THEN 500000
+                         ELSE 250000 END),
+      t AS (
+        SELECT d.doc_id, CASE WHEN length(trim(d.text)) = 0 THEN []::VARCHAR[]
+                         ELSE $DuckTokens END AS toks
+        FROM documents d JOIN sampled USING (doc_id)),
+      c AS (
+        SELECT doc_id, toks, unnest(CASE WHEN len(toks) > 0
+          THEN range(0, CAST(ceil(greatest(len(toks) - 40, 0) / 30.0) AS INT) + 1)
+          ELSE []::BIGINT[] END) AS chunk_id
+        FROM t)
+      SELECT doc_id, chunk_id,
+        CAST(len(toks[chunk_id*30+1 : chunk_id*30+40]) AS BIGINT) AS n_tokens,
+        array_to_string(toks[chunk_id*30+1 : chunk_id*30+40], ' ') AS chunk_text
+      FROM c""",
     "q50_histogram" ->
       """SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000) * 25000 AS BIGINT)
            AS bucket_lo,
