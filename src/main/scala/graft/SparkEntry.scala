@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.StarAnalytics
-import graft.etl.CapstoneEtl
 import graft.ops.{Contamination, Dedup, Events, Multimodal, Sampling, Similarity, TextStats}
 
 /** Driver contract — the engine's declared query surface.
@@ -19,8 +18,6 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
-
-  private val RefRaw = "/root/reference/dags/data/raw-data"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -372,27 +369,11 @@ object SparkEntry {
         t(s, dir, "events")
           .groupBy("event_type")
           .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-      },
-      // ---- ETL over the reference's own raw fixtures (rows-only checks;
-      //      golden value tests live in ScalaTest) ----
-      "etl_dim_countries" -> q { (s, _) =>
-        import graft.io.Io
-        CapstoneEtl.dimCountries(CapstoneEtl.stagingCountries(
-          CapstoneEtl.stagingIntCountries(
-            Io.readText(s, s"$RefRaw/internal_country_codes.txt")),
-          CapstoneEtl.unmatchedCountries(
-            Io.readCsvUntyped(s, s"$RefRaw/unmatched_countries_updated.csv")),
-          CapstoneEtl.stagingCountryCodes(
-            Io.readCsv(s, s"$RefRaw/country_codes.csv", CapstoneEtl.countryCodesSchema))))
-      },
-      "etl_dim_port_of_entry" -> q { (s, _) =>
-        CapstoneEtl.dimPortOfEntry(
-          graft.io.Io.readText(s, s"$RefRaw/port_of_entry.txt"))
-      },
-      "etl_dim_date" -> q { (s, _) =>
-        CapstoneEtl.dimDate(CapstoneEtl.factImmigration(
-          graft.io.Io.readParquet(s, s"$RefRaw/sas_data")))
       })
+      // ETL over the reference's own raw inputs — every output table of
+      // CapstoneEtl.build, hash-matched against DuckDB mirrors of the
+      // same raw files (graft.etl.EtlQueries).
+      .++(graft.etl.EtlQueries.queries.map { case (k, f) => k -> q(f) })
   }
 
   // -------------------------------------------------------------------
@@ -1037,5 +1018,5 @@ object SparkEntry {
            CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
            CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
            md5(text) AS checksum
-         FROM documents""")
+         FROM documents""") ++ graft.etl.EtlQueries.oracleSql
 }
