@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through unprefixed: sbt's default LoggedOutput
+// wraps every stdout line in "[info] " (stderr in "[error] "), which
+// mangles the one-line JSON metric contract of graft.Bench — the driver
+// must be able to parse the line as-is.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,7 +15,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftSession.tune(spark)
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: stray WARN lines interleaving with the final
+    // metric line have already cost one round of bench history
+    // (BENCH_r01 "parsed": null)
+    spark.sparkContext.setLogLevel("ERROR")
     // headline = every query that scales with the sf dir (etl_* read the
     // reference's fixed-size raw fixtures; they are verified, not benched)
     val headline = SparkEntry.queries.filterNot(_._1.startsWith("etl_"))
@@ -40,27 +43,39 @@ object Bench {
     // shared host. Reported numbers are steady-state throughput — the
     // quantity that matters on a long-lived cluster — not single-JVM
     // cold-start, matching the methodology of SCALE.md / BASELINE.md.
-    def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+    // A failed attempt records None, never its elapsed time — an
+    // analysis-time failure measures near zero and would silently
+    // deflate the min-of-passes and the total.
+    def timedPass(): Seq[(String, Option[Double])] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
       val t = (System.nanoTime() - t0) / 1e9
       // between queries (untimed): let the ContextCleaner reap the
       // previous query's broadcast blocks, so a late query isn't measured
       // under the accumulated memory of every earlier one
       System.gc()
-      name -> t
+      name -> (if (ok) Some(t) else None)
     }
     val pass1 = timedPass().toMap
-    val results = timedPass().map { case (name, t) =>
-      name -> math.min(t, pass1(name))
+    val results = timedPass().map { case (name, t2) =>
+      // min over the passes that succeeded; None only if both failed
+      name -> (t2.toSeq ++ pass1(name).toSeq).minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val timed = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }
+    val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = timed.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    // stop FIRST, print LAST: nothing (shutdown logs, sbt chatter) may
+    // follow the metric line on stdout — the driver parses it verbatim
     spark.stop()
+    println(json)
   }
 }

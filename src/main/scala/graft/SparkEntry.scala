@@ -158,6 +158,18 @@ object SparkEntry {
       "q19_simhash" -> q { (s, dir) =>
         Dedup.simHash(t(s, dir, "documents"))
       },
+      // the scale-safe LSH pair path: buckets over the cap emit O(n)
+      // star pairs (min-doc → member) instead of O(n²) all-pairs, so an
+      // adversarially dense duplicate cluster cannot explode the
+      // candidate set; component dedup downstream is unchanged
+      "q52_neardup_pairs_capped" -> q { (s, dir) =>
+        Dedup.candidatePairs(
+          Dedup.lshBands(
+            Dedup.minHashSignatures(t(s, dir, "documents"),
+              numHashes = 8, shingleSize = 2),
+            numHashes = 8, rowsPerBand = 2),
+          maxBucketSize = Some(8))
+      },
       // ---- training-data ops (embeddings) ----
       "q20_cosine_topk" -> q { (s, dir) =>
         val em = t(s, dir, "embeddings")
@@ -167,8 +179,14 @@ object SparkEntry {
         val em = t(s, dir, "embeddings")
         Similarity.lshTopK(em.where(col("vec_id") < 20), em, k = 5)
       },
-      "q22_cosine_neardup" -> q { (s, dir) =>
-        Similarity.cosineNearDuplicates(t(s, dir, "embeddings"), threshold = 0.4)
+      // BASELINE, deliberately size-bounded: the all-pairs plan is O(n²)
+      // in its input, so the declared query fixes n (first 500 vectors)
+      // and exists only as the recall/correctness baseline that
+      // q38_cosine_neardup_lsh (the scale path) is validated against.
+      // Unbounded brute-force checks live in SimilaritySpec.
+      "q22_cosine_neardup_baseline" -> q { (s, dir) =>
+        Similarity.cosineNearDuplicates(
+          t(s, dir, "embeddings").where(col("vec_id") < 500), threshold = 0.4)
       },
       // ---- events ----
       "q23_events_hourly" -> q { (s, dir) =>
@@ -322,8 +340,9 @@ object SparkEntry {
           chunkTokens = 40, stride = 30)
       },
       "q50_histogram" -> q { (s, dir) =>
-        // fixed-width value histogram in integer-cents space (exact
-        // cross-engine arithmetic); one groupBy on the bucket index
+        // fixed-width value histogram; both engines bucket via the same
+        // IEEE double divide/floor, so results agree cross-engine; one
+        // groupBy on the bucket index
         t(s, dir, "orders")
           .select((floor(col("o_totalprice").cast("double") / 25000) * 25000)
             .cast("long").as("bucket_lo"))
@@ -407,11 +426,10 @@ object SparkEntry {
       s"(CASE WHEN ($proj) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** Shared CTE chain (no leading WITH) of the MinHash-LSH near-dup
-    * pipeline: shingles → signatures → bands → candidate pairs →
-    * hash-set Jaccard `verified(doc_a, doc_b, inter, uni)`. q18 filters
-    * it to pairs; q42 closes it transitively into components. */
-  private lazy val DuckNearDupCtes = s"""sh AS (SELECT doc_id, $DuckShingles AS shingles FROM documents),
+  /** Shingles → signatures → LSH `bands(doc_id, band_id, h)` CTE chain
+    * (no leading WITH) — shared by the near-dup pipeline and the capped
+    * q52 variant. */
+  private lazy val DuckBandsCtes = s"""sh AS (SELECT doc_id, $DuckShingles AS shingles FROM documents),
       sigs AS (
         SELECT doc_id,
           ${(0 until 8).map(duckMh).mkString(",\n          ")}
@@ -420,7 +438,13 @@ object SparkEntry {
         SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS h FROM sigs UNION ALL
         SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs UNION ALL
         SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs UNION ALL
-        SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs),
+        SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs)"""
+
+  /** Shared CTE chain (no leading WITH) of the MinHash-LSH near-dup
+    * pipeline: bands → candidate pairs → hash-set Jaccard
+    * `verified(doc_a, doc_b, inter, uni)`. q18 filters it to pairs; q42
+    * closes it transitively into components. */
+  private lazy val DuckNearDupCtes = s"""$DuckBandsCtes,
       pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -516,6 +540,59 @@ object SparkEntry {
       SELECT doc_id, n_chars, n_tokens, quality_score, lang_pred
       FROM scored WHERE quality_score >= 0.7"""
 
+  /** q29 oracle, generated at Verify-dump time (it depends on the data):
+    * trains the SAME centroids ivfTopK trains — deterministic lowest-id
+    * sample, same Lloyd iterations — embeds them and their norms as
+    * double literals, and mirrors cell assignment → nprobe probing →
+    * exact re-rank in DuckDB. Assignment/probe cosines are written as
+    * explicit left-associated component sums so the argmax sees the
+    * bit-identical doubles the native NearestCell / CosineSimilarity
+    * loops produce; the final re-rank score is rounded to 4 decimals
+    * like every other similarity oracle. */
+  def ivfOracleSql(spark: SparkSession, sfDir: String): String = {
+    val cent = graft.ops.Similarity.trainedCentroids(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    val norms = cent.map(c => math.sqrt(c.map(x => x * x).sum))
+    val dim = cent.head.length
+    val selfDot = (0 until dim).map(d => s"e[${d + 1}]*e[${d + 1}]").mkString(" + ")
+    val cellBranches = cent.zipWithIndex.map { case (c, i) =>
+      val dotE = c.zipWithIndex
+        .map { case (w, d) => s"e[${d + 1}]*$w" }.mkString(" + ")
+      s"""SELECT vec_id, e, $i AS cell,
+            (CASE WHEN ${norms(i)} = 0.0 OR nv = 0.0 THEN 0.0
+                  ELSE ($dotE) / (${norms(i)} * nv) END) AS cos
+          FROM v"""
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      v AS (SELECT vec_id, e, sqrt($selfDot) AS nv FROM v0),
+      cellcos AS ($cellBranches),
+      assigned AS (
+        SELECT vec_id AS neighbor_id, e AS cv, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cell) AS rn
+          FROM cellcos) WHERE rn = 1),
+      probed AS (
+        SELECT vec_id AS query_id, e AS qv, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cell) AS rn
+          FROM cellcos WHERE vec_id < 20) WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          list_dot_product(qv, cv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        FROM probed p JOIN assigned a USING (cell)
+        WHERE query_id <> neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(sim, 4) AS cos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
+      WHERE rnk <= 5"""
+  }
+
+  // q29_ivf_ann is intentionally absent from this static map — its
+  // oracle embeds data-dependent trained centroids, so Verify injects
+  // ivfOracleSql(spark, sfDir) at dump time.
   def oracleSql: Map[String, String] = Map(
     "q40_subqueries" ->
       """SELECT o_orderkey, o_totalprice
@@ -680,6 +757,23 @@ object SparkEntry {
       SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
       FROM verified
       WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35""",
+    "q52_neardup_pairs_capped" -> s"""
+      WITH $DuckBandsCtes,
+      ann AS (
+        SELECT doc_id, band_id, h,
+          count(*) OVER (PARTITION BY band_id, h) AS n,
+          min(doc_id) OVER (PARTITION BY band_id, h) AS mn
+        FROM bands),
+      small_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT * FROM ann WHERE n <= 8) a
+        JOIN (SELECT * FROM ann WHERE n <= 8) b
+          ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
+      star_pairs AS (
+        SELECT mn AS doc_a, doc_id AS doc_b FROM ann
+        WHERE n > 8 AND doc_id <> mn)
+      SELECT DISTINCT doc_a, doc_b
+      FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs)""",
     "q42_neardup_components" -> s"""
       WITH RECURSIVE $DuckNearDupCtes,
       edges AS (
@@ -898,8 +992,9 @@ object SparkEntry {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
       WHERE rnk <= 5""",
-    "q22_cosine_neardup" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    "q22_cosine_neardup_baseline" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id < 500)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.e, b.e) /
              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim

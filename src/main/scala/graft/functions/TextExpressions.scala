@@ -323,6 +323,24 @@ object TextExpressions {
     @transient private lazy val longElems =
       left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
+    // the eval path picks string- vs long-intersection from the LEFT
+    // element type alone, so mixed inputs must be rejected at analysis
+    // time — not die with a ClassCastException (or miscount) at runtime
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      import org.apache.spark.sql.types.StringType
+      (left.dataType, right.dataType) match {
+        case (ArrayType(l, _), ArrayType(r, _))
+            if l == r && (l == StringType || l == LongType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          TypeCheckResult.TypeCheckFailure(
+            "array_jaccard requires two arrays with the same element type " +
+              s"(string or bigint), got ${left.dataType.simpleString} and " +
+              s"${right.dataType.simpleString}")
+      }
+    }
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]

@@ -86,18 +86,17 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** One-time driver-side guard: embedding columns are fixed-width (a
-    * schema-level contract of every real vector store), so checking one
-    * row catches a dim mismatch without a per-row branch in the hot
-    * bucket expression. A mixed-width corpus violating that contract is
-    * NOT fully caught here — only the sampled row is checked. */
-  private def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit =
-    df.select(size(col(vecCol)).as("n")).head(1).foreach { r =>
-      val n = if (r.isNullAt(0)) 0 else r.getInt(0)
-      require(n >= dim,
-        s"srpBucket: vectors have $n dims, need >= $dim " +
-          "(a shorter vector would silently map every row to bucket 0)")
-    }
+  /** In-job width guard around the bucket expression: any row with a
+    * too-short vector fails the job at scan time instead of silently
+    * mapping to bucket 0 (which would collapse the LSH gate into a full
+    * cross product). One integer comparison per row — negligible next to
+    * the 64-dim projections — and, unlike a sampled driver-side check, it
+    * catches a mixed-width corpus on every row. */
+  private def srpBucketChecked(vec: Column, dim: Int, planes: Int): Column =
+    when(size(vec) >= dim, srpBucket(vec, dim, planes))
+      .otherwise(raise_error(concat(
+        lit("srpBucket: vector has "), size(vec).cast("string"),
+        lit(s" dims, need >= $dim"))).cast("int"))
 
   /** ANN via SRP-LSH: candidates = same-bucket rows (plus queries join on
     * bucket key — a hash join, not a cross join), then exact re-rank.
@@ -106,13 +105,11 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int = 64,
               planes: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    requireDim(corpus, vecCol, dim)
-    requireDim(queries, vecCol, dim)
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        srpBucket(col(vecCol), dim, planes).as("bucket")))
+        srpBucketChecked(col(vecCol), dim, planes).as("bucket")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      srpBucket(col(vecCol), dim, planes).as("bucket"))
+      srpBucketChecked(col(vecCol), dim, planes).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
@@ -191,12 +188,7 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding", maxIter: Int = 5,
               maxTrain: Int = 4096): DataFrame = {
-    val train = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
-      .orderBy("id").limit(maxTrain)
-      .collect().map(_.getSeq[Double](1).toArray)
-    require(train.nonEmpty, "ivfTopK: empty corpus")
-    val cent = trainCentroids(train, math.min(nlist, train.length), maxIter)
+    val cent = trainedCentroids(corpus, nlist, maxIter, maxTrain, idCol, vecCol)
 
     // distributed cell assignment: a native argmax expression holding the
     // centroid matrix — ties to the lowest cell, one scan, no shuffle
@@ -219,6 +211,21 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
     rankTopK(scored, k)
+  }
+
+  /** The centroids [[ivfTopK]] trains for a given corpus — same bounded
+    * lowest-id sample, same Lloyd iterations, fully deterministic.
+    * Exposed so the q29 oracle can embed them as SQL literals (the q38
+    * constant-embedding trick applied to learned constants). */
+  def trainedCentroids(corpus: DataFrame, nlist: Int = 16, maxIter: Int = 5,
+                       maxTrain: Int = 4096, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Array[Array[Double]] = {
+    val train = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy("id").limit(maxTrain)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(train.nonEmpty, "ivfTopK: empty corpus")
+    trainCentroids(train, math.min(nlist, train.length), maxIter)
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold.
@@ -248,9 +255,8 @@ object Similarity {
     // partitions and serialize the join at scale. The join's own
     // exchange handles co-location; the bucket expression evaluates once
     // per side, which is cheap relative to the pair verification.
-    requireDim(vectors, vecCol, dim)
     val withBucket = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
-      srpBucket(col(vecCol), dim, planes).as("bucket"))
+      srpBucketChecked(col(vecCol), dim, planes).as("bucket"))
     val a = withBucket.select(col("id").as("id_a"), col("v").as("va"), col("bucket"))
     val b = withBucket.select(col("id").as("id_b"), col("v").as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))

@@ -59,8 +59,12 @@ object TextStats {
     * marker order with a positive, maximal score; 'und' otherwise. */
   private[graft] def langArgmaxExpr(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s > 0 && s === best && acc === "und", lit(lang)).otherwise(acc)
+    // foldRight: the first qualifying language in marker order is the
+    // outermost CASE branch (first-match-wins), with no tie-break guard
+    // on the accumulator — a foldLeft guard compares the 'und' seed to
+    // itself and trips Spark's trivially-true-predicate warning
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
     }
   }
 

@@ -116,4 +116,22 @@ class CapstoneEtlSpec extends SparkSpec {
     assert(apr22.getAs[Int]("month") === 4)
     assert(apr22.getAs[Int]("day") === 22)
   }
+
+  test("dim_date week-of-year is ISO on year-boundary dates (SURVEY §7.4 risk 7)") {
+    // expected values pinned against DuckDB weekofyear() — the oracle
+    // engine — for the Dec 29 .. Jan 4 boundary band, including a
+    // 53-week year (2015, 2020); data_preparation.py:470 extract(week)
+    val boundary = Seq(
+      ("2014-12-29", 1), ("2015-12-28", 53), ("2015-12-31", 53),
+      ("2016-01-01", 53), ("2016-01-03", 53), ("2016-01-04", 1),
+      ("2016-12-31", 52), ("2020-12-31", 53), ("2021-01-01", 53),
+      ("2021-01-04", 1))
+    import spark.implicits._
+    val got = boundary.map(_._1).toDF("d")
+      .select(col("d"), weekofyear(to_date(col("d"))).as("w"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    boundary.foreach { case (d, w) =>
+      assert(got(d) === w, s"ISO week of $d")
+    }
+  }
 }

@@ -65,9 +65,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.subsetOf(brute))
   }
 
-  test("lsh paths fail fast on vectors shorter than dim") {
-    val e = intercept[IllegalArgumentException](
-      Similarity.cosineNearDuplicatesLsh(vecs, threshold = 0.5, dim = 64))
+  test("lsh paths fail on vectors shorter than dim") {
+    val e = intercept[Exception](
+      Similarity.cosineNearDuplicatesLsh(vecs, threshold = 0.5, dim = 64).collect())
+    assert(e.getMessage.contains("dims"))
+  }
+
+  test("lsh width guard is per-row: a short vector hiding behind a valid first row throws") {
+    // the old sampled (head-row) check would pass this corpus; the
+    // in-job raise_error guard must not
+    val mixed = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array(1.0f, 0.0f))              // short — would land in bucket 0
+    ).toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Similarity.cosineNearDuplicatesLsh(mixed, threshold = 0.5, dim = 8).collect())
     assert(e.getMessage.contains("dims"))
   }
 
