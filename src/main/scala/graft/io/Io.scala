@@ -48,6 +48,29 @@ object Io {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(cols: _*).mode("overwrite").parquet(path)
 
+  /** K3 — generic warehouse-load sink, the engine-side twin of the
+    * reference's 11 S3ToRedshiftOperator COPY loads with
+    * method="REPLACE" (dag_immigration.py:191-331): overwrite mode
+    * drops and reloads the target table, making reruns idempotent
+    * exactly like the reference's full-refresh loads.
+    *
+    * Scale: `numPartitions` caps concurrent connections — an unbounded
+    * 1000-executor write would open 1000 sessions against the warehouse;
+    * batchsize keeps round trips amortized. The serving warehouse is
+    * interchangeable (anything with a JDBC driver on the classpath). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                properties: java.util.Properties = new java.util.Properties(),
+                numPartitions: Int = 8, batchSize: Int = 10000): Unit =
+    df.write.mode("overwrite")
+      .option("numPartitions", numPartitions)
+      .option("batchsize", batchSize)
+      .jdbc(url, table, properties)
+
+  /** JDBC read-back (round-trip checks, serving-layer queries). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               properties: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, properties)
+
   /** Bucketed catalog-table write: co-locates join/agg keys so repeated
     * joins on the bucket key need no shuffle at all (the 100 TB answer
     * for fact-to-fact joins that can't broadcast). Requires saveAsTable
