@@ -170,6 +170,23 @@ object SparkEntry {
             numHashes = 8, rowsPerBand = 2),
           maxBucketSize = Some(8))
       },
+      // Gopher-style repetition filtering (top-token/bigram mass, token
+      // entropy): the boilerplate/spam gate of a pretraining pipeline
+      "q53_repetition_stats" -> q { (s, dir) =>
+        graft.ops.QualityFilters.repetitionStats(t(s, dir, "documents"))
+      },
+      // fixed-capacity sequence packing by running token count within
+      // deterministic hash groups (concat-then-chunk contract)
+      "q54_sequence_packing" -> q { (s, dir) =>
+        graft.ops.Packer.packSequences(t(s, dir, "documents"),
+          capacityTokens = 256, numGroups = 8)
+      },
+      // per-source document cap: ≤10 docs per source, salted-hash draw
+      "q55_source_cap" -> q { (s, dir) =>
+        Sampling.capPerKey(t(s, dir, "documents"),
+          col("source"), col("doc_id"), maxPerKey = 10)
+          .select("doc_id", "source")
+      },
       // ---- training-data ops (embeddings) ----
       "q20_cosine_topk" -> q { (s, dir) =>
         val em = t(s, dir, "embeddings")
@@ -906,6 +923,63 @@ object SparkEntry {
         round(coalesce(h.n_hit, 0) / len(c.hs), 4) AS contamination
       FROM csh c LEFT JOIN hit h ON c.doc_id = h.doc_id
       WHERE len(c.hs) > 0""",
+    "q53_repetition_stats" -> s"""
+      WITH base AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END AS t
+        FROM documents),
+      nz AS (SELECT * FROM base WHERE len(t) > 0),
+      uc AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM nz) GROUP BY 1, 2),
+      uni AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok,
+          CAST(sum(c) AS BIGINT) AS n_toks,
+          sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+        FROM uc GROUP BY 1),
+      bc AS (
+        SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+              FROM nz WHERE len(t) >= 2) GROUP BY 1, 2),
+      bi AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) AS max_bigram,
+          CAST(sum(c) AS BIGINT) AS n_bigrams
+        FROM bc GROUP BY 1)
+      SELECT u.doc_id,
+        round(CAST(u.max_tok AS DOUBLE) / u.n_toks, 4) AS top_token_frac,
+        round(CAST(b.max_bigram AS DOUBLE) / b.n_bigrams, 4) AS top_bigram_frac,
+        round(ln(CAST(u.n_toks AS DOUBLE)) - u.clogc / u.n_toks, 4) AS token_entropy,
+        (CAST(u.max_tok AS DOUBLE) / u.n_toks <= 0.14 AND
+         coalesce(CAST(b.max_bigram AS DOUBLE) / b.n_bigrams <= 0.07, true))
+          AS repetition_pass
+      FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id""",
+    "q54_sequence_packing" -> s"""
+      WITH g AS (
+        SELECT doc_id,
+          CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE $DuckTokens END) AS BIGINT) AS n_tokens,
+          (md5_number_lower('pack|' || CAST(doc_id AS VARCHAR))
+             & 9223372036854775807) % 8 AS pack_group
+        FROM documents),
+      o AS (
+        SELECT doc_id, pack_group, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY pack_group
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS bin_offset
+        FROM g)
+      SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group,
+        bin_offset // 256 AS bin_id, n_tokens, bin_offset
+      FROM o""",
+    "q55_source_cap" -> """
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY (md5_number_lower('cap|' || CAST(doc_id AS VARCHAR))
+                      & 9223372036854775807) % 1000000, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 10""",
     "q44_stratified_sample" -> """
       SELECT o_orderkey, o_orderpriority FROM orders
       WHERE (md5_number_lower('graft|' || CAST(o_orderkey AS VARCHAR))

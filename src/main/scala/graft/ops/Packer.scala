@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sequence packing: assign documents to fixed-capacity
+  * training bins (the "pack documents into 2k/4k-token sequences" step
+  * of an LLM data pipeline) by running token count.
+  *
+  * Documents are first split into `numGroups` deterministic hash groups
+  * (same salted-md5 arithmetic as [[Sampling.hashBucket]] — reproducible
+  * on any engine); within a group, docs are packed in doc_id order: a
+  * doc's bin is its exclusive running-token-offset divided by the
+  * capacity, i.e. each doc lands in the bin where its first token would
+  * fall when the group's docs are laid out back-to-back. A doc may
+  * straddle a boundary — the contract of streaming concat-then-chunk
+  * packing (chunk-level reshaping is [[Chunker.slidingWindows]]).
+  *
+  * Scale: the only shuffle is the group-local sort for the running sum;
+  * groups are independent, so parallelism = numGroups — size it ≥ the
+  * cluster's cores (the default here suits local[32]; at 100 TB pick
+  * thousands, or a natural partition like (source, day)). No global
+  * sort, no driver state. */
+object Packer {
+
+  def packSequences(docs: DataFrame, capacityTokens: Int = 256,
+                    numGroups: Int = 32, textCol: String = "text",
+                    salt: String = "pack"): DataFrame = {
+    require(capacityTokens > 0 && numGroups > 0,
+      s"capacityTokens ($capacityTokens) and numGroups ($numGroups) must be positive")
+    val grouped = docs.select(
+      col("doc_id"),
+      size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"),
+      pmod(graft.functions.TextExpressions.md5_lower64(
+          concat(lit(salt), lit("|"), col("doc_id").cast("string")))
+        .bitwiseAND(lit(Long.MaxValue)), lit(numGroups.toLong)).as("pack_group"))
+    val w = Window.partitionBy("pack_group").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped
+      .withColumn("bin_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("pack_group"),
+        (col("bin_offset") / capacityTokens).cast("long").as("bin_id"),
+        col("n_tokens"), col("bin_offset"))
+  }
+}

@@ -41,6 +41,26 @@ object Sampling {
     df.where(hashBucket(id, salt) < lit(ppm))
   }
 
+  /** Deterministic per-key cap: keep at most `maxPerKey` rows per key
+    * value, chosen by salted-hash order (id as tie-break) — the
+    * "at most N documents per domain/source" knob of web-corpus
+    * curation. The hash order makes the kept subset a stable pseudo-
+    * random draw: re-runs and engine changes keep the same rows, and no
+    * crawl-order bias leaks into the corpus.
+    *
+    * Scale: one shuffle on the key + a per-key sort bounded by the
+    * key's row count. A viral key concentrates its rows in one task —
+    * for adversarial skew, pre-thin with [[hashSample]] at a rate that
+    * bounds the hottest key before capping exactly. */
+  def capPerKey(df: DataFrame, key: Column, id: Column, maxPerKey: Int,
+                salt: String = "cap"): DataFrame = {
+    require(maxPerKey > 0, s"maxPerKey ($maxPerKey) must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(hashBucket(id, salt), id)
+    df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rn") <= maxPerKey).drop("__rn")
+  }
+
   /** Per-stratum deterministic sample: each stratum value draws at its
     * own ppm rate (absent strata at defaultPpm). This is the mixture
     * knob of a training-data pipeline — e.g. keep 100% of high-quality

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QualityFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "spam spam spam spam spam spam spam ham"),   // one token dominates
+    // all-distinct prose, long enough that even uniform bigrams sit
+    // under the 0.07 bigram-mass threshold (1/18 ≈ 0.056)
+    (1L, "the quick brown fox jumps over a lazy dog while two old cats watch from their warm sunny porch"),
+    (2L, "ab cd ab cd ab cd ab cd"),                  // one bigram dominates
+    (3L, "solo"),                                     // single token: no bigrams
+    (4L, "")                                          // empty: excluded entirely
+  ).toDF("doc_id", "text")
+
+  private lazy val stats = QualityFilters.repetitionStats(docs).cache()
+
+  private def row(id: Long) = stats.where(col("doc_id") === id).head()
+
+  test("top-token fraction flags the dominated doc; distinct prose passes") {
+    val spam = row(0)
+    assert(spam.getAs[Double]("top_token_frac") === 7.0 / 8)
+    assert(!spam.getAs[Boolean]("repetition_pass"))
+    val prose = row(1)
+    assert(prose.getAs[Double]("top_token_frac") === math.rint(1.0 / 19 * 1e4) / 1e4)
+    assert(prose.getAs[Boolean]("repetition_pass"))
+  }
+
+  test("top-bigram fraction catches phrase repetition the unigram view misses") {
+    val r = row(2)
+    // tokens alternate ab/cd (each 1/2 — fails token gate too), and the
+    // bigram 'ab cd' owns 4 of 7 bigrams
+    assert(r.getAs[Double]("top_bigram_frac") === math.rint(4.0 / 7 * 1e4) / 1e4)
+    assert(!r.getAs[Boolean]("repetition_pass"))
+  }
+
+  test("single-token doc: null bigram frac, entropy 0, fails on token mass") {
+    val r = row(3)
+    assert(r.isNullAt(r.fieldIndex("top_bigram_frac")))
+    assert(r.getAs[Double]("token_entropy") === 0.0)
+    assert(!r.getAs[Boolean]("repetition_pass"))   // top_token_frac = 1.0
+  }
+
+  test("entropy of a uniform token distribution is ln(n); empty docs are excluded") {
+    // doc 1: 19 distinct tokens once each -> H = ln(19)
+    assert(math.abs(row(1).getAs[Double]("token_entropy") - math.log(19.0)) < 1e-3)
+    assert(stats.where(col("doc_id") === 4).count() === 0)
+  }
+}

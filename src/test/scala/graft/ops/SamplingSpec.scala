@@ -50,4 +50,21 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(sampled("half") - 1000L) < 120, s"got ${sampled.get("half")}")
     assert(!sampled.contains("other"))
   }
+
+  test("capPerKey keeps at most N per key, deterministically, as a row subset") {
+    val df = (0L until 90L).map(i => (i, s"k${i % 3}")).toDF("id", "key")
+      .union(Seq((1000L, "rare")).toDF("id", "key"))
+    val capped = Sampling.capPerKey(df, col("key"), col("id"), maxPerKey = 5)
+    val byKey = capped.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey === Map("k0" -> 5L, "k1" -> 5L, "k2" -> 5L, "rare" -> 1L))
+    // deterministic draw, and a strict subset of the input rows
+    val again = Sampling.capPerKey(df, col("key"), col("id"), maxPerKey = 5)
+    assert(capped.collect().toSet === again.collect().toSet)
+    assert(capped.join(df, Seq("id", "key"), "left_anti").isEmpty)
+    // the draw is hash-ordered, not id-ordered: not simply the lowest ids
+    val k0 = capped.where(col("key") === "k0").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(k0 !== (0L until 15L by 3).take(5).toSet)
+  }
 }
