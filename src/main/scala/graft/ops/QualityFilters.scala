@@ -17,30 +17,42 @@ import org.apache.spark.sql.functions._
   *    distribution: H = ln(N) − Σ c·ln(c) / N;
   *  - `repetition_pass` — both fraction thresholds hold.
   *
-  * Scale: two partial-aggregating shuffles keyed by (doc_id, term) —
-  * digest-uniform in doc_id, bounded per-key cardinality — then a
-  * per-doc join; no per-row state, no collect. */
+  * Scale: ONE corpus scan — unigrams and bigrams explode as tagged
+  * (kind, term) rows from the same pass — then two partial-aggregating
+  * shuffles keyed by (doc_id, kind, term) / doc_id, both digest-uniform
+  * with bounded per-key cardinality. No join, no per-row state, no
+  * collect. (The first formulation scanned the text column twice and
+  * joined two aggregation trees; at corpus scale the second scan is the
+  * dominant avoidable cost.) */
 object QualityFilters {
 
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       maxTokenFrac: Double = 0.14,
                       maxBigramFrac: Double = 0.07): DataFrame = {
-    val base = docs
+    val terms = docs
       .select(col("doc_id"), TextStats.tokens(col(textCol)).as("t"))
       .where(size(col("t")) > 0)
-    val uni = base.select(col("doc_id"), explode(col("t")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max("c").as("max_tok"), sum("c").as("n_toks"),
-        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
-    val bi = base.where(size(col("t")) >= 2)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
-          .as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max("c").as("max_bigram"), sum("c").as("n_bigrams"))
-    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), explode(concat(
+        expr("transform(t, x -> struct(0 AS kind, x AS term))"),
+        // guard: sequence(0, -1) DESCENDS in Spark, so a 1-token doc
+        // must produce a typed empty array, not bogus bigrams
+        expr("""CASE WHEN size(t) >= 2
+                THEN transform(sequence(0, size(t)-2),
+                               i -> struct(1 AS kind, concat(t[i], ' ', t[i+1]) AS term))
+                ELSE cast(array() AS array<struct<kind:int,term:string>>) END""")))
+        .as("kt"))
+      .select(col("doc_id"), col("kt.kind").as("kind"), col("kt.term").as("term"))
+    val counts = terms.groupBy("doc_id", "kind", "term").agg(count(lit(1)).as("c"))
+    val isTok = col("kind") === 0
+    val isBg = col("kind") === 1
+    counts.groupBy("doc_id")
+      .agg(
+        max(when(isTok, col("c"))).as("max_tok"),
+        sum(when(isTok, col("c"))).as("n_toks"),
+        sum(when(isTok, col("c").cast("double") * log(col("c").cast("double"))))
+          .as("clogc"),
+        max(when(isBg, col("c"))).as("max_bigram"),
+        sum(when(isBg, col("c"))).as("n_bigrams"))
       .select(
         col("doc_id"),
         round(col("max_tok") / col("n_toks"), 4).as("top_token_frac"),
