@@ -187,6 +187,18 @@ object SparkEntry {
           col("source"), col("doc_id"), maxPerKey = 10)
           .select("doc_id", "source")
       },
+      // PII scrubbing over deterministically planted emails/URLs/IDs
+      // (the raw corpus is synthetic word soup with no PII, so the query
+      // plants one of each per row — both engines build the same text)
+      "q56_pii_scrub" -> q { (s, dir) =>
+        val planted = t(s, dir, "documents").select(
+          col("doc_id"),
+          concat(col("text"),
+            lit(" contact "), col("source"), lit("@mail.example.com"),
+            lit(" via https://ex.com/d/"), col("doc_id"), lit("?ref=1"),
+            lit(" acct 90210"), col("doc_id"), lit("4481")).as("text"))
+        graft.ops.Scrubber.scrub(planted)
+      },
       // ---- training-data ops (embeddings) ----
       "q20_cosine_topk" -> q { (s, dir) =>
         val em = t(s, dir, "embeddings")
@@ -972,6 +984,26 @@ object SparkEntry {
       SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group,
         bin_offset // 256 AS bin_id, n_tokens, bin_offset
       FROM o""",
+    "q56_pii_scrub" -> """
+      WITH planted AS (
+        SELECT doc_id,
+          text || ' contact ' || source || '@mail.example.com' ||
+          ' via https://ex.com/d/' || CAST(doc_id AS VARCHAR) || '?ref=1' ||
+          ' acct 90210' || CAST(doc_id AS VARCHAR) || '4481' AS text
+        FROM documents),
+      s1 AS (SELECT doc_id, text,
+               regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+             FROM planted),
+      s2 AS (SELECT *, regexp_replace(t1,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+             FROM s1)
+      SELECT doc_id,
+        regexp_replace(t2, '[0-9]{9,}', '<ID>', 'g') AS clean_text,
+        CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        CAST(len(regexp_extract_all(t1,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t2, '[0-9]{9,}')) AS BIGINT) AS n_ids
+      FROM s2""",
     "q55_source_cap" -> """
       SELECT doc_id, source FROM (
         SELECT doc_id, source,

@@ -285,13 +285,16 @@ object CapstoneEtl {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.util.Try
+    // each write carries the reference's per-task retry budget
+    // (retries: 1, dag_immigration.py:44-45); overwrite-mode writes are
+    // idempotent, so a retry is safe by construction
     val writes = out.tables.toSeq.map {
-      case ("fact_immigration", df) => Future(Try {
+      case ("fact_immigration", df) => Future(Try(Retry.withRetry(1) {
         Io.writePartitioned(df, s"$outputPath/fact_immigration.parquet", "year", "month")
-      })
-      case (name, df) => Future(Try {
+      }))
+      case (name, df) => Future(Try(Retry.withRetry(1) {
         Io.writeParquet(df, s"$outputPath/$name.parquet")
-      })
+      }))
     }
     // wait for EVERY write to finish before reporting failure: throwing
     // on the first error would leave sibling writes mutating the output

@@ -48,6 +48,45 @@ object Io {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(cols: _*).mode("overwrite").parquet(path)
 
+  /** S6 — distributed file copy (the reference's s3-dist-cp staging
+    * steps, dag_immigration.py:115-153: raw data to compute-local
+    * storage before the job, outputs back after). The file list is
+    * computed on the driver (cheap — metadata only) and the byte copies
+    * fan out across the cluster, one task per file group, preserving
+    * the relative tree. Returns the number of files copied.
+    *
+    * Executors build their Hadoop config from the cluster classpath
+    * (core-site.xml et al.) exactly as external dist-cp tools do. */
+  def distCp(spark: SparkSession, src: String, dst: String,
+             partitions: Int = 32): Long = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val srcPath = new Path(src)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.getFileStatus(srcPath).getPath.toUri
+    val it = fs.listFiles(srcPath, true)
+    val rel = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(_.isFile)
+      .map(st => base.relativize(st.getPath.toUri).getPath)
+      .toVector
+    if (rel.nonEmpty) {
+      spark.sparkContext
+        .parallelize(rel, math.min(partitions, rel.size))
+        .foreach { r =>
+          val conf = new Configuration()
+          val s = new Path(s"$src/$r")
+          val d = new Path(s"$dst/$r")
+          val sfs = s.getFileSystem(conf)
+          val dfs = d.getFileSystem(conf)
+          dfs.mkdirs(d.getParent)
+          FileUtil.copy(sfs, s, dfs, d, false /*deleteSource*/ ,
+            true /*overwrite*/ , conf)
+        }
+    }
+    rel.size.toLong
+  }
+
   /** K3 — generic warehouse-load sink, the engine-side twin of the
     * reference's 11 S3ToRedshiftOperator COPY loads with
     * method="REPLACE" (dag_immigration.py:191-331): overwrite mode
