@@ -187,6 +187,11 @@ object SparkEntry {
           col("source"), col("doc_id"), maxPerKey = 10)
           .select("doc_id", "source")
       },
+      // per-language relative quality gate: per-lang median computed as
+      // a tiny broadcast aggregate, never a window over lang partitions
+      "q57_quality_gate" -> q { (s, dir) =>
+        graft.ops.QualityFilters.relativeQualityGate(t(s, dir, "documents"))
+      },
       // PII scrubbing over deterministically planted emails/URLs/IDs
       // (the raw corpus is synthetic word soup with no PII, so the query
       // plants one of each per row — both engines build the same text)
@@ -500,6 +505,46 @@ object SparkEntry {
     s"list_min(list_transform(shingles, s -> CAST((md5_number_upper(s) % 2147483647 + " +
       s"$i * (md5_number_lower(s) % 2147483647)) % 2147483647 AS BIGINT))) AS mh$i"
 
+  /** Full per-document text-stats oracle (the DuckDB twin of
+    * TextStats.statsFor) over `table` — q15 verbatim; q57 reuses it as
+    * the stats subquery under its per-language quantile gate. */
+  private def oracleSqlTextStats(table: String): String = s"""
+      WITH base AS (
+        SELECT doc_id, text,
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END AS toks
+        FROM $table),
+      stats AS (
+        SELECT doc_id, text, toks,
+          len(toks) AS n_toks,
+          len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stops,
+          len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct_i,
+          len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
+          len(list_filter(toks, x -> x IN ('le','la','et','est'))) AS s_fr,
+          len(list_filter(toks, x -> x IN ('el','la','y','es'))) AS s_es,
+          len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de
+        FROM base)
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(n_toks AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]{1,6}|[0-9]|[!-/:-@\\[-`{-~]')) AS BIGINT) AS n_subwords,
+        CAST(n_punct_i AS BIGINT) AS n_punct,
+        round(CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(n_stops AS DOUBLE) / n_toks END, 4) AS stopword_ratio,
+        round(CASE WHEN n_toks = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n_toks END, 4) AS mean_token_len,
+        round((CASE WHEN length(text) BETWEEN 100 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
+              (CASE WHEN CAST(n_punct_i AS DOUBLE) <= length(text) * 0.1 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
+              (CASE WHEN (CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(n_stops AS DOUBLE) / n_toks END)
+                    BETWEEN 0.01 AND 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 1) AS quality_score,
+        CASE
+            WHEN s_en > 0 AND s_en >= greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+            WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+            WHEN s_es > 0 AND s_es >= greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+            WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_de) THEN 'de'
+            ELSE 'und' END AS lang_pred,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\\[-`{-~]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM stats"""
+
   /** Normalized-content md5 (shared by q15/q16/q28/q39 oracles). */
   private val DuckFingerprint =
     """md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')))"""
@@ -736,42 +781,7 @@ object SparkEntry {
          SELECT 'customer', 'c_name', count(*), count(*) - count(c_name) FROM customer
          UNION ALL
          SELECT 'documents', 'text', count(*), count(*) - count(text) FROM documents""",
-    "q15_text_stats" -> s"""
-      WITH base AS (
-        SELECT doc_id, text,
-          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-               ELSE $DuckTokens END AS toks
-        FROM documents),
-      stats AS (
-        SELECT doc_id, text, toks,
-          len(toks) AS n_toks,
-          len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stops,
-          len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct_i,
-          len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
-          len(list_filter(toks, x -> x IN ('le','la','et','est'))) AS s_fr,
-          len(list_filter(toks, x -> x IN ('el','la','y','es'))) AS s_es,
-          len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de
-        FROM base)
-      SELECT doc_id,
-        CAST(length(text) AS BIGINT) AS n_chars,
-        CAST(n_toks AS BIGINT) AS n_tokens,
-        CAST(len(regexp_extract_all(text, '[A-Za-z]{1,6}|[0-9]|[!-/:-@\\[-`{-~]')) AS BIGINT) AS n_subwords,
-        CAST(n_punct_i AS BIGINT) AS n_punct,
-        round(CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(n_stops AS DOUBLE) / n_toks END, 4) AS stopword_ratio,
-        round(CASE WHEN n_toks = 0 THEN 0.0
-              ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n_toks END, 4) AS mean_token_len,
-        round((CASE WHEN length(text) BETWEEN 100 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
-              (CASE WHEN CAST(n_punct_i AS DOUBLE) <= length(text) * 0.1 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
-              (CASE WHEN (CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(n_stops AS DOUBLE) / n_toks END)
-                    BETWEEN 0.01 AND 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 1) AS quality_score,
-        CASE
-            WHEN s_en > 0 AND s_en >= greatest(s_en, s_fr, s_es, s_de) THEN 'en'
-            WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
-            WHEN s_es > 0 AND s_es >= greatest(s_en, s_fr, s_es, s_de) THEN 'es'
-            WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_de) THEN 'de'
-            ELSE 'und' END AS lang_pred,
-        md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\\[-`{-~]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
-      FROM stats""",
+    "q15_text_stats" -> oracleSqlTextStats("documents"),
     "q16_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
            min(doc_id) AS keep_doc_id, count(*) AS dup_cnt
@@ -984,6 +994,17 @@ object SparkEntry {
       SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group,
         bin_offset // 256 AS bin_id, n_tokens, bin_offset
       FROM o""",
+    "q57_quality_gate" -> s"""
+      WITH stats AS (
+        SELECT doc_id, lang_pred, quality_score
+        FROM (${oracleSqlTextStats("documents")})),
+      cutoffs AS (
+        SELECT lang_pred, quantile_cont(quality_score, 0.5) AS lang_cutoff
+        FROM stats GROUP BY 1)
+      SELECT s.doc_id, s.lang_pred, s.quality_score,
+        round(c.lang_cutoff, 4) AS lang_cutoff
+      FROM stats s JOIN cutoffs c USING (lang_pred)
+      WHERE s.quality_score >= c.lang_cutoff""",
     "q56_pii_scrub" -> """
       WITH planted AS (
         SELECT doc_id,

@@ -110,6 +110,23 @@ object Io {
                properties: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, properties)
 
+  /** Range-clustered layout: range-partition on the sort key so each
+    * output file covers a disjoint key interval, then sort within each
+    * file. Parquet footer min/max stats become tight, so range
+    * predicates skip whole row groups (and all-but-the-matching files)
+    * at read time — the data-layout half of partition pruning, for keys
+    * too fine-grained to be directory partitions (timestamps, ids).
+    * At 100 TB this is the difference between scanning one key range
+    * and opening every file in the table. */
+  def writeSorted(df: DataFrame, path: String, numFiles: Int,
+                  sortCols: String*): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(sortCols.nonEmpty, "writeSorted needs at least one sort column")
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed catalog-table write: co-locates join/agg keys so repeated
     * joins on the bucket key need no shuffle at all (the 100 TB answer
     * for fact-to-fact joins that can't broadcast). Requires saveAsTable

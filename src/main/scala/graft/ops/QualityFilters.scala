@@ -26,6 +26,28 @@ import org.apache.spark.sql.functions._
   * dominant avoidable cost.) */
 object QualityFilters {
 
+  /** Relative quality gate: keep documents whose quality score is at or
+    * above their language's `quantile` (default: the median) — the
+    * "keep the better half per language" mixture knob, where an
+    * absolute threshold would starve low-scoring languages.
+    *
+    * Scale: NOT a window over lang partitions (a handful of huge
+    * partitions = maximal skew at corpus scale). The per-language
+    * quantile is a tiny groupBy aggregate (|languages| rows) broadcast
+    * back onto the scan — the corpus never shuffles. */
+  def relativeQualityGate(docs: DataFrame, quantile: Double = 0.5,
+                          textCol: String = "text"): DataFrame = {
+    require(quantile > 0 && quantile <= 1, s"quantile $quantile out of (0, 1]")
+    val stats = TextStats.statsFor(docs, textCol)
+      .select("doc_id", "lang_pred", "quality_score")
+    val cutoffs = stats.groupBy("lang_pred")
+      .agg(expr(s"percentile(quality_score, $quantile)").as("lang_cutoff"))
+    stats.join(broadcast(cutoffs), Seq("lang_pred"))
+      .where(col("quality_score") >= col("lang_cutoff"))
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"),
+        round(col("lang_cutoff"), 4).as("lang_cutoff"))
+  }
+
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       maxTokenFrac: Double = 0.14,
                       maxBigramFrac: Double = 0.07): DataFrame = {

@@ -45,6 +45,34 @@ class QualityFiltersSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("repetition_pass"))   // top_token_frac = 1.0
   }
 
+  test("relative quality gate keeps per-language upper half, not an absolute bar") {
+    // en docs: longer prose scores 0.7+ (length band + stopwords), the
+    // short fragments score lower; the gate must keep the top of EACH
+    // language even though all 'und' scores sit below the en median
+    val corpus = Seq(
+      (0L, "the " + Seq.fill(40)("word of the day is this and that").mkString(" ")),
+      (1L, "the cat is on the mat"),
+      (2L, "und " + Seq.fill(40)("zzz qqq xxx").mkString(" ")),
+      (3L, "zzz")
+    ).toDF("doc_id", "text")
+    val kept = QualityFilters.relativeQualityGate(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang_pred"), r.getAs[Double]("quality_score"))).toMap
+    // every language keeps at least its best doc
+    assert(kept.contains(0L))
+    assert(kept.keySet.intersect(Set(2L, 3L)).nonEmpty)
+    // kept rows satisfy their own language's cutoff by construction
+    val all = TextStats.statsFor(corpus)
+      .select("doc_id", "lang_pred", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    all.groupBy(_._2).foreach { case (lang, rows) =>
+      val kepts = rows.filter(r => kept.contains(r._1)).map(_._3)
+      val dropped = rows.filterNot(r => kept.contains(r._1)).map(_._3)
+      if (kepts.nonEmpty && dropped.nonEmpty)
+        assert(kepts.min >= dropped.max, s"lang $lang gate not monotone")
+    }
+  }
+
   test("entropy of a uniform token distribution is ln(n); empty docs are excluded") {
     // doc 1: 19 distinct tokens once each -> H = ln(19)
     assert(math.abs(row(1).getAs[Double]("token_entropy") - math.log(19.0)) < 1e-3)
