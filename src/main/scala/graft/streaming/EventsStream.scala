@@ -85,6 +85,18 @@ object EventsStream {
       .withColumn("fingerprint", graft.ops.TextStats.fingerprint(col("text")))
       .dropDuplicates("fingerprint")
 
+  /** Streaming curation: the continuous twin of Curation.curate's
+    * exact-dedup + quality-gate stages. Text stats, quality scoring and
+    * lang-id are scan-local expressions, so they stream unchanged; the
+    * dedup is the fingerprint state store. The LSH near-dup stage is
+    * deliberately absent — it is a corpus-global self-join, inherently
+    * batch; at scale it runs as a periodic compaction over the curated
+    * stream's output (the standard lambda split for near-dedup). */
+  def curateStream(docs: DataFrame, minQuality: Double = 0.7): DataFrame =
+    graft.ops.TextStats.statsFor(dedupStream(docs))
+      .where(col("quality_score") >= minQuality)
+      .select("doc_id", "n_chars", "n_tokens", "quality_score", "lang_pred")
+
   // ---- stream-stream join -------------------------------------------
 
   /** Watermarked stream-stream join: attribute each purchase to a signup

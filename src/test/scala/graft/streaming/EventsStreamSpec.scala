@@ -125,6 +125,42 @@ class EventsStreamSpec extends SparkSpec {
     assert(ids === Set(0L, 1L, 3L))   // doc 2 deduped against batch-1 state
   }
 
+  test("streaming curation equals the batch dedup + quality gate on the same corpus") {
+    val dir = Files.createTempDirectory("docs-curate").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+    // two micro-batches split by doc_id so first-seen == min-id keeper:
+    // cross-batch duplicates land in batch 2 and must dedup against
+    // batch-1 state
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    docs.where(col("doc_id") < mid).coalesce(1).write.parquet(s"$dir/a")
+    docs.where(col("doc_id") >= mid).coalesce(1).write.parquet(s"$dir/b")
+    val q = EventsStream.curateStream(
+        EventsStream.readDocuments(spark, s"$dir/*", maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("curate_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .toSet
+    // batch twin: exact dedup (min-id keeper) + the same quality gate.
+    // within-batch keeper choice is arbitrary in dropDuplicates, so
+    // compare on the fingerprint-level survivors' stats instead of ids
+    // when ids differ — but with id-ordered batches first-seen == min-id
+    val batch = graft.ops.TextStats.statsFor(
+        graft.ops.Dedup.exactDedupedCorpus(docs))
+      .where(col("quality_score") >= 0.7)
+      .select("doc_id", "n_chars", "n_tokens", "quality_score", "lang_pred")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .toSet
+    // ids can differ only for duplicates co-arriving in one micro-batch;
+    // compare the content-level result (drop doc_id) exactly, and the
+    // id-level result modulo that arbitrariness
+    assert(got.map(t => (t._2, t._3, t._4, t._5)) ===
+      batch.map(t => (t._2, t._3, t._4, t._5)))
+    assert(got.size === batch.size)
+  }
+
   test("stateful sessionization: closed sessions match batch; state spans micro-batches") {
     import spark.implicits._
     val stream = EventsStream.readEvents(spark, sourceGlob, maxFilesPerTrigger = Some(1))
