@@ -102,12 +102,17 @@ object TextStats {
 
   /** Full per-document stats projection used by `queries`.
     *
-    * Two stages split by an exchange: stage 1 computes everything that
-    * touches the raw text (codegen'd regexp stats + one fused TokenStats
-    * pass over the token array) and drops the text; stage 2 derives the
-    * ratios/score/lang from the small struct. The barrier stops Catalyst
-    * from inlining the TokenStats expression once per derived column, and
-    * only slim columns ride the shuffle — not the documents themselves. */
+    * Two stages split by a generator barrier: stage 1 computes
+    * everything that touches the raw text (codegen'd regexp stats + one
+    * fused TokenStats pass over the token array) and drops the text;
+    * stage 2 derives the ratios/score/lang from the small struct. The
+    * explode of a single-element array evaluates the TokenStats
+    * expression exactly once per row — CollapseProject cannot inline
+    * through a Generate — WITHOUT an exchange (the same trick as
+    * Dedup.minHashSignatures), so downstream join selection still sees
+    * the scan's size statistics and the corpus never shuffles just to
+    * compute its own stats. (The previous repartition barrier shuffled
+    * a slim projection of every row on every stats consumer.) */
   def statsFor(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val stage1 = docs.select(
@@ -115,10 +120,9 @@ object TextStats {
       length(t).cast("long").as("n_chars"),
       subwordCount(t).cast("long").as("n_subwords"),
       punctCount(t).cast("long").as("n_punct"),
-      graft.functions.TextExpressions.token_stats(tokens(t), StopwordsEn, LangMarkers)
-        .as("ts"),
+      explode(array(graft.functions.TextExpressions.token_stats(
+        tokens(t), StopwordsEn, LangMarkers))).as("ts"),
       fingerprint(t).as("fingerprint"))
-      .repartition(col("doc_id"))
     val nTok = col("ts.n_tokens")
     val ratio = when(nTok === 0, lit(0.0))
       .otherwise(col("ts.n_stops").cast("double") / nTok)
