@@ -11,6 +11,17 @@ import graft.SparkSpec
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  /** In-memory twin of TextExpressions.Md5Lower64: little-endian long
+    * over md5 bytes 8..15 (DuckDB md5_number_lower semantics). */
+  private def md5Lower64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var l = 0L
+    var b = 15
+    while (b >= 8) { l = (l << 8) | (d(b) & 0xffL); b -= 1 }
+    l
+  }
+
   test("asofJoin matches a naive per-row scan on random data") {
     val keys = 1 to 5
     val leftRows = Gen.listOfN(60, for {
@@ -97,6 +108,47 @@ class PropertySpec extends SparkSpec {
       .map { case (id, v) => (id, cos(q, v)) }
       .sortBy { case (id, c) => (-c, id) }
       .take(5).map(_._1)
+    assert(got === expect)
+  }
+
+  test("packSequences matches an in-memory greedy layout on random token counts") {
+    val rnd = new scala.util.Random(20260812L)
+    val docs = (0L until 120L)
+      .map(i => (i, Seq.fill(1 + rnd.nextInt(50))("w").mkString(" ")))
+    val cap = 64
+    val got = Packer.packSequences(docs.toDF("doc_id", "text"),
+        capacityTokens = cap, numGroups = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pack_group"), r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset")))
+      .toMap
+    // reference: group by the same md5 arithmetic, lay out in id order
+    def bucket(saltedId: String): Long =
+      (md5Lower64(saltedId) & Long.MaxValue) % 4
+    val byGroup = docs
+      .map { case (id, text) => (id, text.split(" ").length.toLong, bucket(s"pack|$id")) }
+      .groupBy(_._3)
+    byGroup.foreach { case (g, rows) =>
+      var offset = 0L
+      rows.sortBy(_._1).foreach { case (id, n, _) =>
+        assert(got(id) === ((g, offset / cap, offset)), s"doc $id in group $g")
+        offset += n
+      }
+    }
+    assert(got.size === 120)
+  }
+
+  test("capPerKey equals an in-memory top-N-by-hash per key on random data") {
+    val rnd = new scala.util.Random(42L)
+    val rows = (0L until 200L).map(i => (i, s"k${rnd.nextInt(7)}"))
+    val got = Sampling.capPerKey(rows.toDF("id", "key"),
+        col("key"), col("id"), maxPerKey = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("key"))).toSet
+    def hashOrd(id: Long): Long =
+      (md5Lower64(s"cap|$id") & Long.MaxValue) % 1000000L
+    val expect = rows.groupBy(_._2).flatMap { case (_, ks) =>
+      ks.sortBy(r => (hashOrd(r._1), r._1)).take(4)
+    }.toSet
     assert(got === expect)
   }
 }
