@@ -187,6 +187,11 @@ object SparkEntry {
           col("source"), col("doc_id"), maxPerKey = 10)
           .select("doc_id", "source")
       },
+      // corpus vocabulary: top-k terms by global count (+ doc frequency)
+      // — the counting pass tokenizer training starts from
+      "q58_vocabulary" -> q { (s, dir) =>
+        TextStats.vocabulary(t(s, dir, "documents"), k = 100)
+      },
       // per-language relative quality gate: per-lang median computed as
       // a tiny broadcast aggregate, never a window over lang partitions
       "q57_quality_gate" -> q { (s, dir) =>
@@ -994,6 +999,15 @@ object SparkEntry {
       SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group,
         bin_offset // 256 AS bin_id, n_tokens, bin_offset
       FROM o""",
+    "q58_vocabulary" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                              ELSE $DuckTokens END) AS term
+        FROM documents)
+      SELECT term, CAST(count(*) AS BIGINT) AS term_count,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM toks GROUP BY term
+      ORDER BY term_count DESC, term LIMIT 100""",
     "q57_quality_gate" -> s"""
       WITH stats AS (
         SELECT doc_id, lang_pred, quality_score

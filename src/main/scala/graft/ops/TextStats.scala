@@ -100,6 +100,24 @@ object TextStats {
     "es" -> Seq("el", "la", "y", "es"),
     "de" -> Seq("der", "die", "und", "ist"))
 
+  /** Corpus-global vocabulary: the k most frequent tokens with total
+    * occurrence count and document frequency — the counting pass a
+    * tokenizer/BPE training step starts from.
+    *
+    * Scale: explode → two-phase hash aggregate keyed by term (uniform
+    * once common terms partial-aggregate map-side); the distinct doc
+    * count rides the same shuffle via (term, doc_id) pre-aggregation.
+    * The final top-k is a bounded TakeOrdered, never a global sort. */
+  def vocabulary(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("term")
+      .agg(sum("c").as("term_count"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("term_count").desc, col("term"))
+      .limit(k)
+  }
+
   /** Full per-document stats projection used by `queries`.
     *
     * Two stages split by a generator barrier: stage 1 computes
