@@ -85,6 +85,22 @@ object EventsStream {
       .withColumn("fingerprint", graft.ops.TextStats.fingerprint(col("text")))
       .dropDuplicates("fingerprint")
 
+  /** Bounded-state streaming dedup: like [[dedupStream]], but the
+    * fingerprint state expires once ingestion time passes `retention`
+    * (dropDuplicatesWithinWatermark). This is the at-scale trade: over
+    * an unbounded feed the plain dedup state grows with corpus history
+    * and eventually cannot fit any store, while here state tracks the
+    * retention window only — a duplicate arriving later than the window
+    * slips through and is caught by the periodic batch compaction that
+    * near-dedup already requires. */
+  def dedupStreamBounded(docs: DataFrame, retention: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.ops.TextStats.fingerprint(col("text")))
+      .withColumn("ingest_time", current_timestamp())
+      .withWatermark("ingest_time", retention)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .drop("ingest_time")
+
   /** Streaming curation: the continuous twin of Curation.curate's
     * exact-dedup + quality-gate stages. Text stats, quality scoring and
     * lang-id are scan-local expressions, so they stream unchanged; the

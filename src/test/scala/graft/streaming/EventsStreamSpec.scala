@@ -125,6 +125,27 @@ class EventsStreamSpec extends SparkSpec {
     assert(ids === Set(0L, 1L, 3L))   // doc 2 deduped against batch-1 state
   }
 
+  test("bounded-state dedup drops in-window duplicates across micro-batches") {
+    val dir = Files.createTempDirectory("docs-bounded").toString
+    import spark.implicits._
+    Seq((0L, "Hello, World!", "en", "s", 13L), (1L, "something else", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/a")
+    Seq((2L, "hello world", "en", "s", 11L), (3L, "a third document", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/b")
+    val q = EventsStream.dedupStreamBounded(
+        EventsStream.readDocuments(spark, s"$dir/*", maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ids = spark.table("dedup_bounded").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 2 normalizes to doc 0's fingerprint and both batches run well
+    // inside the retention window -> deduped against batch-1 state
+    assert(ids === Set(0L, 1L, 3L))
+  }
+
   test("streaming curation equals the batch dedup + quality gate on the same corpus") {
     val dir = Files.createTempDirectory("docs-curate").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
