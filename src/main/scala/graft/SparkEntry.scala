@@ -223,6 +223,10 @@ object SparkEntry {
       // and exists only as the recall/correctness baseline that
       // q38_cosine_neardup_lsh (the scale path) is validated against.
       // Unbounded brute-force checks live in SimilaritySpec.
+      // int8 embedding quantization (ANN serving storage format)
+      "q59_quantize_int8" -> q { (s, dir) =>
+        Similarity.quantizeInt8(t(s, dir, "embeddings"))
+      },
       "q22_cosine_neardup_baseline" -> q { (s, dir) =>
         Similarity.cosineNearDuplicates(
           t(s, dir, "embeddings").where(col("vec_id") < 500), threshold = 0.4)
@@ -1133,6 +1137,17 @@ object SparkEntry {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
       WHERE rnk <= 5""",
+    "q59_quantize_int8" ->
+      """WITH s AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             coalesce(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> abs(x))), 0.0) AS scale
+           FROM embeddings)
+         SELECT vec_id, round(scale, 6) AS scale,
+           CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0)
+                ELSE list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
+           END AS q
+         FROM s""",
     "q22_cosine_neardup_baseline" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings WHERE vec_id < 500)

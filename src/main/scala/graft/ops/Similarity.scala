@@ -235,6 +235,29 @@ object Similarity {
     trainCentroids(train, math.min(nlist, train.length), maxIter)
   }
 
+  /** Int8 quantization of an embedding column: per-vector max-abs scale,
+    * component -> floor(x / scale * 127 + 0.5) in [-127, 127] (floor+0.5
+    * instead of round(): identical half-up semantics in every engine,
+    * where round() is half-even in some). The compact storage format of
+    * an ANN serving layer — 4x smaller than float32, cosine-rank
+    * preserved to ~1% for unit-norm vectors.
+    *
+    * Scale: pure scan-local projection (one dot_product for the norm,
+    * one linear transform); zero vectors quantize to zeros with scale 0. */
+  def quantizeInt8(vectors: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(idCol), col(vecCol).as("v"),
+        expr(s"aggregate($vecCol, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))").as("scale"))
+      .select(
+        col(idCol),
+        round(col("scale"), 6).as("scale"),
+        when(col("scale") === 0.0, expr("transform(v, x -> 0)"))
+          .otherwise(expr(
+            "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS INT))"))
+          .as("q"))
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold.
     * Brute-force form for correctness; at scale, feed `candidatePairs`
     * from an SRP bucketing instead of the full cross product. */

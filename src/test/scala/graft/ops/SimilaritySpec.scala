@@ -83,6 +83,20 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("dims"))
   }
 
+  test("int8 quantization: max-abs scale, half-up components, zero-vector safe") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, -1.0f, 0.5f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(-2.0f, 1.0f, 0.25f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[Seq[Int]]("q"))).toMap
+    assert(got(0L) === ((1.0, Seq(127, 0, -127, 64))))     // 63.5+0.5 floors to 64
+    assert(got(1L) === ((0.0, Seq(0, 0, 0, 0))))           // no divide-by-zero
+    assert(got(2L) === ((2.0, Seq(-127, 64, 16, 0))))      // 15.875+0.5 floors to 16
+  }
+
   test("cosine near-duplicates: only the planted close pair passes 0.9") {
     val pairs = Similarity.cosineNearDuplicates(vecs, threshold = 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
