@@ -67,12 +67,26 @@ object Bench {
     }
     val timed = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
-    val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timed.map(_._2).sum
+    // The driver captures a bounded tail of the sbt log; BENCH_r02's
+    // "parsed": null was the full-name, full-precision line (~1.9 KB)
+    // overflowing that window and losing its head. The parsed line now
+    // uses the qNN prefix and 3-decimal seconds (~0.9 KB); the
+    // full-name, full-precision record goes to a file instead.
+    def fmt(v: Double) = f"$v%.3f"
+    val qsShort = timed.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"queries":$qsShort,"failed":$fs,"sf":"$sfDir"}"""
+    val qsFull = timed.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val jsonFull =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qsFull,"failed":$fs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (jsonFull + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] full-json write failed: $e") }
     // stop FIRST, print LAST: nothing (shutdown logs, sbt chatter) may
     // follow the metric line on stdout — the driver parses it verbatim
     spark.stop()

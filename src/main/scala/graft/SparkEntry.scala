@@ -223,9 +223,15 @@ object SparkEntry {
       // and exists only as the recall/correctness baseline that
       // q38_cosine_neardup_lsh (the scale path) is validated against.
       // Unbounded brute-force checks live in SimilaritySpec.
-      // int8 embedding quantization (ANN serving storage format)
+      // int8 embedding quantization (ANN serving storage format).
+      // The operator returns the real array<int> column; the declared
+      // query CSV-encodes it because the driver's oracle compare sorts
+      // rows in pandas, which cannot order list-valued columns
+      // (CORRECTNESS_r02 q59 lexsort failure).
       "q59_quantize_int8" -> q { (s, dir) =>
         Similarity.quantizeInt8(t(s, dir, "embeddings"))
+          .select(col("vec_id"), col("scale"),
+            expr("concat_ws(',', transform(q, x -> CAST(x AS STRING)))").as("q_csv"))
       },
       "q22_cosine_neardup_baseline" -> q { (s, dir) =>
         Similarity.cosineNearDuplicates(
@@ -426,11 +432,18 @@ object SparkEntry {
         Multimodal.frameSample(t(s, dir, "documents"))
       },
       "q35_approx_distinct" -> q { (s, dir) =>
-        // HLL sketch — engine-specific estimate, so rows-only check; the
-        // spec asserts the estimate is within 5% of exact
+        // HLL sketch — the estimate itself is engine-specific, so the
+        // declared output carries the exact count (hash-matchable) plus
+        // the ±5% bound VERDICT as a boolean the oracle asserts TRUE.
+        // This upgrades the old rows-only check to a green hash-match
+        // without pretending DuckDB's HLL equals Spark's.
         t(s, dir, "events")
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+          .agg(approx_count_distinct(col("user_id")).as("approx"),
+            countDistinct(col("user_id")).as("exact_users"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx").cast("double") / col("exact_users") - 1.0) <= 0.05)
+              .as("within_5pct"))
       })
       // ETL over the reference's own raw inputs — every output table of
       // CapstoneEtl.build, hash-matched against DuckDB mirrors of the
@@ -1144,9 +1157,10 @@ object SparkEntry {
                x -> abs(x))), 0.0) AS scale
            FROM embeddings)
          SELECT vec_id, round(scale, 6) AS scale,
-           CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0)
-                ELSE list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
-           END AS q
+           array_to_string(
+             CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
+             END, ',') AS q_csv
          FROM s""",
     "q22_cosine_neardup_baseline" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -1241,6 +1255,15 @@ object SparkEntry {
            count(*) FILTER (event_type = 'error') AS error,
            count(*) FILTER (event_type = 'view') AS view
          FROM events GROUP BY user_id""",
+    // The estimate column itself is engine-specific (Spark HLL++ vs
+    // DuckDB HLL), so the contract under oracle check is: exact count
+    // matches, and Spark's estimate is within ±5% of it. The oracle
+    // asserts the bound as literal TRUE; a drifting sketch flips the
+    // boolean on the Spark side and fails the hash.
+    "q35_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+         FROM events GROUP BY event_type""",
     "q34_percentiles" ->
       """SELECT event_type,
            quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
