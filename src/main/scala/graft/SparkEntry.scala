@@ -233,6 +233,11 @@ object SparkEntry {
           .select(col("vec_id"), col("scale"),
             expr("concat_ws(',', transform(q, x -> CAST(x AS STRING)))").as("q_csv"))
       },
+      // CCNet-style corpus segment dedup: boilerplate segments (>=2
+      // distinct docs) removed from every doc, survivors reassembled.
+      "q60_segment_dedup" -> q { (s, dir) =>
+        Dedup.segmentDedup(t(s, dir, "documents"))
+      },
       "q22_cosine_neardup_baseline" -> q { (s, dir) =>
         Similarity.cosineNearDuplicates(
           t(s, dir, "embeddings").where(col("vec_id") < 500), threshold = 0.4)
@@ -1162,6 +1167,26 @@ object SparkEntry {
                   ELSE list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
              END, ',') AS q_csv
          FROM s""",
+    "q60_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         seg AS (
+           SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS seg_pos,
+             unnest(list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+               i -> array_to_string(ws[CAST(i * 10 + 1 AS INT) : CAST(i * 10 + 10 AS INT)], ' '))) AS segment
+           FROM w),
+         common AS (
+           SELECT segment FROM (
+             SELECT segment, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1)
+           WHERE df >= 2),
+         flagged AS (
+           SELECT s.doc_id, s.seg_pos, s.segment, (c.segment IS NOT NULL) AS dup
+           FROM seg s LEFT JOIN common c ON s.segment = c.segment)
+         SELECT doc_id,
+           coalesce(string_agg(segment, ' ' ORDER BY seg_pos) FILTER (WHERE NOT dup), '') AS clean_text,
+           CAST(count(*) FILTER (WHERE NOT dup) AS BIGINT) AS kept_segments,
+           CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS removed_segments
+         FROM flagged GROUP BY doc_id""",
     "q22_cosine_neardup_baseline" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings WHERE vec_id < 500)

@@ -310,4 +310,59 @@ object Dedup {
         (0 until 16).map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
           .reduce(_ + _).cast("long").as("simhash"))
   }
+
+  /** Split each document into dedup segments: lines when the corpus has
+    * line structure (`delim = Some("\n")`), else fixed non-overlapping
+    * `wordsPerSegment`-word windows (flat text, as the synthetic corpus).
+    * Output: (doc_id, seg_pos, segment). Scan-local generate — no
+    * shuffle. */
+  def segments(docs: DataFrame, wordsPerSegment: Int = 10,
+               delim: Option[String] = None, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val segArray = delim match {
+      // Column-API split: the pattern string goes to the regex engine
+      // verbatim (an expr() SQL literal would re-interpret backslashes)
+      case Some(d) => split(col(textCol), java.util.regex.Pattern.quote(d))
+      case None => expr(
+        s"""transform(
+              sequence(0, CAST(ceil(size(split($textCol, ' ')) / $wordsPerSegment.0) AS INT) - 1),
+              i -> concat_ws(' ', slice(split($textCol, ' '), i * $wordsPerSegment + 1, $wordsPerSegment)))""")
+    }
+    docs.select(col(idCol), posexplode(segArray).as(Seq("seg_pos", "segment")))
+  }
+
+  /** Corpus-level segment (line/paragraph) dedup, CCNet-style: a segment
+    * occurring in >= minDocFreq distinct documents is boilerplate and is
+    * removed from EVERY document; survivors are reassembled in original
+    * order. Output: (doc_id, clean_text, kept_segments, removed_segments)
+    * — one row per input document, clean_text = "" when everything was
+    * boilerplate.
+    *
+    * Scale design: the doc-frequency pass shuffles 8-byte xxhash64 keys,
+    * never segment strings; the flag join is a plain equi-join on that
+    * digest (NOT a broadcast — on a web crawl the duplicated-segment set
+    * is itself huge, ~30% of all text, so AQE decides; pass a high
+    * minDocFreq for boilerplate-only removal if you want a broadcastable
+    * right side). Reassembly is one shuffle keyed on doc_id with the
+    * boilerplate flag folded into the aggregate (collect_list skips the
+    * NULLed-out duplicate rows), so no second pass over the corpus. */
+  def segmentDedup(docs: DataFrame, minDocFreq: Int = 2,
+                   wordsPerSegment: Int = 10, delim: Option[String] = None,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val seg = segments(docs, wordsPerSegment, delim, idCol, textCol)
+      .withColumn("h", xxhash64(col("segment")))
+    val common = seg.select(col("h"), col(idCol)).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select(col("h"), lit(true).as("dup"))
+    seg.join(common, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(delim.getOrElse(" "), expr(
+          """transform(
+               array_sort(collect_list(CASE WHEN dup IS NULL THEN struct(seg_pos, segment) END)),
+               s -> s.segment)""")).as("clean_text"),
+        count(when(col("dup").isNull, 1)).as("kept_segments"),
+        count(col("dup")).as("removed_segments"))
+  }
 }

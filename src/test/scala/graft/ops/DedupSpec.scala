@@ -120,4 +120,37 @@ class DedupSpec extends SparkSpec {
     assert(hamming <= 6, s"near-dup hamming distance $hamming too large")
     assert(sh.where(col("doc_id") === 6).count() === 0)  // empty doc dropped
   }
+
+  test("segmentDedup removes cross-doc boilerplate segments, keeps order, empties all-boilerplate docs") {
+    val corpus = Seq(
+      (0L, "a b c d e f g h i"),   // segs: [a b c][d e f][g h i]
+      (1L, "a b c x y z p q r"),   // shares [a b c] with doc 0
+      (2L, "a b c a b c"),         // within-doc repeat of a cross-doc dup
+      (3L, "a b c"),               // all boilerplate → clean_text ""
+      (4L, "u v w xx")             // unique, ragged last segment
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, minDocFreq = 2, wordsPerSegment = 3).cache()
+    def row(id: Long) = out.where(col("doc_id") === id).head()
+    assert(out.count() === 5)                              // one row per input doc
+    assert(row(0).getAs[String]("clean_text") === "d e f g h i")
+    assert(row(0).getAs[Long]("removed_segments") === 1L)
+    assert(row(1).getAs[String]("clean_text") === "x y z p q r")
+    assert(row(2).getAs[String]("clean_text") === "")      // both copies removed
+    assert(row(2).getAs[Long]("removed_segments") === 2L)
+    assert(row(3).getAs[String]("clean_text") === "")
+    assert(row(4).getAs[String]("clean_text") === "u v w xx")
+    assert(row(4).getAs[Long]("kept_segments") === 2L)
+  }
+
+  test("segmentDedup delim mode dedups whole lines and reassembles with the delimiter") {
+    val corpus = Seq(
+      (10L, "hello\nworld\nfoo"),
+      (11L, "world\nbar")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, minDocFreq = 2, delim = Some("\n")).cache()
+    def row(id: Long) = out.where(col("doc_id") === id).head()
+    assert(row(10).getAs[String]("clean_text") === "hello\nfoo")
+    assert(row(11).getAs[String]("clean_text") === "bar")
+    assert(row(10).getAs[Long]("removed_segments") === 1L)
+  }
 }
