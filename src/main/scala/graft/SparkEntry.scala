@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.StarAnalytics
-import graft.ops.{Contamination, Dedup, Events, Multimodal, Sampling, Similarity, TextStats}
+import graft.ops.{Contamination, Dedup, Events, LangModel, Multimodal, Sampling, Similarity, TextStats}
 
 /** Driver contract — the engine's declared query surface.
   *
@@ -237,6 +237,10 @@ object SparkEntry {
       // distinct docs) removed from every doc, survivors reassembled.
       "q60_segment_dedup" -> q { (s, dir) =>
         Dedup.segmentDedup(t(s, dir, "documents"))
+      },
+      // unigram-LM "perplexity" quality signal, corpus-trained in-query
+      "q61_unigram_logprob" -> q { (s, dir) =>
+        LangModel.unigramScore(t(s, dir, "documents"))
       },
       "q22_cosine_neardup_baseline" -> q { (s, dir) =>
         Similarity.cosineNearDuplicates(
@@ -1167,6 +1171,22 @@ object SparkEntry {
                   ELSE list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
              END, ',') AS q_csv
          FROM s""",
+    // integer micro-nat arithmetic end-to-end (see LangModel scaladoc):
+    // the only float op is the per-distinct-count ln(), fixed to BIGINT
+    // before any order-dependent aggregation on either engine
+    "q61_unigram_logprob" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                              ELSE $DuckTokens END) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      cnts AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tokens FROM tf)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        CAST(sum(CAST(round((ln(total_tokens) - ln(cnt)) * 1e6) AS BIGINT) * tf) AS BIGINT)
+          // CAST(sum(tf) AS BIGINT) AS avg_nlp_micros
+      FROM tf JOIN cnts USING (tok) CROSS JOIN tot
+      GROUP BY doc_id""",
     "q60_segment_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          seg AS (
