@@ -242,6 +242,10 @@ object SparkEntry {
       "q61_unigram_logprob" -> q { (s, dir) =>
         LangModel.unigramScore(t(s, dir, "documents"))
       },
+      // SemDedup: k-means-cell-bounded semantic dedup over embeddings
+      "q62_semdedup" -> q { (s, dir) =>
+        Similarity.semDedup(t(s, dir, "embeddings"))
+      },
       "q22_cosine_neardup_baseline" -> q { (s, dir) =>
         Similarity.cosineNearDuplicates(
           t(s, dir, "embeddings").where(col("vec_id") < 500), threshold = 0.4)
@@ -654,9 +658,11 @@ object SparkEntry {
     * bit-identical doubles the native NearestCell / CosineSimilarity
     * loops produce; the final re-rank score is rounded to 4 decimals
     * like every other similarity oracle. */
-  def ivfOracleSql(spark: SparkSession, sfDir: String): String = {
-    val cent = graft.ops.Similarity.trainedCentroids(
-      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+  /** Shared CTE block for centroid-based oracles (q29, q62): cosine of
+    * every vector against every trained centroid, then argmax cell
+    * assignment — component sums written left-associated so the doubles
+    * are bit-identical to the native NearestCell loop. */
+  private def duckCellAssignCtes(cent: Array[Array[Double]]): String = {
     val norms = cent.map(c => math.sqrt(c.map(x => x * x).sum))
     val dim = cent.head.length
     val selfDot = (0 until dim).map(d => s"e[${d + 1}]*e[${d + 1}]").mkString(" + ")
@@ -668,15 +674,22 @@ object SparkEntry {
                   ELSE ($dotE) / (${norms(i)} * nv) END) AS cos
           FROM v"""
     }.mkString("\n        UNION ALL ")
-    s"""
-      WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       v AS (SELECT vec_id, e, sqrt($selfDot) AS nv FROM v0),
       cellcos AS ($cellBranches),
-      assigned AS (
-        SELECT vec_id AS neighbor_id, e AS cv, cell FROM (
+      cells AS (
+        SELECT vec_id, e, cell FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
             ORDER BY cos DESC, cell) AS rn
-          FROM cellcos) WHERE rn = 1),
+          FROM cellcos) WHERE rn = 1)"""
+  }
+
+  def ivfOracleSql(spark: SparkSession, sfDir: String): String = {
+    val cent = graft.ops.Similarity.trainedCentroids(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    s"""
+      WITH ${duckCellAssignCtes(cent)},
+      assigned AS (SELECT vec_id AS neighbor_id, e AS cv, cell FROM cells),
       probed AS (
         SELECT vec_id AS query_id, e AS qv, cell FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -695,9 +708,35 @@ object SparkEntry {
       WHERE rnk <= 5"""
   }
 
-  // q29_ivf_ann is intentionally absent from this static map — its
-  // oracle embeds data-dependent trained centroids, so Verify injects
-  // ivfOracleSql(spark, sfDir) at dump time.
+  /** q62 oracle, generated like q29's: same trained centroids as
+    * literals, within-cell pairwise cosine >= 0.4 as duplicate edges,
+    * transitive closure via recursive CTE (the q42 mirror), keep the
+    * component minimum. */
+  def semDedupOracleSql(spark: SparkSession, sfDir: String): String = {
+    val cent = graft.ops.Similarity.trainedCentroids(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    s"""
+      WITH RECURSIVE ${duckCellAssignCtes(cent)},
+      pairs AS (
+        SELECT a.vec_id AS pa, b.vec_id AS pb
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4),
+      edges AS (SELECT pa AS su, pb AS sv FROM pairs
+                UNION SELECT pb, pa FROM pairs),
+      reach(su, sv) AS (
+        SELECT su, su FROM edges
+        UNION
+        SELECT g.su, r.sv FROM edges g JOIN reach r ON r.su = g.sv),
+      comp AS (SELECT su AS vid, min(sv) AS component_id FROM reach GROUP BY su),
+      losers AS (SELECT vid FROM comp WHERE vid <> component_id)
+      SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM cells
+      WHERE vec_id NOT IN (SELECT vid FROM losers)"""
+  }
+
+  // q29_ivf_ann and q62_semdedup are intentionally absent from this
+  // static map — their oracles embed data-dependent trained centroids,
+  // so Verify injects ivfOracleSql / semDedupOracleSql at dump time.
   def oracleSql: Map[String, String] = Map(
     "q40_subqueries" ->
       """SELECT o_orderkey, o_totalprice

@@ -41,10 +41,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // q29's oracle embeds trained centroids (data-dependent, deterministic
-    // for a given sf dir) — generated here, where the data is known
+    // q29/q62 oracles embed trained centroids (data-dependent,
+    // deterministic for a given sf dir) — generated here, where the
+    // data is known
     val oracles = SparkEntry.oracleSql +
-      ("q29_ivf_ann" -> SparkEntry.ivfOracleSql(spark, sfDir))
+      ("q29_ivf_ann" -> SparkEntry.ivfOracleSql(spark, sfDir)) +
+      ("q62_semdedup" -> SparkEntry.semDedupOracleSql(spark, sfDir))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

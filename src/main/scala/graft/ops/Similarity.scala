@@ -296,4 +296,36 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
+
+  /** SemDedup (Abbas et al., arXiv:2303.09540): embedding-level semantic
+    * dedup with k-means cells bounding the pairwise search. Vectors in
+    * the SAME cell with cosine >= threshold are semantic duplicates;
+    * duplicate groups are closed transitively (large-star/small-star
+    * components, the q42 machinery) and only the lowest-id member of
+    * each group is kept. Output: (vec_id, cell) for every kept vector.
+    *
+    * Scale shape, as the paper intends: centroids train on a bounded
+    * driver-side sample and broadcast as literals (ivfTopK recipe), cell
+    * assignment is one scan-local argmax, and the quadratic pair search
+    * is confined to each cell (~n/nlist rows) via an equi-join on cell —
+    * never a corpus-wide cross product. Cross-cell near-dups are missed
+    * by construction; that recall loss is the published tradeoff. */
+  def semDedup(corpus: DataFrame, threshold: Double = 0.4, nlist: Int = 16,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxIter: Int = 5, maxTrain: Int = 4096): DataFrame = {
+    val cent = trainedCentroids(corpus, nlist, maxIter, maxTrain, idCol, vecCol)
+    val assigned = corpus.select(col(idCol), col(vecCol).as("v"),
+      VectorExpressions.nearest_cell(col(vecCol), cent.map(_.toSeq).toSeq).as("cell"))
+    val a = assigned.select(col("cell"), col(idCol).as("doc_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col(idCol).as("doc_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(cosine(col("va"), col("vb")) >= threshold)
+      .select("doc_a", "doc_b")
+    val losers = Dedup.connectedComponents(pairs)
+      .where(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as(idCol))
+    assigned.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell").cast("long").as("cell"))
+  }
 }

@@ -102,4 +102,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("semDedup keeps the lowest id per transitive duplicate group, others untouched") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),       // dup group A (chain 0~1~2)
+      (1L, Array(0.999f, 0.001f)),
+      (2L, Array(0.998f, 0.002f)),
+      (10L, Array(0.0f, 1.0f)),      // dup group B
+      (11L, Array(0.001f, 0.999f)),
+      (20L, Array(-1.0f, 0.5f))      // unique
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(corpus, threshold = 0.99, nlist = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(kept === Set(0L, 10L, 20L))
+  }
+
+  test("semDedup with no duplicates returns the full corpus") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(corpus, threshold = 0.99, nlist = 2).count() === 3)
+  }
 }
