@@ -246,6 +246,16 @@ object SparkEntry {
       "q62_semdedup" -> q { (s, dir) =>
         Similarity.semDedup(t(s, dir, "embeddings"))
       },
+      // exact decontamination hit-list behind a Bloom pre-gate (the
+      // sketch prunes before the shuffle; a verify join restores
+      // exactness, so the oracle is the plain exact query)
+      "q63_bloom_decontaminate" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        Contamination.bloomDecontaminate(
+          docs.where(col("doc_id") % 17 =!= 0),
+          docs.where(col("doc_id") % 17 === 0),
+          shingleSize = 2) // DuckShingles (the shared oracle CTE) is bigrams
+      },
       "q22_cosine_neardup_baseline" -> q { (s, dir) =>
         Similarity.cosineNearDuplicates(
           t(s, dir, "embeddings").where(col("vec_id") < 500), threshold = 0.4)
@@ -995,6 +1005,19 @@ object SparkEntry {
          FROM orders
          GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority),
                                  (year(o_orderdate), o_orderpriority))""",
+    "q63_bloom_decontaminate" -> s"""
+      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+      bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+      u AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform($DuckShingles,
+          x -> md5_number_lower(x)))) AS h
+        FROM bench),
+      e AS (
+        SELECT doc_id, unnest(list_distinct(list_transform($DuckShingles,
+          x -> md5_number_lower(x)))) AS h
+        FROM corpus)
+      SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM e JOIN u ON e.h = u.h GROUP BY e.doc_id""",
     "q43_contamination" -> s"""
       WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
       bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),

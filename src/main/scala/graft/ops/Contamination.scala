@@ -67,4 +67,37 @@ object Contamination {
         round(coalesce(col("n_hit"), lit(0L)) / col("n_shingles"), 4)
           .as("contamination"))
   }
+
+  /** Exact contamination hit-list (docs sharing >= 1 shingle with the
+    * benchmark, with their true distinct-hit count) behind a Bloom
+    * pre-gate — the scale path when the benchmark shingle universe is
+    * too large to broadcast as rows (a few GBs of hashes): the universe
+    * is folded into an ~MB Bloom sketch via a distributed treeAggregate
+    * (df.stat.bloomFilter), shipped to every scan as a binary literal,
+    * and probed by Spark's native BloomFilterMightContain BEFORE any
+    * exchange — so the verify join shuffles only true hits plus the fpp
+    * sliver of false positives, not every corpus shingle. The verify
+    * join (no broadcast hint; AQE picks the strategy) restores
+    * exactness: output is identical to the broadcast-universe path. */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame,
+                         textCol: String = "text", shingleSize: Int = 3,
+                         fpp: Double = 0.01): DataFrame = {
+    val universe = shingleUniverse(bench, textCol, shingleSize)
+    // sizing pass over the (benchmark-sized, small) universe only
+    val nItems = math.max(universe.count(), 1L)
+    val bf = universe.stat.bloomFilter("h", nItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val probe = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(lit(bos.toByteArray)),
+        ColumnBridge.expression(col("h"))))
+    val exploded = hashed(corpus, textCol, shingleSize)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    exploded.where(probe)
+      .join(universe, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
 }

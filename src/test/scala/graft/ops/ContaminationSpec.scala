@@ -32,4 +32,19 @@ class ContaminationSpec extends SparkSpec {
     assert(out.where(col("n_contaminated") =!= 0).count() === 0)
     assert(out.count() === 3)
   }
+
+  test("bloom-gated decontamination equals the exact hit-list") {
+    val got = Contamination.bloomDecontaminate(corpus, bench, shingleSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 2L -> 2L)) // only true hits, true counts
+  }
+
+  test("bloom-gated decontamination survives an aggressive fpp (verify join stays exact)") {
+    // fpp = 0.5 floods the candidate set with false positives; the
+    // verify join must still produce exactly the true hit-list
+    val got = Contamination.bloomDecontaminate(corpus, bench,
+        shingleSize = 2, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 2L -> 2L))
+  }
 }
