@@ -234,7 +234,8 @@ object Dedup {
     * localCheckpoint; on a cluster this is where a reliable checkpoint
     * dir would go). Convergence is an exact set-equality check
     * (count + anti-join), the same cost class as one round. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          smallCutoff: Long = 1L << 17): DataFrame = {
     val spark = pairs.sparkSession
     // orient large→small; drop self-loops
     var edges = pairs
@@ -242,6 +243,36 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("v"))
       .where(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
+    // Small-graph fast path: near-dup edge sets are usually tiny relative
+    // to the corpus (dup clusters, not the documents, drive |E|). Below
+    // the cutoff a driver union-find replaces ~log n distributed rounds
+    // whose per-round job overhead dwarfs the work; the collect is
+    // BOUNDED by the cutoff (≈2 MB of longs at the default), same
+    // justification as the capped IVF training collect. Above it, the
+    // alternating-star loop is the 100 TB path.
+    val allLong = edges.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (allLong && edges.count() <= smallCutoff) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // union roots at the MIN, so every find() resolves to the
+        // component minimum — the loop's fixpoint labeling, exactly
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      import spark.implicits._
+      return parent.keysIterator.map(x => (x, find(x))).toSeq
+        .toDF("doc_id", "component_id")
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

@@ -101,6 +101,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).count() === 0)
   }
 
+  test("distributed star loop (cutoff 0) agrees with the union-find fast path") {
+    val path = (0L until 11L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (path ++ tri).toDF("doc_a", "doc_b")
+    val viaLoop = Dedup.connectedComponents(pairs, smallCutoff = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaUf = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLoop === viaUf)
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty, smallCutoff = 0L).count() === 0)
+  }
+
   test("nearDedupedCorpus keeps one representative per transitive cluster") {
     // docs 0,1,2,3 chain into one cluster at threshold 0.3 (0≈1≈2≈3);
     // component min 0 survives, 4 is unrelated, 5/6 have no shingles
