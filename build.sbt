@@ -16,6 +16,10 @@ run / fork := true
 // mangles the one-line JSON metric contract of graft.Bench — the driver
 // must be able to parse the line as-is.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and keep sbt's own "[success] Total time" epilogue off stdout so
+// the metric JSON stays the LAST line inside the driver's bounded tail
+// (BENCH_r02's tail window clipped the line's head).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

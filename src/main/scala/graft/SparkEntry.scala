@@ -246,6 +246,11 @@ object SparkEntry {
       "q62_semdedup" -> q { (s, dir) =>
         Similarity.semDedup(t(s, dir, "embeddings"))
       },
+      // per-source token-budget mixture sampling (two-phase bucket
+      // selection; bit-identical to the per-source running-sum window)
+      "q64_token_budget_mix" -> q { (s, dir) =>
+        graft.ops.Mixer.tokenBudgetMix(t(s, dir, "documents"), budget = 800L)
+      },
       // exact decontamination hit-list behind a Bloom pre-gate (the
       // sketch prunes before the shuffle; a verify join restores
       // exactness, so the oracle is the plain exact query)
@@ -1005,6 +1010,20 @@ object SparkEntry {
          FROM orders
          GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority),
                                  (year(o_orderdate), o_orderpriority))""",
+    "q64_token_budget_mix" -> s"""
+      WITH t AS (
+        SELECT doc_id, source,
+          CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($DuckTokens) END AS n_tokens,
+          md5_number_lower('budget|' || CAST(doc_id AS VARCHAR))
+            & 9223372036854775807 AS prio
+        FROM documents),
+      w AS (
+        SELECT doc_id, source, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY prio, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM w WHERE cum <= 800""",
     "q63_bloom_decontaminate" -> s"""
       WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
       bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
