@@ -251,6 +251,12 @@ object SparkEntry {
       "q64_token_budget_mix" -> q { (s, dir) =>
         graft.ops.Mixer.tokenBudgetMix(t(s, dir, "documents"), budget = 800L)
       },
+      // keep-best canonical selection: near-dup components (same LSH
+      // params as q42) reduced to their longest member, min doc_id ties
+      "q65_keep_best_dedup" -> q { (s, dir) =>
+        Dedup.keepBestDedup(t(s, dir, "documents"),
+          numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35)
+      },
       // exact decontamination hit-list behind a Bloom pre-gate (the
       // sketch prunes before the shuffle; a verify join restores
       // exactness, so the oracle is the plain exact query)
@@ -1024,6 +1030,31 @@ object SparkEntry {
         FROM t)
       SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
       FROM w WHERE cum <= 800""",
+    "q65_keep_best_dedup" -> s"""
+      WITH RECURSIVE $DuckNearDupCtes,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM verified
+        WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35
+        UNION
+        SELECT doc_b, doc_a FROM verified
+        WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35),
+      reach(u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+      tok AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len($DuckTokens) END AS n_tokens
+              FROM documents),
+      ranked AS (
+        SELECT c.doc_id, c.component_id, t.n_tokens,
+          row_number() OVER (PARTITION BY c.component_id
+                             ORDER BY t.n_tokens DESC, c.doc_id) AS rn
+        FROM comp c JOIN tok t USING (doc_id)),
+      losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+      SELECT doc_id, n_tokens FROM tok
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
     "q63_bloom_decontaminate" -> s"""
       WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
       bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),

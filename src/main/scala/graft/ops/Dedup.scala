@@ -325,6 +325,37 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Keep-best near-dup dedup: like [[nearDedupedCorpus]], but the
+    * cluster representative is chosen by a quality policy — the longest
+    * document (token count) wins, ties broken by minimum doc_id — the
+    * "keep best, not first" canonical-selection step of fuzzy-dedup
+    * curation pipelines. Output: the kept corpus as
+    * (doc_id, n_tokens).
+    *
+    * Scale: the winner per component is a `max_by` over an orderable
+    * (n_tokens, -doc_id) struct — a partial-aggregating groupBy (no
+    * per-component sort, no window over the corpus). Both anti-joins key
+    * on doc_id; the clustered set (components ∪ losers) is proportional
+    * to the duplicated fraction, not the corpus, so AQE broadcasts it
+    * when small and falls back to a hash join when it isn't. */
+  def keepBestDedup(docs: DataFrame, textCol: String = "text",
+                    numHashes: Int = 8, rowsPerBand: Int = 2,
+                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDuplicates(docs, textCol, numHashes, rowsPerBand,
+      shingleSize, threshold)
+    val comps = connectedComponents(pairs)
+    val scored = docs.select(col("doc_id"),
+      TextStats.tokenCount(col(textCol)).as("n_tokens"))
+    val winners = comps.join(scored, "doc_id")
+      .groupBy("component_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_tokens"), (-col("doc_id")).as("tie"))).as("doc_id"))
+      .select("doc_id")
+    val losers = comps.select("doc_id")
+      .join(winners, Seq("doc_id"), "left_anti")
+    scored.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** 16-bit SimHash over the token multiset, using the first 4 hex chars
     * of md5(token) as the per-token hash. bit_j(doc) = sign of
     * Σ_tokens (±1). Engine-portable (md5 + arithmetic only). */

@@ -125,6 +125,24 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(5L) && kept.contains(6L))
   }
 
+  test("keepBestDedup keeps the longest cluster member, min doc_id on ties") {
+    // planted: 11 is a superset of 10 (bigram jaccard 3/4) and longer —
+    // the higher doc_id must win the cluster
+    val corpus = docs.union(Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text"))
+    val kept = Dedup.keepBestDedup(corpus, shingleSize = 2, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept.contains(11L) && !kept.contains(10L))
+    assert(kept(11L) === 5)
+    // 0..3 all have 9 tokens → tie → min doc_id 0 survives
+    assert(kept.contains(0L) && Seq(1L, 2L, 3L).forall(!kept.contains(_)))
+    // untouched docs pass through with their counts
+    assert(kept.contains(4L) && kept.contains(5L) && kept.contains(6L))
+    assert(kept(6L) === 0)
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = Dedup.simHash(docs).cache()
     def h(id: Long) = sh.where(col("doc_id") === id).head().getAs[Long]("simhash")
