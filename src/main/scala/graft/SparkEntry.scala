@@ -257,6 +257,17 @@ object SparkEntry {
         Dedup.keepBestDedup(t(s, dir, "documents"),
           numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35)
       },
+      // bigram LM counts: top-50 bigrams with conditional log-prob
+      // (micro-nat integers; deterministic rank order)
+      "q66_bigram_lm" -> q { (s, dir) =>
+        LangModel.bigramCounts(t(s, dir, "documents"))
+      },
+      // dedup diagnostics: duplicate-cluster size distribution over the
+      // q42 component structure
+      "q67_cluster_sizes" -> q { (s, dir) =>
+        Dedup.clusterSizeReport(Dedup.nearDuplicates(t(s, dir, "documents"),
+          numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35))
+      },
       // exact decontamination hit-list behind a Bloom pre-gate (the
       // sketch prunes before the shuffle; a verify join restores
       // exactness, so the oracle is the plain exact query)
@@ -1055,6 +1066,39 @@ object SparkEntry {
       losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
       SELECT doc_id, n_tokens FROM tok
       WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
+    "q66_bigram_lm" -> s"""
+      WITH toks AS (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END AS ts
+        FROM documents),
+      bg AS (
+        SELECT ts[g] AS w1, ts[g + 1] AS w2
+        FROM (SELECT ts, unnest(range(1, len(ts))) AS g
+              FROM toks WHERE len(ts) >= 2)),
+      bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+      uc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1)
+      SELECT w1, w2, c2, c1,
+        CAST(round((ln(c2) - ln(c1)) * 1e6) AS BIGINT) AS logp_micros
+      FROM bc JOIN uc USING (w1)
+      ORDER BY c2 DESC, w1, w2 LIMIT 50""",
+    "q67_cluster_sizes" -> s"""
+      WITH RECURSIVE $DuckNearDupCtes,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM verified
+        WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35
+        UNION
+        SELECT doc_b, doc_a FROM verified
+        WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35),
+      reach(u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+      sizes AS (SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY 1)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY 1""",
     "q63_bloom_decontaminate" -> s"""
       WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
       bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),

@@ -356,6 +356,25 @@ object Dedup {
     scored.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Dedup diagnostics report: the distribution of duplicate-cluster
+    * sizes — for each cluster size, how many clusters and how many
+    * documents (≡ size × clusters) sit at that size. The standard
+    * before/after artifact of a curation run: it shows whether
+    * duplication is a long tail of pairs or a few mega-clusters (which
+    * is also exactly the signal that decides `candidatePairs`'
+    * maxBucketSize cap).
+    *
+    * Scale: both aggregations run over the components relation (rows ∝
+    * clustered docs), then over one row per cluster — each with map-side
+    * partial aggregation; nothing corpus-sized is shuffled twice. */
+  def clusterSizeReport(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy("component_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** 16-bit SimHash over the token multiset, using the first 4 hex chars
     * of md5(token) as the per-token hash. bit_j(doc) = sign of
     * Σ_tokens (±1). Engine-portable (md5 + arithmetic only). */

@@ -56,4 +56,38 @@ object LangModel {
       .select(col(idCol), col("n_tokens"),
         expr("sum_micros div n_tokens").as("avg_nlp_micros"))
   }
+
+  /** Bigram LM counting — the training side of an n-gram language model:
+    * the k most frequent bigrams with their count, their left-context
+    * count, and the conditional log-probability
+    * ln P(w2|w1) = ln c(w1,w2) − ln Σ_w2' c(w1,w2') in integer
+    * micro-nats (same determinism contract as [[unigramScore]]). Ranked
+    * by count desc, then (w1, w2) — a total order, so top-k is
+    * engine-stable.
+    *
+    * Scale shape: bigram extraction is a scan-local generate (no
+    * distinct — LM counts need the multiset, unlike Jaccard shingles);
+    * one digest-keyed shuffle aggregates (w1, w2); the denominator
+    * Σ_w2' c(w1,w2') re-aggregates that already-reduced relation (rows ∝
+    * distinct bigrams, not corpus tokens) and broadcasts back; top-k is
+    * a bounded TakeOrdered, never a global sort. */
+  def bigramCounts(docs: DataFrame, k: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .select(TextStats.tokens(col(textCol)).as("ts"))
+      .where(size(col("ts")) >= 2)   // sequence(0, -1) would run backwards
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .where(col("w1").isNotNull && col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val left = bg.groupBy("w1").agg(sum("c2").cast("long").as("c1"))
+    bg.join(broadcast(left), "w1")
+      .select(col("w1"), col("w2"), col("c2").cast("long").as("c2"), col("c1"),
+        round((log(col("c2").cast("double")) - log(col("c1").cast("double"))) * 1e6)
+          .cast("long").as("logp_micros"))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

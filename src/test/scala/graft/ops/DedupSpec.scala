@@ -125,6 +125,15 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(5L) && kept.contains(6L))
   }
 
+  test("clusterSizeReport histograms component sizes") {
+    // components: {0,1,2,3} (chain), {10,11} → sizes 4 and 2
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val hist = Dedup.clusterSizeReport(pairs).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))).toMap
+    assert(hist === Map(4L -> ((1L, 4L)), 2L -> ((1L, 2L))))
+  }
+
   test("keepBestDedup keeps the longest cluster member, min doc_id on ties") {
     // planted: 11 is a superset of 10 (bigram jaccard 3/4) and longer —
     // the higher doc_id must win the cluster

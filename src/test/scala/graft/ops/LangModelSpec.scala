@@ -30,4 +30,23 @@ class LangModelSpec extends SparkSpec {
     // the ten identical docs all score identically
     assert((0L to 9L).map(out).toSet.size === 1)
   }
+
+  test("bigram counts: multiset counting, conditional prob denominators, stable top-k") {
+    // bigrams: (a b)×3 [doc0 twice via "a b a b", doc1 once], (b a)×1, (a c)×1
+    val docs = Seq((0L, "a b a b"), (1L, "a b"), (2L, "a c"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = LangModel.bigramCounts(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("c2"), r.getAs[Long]("c1"), r.getAs[Long]("logp_micros"))).toMap
+    // left-context counts: c1(a) = c(a,b) + c(a,c) = 4, c1(b) = 1
+    assert(out(("a", "b")) === ((3L, 4L, math.round(math.log(3.0 / 4.0) * 1e6))))
+    assert(out(("b", "a")) === ((1L, 1L, 0L)))
+    assert(out(("a", "c"))._2 === 4L)
+    // single-token and empty docs contribute nothing
+    assert(out.size === 3)
+    // k caps the output in (count desc, w1, w2) order
+    val top1 = LangModel.bigramCounts(docs, k = 1).collect()
+    assert(top1.length === 1 && top1.head.getString(0) === "a" &&
+      top1.head.getString(1) === "b")
+  }
 }
