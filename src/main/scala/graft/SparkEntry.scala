@@ -268,6 +268,11 @@ object SparkEntry {
         Dedup.clusterSizeReport(Dedup.nearDuplicates(t(s, dir, "documents"),
           numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35))
       },
+      // per-label embedding pooling (class centroids + coherence) via
+      // the native vector_sum_long aggregate — one scan, one shuffle
+      "q68_label_centroids" -> q { (s, dir) =>
+        Similarity.labelCentroids(t(s, dir, "embeddings"))
+      },
       // exact decontamination hit-list behind a Bloom pre-gate (the
       // sketch prunes before the shuffle; a verify join restores
       // exactness, so the oracle is the plain exact query)
@@ -1081,6 +1086,41 @@ object SparkEntry {
         CAST(round((ln(c2) - ln(c1)) * 1e6) AS BIGINT) AS logp_micros
       FROM bc JOIN uc USING (w1)
       ORDER BY c2 DESC, w1, w2 LIMIT 50""",
+    "q68_label_centroids" -> {
+      // identical quantization (floor(x·1e6 + 0.5), the q59 recipe) and
+      // left-assoc dot products, so both engines aggregate the SAME
+      // integers and the final cosine is one float op over them
+      val normTerms = (1 to 64).map(i => s"v[$i] * v[$i]").mkString(" + ")
+      val dotSS = (1 to 64)
+        .map(i => s"CAST(sv[$i] AS DOUBLE) * CAST(sv[$i] AS DOUBLE)").mkString(" + ")
+      val dotSU = (1 to 64)
+        .map(i => s"CAST(uv[$i] AS DOUBLE) * CAST(sv[$i] AS DOUBLE)").mkString(" + ")
+      s"""
+      WITH e AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      nrm AS (SELECT label, v, sqrt($normTerms) AS nv FROM e),
+      qv AS (
+        SELECT label,
+          list_transform(v, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS s,
+          CASE WHEN nv = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(v, x -> CAST(floor(x / nv * 1e6 + 0.5) AS BIGINT))
+          END AS u
+        FROM nrm),
+      comp AS (
+        SELECT label, g, CAST(sum(s[g]) AS BIGINT) AS ssum,
+               CAST(sum(u[g]) AS BIGINT) AS usum
+        FROM (SELECT label, s, u, unnest(range(1, 65)) AS g FROM qv)
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT label, list(ssum ORDER BY g) AS sv, list(usum ORDER BY g) AS uv
+        FROM comp GROUP BY label),
+      cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
+      SELECT label, n,
+        array_to_string(sv, ',') AS centroid_sum_csv,
+        round(CASE WHEN ($dotSS) = 0.0 THEN 0.0
+                   ELSE ($dotSU) / (n * sqrt($dotSS) * 1000000.0) END, 6) AS mean_cos
+      FROM agg JOIN cnt USING (label)"""
+    },
     "q67_cluster_sizes" -> s"""
       WITH RECURSIVE $DuckNearDupCtes,
       edges AS (

@@ -171,4 +171,95 @@ object AggExpressions {
     ColumnBridge.column(TopKByScore(
       ColumnBridge.expression(score), ColumnBridge.expression(id), k)
       .toAggregateExpression())
+
+  /** Element-wise sum buffer for [[VectorSumLong]]; width fixed by the
+    * first observed vector. */
+  final class VecSumBuffer { var v: Array[Long] = _ }
+
+  /** Element-wise sum of array<bigint> vectors — the embedding-pooling
+    * aggregate. The posexplode alternative shuffles n·dim scalar rows to
+    * compute the same thing; as a TypedImperativeAggregate the partial
+    * sums run map-side and the exchange carries ONE dim-length vector
+    * per (group × input partition). Null rows are skipped; a width
+    * mismatch inside a group fails fast — a silently mis-shaped centroid
+    * is the same bug class Similarity's dimGuard exists to prevent. Null
+    * elements contribute zero. */
+  case class VectorSumLong(child: Expression,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[VecSumBuffer]
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def nullable: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def createAggregationBuffer(): VecSumBuffer = new VecSumBuffer
+
+    private def addInto(b: VecSumBuffer, a: ArrayData): Unit = {
+      val n = a.numElements()
+      if (b.v == null) b.v = new Array[Long](n)
+      else require(b.v.length == n,
+        s"vector_sum_long: width mismatch ${b.v.length} vs $n within one group")
+      var i = 0
+      while (i < n) { if (!a.isNullAt(i)) b.v(i) += a.getLong(i); i += 1 }
+    }
+
+    override def update(b: VecSumBuffer, input: InternalRow): VecSumBuffer = {
+      val a = child.eval(input)
+      if (a != null) addInto(b, a.asInstanceOf[ArrayData])
+      b
+    }
+
+    override def merge(b: VecSumBuffer, other: VecSumBuffer): VecSumBuffer = {
+      if (other.v != null) {
+        if (b.v == null) b.v = other.v
+        else {
+          require(b.v.length == other.v.length,
+            s"vector_sum_long: width mismatch ${b.v.length} vs ${other.v.length}")
+          var i = 0
+          while (i < b.v.length) { b.v(i) += other.v(i); i += 1 }
+        }
+      }
+      b
+    }
+
+    override def eval(b: VecSumBuffer): Any =
+      if (b.v == null) null else new GenericArrayData(b.v.map(x => x: Any))
+
+    override def serialize(b: VecSumBuffer): Array[Byte] = {
+      val n = if (b.v == null) -1 else b.v.length
+      val buf = ByteBuffer.allocate(4 + 8 * math.max(n, 0))
+      buf.putInt(n)
+      var i = 0
+      while (i < n) { buf.putLong(b.v(i)); i += 1 }
+      buf.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): VecSumBuffer = {
+      val buf = ByteBuffer.wrap(bytes)
+      val n = buf.getInt
+      val b = new VecSumBuffer
+      if (n >= 0) {
+        b.v = new Array[Long](n)
+        var i = 0
+        while (i < n) { b.v(i) = buf.getLong; i += 1 }
+      }
+      b
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumLong =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): VectorSumLong =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): VectorSumLong =
+      copy(child = newChildren(0))
+  }
+
+  /** Aggregate column: element-wise sum of long vectors. */
+  def vector_sum_long(vec: Column): Column =
+    ColumnBridge.column(VectorSumLong(ColumnBridge.expression(vec))
+      .toAggregateExpression())
 }

@@ -328,4 +328,49 @@ object Similarity {
     assigned.join(losers, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell").cast("long").as("cell"))
   }
+
+  /** Per-label embedding pooling: class centroid (as exact micro-unit
+    * component sums — consumers divide by n) plus the mean cosine of
+    * members to their centroid (the class-coherence score used to rank
+    * label quality / find mislabeled strata).
+    *
+    * One corpus scan, one shuffle: both the raw-vector sum and the
+    * unit-normalized sum ride the native `vector_sum_long` aggregate
+    * (map-side partial vectors — the posexplode formulation would
+    * shuffle n·dim scalar rows). The mean cosine needs NO second pass:
+    * mean_i cos(x_i, c) = dot(Σ x_i/|x_i|, Σ x_i) / (n·|Σ x_i|), so it
+    * is a projection over the two pooled vectors.
+    *
+    * Cross-engine determinism: components are fixed to integer
+    * micro-units per row (floor(x·1e6 + 0.5), the q59 recipe) BEFORE
+    * aggregation, so the sums are exact integers in any partition
+    * order; the final cosine is one float expression over identical
+    * integers on both engines (left-assoc dot products). */
+  def labelCentroids(vectors: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame = {
+    import graft.functions.AggExpressions
+    val base = vectors
+      .select(col(labelCol), expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("vd"))
+      .withColumn("nrm", sqrt(VectorExpressions.dot_product(col("vd"), col("vd"))))
+      .select(col(labelCol),
+        expr("transform(vd, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))").as("s"),
+        when(col("nrm") === 0.0, expr("transform(vd, x -> CAST(0 AS BIGINT))"))
+          .otherwise(expr("transform(vd, x -> CAST(floor(x / nrm * 1e6 + 0.5) AS BIGINT))"))
+          .as("u"))
+    val pooled = base.groupBy(labelCol)
+      .agg(count(lit(1)).as("n"),
+        AggExpressions.vector_sum_long(col("s")).as("sv"),
+        AggExpressions.vector_sum_long(col("u")).as("uv"))
+    val svd = expr("transform(sv, x -> CAST(x AS DOUBLE))")
+    val uvd = expr("transform(uv, x -> CAST(x AS DOUBLE))")
+    val ss = VectorExpressions.dot_product(svd, svd)
+    val su = VectorExpressions.dot_product(uvd, svd)
+    // su is (1e6·unit)·(1e6·raw)-scaled and sqrt(ss) only 1e6-scaled —
+    // one residual 1e6 divides out to land on the true cosine
+    pooled.select(col(labelCol), col("n"),
+      expr("concat_ws(',', transform(sv, x -> CAST(x AS STRING)))").as("centroid_sum_csv"),
+      round(when(ss === 0.0, lit(0.0))
+        .otherwise(su / (col("n") * sqrt(ss) * lit(1e6))), 6).as("mean_cos"))
+  }
 }

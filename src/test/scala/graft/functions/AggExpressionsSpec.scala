@@ -83,4 +83,52 @@ class AggExpressionsSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(plan).size === 2, plan)
     assert(plan.contains("Exchange"), plan)
   }
+
+  test("vector_sum_long sums element-wise across partitions; null rows skipped") {
+    val df = Seq(
+      (1L, Some(Seq(1L, 2L, 3L))),
+      (1L, Some(Seq(10L, -2L, 7L))),
+      (1L, None),
+      (2L, Some(Seq(5L, 5L, 5L)))
+    ).toDF("g", "v").repartition(8)
+    val out = df.groupBy("g")
+      .agg(AggExpressions.vector_sum_long(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) === Seq(11L, 0L, 10L))
+    assert(out(2L) === Seq(5L, 5L, 5L))
+    // int arrays coerce at analysis time (implicit cast)
+    val ints = Seq((1, Seq(1, 2))).toDF("g", "v")
+      .groupBy("g").agg(AggExpressions.vector_sum_long(col("v")).as("s"))
+    assert(ints.head().getSeq[Long](1) === Seq(1L, 2L))
+    // all-null group evaluates to null, not a zero vector
+    val allNull = Seq((9L, Option.empty[Seq[Long]])).toDF("g", "v")
+      .groupBy("g").agg(AggExpressions.vector_sum_long(col("v")).as("s"))
+    assert(allNull.head().isNullAt(1))
+  }
+
+  test("vector_sum_long partial aggregation: exchange carries vectors, not scalars") {
+    val df = spark.range(1000).repartition(16)
+      .select((col("id") % 3).as("g"),
+        array(col("id"), col("id") * 2, lit(1L)).as("v"))
+      .groupBy("g").agg(AggExpressions.vector_sum_long(col("v")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size === 2, plan)
+    val out = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // per-group closed forms over 0..999
+    val ids = (0L until 1000L)
+    for (g <- 0L until 3L) {
+      val mem = ids.filter(_ % 3 == g)
+      assert(out(g) === Seq(mem.sum, mem.sum * 2, mem.size.toLong))
+    }
+  }
+
+  test("vector_sum_long width mismatch within a group fails fast") {
+    val df = Seq((1L, Seq(1L, 2L)), (1L, Seq(1L, 2L, 3L))).toDF("g", "v")
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(AggExpressions.vector_sum_long(col("v"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("width mismatch")))
+  }
 }

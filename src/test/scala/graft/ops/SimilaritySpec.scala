@@ -125,4 +125,22 @@ class SimilaritySpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
     assert(Similarity.semDedup(corpus, threshold = 0.99, nlist = 2).count() === 3)
   }
+
+  test("labelCentroids: hand-computed pooled sums and mean cosine to centroid") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // label 0: orthogonal pair
+      (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(3.0f, 4.0f), 1),   // label 1: single member → cos 1.0
+      (3L, Array(0.0f, 0.0f), 2)    // label 2: zero vector → cos 0.0
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(vecs).collect()
+      .map(r => r.getInt(0) -> ((r.getAs[Long]("n"),
+        r.getAs[String]("centroid_sum_csv"), r.getAs[Double]("mean_cos")))).toMap
+    // label 0: sums (1e6, 1e6); mean cos to the diagonal centroid = cos 45° = 0.707107
+    assert(out(0) === ((2L, "1000000,1000000", 0.707107)))
+    // label 1: unit (0.6, 0.8) against sum (3e6, 4e6) → exactly 1
+    assert(out(1) === ((1L, "3000000,4000000", 1.0)))
+    // label 2: all-zero sum guard
+    assert(out(2) === ((1L, "0,0", 0.0)))
+  }
 }
