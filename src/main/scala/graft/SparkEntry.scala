@@ -273,6 +273,35 @@ object SparkEntry {
       "q68_label_centroids" -> q { (s, dir) =>
         Similarity.labelCentroids(t(s, dir, "embeddings"))
       },
+      // moment statistics the numerically-portable way: exact integer
+      // power sums (order-independent in any partition order), float
+      // mean/variance only as a final projection over those integers
+      "q69_moment_stats" -> q { (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c")).cast("long").as("s1"),
+            sum(col("c") * col("c")).cast("long").as("s2"))
+          .select(col("event_type"), col("n"), col("s1"), col("s2"),
+            round(col("s1").cast("double") / col("n"), 6).as("mean_cents"),
+            round((col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+              col("n"), 6).as("var_cents"))
+      },
+      // ranking-window suite: ntile / percent_rank / cume_dist / lag /
+      // first_value over a unique (deterministic) order key
+      "q70_window_suite" -> q { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("tile4"),
+          round(percent_rank().over(w), 6).as("pct_rnk"),
+          round(cume_dist().over(w), 6).as("cume"),
+          lag("o_orderkey", 1).over(w).as("prev_key"),
+          first("o_orderkey").over(w).as("first_key"))
+      },
       // exact decontamination hit-list behind a Bloom pre-gate (the
       // sketch prunes before the shuffle; a verify join restores
       // exactness, so the oracle is the plain exact query)
@@ -1121,6 +1150,26 @@ object SparkEntry {
                    ELSE ($dotSU) / (n * sqrt($dotSS) * 1000000.0) END, 6) AS mean_cos
       FROM agg JOIN cnt USING (label)"""
     },
+    "q69_moment_stats" -> """
+      WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+                 FROM events),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+            FROM c GROUP BY 1)
+      SELECT event_type, n, s1, s2,
+        round(CAST(s1 AS DOUBLE) / n, 6) AS mean_cents,
+        round((CAST(s2 AS DOUBLE) -
+               CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n, 6) AS var_cents
+      FROM a""",
+    "q70_window_suite" -> """
+      SELECT o_orderkey, o_orderpriority,
+        ntile(4) OVER w AS tile4,
+        round(percent_rank() OVER w, 6) AS pct_rnk,
+        round(cume_dist() OVER w, 6) AS cume,
+        lag(o_orderkey, 1) OVER w AS prev_key,
+        first_value(o_orderkey) OVER w AS first_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)""",
     "q67_cluster_sizes" -> s"""
       WITH RECURSIVE $DuckNearDupCtes,
       edges AS (
