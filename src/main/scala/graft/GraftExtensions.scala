@@ -52,7 +52,10 @@ object GraftExtensions {
     // aggregate: top_k_by_score(score, id, k) → array<struct<rnk,
     // neighbor_id, cos_sim>> ranked (score desc, id asc)
     "top_k_by_score" -> (es => AggExpressions.TopKByScore(es(0), es(1),
-      intArg(es(2), "k")).toAggregateExpression()))
+      intArg(es(2), "k")).toAggregateExpression()),
+    // aggregate: vector_sum_long(array<bigint>) → element-wise sum
+    "vector_sum_long" -> (es =>
+      AggExpressions.VectorSumLong(es(0)).toAggregateExpression()))
 
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -61,6 +61,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows === Set((1L, 1L, 11L), (1L, 2L, 12L)))
   }
 
+  test("vector_sum_long usable as a SQL aggregate") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, Seq(1L, 2L)), (1L, Seq(3L, 4L)), (2L, Seq(7L, 7L)))
+      .toDF("g", "v").createOrReplaceTempView("vecs")
+    val rows = spark.sql(
+      "SELECT g, vector_sum_long(v) AS s FROM vecs GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows === Map(1L -> Seq(4L, 6L), 2L -> Seq(7L, 7L)))
+  }
+
   test("top_k_by_score coerces int scores and ids instead of crashing executors") {
     GraftExtensions.register(spark)
     import spark.implicits._
