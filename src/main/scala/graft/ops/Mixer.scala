@@ -12,18 +12,22 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: the naive formulation is one running-sum window
   * partitioned by source — but a 100 TB corpus has FEW sources, so that
-  * window serializes each source through one task. Instead, selection
-  * runs in two phases on ordered priority buckets (top bits of the
-  * 63-bit priority hash):
-  *   1. per-(source, bucket) token sums (map-side-combined shuffle of
-  *      #sources × 1024 rows) + a prefix sum over that tiny relation
-  *      give each bucket its cumulative-tokens-before;
-  *   2. buckets wholly under budget keep every row with NO row-level
-  *      window; only the single boundary bucket per source (~1/1024 of
-  *      its rows) pays the ordered running sum.
-  * Both phases shuffle the corpus once (the broadcast of bucket bounds
-  * is #sources × 1024). The result is bit-identical to the naive
-  * window — a spec asserts it.
+  * window serializes each source through one task. Instead the global
+  * prefix sum splits across ordered priority buckets (top bits of the
+  * 63-bit priority hash): per-(source, bucket) token totals plus a
+  * prefix sum over that tiny relation give each bucket its
+  * cumulative-tokens-before; the row-level running sum is then
+  * partitioned by (source, bucket) — 1024-way parallel per source —
+  * and global-cum = cum_before + within-bucket cum, so ONE keep
+  * predicate covers interior and boundary buckets alike.
+  *
+  * Plan shape: one corpus scan, one exchange. An explicit
+  * repartition on (source, bucket) lets the bucket-totals aggregation
+  * and the row window consume the SAME exchange (ReuseExchange — the
+  * q18 co-partitioning trick; the first cut's union-of-two-branches
+  * formulation scanned the corpus 4×). The bounds relation
+  * (#sources × 1024) broadcasts back onto it. The result is
+  * bit-identical to the naive window — a spec asserts it.
   */
 object Mixer {
 
@@ -44,32 +48,29 @@ object Mixer {
   def tokenBudgetMix(docs: DataFrame, budget: Long,
                      idCol: String = "doc_id", sourceCol: String = "source",
                      textCol: String = "text"): DataFrame = {
+    // the explicit repartition IS the design: it satisfies both the
+    // aggregation and the window below, so one exchange serves both
+    // (ReuseExchange) and the corpus is scanned once
     val base = withPriority(docs, idCol, sourceCol, textCol)
       .withColumn("bucket", shiftright(col("priority"), BucketShift).cast("int"))
+      .repartition(col(sourceCol), col("bucket"))
     val byBucket = Window.partitionBy(sourceCol).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val bounds = base.groupBy(col(sourceCol), col("bucket"))
       .agg(sum("n_tokens").as("btoks"))
       .withColumn("cum_before", coalesce(sum("btoks").over(byBucket), lit(0L)))
-    val joined = base.join(broadcast(bounds), Seq(sourceCol, "bucket"))
-    val fullKeep = joined
-      .where(col("cum_before") + col("btoks") <= budget)
-      .select(col(idCol), col(sourceCol), col("n_tokens"))
-    // <= so zero-token docs sitting exactly at an exhausted budget are
-    // kept, matching the naive window's cum <= budget; at most one
-    // bucket per source can satisfy this (btoks = 0 buckets under
-    // budget are full-keeps, and later buckets start past the budget)
-    val boundary = joined
-      .where(col("cum_before") <= budget &&
-        col("cum_before") + col("btoks") > budget)
-    val byPriority = Window.partitionBy(sourceCol)
+      .select(col(sourceCol), col("bucket"), col("cum_before"))
+    // bucket ids are the priority's own top bits, so the (priority, id)
+    // order within a bucket continues the cross-bucket order: global
+    // running sum = cum_before + within-bucket running sum, and the
+    // naive `cum <= budget` keep predicate transfers verbatim
+    val byPriority = Window.partitionBy(col(sourceCol), col("bucket"))
       .orderBy(col("priority"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val boundaryKeep = boundary
+    base.join(broadcast(bounds), Seq(sourceCol, "bucket"))
       .withColumn("row_cum", sum("n_tokens").over(byPriority))
       .where(col("cum_before") + col("row_cum") <= budget)
       .select(col(idCol), col(sourceCol), col("n_tokens"))
-    fullKeep.union(boundaryKeep)
   }
 
   /** Reference formulation: one running-sum window per source. Identical
