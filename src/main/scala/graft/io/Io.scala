@@ -34,6 +34,26 @@ object Io {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC scan/write — the other columnar interchange format; same
+    * pushdown/pruning/vectorized-read properties as parquet (Spark's
+    * native orc reader), so pipelines landing in ORC-based warehouses
+    * keep scan-level filtering. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** JSON-lines scan with explicit schema (no inference pass — at
+    * 100 TB schema inference is a full extra read) and write — the
+    * interchange format of most raw LLM training dumps. Gzip/zstd
+    * codecs apply via `option("compression", ...)` upstream; JSON
+    * scans split per-line, so even compressed dumps parallelize per
+    * file. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** K2 — partitioned full-refresh parquet write (fact tables). */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
