@@ -290,6 +290,13 @@ object SparkEntry {
               col("s1").cast("double") * col("s1").cast("double") / col("n")) /
               col("n"), 6).as("var_cents"))
       },
+      // deterministic global shuffle into training shards: salted-hash
+      // shard + within-shard hash order (shard-parallel, nothing
+      // globally sorted)
+      "q71_shuffle_shards" -> q { (s, dir) =>
+        Sampling.shuffleShards(t(s, dir, "documents"), col("doc_id"), 8)
+          .select("doc_id", "shard", "pos")
+      },
       // ranking-window suite: ntile / percent_rank / cume_dist / lag /
       // first_value over a unique (deterministic) order key
       "q70_window_suite" -> q { (s, dir) =>
@@ -1161,6 +1168,16 @@ object SparkEntry {
         round((CAST(s2 AS DOUBLE) -
                CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n, 6) AS var_cents
       FROM a""",
+    "q71_shuffle_shards" -> """
+      WITH h AS (
+        SELECT doc_id,
+          md5_number_lower('shuffle|' || CAST(doc_id AS VARCHAR))
+            & 9223372036854775807 AS h
+        FROM documents)
+      SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+             AS BIGINT) AS pos
+      FROM h""",
     "q70_window_suite" -> """
       SELECT o_orderkey, o_orderpriority,
         ntile(4) OVER w AS tile4,

@@ -75,4 +75,32 @@ object Sampling {
     }
     df.where(hashBucket(id, salt) < rate)
   }
+
+  /** Deterministic global shuffle into training shards: every row gets a
+    * shard (salted hash mod numShards) and a position within its shard
+    * (rank of the full 63-bit salted hash, id tie-break) — the
+    * "shuffle the corpus, write N shards" step before training. The
+    * order is a pure function of (salt, id): reproducible across runs,
+    * cluster sizes, and engines, and a different salt is a fresh
+    * epoch-level reshuffle.
+    *
+    * Scale: one shuffle on shard; each shard sorts independently
+    * (numShards-way parallel — pick numShards ≥ cluster cores). Nothing
+    * is globally sorted: the global order IS the concatenation of shard
+    * orders by construction, exactly how shard files are consumed. */
+  def shuffleShards(df: DataFrame, id: Column, numShards: Int,
+                    salt: String = "shuffle"): DataFrame = {
+    require(numShards > 0, s"numShards ($numShards) must be positive")
+    val h = graft.functions.TextExpressions.md5_lower64(
+      concat(lit(salt), lit("|"), id.cast("string")))
+      .bitwiseAND(lit(Long.MaxValue))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__h"), id)
+    df.withColumn("__h", h)
+      .withColumn("__shard", pmod(col("__h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .withColumnRenamed("__shard", "shard")
+      .withColumnRenamed("__pos", "pos")
+      .drop("__h")
+  }
 }

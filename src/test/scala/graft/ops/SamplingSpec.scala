@@ -67,4 +67,29 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(k0 !== (0L until 15L by 3).take(5).toSet)
   }
+
+  test("shuffleShards: partition of the corpus, dense per-shard positions, deterministic, salt-sensitive") {
+    val df = (0L until 500L).toDF("doc_id")
+    val sh = Sampling.shuffleShards(df, col("doc_id"), numShards = 8).cache()
+    // every row lands in exactly one shard, schema intact
+    assert(sh.count() === 500)
+    assert(sh.select("doc_id").distinct().count() === 500)
+    // positions are 1..count(shard), dense, within each shard
+    val byShard = sh.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(byShard.length === 8)  // 500 hashed rows touch all 8 shards
+    byShard.foreach { r =>
+      assert(r.getAs[Long]("lo") === 1L && r.getAs[Long]("hi") === r.getAs[Long]("n"))
+    }
+    // reruns identical; a different salt is a genuinely different order
+    val again = Sampling.shuffleShards(df, col("doc_id"), 8)
+    assert(sh.collect().toSet === again.collect().toSet)
+    val other = Sampling.shuffleShards(df, col("doc_id"), 8, salt = "epoch2")
+    assert(sh.collect().toSet !== other.collect().toSet)
+    // the order is not the id order within any shard
+    val firstShard = sh.where(col("shard") === 0).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(!firstShard.sameElements(firstShard.sorted))
+  }
 }
