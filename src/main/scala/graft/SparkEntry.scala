@@ -290,6 +290,11 @@ object SparkEntry {
               col("s1").cast("double") * col("s1").cast("double") / col("n")) /
               col("n"), 6).as("var_cents"))
       },
+      // ExactSubstr-style duplicate-span removal: overlapping k-token
+      // grams shared across distinct docs are cut at any alignment
+      "q72_span_dedup" -> q { (s, dir) =>
+        Dedup.spanDedup(t(s, dir, "documents"), k = 5)
+      },
       // deterministic global shuffle into training shards: salted-hash
       // shard + within-shard hash order (shard-parallel, nothing
       // globally sorted)
@@ -1168,6 +1173,32 @@ object SparkEntry {
         round((CAST(s2 AS DOUBLE) -
                CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n, 6) AS var_cents
       FROM a""",
+    "q72_span_dedup" -> s"""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END AS ts
+        FROM documents),
+      pt AS (
+        SELECT doc_id, g AS pos, ts[g + 1] AS tok,
+          CASE WHEN g + 5 <= len(ts)
+               THEN md5(array_to_string(ts[g + 1 : g + 5], ' ')) END AS h
+        FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS g
+              FROM t WHERE len(ts) > 0)),
+      dup AS (
+        SELECT h FROM pt WHERE h IS NOT NULL
+        GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+      m AS (
+        SELECT p.doc_id, p.pos, p.tok,
+          max(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+            OVER (PARTITION BY p.doc_id ORDER BY p.pos
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rm
+        FROM pt p LEFT JOIN dup d ON p.h = d.h)
+      SELECT doc_id,
+        coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE rm = 0), '')
+          AS clean_text,
+        CAST(count(*) FILTER (WHERE rm = 0) AS BIGINT) AS kept_tokens,
+        CAST(count(*) FILTER (WHERE rm = 1) AS BIGINT) AS removed_tokens
+      FROM m GROUP BY doc_id""",
     "q71_shuffle_shards" -> """
       WITH h AS (
         SELECT doc_id,

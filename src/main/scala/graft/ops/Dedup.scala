@@ -375,6 +375,59 @@ object Dedup {
         col("n_clusters"),
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
 
+  /** Duplicate-span removal, the ExactSubstr flavor of dedup (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", approximated at token granularity): any k-token span that
+    * appears verbatim in ≥2 DISTINCT documents is cut from every
+    * document containing it; the survivors are reassembled in order.
+    * Unlike [[segmentDedup]]'s disjoint fixed windows, grams here
+    * overlap at every token position, so a shared span is caught at any
+    * alignment — the property the suffix-array construction buys, at
+    * k-gram instead of arbitrary-length granularity.
+    *
+    * Output: (doc_id, clean_text, kept_tokens, removed_tokens); docs
+    * with no tokens are absent (the token-derived-relation convention).
+    *
+    * Scale shape: gram hashes are computed scan-local on the token
+    * array (one md5 per position) BEFORE the explode; the duplicate-
+    * hash relation reduces by digest-keyed groupBy (min≠max doc_id ⇔
+    * cross-doc, no countDistinct); the flag join is digest-keyed (AQE
+    * broadcasts it when duplication is sparse); span membership is a
+    * dense ROWS window over positions — token j is covered iff a
+    * flagged gram starts in [j-k+1, j] — so interval union costs one
+    * per-doc-partitioned window, not a self-join; the final reassembly
+    * reuses the window's doc_id exchange. */
+  def spanDedup(docs: DataFrame, k: Int = 5,
+                textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"spanDedup: k ($k) must be >= 2")
+    val pt = docs
+      .select(col("doc_id"), TextStats.tokens(col(textCol)).as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(ts, (x, i) -> struct(i AS pos, x AS tok,
+            CASE WHEN i + $k <= size(ts)
+                 THEN md5(to_binary(concat_ws(' ', slice(ts, i + 1, $k)), 'utf-8'))
+            END AS h))""")).as("p"))
+      .select(col("doc_id"), col("p.pos"), col("p.tok"), col("p.h"))
+    val dup = pt.where(col("h").isNotNull)
+      .groupBy("h").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("h"), lit(1).as("flag"))
+    val cover = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(k - 1).toLong, 0L)
+    pt.join(dup, Seq("h"), "left")
+      .withColumn("rm", max(coalesce(col("flag"), lit(0))).over(cover))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", expr(
+          """transform(array_sort(collect_list(
+               CASE WHEN rm = 0 THEN struct(pos, tok) END)), s -> s.tok)"""))
+          .as("clean_text"),
+        sum(when(col("rm") === 0, 1).otherwise(0)).cast("long").as("kept_tokens"),
+        sum(when(col("rm") === 1, 1).otherwise(0)).cast("long").as("removed_tokens"))
+  }
+
   /** 16-bit SimHash over the token multiset, using the first 4 hex chars
     * of md5(token) as the per-token hash. bit_j(doc) = sign of
     * Σ_tokens (±1). Engine-portable (md5 + arithmetic only). */

@@ -125,6 +125,26 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(5L) && kept.contains(6L))
   }
 
+  test("spanDedup cuts cross-doc k-token spans at any alignment, keeps within-doc repeats") {
+    val corpus = Seq(
+      // docs 0/1 share the 5-gram "a b c d e" at DIFFERENT offsets
+      (0L, "a b c d e f g h"),
+      (1L, "x a b c d e y z"),
+      (2L, "totally unrelated words kept intact here"),
+      // within-doc repeat only — cross-doc rule must NOT fire
+      (3L, "p q r s t u p q r s t u"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getAs[Long]("kept_tokens"),
+        r.getAs[Long]("removed_tokens")))).toMap
+    assert(out(0L) === (("f g h", 3L, 5L)))
+    assert(out(1L) === (("x y z", 3L, 5L)))
+    assert(out(2L) === (("totally unrelated words kept intact here", 6L, 0L)))
+    assert(out(3L)._3 === 0L)
+    assert(!out.contains(4L))   // empty doc absent, as in every token relation
+  }
+
   test("clusterSizeReport histograms component sizes") {
     // components: {0,1,2,3} (chain), {10,11} → sizes 4 and 2
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
