@@ -151,4 +151,71 @@ class PropertySpec extends SparkSpec {
     }.toSet
     assert(got === expect)
   }
+
+  test("tokenBudgetMix equals an in-memory greedy prefix on random corpora") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (0L until 300L).map { i =>
+      val words = Seq.fill(rnd.nextInt(6))("w").mkString(" ")
+      (i, s"s${rnd.nextInt(4)}", words)
+    }
+    val df = rows.toDF("doc_id", "source", "text")
+    def prio(id: Long): Long = md5Lower64(s"budget|$id") & Long.MaxValue
+    for (budget <- Seq(0L, 7L, 40L, 100000L)) {
+      val got = Mixer.tokenBudgetMix(df, budget)
+        .collect().map(_.getLong(0)).toSet
+      val expect = rows.groupBy(_._2).flatMap { case (_, docs) =>
+        val ordered = docs.map { case (id, _, text) =>
+          (id, text.split("\\s+").count(_.nonEmpty))
+        }.sortBy { case (id, _) => (prio(id), id) }
+        val cum = ordered.scanLeft(0L) { case (acc, (_, n)) => acc + n }.tail
+        ordered.zip(cum).takeWhile(_._2 <= budget).map(_._1._1)
+      }.toSet
+      assert(got === expect, s"budget=$budget")
+    }
+  }
+
+  test("vector_sum_long equals an in-memory element-wise sum over many partitions") {
+    val rnd = new scala.util.Random(11L)
+    val dim = 16
+    val rows = (0L until 400L).map { i =>
+      (i % 5, Seq.fill(dim)(rnd.nextLong() % 1000000L))
+    }
+    val got = rows.toDF("g", "v").repartition(32)
+      .groupBy("g")
+      .agg(graft.functions.AggExpressions.vector_sum_long(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val expect = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).transpose.map(_.sum).toVector
+    }
+    assert(got === expect)
+  }
+
+  test("spanDedup equals an in-memory overlapping-gram reference on random docs") {
+    val rnd = new scala.util.Random(3L)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val k = 3
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toVector }.toMap
+    val gramDocs = scala.collection.mutable.HashMap.empty[String, Set[Long]]
+    for ((id, ts) <- toks; i <- 0 to ts.size - k)
+      gramDocs.updateWith(md5Hex(ts.slice(i, i + k).mkString(" ")))(
+        o => Some(o.getOrElse(Set.empty) + id))
+    val dup = gramDocs.collect { case (h, ds) if ds.size >= 2 => h }.toSet
+    val expect = toks.map { case (id, ts) =>
+      val starts = (0 to ts.size - k)
+        .filter(i => dup(md5Hex(ts.slice(i, i + k).mkString(" "))))
+      val removed = starts.flatMap(i => i until i + k).toSet
+      val kept = ts.indices.filterNot(removed)
+      (id, (kept.map(ts).mkString(" "), kept.size.toLong, removed.size.toLong))
+    }
+    val got = Dedup.spanDedup(docs.toDF("doc_id", "text"), k = k)
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+  }
 }
