@@ -295,6 +295,29 @@ object SparkEntry {
       "q72_span_dedup" -> q { (s, dir) =>
         Dedup.spanDedup(t(s, dir, "documents"), k = 5)
       },
+      // ordered conversion funnel: stage relations shrink monotonically,
+      // every join keys on user_id, counts are scalar aggregates
+      "q73_funnel" -> q { (s, dir) =>
+        Events.funnel(t(s, dir, "events"))
+      },
+      // weekly cohort retention matrix (growth analytics)
+      "q74_retention" -> q { (s, dir) =>
+        Events.retention(t(s, dir, "events"))
+      },
+      // dense hourly series with forward-fill (time-series gap fill)
+      "q77_gap_fill" -> q { (s, dir) =>
+        Events.gapFillHourly(t(s, dir, "events"))
+      },
+      // z-score anomaly flags from exact integer moments — the |z|>3
+      // gate is a pure integer comparison, portable across engines
+      "q78_anomaly_zscore" -> q { (s, dir) =>
+        Events.anomalies(t(s, dir, "events"))
+      },
+      // count-min sketch: bounded-state frequency summary (d×w matrix,
+      // map-side partials); estimates vs exact counts for the top-20
+      "q75_cms_frequency" -> q { (s, dir) =>
+        graft.ops.Sketches.cmsFrequency(t(s, dir, "documents"))
+      },
       // deterministic global shuffle into training shards: salted-hash
       // shard + within-shard hash order (shard-parallel, nothing
       // globally sorted)
@@ -1199,6 +1222,89 @@ object SparkEntry {
         CAST(count(*) FILTER (WHERE rm = 0) AS BIGINT) AS kept_tokens,
         CAST(count(*) FILTER (WHERE rm = 1) AS BIGINT) AS removed_tokens
       FROM m GROUP BY doc_id""",
+    "q75_cms_frequency" -> s"""
+      WITH base AS (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END AS toks
+        FROM documents),
+      tk AS (SELECT unnest(toks) AS tok FROM base),
+      cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+      js AS (SELECT unnest(range(0, 4)) AS j),
+      bk AS (
+        SELECT js.j,
+          ((md5_number_upper(c.tok) % 2147483647
+            + js.j * (md5_number_lower(c.tok) % 2147483647)) % 2147483647) % 32 AS b,
+          CAST(sum(c.cnt) AS BIGINT) AS s
+        FROM cnt c, js GROUP BY 1, 2),
+      probes AS (SELECT tok, cnt FROM cnt ORDER BY cnt DESC, tok LIMIT 20)
+      SELECT p.tok, p.cnt, CAST(min(bk.s) AS BIGINT) AS est_cnt
+      FROM probes p
+      JOIN js ON true
+      JOIN bk ON bk.j = js.j
+        AND bk.b = ((md5_number_upper(p.tok) % 2147483647
+          + js.j * (md5_number_lower(p.tok) % 2147483647)) % 2147483647) % 32
+      GROUP BY 1, 2""",
+    "q73_funnel" -> """
+      WITH v AS (
+        SELECT user_id, min(epoch_ns(ts)) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(epoch_ns(e.ts)) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= v.t0 GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= c.t1 GROUP BY 1)
+      SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+             (SELECT count(*) FROM v) AS users
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'click', (SELECT count(*) FROM c)
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'purchase', (SELECT count(*) FROM p)""",
+    "q74_retention" -> """
+      WITH wk AS (
+        SELECT user_id, epoch_ns(ts) // 604800000000000 AS week_idx FROM events),
+      cohort AS (SELECT user_id, min(week_idx) AS cohort_week FROM wk GROUP BY 1),
+      active AS (SELECT DISTINCT user_id, week_idx FROM wk)
+      SELECT c.cohort_week, a.week_idx - c.cohort_week AS week_offset,
+        count(DISTINCT a.user_id) AS active_users
+      FROM active a JOIN cohort c ON a.user_id = c.user_id
+      GROUP BY 1, 2""",
+    "q77_gap_fill" -> """
+      WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx,
+          count(*) AS event_cnt,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events GROUP BY 1, 2),
+      r AS (SELECT min(hour_idx) AS min_h, max(hour_idx) AS max_h FROM hourly),
+      types AS (SELECT DISTINCT event_type FROM hourly),
+      dense AS (
+        SELECT event_type, unnest(range(min_h, max_h + 1)) AS hour_idx
+        FROM types, r)
+      SELECT d.event_type, d.hour_idx,
+        CAST(coalesce(h.event_cnt, 0) AS BIGINT) AS event_cnt,
+        last_value(h.value_cents IGNORE NULLS)
+          OVER (PARTITION BY d.event_type ORDER BY d.hour_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+      FROM dense d
+      LEFT JOIN hourly h ON d.event_type = h.event_type AND d.hour_idx = h.hour_idx""",
+    "q78_anomaly_zscore" -> """
+      WITH c AS (
+        SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events),
+      st AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+          CAST(sum(value_cents) AS HUGEINT) AS s,
+          CAST(sum(CAST(value_cents AS HUGEINT) * value_cents) AS HUGEINT) AS ss
+        FROM c GROUP BY 1)
+      SELECT c.event_id, c.event_type, c.value_cents,
+        CAST(round(CAST(st.n * c.value_cents - st.s AS DOUBLE) /
+             sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)) * 1e4) AS BIGINT)
+          AS z_scaled
+      FROM c JOIN st ON c.event_type = st.event_type
+      WHERE (st.n * c.value_cents - st.s) * (st.n * c.value_cents - st.s)
+            > 9 * (st.n * st.ss - st.s * st.s)""",
     "q71_shuffle_shards" -> """
       WITH h AS (
         SELECT doc_id,

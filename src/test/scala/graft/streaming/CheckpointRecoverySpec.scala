@@ -22,7 +22,7 @@ class CheckpointRecoverySpec extends SparkSpec {
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(600000), "stream did not finish within 10 min (loaded host)")
     }
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     ev.where(col("event_id") < 500).coalesce(1).write.parquet(s"$src/a")

@@ -30,7 +30,7 @@ class EventsStreamSpec extends SparkSpec {
     val q = EventsStream.hourlyAggStream(stream)
       .writeStream.format("memory").queryName("hourly_stream")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min (loaded host)")
     val got = spark.table("hourly_stream")
       .groupBy("hour_idx", "event_type")   // update mode may emit a key twice; keep latest via max
       .agg(max("event_cnt").as("event_cnt"), max("value_cents").as("value_cents"))
@@ -48,7 +48,7 @@ class EventsStreamSpec extends SparkSpec {
     val sampled = graft.ops.Sampling.hashSample(stream, col("event_id"), 300000L)
     val q = sampled.writeStream.format("memory").queryName("sampled_stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min (loaded host)")
     val got = spark.table("sampled_stream")
       .select("event_id").collect().map(_.getLong(0)).toSet
     val want = graft.ops.Sampling.hashSample(
@@ -66,7 +66,7 @@ class EventsStreamSpec extends SparkSpec {
     val q = EventsStream.sessionizeStream(stream, flushIdle = true)
       .writeStream.format("memory").queryName("sessions_flush")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min (loaded host)")
     val got = spark.table("sessions_flush")
       .select("user_id", "session_start_us", "session_end_us", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -87,7 +87,7 @@ class EventsStreamSpec extends SparkSpec {
     val q = EventsStream.purchaseAttribution(stream)
       .writeStream.format("memory").queryName("attrib_stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min (loaded host)")
     val got = spark.table("attrib_stream")
       .select("purchase_id", "signup_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -119,7 +119,7 @@ class EventsStreamSpec extends SparkSpec {
         EventsStream.readDocuments(spark, s"$dir/*", maxFilesPerTrigger = Some(1)))
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min (loaded host)")
     val ids = spark.table("dedup_stream").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(0L, 1L, 3L))   // doc 2 deduped against batch-1 state
@@ -138,7 +138,7 @@ class EventsStreamSpec extends SparkSpec {
         EventsStream.readDocuments(spark, s"$dir/*", maxFilesPerTrigger = Some(1)))
       .writeStream.format("memory").queryName("dedup_bounded")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min (loaded host)")
     val ids = spark.table("dedup_bounded").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     // doc 2 normalizes to doc 0's fingerprint and both batches run well
@@ -159,7 +159,7 @@ class EventsStreamSpec extends SparkSpec {
         EventsStream.readDocuments(spark, s"$dir/*", maxFilesPerTrigger = Some(1)))
       .writeStream.format("memory").queryName("curate_stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min (loaded host)")
     val got = spark.table("curate_stream").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
       .toSet
@@ -189,7 +189,7 @@ class EventsStreamSpec extends SparkSpec {
     val q = EventsStream.sessionizeStream(stream)
       .writeStream.format("memory").queryName("sessions_stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min (loaded host)")
     val got = spark.table("sessions_stream")
       .select("user_id", "session_start_us", "session_end_us", "n_events", "value_cents")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
