@@ -318,6 +318,28 @@ object SparkEntry {
       "q75_cms_frequency" -> q { (s, dir) =>
         graft.ops.Sketches.cmsFrequency(t(s, dir, "documents"))
       },
+      // fuzzy canonical-name pairs: blocking + Levenshtein over the
+      // DISTINCT name relation (entity-resolution pattern)
+      "q76_fuzzy_names" -> q { (s, dir) =>
+        Dedup.fuzzyNamePairs(t(s, dir, "part"), "p_name")
+      },
+      // RefinedWeb-style duplicate-n-gram mass per document
+      "q79_dup_gram_mass" -> q { (s, dir) =>
+        Dedup.dupGramStats(t(s, dir, "documents"))
+      },
+      // corpus-trained multinomial Naive Bayes source classifier
+      // (model-based filtering representative; integer micro-nats)
+      "q80_nb_classify" -> q { (s, dir) =>
+        LangModel.naiveBayes(t(s, dir, "documents"))
+      },
+      // kNN majority-vote label propagation over embeddings: the
+      // unlabeled tail (vec_id >= 400) takes its 5-NN majority label
+      // from the labeled head
+      "q81_knn_label" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        Similarity.knnClassify(
+          em.where(col("vec_id") >= 400), em.where(col("vec_id") < 400))
+      },
       // deterministic global shuffle into training shards: salted-hash
       // shard + within-shard hash order (shard-parallel, nothing
       // globally sorted)
@@ -1244,6 +1266,107 @@ object SparkEntry {
         AND bk.b = ((md5_number_upper(p.tok) % 2147483647
           + js.j * (md5_number_lower(p.tok) % 2147483647)) % 2147483647) % 32
       GROUP BY 1, 2""",
+    "q76_fuzzy_names" -> """
+      WITH names AS (
+        SELECT DISTINCT p_name AS nm FROM part WHERE p_name IS NOT NULL),
+      b AS (SELECT nm, string_split(nm, ' ')[-1] AS blk FROM names),
+      ok AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 1000)
+      SELECT a.nm AS name_a, c.nm AS name_b,
+        CAST(levenshtein(a.nm, c.nm) AS INT) AS dist
+      FROM b a
+      JOIN b c ON a.blk = c.blk AND a.nm < c.nm
+      JOIN ok ON ok.blk = a.blk
+      WHERE levenshtein(a.nm, c.nm) <= 2""",
+    "q79_dup_gram_mass" -> s"""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END AS ts
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+               ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                    i -> array_to_string(ts[i:i+2], ' '))) END AS shingles
+        FROM t),
+      g AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(shingles, x -> md5_number_lower(x)))) AS g
+        FROM sh WHERE len(shingles) > 0),
+      cg AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id))
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(count(c.g) AS BIGINT) AS dup_grams,
+        CAST((1000000 * count(c.g)) // count(*) AS BIGINT) AS dup_ppm
+      FROM g d LEFT JOIN cg c ON d.g = c.g
+      GROUP BY 1""",
+    "q80_nb_classify" -> s"""
+      WITH tf AS (
+        SELECT doc_id, cls, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, source AS cls,
+                unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE $DuckTokens END) AS tok
+              FROM documents)
+        GROUP BY 1, 2, 3),
+      vocab AS (
+        SELECT tok FROM (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt
+                         FROM tf GROUP BY 1)
+        ORDER BY cnt DESC, tok LIMIT 10000),
+      tfv AS (SELECT tf.* FROM tf JOIN vocab USING (tok)),
+      classes AS (SELECT source AS cls, CAST(count(*) AS BIGINT) AS dc
+                  FROM documents GROUP BY 1),
+      totals AS (SELECT cls, CAST(sum(tf) AS BIGINT) AS tc FROM tfv GROUP BY 1),
+      vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS d_all FROM documents),
+      cls_stats AS (
+        SELECT c.cls, coalesce(t.tc, 0) AS tc, vs.v,
+          CAST(round((ln(CAST(c.dc AS DOUBLE)) - ln(CAST(nd.d_all AS DOUBLE))) * 1e6)
+               AS BIGINT) AS prior_micros
+        FROM classes c LEFT JOIN totals t ON c.cls = t.cls, vs, nd),
+      counts AS (SELECT cls, tok, CAST(sum(tf) AS BIGINT) AS ctc FROM tfv GROUP BY 1, 2),
+      matrix AS (
+        SELECT s.cls, vo.tok,
+          CAST(round((ln(CAST(coalesce(ct.ctc, 0) AS DOUBLE) + 1)
+               - ln(CAST(s.tc + s.v AS DOUBLE))) * 1e6) AS BIGINT) AS lp_micros
+        FROM vocab vo CROSS JOIN cls_stats s
+        LEFT JOIN counts ct ON ct.cls = s.cls AND ct.tok = vo.tok),
+      tok_sum AS (
+        SELECT t.doc_id, m.cls, CAST(sum(t.tf * m.lp_micros) AS BIGINT) AS ts
+        FROM tfv t JOIN matrix m ON m.tok = t.tok
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT d.doc_id, s.cls,
+          CAST(s.prior_micros + coalesce(ts.ts, 0) AS BIGINT) AS score_micros
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN cls_stats s
+        LEFT JOIN tok_sum ts ON ts.doc_id = d.doc_id AND ts.cls = s.cls),
+      best AS (SELECT doc_id, max(score_micros) AS score_micros FROM scored GROUP BY 1)
+      SELECT s.doc_id, min(s.cls) AS pred,
+        CAST(s.score_micros AS BIGINT) AS score_micros
+      FROM scored s
+      JOIN best b ON s.doc_id = b.doc_id AND s.score_micros = b.score_micros
+      GROUP BY 1, 3""",
+    "q81_knn_label" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id >= 400),
+      c AS (SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id < 400),
+      scored AS (
+        SELECT query_id, neighbor_id, label,
+          list_dot_product(qv, cv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        FROM q JOIN c ON query_id <> neighbor_id),
+      nn AS (
+        SELECT query_id, label
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
+        WHERE rnk <= 5),
+      v AS (SELECT query_id, CAST(label AS BIGINT) AS lbl,
+              CAST(count(*) AS BIGINT) AS votes
+            FROM nn GROUP BY 1, 2),
+      best AS (SELECT query_id, max(votes) AS votes FROM v GROUP BY 1)
+      SELECT v.query_id, CAST(min(v.lbl) AS BIGINT) AS pred_label,
+        CAST(v.votes AS BIGINT) AS votes
+      FROM v JOIN best b ON v.query_id = b.query_id AND v.votes = b.votes
+      GROUP BY 1, 3""",
     "q73_funnel" -> """
       WITH v AS (
         SELECT user_id, min(epoch_ns(ts)) AS t0 FROM events

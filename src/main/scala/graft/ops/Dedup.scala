@@ -499,4 +499,61 @@ object Dedup {
         count(when(col("dup").isNull, 1)).as("kept_segments"),
         count(col("dup")).as("removed_segments"))
   }
+
+  /** Fuzzy canonical-name pairs (entity resolution): Levenshtein-close
+    * pairs over the DISTINCT values of a string column, gated by a
+    * blocking key so the quadratic never sees the whole relation.
+    * Output: (name_a, name_b, dist), name_a < name_b.
+    *
+    * Scale design: edit distance can't be hashed, so every fuzzy matcher
+    * is blocking + in-block comparison. The comparison runs on the
+    * distinct-VALUE relation (≪ row count — names repeat), the self-join
+    * keys on the block, and `maxBlock` drops degenerate blocks outright
+    * (an oversized block means the blocking key, not the engine, needs
+    * work — same contract as the LSH bucket cap). */
+  def fuzzyNamePairs(df: DataFrame, nameCol: String,
+                     blockKey: Column => Column = substring_index(_, " ", -1),
+                     maxDist: Int = 2, maxBlock: Int = 1000): DataFrame = {
+    val names = df.select(col(nameCol).as("nm")).where(col("nm").isNotNull)
+      .distinct()
+      .withColumn("blk", blockKey(col("nm")))
+    val fits = names.groupBy("blk").agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBlock).select("blk")
+    val b = names.join(fits, "blk")
+    b.select(col("blk"), col("nm").as("name_a"))
+      .join(b.select(col("blk"), col("nm").as("name_b")), "blk")
+      .where(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+  }
+
+  /** Per-document duplicate-n-gram mass (RefinedWeb-style): the fraction
+    * of a doc's distinct word n-grams that also occur in some OTHER
+    * document. High fractions mark boilerplate/template docs that
+    * survive exact and near dedup. Output: (doc_id, n_grams, dup_grams,
+    * dup_ppm) with dup_ppm = ⌊10⁶·dup/n⌋; gram-free docs are absent (as
+    * in every token-derived relation here).
+    *
+    * Scale design: grams live in 64-bit md5 hash space from the scan on
+    * (ShingleHashes — never gram strings); cross-doc occurrence is
+    * min(doc)≠max(doc) on one digest-keyed aggregation (the spanDedup
+    * trick — no count-distinct); the flag joins back on the same digest
+    * key and the per-doc reduce is a map-side-combining count. */
+  def dupGramStats(docs: DataFrame, shingleSize: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(graft.functions.TextExpressions.shingle_hashes(
+          TextStats.tokens(col(textCol)), shingleSize)).as("g"))
+    val cross = grams.groupBy("g")
+      .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("g"), lit(true).as("dup"))
+    grams.join(cross, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("dup")).as("dup_grams"))
+      .select(col(idCol), col("n_grams"), col("dup_grams"),
+        expr("(1000000 * dup_grams) div n_grams").as("dup_ppm"))
+  }
 }

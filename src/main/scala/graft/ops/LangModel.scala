@@ -90,4 +90,75 @@ object LangModel {
       .orderBy(col("c2").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Corpus-trained multinomial Naive Bayes over a bounded feature
+    * vocabulary — the "model-based filter" representative: train on the
+    * corpus's own labels (here: source), score every document, emit the
+    * argmax class. Add-one smoothing; features are the top-`vocabK`
+    * tokens by corpus count (bounded feature selection is what makes NB
+    * broadcastable at 100 TB — the dense (vocab × classes) log-prob
+    * matrix stays MBs no matter the corpus).
+    *
+    * Output: (doc_id, pred, score_micros). score =
+    * ln P(c) + Σ_t tf·ln P(t|c) in integer micro-nats (the
+    * [[unigramScore]] determinism contract: each ln is rounded to BIGINT
+    * micro-nats BEFORE any aggregation, so sums are exact and
+    * engine-portable; argmax ties break to the smaller class name).
+    *
+    * Scale shape: one token shuffle for tf; vocabulary and class
+    * statistics are bounded aggregates of it; the matrix join is a
+    * broadcast; per-(doc, class) reduce fans out |classes|× with
+    * map-side combine; the argmax is two same-partitioned aggregates on
+    * doc_id (max, then min-class-among-max), never a window sort. */
+  def naiveBayes(docs: DataFrame, labelCol: String = "source",
+                 vocabK: Int = 10000, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), col(labelCol).as("cls"),
+        explode(TextStats.tokens(col(textCol))).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy(col(idCol), col("cls"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val vocab = tf.groupBy("tok").agg(sum("tf").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabK)
+      .select("tok")
+    val tfv = tf.join(broadcast(vocab), "tok")
+    // class stats: doc counts from ALL docs (token-free docs still carry
+    // prior mass), token totals from the vocab-restricted tf
+    val classes = docs.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).cast("long").as("dc"))
+    val totals = tfv.groupBy("cls").agg(sum("tf").cast("long").as("tc"))
+    val vSize = vocab.agg(count(lit(1)).cast("long").as("v"))
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("d_all"))
+    val clsStats = classes.join(totals, Seq("cls"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(vSize)).crossJoin(broadcast(nDocs))
+      .withColumn("prior_micros",
+        round((log(col("dc").cast("double")) - log(col("d_all").cast("double"))) * 1e6)
+          .cast("long"))
+    // dense (vocab × class) matrix: C(t,c)=0 rows still get the smoothed
+    // log-prob, so per-doc sums run over one equi-join, no unseen branch
+    val counts = tfv.groupBy("cls", "tok").agg(sum("tf").cast("long").as("ctc"))
+    val matrix = vocab.crossJoin(clsStats.select("cls", "tc", "v"))
+      .join(counts, Seq("cls", "tok"), "left")
+      .na.fill(0L, Seq("ctc"))
+      .withColumn("lp_micros",
+        round((log(col("ctc").cast("double") + 1) -
+          log((col("tc") + col("v")).cast("double"))) * 1e6).cast("long"))
+      .select("cls", "tok", "lp_micros")
+    val tokSum = tfv.select(col(idCol), col("tok"), col("tf"))
+      .join(broadcast(matrix), "tok")
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("tf") * col("lp_micros")).cast("long").as("ts"))
+    val scored = docs.select(col(idCol))
+      .crossJoin(broadcast(clsStats.select("cls", "prior_micros")))
+      .join(tokSum, Seq(idCol, "cls"), "left")
+      .withColumn("score_micros", col("prior_micros") + coalesce(col("ts"), lit(0L)))
+    val best = scored.groupBy(col(idCol))
+      .agg(max(col("score_micros")).as("score_micros"))
+    scored.join(best, Seq(idCol, "score_micros"))
+      .groupBy(col(idCol), col("score_micros"))
+      .agg(min(col("cls")).as("pred"))
+      .select(col(idCol), col("pred"), col("score_micros"))
+  }
 }

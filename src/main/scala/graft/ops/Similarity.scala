@@ -373,4 +373,30 @@ object Similarity {
       round(when(ss === 0.0, lit(0.0))
         .otherwise(su / (col("n") * sqrt(ss) * lit(1e6))), 6).as("mean_cos"))
   }
+
+  /** kNN label propagation (weak supervision): each query vector takes
+    * the majority label of its k exact nearest labeled neighbors; ties
+    * break to more votes, then the smaller label. Output:
+    * (query_id, pred_label, votes).
+    *
+    * Scale shape: rides [[bruteForceTopK]] (broadcast queries, bounded
+    * heap — shuffle carries ≤ k rows per query); the label join
+    * broadcasts only (neighbor_id, label) of the k·|queries| hit set
+    * fanned from the corpus side's bounded projection; the argmax is two
+    * same-partitioned aggregates on query_id, never a window sort. For
+    * corpus-scale query sets, gate with [[lshTopK]]/[[ivfTopK]] instead
+    * of the brute-force baseline. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+    val lbl = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).cast("long").as("lbl"))
+    val votes = nn.join(lbl, "neighbor_id")
+      .groupBy("query_id", "lbl").agg(count(lit(1)).as("votes"))
+    val best = votes.groupBy("query_id").agg(max(col("votes")).as("votes"))
+    votes.join(best, Seq("query_id", "votes"))
+      .groupBy("query_id", "votes").agg(min(col("lbl")).as("pred_label"))
+      .select(col("query_id"), col("pred_label"), col("votes"))
+  }
 }

@@ -213,4 +213,34 @@ class DedupSpec extends SparkSpec {
     assert(row(11).getAs[String]("clean_text") === "bar")
     assert(row(10).getAs[Long]("removed_segments") === 1L)
   }
+
+  test("fuzzyNamePairs: blocking gates comparisons, threshold gates pairs") {
+    val df = Seq("red bolt", "ted bolt", "red bolt", "green bolt", "red gear")
+      .toDF("name")
+    val pairs = Dedup.fuzzyNamePairs(df, "name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // distinct names; "red bolt"~"ted bolt" dist 1 within block "bolt";
+    // "green bolt" is 4+ edits from both; "red gear" is another block
+    assert(pairs === Set(("red bolt", "ted bolt", 1)))
+  }
+
+  test("fuzzyNamePairs: maxBlock drops degenerate blocks entirely") {
+    val df = (1 to 30).map(i => s"name$i common").toDF("name")
+    assert(Dedup.fuzzyNamePairs(df, "name", maxDist = 9, maxBlock = 10).count() === 0)
+    assert(Dedup.fuzzyNamePairs(df, "name", maxDist = 9, maxBlock = 100).count() > 0)
+  }
+
+  test("dupGramStats: shared trigram counted, unique doc fully novel") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),   // grams: 3; "the quick brown" shared
+      (2L, "the quick brown cat sleeps"),  // grams: 3; shares 1 with doc 1
+      (3L, "entirely different words here")// grams: 2; none shared
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupGramStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_grams"),
+        r.getAs[Long]("dup_grams"), r.getAs[Long]("dup_ppm")))).toMap
+    assert(out(1L) === ((3L, 1L, 333333L)))
+    assert(out(2L) === ((3L, 1L, 333333L)))
+    assert(out(3L) === ((2L, 0L, 0L)))
+  }
 }

@@ -49,4 +49,47 @@ class LangModelSpec extends SparkSpec {
     assert(top1.length === 1 && top1.head.getString(0) === "a" &&
       top1.head.getString(1) === "b")
   }
+
+  test("naiveBayes: separable planted classes are recovered") {
+    val docs = Seq(
+      (1L, "apple banana apple", "fruit"),
+      (2L, "banana apple banana", "fruit"),
+      (3L, "bolt gear bolt", "metal"),
+      (4L, "gear bolt gear", "metal"),
+      // mislabeled doc: one fruit token, metal label. Trained counts:
+      // fruit {apple 3, banana 3, T 6}, metal {bolt 3, gear 3, apple 1,
+      // T 7}, V=4 → score(fruit) = ln(2/5)+ln(4/10) = ln .16 beats
+      // score(metal) = ln(3/5)+ln(2/11) = ln .109 despite metal's
+      // larger prior — the classifier follows the tokens
+      (5L, "apple", "metal")
+    ).toDF("doc_id", "text", "source")
+    val out = LangModel.naiveBayes(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred")).toMap
+    assert(out(1L) === "fruit" && out(2L) === "fruit")
+    assert(out(3L) === "metal" && out(4L) === "metal")
+    assert(out(5L) === "fruit")
+  }
+
+  test("naiveBayes: token-free doc gets the max-prior class; ties break to name") {
+    val docs = Seq(
+      (1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b"),
+      (4L, "", "b")   // no tokens: prior-only score; P(a) > P(b)... equal? a=2,b=2
+    ).toDF("doc_id", "text", "source")
+    // priors: a 2/4, b 2/4 — equal, so the empty doc must tie-break to "a"
+    val out = LangModel.naiveBayes(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred")).toMap
+    assert(out(4L) === "a")
+  }
+
+  test("naiveBayes: vocabK bounds the feature set") {
+    val docs = Seq(
+      (1L, "common common rare1", "a"),
+      (2L, "common common rare2", "b")
+    ).toDF("doc_id", "text", "source")
+    // with only the top-1 token ("common") as a feature, both classes are
+    // symmetric: every doc falls back to prior (equal) → class "a"
+    val out = LangModel.naiveBayes(docs, vocabK = 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred")).toMap
+    assert(out(1L) === "a" && out(2L) === "a")
+  }
 }

@@ -57,6 +57,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSeq === brute.toSeq)
   }
 
+  test("knnClassify: majority label wins; vote ties break to the smaller label") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 0),
+      (11L, Array(0.95f, 0.05f), 0),
+      (12L, Array(0.0f, 1.0f), 1),
+      (13L, Array(0.05f, 0.95f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (100L, Array(0.9f, 0.1f)),    // firmly in the label-0 cluster
+      (101L, Array(0.1f, 0.9f))     // firmly in the label-1 cluster
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnClassify(queries, corpus, k = 3).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("pred_label"), r.getAs[Long]("votes")))).toMap
+    assert(out(100L) === ((0L, 2L)))   // 2 of 3 neighbors are label 0
+    assert(out(101L) === ((1L, 2L)))
+    // k=2 on the diagonal: one neighbor per cluster → 1-1 tie → label 0
+    val diag = Seq((200L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val tied = Similarity.knnClassify(diag, corpus, k = 2).head()
+    assert(tied.getAs[Long]("pred_label") === 0L)
+    assert(tied.getAs[Long]("votes") === 1L)
+  }
+
   test("lsh near-duplicates: subset of brute-force pairs; catches identical-direction pair") {
     val pairs = Similarity.cosineNearDuplicatesLsh(vecs, threshold = 0.9, dim = 4)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
