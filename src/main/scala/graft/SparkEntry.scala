@@ -340,6 +340,12 @@ object SparkEntry {
         Similarity.knnClassify(
           em.where(col("vec_id") >= 400), em.where(col("vec_id") < 400))
       },
+      // PCA projection onto the corpus-trained top principal component
+      // (one exact-integer aggregate pass + driver-side power iteration;
+      // oracle generated at Verify time with the same trained literals)
+      "q82_pca_project" -> q { (s, dir) =>
+        Similarity.pcaProject(t(s, dir, "embeddings"))
+      },
       // deterministic global shuffle into training shards: salted-hash
       // shard + within-shard hash order (shard-parallel, nothing
       // globally sorted)
@@ -857,9 +863,23 @@ object SparkEntry {
       WHERE vec_id NOT IN (SELECT vid FROM losers)"""
   }
 
-  // q29_ivf_ann and q62_semdedup are intentionally absent from this
-  // static map — their oracles embed data-dependent trained centroids,
-  // so Verify injects ivfOracleSql / semDedupOracleSql at dump time.
+  /** q82 oracle, generated like q29's: the trained mean/eigenvector
+    * doubles embed as literals, the projection mirrors the Spark
+    * expression's left-associated order — identical IEEE ops on
+    * identical constants, so values agree bit-for-bit before the final
+    * 6-dp round. */
+  def pcaOracleSql(spark: SparkSession, sfDir: String): String = {
+    val (mu, v) = graft.ops.Similarity.trainedPc(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    val proj = v.indices.map(i => s"(e[${i + 1}] - ${mu(i)}) * ${v(i)}")
+      .mkString(" + ")
+    s"""SELECT vec_id, round($proj, 6) AS pc1
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"""
+  }
+
+  // q29_ivf_ann, q62_semdedup, and q82_pca_project are intentionally
+  // absent from this static map — their oracles embed data-dependent
+  // trained constants, so Verify injects the generated SQL at dump time.
   def oracleSql: Map[String, String] = Map(
     "q40_subqueries" ->
       """SELECT o_orderkey, o_totalprice

@@ -46,7 +46,8 @@ object Verify {
     // data is known
     val oracles = SparkEntry.oracleSql +
       ("q29_ivf_ann" -> SparkEntry.ivfOracleSql(spark, sfDir)) +
-      ("q62_semdedup" -> SparkEntry.semDedupOracleSql(spark, sfDir))
+      ("q62_semdedup" -> SparkEntry.semDedupOracleSql(spark, sfDir)) +
+      ("q82_pca_project" -> SparkEntry.pcaOracleSql(spark, sfDir))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

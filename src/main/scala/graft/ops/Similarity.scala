@@ -374,6 +374,79 @@ object Similarity {
         .otherwise(su / (col("n") * sqrt(ss) * lit(1e6))), 6).as("mean_cos"))
   }
 
+  /** Top principal component of the (mean-centered) embedding corpus,
+    * trained from ONE aggregate pass: per-row micro-int quantized
+    * vectors (floor(x·1e6 + 0.5), the labelCentroids recipe) and their
+    * upper-triangle outer products fold through `vector_sum_long`, so
+    * the exchange carries one d- and one d(d+1)/2-length vector per
+    * partition and the driver sees only those exact-integer sums —
+    * n·S2 − S·Sᵀ is the covariance up to scale, formed in BigInt then
+    * taken to double. Power iteration (fixed 50 rounds, deterministic
+    * 1/√d start, sign canon: largest-|component| positive, lowest index
+    * on ties) runs driver-side on the d×d matrix — bounded work, like
+    * the IVF k-means. Returns (mean, unit eigenvector).
+    *
+    * Used by [[pcaProject]] and by the Verify-time oracle generator
+    * (same call = same doubles = bit-identical literals on both
+    * engines, the q29 trained-centroid pattern). */
+  def trainedPc(corpus: DataFrame, vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    import graft.functions.AggExpressions
+    val agg = corpus
+      .select(expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
+        .as("qv"))
+      .select(col("qv"), expr(
+        "flatten(transform(sequence(0, size(qv) - 1), " +
+          "i -> transform(sequence(i, size(qv) - 1), j -> qv[i] * qv[j])))").as("pv"))
+      .agg(count(lit(1)).as("n"),
+        AggExpressions.vector_sum_long(col("qv")).as("s"),
+        AggExpressions.vector_sum_long(col("pv")).as("p"))
+      .head()
+    val n = BigInt(agg.getAs[Long]("n"))
+    require(n > 0, "trainedPc: empty corpus")
+    val s = agg.getSeq[Long](1).toArray
+    val p = agg.getSeq[Long](2).toArray
+    val d = s.length
+    val cov = Array.ofDim[Double](d, d)
+    var idx = 0
+    for (i <- 0 until d; j <- i until d) {
+      val c = (n * BigInt(p(idx)) - BigInt(s(i)) * BigInt(s(j))).toDouble
+      cov(i)(j) = c; cov(j)(i) = c
+      idx += 1
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < 50) {
+      val w = new Array[Double](d)
+      for (i <- 0 until d) {
+        var acc = 0.0
+        for (j <- 0 until d) acc += cov(i)(j) * v(j)
+        w(i) = acc
+      }
+      val nw = math.sqrt(w.map(x => x * x).sum)
+      if (nw > 0) v = w.map(_ / nw)   // zero-variance corpus: keep start
+      it += 1
+    }
+    val k = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(k) < 0) v = v.map(-_)
+    val mean = s.map(_.toDouble / 1e6 / n.toDouble)
+    (mean, v)
+  }
+
+  /** PCA projection onto the corpus's own top principal component —
+    * the dimensionality-reduction primitive (cluster/visualize/binning
+    * before curation). Output: (vec_id, pc1), pc1 = (x − μ)·v rounded
+    * to 6 dp. The projection itself is a scan-local left-associated
+    * expression with μ/v baked in as literals — no second shuffle. */
+  def pcaProject(corpus: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val (mu, v) = trainedPc(corpus, vecCol)
+    val vd = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    val proj = v.indices.map { i =>
+      (element_at(vd, i + 1) - lit(mu(i))) * lit(v(i))
+    }.reduce(_ + _)
+    corpus.select(col(idCol), round(proj, 6).as("pc1"))
+  }
+
   /** kNN label propagation (weak supervision): each query vector takes
     * the majority label of its k exact nearest labeled neighbors; ties
     * break to more votes, then the smaller label. Output:

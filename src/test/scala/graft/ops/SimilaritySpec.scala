@@ -57,6 +57,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSeq === brute.toSeq)
   }
 
+  test("pca: recovers the dominant direction; projections are centered") {
+    // points on the (1,1) diagonal with slight orthogonal noise: the top
+    // component must be ~(0.707, 0.707) with positive sign canon
+    val em = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f)),
+      (2L, Array(2.0f, 2.0f)),
+      (3L, Array(3.0f, 3.0f)),
+      (4L, Array(1.6f, 1.4f))
+    ).toDF("vec_id", "embedding")
+    val (mu, v) = Similarity.trainedPc(em)
+    assert(math.abs(v(0) - math.sqrt(0.5)) < 0.02)
+    assert(math.abs(v(1) - math.sqrt(0.5)) < 0.02)
+    assert(math.abs(mu(0) - 1.52) < 1e-9 && math.abs(mu(1) - 1.48) < 1e-9)
+    val proj = Similarity.pcaProject(em).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pc1")).toMap
+    // centered: projections sum to ~0; ordered along the diagonal
+    assert(math.abs(proj.values.sum) < 1e-3)
+    assert(proj(0L) < proj(1L) && proj(1L) < proj(2L) && proj(2L) < proj(3L))
+    assert(math.abs(proj(3L) - (3.0 - 1.52) * v(0) - (3.0 - 1.48) * v(1)) < 1e-4)
+  }
+
+  test("pca: partition count does not change the trained component") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (_, v1) = Similarity.trainedPc(em.repartition(13))
+    val (_, v2) = Similarity.trainedPc(em.coalesce(1))
+    assert(v1.toSeq === v2.toSeq)   // exact-integer sums: bit-identical
+  }
+
   test("knnClassify: majority label wins; vote ties break to the smaller label") {
     val corpus = Seq(
       (10L, Array(1.0f, 0.0f), 0),
