@@ -346,6 +346,36 @@ object SparkEntry {
       "q82_pca_project" -> q { (s, dir) =>
         Similarity.pcaProject(t(s, dir, "embeddings"))
       },
+      // incremental ingestion dedup: the doc_id%3==0 shard arrives as
+      // today's batch against the rest-of-corpus history; keep the
+      // canonical copy of content the history has never seen
+      "q83_incremental_dedup" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        Dedup.incrementalDedup(
+          docs.where(col("doc_id") % 3 =!= 0),
+          docs.where(col("doc_id") % 3 === 0))
+      },
+      // temperature-based source mixture weights (α=0.5, integer
+      // micro-sqrt units so the normalizer is order-free)
+      "q84_temperature_mix" -> q { (s, dir) =>
+        graft.ops.Mixer.temperatureWeights(t(s, dir, "documents"))
+      },
+      // winsorized per-group price stats: rank-based percentile bounds
+      // from a value histogram, clipping in exact cents
+      "q85_winsorize" -> q { (s, dir) =>
+        graft.ops.Winsorize.winsorizedStats(t(s, dir, "lineitem"),
+          "l_returnflag", round(col("l_extendedprice") * 100).cast("long"))
+      },
+      // bucketed range join: each event equi-joined (user, time-bucket)
+      // to the gap-session interval containing it — no nested-loop
+      "q86_session_assign" -> q { (s, dir) =>
+        graft.ops.RangeJoin.assignSessions(t(s, dir, "events"))
+      },
+      // one BPE merge iteration: adjacent-char pair counts over the
+      // vocabulary, corpus-frequency-weighted; deterministic top-50
+      "q87_bpe_pairs" -> q { (s, dir) =>
+        LangModel.bpePairCounts(t(s, dir, "documents"))
+      },
       // deterministic global shuffle into training shards: salted-hash
       // shard + within-shard hash order (shard-parallel, nothing
       // globally sorted)
@@ -602,6 +632,25 @@ object SparkEntry {
   //    BIGINT → sum), never float sums;
   //  * regexp_replace gets the 'g' flag (Spark replaces all by default).
   // -------------------------------------------------------------------
+
+  /** DuckDB mirror of TextStats.fingerprint: md5 of the
+    * punctuation-stripped, whitespace-collapsed, lowercased text. */
+  private val DuckFp =
+    """md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')))"""
+
+  /** Gap-based sessionization CTE chain (no leading WITH) — shared by
+    * q24 and the q86 range-join oracle. `s` carries per-event
+    * session_seq; `e` is the raw (event_id, user_id, ts_us, value). */
+  private val DuckSessionCtes =
+    """e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+       g AS (SELECT *,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       s AS (SELECT *,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         FROM g)"""
 
   /** DuckDB list expr: word shingles of size 2 over `text`, distinct. */
   private val DuckTokens =
@@ -996,9 +1045,74 @@ object SparkEntry {
          SELECT 'documents', 'text', count(*), count(*) - count(text) FROM documents""",
     "q15_text_stats" -> oracleSqlTextStats("documents"),
     "q16_dedup_exact" ->
-      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
+      s"""SELECT $DuckFp AS fingerprint,
            min(doc_id) AS keep_doc_id, count(*) AS dup_cnt
          FROM documents GROUP BY 1""",
+    "q83_incremental_dedup" ->
+      // NOT EXISTS with plain equality, not NOT IN: mirrors the anti
+      // join's null semantics (a null fingerprint never matches)
+      s"""WITH fp AS (SELECT doc_id, $DuckFp AS fingerprint FROM documents)
+         SELECT fingerprint, min(doc_id) AS doc_id
+         FROM fp i
+         WHERE doc_id % 3 = 0
+           AND NOT EXISTS (SELECT 1 FROM fp h
+                           WHERE h.doc_id % 3 <> 0
+                             AND h.fingerprint = i.fingerprint)
+         GROUP BY fingerprint""",
+    "q84_temperature_mix" -> s"""
+      WITH per AS (
+        SELECT source,
+          CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len($DuckTokens) END) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      m AS (SELECT source, n_tokens,
+              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS msqrt
+            FROM per)
+      SELECT source, n_tokens,
+        round(CAST(msqrt AS DOUBLE) /
+              CAST((SELECT sum(msqrt) FROM m) AS DOUBLE), 6) AS weight
+      FROM m""",
+    "q85_winsorize" -> """
+      WITH base AS (
+        SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      hist AS (SELECT l_returnflag, cents, count(*) AS cnt FROM base GROUP BY 1, 2),
+      cdf AS (SELECT *,
+        sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER (PARTITION BY l_returnflag) AS nn
+        FROM hist),
+      bounds AS (
+        SELECT l_returnflag, CAST(nn AS BIGINT) AS n,
+          min(CASE WHEN cum >= (nn * 5 + 99) // 100 THEN cents END) AS lo_cents,
+          min(CASE WHEN cum >= (nn * 95 + 99) // 100 THEN cents END) AS hi_cents
+        FROM cdf GROUP BY l_returnflag, nn)
+      SELECT b.l_returnflag, bo.n, bo.lo_cents, bo.hi_cents,
+        CAST(sum(greatest(least(b.cents, bo.hi_cents), bo.lo_cents)) AS BIGINT)
+          AS win_sum_cents,
+        CAST(sum(CASE WHEN b.cents < bo.lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+          AS clipped_lo,
+        CAST(sum(CASE WHEN b.cents > bo.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+          AS clipped_hi
+      FROM base b JOIN bounds bo USING (l_returnflag)
+      GROUP BY 1, 2, 3, 4""",
+    "q86_session_assign" -> s"""
+      WITH $DuckSessionCtes,
+      sess AS (SELECT user_id, session_seq,
+                 min(ts_us) AS s_start, max(ts_us) AS s_end
+               FROM s GROUP BY user_id, session_seq)
+      SELECT p.event_id, p.user_id, sess.session_seq
+      FROM e p JOIN sess ON p.user_id = sess.user_id
+        AND p.ts_us BETWEEN sess.s_start AND sess.s_end""",
+    "q87_bpe_pairs" -> """
+      WITH words AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents),
+      wc AS (SELECT w, count(*) AS c FROM words WHERE length(w) >= 2 GROUP BY w),
+      pc AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(c) AS BIGINT) AS cnt
+             FROM wc, LATERAL unnest(range(1, length(w))) AS t(i)
+             GROUP BY 1)
+      SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 50""",
     "q17_minhash_sig" -> s"""
       WITH sh AS (SELECT doc_id, $DuckShingles AS shingles FROM documents)
       SELECT doc_id,
@@ -1766,15 +1880,7 @@ object SparkEntry {
            (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start_epoch_s
          FROM events GROUP BY 1, 2, 6""",
     "q24_sessionize" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
-           g AS (SELECT *,
-             CASE WHEN lag(ts_us) OVER w IS NULL
-                    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
-             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-           s AS (SELECT *,
-             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-             FROM g)
+      s"""WITH $DuckSessionCtes
          SELECT user_id, session_seq, count(*) AS n_events,
            min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents

@@ -44,6 +44,31 @@ object Dedup {
       exactDuplicates(docs, textCol).select(col("keep_doc_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** Incremental ingestion dedup — the daily-shard flow: of the incoming
+    * batch, keep one canonical row (lowest doc_id) per normalized-content
+    * fingerprint that is NOT already present in the historical corpus.
+    * Output: (fingerprint, doc_id).
+    *
+    * Scale shape: history reduces to DISTINCT fingerprints before the
+    * join, so the anti join moves 16-byte digests — never historical row
+    * payloads — and both the batch-internal dedup and the anti join hash
+    * on the same digest key. With history materialized as a
+    * fingerprint-bucketed table (Io.writeBucketed) the anti join needs
+    * no shuffle at all on the history side; at 100 TB of history that is
+    * the difference between re-shuffling three years and only the day's
+    * batch. */
+  def incrementalDedup(history: DataFrame, incoming: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    val histFp = history
+      .select(TextStats.fingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+    incoming
+      .select(col("doc_id"), TextStats.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("doc_id"))
+      .join(histFp, Seq("fingerprint"), "left_anti")
+  }
+
   /** MinHash signature: k permutations via Kirsch-Mitzenmacher
     * combination of a single md5 per shingle; minhash_i = min over
     * shingles of (u + i·l) mod 2^31-1 (u, l = the digest's two uint64

@@ -161,4 +161,30 @@ object LangModel {
       .agg(min(col("cls")).as("pred"))
       .select(col(idCol), col("pred"), col("score_micros"))
   }
+
+  /** One BPE merge iteration: corpus-weighted counts of adjacent
+    * character pairs, the statistic a tokenizer trainer maximizes when
+    * choosing the next merge. Output: the top-k (pair, cnt), ranked
+    * (cnt DESC, pair) so the cut is deterministic.
+    *
+    * Scale shape — the real BPE trick: pair counting runs over the
+    * VOCABULARY (distinct words with their corpus frequencies), not the
+    * corpus. The only corpus-sized operation is the word-count
+    * aggregate (map-side partial combine on a heavy-tailed key —
+    * AQE-skew-splittable); the explode into pairs touches |vocab| rows,
+    * orders of magnitude smaller, and the final top-k is a bounded
+    * TakeOrdered. */
+  def bpePairCounts(docs: DataFrame, textCol: String = "text",
+                    k: Int = 50): DataFrame = {
+    val wc = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    wc.select(col("c"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy("pair").agg(sum("c").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
 }

@@ -73,6 +73,31 @@ object Mixer {
       .select(col(idCol), col(sourceCol), col("n_tokens"))
   }
 
+  /** Temperature-based source mixture weights (α = 0.5): the sampling
+    * curriculum that up-weights small sources relative to proportional
+    * sampling — w_s ∝ n_s^α / Σ_t n_t^α, the multilingual/multi-source
+    * rebalancing rule. Output: (source, n_tokens, weight).
+    *
+    * Determinism across engines: n_s^0.5 is IEEE sqrt (correctly rounded
+    * everywhere), but Σ n_t^α over doubles depends on summation order —
+    * so each sqrt is quantized to integer micro-units FIRST
+    * (floor(√n·1e6)) and the normalizer is an exact integer sum; the
+    * single final division + 6-dp round is order-free. One corpus scan,
+    * one tiny aggregate (#sources rows); the unpartitioned window runs
+    * over that post-aggregate relation, never the corpus. */
+  def temperatureWeights(docs: DataFrame, sourceCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val per = docs.groupBy(col(sourceCol))
+      .agg(sum(TextStats.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("msqrt",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("weight",
+        round(col("msqrt").cast("double") / sum("msqrt").over(all).cast("double"), 6))
+      .select(col(sourceCol), col("n_tokens"), col("weight"))
+  }
+
   /** Reference formulation: one running-sum window per source. Identical
     * output; serializes each source through a single task at scale —
     * exists as the spec's equivalence oracle and the small-data path. */

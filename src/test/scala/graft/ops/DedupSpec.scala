@@ -243,4 +243,27 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === ((3L, 1L, 333333L)))
     assert(out(3L) === ((2L, 0L, 0L)))
   }
+
+  test("incremental dedup drops known content, dedups the batch, keeps the new") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "already seen text")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "The quick  brown FOX!"),  // dup of history (normalization)
+      (11L, "fresh content one"),
+      (12L, "fresh content one"),      // batch-internal dup — keep 11 only
+      (13L, "fresh content two")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(history, incoming)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 13L))
+  }
+
+  test("incremental dedup with empty history keeps one per content") {
+    import spark.implicits._
+    val incoming = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(incoming.where(lit(false)), incoming)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
 }

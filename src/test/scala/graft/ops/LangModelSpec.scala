@@ -92,4 +92,24 @@ class LangModelSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[String]("pred")).toMap
     assert(out(1L) === "a" && out(2L) === "a")
   }
+
+  test("bpe pair counts weight pairs by corpus word frequency") {
+    import spark.implicits._
+    // "abab" twice and "ab" once: ab=2·2+1=5, ba=2·1=2, bb=0;
+    // "Z9z" lowers/splits to single letters — dropped entirely
+    val docs = Seq(
+      (1L, "abab ab"), (2L, "abab Z9z")).toDF("doc_id", "text")
+    val got = LangModel.bpePairCounts(docs)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("ab" -> 5L, "ba" -> 2L))
+  }
+
+  test("bpe top-k cut is deterministic under count ties") {
+    import spark.implicits._
+    val docs = Seq((1L, "xy yz zx")).toDF("doc_id", "text")
+    // all three pairs count 1 — k=2 must keep the lexicographically first
+    val got = LangModel.bpePairCounts(docs, k = 2)
+      .as[(String, Long)].collect().map(_._1).toSet
+    assert(got === Set("xy", "yz"))
+  }
 }

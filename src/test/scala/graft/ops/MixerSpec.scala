@@ -34,4 +34,20 @@ class MixerSpec extends SparkSpec {
     assert(asSet(kept) === asSet(Mixer.tokenBudgetMixNaive(docs, 5L)))
     assert(Mixer.tokenBudgetMix(docs, budget = 1000L).count() === 6)
   }
+
+  test("temperature weights: sqrt rebalancing, weights sum to ~1") {
+    import spark.implicits._
+    // sources with 16, 4, and 4 tokens: sqrt → 4:2:2 → weights 1/2, 1/4, 1/4
+    // (proportional sampling would have been 2/3, 1/6, 1/6)
+    val docs = Seq(
+      (1L, "big", ("t " * 16).trim),
+      (2L, "sm1", "t t t t"),
+      (3L, "sm2", "t t"), (4L, "sm2", "t t")
+    ).toDF("doc_id", "source", "text")
+    val w = Mixer.temperatureWeights(docs)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(w("big")._2 === 16L && w("sm1")._2 === 4L && w("sm2")._2 === 4L)
+    assert(w("big")._3 === 0.5 && w("sm1")._3 === 0.25 && w("sm2")._3 === 0.25)
+    assert(math.abs(w.values.map(_._3).sum - 1.0) < 1e-6)
+  }
 }
