@@ -141,6 +141,31 @@ object EventsStream {
         round(col("value") * 100).cast("long").as("value_cents"))
   }
 
+  /** Declarative sessionization via the built-in session_window
+    * operator: per-user windows with a `gap` inactivity bound merge as
+    * events arrive, and append mode emits each session exactly once —
+    * when the watermark passes its close. The complement of
+    * [[sessionizeStream]]: no user state code, merge handled by the
+    * state store's window-merge path; the operator defines window end
+    * as last-event + gap, so end_us = sessionize's session_end_us + gap.
+    *
+    * Scale: state is keyed (user, open window) and evicted at
+    * watermark; per-key merges are local to the (user)-hashed state
+    * partition, so the operator scales with active users per trigger,
+    * exactly like the hand-rolled sessionizer. */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes",
+                          delay: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", eventTime)
+      .withWatermark("event_time", delay)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("window_end_us"),
+        col("n_events"), col("value_cents"))
+
   // ---- stateful sessionization --------------------------------------
 
   final case class Event(event_id: Long, ts: Long, user_id: Long,

@@ -82,6 +82,47 @@ class EventsStreamSpec extends SparkSpec {
       s"flush emitted ${got.size} of ${batch.size} sessions")
   }
 
+  test("session_window stream emits exactly the batch session_window result") {
+    import spark.implicits._
+    // dedicated source dir: real halves a/b, then two far-future sentinel
+    // files c/d — file order is path order, watermark advances between
+    // micro-batches, so by batch d the watermark has passed every real
+    // session's close and append mode has emitted them all
+    val dir = Files.createTempDirectory("events-swindow").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
+    val mid = ev.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
+    val far = ev.agg(max("ts")).head().getLong(0) + 86400L * 1000000000L
+    ev.where(col("ts") < mid).coalesce(1).write.parquet(s"$dir/a")
+    ev.where(col("ts") >= mid).coalesce(1).write.parquet(s"$dir/b")
+    Seq((-1L, far, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/c")
+    Seq((-2L, far + 3600L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/d")
+    val q = EventsStream.sessionWindowStream(
+        EventsStream.readEvents(spark, s"$dir/*", maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("swindow_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min (loaded host)")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val got = asSet(spark.table("swindow_stream"))
+    val want = asSet(EventsStream.sessionWindowStream(ev))  // batch session_window
+    assert(got === want)
+    // and the windows agree with the hand-rolled sessionizer: same
+    // starts/counts, window end = session end + the 30-minute gap
+    val fromSessionize = Events.sessionize(ev)
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us") + 30L * 60L * 1000000L,
+        col("n_events"), col("value_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(want === fromSessionize)
+  }
+
   test("stream-stream join matches the equivalent batch join") {
     val stream = EventsStream.readEvents(spark, sourceGlob)
     val q = EventsStream.purchaseAttribution(stream)
