@@ -376,6 +376,17 @@ object SparkEntry {
       "q87_bpe_pairs" -> q { (s, dir) =>
         LangModel.bpePairCounts(t(s, dir, "documents"))
       },
+      // document-level co-occurrence of the top-30 vocabulary terms
+      // (vocabulary pruning before pairing; one reused exchange)
+      "q88_cooccurrence" -> q { (s, dir) =>
+        TextStats.cooccurrence(t(s, dir, "documents"))
+      },
+      // integer-arithmetic PageRank (5 iterations, micro-units) over the
+      // part co-purchase graph — per-edge floor division before
+      // summation keeps every iteration order-free and engine-portable
+      "q89_part_rank" -> q { (s, dir) =>
+        graft.ops.Graph.partRank(t(s, dir, "lineitem"))
+      },
       // deterministic global shuffle into training shards: salted-hash
       // shard + within-shard hash order (shard-parallel, nothing
       // globally sorted)
@@ -651,6 +662,25 @@ object SparkEntry {
          CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
          FROM g)"""
+
+  /** q89 oracle: the 5 PageRank iterations unrolled as CTEs, every step
+    * in the same integer micro-unit arithmetic as Graph.pageRank
+    * (floor-divide per edge, then sum — order-free on both engines). */
+  private lazy val DuckPageRankSql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+            CAST(150000 + (sum(r.rank // e.outdeg) * 85) // 100 AS BIGINT) AS rank
+          FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst)"""
+    }.mkString(",\n      ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+      pairs AS (SELECT DISTINCT a.part AS src, b.part AS dst
+                FROM li a JOIN li b ON a.okey = b.okey AND a.part <> b.part),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM pairs GROUP BY src),
+      e AS (SELECT p.src, p.dst, d.outdeg FROM pairs p JOIN deg d USING (src)),
+      r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+      $iters
+      SELECT node AS part_id, rank AS rank_micro FROM r5"""
+  }
 
   /** DuckDB list expr: word shingles of size 2 over `text`, distinct. */
   private val DuckTokens =
@@ -1104,6 +1134,20 @@ object SparkEntry {
       SELECT p.event_id, p.user_id, sess.session_seq
       FROM e p JOIN sess ON p.user_id = sess.user_id
         AND p.ts_us BETWEEN sess.s_start AND sess.s_end""",
+    "q88_cooccurrence" -> s"""
+      WITH alltoks AS (
+        SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE $DuckTokens END) AS term
+        FROM documents),
+      vocab AS (SELECT term FROM (
+          SELECT term, count(*) AS term_count FROM alltoks GROUP BY term
+          ORDER BY term_count DESC, term LIMIT 30)),
+      dt AS (SELECT DISTINCT doc_id, term FROM alltoks
+             WHERE term IN (SELECT term FROM vocab))
+      SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_docs
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 ORDER BY n_docs DESC, term_a, term_b LIMIT 100""",
+    "q89_part_rank" -> DuckPageRankSql,
     "q87_bpe_pairs" -> """
       WITH words AS (
         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w

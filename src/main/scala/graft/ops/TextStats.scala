@@ -118,6 +118,34 @@ object TextStats {
       .limit(k)
   }
 
+  /** Document-level co-occurrence counts for the top-`vocabK` vocabulary
+    * terms: in how many documents does each term pair appear together.
+    * Output: top-`topPairs` (term_a, term_b, n_docs), term_a < term_b,
+    * ranked (n_docs DESC, term_a, term_b) so the cut is deterministic.
+    *
+    * Scale shape: the naive all-terms self-join is quadratic in document
+    * length; pruning to a bounded vocabulary FIRST (broadcast semi join
+    * on the top-k terms) caps the per-document fan-out at vocabK before
+    * any pairing happens. The pair self-join keys on doc_id over an
+    * explicitly repartitioned relation, so both sides reuse ONE exchange
+    * (the q18 co-partitioning trick), and the final cut is a bounded
+    * TakeOrdered. */
+  def cooccurrence(docs: DataFrame, vocabK: Int = 30, topPairs: Int = 100,
+                   textCol: String = "text"): DataFrame = {
+    val vocab = vocabulary(docs, vocabK, textCol).select("term")
+    val dt = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .join(broadcast(vocab), Seq("term"))
+      .repartition(col("doc_id"))
+    dt.alias("a")
+      .join(dt.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("term_a"), col("term_b"))
+      .limit(topPairs)
+  }
+
   /** Full per-document stats projection used by `queries`.
     *
     * Two stages split by a generator barrier: stage 1 computes

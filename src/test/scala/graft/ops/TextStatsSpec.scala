@@ -23,4 +23,25 @@ class TextStatsSpec extends SparkSpec {
     val top = TextStats.vocabulary(docs, k = 10).collect()
     assert(top.map(_.getString(0)).toSet === Set("only", "term"))
   }
+
+  test("cooccurrence counts docs per pair; vocab pruning excludes rare terms") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),     // repeats collapse: one (alpha,beta) doc
+      (2L, "alpha beta gamma"),
+      (3L, "beta gamma"),
+      (4L, "alpha rare")            // "rare": 1 occurrence — outside top-3
+    ).toDF("doc_id", "text")
+    val got = TextStats.cooccurrence(docs, vocabK = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("alpha", "beta") -> 2L, ("alpha", "gamma") -> 1L, ("beta", "gamma") -> 2L))
+  }
+
+  test("cooccurrence top-pairs cut is deterministic") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // three pairs, all count 1 — topPairs=2 keeps the lexicographic first
+    val got = TextStats.cooccurrence(docs, vocabK = 3, topPairs = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a", "b"), ("a", "c")))
+  }
 }
