@@ -387,6 +387,37 @@ object SparkEntry {
       "q89_part_rank" -> q { (s, dir) =>
         graft.ops.Graph.partRank(t(s, dir, "lineitem"))
       },
+      // the explicit salting path as a declared query: result must be
+      // identical to the plain equi-join the oracle runs
+      "q90_salted_join" -> q { (s, dir) =>
+        val seg = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        graft.ops.Skew.saltedJoin(t(s, dir, "events"), seg,
+            key = "user_id", spreadCol = "event_id", numSalts = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("event_cnt"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      },
+      // full cube over return flag × line status (rollup and grouping
+      // sets are q31/q47; cube completes the trio)
+      "q91_cube" -> q { (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      },
+      // trailing 7-day revenue per priority: RANGE frame over the
+      // pre-aggregated daily relation (the window never sees raw rows)
+      "q92_rolling_range" -> q { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("d"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("d").cast("timestamp").cast("long"))
+          .rangeBetween(-6L * 86400L, 0L)
+        daily.withColumn("trail7_cents", sum("day_cents").over(w))
+      },
       // deterministic global shuffle into training shards: salted-hash
       // shard + within-shard hash order (shard-parallel, nothing
       // globally sorted)
@@ -1148,6 +1179,26 @@ object SparkEntry {
       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
       GROUP BY 1, 2 ORDER BY n_docs DESC, term_a, term_b LIMIT 100""",
     "q89_part_rank" -> DuckPageRankSql,
+    "q90_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS event_cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1""",
+    "q91_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q92_rolling_range" ->
+      """WITH daily AS (
+           SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority, d, day_cents,
+           CAST(sum(day_cents) OVER (PARTITION BY o_orderpriority ORDER BY d
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS trail7_cents
+         FROM daily""",
     "q87_bpe_pairs" -> """
       WITH words AS (
         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w

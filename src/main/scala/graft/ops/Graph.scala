@@ -31,11 +31,16 @@ object Graph {
     * dst. localCheckpoint truncates the ranks lineage per iteration —
     * the CC lesson: without it, iteration t replans iterations 1..t-1.
     * On a cluster, swap for a reliable checkpoint dir. */
-  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def pageRank(edges0: DataFrame, iters: Int = 5): DataFrame = {
+    // checkpoint the RAW edges first: outdeg, the degree-annotated edge
+    // relation, and the rank init all derive from it — without this the
+    // upstream edge build (a join + distinct) replays once per consumer
+    val edges = edges0.localCheckpoint()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = edges.join(outdeg, Seq("src"))
-      .repartition(col("src"))
-      .localCheckpoint()
+    // no explicit repartition: ranks broadcast (node count ≪ edge count),
+    // so e's partitioning is irrelevant to the join and the dst aggregate
+    // shuffles regardless; at bucket-the-graph scale, bucket by src here
+    val e = edges.join(outdeg, Seq("src")).localCheckpoint()
     var ranks = outdeg.select(col("src").as("node"), lit(1000000L).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
