@@ -418,6 +418,84 @@ object SparkEntry {
           .rangeBetween(-6L * 86400L, 0L)
         daily.withColumn("trail7_cents", sum("day_cents").over(w))
       },
+      // SCD type-2 dimension merge: customer plays the versioned dim.
+      // Current snapshot = every customer open since 1992 plus a planted
+      // closed-history row for every 7th key; the batch re-states every
+      // 3rd key (only every 6th actually changes — the no-op update must
+      // NOT version) and adds brand-new keys for every 10th.
+      "q93_scd2_merge" -> q { (s, dir) =>
+        val c = t(s, dir, "customer")
+        val open = c.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey"),
+          lit(java.sql.Date.valueOf("1992-01-01")).as("effective_from"),
+          lit(null).cast("date").as("effective_to"),
+          lit(true).as("is_current"))
+        val closedHist = c.where(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"),
+            concat(lit("OLD-"), col("c_mktsegment")).as("c_mktsegment"),
+            col("c_nationkey"),
+            lit(java.sql.Date.valueOf("1990-01-01")).as("effective_from"),
+            lit(java.sql.Date.valueOf("1992-01-01")).as("effective_to"),
+            lit(false).as("is_current"))
+        val updates = c.where(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 6 === 0, lit("MOVED"))
+              .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+            col("c_nationkey"))
+          .unionByName(c.where(col("c_custkey") % 10 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              lit("NEWSEG").as("c_mktsegment"),
+              lit(99).cast(c.schema("c_nationkey").dataType).as("c_nationkey")))
+        graft.ops.Scd.scd2Merge(open.unionByName(closedHist), updates,
+          "c_custkey", Seq("c_mktsegment", "c_nationkey"),
+          lit(java.sql.Date.valueOf("1995-06-01")))
+      },
+      // CDC changelog apply: events as the changelog (key user_id, seq
+      // event_id, every 13th entry a delete) collapsed to latest state
+      "q94_cdc_apply" -> q { (s, dir) =>
+        val log = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("value_cents"),
+            when(col("event_id") % 13 === 0, lit("D")).otherwise(lit("U"))
+              .as("op"))
+        graft.ops.Cdc.applyChangelog(log, Seq("user_id"),
+          col("event_id"), col("op"))
+      },
+      // deterministic train/val/test split: hash-keyed membership, so
+      // corpus growth can never migrate a doc between splits
+      "q95_split_assign" -> q { (s, dir) =>
+        Sampling.splitByHash(t(s, dir, "documents"), col("doc_id"),
+            trainPpm = 900000L, valPpm = 50000L)
+          .select("doc_id", "lang", "split")
+      },
+      // cross-source overlap matrix: shared shingle hashes + Jaccard per
+      // source pair — the corpus-composition diagnostic
+      "q96_source_overlap" -> q { (s, dir) =>
+        Contamination.sourceOverlap(t(s, dir, "documents"), shingleSize = 2)
+      },
+      // multi-probe SRP ANN: home bucket + all Hamming-1 probes per
+      // query; corpus still bucketed exactly once
+      "q97_multiprobe_ann" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        Similarity.multiProbeTopK(em.where(col("vec_id") < 20), em, k = 5)
+      },
+      // per-source lexical-diversity profile (vocabulary growth + TTR)
+      "q98_source_diversity" -> q { (s, dir) =>
+        graft.ops.TextStats.diversityBySource(t(s, dir, "documents"))
+      },
+      // length-curriculum deciles via engine-exact integer order
+      // statistics (histogram walk, not interpolated percentiles)
+      "q99_curriculum_buckets" -> q { (s, dir) =>
+        graft.ops.QualityFilters.curriculumBuckets(t(s, dir, "documents"))
+      },
+      // held-out unigram scoring: LM trained on ~4/5 of the corpus
+      // scores the other 1/5, OOV reported not smoothed
+      "q100_cross_perplexity" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        LangModel.crossUnigramScore(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0))
+      },
       // deterministic global shuffle into training shards: salted-hash
       // shard + within-shard hash order (shard-parallel, nothing
       // globally sorted)
@@ -1199,6 +1277,207 @@ object SparkEntry {
              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
              AS trail7_cents
          FROM daily""",
+    "q93_scd2_merge" ->
+      """WITH open_now AS (
+           SELECT c_custkey, c_mktsegment, c_nationkey,
+             DATE '1992-01-01' AS effective_from,
+             CAST(NULL AS DATE) AS effective_to, true AS is_current
+           FROM customer),
+         closed_hist AS (
+           SELECT c_custkey, 'OLD-' || c_mktsegment AS c_mktsegment,
+             c_nationkey, DATE '1990-01-01' AS effective_from,
+             DATE '1992-01-01' AS effective_to, false AS is_current
+           FROM customer WHERE c_custkey % 7 = 0),
+         upd AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 6 = 0 THEN 'MOVED' ELSE c_mktsegment END
+               AS c_mktsegment,
+             c_nationkey
+           FROM customer WHERE c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'NEWSEG', 99
+           FROM customer WHERE c_custkey % 10 = 0),
+         j AS (
+           SELECT o.c_custkey, o.c_mktsegment, o.c_nationkey,
+             o.effective_from, o.effective_to, o.is_current,
+             u.c_custkey AS u_key, u.c_mktsegment AS u_seg,
+             u.c_nationkey AS u_nat,
+             ((o.c_mktsegment IS DISTINCT FROM u.c_mktsegment)
+              OR (o.c_nationkey IS DISTINCT FROM u.c_nationkey)) AS changed
+           FROM open_now o FULL OUTER JOIN upd u
+             ON o.c_custkey = u.c_custkey)
+         SELECT c_custkey, c_mktsegment, c_nationkey,
+           effective_from, effective_to, is_current FROM closed_hist
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, c_nationkey,
+           effective_from, effective_to, is_current
+         FROM j WHERE c_custkey IS NOT NULL AND (u_key IS NULL OR NOT changed)
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, c_nationkey,
+           effective_from, DATE '1995-06-01', false
+         FROM j WHERE c_custkey IS NOT NULL AND u_key IS NOT NULL AND changed
+         UNION ALL
+         SELECT u_key, u_seg, u_nat,
+           DATE '1995-06-01', CAST(NULL AS DATE), true
+         FROM j WHERE u_key IS NOT NULL AND (c_custkey IS NULL OR changed)""",
+    "q94_cdc_apply" ->
+      """WITH log AS (
+           SELECT user_id, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents,
+             CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM events),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY event_id DESC, op DESC) AS rn
+           FROM log)
+         SELECT user_id, event_id, event_type, value_cents, op
+         FROM r WHERE rn = 1 AND op <> 'D'""",
+    "q95_split_assign" ->
+      """SELECT doc_id, lang,
+           CASE WHEN b < 900000 THEN 'train'
+                WHEN b < 950000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (
+           SELECT doc_id, lang,
+             (md5_number_lower('split|' || CAST(doc_id AS VARCHAR))
+              & 9223372036854775807) % 1000000 AS b
+           FROM documents)""",
+    "q96_source_overlap" -> s"""
+      WITH d AS (
+        SELECT DISTINCT source AS src,
+          unnest(list_distinct(list_transform($DuckShingles,
+            x -> md5_number_lower(x)))) AS h
+        FROM documents),
+      sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY src),
+      pairs AS (
+        SELECT a.src AS src_a, b.src AS src_b,
+          CAST(count(*) AS BIGINT) AS n_shared
+        FROM d a JOIN d b ON a.h = b.h AND a.src < b.src
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+        round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6)
+          AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.src = src_a
+      JOIN sizes sb ON sb.src = src_b""",
+    "q97_multiprobe_ann" -> s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      b AS (SELECT vec_id, e, ${duckSrpBucket("e")} AS bucket FROM v),
+      q AS (SELECT vec_id AS query_id, e AS qv, bucket FROM b WHERE vec_id < 20),
+      probes AS (
+        SELECT query_id, xor(bucket, f) AS bucket
+        FROM q, (SELECT unnest([0, 1, 2, 4, 8]) AS f)),
+      cand AS (
+        SELECT DISTINCT query_id, c.vec_id AS neighbor_id
+        FROM probes p JOIN b c ON p.bucket = c.bucket
+        WHERE p.query_id <> c.vec_id),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+          list_dot_product(q2.qv, c.e) /
+            (sqrt(list_dot_product(q2.qv, q2.qv)) *
+             sqrt(list_dot_product(c.e, c.e))) AS sim
+        FROM cand
+        JOIN q q2 ON q2.query_id = cand.query_id
+        JOIN v c ON c.vec_id = cand.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+             round(sim, 4) AS cos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
+      WHERE rnk <= 5""",
+    "q98_source_diversity" -> s"""
+      WITH base AS (
+        SELECT source, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             ELSE $DuckTokens END AS t
+        FROM documents),
+      bg AS (
+        SELECT source, CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+             ELSE list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1]) END AS b
+        FROM base),
+      ds AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(t)) AS BIGINT) AS total_tokens
+        FROM base GROUP BY source),
+      uni AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS distinct_tokens
+        FROM (SELECT DISTINCT source, unnest(t) AS g FROM base)
+        GROUP BY source),
+      bi AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS distinct_bigrams
+        FROM (SELECT DISTINCT source, unnest(b) AS g FROM bg)
+        GROUP BY source)
+      SELECT ds.source, n_docs, total_tokens,
+        coalesce(distinct_tokens, 0) AS distinct_tokens,
+        coalesce(distinct_bigrams, 0) AS distinct_bigrams,
+        round(CAST(coalesce(distinct_tokens, 0) AS DOUBLE) /
+          greatest(total_tokens, 1), 6) AS type_token_ratio
+      FROM ds LEFT JOIN uni USING (source) LEFT JOIN bi USING (source)""",
+    "q99_curriculum_buckets" -> s"""
+      WITH base AS (
+        SELECT doc_id, text,
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END AS toks
+        FROM documents),
+      st AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          round((CASE WHEN length(text) BETWEEN 100 AND 10000
+                      THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
+                (CASE WHEN CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE)
+                           <= length(text) * 0.1
+                      THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
+                (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(toks,
+                              x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS DOUBLE)
+                              / len(toks) END)
+                      BETWEEN 0.01 AND 0.6
+                      THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 1) AS q
+        FROM base),
+      hist AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY n_chars),
+      cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum FROM hist),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM st),
+      cuts AS (
+        SELECT ${(1 until 10).map(i =>
+          s"min(CASE WHEN cum * 10 >= n * $i THEN n_chars END) AS c$i")
+          .mkString(",\n               ")}
+        FROM cum, tot)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        CAST(sum(CAST(round(q * 10) AS BIGINT)) * 100 // count(*) AS BIGINT)
+          AS avg_quality_milli
+      FROM (
+        SELECT st.*,
+          1 + ${(1 until 10).map(i =>
+            s"(CASE WHEN n_chars > c$i THEN 1 ELSE 0 END)").mkString(" + ")}
+            AS bucket
+        FROM st, cuts)
+      GROUP BY bucket""",
+    "q100_cross_perplexity" ->
+      """WITH tr AS (
+           SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents WHERE doc_id % 5 <> 0),
+         cnt AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY tok),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM cnt),
+         ev AS (
+           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents WHERE doc_id % 5 = 0),
+         etf AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM ev) GROUP BY 1, 2),
+         scored AS (
+           SELECT e.doc_id, e.tf, c.cnt,
+             CAST(round((ln(CAST(t.total_tokens AS DOUBLE)) -
+               ln(CAST(c.cnt AS DOUBLE))) * 1e6) AS BIGINT) AS nlp_micros
+           FROM etf e LEFT JOIN cnt c ON e.tok = c.tok, tot t)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN cnt IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN cnt IS NOT NULL THEN nlp_micros * tf END) //
+             nullif(sum(tf) - sum(CASE WHEN cnt IS NULL THEN tf ELSE 0 END), 0)
+             AS BIGINT) AS avg_nlp_micros
+         FROM scored GROUP BY doc_id""",
     "q87_bpe_pairs" -> """
       WITH words AS (
         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w

@@ -100,4 +100,41 @@ object Contamination {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated"))
   }
+
+  /** Cross-source overlap matrix: for every pair of sources, how many
+    * distinct shingle hashes they share and the Jaccard similarity of
+    * their shingle sets. The corpus-composition diagnostic of a
+    * multi-source training mix — two crawls of the same sites, a dump
+    * and its filtered re-release, or a benchmark hiding inside a web
+    * source all show up as an off-diagonal spike long before per-doc
+    * dedup would find them.
+    *
+    * Scale: one corpus hash pass → distinct (source, h); the pair
+    * expansion is a self-join keyed on the shingle HASH, so its output
+    * is Σ_h (sources_per_shingle choose 2) — bounded by the source
+    * count (dozens), not the corpus; per-source set sizes ride the same
+    * distinct relation. All joins key on uniform digests; the final
+    * matrix is sources² rows — driver-tiny. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String = "source",
+                    textCol: String = "text",
+                    shingleSize: Int = 3): DataFrame = {
+    // generator barrier (same idiom/reason as [[hashed]]): evaluate the
+    // hash expression once per row, then fan out
+    val sh = docs.select(col(sourceCol).as("src"),
+        explode(array(graft.functions.TextExpressions.shingle_hashes(
+          TextStats.tokens(col(textCol)), shingleSize))).as("sh"))
+      .select(col("src"), explode(col("sh")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"), Seq("h"))
+      .where(col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        round(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 6)
+          .as("jaccard"))
+  }
 }

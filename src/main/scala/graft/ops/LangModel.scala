@@ -57,6 +57,47 @@ object LangModel {
         expr("sum_micros div n_tokens").as("avg_nlp_micros"))
   }
 
+  /** Cross-corpus unigram scoring: score `eval` documents under a
+    * unigram LM trained on a DISJOINT `train` corpus — the held-out
+    * flavor of [[unigramScore]], and the standard quality/novelty
+    * signal pair: in-corpus perplexity says "is this doc like the
+    * corpus", held-out perplexity says "does the corpus generalize to
+    * it". Out-of-vocabulary tokens are reported (n_oov) rather than
+    * smoothed — a doc whose tokens the training split never saw is a
+    * shift signal, not a zero-probability event to paper over; the
+    * average covers in-vocabulary tokens only (null when all are OOV).
+    *
+    * Scale: train-side stats are the same two aggregates off one tf
+    * exchange as [[unigramScore]]; the vocabulary broadcasts (token
+    * types, not occurrences) and the eval side is one scan + one
+    * per-doc aggregation. */
+  def crossUnigramScore(train: DataFrame, eval: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val trainTf = train
+      .select(explode(TextStats.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = trainTf.agg(sum("cnt").cast("long").as("total_tokens"))
+    val evalTf = eval
+      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    evalTf.join(broadcast(trainTf), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("nlp_micros",
+        round((log(col("total_tokens").cast("double")) -
+          log(col("cnt").cast("double"))) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        sum(when(col("cnt").isNull, col("tf")).otherwise(lit(0L)))
+          .cast("long").as("n_oov"),
+        sum(when(col("cnt").isNotNull, col("nlp_micros") * col("tf")))
+          .cast("long").as("sum_micros"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        expr("sum_micros div nullif(n_tokens - n_oov, 0)")
+          .as("avg_nlp_micros"))
+  }
+
   /** Bigram LM counting — the training side of an n-gram language model:
     * the k most frequent bigrams with their count, their left-context
     * count, and the conditional log-probability

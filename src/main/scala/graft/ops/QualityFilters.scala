@@ -48,6 +48,55 @@ object QualityFilters {
         round(col("lang_cutoff"), 4).as("lang_cutoff"))
   }
 
+  /** Length-curriculum bucketing: decile (or n-tile) buckets over
+    * document length, with per-bucket volume and quality — the report
+    * that orders a curriculum schedule (short/clean docs first, long
+    * tail later) and sanity-checks a mixture before training.
+    *
+    * Engine-exact by construction: cutoffs are ORDER STATISTICS
+    * (cutoff_i = smallest length with cumulative count ≥ ⌈i·n/k⌉), not
+    * interpolated percentiles — pure integer arithmetic, so any engine
+    * computes the identical buckets; no float-boundary doc can flip
+    * sides. NOT a global ntile window either (that is one task sorting
+    * the corpus): lengths first collapse to a value histogram (rows =
+    * distinct lengths, bounded by the max document length), the
+    * cumulative walk runs over that tiny relation, and the 9 cutoffs
+    * broadcast back onto the scan as one CASE-sum projection. */
+  def curriculumBuckets(docs: DataFrame, nBuckets: Int = 10,
+                        textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets ($nBuckets) must be >= 2")
+    val stats = TextStats.statsFor(docs, textCol)
+      .select(col("doc_id"), col("n_chars"), col("quality_score"))
+    val hist = stats.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("n_chars")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(stats.agg(count(lit(1)).as("n"))))
+    // cutoff_i = min n_chars with cum >= ceil(i*n/k), as integer math
+    val cutExprs = (1 until nBuckets).map { i =>
+      min(when(col("cum") * nBuckets >= col("n") * i, col("n_chars")))
+        .as(s"c$i")
+    }
+    val cutoffs = broadcast(cum.agg(cutExprs.head, cutExprs.tail: _*))
+    val bucket = (1 until nBuckets)
+      .map(i => when(col("n_chars") > col(s"c$i"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    stats.crossJoin(cutoffs)
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        // quality is an exact multiple of 0.1 by construction, so the
+        // mean is carried as integer milli-units (sum of decis × 100
+        // div n) — engine-exact where a float avg's summation order
+        // could flip a rounding boundary
+        sum(round(col("quality_score") * 10).cast("long")).as("__sum_decis"))
+      .select(col("bucket"), col("n_docs"), col("min_chars"),
+        col("max_chars"),
+        expr("__sum_decis * 100 div n_docs").as("avg_quality_milli"))
+  }
+
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       maxTokenFrac: Double = 0.14,
                       maxBigramFrac: Double = 0.07): DataFrame = {

@@ -103,4 +103,27 @@ object Sampling {
       .withColumnRenamed("__pos", "pos")
       .drop("__h")
   }
+
+  /** Deterministic train/validation/test split: the same salted-hash
+    * bucket as [[hashSample]], carved into three disjoint ppm ranges
+    * ([0, train) → "train", [train, train+val) → "val", rest → "test").
+    * Hash-keyed membership is the property that matters for eval
+    * hygiene: a document's split is a pure function of its id, so
+    * re-runs, engine changes, corpus growth, and upstream re-ordering
+    * never migrate a row between splits (appending new docs can add to
+    * any split but can never move an old doc from test into train).
+    *
+    * Scale: adds one scan-local projection — no shuffle, no driver
+    * state; downstream per-split reads filter on the column and the
+    * predicate pushes into the scan. */
+  def splitByHash(df: DataFrame, id: Column, trainPpm: Long, valPpm: Long,
+                  salt: String = "split"): DataFrame = {
+    require(trainPpm >= 0 && valPpm >= 0 && trainPpm + valPpm <= Million,
+      s"split rates out of range: train=$trainPpm val=$valPpm")
+    val b = hashBucket(id, salt)
+    df.withColumn("split",
+      when(b < lit(trainPpm), lit("train"))
+        .when(b < lit(trainPpm + valPpm), lit("val"))
+        .otherwise(lit("test")))
+  }
 }

@@ -123,6 +123,47 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe SRP-LSH ANN: each query probes its own bucket PLUS the
+    * `planes` buckets at Hamming distance 1 (one sign bit flipped) —
+    * the standard multi-probe trade (Lv et al., VLDB'07): near-miss
+    * neighbors sit just across one hyperplane, so probing adjacent
+    * buckets recovers most of single-probe's lost recall without adding
+    * hash tables or re-bucketing the corpus.
+    *
+    * Scale: the CORPUS is still bucketed exactly once (the expensive
+    * side at 100 TB); only the broadcast query side fans out ×(planes+1)
+    * via a literal probe-offset array — the join stays a hash join on
+    * the bucket key, candidates grow ~(planes+1)× per query, and the
+    * bounded-heap top-k still caps the exchange at k rows per query.
+    * A candidate reached through two probes is deduplicated by
+    * max-over-pair before ranking (same score either way — max is just
+    * the cheapest dedup that keeps the partial-agg pipeline). */
+  def multiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     dim: Int = 64, planes: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    // probe offsets: 0 (home bucket) and each single-bit flip
+    val offsets = array((0L +: (0 until planes).map(1L << _).map(_.toLong))
+      .map(lit): _*)
+    val q = broadcast(
+      queries.where(dimGuard(col(vecCol), dim))
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          srpBucket(col(vecCol), dim, planes).cast("long").as("home"))
+        .select(col("query_id"), col("qv"), col("home"),
+          explode(offsets).as("flip"))
+        .withColumn("bucket",
+          col("home").bitwiseXOR(col("flip")).cast("int"))
+        .select("query_id", "qv", "bucket"))
+    val c = corpus.where(dimGuard(col(vecCol), dim))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        srpBucket(col(vecCol), dim, planes).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(cosine(col("qv"), col("cv"))).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
   /** Driver-side spherical k-means (Lloyd's, cosine assignment) over a
     * bounded training sample. Deterministic: first-`nlist` init over the
     * lowest-id sample, ties to the lowest cell. Centroids are plain

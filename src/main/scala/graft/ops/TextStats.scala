@@ -188,4 +188,43 @@ object TextStats {
       langPred.as("lang_pred"),
       col("fingerprint"))
   }
+
+  /** Per-source lexical-diversity profile: documents, token volume,
+    * vocabulary size (distinct unigrams / bigrams), and type-token
+    * ratio. The corpus-composition companion to [[Contamination
+    * .sourceOverlap]] — a source whose TTR collapses is template spam or
+    * a crawler trap; one whose bigram vocabulary stops growing is
+    * near-exhausted — both are per-source mixture-weight signals a
+    * 100 TB curation run reads before sampling.
+    *
+    * Scale: tokens and bigrams are scan-local array projections (the
+    * bigram array is a zip of the token array with its own tail — no
+    * second tokenize, no join); each explode feeds a distinct-aggregate
+    * keyed on (source, gram) with map-side partial aggregation, so the
+    * exchange carries per-partition-distinct grams, not token
+    * occurrences. Output is one row per source. */
+  def diversityBySource(docs: DataFrame, sourceCol: String = "source",
+                        textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val base = docs.select(col(sourceCol).as("src"),
+      toks.as("t"), bigrams.as("bg"))
+    val docStats = base.groupBy("src").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("t"))).cast("long").as("total_tokens"))
+    val uni = base.select(col("src"), explode(col("t")).as("g"))
+      .distinct().groupBy("src").agg(count(lit(1)).as("distinct_tokens"))
+    val bi = base.select(col("src"), explode(col("bg")).as("g"))
+      .distinct().groupBy("src").agg(count(lit(1)).as("distinct_bigrams"))
+    docStats.join(uni, Seq("src"), "left").join(bi, Seq("src"), "left")
+      .select(col("src").as("source"), col("n_docs"), col("total_tokens"),
+        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
+        coalesce(col("distinct_bigrams"), lit(0L)).as("distinct_bigrams"),
+        round(coalesce(col("distinct_tokens"), lit(0L)) /
+          greatest(col("total_tokens"), lit(1L)), 6).as("type_token_ratio"))
+  }
 }

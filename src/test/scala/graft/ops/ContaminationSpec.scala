@@ -47,4 +47,27 @@ class ContaminationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 3L, 2L -> 2L))
   }
+
+  test("sourceOverlap counts shared shingles and Jaccard per source pair") {
+    import spark.implicits._
+    // srcA: {a b, b c}; srcB: {b c, c d}; srcC: {x y} (no overlap)
+    val docs = Seq(
+      (0L, "a b c", "srcA"),
+      (1L, "b c d", "srcB"),
+      (2L, "x y", "srcC")).toDF("doc_id", "text", "source")
+    val out = Contamination.sourceOverlap(docs, shingleSize = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // only the overlapping pair appears; sizes are distinct-hash counts
+    assert(out.keySet === Set(("srcA", "srcB")))
+    val (na, nb, shared, j) = out(("srcA", "srcB"))
+    assert(na === 2L && nb === 2L && shared === 1L)   // shared = {b c}
+    assert(math.abs(j - 1.0 / 3) < 1e-6)
+    // duplicate docs within a source must not inflate the distinct sets
+    val dup = docs.unionByName(Seq((3L, "a b c", "srcA"))
+      .toDF("doc_id", "text", "source"))
+    val out2 = Contamination.sourceOverlap(dup, shingleSize = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(out2(("srcA", "srcB")) === 1L)
+  }
 }

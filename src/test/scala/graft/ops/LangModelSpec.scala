@@ -112,4 +112,23 @@ class LangModelSpec extends SparkSpec {
       .as[(String, Long)].collect().map(_._1).toSet
     assert(got === Set("xy", "yz"))
   }
+
+  test("crossUnigramScore: hand-computed held-out micro-nats and OOV accounting") {
+    import spark.implicits._
+    // train: tokens {a:3, b:1}, total 4
+    val train = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a b"),      // both in vocab
+      (11L, "a zz"),     // one OOV token
+      (12L, "qq qq")     // fully OOV → null average
+    ).toDF("doc_id", "text")
+    val got = LangModel.crossUnigramScore(train, eval).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    val nlpA = math.round((math.log(4.0) - math.log(3.0)) * 1e6)
+    val nlpB = math.round((math.log(4.0) - math.log(1.0)) * 1e6)
+    assert(got(10L) === ((2L, 0L, Some((nlpA + nlpB) / 2))))
+    assert(got(11L) === ((2L, 1L, Some(nlpA))))
+    assert(got(12L) === ((2L, 2L, None)))
+  }
 }

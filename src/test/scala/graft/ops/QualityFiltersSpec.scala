@@ -78,4 +78,24 @@ class QualityFiltersSpec extends SparkSpec {
     assert(math.abs(row(1).getAs[Double]("token_entropy") - math.log(19.0)) < 1e-3)
     assert(stats.where(col("doc_id") === 4).count() === 0)
   }
+
+  test("curriculumBuckets: order-statistic cutoffs partition the corpus exactly") {
+    import spark.implicits._
+    // 100 docs with lengths 1..100 (text of i chars) → deciles of 10
+    val docs = (1 to 100).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
+    val out = QualityFilters.curriculumBuckets(docs, nBuckets = 10)
+      .orderBy("bucket").collect()
+    assert(out.length === 10)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_docs") === 10L, s"bucket ${i + 1}")
+      assert(r.getAs[Long]("min_chars") === i * 10 + 1L)
+      assert(r.getAs[Long]("max_chars") === i * 10 + 10L)
+    }
+    // buckets are exhaustive and disjoint by construction
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 100L)
+    // heavily tied lengths: every doc the same length → one bucket
+    val tied = (1 to 50).map(i => (i.toLong, "y" * 20)).toDF("doc_id", "text")
+    val one = QualityFilters.curriculumBuckets(tied, nBuckets = 10).collect()
+    assert(one.length === 1 && one.head.getAs[Long]("n_docs") === 50L)
+  }
 }

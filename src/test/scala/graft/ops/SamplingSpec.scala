@@ -92,4 +92,31 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0))
     assert(!firstShard.sameElements(firstShard.sorted))
   }
+
+  test("splitByHash: disjoint, exhaustive, deterministic, append-stable") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val s = Sampling.splitByHash(df, col("id"), 800000L, 100000L)
+    // every row gets exactly one split; rates land near 80/10/10
+    val counts = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000L)
+    assert(counts("train") > 1500 && counts("val") > 100 && counts("test") > 100)
+    // membership is a pure function of the id: a grown corpus preserves
+    // every old assignment (nothing migrates between splits)
+    val grown = Sampling.splitByHash((0L until 4000L).toDF("id"), col("id"),
+      800000L, 100000L)
+    val before = s.as[(Long, String)].collect().toMap
+    val after = grown.as[(Long, String)].collect().toMap
+    assert(before.forall { case (id, sp) => after(id) == sp })
+    // split boundary arithmetic matches hashBucket directly
+    val b = df.select(col("id"),
+      Sampling.hashBucket(col("id"), "split").as("b"))
+      .as[(Long, Long)].collect().toMap
+    before.foreach { case (id, sp) =>
+      val expect = if (b(id) < 800000) "train"
+        else if (b(id) < 900000) "val" else "test"
+      assert(sp === expect, s"id $id bucket ${b(id)}")
+    }
+  }
 }

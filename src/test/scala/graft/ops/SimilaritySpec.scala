@@ -195,4 +195,35 @@ class SimilaritySpec extends SparkSpec {
     // label 2: all-zero sum guard
     assert(out(2) === ((1L, "0,0", 0.0)))
   }
+
+  test("multi-probe ann: superset of single-probe candidates, subset of brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 400L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val single = pairs(Similarity.lshTopK(queries, corpus, k = 5))
+    val multi = pairs(Similarity.multiProbeTopK(queries, corpus, k = 5))
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 400)
+    // multi-probe recall against the true top-5 is >= single-probe's
+    val truth = pairs(Similarity.bruteForceTopK(queries, corpus, k = 5))
+    val rSingle = (single & truth).size.toDouble / truth.size
+    val rMulti = (multi & truth).size.toDouble / truth.size
+    assert(rMulti >= rSingle)
+    // and every multi-probe hit is a genuine corpus vector pair
+    assert(multi.subsetOf(pairs(brute)))
+    // scores agree with brute force on the common pairs (dedup by max
+    // keeps the same cosine either probe path)
+    val bScore = brute.select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    Similarity.multiProbeTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, s) => assert(math.abs(s - bScore((q, n))) < 1e-9) }
+  }
 }

@@ -44,4 +44,21 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === Set(("a", "b"), ("a", "c")))
   }
+
+  test("diversityBySource: hand-computed vocabulary and TTR per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b", "s1"),     // tokens 4, distinct {a,b}, bigrams {a b, b a}
+      (1L, "a c", "s1"),         // adds c and {a c}
+      (2L, "x", "s2"),           // single token → no bigrams
+      (3L, "", "s3")             // empty doc → zeros
+    ).toDF("doc_id", "text", "source")
+    val got = TextStats.diversityBySource(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    // s1: 2 docs, 6 tokens, distinct {a,b,c}=3, bigrams {a b, b a, a c}=3
+    assert(got("s1") === ((2L, 6L, 3L, 3L, 0.5)))
+    assert(got("s2") === ((1L, 1L, 1L, 0L, 1.0)))
+    assert(got("s3") === ((1L, 0L, 0L, 0L, 0.0)))
+  }
 }
