@@ -109,12 +109,15 @@ object Contamination {
     * source all show up as an off-diagonal spike long before per-doc
     * dedup would find them.
     *
-    * Scale: one corpus hash pass → distinct (source, h); the pair
-    * expansion is a self-join keyed on the shingle HASH, so its output
-    * is Σ_h (sources_per_shingle choose 2) — bounded by the source
-    * count (dozens), not the corpus; per-source set sizes ride the same
-    * distinct relation. All joins key on uniform digests; the final
-    * matrix is sources² rows — driver-tiny. */
+    * Scale: ONE corpus hash pass and ONE corpus shuffle — rows group by
+    * the shingle HASH (uniform digest keys, no skew) into a sorted
+    * per-hash source set (≤ |sources| elements, dozens), and the pair
+    * expansion is a LOCAL nested transform over that set: Σ_h
+    * C(sources_per_shingle, 2) output rows, bounded by the source
+    * count, never a corpus×corpus self-join. Per-source set sizes
+    * explode off the same grouped relation (AQE reuses the exchange —
+    * both consumers hang off the identical shuffle), and the final
+    * matrix is sources² rows — tiny. */
   def sourceOverlap(docs: DataFrame, sourceCol: String = "source",
                     textCol: String = "text",
                     shingleSize: Int = 3): DataFrame = {
@@ -124,12 +127,17 @@ object Contamination {
         explode(array(graft.functions.TextExpressions.shingle_hashes(
           TextStats.tokens(col(textCol)), shingleSize))).as("sh"))
       .select(col("src"), explode(col("sh")).as("h"))
-      .distinct()
-    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"), Seq("h"))
-      .where(col("a.src") < col("b.src"))
-      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+    val byHash = sh.groupBy("h")
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+    val pairs = byHash
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+             transform(slice(srcs, i + 2, size(srcs)),
+                       y -> struct(x AS src_a, y AS src_b))))""")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
+    val sizes = byHash.select(explode(col("srcs")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("n"))
     pairs
       .join(broadcast(sizes.select(col("src").as("src_a"), col("n").as("n_a"))), "src_a")
       .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("n_b"))), "src_b")

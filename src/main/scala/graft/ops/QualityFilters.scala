@@ -71,8 +71,9 @@ object QualityFilters {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("n_chars")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // corpus size derives from the histogram — no third corpus scan
     val cum = hist.withColumn("cum", sum("c").over(w))
-      .crossJoin(broadcast(stats.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).cast("long").as("n"))))
     // cutoff_i = min n_chars with cum >= ceil(i*n/k), as integer math
     val cutExprs = (1 until nBuckets).map { i =>
       min(when(col("cum") * nBuckets >= col("n") * i, col("n_chars")))

@@ -27,12 +27,15 @@ import org.apache.spark.sql.functions._
   *     open (effective_from = batchDate, effective_to = null);
   *   - a batch key unseen in `current` is inserted open the same way.
   *
-  * Scale: one equi-join on the dimension key decides changed/new — the
-  * batch side of a dimension load is small relative to the dimension
-  * (and the dimension is small relative to facts), so AQE broadcasts
-  * whichever side fits and the whole merge is a single pass with no
-  * window functions and no driver state. Null-safe change detection is
-  * `<=>` so a null→value transition versions correctly.
+  * Scale: ONE equi-join on the dimension key decides everything — each
+  * joined row then emits its 1-2 output rows (kept / closed+reopened /
+  * inserted) through a single generate, so the join is never
+  * re-evaluated per disposition branch (a naive three-way
+  * union-of-filters re-runs the join three times; at dimension scale
+  * that is three shuffles for one). The batch side of a dimension load
+  * is small relative to the dimension, so AQE broadcasts whichever
+  * side fits. Null-safe change detection is `<=>` so a null→value
+  * transition versions correctly.
   */
 object Scd {
 
@@ -51,23 +54,23 @@ object Scd {
     val joined = open.join(upd, col(key) === col(s"u_$key"), "full_outer")
     val changed = tracked.map(c => !(col(c) <=> col(s"u_$c"))).reduce(_ || _)
 
-    val keptOpen = joined
-      .where(col(key).isNotNull && (col(s"u_$key").isNull || !changed))
-      .select(outCols: _*)
-    val closedNow = joined
-      .where(col(key).isNotNull && col(s"u_$key").isNotNull && changed)
-      .select((Seq(col(key)) ++ tracked.map(col) :+
-        col("effective_from") :+ batchDate.cast("date").as("effective_to") :+
-        lit(false).as("is_current")): _*)
-    val inserted = joined
-      .where(col(s"u_$key").isNotNull && (col(key).isNull || changed))
-      .select((Seq(col(s"u_$key").as(key)) ++
-        tracked.map(c => col(s"u_$c").as(c)) :+
-        batchDate.cast("date").as("effective_from") :+
-        lit(null).cast("date").as("effective_to") :+
-        lit(true).as("is_current")): _*)
+    def named(k: Column, attrs: Seq[Column], from: Column, to: Column,
+              cur: Column): Column =
+      struct((k.as(key) +: attrs.zip(tracked).map { case (c, n) => c.as(n) }) ++
+        Seq(from.as("effective_from"), to.as("effective_to"),
+          cur.as("is_current")): _*)
 
-    closed.select(outCols: _*)
-      .unionByName(keptOpen).unionByName(closedNow).unionByName(inserted)
+    val kept = named(col(key), tracked.map(col),
+      col("effective_from"), col("effective_to"), col("is_current"))
+    val closedNow = named(col(key), tracked.map(col),
+      col("effective_from"), batchDate.cast("date"), lit(false))
+    val inserted = named(col(s"u_$key"), tracked.map(c => col(s"u_$c")),
+      batchDate.cast("date"), lit(null).cast("date"), lit(true))
+
+    val emitted = when(col(key).isNull, array(inserted))          // new key
+      .when(col(s"u_$key").isNull || !changed, array(kept))       // untouched
+      .otherwise(array(closedNow, inserted))                      // versioned
+    joined.select(explode(emitted).as("r")).select(col("r.*"))
+      .unionByName(closed.select(outCols: _*))
   }
 }

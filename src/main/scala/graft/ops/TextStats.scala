@@ -197,34 +197,44 @@ object TextStats {
     * near-exhausted — both are per-source mixture-weight signals a
     * 100 TB curation run reads before sampling.
     *
-    * Scale: tokens and bigrams are scan-local array projections (the
-    * bigram array is a zip of the token array with its own tail — no
-    * second tokenize, no join); each explode feeds a distinct-aggregate
-    * keyed on (source, gram) with map-side partial aggregation, so the
-    * exchange carries per-partition-distinct grams, not token
-    * occurrences. Output is one row per source. */
+    * Scale: ONE text pass — unigrams and bigrams explode as tagged
+    * (kind, gram) rows from a single tokenize (the [[QualityFilters
+    * .repetitionStats]] idiom), feeding one (src, kind, gram)
+    * aggregation with map-side partials; vocabulary sizes AND the token
+    * total all collapse from that relation, so the corpus text is never
+    * read twice. Doc counts ride a second scan that reads only the
+    * source column (column-pruned at the parquet footer). */
   def diversityBySource(docs: DataFrame, sourceCol: String = "source",
                         textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-    val base = docs.select(col(sourceCol).as("src"),
-      toks.as("t"), bigrams.as("bg"))
-    val docStats = base.groupBy("src").agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(col("t"))).cast("long").as("total_tokens"))
-    val uni = base.select(col("src"), explode(col("t")).as("g"))
-      .distinct().groupBy("src").agg(count(lit(1)).as("distinct_tokens"))
-    val bi = base.select(col("src"), explode(col("bg")).as("g"))
-      .distinct().groupBy("src").agg(count(lit(1)).as("distinct_bigrams"))
-    docStats.join(uni, Seq("src"), "left").join(bi, Seq("src"), "left")
-      .select(col("src").as("source"), col("n_docs"), col("total_tokens"),
+    val grams = docs
+      .select(col(sourceCol).as("src"), tokens(col(textCol)).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("src"), explode(concat(
+        expr("transform(t, x -> struct(0 AS kind, x AS gram))"),
+        // guard: sequence(0, -1) DESCENDS in Spark — a 1-token doc must
+        // produce a typed empty array, not bogus bigrams
+        expr("""CASE WHEN size(t) >= 2
+                THEN transform(sequence(0, size(t)-2),
+                               i -> struct(1 AS kind, concat(t[i], ' ', t[i+1]) AS gram))
+                ELSE cast(array() AS array<struct<kind:int,gram:string>>) END""")))
+        .as("kg"))
+      .select(col("src"), col("kg.kind").as("kind"), col("kg.gram").as("gram"))
+    val occ = grams.groupBy("src", "kind", "gram")
+      .agg(count(lit(1)).as("occ"))
+    val vocab = occ.groupBy("src").agg(
+      count(when(col("kind") === 0, lit(1))).as("distinct_tokens"),
+      count(when(col("kind") === 1, lit(1))).as("distinct_bigrams"),
+      sum(when(col("kind") === 0, col("occ")).otherwise(lit(0L)))
+        .cast("long").as("total_tokens"))
+    val nd = docs.groupBy(col(sourceCol).as("src"))
+      .agg(count(lit(1)).as("n_docs"))
+    nd.join(broadcast(vocab), Seq("src"), "left")
+      .select(col("src").as("source"), col("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
         coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
         coalesce(col("distinct_bigrams"), lit(0L)).as("distinct_bigrams"),
         round(coalesce(col("distinct_tokens"), lit(0L)) /
-          greatest(col("total_tokens"), lit(1L)), 6).as("type_token_ratio"))
+          greatest(coalesce(col("total_tokens"), lit(0L)), lit(1L)), 6)
+          .as("type_token_ratio"))
   }
 }
