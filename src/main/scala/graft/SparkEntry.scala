@@ -496,6 +496,12 @@ object SparkEntry {
           docs.where(col("doc_id") % 5 =!= 0),
           docs.where(col("doc_id") % 5 === 0))
       },
+      // BPE merge training: 4 iterative most-frequent-pair merges over
+      // the word-count vocabulary (the oracle re-derives them with
+      // independently unrolled SQL — nothing embedded from this run)
+      "q101_bpe_train" -> q { (s, dir) =>
+        LangModel.bpeTrain(t(s, dir, "documents"), nMerges = 4)
+      },
       // deterministic global shuffle into training shards: salted-hash
       // shard + within-shard hash order (shard-parallel, nothing
       // globally sorted)
@@ -789,6 +795,47 @@ object SparkEntry {
       r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
       $iters
       SELECT node AS part_id, rank AS rank_micro FROM r5"""
+  }
+
+  /** Unrolled BPE-training oracle (q101): each merge step k picks the
+    * most frequent adjacent symbol pair from vocab v(k-1) — ties
+    * (count desc, then pair text; symbols are [a-z]+ fragments and
+    * ' ' < 'a', so pair-string order ≡ (l, r) order) — and v(k)
+    * applies it as the same literal replace ×2 as
+    * [[graft.ops.LangModel.bpeTrain]]. Fully independent re-derivation:
+    * no trained artifact is embedded. */
+  private lazy val DuckBpeSql: String = {
+    val rep = (v: String) =>
+      s"replace($v, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')"
+    val steps = (1 to 4).map { k =>
+      s"""m$k AS (
+         SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r, cnt
+         FROM (
+           SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+           FROM (
+             SELECT c, unnest(list_transform(range(1, len(sym)),
+               i -> sym[i] || ' ' || sym[i + 1])) AS pair
+             FROM (SELECT string_split(trim(s), ' ') AS sym, c FROM v${k - 1}))
+           GROUP BY pair)
+         ORDER BY cnt DESC, pair LIMIT 1),
+       v$k AS (
+         SELECT ${rep(rep("v.s"))} AS s, v.c
+         FROM v${k - 1} v, m$k m)"""
+    }.mkString(",\n      ")
+    s"""WITH wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+              FROM documents)
+        WHERE length(w) >= 2 GROUP BY w),
+      v0 AS (
+        SELECT ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+          i -> substring(w, i, 1)), ' ') || ' ' AS s, c
+        FROM wc),
+      $steps
+      ${(1 to 4).map(k =>
+        s"""SELECT $k AS "rank", l AS "left", r AS "right",
+            l || r AS merged, cnt AS pair_count FROM m$k""")
+        .mkString("\n      UNION ALL\n      ")}"""
   }
 
   /** DuckDB list expr: word shingles of size 2 over `text`, distinct. */
@@ -1478,6 +1525,7 @@ object SparkEntry {
              nullif(sum(tf) - sum(CASE WHEN cnt IS NULL THEN tf ELSE 0 END), 0)
              AS BIGINT) AS avg_nlp_micros
          FROM scored GROUP BY doc_id""",
+    "q101_bpe_train" -> DuckBpeSql,
     "q87_bpe_pairs" -> """
       WITH words AS (
         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w

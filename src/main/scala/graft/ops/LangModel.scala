@@ -228,4 +228,79 @@ object LangModel {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
   }
+
+  /** BPE merge training (Sennrich et al. 2016): learn `nMerges` merge
+    * rules by repeatedly fusing the corpus's most frequent adjacent
+    * symbol pair. Returns the merge table — (rank, left, right, merged,
+    * pair_count) — the artifact a tokenizer build actually ships.
+    *
+    * The algorithm runs where BPE always runs: on the WORD-COUNT
+    * table, not the corpus. One corpus pass builds (word, count); each
+    * iteration is then an aggregation over the vocabulary (distinct
+    * words — millions of rows at 100 TB, not billions) plus a 1-row
+    * collect of the winning pair, and a scan-local `replace` applies
+    * the merge for the next round. Iterations are bounded by
+    * `nMerges`; lineage truncates via localCheckpoint so round k does
+    * not replay rounds 1..k-1. Ties break (count desc, left, right) —
+    * deterministic on any engine; symbols stay ASCII (a-z fragments),
+    * so string comparison agrees across collations.
+    *
+    * Symbol-string representation: a word's symbols are ' '-joined
+    * with sentinel spaces (' a b c '), so a merge (a, b → ab) is the
+    * literal replacement ' a b ' → ' ab ' applied TWICE: adjacent
+    * occurrences share a boundary space, so one leftmost-non-overlap
+    * pass merges the odd ones and the second pass the (now isolated)
+    * leftovers — together exactly BPE's greedy merge pass, and a
+    * replacement can never create a fresh (l, r) adjacency, so two
+    * passes are always enough. Portable to any engine's `replace`. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 4,
+               textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, s"nMerges $nMerges out of [1,64]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      // chars via explicit index (no lookahead regex — portable to RE2)
+      .select(concat(lit(" "),
+        concat_ws(" ",
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+        lit(" ")).as("s"),
+        col("c"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    while (rank <= nMerges) {
+      val top = vocab
+        .select(col("c"), expr("split(trim(s), ' ')").as("sym"))
+        // guard: a fully-merged single-symbol word must yield a typed
+        // empty array (sequence(1, 0) DESCENDS in Spark)
+        .select(col("c"), explode(expr(
+          """CASE WHEN size(sym) >= 2
+             THEN transform(sequence(1, size(sym) - 1),
+                    i -> struct(element_at(sym, i) AS l,
+                                element_at(sym, i + 1) AS r))
+             ELSE cast(array() AS array<struct<l:string,r:string>>) END"""))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) rank = nMerges + 1
+      else {
+        val row = top.head
+        val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((rank, l, r, l + r, cnt))
+        // literal replace ×2 (see scaladoc); symbols are [a-z]+ so
+        // inlining them into the SQL string is quote-safe
+        vocab = vocab.select(
+          expr(s"replace(replace(s, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')")
+            .as("s"), col("c"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+  }
 }

@@ -113,6 +113,32 @@ class LangModelSpec extends SparkSpec {
     assert(got === Set("xy", "yz"))
   }
 
+  test("bpeTrain learns hand-computable merges; adjacent occurrences merge like greedy BPE") {
+    import spark.implicits._
+    // vocab: "abab" ×3, "ab" ×2, "cd" ×1 (one doc per occurrence)
+    val docs = (Seq.fill(3)("abab") ++ Seq.fill(2)("ab") :+ "cd")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val m = LangModel.bpeTrain(docs, nMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    // pairs over chars: (a,b) = 2*3 + 1*2 = 8; (b,a) = 3. First merge: a+b.
+    assert(m(0) === ((1, "a", "b", "ab", 8L)))
+    // after merging, "abab" = [ab, ab] — BOTH adjacent pairs must have
+    // merged in one round (the replace-twice rule); now (ab,ab) = 3
+    assert(m(1) === ((2, "ab", "ab", "abab", 3L)))
+    // remaining pairs: only (c,d) = 1
+    assert(m(2) === ((3, "c", "d", "cd", 1L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // one 2-char word: merge 1 = (a,b); then every word is one symbol
+    val m = LangModel.bpeTrain(docs, nMerges = 5).collect()
+    assert(m.length === 1)
+    assert(m.head.getString(3) === "ab")
+  }
+
   test("crossUnigramScore: hand-computed held-out micro-nats and OOV accounting") {
     import spark.implicits._
     // train: tokens {a:3, b:1}, total 4
