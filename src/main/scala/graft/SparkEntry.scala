@@ -502,6 +502,29 @@ object SparkEntry {
       "q101_bpe_train" -> q { (s, dir) =>
         LangModel.bpeTrain(t(s, dir, "documents"), nMerges = 4)
       },
+      // eval-hygiene audit: near-dup pairs whose endpoints hash into
+      // different train/val/test splits (split labels are scan-local
+      // expressions on the pair endpoints — no join)
+      "q102_split_leakage" -> q { (s, dir) =>
+        graft.ops.Curation.splitLeakage(t(s, dir, "documents"))
+      },
+      // dataset-card rollup: volume/length stats per source, per lang,
+      // per (source, lang), and overall in ONE Expand pass
+      "q103_dataset_card" -> q { (s, dir) =>
+        t(s, dir, "documents").select(
+            col("source"), col("lang"),
+            graft.ops.TextStats.tokenCount(col("text")).cast("long").as("n_tok"),
+            col("n_chars"))
+          .createOrReplaceTempView("graft_card_base")
+        s.sql("""SELECT source, lang, CAST(grouping_id() AS BIGINT) AS gid,
+              count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(min(n_chars) AS BIGINT) AS min_chars,
+              CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM graft_card_base
+            GROUP BY GROUPING SETS ((source), (lang), (source, lang), ())""")
+      },
       // deterministic global shuffle into training shards: salted-hash
       // shard + within-shard hash order (shard-parallel, nothing
       // globally sorted)
@@ -1526,6 +1549,43 @@ object SparkEntry {
              AS BIGINT) AS avg_nlp_micros
          FROM scored GROUP BY doc_id""",
     "q101_bpe_train" -> DuckBpeSql,
+    "q102_split_leakage" -> s"""
+      WITH $DuckNearDupCtes,
+      nd AS (
+        SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+        FROM verified
+        WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35)
+      SELECT doc_a, doc_b, jaccard,
+        CASE WHEN ba < 900000 THEN 'train' WHEN ba < 950000 THEN 'val'
+             ELSE 'test' END AS split_a,
+        CASE WHEN bb < 900000 THEN 'train' WHEN bb < 950000 THEN 'val'
+             ELSE 'test' END AS split_b
+      FROM (
+        SELECT nd.*,
+          (md5_number_lower('split|' || CAST(doc_a AS VARCHAR))
+           & 9223372036854775807) % 1000000 AS ba,
+          (md5_number_lower('split|' || CAST(doc_b AS VARCHAR))
+           & 9223372036854775807) % 1000000 AS bb
+        FROM nd)
+      WHERE (CASE WHEN ba < 900000 THEN 'train' WHEN ba < 950000 THEN 'val'
+                  ELSE 'test' END) <>
+            (CASE WHEN bb < 900000 THEN 'train' WHEN bb < 950000 THEN 'val'
+                  ELSE 'test' END)""",
+    "q103_dataset_card" -> s"""
+      WITH base AS (
+        SELECT source, lang,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len($DuckTokens) END AS BIGINT) AS n_tok,
+          n_chars
+        FROM documents)
+      SELECT source, lang, CAST(grouping(source, lang) AS BIGINT) AS gid,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(min(n_chars) AS BIGINT) AS min_chars,
+        CAST(max(n_chars) AS BIGINT) AS max_chars
+      FROM base
+      GROUP BY GROUPING SETS ((source), (lang), (source, lang), ())""",
     "q87_bpe_pairs" -> """
       WITH words AS (
         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w

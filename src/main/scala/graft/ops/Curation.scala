@@ -37,4 +37,28 @@ object Curation {
       .where(col("quality_score") >= params.minQuality)
       .select("doc_id", "n_chars", "n_tokens", "quality_score", "lang_pred")
   }
+
+  /** Split-leakage audit: near-duplicate pairs whose endpoints land in
+    * DIFFERENT train/val/test splits — the eval-hygiene check that a
+    * hash split alone cannot give you (membership is per-document, but
+    * near-copies of a test doc sitting in train leak it anyway). Run
+    * before training; a non-empty result routes the pairs into
+    * [[Dedup.keepBestDedup]]-style canonicalization or test-side
+    * removal.
+    *
+    * Scale: the pair list is the [[Dedup.nearDuplicates]] output
+    * (∝ duplicated fraction, not corpus); the split label is a pure
+    * hash expression evaluated on each endpoint — no assignment table,
+    * no join, no extra corpus scan. */
+  def splitLeakage(docs: DataFrame, trainPpm: Long = 900000L,
+                   valPpm: Long = 50000L, salt: String = "split",
+                   params: Params = Params()): DataFrame = {
+    val pairs = Dedup.nearDuplicates(docs,
+      numHashes = params.numHashes, rowsPerBand = params.rowsPerBand,
+      shingleSize = params.shingleSize, threshold = params.jaccardThreshold)
+    pairs
+      .withColumn("split_a", Sampling.splitExpr(col("doc_a"), trainPpm, valPpm, salt))
+      .withColumn("split_b", Sampling.splitExpr(col("doc_b"), trainPpm, valPpm, salt))
+      .where(col("split_a") =!= col("split_b"))
+  }
 }

@@ -116,14 +116,19 @@ object Sampling {
     * Scale: adds one scan-local projection — no shuffle, no driver
     * state; downstream per-split reads filter on the column and the
     * predicate pushes into the scan. */
-  def splitByHash(df: DataFrame, id: Column, trainPpm: Long, valPpm: Long,
-                  salt: String = "split"): DataFrame = {
+  /** The split label as a pure scan-local expression — usable anywhere
+    * a doc id is in scope without joining an assignment table. */
+  def splitExpr(id: Column, trainPpm: Long, valPpm: Long,
+                salt: String = "split"): Column = {
     require(trainPpm >= 0 && valPpm >= 0 && trainPpm + valPpm <= Million,
       s"split rates out of range: train=$trainPpm val=$valPpm")
     val b = hashBucket(id, salt)
-    df.withColumn("split",
-      when(b < lit(trainPpm), lit("train"))
-        .when(b < lit(trainPpm + valPpm), lit("val"))
-        .otherwise(lit("test")))
+    when(b < lit(trainPpm), lit("train"))
+      .when(b < lit(trainPpm + valPpm), lit("val"))
+      .otherwise(lit("test"))
   }
+
+  def splitByHash(df: DataFrame, id: Column, trainPpm: Long, valPpm: Long,
+                  salt: String = "split"): DataFrame =
+    df.withColumn("split", splitExpr(id, trainPpm, valPpm, salt))
 }
