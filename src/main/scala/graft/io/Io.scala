@@ -158,4 +158,69 @@ object Io {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` each, sized from the directory's ACTUAL on-disk
+    * footprint (not a guessed partition count). Incremental ingestion
+    * — streaming micro-batches, per-trigger appends, dynamic partition
+    * overwrites — accretes files far smaller than a scan likes; at
+    * 100 TB the footer-open cost alone dominates a read of a
+    * million-file table. Run compaction as the post-ingest maintenance
+    * pass. The rewrite stages into `<path>__compact_tmp` and swaps via
+    * rename, so a concurrent reader sees old files or new, never a
+    * half-written mix. Returns the output file count. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, "compact: targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.rename(hPath, old)
+    fs.rename(tmp, hPath)
+    fs.delete(old, true)
+    nFiles
+  }
+
+  /** Z-order-clustered layout: interleave the bits of two integer sort
+    * keys into one Morton code and range-partition + sort on it — rows
+    * close in EITHER dimension land in the same files, so parquet
+    * min/max stats stay tight on BOTH columns and range predicates on
+    * either key skip files. [[writeSorted]] clusters one dimension
+    * perfectly and leaves the other shuffled; Z-ordering is the
+    * standard multi-dimensional compromise (Databricks OPTIMIZE
+    * ZORDER, Iceberg sort orders). Keys are rank-normalized first
+    * (percent_rank over a value histogram → 16-bit codes) so skewed
+    * value domains still interleave evenly; the histogram aggregations
+    * are tiny (distinct values), the corpus itself only shuffles once
+    * for the final range partition. */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+                    colA: String, colB: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    def ranks(c: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+      df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+        .select(col(c).as(s"__v_$c"),
+          (percent_rank().over(w) * 65535).cast("int").as(s"__r_$c"))
+    }
+    val withRanks = df
+      .join(broadcast(ranks(colA)), col(colA) === col(s"__v_$colA"))
+      .join(broadcast(ranks(colB)), col(colB) === col(s"__v_$colB"))
+    // interleave 16-bit ranks into a 32-bit Morton code
+    val z = (0 until 16).map { i =>
+      (shiftright(col(s"__r_$colA"), i).bitwiseAND(lit(1)) * lit(1L << (2 * i + 1))) +
+        (shiftright(col(s"__r_$colB"), i).bitwiseAND(lit(1)) * lit(1L << (2 * i)))
+    }.reduce(_ + _)
+    withRanks.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", s"__v_$colA", s"__r_$colA", s"__v_$colB", s"__r_$colB")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -37,4 +37,18 @@ object Cdc {
       .where(col("__rn") === 1 && !(opCol === lit(deleteOp)))
       .drop("__rn")
   }
+
+  /** Keys whose LATEST changelog entry is a delete — the removal set an
+    * incremental merge must anti-join against its previous snapshot
+    * (a key [[applyChangelog]] merely omits from this batch could still
+    * exist from an earlier one). Same single-shuffle window. */
+  def deletedKeys(log: DataFrame, keys: Seq[String], seqCol: Column,
+                  opCol: Column, deleteOp: String = "D"): DataFrame = {
+    require(keys.nonEmpty, "deletedKeys: need at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(seqCol.desc, opCol.desc)
+    log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && (opCol === lit(deleteOp)))
+      .select(keys.map(col): _*)
+  }
 }

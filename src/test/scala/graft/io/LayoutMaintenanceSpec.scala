@@ -1,0 +1,74 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compact collapses a many-small-file table to size-targeted files, data intact") {
+    val out = Files.createTempDirectory("compact").resolve("t").toString
+    val df = (0L until 20000L).map(i => (i, s"payload-$i")).toDF("id", "p")
+    // simulate micro-batch accretion: 64 tiny files
+    df.repartition(64).write.parquet(out)
+    val before = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before === 64)
+
+    val sizeOnDisk = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target ~quarter of the table per file → expect ~4 files
+    val n = Io.compact(spark, out, targetBytes = sizeOnDisk / 4)
+    val after = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after === n && after < 8 && after >= 2, s"got $after files")
+
+    // nothing lost, nothing duplicated, no temp/old dirs left behind
+    val back = spark.read.parquet(out)
+    assert(back.count() === 20000)
+    assert(back.agg(sum("id")).head().getLong(0) ===
+      df.agg(sum("id")).head().getLong(0))
+    assert(!new java.io.File(out + "__compact_tmp").exists())
+    assert(!new java.io.File(out + "__compact_old").exists())
+  }
+
+  test("compact of an already-compact table is a no-op-sized rewrite") {
+    val out = Files.createTempDirectory("compact1").resolve("t").toString
+    (0L until 100L).toDF("id").coalesce(1).write.parquet(out)
+    assert(Io.compact(spark, out, targetBytes = 1L << 30) === 1L)
+    assert(spark.read.parquet(out).count() === 100)
+  }
+
+  test("writeZOrdered keeps BOTH dimensions' per-file ranges narrow") {
+    val out = Files.createTempDirectory("zorder").resolve("t").toString
+    // a 100×100 grid, arrival order scrambled
+    val df = (0 until 10000).map { i =>
+      val x = (i * 7919) % 100; val y = ((i * 104729) / 100) % 100
+      (x.toLong, y.toLong, i.toLong)
+    }.toDF("x", "y", "payload")
+    Io.writeZOrdered(df, out, numFiles = 16, "x", "y")
+
+    val back = spark.read.parquet(out)
+    assert(back.count() === 10000)
+    assert(back.columns.sorted === Array("payload", "x", "y"))
+
+    // per-file spans: a z-ordered 100×100 grid in 16 files keeps each
+    // file's x and y spans well under the full domain (a single-key
+    // sort leaves the other dimension spanning ~the whole range in
+    // every file)
+    val spans = back.groupBy(input_file_name())
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect().map(r => (r.getAs[Long]("sx"), r.getAs[Long]("sy")))
+    assert(spans.length === 16)
+    val meanSx = spans.map(_._1).sum.toDouble / spans.length
+    val meanSy = spans.map(_._2).sum.toDouble / spans.length
+    assert(meanSx < 60, s"mean x-span $meanSx")
+    assert(meanSy < 60, s"mean y-span $meanSy")
+
+    // and a small 2-D box touches a minority of files
+    val touched = back.where(col("x").between(10, 20) && col("y").between(10, 20))
+      .select(input_file_name()).distinct().count()
+    assert(touched <= 4, s"box touched $touched of 16 files")
+  }
+}
