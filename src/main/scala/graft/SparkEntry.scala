@@ -502,6 +502,11 @@ object SparkEntry {
       "q101_bpe_train" -> q { (s, dir) =>
         LangModel.bpeTrain(t(s, dir, "documents"), nMerges = 4)
       },
+      // apply the trained BPE merges: per-doc post-BPE token counts
+      // (merges apply to the vocabulary, never the corpus text)
+      "q104_bpe_tokenize" -> q { (s, dir) =>
+        LangModel.bpeTokenCounts(t(s, dir, "documents"), nMerges = 4)
+      },
       // eval-hygiene audit: near-dup pairs whose endpoints hash into
       // different train/val/test splits (split labels are scan-local
       // expressions on the pair endpoints — no join)
@@ -827,7 +832,7 @@ object SparkEntry {
     * applies it as the same literal replace ×2 as
     * [[graft.ops.LangModel.bpeTrain]]. Fully independent re-derivation:
     * no trained artifact is embedded. */
-  private lazy val DuckBpeSql: String = {
+  private lazy val DuckBpeCtes: String = {
     val rep = (v: String) =>
       s"replace($v, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')"
     val steps = (1 to 4).map { k =>
@@ -842,24 +847,42 @@ object SparkEntry {
            GROUP BY pair)
          ORDER BY cnt DESC, pair LIMIT 1),
        v$k AS (
-         SELECT ${rep(rep("v.s"))} AS s, v.c
+         SELECT v.w, ${rep(rep("v.s"))} AS s, v.c
          FROM v${k - 1} v, m$k m)"""
     }.mkString(",\n      ")
-    s"""WITH wc AS (
+    s"""wc AS (
         SELECT w, CAST(count(*) AS BIGINT) AS c
         FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
               FROM documents)
         WHERE length(w) >= 2 GROUP BY w),
       v0 AS (
-        SELECT ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+        SELECT w, ' ' || array_to_string(list_transform(range(1, length(w) + 1),
           i -> substring(w, i, 1)), ' ') || ' ' AS s, c
         FROM wc),
-      $steps
+      $steps"""
+  }
+
+  private lazy val DuckBpeSql: String =
+    s"""WITH $DuckBpeCtes
       ${(1 to 4).map(k =>
         s"""SELECT $k AS "rank", l AS "left", r AS "right",
             l || r AS merged, cnt AS pair_count FROM m$k""")
         .mkString("\n      UNION ALL\n      ")}"""
-  }
+
+  private lazy val DuckBpeTokenizeSql: String =
+    s"""WITH $DuckBpeCtes,
+      nsym AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+                 AS n_sym FROM v4),
+      dw AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+              FROM documents)
+        WHERE length(w) >= 1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(coalesce(n_sym, 1)) AS BIGINT) AS n_bpe_tokens
+      FROM dw LEFT JOIN nsym USING (w)
+      GROUP BY doc_id"""
 
   /** DuckDB list expr: word shingles of size 2 over `text`, distinct. */
   private val DuckTokens =
@@ -1549,6 +1572,7 @@ object SparkEntry {
              AS BIGINT) AS avg_nlp_micros
          FROM scored GROUP BY doc_id""",
     "q101_bpe_train" -> DuckBpeSql,
+    "q104_bpe_tokenize" -> DuckBpeTokenizeSql,
     "q102_split_leakage" -> s"""
       WITH $DuckNearDupCtes,
       nd AS (

@@ -254,7 +254,40 @@ object LangModel {
     * replacement can never create a fresh (l, r) adjacency, so two
     * passes are always enough. Portable to any engine's `replace`. */
   def bpeTrain(docs: DataFrame, nMerges: Int = 4,
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text"): DataFrame =
+    bpeLoop(docs, nMerges, textCol)._2
+
+  /** Apply the merges [[bpeTrain]] would learn and count each
+    * document's post-BPE tokens — the "how long is this doc under MY
+    * tokenizer" signal that sequence packing, token-budget mixing, and
+    * curriculum schedules all key on (whitespace token counts drift
+    * badly from BPE lengths on long/rare words).
+    *
+    * Scale: merges apply to the VOCABULARY (per distinct word), never
+    * to the corpus text; the corpus pays one word explode joined
+    * against the broadcast segmented vocabulary (word → symbol count)
+    * and a per-doc sum. Words under 2 chars tokenize 1:1 (never
+    * merged), counted via the same scan. */
+  def bpeTokenCounts(docs: DataFrame, nMerges: Int = 4,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val vocab = bpeLoop(docs, nMerges, textCol)._1
+    val nSym = vocab.select(col("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+    docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 1)
+      .join(broadcast(nSym), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sym"), lit(1L))).cast("long").as("n_bpe_tokens"))
+  }
+
+  /** The shared training loop: returns (final segmented vocabulary
+    * (w, s, c), merge table). See [[bpeTrain]] for the algorithm and
+    * portability contract. */
+  private def bpeLoop(docs: DataFrame, nMerges: Int,
+                      textCol: String): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 64, s"nMerges $nMerges out of [1,64]")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -263,7 +296,7 @@ object LangModel {
       .where(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("c"))
       // chars via explicit index (no lookahead regex — portable to RE2)
-      .select(concat(lit(" "),
+      .select(col("w"), concat(lit(" "),
         concat_ws(" ",
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
         lit(" ")).as("s"),
@@ -294,13 +327,14 @@ object LangModel {
         merges += ((rank, l, r, l + r, cnt))
         // literal replace ×2 (see scaladoc); symbols are [a-z]+ so
         // inlining them into the SQL string is quote-safe
-        vocab = vocab.select(
+        vocab = vocab.select(col("w"),
           expr(s"replace(replace(s, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')")
             .as("s"), col("c"))
           .localCheckpoint(true)
         rank += 1
       }
     }
-    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+    (vocab,
+      merges.result().toDF("rank", "left", "right", "merged", "pair_count"))
   }
 }

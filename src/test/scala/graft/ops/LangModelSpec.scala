@@ -130,6 +130,27 @@ class LangModelSpec extends SparkSpec {
     assert(m(2) === ((3, "c", "d", "cd", 1L)))
   }
 
+  test("bpeTokenCounts: corpus lengths under the trained merges, short words 1:1") {
+    import spark.implicits._
+    // train: "abab" dominates → merges (a,b), (ab,ab), then (c,d)
+    val docs = (Seq.fill(3)("abab") ++ Seq.fill(2)("ab") :+ "cd")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = LangModel.bpeTokenCounts(docs, nMerges = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "abab" → [abab] = 1 token; "ab" → [ab] = 1; "cd" → [cd] = 1
+    assert(got === (0L to 5L).map(_ -> ((1L, 1L))).toMap)
+    // a doc mixing trained words, an unseen word, and a 1-char word
+    val eval = Seq((9L, "abab zz x cd")).toDF("doc_id", "text")
+    val both = LangModel.bpeTokenCounts(docs.unionByName(eval), nMerges = 3)
+      .where(org.apache.spark.sql.functions.col("doc_id") === 9L).collect().head
+    // words: abab(1) zz(2: unseen pair stays 2 chars... zz IS in vocab now)
+    // recount: corpus now includes the eval doc, zz appears once → vocab
+    // word "zz" gets char-split [z, z]; merges unchanged by one doc;
+    // x (<2 chars) counts 1:1; cd → 1
+    assert(both.getLong(1) === 4L)                  // n_words
+    assert(both.getLong(2) === (1L + 2L + 1L + 1L)) // n_bpe_tokens
+  }
+
   test("bpeTrain stops early when no pairs remain") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
