@@ -54,6 +54,38 @@ object Io {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Schema-evolution parquet scan: reconcile files written under
+    * DIFFERENT schema versions of the same table (columns added over
+    * time) into the union schema, older files reading the new columns
+    * as null. A long-lived 100 TB table is never one schema — ingest
+    * code evolves mid-table — and the alternative (a backfill rewrite
+    * of every historical file on each added column) is exactly the
+    * kind of full-table churn a lakehouse exists to avoid. Spark reads
+    * each file under its own physical schema, so no rewrite and no
+    * per-row penalty; the footer-merge planning cost is why this is a
+    * separate entry point instead of the readParquet default. */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Quarantining JSON-lines scan: PERMISSIVE parse with the
+    * unparseable line captured in `corrupt_col` (null for clean rows)
+    * instead of killing the job (FAILFAST) or silently dropping rows
+    * (DROPMALFORMED). Raw web/training dumps at 100 TB ALWAYS carry a
+    * malformed tail — truncated uploads, mixed encodings, half-written
+    * shards — and the curation contract is to route those rows to a
+    * quarantine sink with provenance, not to lose them. Split the
+    * result on `corrupt_col IS NULL` for the clean/quarantine fork. */
+  def readJsonlQuarantined(spark: SparkSession, path: String,
+                           schema: StructType,
+                           corruptCol: String = "corrupt_record"): DataFrame = {
+    val full = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    spark.read
+      .schema(full)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+  }
+
   /** K2 — partitioned full-refresh parquet write (fact tables). */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
