@@ -450,6 +450,32 @@ object SparkEntry {
           "c_custkey", Seq("c_mktsegment", "c_nationkey"),
           lit(java.sql.Date.valueOf("1995-06-01")))
       },
+      // two chained SCD2 loads: day-2 batch merges over day-1's output
+      // (re-versions a day-1 version, no-ops an unchanged restatement)
+      "q105_scd2_incremental" -> q { (s, dir) =>
+        val c = t(s, dir, "customer")
+        val open = c.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey"),
+          lit(java.sql.Date.valueOf("1992-01-01")).as("effective_from"),
+          lit(null).cast("date").as("effective_to"),
+          lit(true).as("is_current"))
+        val upd1 = c.where(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 6 === 0, lit("MOVED"))
+              .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+            col("c_nationkey"))
+        val day1 = graft.ops.Scd.scd2Merge(open, upd1,
+          "c_custkey", Seq("c_mktsegment", "c_nationkey"),
+          lit(java.sql.Date.valueOf("1995-06-01")))
+        // day 2 re-states every 4th key as MOVED2 (every 12th key was
+        // already versioned on day 1 → versions again)
+        val upd2 = c.where(col("c_custkey") % 4 === 0)
+          .select(col("c_custkey"), lit("MOVED2").as("c_mktsegment"),
+            col("c_nationkey"))
+        graft.ops.Scd.scd2Merge(day1, upd2,
+          "c_custkey", Seq("c_mktsegment", "c_nationkey"),
+          lit(java.sql.Date.valueOf("1996-01-01")))
+      },
       // CDC changelog apply: events as the changelog (key user_id, seq
       // event_id, every 13th entry a delete) collapsed to latest state
       "q94_cdc_apply" -> q { (s, dir) =>
@@ -1413,6 +1439,65 @@ object SparkEntry {
          SELECT u_key, u_seg, u_nat,
            DATE '1995-06-01', CAST(NULL AS DATE), true
          FROM j WHERE u_key IS NOT NULL AND (c_custkey IS NULL OR changed)""",
+    "q105_scd2_incremental" ->
+      """WITH open0 AS (
+           SELECT c_custkey, c_mktsegment, c_nationkey,
+             DATE '1992-01-01' AS effective_from,
+             CAST(NULL AS DATE) AS effective_to, true AS is_current
+           FROM customer),
+         upd1 AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 6 = 0 THEN 'MOVED' ELSE c_mktsegment END
+               AS c_mktsegment,
+             c_nationkey
+           FROM customer WHERE c_custkey % 3 = 0),
+         j1 AS (
+           SELECT o.c_custkey, o.c_mktsegment, o.c_nationkey,
+             o.effective_from, o.effective_to, o.is_current,
+             u.c_custkey AS u_key, u.c_mktsegment AS u_seg,
+             u.c_nationkey AS u_nat,
+             ((o.c_mktsegment IS DISTINCT FROM u.c_mktsegment)
+              OR (o.c_nationkey IS DISTINCT FROM u.c_nationkey)) AS changed
+           FROM open0 o FULL OUTER JOIN upd1 u ON o.c_custkey = u.c_custkey),
+         day1 AS (
+           SELECT c_custkey, c_mktsegment, c_nationkey,
+             effective_from, effective_to, is_current
+           FROM j1 WHERE c_custkey IS NOT NULL AND (u_key IS NULL OR NOT changed)
+           UNION ALL
+           SELECT c_custkey, c_mktsegment, c_nationkey,
+             effective_from, DATE '1995-06-01', false
+           FROM j1 WHERE c_custkey IS NOT NULL AND u_key IS NOT NULL AND changed
+           UNION ALL
+           SELECT u_key, u_seg, u_nat, DATE '1995-06-01',
+             CAST(NULL AS DATE), true
+           FROM j1 WHERE u_key IS NOT NULL AND (c_custkey IS NULL OR changed)),
+         upd2 AS (
+           SELECT c_custkey, 'MOVED2' AS c_mktsegment, c_nationkey
+           FROM customer WHERE c_custkey % 4 = 0),
+         open1 AS (SELECT * FROM day1 WHERE is_current),
+         j2 AS (
+           SELECT o.c_custkey, o.c_mktsegment, o.c_nationkey,
+             o.effective_from, o.effective_to, o.is_current,
+             u.c_custkey AS u_key, u.c_mktsegment AS u_seg,
+             u.c_nationkey AS u_nat,
+             ((o.c_mktsegment IS DISTINCT FROM u.c_mktsegment)
+              OR (o.c_nationkey IS DISTINCT FROM u.c_nationkey)) AS changed
+           FROM open1 o FULL OUTER JOIN upd2 u ON o.c_custkey = u.c_custkey)
+         SELECT c_custkey, c_mktsegment, c_nationkey,
+           effective_from, effective_to, is_current
+         FROM day1 WHERE NOT is_current
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, c_nationkey,
+           effective_from, effective_to, is_current
+         FROM j2 WHERE c_custkey IS NOT NULL AND (u_key IS NULL OR NOT changed)
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, c_nationkey,
+           effective_from, DATE '1996-01-01', false
+         FROM j2 WHERE c_custkey IS NOT NULL AND u_key IS NOT NULL AND changed
+         UNION ALL
+         SELECT u_key, u_seg, u_nat, DATE '1996-01-01',
+           CAST(NULL AS DATE), true
+         FROM j2 WHERE u_key IS NOT NULL AND (c_custkey IS NULL OR changed)""",
     "q94_cdc_apply" ->
       """WITH log AS (
            SELECT user_id, event_id, event_type,
