@@ -54,9 +54,14 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       val t = (System.nanoTime() - t0) / 1e9
-      // between queries (untimed): let the ContextCleaner reap the
-      // previous query's broadcast blocks, so a late query isn't measured
-      // under the accumulated memory of every earlier one
+      // between queries (untimed): drop the finished query's
+      // localCheckpoint blocks — iterative operators (PageRank, CC, BPE)
+      // persist their loop carriers, and 100+ queries of accumulated
+      // blocks shrink execution memory for everything measured after
+      // them (the round-3 q89 measurement-context gap). Then let the
+      // ContextCleaner reap broadcast blocks.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       name -> (if (ok) Some(t) else None)
     }

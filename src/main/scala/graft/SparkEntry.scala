@@ -333,8 +333,10 @@ object SparkEntry {
         LangModel.naiveBayes(t(s, dir, "documents"))
       },
       // kNN majority-vote label propagation over embeddings: the
-      // unlabeled tail (vec_id >= 400) takes its 5-NN majority label
-      // from the labeled head
+      // unlabeled tail (vec_id >= 400, corpus-scale) takes its 5-NN
+      // majority label from the labeled head. The BOUNDED labeled set
+      // is the broadcast side; the unlabeled corpus streams one scan —
+      // nothing unbounded is ever broadcast
       "q81_knn_label" -> q { (s, dir) =>
         val em = t(s, dir, "embeddings")
         Similarity.knnClassify(

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * over the harness star schema (orders/lineitem ≈ fact, customer/nation/
   * region ≈ dims). SURVEY.md §2.6 A4/A5, §2.5 J4, §2.7.
   *
-  * Scale notes: dims (nation 25, region 5, customer 0.15M) are broadcast
-  * into the fact-side scan — no shuffle of the fact for the join; the
-  * per-group top-k uses a rank window AFTER a groupBy that has already
-  * collapsed the fact to |groups| rows, so the window's sort is tiny.
+  * Scale notes: the truly tiny dims (nation 25, region 5 — fixed-size
+  * by schema) carry explicit broadcast hints; customer is SIZE-DEPENDENT
+  * (0.15M rows per SF — GBs at 100×), so its join strategy is left to
+  * Catalyst/AQE, which broadcasts while it fits and degrades to a
+  * shuffle join instead of failing the broadcast outright. The per-group
+  * top-k uses a rank window AFTER a groupBy that has already collapsed
+  * the fact to |groups| rows, so the window's sort is tiny.
   */
 object StarAnalytics {
 
@@ -39,7 +42,7 @@ object StarAnalytics {
     val nation = spark.read.parquet(p(dir, "nation"))
     val region = spark.read.parquet(p(dir, "region"))
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"))
@@ -56,7 +59,7 @@ object StarAnalytics {
       .select("c_custkey", "c_nationkey")
     val nation = spark.read.parquet(p(dir, "nation"))
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation_name"))
       .agg(count(lit(1)).as("order_cnt"))
@@ -74,7 +77,7 @@ object StarAnalytics {
       .select("c_custkey", "c_nationkey")
     val nation = spark.read.parquet(p(dir, "nation"))
     val monthly = orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(month(col("o_orderdate")).cast("long").as("order_month"),
                col("n_name").as("nation_name"))

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lineage truncation for iterative operators (PageRank, connected
+  * components, BPE training).
+  *
+  * Iterative loops MUST truncate lineage each round — without it round k
+  * replans rounds 1..k-1 and the plan grows quadratically. The two ways
+  * to truncate differ in failure semantics, not in results:
+  *
+  *  - `localCheckpoint` stores blocks on the executors that computed
+  *    them. Fast (no DFS write), but blocks die with their executor — on
+  *    a real cluster a single lost executor at round 19 of a 20-round
+  *    job kills the whole query. Right for single-node / test runs.
+  *  - `checkpoint` writes to the SparkContext's checkpoint directory
+  *    (HDFS/S3 on a cluster) and recomputes lost partitions from there.
+  *    The 100 TB path.
+  *
+  * Operators take `checkpointDir: Option[String]`: `Some(dir)` installs
+  * the dir on the context and every truncation becomes a reliable
+  * `checkpoint()`; `None` keeps the localCheckpoint default. Both are
+  * eager — the iterative loops want the materialization barrier so each
+  * round is costed once.
+  */
+object Checkpoints {
+
+  /** An eager lineage-truncation function for `spark`: reliable when
+    * `dir` is given, local otherwise. */
+  def truncator(spark: SparkSession, dir: Option[String]): DataFrame => DataFrame = {
+    dir.foreach(spark.sparkContext.setCheckpointDir)
+    df =>
+      if (dir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+  }
+}

@@ -255,19 +255,22 @@ object Dedup {
     * independent of component diameter, and never materializes a
     * neighbor list (no collect_set — a 10M-member duplicate cluster at
     * corpus scale would kill any per-node list). Each round is
-    * checkpointed to truncate the iterative lineage (locally via
-    * localCheckpoint; on a cluster this is where a reliable checkpoint
-    * dir would go). Convergence is an exact set-equality check
-    * (count + anti-join), the same cost class as one round. */
+    * checkpointed to truncate the iterative lineage — localCheckpoint
+    * by default; pass `checkpointDir` (HDFS/S3 on a cluster, see
+    * [[Checkpoints]]) so a lost executor replays from the reliable
+    * checkpoint instead of killing the job at round k. Convergence is
+    * an exact set-equality check (count + anti-join), the same cost
+    * class as one round. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          smallCutoff: Long = 1L << 17): DataFrame = {
+                          smallCutoff: Long = 1L << 17,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
+    val ck = Checkpoints.truncator(spark, checkpointDir)
     // orient large→small; drop self-loops
-    var edges = pairs
+    var edges = ck(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .where(col("u") =!= col("v")).distinct())
     // Small-graph fast path: near-dup edge sets are usually tiny relative
     // to the corpus (dup clusters, not the documents, drive |E|). Below
     // the cutoff a driver union-find replaces ~log n distributed rounds
@@ -301,7 +304,7 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = ck(smallStar(largeStar(edges)))
       converged = next.count() == edges.count() &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next

@@ -20,39 +20,82 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Damped PageRank (d = 0.85) with `iters` fixed iterations over a
-    * directed edge list; rank unit = 1e6 micro. Requires every node to
-    * have at least one outgoing edge (symmetric graphs satisfy this
-    * trivially) — dangling mass is not redistributed.
+    * directed edge list; rank unit = 1e6 micro per node. Output:
+    * (node, rank_micro) for EVERY node appearing as src or dst.
+    * Dangling nodes (no outgoing edge) are handled: their damped mass
+    * is redistributed uniformly each iteration as `(D div N)` micro
+    * added to every node's incoming sum — exact integer arithmetic, so
+    * still order-free. On a graph with no dangling nodes (any symmetric
+    * graph) the redistribution term is identically zero and the loop's
+    * arithmetic — and hash — is unchanged; the dangling machinery is
+    * detected once at setup and skipped entirely.
     *
-    * Scale shape: edges are hash-partitioned on src ONCE and
-    * checkpointed; each iteration is one join edges⋈ranks on src (ranks
-    * broadcast while small — node count ≪ edge count — or co-partitioned
-    * with the edges' exchange when not) followed by one aggregate on
-    * dst. localCheckpoint truncates the ranks lineage per iteration —
-    * the CC lesson: without it, iteration t replans iterations 1..t-1.
-    * On a cluster, swap for a reliable checkpoint dir. */
-  def pageRank(edges0: DataFrame, iters: Int = 5): DataFrame = {
-    // checkpoint the RAW edges first: outdeg, the degree-annotated edge
-    // relation, and the rank init all derive from it — without this the
-    // upstream edge build (a join + distinct) replays once per consumer
-    val edges = edges0.localCheckpoint()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // no explicit repartition: ranks broadcast (node count ≪ edge count),
-    // so e's partitioning is irrelevant to the join and the dst aggregate
-    // shuffles regardless; at bucket-the-graph scale, bucket by src here
-    val e = edges.join(outdeg, Seq("src")).localCheckpoint()
-    var ranks = outdeg.select(col("src").as("node"), lit(1000000L).as("rank"))
-      .localCheckpoint()
+    * Scale shape: the raw edges are checkpointed ONCE (outdeg, the
+    * degree-annotated relation `e`, and the node universe all derive
+    * from them); each iteration is one broadcast-hash join e ⋈ ranks on
+    * src — `ranks` is explicitly `broadcast()` because node count ≪
+    * edge count, and the hint is REQUIRED: a checkpointed DataFrame is
+    * a LogicalRDD with unknown size stats, so Catalyst would otherwise
+    * fall back to shuffling the full edge relation every round —
+    * followed by one partial-aggregated exchange on dst (≤ |nodes| rows
+    * per partition after map-side combine). Only the loop carrier
+    * (ranks, |nodes| rows) is checkpointed per iteration.
+    *
+    * `checkpointDir`: see [[Checkpoints]] — pass an HDFS/S3 dir on a
+    * real cluster so a lost executor at round k replays from the
+    * checkpoint instead of killing the job; default localCheckpoint is
+    * the single-node path. */
+  def pageRank(edges0: DataFrame, iters: Int = 5,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val ck = Checkpoints.truncator(edges0.sparkSession, checkpointDir)
+    val edges = ck(edges0)
+    val outdeg = ck(edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val e = ck(edges.join(broadcast(outdeg), Seq("src")))
+    // node universe: src ∪ dst — tiny next to edges, reused every round
+    // (init, the completion join, the dangling gate), so checkpointed
+    val nodes = ck(edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct())
+    val dangling = nodes.join(outdeg, nodes("node") === outdeg("src"), "left_anti")
+      .select("node")
+    val danglingExists = !dangling.isEmpty
+    val danglingB = if (danglingExists) ck(dangling) else dangling
+    val nNodes = if (danglingExists) nodes.count() else 0L
+
+    var ranks = ck(nodes.select(col("node"), lit(1000000L).as("rank")))
     for (_ <- 1 to iters) {
-      ranks = e.join(ranks, e("src") === ranks("node"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum("c").as("in_sum"))
-        .select(col("node"),
-          (lit(150000L) + expr("(in_sum * 85) div 100")).as("rank"))
-        .localCheckpoint()
+      // per-node damped share of this round's dangling mass (0 when the
+      // graph has none — the fast path never runs these two jobs)
+      val share: Long =
+        if (!danglingExists) 0L
+        else {
+          val d = ranks.join(broadcast(danglingB), Seq("node"))
+            .agg(coalesce(sum("rank"), lit(0L))).head().getLong(0)
+          d / nNodes
+        }
+      ranks = ck(iterate(e, nodes, ranks, share))
     }
     ranks.select(col("node"), col("rank").as("rank_micro"))
+  }
+
+  /** One PageRank round: broadcast-join ranks into the degree-annotated
+    * edges, aggregate contributions on dst, complete over the node
+    * universe, damp. Exposed (package-private) so the plan-regression
+    * spec can assert the executed shape — BroadcastHashJoin on the
+    * ranks side, never a SortMergeJoin of the edge relation — which is
+    * exactly what the loop executes. */
+  private[graft] def iterate(e: DataFrame, nodes: DataFrame,
+                             ranks: DataFrame, share: Long): DataFrame = {
+    val contrib = e.join(broadcast(ranks), e("src") === ranks("node"))
+      .select(col("dst"), expr("rank div outdeg").as("c"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum("c").as("in_sum"))
+    // completion join: zero-in-degree and dangling nodes keep a rank
+    // row (contrib only covers nodes with in-edges). contrib is
+    // ≤ |nodes| rows post-aggregate — broadcastable by construction.
+    nodes.join(broadcast(contrib), Seq("node"), "left")
+      .select(col("node"),
+        (lit(150000L) +
+          expr(s"((coalesce(in_sum, 0L) + ${share}L) * 85) div 100")).as("rank"))
   }
 
   /** Co-purchase graph: distinct symmetric part–part edges for parts
@@ -71,7 +114,9 @@ object Graph {
       .distinct()
   }
 
-  /** PageRank over the co-purchase graph: (part_id, rank_micro). */
+  /** PageRank over the co-purchase graph: (part_id, rank_micro). The
+    * graph is symmetric by construction, so the dangling path is
+    * detected as empty and skipped. */
   def partRank(lineitem: DataFrame, iters: Int = 5): DataFrame =
     pageRank(coPurchaseEdges(lineitem), iters)
       .select(col("node").as("part_id"), col("rank_micro"))

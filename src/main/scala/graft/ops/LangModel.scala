@@ -250,12 +250,25 @@ object LangModel {
     * literal replacement ' a b ' → ' ab ' applied TWICE: adjacent
     * occurrences share a boundary space, so one leftmost-non-overlap
     * pass merges the odd ones and the second pass the (now isolated)
-    * leftovers — together exactly BPE's greedy merge pass, and a
+    * leftovers — for l ≠ r exactly BPE's greedy merge pass, and a
     * replacement can never create a fresh (l, r) adjacency, so two
-    * passes are always enough. Portable to any engine's `replace`. */
+    * passes are always enough. Portable to any engine's `replace`.
+    *
+    * KNOWN DEVIATION for self-adjacent merges (l == r): because the
+    * literal ' a a ' consumes the shared boundary space, a run of 5
+    * identical symbols segments as [aa, a, aa] where canonical greedy
+    * BPE (non-consuming scan) gives [aa, aa, a] — same token COUNT for
+    * runs ≤ 5 but a different split, and runs of 6 give 4 tokens vs
+    * canonical 3. Merge tables and [[bpeTokenCounts]] therefore drift
+    * from canonical BPE on repeated-character words. This replace-based
+    * scheme is the portability contract (the DuckDB oracle runs the
+    * identical replacement, so cross-engine parity holds); callers
+    * needing canonical run segmentation should iterate the replace to a
+    * fixed point for l == r merges. */
   def bpeTrain(docs: DataFrame, nMerges: Int = 4,
-               textCol: String = "text"): DataFrame =
-    bpeLoop(docs, nMerges, textCol)._2
+               textCol: String = "text",
+               checkpointDir: Option[String] = None): DataFrame =
+    bpeLoop(docs, nMerges, textCol, checkpointDir)._2
 
   /** Apply the merges [[bpeTrain]] would learn and count each
     * document's post-BPE tokens — the "how long is this doc under MY
@@ -270,8 +283,9 @@ object LangModel {
     * merged), counted via the same scan. */
   def bpeTokenCounts(docs: DataFrame, nMerges: Int = 4,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
-    val vocab = bpeLoop(docs, nMerges, textCol)._1
+                     textCol: String = "text",
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val vocab = bpeLoop(docs, nMerges, textCol, checkpointDir)._1
     val nSym = vocab.select(col("w"),
       size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
     docs
@@ -286,11 +300,12 @@ object LangModel {
   /** The shared training loop: returns (final segmented vocabulary
     * (w, s, c), merge table). See [[bpeTrain]] for the algorithm and
     * portability contract. */
-  private def bpeLoop(docs: DataFrame, nMerges: Int,
-                      textCol: String): (DataFrame, DataFrame) = {
+  private def bpeLoop(docs: DataFrame, nMerges: Int, textCol: String,
+                      checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 64, s"nMerges $nMerges out of [1,64]")
     val spark = docs.sparkSession
     import spark.implicits._
+    val ck = Checkpoints.truncator(spark, checkpointDir)
     var vocab = docs
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
       .where(length(col("w")) >= 2)
@@ -301,7 +316,7 @@ object LangModel {
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
         lit(" ")).as("s"),
         col("c"))
-      .localCheckpoint(true)
+    vocab = ck(vocab)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
     while (rank <= nMerges) {
@@ -327,10 +342,9 @@ object LangModel {
         merges += ((rank, l, r, l + r, cnt))
         // literal replace ×2 (see scaladoc); symbols are [a-z]+ so
         // inlining them into the SQL string is quote-safe
-        vocab = vocab.select(col("w"),
+        vocab = ck(vocab.select(col("w"),
           expr(s"replace(replace(s, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')")
-            .as("s"), col("c"))
-          .localCheckpoint(true)
+            .as("s"), col("c")))
         rank += 1
       }
     }

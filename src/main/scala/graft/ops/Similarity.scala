@@ -61,12 +61,35 @@ object Similarity {
         round(col("nb.score"), 4).as("cos_sim"))
 
   /** Exact top-k cosine neighbors for each query vector (baseline).
-    * `queries` and `corpus` must both have (idCol, vecCol). */
+    * `queries` and `corpus` must both have (idCol, vecCol). Broadcasts
+    * the QUERY side — for a bounded query set against an unbounded
+    * corpus. For the mirrored shape (corpus-scale queries against a
+    * bounded reference set) use [[bruteForceTopKSmallCorpus]], which
+    * produces bit-identical results with the broadcast flipped. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
+  /** Exact top-k with the broadcast on the CORPUS side: one scan over an
+    * arbitrarily large query relation, each row scored against the
+    * broadcast (bounded) corpus. Same scoring, same (cos_sim desc, id
+    * asc) ranking, same bounded-heap partial aggregation as
+    * [[bruteForceTopK]] — results are bit-identical; only the physical
+    * build side differs. The exchange still carries ≤ k rows per query
+    * (map-side heap), so the plan is linear in |queries| with no
+    * unbounded broadcast — the label-propagation shape, where the
+    * labeled reference set is small and the unlabeled corpus is not. */
+  def bruteForceTopKSmallCorpus(queries: DataFrame, corpus: DataFrame, k: Int,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = broadcast(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
     rankTopK(scored, k)
   }
@@ -493,19 +516,22 @@ object Similarity {
     * break to more votes, then the smaller label. Output:
     * (query_id, pred_label, votes).
     *
-    * Scale shape: rides [[bruteForceTopK]] (broadcast queries, bounded
-    * heap — shuffle carries ≤ k rows per query); the label join
-    * broadcasts only (neighbor_id, label) of the k·|queries| hit set
-    * fanned from the corpus side's bounded projection; the argmax is two
-    * same-partitioned aggregates on query_id, never a window sort. For
-    * corpus-scale query sets, gate with [[lshTopK]]/[[ivfTopK]] instead
-    * of the brute-force baseline. */
+    * Scale shape: rides [[bruteForceTopKSmallCorpus]] — the LABELED
+    * reference set is the bounded side (labels are expensive; the
+    * unlabeled corpus is not), so it is the broadcast build side and the
+    * query relation streams through one scan with a bounded-heap top-k
+    * (exchange carries ≤ k rows per query). Nothing corpus-scale is
+    * ever broadcast, so the plan is linear in |queries|. The label join
+    * broadcasts the same bounded (neighbor_id, label) set; the argmax
+    * is two same-partitioned aggregates on query_id, never a window
+    * sort. If BOTH sides are corpus-scale, gate candidate generation
+    * with [[lshTopK]]/[[ivfTopK]] instead. */
   def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int = 5,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   labelCol: String = "label"): DataFrame = {
-    val nn = bruteForceTopK(queries, corpus, k, idCol, vecCol)
-    val lbl = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      col(labelCol).cast("long").as("lbl"))
+    val nn = bruteForceTopKSmallCorpus(queries, corpus, k, idCol, vecCol)
+    val lbl = broadcast(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).cast("long").as("lbl")))
     val votes = nn.join(lbl, "neighbor_id")
       .groupBy("query_id", "lbl").agg(count(lit(1)).as("votes"))
     val best = votes.groupBy("query_id").agg(max(col("votes")).as("votes"))

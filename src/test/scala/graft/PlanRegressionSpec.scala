@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Graph, Similarity}
+
+/** Physical-plan regression guards for the known-shape queries: the
+  * round-3 verdict's q89 regression (a checkpointed loop silently losing
+  * its broadcast and paying a full shuffle join per iteration) is the
+  * class of bug these catch — a future edit that drops a hint or
+  * re-routes a join fails HERE, not in a 10× bench regression.
+  *
+  * Assertions read the executed (AQE-final) plan string, the
+  * BucketedJoinSpec convention: "SortMergeJoin" must not appear where a
+  * broadcast is the contract, and shuffle ("Exchange hashpartitioning")
+  * counts are bounded by the aggregates that legitimately need them.
+  */
+class PlanRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("PageRank iteration broadcast-joins ranks — even with stats-free inputs") {
+    // replicate the loop's exact state: every input is a localCheckpoint
+    // (LogicalRDD, UNKNOWN size stats) — the round-3 failure mode where
+    // Catalyst would never auto-broadcast and fell back to shuffling the
+    // edge relation every iteration
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val raw = (und ++ und.map(_.swap)).toDF("src", "dst").localCheckpoint(true)
+    val outdeg = raw.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = raw.join(broadcast(outdeg), Seq("src")).localCheckpoint(true)
+    val nodes = raw.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+      .localCheckpoint(true)
+    val plan = executedPlan(Graph.iterate(e, nodes, ranks, 0L))
+    assert(!plan.contains("SortMergeJoin"),
+      s"ranks join degraded to a shuffle join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // exactly one legitimate shuffle: the dst contribution aggregate
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"expected <=1 shuffle (dst agg), got $shuffles:\n$plan")
+  }
+
+  test("star-schema query joins all dims without a sort-merge join") {
+    // nation/region are hinted; customer is AQE's call and must resolve
+    // to a broadcast at this scale, not a fact-side shuffle join
+    val df = graft.analytics.StarAnalytics.visitsByRegion(spark, dir)
+    val plan = executedPlan(df)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("LSH ANN gates candidates through one broadcast bucket join") {
+    val em = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = Similarity.lshTopK(em.where(col("vec_id") < 20), em, k = 5)
+    val plan = executedPlan(df)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("corpus-side-broadcast top-k is bit-identical to the query-side form") {
+    // the q81 contract: flipping the build side changes the physical
+    // plan only — scores, ranks, and tie-breaks are unchanged
+    val em = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = em.where(col("vec_id") >= 400)
+    val c = em.where(col("vec_id") < 400)
+    val a = Similarity.bruteForceTopK(q, c, 5).orderBy("query_id", "rnk").collect()
+    val b = Similarity.bruteForceTopKSmallCorpus(q, c, 5).orderBy("query_id", "rnk").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}

@@ -114,6 +114,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, smallCutoff = 0L).count() === 0)
   }
 
+  test("star loop with a reliable checkpoint dir agrees with local default") {
+    val path = (0L until 11L).map(i => (i, i + 1))
+    val pairs = path.toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    val viaReliable = Dedup.connectedComponents(pairs, smallCutoff = 0L,
+      checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLocal = Dedup.connectedComponents(pairs, smallCutoff = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaReliable === viaLocal)
+  }
+
   test("nearDedupedCorpus keeps one representative per transitive cluster") {
     // docs 0,1,2,3 chain into one cluster at threshold 0.3 (0≈1≈2≈3);
     // component min 0 survives, 4 is unrelated, 5/6 have no shingles

@@ -5,15 +5,21 @@ import graft.SparkSpec
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
-  /** In-memory reference: same integer recurrence, plain Scala. */
+  /** In-memory reference: same integer recurrence, plain Scala —
+    * including the uniform integer redistribution of dangling mass. */
   private def refRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    var r = out.keys.map(_ -> 1000000L).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val dangling = nodes.filterNot(out.contains)
+    var r = nodes.map(_ -> 1000000L).toMap
     for (_ <- 1 to iters) {
+      val share = if (dangling.isEmpty) 0L else dangling.map(r).sum / nodes.size
       val in = edges.groupBy(_._2).view.mapValues { es =>
         es.map { case (s, _) => r(s) / out(s) }.sum
       }.toMap
-      r = in.map { case (n, s) => n -> (150000L + s * 85L / 100L) }
+      r = nodes.map { n =>
+        n -> (150000L + (in.getOrElse(n, 0L) + share) * 85L / 100L)
+      }.toMap
     }
     r
   }
@@ -28,6 +34,30 @@ class GraphSpec extends SparkSpec {
     assert(got === refRank(edges, 5))
     // hubs (deg-3 bridge nodes) outrank the pendant leaf
     assert(got(4L) > got(7L) && got(3L) > got(7L))
+  }
+
+  test("dangling-node mass is redistributed, matching the reference") {
+    // 4 is a sink (no out-edge) and 5 a source (no in-edge): the general
+    // directed shape the symmetric fast path never sees
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L), (5L, 1L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === refRank(edges, 5))
+    // every node present, including the source (in = 0 + share only)
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // mass is redistributed, not lost: totals exceed the no-feedback floor
+    assert(got(4L) > 150000L)
+  }
+
+  test("reliable checkpoint dir yields identical ranks") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = und ++ und.map(_.swap)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val local = Graph.pageRank(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val reliable = Graph.pageRank(edges.toDF("src", "dst"),
+      checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    assert(reliable === local)
   }
 
   test("co-purchase edges are symmetric, distinct, and self-loop-free") {
