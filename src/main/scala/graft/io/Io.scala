@@ -73,8 +73,14 @@ object Io {
     * (DROPMALFORMED). Raw web/training dumps at 100 TB ALWAYS carry a
     * malformed tail — truncated uploads, mixed encodings, half-written
     * shards — and the curation contract is to route those rows to a
-    * quarantine sink with provenance, not to lose them. Split the
-    * result on `corrupt_col IS NULL` for the clean/quarantine fork. */
+    * quarantine sink with provenance, not to lose them.
+    *
+    * USAGE CONTRACT: `cache()` (or otherwise materialize) the returned
+    * DataFrame BEFORE splitting on `corrupt_col IS NULL`. Spark's JSON
+    * reader raises an AnalysisException for any query whose required
+    * schema is ONLY the corrupt-record column (e.g. the quarantine fork
+    * after column pruning) — a documented Spark limitation, not a graft
+    * one; caching materializes the full schema so both forks are safe. */
   def readJsonlQuarantined(spark: SparkSession, path: String,
                            schema: StructType,
                            corruptCol: String = "corrupt_record"): DataFrame = {
@@ -198,25 +204,82 @@ object Io {
     * overwrites — accretes files far smaller than a scan likes; at
     * 100 TB the footer-open cost alone dominates a read of a
     * million-file table. Run compaction as the post-ingest maintenance
-    * pass. The rewrite stages into `<path>__compact_tmp` and swaps via
-    * rename, so a concurrent reader sees old files or new, never a
-    * half-written mix. Returns the output file count. */
+    * pass.
+    *
+    * Hive-partitioned layouts are PRESERVED: `col=value` directory
+    * levels are detected and the rewrite re-applies `partitionBy` on
+    * the same columns (hash-distributed so each task compacts a subset
+    * of partitions), so downstream partition-pruned reads and dynamic
+    * partition overwrites keep working on the compacted table.
+    *
+    * Swap protocol: the rewrite stages into `<path>__compact_tmp`,
+    * then rename(path → __compact_old), rename(tmp → path), delete old.
+    * The two renames are NOT one atomic step — a reader in the gap can
+    * see the path briefly absent (retry-on-miss semantics), and a crash
+    * in the gap leaves data parked in `__compact_old`. Every rename is
+    * return-checked (a false return aborts loudly with the recovery
+    * path named), and the NEXT compact() call on the same path repairs
+    * a crashed swap first: a stranded `__compact_old` with no live
+    * table is restored before anything else runs, so no data is ever
+    * more than one rename from recoverable. Returns the output file
+    * count. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20): Long = {
+    import org.apache.spark.sql.functions.col
     require(targetBytes > 0, "compact: targetBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    // crash recovery from a previous interrupted swap: table gone but
+    // the parked copy present → restore it; table present AND a stale
+    // parked copy → the crash hit after the second rename, drop the park
+    if (fs.exists(old)) {
+      if (!fs.exists(hPath)) {
+        if (!fs.rename(old, hPath))
+          throw new java.io.IOException(
+            s"compact: recovery rename $old -> $hPath failed; data is in $old")
+      } else fs.delete(old, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)   // stale staging from a crash
+    val partCols = hivePartitionColumns(fs, hPath)
     val totalBytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    spark.read.parquet(path)
-      .repartition(nFiles.toInt)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    fs.rename(hPath, old)
-    fs.rename(tmp, hPath)
+    val reread = spark.read.parquet(path)
+    val writer =
+      if (partCols.isEmpty) reread.repartition(nFiles.toInt).write
+      else reread.repartition(nFiles.toInt, partCols.map(col): _*)
+        .write.partitionBy(partCols: _*)
+    writer.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(
+        s"compact: rename $hPath -> $old failed; table is untouched, staging in $tmp")
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $hPath failed; ORIGINAL DATA IS IN $old " +
+          "(next compact() on this path restores it)")
     fs.delete(old, true)
     nFiles
+  }
+
+  /** The `col=value` directory chain under `root`, outermost first —
+    * empty for a leaf (unpartitioned) parquet directory. Walks the
+    * first partition branch only: Spark writes a uniform depth. */
+  private def hivePartitionColumns(fs: org.apache.hadoop.fs.FileSystem,
+                                   root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = root
+    var descend = true
+    while (descend) {
+      val sub = fs.listStatus(cur)
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+        .filter(_.getName.contains("="))
+      if (sub.nonEmpty) { names += sub.head.getName.split("=", 2)(0); cur = sub.head }
+      else descend = false
+    }
+    names.toSeq
   }
 
   /** Z-order-clustered layout: interleave the bits of two integer sort
@@ -230,7 +293,12 @@ object Io {
     * (percent_rank over a value histogram → 16-bit codes) so skewed
     * value domains still interleave evenly; the histogram aggregations
     * are tiny (distinct values), the corpus itself only shuffles once
-    * for the final range partition. */
+    * for the final range partition.
+    *
+    * NULL keys are preserved: the rank joins are null-safe (`<=>`), so
+    * a NULL in either z-order column ranks as its own group (first, per
+    * Spark's nulls-first ordering) instead of being dropped — a layout
+    * rewrite must never lose rows. */
   def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
                     colA: String, colB: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -242,8 +310,8 @@ object Io {
           (percent_rank().over(w) * 65535).cast("int").as(s"__r_$c"))
     }
     val withRanks = df
-      .join(broadcast(ranks(colA)), col(colA) === col(s"__v_$colA"))
-      .join(broadcast(ranks(colB)), col(colB) === col(s"__v_$colB"))
+      .join(broadcast(ranks(colA)), col(colA) <=> col(s"__v_$colA"))
+      .join(broadcast(ranks(colB)), col(colB) <=> col(s"__v_$colB"))
     // interleave 16-bit ranks into a 32-bit Morton code
     val z = (0 until 16).map { i =>
       (shiftright(col(s"__r_$colA"), i).bitwiseAND(lit(1)) * lit(1L << (2 * i + 1))) +

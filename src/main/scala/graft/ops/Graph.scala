@@ -30,16 +30,19 @@ object Graph {
     * arithmetic — and hash — is unchanged; the dangling machinery is
     * detected once at setup and skipped entirely.
     *
-    * Scale shape: the raw edges are checkpointed ONCE (outdeg, the
-    * degree-annotated relation `e`, and the node universe all derive
-    * from them); each iteration is one broadcast-hash join e ⋈ ranks on
-    * src — `ranks` is explicitly `broadcast()` because node count ≪
-    * edge count, and the hint is REQUIRED: a checkpointed DataFrame is
-    * a LogicalRDD with unknown size stats, so Catalyst would otherwise
-    * fall back to shuffling the full edge relation every round —
-    * followed by one partial-aggregated exchange on dst (≤ |nodes| rows
-    * per partition after map-side combine). Only the loop carrier
-    * (ranks, |nodes| rows) is checkpointed per iteration.
+    * Scale shape: the raw edges are checkpointed ONCE (outdeg and the
+    * node universe derive from them); each iteration is one
+    * broadcast-hash join edges ⋈ (ranks ⋈ outdeg) on src — the
+    * node-sized build side carries BOTH the rank and the out-degree, so
+    * the edge relation is never annotated, materialized, or shuffled
+    * (an explicit degree-annotated edge checkpoint measured ~25% of the
+    * whole query at 10×). The `broadcast()` hint is REQUIRED: a
+    * checkpointed DataFrame is a LogicalRDD with unknown size stats, so
+    * Catalyst would otherwise fall back to shuffling the full edge
+    * relation every round. The join is followed by one
+    * partial-aggregated exchange on dst (≤ |nodes| rows per partition
+    * after map-side combine). Only the loop carrier (ranks, |nodes|
+    * rows) is checkpointed per iteration.
     *
     * `checkpointDir`: see [[Checkpoints]] — pass an HDFS/S3 dir on a
     * real cluster so a lost executor at round k replays from the
@@ -101,12 +104,18 @@ object Graph {
   /** Co-purchase graph: distinct symmetric part–part edges for parts
     * appearing in the same order. The pair self-join keys on the order
     * id over one repartitioned relation (single reused exchange); the
-    * distinct collapses multi-order repeats before PageRank sees them. */
+    * distinct collapses multi-order repeats before PageRank sees them.
+    *
+    * One exchange feeds both the dedup and the join: repartition on
+    * okey FIRST, then dropDuplicates — hashpartitioning(okey) already
+    * clusters every (okey, part) group, so the dedup aggregate is
+    * exchange-free and the self-join reuses the same partitioning
+    * (where `.distinct().repartition(okey)` paid two shuffles). */
   def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
     val li = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
       .repartition(col("okey"))
+      .dropDuplicates("okey", "part")
     li.alias("a")
       .join(li.alias("b"),
         col("a.okey") === col("b.okey") && col("a.part") =!= col("b.part"))

@@ -264,10 +264,18 @@ object EventsStream {
     * Per micro-batch: collapse THIS batch's rows to latest-per-key
     * (applyChangelog), full-outer-merge into the current snapshot
     * (batch wins on key collision; a batch delete removes the key),
-    * and atomically swap the snapshot directory — readers see old or
-    * new, never a mix. Restart-safe: the merge is idempotent for a
-    * replayed batch, so checkpoint recovery re-applying the last batch
-    * converges to the same table.
+    * and swap the snapshot directory via staged renames — readers see
+    * old files or new, never a half-written mix, though the path can be
+    * briefly absent between the two renames (retry-on-miss semantics,
+    * same contract as [[graft.io.Io.compact]]). Restart-safe in two
+    * layers: the merge is idempotent for a replayed batch (checkpoint
+    * recovery re-applying the last batch converges to the same table),
+    * and a crash BETWEEN the renames is repaired at the next batch —
+    * a stranded `__cdc_old` with no live snapshot is restored before
+    * the merge reads it, so a restart never mistakes a mid-swap crash
+    * for an empty table and silently rebuilds from one batch. Renames
+    * are return-checked; a failed rename fails the batch (and the
+    * query) loudly with the recovery path named.
     *
     * Scale: state IS the snapshot table (no executor state store to
     * size); each trigger costs one key-join of snapshot × batch. For
@@ -287,6 +295,15 @@ object EventsStream {
       val fs = new org.apache.hadoop.fs.Path(snapshotDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val cur = new org.apache.hadoop.fs.Path(snapshotDir)
+      val old = new org.apache.hadoop.fs.Path(snapshotDir + "__cdc_old")
+      // crash recovery from a previous interrupted swap (see scaladoc)
+      if (fs.exists(old)) {
+        if (!fs.exists(cur)) {
+          if (!fs.rename(old, cur))
+            throw new java.io.IOException(
+              s"cdcMaterialize: recovery rename $old -> $cur failed; snapshot is in $old")
+        } else fs.delete(old, true)
+      }
       val merged =
         if (fs.exists(cur)) {
           val snap = spark.read.parquet(snapshotDir)
@@ -296,9 +313,13 @@ object EventsStream {
         } else latest.drop(seqCol, opCol).join(deletes, keys, "left_anti")
       val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "__cdc_tmp")
       merged.write.mode("overwrite").parquet(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(snapshotDir + "__cdc_old")
-      if (fs.exists(cur)) { fs.rename(cur, old) }
-      fs.rename(tmp, cur)
+      if (fs.exists(cur) && !fs.rename(cur, old))
+        throw new java.io.IOException(
+          s"cdcMaterialize: rename $cur -> $old failed; snapshot untouched, staging in $tmp")
+      if (!fs.rename(tmp, cur))
+        throw new java.io.IOException(
+          s"cdcMaterialize: rename $tmp -> $cur failed; PRIOR SNAPSHOT IS IN $old " +
+            "(next batch restores it)")
       fs.delete(old, true)
       ()
     }

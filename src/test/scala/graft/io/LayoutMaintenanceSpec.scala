@@ -40,6 +40,54 @@ class LayoutMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 100)
   }
 
+  test("compact preserves a hive-partitioned layout and its prunability") {
+    val out = Files.createTempDirectory("compactp").resolve("t").toString
+    val df = (0L until 9000L).map(i => (i, (i % 3).toString, s"p-$i"))
+      .toDF("id", "part", "p")
+    // accrete small files inside each partition
+    df.repartition(16).write.partitionBy("part").parquet(out)
+    val n = Io.compact(spark, out, targetBytes = 1L << 30)
+    assert(n >= 1)
+    // partition directories survive the rewrite
+    val partDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("part=")).sorted
+    assert(partDirs === Array("part=0", "part=1", "part=2"))
+    // data intact, schema intact (partition col readable), pruning works
+    val back = spark.read.parquet(out)
+    assert(back.count() === 9000)
+    assert(back.where(col("part") === "1").count() === 3000)
+    val plan = back.where(col("part") === "1").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
+  }
+
+  test("compact repairs a crashed swap: stranded __compact_old restores first") {
+    val out = Files.createTempDirectory("compactr").resolve("t").toString
+    val df = (0L until 500L).toDF("id")
+    df.coalesce(2).write.parquet(out)
+    // simulate a crash between the two renames: table gone, copy parked
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(out),
+      new org.apache.hadoop.fs.Path(out + "__compact_old")))
+    assert(!new java.io.File(out).exists())
+    // next compact() restores the park, then compacts normally
+    Io.compact(spark, out, targetBytes = 1L << 30)
+    assert(spark.read.parquet(out).count() === 500)
+    assert(!new java.io.File(out + "__compact_old").exists())
+    assert(!new java.io.File(out + "__compact_tmp").exists())
+  }
+
+  test("writeZOrdered preserves NULL-keyed rows (null-safe rank joins)") {
+    val out = Files.createTempDirectory("zordern").resolve("t").toString
+    val df = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "a"), (2L, null, "b"), (null, 30L, "c"), (null, null, "d"))
+      .toDF("x", "y", "p")
+    Io.writeZOrdered(df, out, numFiles = 2, "x", "y")
+    val back = spark.read.parquet(out)
+    assert(back.count() === 4)
+    assert(back.select("p").as[String].collect().sorted === Array("a", "b", "c", "d"))
+  }
+
   test("writeZOrdered keeps BOTH dimensions' per-file ranges narrow") {
     val out = Files.createTempDirectory("zorder").resolve("t").toString
     // a 100×100 grid, arrival order scrambled

@@ -56,4 +56,45 @@ class CdcMaterializeSpec extends SparkSpec {
     assert(got === want)
     assert(got === Set((1L, "a2"), (2L, "b2"), (4L, "d1")))
   }
+
+  test("a crash between the swap renames is repaired at the next batch") {
+    val dir = Files.createTempDirectory("cdc-crash").toString
+    val snap = s"$dir/snapshot"
+    Seq((1L, 10L, "U", "a1"), (2L, 11L, "U", "b1"))
+      .toDF("k", "seq", "op", "payload").coalesce(1)
+      .write.parquet(s"$dir/src/b1")
+    val q1 = EventsStream.cdcMaterialize(
+        spark.readStream
+          .schema("k LONG, seq LONG, op STRING, payload STRING")
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/src/*"),
+        snap, Seq("k"), "seq", "op")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+
+    // simulate the mid-swap crash: snapshot renamed away, not yet replaced
+    val fs = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(snap),
+      new org.apache.hadoop.fs.Path(snap + "__cdc_old")))
+    assert(!new java.io.File(snap).exists())
+
+    // next batch must restore the parked snapshot BEFORE merging — key 1
+    // from batch 1 must survive even though batch 2 never mentions it
+    Seq((2L, 20L, "U", "b2")).toDF("k", "seq", "op", "payload").coalesce(1)
+      .write.parquet(s"$dir/src/b2")
+    val q2 = EventsStream.cdcMaterialize(
+        spark.readStream
+          .schema("k LONG, seq LONG, op STRING, payload STRING")
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/src/*"),
+        snap, Seq("k"), "seq", "op")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+
+    val got = spark.read.parquet(snap)
+      .select("k", "payload").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a1"), (2L, "b2")))
+    assert(!new java.io.File(snap + "__cdc_old").exists())
+  }
 }
