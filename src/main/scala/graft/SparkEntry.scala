@@ -857,12 +857,14 @@ object SparkEntry {
     * most frequent adjacent symbol pair from vocab v(k-1) — ties
     * (count desc, then pair text; symbols are [a-z]+ fragments and
     * ' ' < 'a', so pair-string order ≡ (l, r) order) — and v(k)
-    * applies it as the same literal replace ×2 as
-    * [[graft.ops.LangModel.bpeTrain]]. Fully independent re-derivation:
-    * no trained artifact is embedded. */
+    * applies it as the same space-doubling canonical replace chain as
+    * [[graft.ops.LangModel.bpeTrain]] (double spaces, merge consuming
+    * one boundary space per side, collapse). Fully independent
+    * re-derivation: no trained artifact is embedded. */
   private lazy val DuckBpeCtes: String = {
     val rep = (v: String) =>
-      s"replace($v, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')"
+      s"""replace(replace(replace($v, ' ', '  '),
+           ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '), '  ', ' ')"""
     val steps = (1 to 4).map { k =>
       s"""m$k AS (
          SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r, cnt
@@ -875,7 +877,7 @@ object SparkEntry {
            GROUP BY pair)
          ORDER BY cnt DESC, pair LIMIT 1),
        v$k AS (
-         SELECT v.w, ${rep(rep("v.s"))} AS s, v.c
+         SELECT v.w, ${rep("v.s")} AS s, v.c
          FROM v${k - 1} v, m$k m)"""
     }.mkString(",\n      ")
     s"""wc AS (

@@ -246,25 +246,20 @@ object LangModel {
     * so string comparison agrees across collations.
     *
     * Symbol-string representation: a word's symbols are ' '-joined
-    * with sentinel spaces (' a b c '), so a merge (a, b → ab) is the
-    * literal replacement ' a b ' → ' ab ' applied TWICE: adjacent
-    * occurrences share a boundary space, so one leftmost-non-overlap
-    * pass merges the odd ones and the second pass the (now isolated)
-    * leftovers — for l ≠ r exactly BPE's greedy merge pass, and a
-    * replacement can never create a fresh (l, r) adjacency, so two
-    * passes are always enough. Portable to any engine's `replace`.
-    *
-    * KNOWN DEVIATION for self-adjacent merges (l == r): because the
-    * literal ' a a ' consumes the shared boundary space, a run of 5
-    * identical symbols segments as [aa, a, aa] where canonical greedy
-    * BPE (non-consuming scan) gives [aa, aa, a] — same token COUNT for
-    * runs ≤ 5 but a different split, and runs of 6 give 4 tokens vs
-    * canonical 3. Merge tables and [[bpeTokenCounts]] therefore drift
-    * from canonical BPE on repeated-character words. This replace-based
-    * scheme is the portability contract (the DuckDB oracle runs the
-    * identical replacement, so cross-engine parity holds); callers
-    * needing canonical run segmentation should iterate the replace to a
-    * fixed point for l == r merges. */
+    * with sentinel spaces (' a b c '). A naive literal replacement
+    * ' l r ' → ' lr ' CONSUMES the boundary spaces it matches, so for a
+    * self-adjacent merge (l == r) a run of 5 identical symbols would
+    * segment as [aa, a, aa] where canonical greedy BPE (non-consuming
+    * left-to-right scan) gives [aa, aa, a]. The merge here is instead
+    * the space-doubling scheme: double every space (each boundary
+    * becomes '  '), replace ' l  r ' → ' lr ' (consuming exactly ONE
+    * space from each outer boundary, so every boundary still holds a
+    * space for the next match), then collapse '  ' → ' '. One such pass
+    * IS canonical greedy BPE for l ≠ r AND l == r — adjacent and
+    * run-adjacent occurrences chain left-to-right exactly like the
+    * reference scan — and a replacement can never create a fresh (l, r)
+    * adjacency mid-pass. Three plain `replace` calls, no regex: portable
+    * to any engine (the DuckDB oracle runs the identical chain). */
   def bpeTrain(docs: DataFrame, nMerges: Int = 4,
                textCol: String = "text",
                checkpointDir: Option[String] = None): DataFrame =
@@ -340,10 +335,10 @@ object LangModel {
         val row = top.head
         val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += ((rank, l, r, l + r, cnt))
-        // literal replace ×2 (see scaladoc); symbols are [a-z]+ so
-        // inlining them into the SQL string is quote-safe
+        // space-doubling canonical merge (see scaladoc); symbols are
+        // [a-z]+ so inlining them into the SQL string is quote-safe
         vocab = ck(vocab.select(col("w"),
-          expr(s"replace(replace(s, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')")
+          expr(s"replace(replace(replace(s, ' ', '  '), ' $l  $r ', ' $l$r '), '  ', ' ')")
             .as("s"), col("c")))
         rank += 1
       }

@@ -151,6 +151,21 @@ class LangModelSpec extends SparkSpec {
     assert(both.getLong(2) === (1L + 2L + 1L + 1L)) // n_bpe_tokens
   }
 
+  test("bpe self-adjacent merge segments runs canonically (greedy left-to-right)") {
+    import spark.implicits._
+    // vocab: "ooooo" (run of 5) and "oooooo" (run of 6), each once.
+    // Merge 1 must be (o,o). Canonical greedy BPE pairs left-to-right:
+    //   ooooo  → [oo, oo, o]  = 3 tokens
+    //   oooooo → [oo, oo, oo] = 3 tokens
+    // (the old boundary-consuming replace×2 gave [oo, a.. o, oo] / 4.)
+    val docs = Seq((1L, "ooooo"), (2L, "oooooo")).toDF("doc_id", "text")
+    val m = LangModel.bpeTrain(docs, nMerges = 1).collect()
+    assert(m.head.getString(3) === "oo")
+    val counts = LangModel.bpeTokenCounts(docs, nMerges = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts === Map(1L -> 3L, 2L -> 3L))
+  }
+
   test("bpeTrain stops early when no pairs remain") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
