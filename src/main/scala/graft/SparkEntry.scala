@@ -265,7 +265,7 @@ object SparkEntry {
       // dedup diagnostics: duplicate-cluster size distribution over the
       // q42 component structure
       "q67_cluster_sizes" -> q { (s, dir) =>
-        Dedup.clusterSizeReport(Dedup.nearDuplicates(t(s, dir, "documents"),
+        Dedup.clusterSizeReport(Dedup.nearDupComponents(t(s, dir, "documents"),
           numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35))
       },
       // per-label embedding pooling (class centroids + coherence) via
@@ -701,8 +701,8 @@ object SparkEntry {
         graft.ops.Curation.curate(t(s, dir, "documents"))
       },
       "q42_neardup_components" -> q { (s, dir) =>
-        Dedup.connectedComponents(Dedup.nearDuplicates(t(s, dir, "documents"),
-          numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35))
+        Dedup.nearDupComponents(t(s, dir, "documents"),
+          numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35)
       },
       "q43_contamination" -> q { (s, dir) =>
         // every 17th doc plays the benchmark/eval set; the rest is corpus

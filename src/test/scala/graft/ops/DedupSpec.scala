@@ -160,10 +160,37 @@ class DedupSpec extends SparkSpec {
   test("clusterSizeReport histograms component sizes") {
     // components: {0,1,2,3} (chain), {10,11} → sizes 4 and 2
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val hist = Dedup.clusterSizeReport(pairs).collect()
+    val hist = Dedup.clusterSizeReport(Dedup.connectedComponents(pairs)).collect()
       .map(r => r.getAs[Long]("cluster_size") ->
         (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))).toMap
     assert(hist === Map(4L -> ((1L, 4L)), 2L -> ((1L, 2L))))
+  }
+
+  test("nearDupComponents ≡ components over the expanded pair list") {
+    // planted shapes: an exact-dup group bridged to a near-dup (cross
+    // edge), an exact-dup group with NO cross edges (own component), a
+    // pure near-dup pair of distinct texts, shingle-less docs (1 token),
+    // and an untouched singleton
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),          // exact dup of 1
+      (7L, "alpha beta gamma delta"),          // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon"),  // near-dup of the group
+      (20L, "zeta eta theta iota"),
+      (21L, "zeta eta theta iota"),            // exact group, no cross edge
+      (30L, "one two three four five"),
+      (31L, "one two three four five six"),    // near-dup pair, distinct texts
+      (40L, "solo"), (41L, "solo"),            // 1 token → no bigram shingles
+      (50L, "completely different text here")  // singleton
+    ).toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = key(Dedup.nearDupComponents(corpus, shingleSize = 2, threshold = 0.3))
+    val ref = key(Dedup.connectedComponents(Dedup.nearDuplicates(
+      corpus, shingleSize = 2, threshold = 0.3)))
+    assert(fast === ref)
+    assert(fast === Set((1L, 1L), (2L, 1L), (7L, 1L), (3L, 1L),
+      (20L, 20L), (21L, 20L), (30L, 30L), (31L, 30L)))
   }
 
   test("keepBestDedup keeps the longest cluster member, min doc_id on ties") {
