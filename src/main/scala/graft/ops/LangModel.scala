@@ -146,29 +146,53 @@ object LangModel {
     * micro-nats BEFORE any aggregation, so sums are exact and
     * engine-portable; argmax ties break to the smaller class name).
     *
-    * Scale shape: one token shuffle for tf; vocabulary and class
-    * statistics are bounded aggregates of it; the matrix join is a
-    * broadcast; per-(doc, class) reduce fans out |classes|× with
-    * map-side combine; the argmax is two same-partitioned aggregates on
-    * doc_id (max, then min-class-among-max), never a window sort. */
+    * Scale shape — exact-text collapse, the same move as
+    * [[graft.ops.Dedup.nearDuplicates]]: term frequencies, per-class
+    * score sums, and the argmax are all pure functions of the TOKEN
+    * STREAM, so they are computed once per distinct stream (docs group
+    * by a token-stream digest; corpus-level statistics weight each
+    * stream by its multiplicity, per-(stream, label) for class totals).
+    * The token explode/shuffle — the dominant cost — touches |distinct
+    * texts| rows, not the corpus; on an exact-dup-heavy crawl that is
+    * orders of magnitude smaller. Vocabulary and class statistics are
+    * bounded aggregates; the matrix join is a broadcast; the argmax is
+    * two same-partitioned aggregates on the digest (max, then
+    * min-class-among-max), never a window sort; docs join their
+    * stream's verdict by one digest equi-join at the end. */
   def naiveBayes(docs: DataFrame, labelCol: String = "source",
                  vocabK: Int = 10000, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val tf = docs
-      .select(col(idCol), col(labelCol).as("cls"),
-        explode(TextStats.tokens(col(textCol))).as("tok"))
+    // one rep text per distinct token stream; (stream, label) weights
+    // for class statistics. repartition first: the group aggregate and
+    // the final verdict join reuse the same digest-keyed exchange.
+    val keyed = docs
+      .select(col(idCol), col(labelCol).as("cls"), col(textCol).as("__text"),
+        md5(to_binary(concat_ws(" ", TextStats.tokens(col(textCol))),
+          lit("utf-8"))).as("__tk"))
+      .repartition(col("__tk"))
+    val streams = keyed.groupBy("__tk")
+      .agg(min_by(col("__text"), col(idCol)).as("__text"))
+    val clsWeights = keyed.groupBy("__tk", "cls")
+      .agg(count(lit(1)).cast("long").as("n"))
+    // per-stream term frequencies (the only token explode)
+    val gtf = streams
+      .select(col("__tk"), explode(TextStats.tokens(col("__text"))).as("tok"))
       .where(col("tok").isNotNull)
-      .groupBy(col(idCol), col("cls"), col("tok"))
+      .groupBy("__tk", "tok")
       .agg(count(lit(1)).cast("long").as("tf"))
-    val vocab = tf.groupBy("tok").agg(sum("tf").cast("long").as("cnt"))
+    val streamN = clsWeights.groupBy("__tk").agg(sum("n").cast("long").as("n_all"))
+    val vocab = gtf.join(streamN, "__tk")
+      .groupBy("tok").agg(sum(col("tf") * col("n_all")).cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(vocabK)
       .select("tok")
-    val tfv = tf.join(broadcast(vocab), "tok")
+    val gtfv = gtf.join(broadcast(vocab), "tok")
     // class stats: doc counts from ALL docs (token-free docs still carry
-    // prior mass), token totals from the vocab-restricted tf
+    // prior mass), token totals from the vocab-restricted, class-weighted tf
     val classes = docs.groupBy(col(labelCol).as("cls"))
       .agg(count(lit(1)).cast("long").as("dc"))
-    val totals = tfv.groupBy("cls").agg(sum("tf").cast("long").as("tc"))
+    val wtf = gtfv.join(clsWeights, "__tk")
+      .groupBy("cls", "tok").agg(sum(col("tf") * col("n")).cast("long").as("ctc"))
+    val totals = wtf.groupBy("cls").agg(sum("ctc").cast("long").as("tc"))
     val vSize = vocab.agg(count(lit(1)).cast("long").as("v"))
     val nDocs = docs.agg(count(lit(1)).cast("long").as("d_all"))
     val clsStats = classes.join(totals, Seq("cls"), "left")
@@ -178,28 +202,31 @@ object LangModel {
         round((log(col("dc").cast("double")) - log(col("d_all").cast("double"))) * 1e6)
           .cast("long"))
     // dense (vocab × class) matrix: C(t,c)=0 rows still get the smoothed
-    // log-prob, so per-doc sums run over one equi-join, no unseen branch
-    val counts = tfv.groupBy("cls", "tok").agg(sum("tf").cast("long").as("ctc"))
+    // log-prob, so per-stream sums run over one equi-join, no unseen branch
     val matrix = vocab.crossJoin(clsStats.select("cls", "tc", "v"))
-      .join(counts, Seq("cls", "tok"), "left")
+      .join(wtf, Seq("cls", "tok"), "left")
       .na.fill(0L, Seq("ctc"))
       .withColumn("lp_micros",
         round((log(col("ctc").cast("double") + 1) -
           log((col("tc") + col("v")).cast("double"))) * 1e6).cast("long"))
       .select("cls", "tok", "lp_micros")
-    val tokSum = tfv.select(col(idCol), col("tok"), col("tf"))
+    val tokSum = gtfv.select(col("__tk"), col("tok"), col("tf"))
       .join(broadcast(matrix), "tok")
-      .groupBy(col(idCol), col("cls"))
+      .groupBy(col("__tk"), col("cls"))
       .agg(sum(col("tf") * col("lp_micros")).cast("long").as("ts"))
-    val scored = docs.select(col(idCol))
+    // per-stream verdict: argmax over classes (ties to the smaller
+    // class name), token-free streams score by prior alone
+    val scored = streams.select(col("__tk"))
       .crossJoin(broadcast(clsStats.select("cls", "prior_micros")))
-      .join(tokSum, Seq(idCol, "cls"), "left")
+      .join(tokSum, Seq("__tk", "cls"), "left")
       .withColumn("score_micros", col("prior_micros") + coalesce(col("ts"), lit(0L)))
-    val best = scored.groupBy(col(idCol))
+    val best = scored.groupBy(col("__tk"))
       .agg(max(col("score_micros")).as("score_micros"))
-    scored.join(best, Seq(idCol, "score_micros"))
-      .groupBy(col(idCol), col("score_micros"))
+    val verdict = scored.join(best, Seq("__tk", "score_micros"))
+      .groupBy(col("__tk"), col("score_micros"))
       .agg(min(col("cls")).as("pred"))
+    keyed.select(col(idCol), col("__tk"))
+      .join(verdict, "__tk")
       .select(col(idCol), col("pred"), col("score_micros"))
   }
 
