@@ -533,25 +533,41 @@ object Dedup {
   def spanDedup(docs: DataFrame, k: Int = 5,
                 textCol: String = "text"): DataFrame = {
     require(k >= 2, s"spanDedup: k ($k) must be >= 2")
-    val pt = docs
-      .select(col("doc_id"), TextStats.tokens(col(textCol)).as("ts"))
+    // exact-text collapse (see nearDuplicates): the gram explode, the
+    // cover window, and the reassembly are pure functions of the token
+    // stream, so they run once per distinct stream. "Appears in >= 2
+    // distinct documents" becomes "appears in >= 2 distinct streams, OR
+    // in a stream with >= 2 copies" — exact copies of a doc duplicate
+    // every one of its grams, exactly as the raw per-doc test saw them.
+    val keyed = docs
+      .select(col("doc_id"),
+        md5(to_binary(concat_ws(" ", TextStats.tokens(col(textCol))),
+          lit("utf-8"))).as("__tk"),
+        col(textCol).as("__text"))
+      .repartition(col("__tk"))
+    val streams = keyed.groupBy("__tk")
+      .agg(min_by(col("__text"), col("doc_id")).as("__text"),
+        count(lit(1)).cast("long").as("__n"))
+    val pt = streams
+      .select(col("__tk"), col("__n"), TextStats.tokens(col("__text")).as("ts"))
       .where(size(col("ts")) > 0)
-      .select(col("doc_id"), explode(expr(
+      .select(col("__tk"), col("__n"), explode(expr(
         s"""transform(ts, (x, i) -> struct(i AS pos, x AS tok,
             CASE WHEN i + $k <= size(ts)
                  THEN md5(to_binary(concat_ws(' ', slice(ts, i + 1, $k)), 'utf-8'))
             END AS h))""")).as("p"))
-      .select(col("doc_id"), col("p.pos"), col("p.tok"), col("p.h"))
+      .select(col("__tk"), col("__n"), col("p.pos"), col("p.tok"), col("p.h"))
     val dup = pt.where(col("h").isNotNull)
-      .groupBy("h").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      .where(col("mn") =!= col("mx"))
+      .groupBy("h").agg(min("__tk").as("mn"), max("__tk").as("mx"),
+        max("__n").as("mxn"))
+      .where(col("mn") =!= col("mx") || col("mxn") >= 2)
       .select(col("h"), lit(1).as("flag"))
     val cover = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+      .partitionBy("__tk").orderBy("pos")
       .rowsBetween(-(k - 1).toLong, 0L)
-    pt.join(dup, Seq("h"), "left")
+    val perStream = pt.join(dup, Seq("h"), "left")
       .withColumn("rm", max(coalesce(col("flag"), lit(0))).over(cover))
-      .groupBy("doc_id")
+      .groupBy("__tk")
       .agg(
         concat_ws(" ", expr(
           """transform(array_sort(collect_list(
@@ -559,6 +575,9 @@ object Dedup {
           .as("clean_text"),
         sum(when(col("rm") === 0, 1).otherwise(0)).cast("long").as("kept_tokens"),
         sum(when(col("rm") === 1, 1).otherwise(0)).cast("long").as("removed_tokens"))
+    keyed.select(col("doc_id"), col("__tk"))
+      .join(perStream, "__tk")
+      .select("doc_id", "clean_text", "kept_tokens", "removed_tokens")
   }
 
   /** 16-bit SimHash over the token multiset, using the first 4 hex chars

@@ -211,6 +211,20 @@ class DedupSpec extends SparkSpec {
     assert(kept(6L) === 0)
   }
 
+  test("spanDedup: exact copies of a doc duplicate every gram of both copies") {
+    // two identical docs: every 3-gram is cross-doc duplicated, so both
+    // are fully cut; the distinct doc is untouched
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee"),
+      (2L, "aa bb cc dd ee"),
+      (3L, "vv ww xx yy zz")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("", 0L, 5L)))
+    assert(out(2L) === (("", 0L, 5L)))
+    assert(out(3L) === (("vv ww xx yy zz", 5L, 0L)))
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = Dedup.simHash(docs).cache()
     def h(id: Long) = sh.where(col("doc_id") === id).head().getAs[Long]("simhash")
