@@ -246,35 +246,49 @@ object Dedup {
     intra.unionByName(cross)
   }
 
+  /** The token-stream digest: md5 of the ' '-joined token array. Tokens
+    * contain no whitespace (split on \s+), so the join is injective on
+    * token streams and the digest is a safe exact-text group key. */
+  private[ops] def tokenStreamKey(text: Column): Column =
+    md5(to_binary(concat_ws(" ", TextStats.tokens(text)), lit("utf-8")))
+
+  /** Exact-text collapse shared by the stream-collapsed operators
+    * (near-dup, Naive Bayes, span dedup): returns
+    * (members `(doc_id, __rep)`, repDocs — `docs` filtered to one rep,
+    * the min doc_id, per distinct token stream).
+    *
+    * Cost shape: the digest relation carries ONLY (doc_id, digest) — the
+    * group aggregate and the member join reuse one cheap id-sized
+    * exchange (text never shuffles); rep texts come from a doc_id
+    * semi-join against the original scan, which AQE broadcasts whenever
+    * the rep set fits and otherwise degrades to a hash join — either
+    * way the corpus text is scanned, never exchanged. */
+  private[ops] def tokenStreamCollapse(docs: DataFrame, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val keyed = docs
+      .select(col("doc_id"), tokenStreamKey(col(textCol)).as("__tk"))
+      .repartition(col("__tk"))
+    val reps = keyed.groupBy("__tk").agg(min("doc_id").as("__rep"))
+    val members = keyed.join(reps, "__tk").select(col("doc_id"), col("__rep"))
+    val repDocs = docs.join(reps.select(col("__rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    (members, repDocs)
+  }
+
   /** The collapse + rep-level LSH shared by [[nearDuplicates]] and
     * [[nearDupComponents]]: returns (eligible members `(doc_id, __rep)`,
     * verified rep pairs `(doc_a, doc_b, jaccard)`).
     *
-    * Token arrays contain no whitespace (split on \s+), so the single-
-    * space join is injective on token streams and md5 of it is a safe
-    * group key; the rep is the group's min doc_id and carries its own
-    * text. Eligibility (≥1 shingle, non-null signature) is a property of
-    * the token stream, so gating groups by their rep's presence in the
+    * Eligibility (≥1 shingle, non-null signature) is a property of the
+    * token stream, so gating groups by their rep's presence in the
     * signature relation reproduces the raw pipeline's per-doc filter.
-    * The docs relation is repartitioned on the digest FIRST so the group
-    * aggregate and the member join reuse one exchange; members are then
-    * repartitioned on the rep id, which both expansion joins and the
-    * intra self-join reuse. */
+    * Members are repartitioned on the rep id, which both expansion
+    * joins and the intra self-join reuse. */
   private def collapsedRepPairs(docs: DataFrame, textCol: String,
                                 numHashes: Int, rowsPerBand: Int,
                                 shingleSize: Int, threshold: Double)
       : (DataFrame, DataFrame) = {
-    val keyed = docs
-      .select(col("doc_id"), col(textCol).as("__text"),
-        md5(to_binary(concat_ws(" ", TextStats.tokens(col(textCol))),
-          lit("utf-8"))).as("__tk"))
-      .repartition(col("__tk"))
-    val reps = keyed.groupBy("__tk")
-      .agg(min("doc_id").as("__rep"), min_by(col("__text"), col("doc_id")).as("__text"))
-    val members = keyed.select(col("doc_id"), col("__tk"))
-      .join(reps.select("__tk", "__rep"), "__tk")
-      .select(col("doc_id"), col("__rep"))
-    val repDocs = reps.select(col("__rep").as("doc_id"), col("__text").as(textCol))
+    val (members, repDocs) = tokenStreamCollapse(docs, textCol)
     val sigs = minHashSignatures(repDocs, textCol, numHashes, shingleSize)
     val repPairs = jaccardVerify(repDocs,
       candidatePairs(lshBands(sigs, numHashes, rowsPerBand)),
@@ -539,19 +553,20 @@ object Dedup {
     // distinct documents" becomes "appears in >= 2 distinct streams, OR
     // in a stream with >= 2 copies" — exact copies of a doc duplicate
     // every one of its grams, exactly as the raw per-doc test saw them.
-    val keyed = docs
-      .select(col("doc_id"),
-        md5(to_binary(concat_ws(" ", TextStats.tokens(col(textCol))),
-          lit("utf-8"))).as("__tk"),
-        col(textCol).as("__text"))
-      .repartition(col("__tk"))
-    val streams = keyed.groupBy("__tk")
-      .agg(min_by(col("__text"), col("doc_id")).as("__text"),
-        count(lit(1)).cast("long").as("__n"))
-    val pt = streams
-      .select(col("__tk"), col("__n"), TextStats.tokens(col("__text")).as("ts"))
+    val keyed = docs.select(col("doc_id"), tokenStreamKey(col(textCol)).as("__tk"))
+    val reps = keyed.groupBy("__tk").agg(min("doc_id").as("__rep"),
+      count(lit(1)).cast("long").as("__n"))
+    val streamN = reps.select(col("__tk"), col("__n"))
+    val repDocs = docs.join(reps.select(col("__rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val pt = repDocs
+      .select(tokenStreamKey(col(textCol)).as("__tk"),
+        TextStats.tokens(col(textCol)).as("ts"))
       .where(size(col("ts")) > 0)
-      .select(col("__tk"), col("__n"), explode(expr(
+      // multi-copy streams only (∝ dup fraction); AQE picks the strategy
+      .join(streamN.where(col("__n") >= 2).withColumnRenamed("__n", "__n2"),
+        Seq("__tk"), "left")
+      .select(col("__tk"), coalesce(col("__n2"), lit(1L)).as("__n"), explode(expr(
         s"""transform(ts, (x, i) -> struct(i AS pos, x AS tok,
             CASE WHEN i + $k <= size(ts)
                  THEN md5(to_binary(concat_ws(' ', slice(ts, i + 1, $k)), 'utf-8'))

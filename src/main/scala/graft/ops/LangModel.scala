@@ -163,15 +163,17 @@ object LangModel {
                  vocabK: Int = 10000, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     // one rep text per distinct token stream; (stream, label) weights
-    // for class statistics. repartition first: the group aggregate and
-    // the final verdict join reuse the same digest-keyed exchange.
-    val keyed = docs
-      .select(col(idCol), col(labelCol).as("cls"), col(textCol).as("__text"),
-        md5(to_binary(concat_ws(" ", TextStats.tokens(col(textCol))),
-          lit("utf-8"))).as("__tk"))
-      .repartition(col("__tk"))
-    val streams = keyed.groupBy("__tk")
-      .agg(min_by(col("__text"), col(idCol)).as("__text"))
+    // for class statistics. The digest is scan-local on both passes —
+    // only (id, digest[, label]) tuples ever shuffle; rep texts come
+    // from a doc_id semi-join against the scan (AQE broadcasts the rep
+    // id set when it fits), so corpus text is scanned, never exchanged.
+    val keyed = docs.select(col(idCol), col(labelCol).as("cls"),
+      Dedup.tokenStreamKey(col(textCol)).as("__tk"))
+    val reps = keyed.groupBy("__tk").agg(min(idCol).as("__rep"))
+    val repDocs = docs.join(reps.select(col("__rep").as(idCol)),
+      Seq(idCol), "left_semi")
+    val streams = repDocs.select(
+      Dedup.tokenStreamKey(col(textCol)).as("__tk"), col(textCol).as("__text"))
     val clsWeights = keyed.groupBy("__tk", "cls")
       .agg(count(lit(1)).cast("long").as("n"))
     // per-stream term frequencies (the only token explode)
