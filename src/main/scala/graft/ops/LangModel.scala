@@ -31,28 +31,44 @@ object LangModel {
   /** Output: (doc_id, n_tokens, avg_nlp_micros) — avg_nlp_micros is the
     * mean per-token negative log-probability in micro-nats (floor of the
     * exact integer ratio). Empty documents have no tokens and are absent,
-    * as in every other token-derived relation here. */
+    * as in every other token-derived relation here.
+    *
+    * Exact-text collapse (the [[graft.ops.Dedup.nearDuplicates]] move):
+    * the token explode and the per-doc score run once per distinct token
+    * stream; corpus unigram counts weight each stream by its
+    * multiplicity, so the trained LM is identical to the raw per-doc
+    * formulation, and every doc joins its stream's score by one digest
+    * equi-join. */
   def unigramScore(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
+    val keyed = docs.select(col(idCol),
+      Dedup.tokenStreamKey(col(textCol)).as("__tk"))
+    val reps = keyed.groupBy("__tk")
+      .agg(min(idCol).as("__rep"), count(lit(1)).cast("long").as("__n"))
+    val repDocs = docs.join(reps.select(col("__rep").as(idCol)),
+      Seq(idCol), "left_semi")
+    val gtf = repDocs
+      .select(Dedup.tokenStreamKey(col(textCol)).as("__tk"),
+        explode(TextStats.tokens(col(textCol))).as("tok"))
       .where(col("tok").isNotNull)
-      .groupBy(col(idCol), col("tok"))
+      .groupBy(col("__tk"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    // both corpus statistics fold the SAME tf exchange (see Tfidf: the
-    // always-true guard keeps the counts subtree canonically identical
-    // so ReuseExchange fires instead of re-scanning the corpus)
-    val counts = tf.where(col("tf") > 0).groupBy("tok")
-      .agg(sum("tf").cast("long").as("cnt"))
-    val total = tf.agg(sum("tf").cast("long").as("total_tokens"))
-    tf.join(broadcast(counts), "tok")
+    val wtf = gtf.join(reps.select("__tk", "__n"), "__tk")
+    // both corpus statistics fold the SAME weighted-tf exchange (see
+    // Tfidf: the always-true guard keeps the counts subtree canonically
+    // identical so ReuseExchange fires instead of re-scanning)
+    val counts = wtf.where(col("tf") > 0).groupBy("tok")
+      .agg(sum(col("tf") * col("__n")).cast("long").as("cnt"))
+    val total = wtf.agg(sum(col("tf") * col("__n")).cast("long").as("total_tokens"))
+    val perStream = gtf.join(broadcast(counts), "tok")
       .crossJoin(broadcast(total))
       .withColumn("nlp_micros",
         round((log(col("total_tokens").cast("double")) -
           log(col("cnt").cast("double"))) * 1e6).cast("long"))
-      .groupBy(col(idCol))
+      .groupBy(col("__tk"))
       .agg(sum("tf").cast("long").as("n_tokens"),
         sum(col("nlp_micros") * col("tf")).cast("long").as("sum_micros"))
+    keyed.join(perStream, "__tk")
       .select(col(idCol), col("n_tokens"),
         expr("sum_micros div n_tokens").as("avg_nlp_micros"))
   }
