@@ -31,44 +31,28 @@ object LangModel {
   /** Output: (doc_id, n_tokens, avg_nlp_micros) — avg_nlp_micros is the
     * mean per-token negative log-probability in micro-nats (floor of the
     * exact integer ratio). Empty documents have no tokens and are absent,
-    * as in every other token-derived relation here.
-    *
-    * Exact-text collapse (the [[graft.ops.Dedup.nearDuplicates]] move):
-    * the token explode and the per-doc score run once per distinct token
-    * stream; corpus unigram counts weight each stream by its
-    * multiplicity, so the trained LM is identical to the raw per-doc
-    * formulation, and every doc joins its stream's score by one digest
-    * equi-join. */
+    * as in every other token-derived relation here. */
   def unigramScore(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val keyed = docs.select(col(idCol),
-      Dedup.tokenStreamKey(col(textCol)).as("__tk"))
-    val reps = keyed.groupBy("__tk")
-      .agg(min(idCol).as("__rep"), count(lit(1)).cast("long").as("__n"))
-    val repDocs = docs.join(reps.select(col("__rep").as(idCol)),
-      Seq(idCol), "left_semi")
-    val gtf = repDocs
-      .select(Dedup.tokenStreamKey(col(textCol)).as("__tk"),
-        explode(TextStats.tokens(col(textCol))).as("tok"))
+    val tf = docs
+      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
       .where(col("tok").isNotNull)
-      .groupBy(col("__tk"), col("tok"))
+      .groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val wtf = gtf.join(reps.select("__tk", "__n"), "__tk")
-    // both corpus statistics fold the SAME weighted-tf exchange (see
-    // Tfidf: the always-true guard keeps the counts subtree canonically
-    // identical so ReuseExchange fires instead of re-scanning)
-    val counts = wtf.where(col("tf") > 0).groupBy("tok")
-      .agg(sum(col("tf") * col("__n")).cast("long").as("cnt"))
-    val total = wtf.agg(sum(col("tf") * col("__n")).cast("long").as("total_tokens"))
-    val perStream = gtf.join(broadcast(counts), "tok")
+    // both corpus statistics fold the SAME tf exchange (see Tfidf: the
+    // always-true guard keeps the counts subtree canonically identical
+    // so ReuseExchange fires instead of re-scanning the corpus)
+    val counts = tf.where(col("tf") > 0).groupBy("tok")
+      .agg(sum("tf").cast("long").as("cnt"))
+    val total = tf.agg(sum("tf").cast("long").as("total_tokens"))
+    tf.join(broadcast(counts), "tok")
       .crossJoin(broadcast(total))
       .withColumn("nlp_micros",
         round((log(col("total_tokens").cast("double")) -
           log(col("cnt").cast("double"))) * 1e6).cast("long"))
-      .groupBy(col("__tk"))
+      .groupBy(col(idCol))
       .agg(sum("tf").cast("long").as("n_tokens"),
         sum(col("nlp_micros") * col("tf")).cast("long").as("sum_micros"))
-    keyed.join(perStream, "__tk")
       .select(col(idCol), col("n_tokens"),
         expr("sum_micros div n_tokens").as("avg_nlp_micros"))
   }
@@ -162,55 +146,29 @@ object LangModel {
     * micro-nats BEFORE any aggregation, so sums are exact and
     * engine-portable; argmax ties break to the smaller class name).
     *
-    * Scale shape — exact-text collapse, the same move as
-    * [[graft.ops.Dedup.nearDuplicates]]: term frequencies, per-class
-    * score sums, and the argmax are all pure functions of the TOKEN
-    * STREAM, so they are computed once per distinct stream (docs group
-    * by a token-stream digest; corpus-level statistics weight each
-    * stream by its multiplicity, per-(stream, label) for class totals).
-    * The token explode/shuffle — the dominant cost — touches |distinct
-    * texts| rows, not the corpus; on an exact-dup-heavy crawl that is
-    * orders of magnitude smaller. Vocabulary and class statistics are
-    * bounded aggregates; the matrix join is a broadcast; the argmax is
-    * two same-partitioned aggregates on the digest (max, then
-    * min-class-among-max), never a window sort; docs join their
-    * stream's verdict by one digest equi-join at the end. */
+    * Scale shape: one token shuffle for tf; vocabulary and class
+    * statistics are bounded aggregates of it; the matrix join is a
+    * broadcast; per-(doc, class) reduce fans out |classes|× with
+    * map-side combine; the argmax is two same-partitioned aggregates on
+    * doc_id (max, then min-class-among-max), never a window sort. */
   def naiveBayes(docs: DataFrame, labelCol: String = "source",
                  vocabK: Int = 10000, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    // one rep text per distinct token stream; (stream, label) weights
-    // for class statistics. The digest is scan-local on both passes —
-    // only (id, digest[, label]) tuples ever shuffle; rep texts come
-    // from a doc_id semi-join against the scan (AQE broadcasts the rep
-    // id set when it fits), so corpus text is scanned, never exchanged.
-    val keyed = docs.select(col(idCol), col(labelCol).as("cls"),
-      Dedup.tokenStreamKey(col(textCol)).as("__tk"))
-    val reps = keyed.groupBy("__tk").agg(min(idCol).as("__rep"))
-    val repDocs = docs.join(reps.select(col("__rep").as(idCol)),
-      Seq(idCol), "left_semi")
-    val streams = repDocs.select(
-      Dedup.tokenStreamKey(col(textCol)).as("__tk"), col(textCol).as("__text"))
-    val clsWeights = keyed.groupBy("__tk", "cls")
-      .agg(count(lit(1)).cast("long").as("n"))
-    // per-stream term frequencies (the only token explode)
-    val gtf = streams
-      .select(col("__tk"), explode(TextStats.tokens(col("__text"))).as("tok"))
+    val tf = docs
+      .select(col(idCol), col(labelCol).as("cls"),
+        explode(TextStats.tokens(col(textCol))).as("tok"))
       .where(col("tok").isNotNull)
-      .groupBy("__tk", "tok")
+      .groupBy(col(idCol), col("cls"), col("tok"))
       .agg(count(lit(1)).cast("long").as("tf"))
-    val streamN = clsWeights.groupBy("__tk").agg(sum("n").cast("long").as("n_all"))
-    val vocab = gtf.join(streamN, "__tk")
-      .groupBy("tok").agg(sum(col("tf") * col("n_all")).cast("long").as("cnt"))
+    val vocab = tf.groupBy("tok").agg(sum("tf").cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(vocabK)
       .select("tok")
-    val gtfv = gtf.join(broadcast(vocab), "tok")
+    val tfv = tf.join(broadcast(vocab), "tok")
     // class stats: doc counts from ALL docs (token-free docs still carry
-    // prior mass), token totals from the vocab-restricted, class-weighted tf
+    // prior mass), token totals from the vocab-restricted tf
     val classes = docs.groupBy(col(labelCol).as("cls"))
       .agg(count(lit(1)).cast("long").as("dc"))
-    val wtf = gtfv.join(clsWeights, "__tk")
-      .groupBy("cls", "tok").agg(sum(col("tf") * col("n")).cast("long").as("ctc"))
-    val totals = wtf.groupBy("cls").agg(sum("ctc").cast("long").as("tc"))
+    val totals = tfv.groupBy("cls").agg(sum("tf").cast("long").as("tc"))
     val vSize = vocab.agg(count(lit(1)).cast("long").as("v"))
     val nDocs = docs.agg(count(lit(1)).cast("long").as("d_all"))
     val clsStats = classes.join(totals, Seq("cls"), "left")
@@ -220,31 +178,28 @@ object LangModel {
         round((log(col("dc").cast("double")) - log(col("d_all").cast("double"))) * 1e6)
           .cast("long"))
     // dense (vocab × class) matrix: C(t,c)=0 rows still get the smoothed
-    // log-prob, so per-stream sums run over one equi-join, no unseen branch
+    // log-prob, so per-doc sums run over one equi-join, no unseen branch
+    val counts = tfv.groupBy("cls", "tok").agg(sum("tf").cast("long").as("ctc"))
     val matrix = vocab.crossJoin(clsStats.select("cls", "tc", "v"))
-      .join(wtf, Seq("cls", "tok"), "left")
+      .join(counts, Seq("cls", "tok"), "left")
       .na.fill(0L, Seq("ctc"))
       .withColumn("lp_micros",
         round((log(col("ctc").cast("double") + 1) -
           log((col("tc") + col("v")).cast("double"))) * 1e6).cast("long"))
       .select("cls", "tok", "lp_micros")
-    val tokSum = gtfv.select(col("__tk"), col("tok"), col("tf"))
+    val tokSum = tfv.select(col(idCol), col("tok"), col("tf"))
       .join(broadcast(matrix), "tok")
-      .groupBy(col("__tk"), col("cls"))
+      .groupBy(col(idCol), col("cls"))
       .agg(sum(col("tf") * col("lp_micros")).cast("long").as("ts"))
-    // per-stream verdict: argmax over classes (ties to the smaller
-    // class name), token-free streams score by prior alone
-    val scored = streams.select(col("__tk"))
+    val scored = docs.select(col(idCol))
       .crossJoin(broadcast(clsStats.select("cls", "prior_micros")))
-      .join(tokSum, Seq("__tk", "cls"), "left")
+      .join(tokSum, Seq(idCol, "cls"), "left")
       .withColumn("score_micros", col("prior_micros") + coalesce(col("ts"), lit(0L)))
-    val best = scored.groupBy(col("__tk"))
+    val best = scored.groupBy(col(idCol))
       .agg(max(col("score_micros")).as("score_micros"))
-    val verdict = scored.join(best, Seq("__tk", "score_micros"))
-      .groupBy(col("__tk"), col("score_micros"))
+    scored.join(best, Seq(idCol, "score_micros"))
+      .groupBy(col(idCol), col("score_micros"))
       .agg(min(col("cls")).as("pred"))
-    keyed.select(col(idCol), col("__tk"))
-      .join(verdict, "__tk")
       .select(col(idCol), col("pred"), col("score_micros"))
   }
 

@@ -63,6 +63,45 @@ class PlanRegressionSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("stream-collapsed ops never shuffle raw document text") {
+    // the collapse contract: corpus text is scanned, never exchanged —
+    // only ids, digests, and distinct-stream derivatives may shuffle. A
+    // future edit that routes text through an exchange fails here.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cases = Seq(
+      "nearDuplicates" -> graft.ops.Dedup.nearDuplicates(docs, shingleSize = 2, threshold = 0.35),
+      "nearDupComponents" -> graft.ops.Dedup.nearDupComponents(docs, shingleSize = 2, threshold = 0.35),
+      "spanDedup" -> graft.ops.Dedup.spanDedup(docs),
+      "naiveBayes" -> graft.ops.LangModel.naiveBayes(docs),
+      "unigramScore" -> graft.ops.LangModel.unigramScore(docs))
+    for ((name, df) <- cases) {
+      val cols = shuffledColumns(df)
+      assert(!cols.exists(c => c == "text" || c == "__text"),
+        s"$name shuffles raw text; exchange outputs: ${cols.distinct.sorted}")
+    }
+  }
+
+  /** Every column name appearing in the output of any ShuffleExchange of
+    * the executed (AQE-final) plan, across query stages. */
+  private def shuffledColumns(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    df.write.format("noop").mode("overwrite").save()
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          seen ++= s.output.map(_.name)
+          s.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    seen.toSeq
+  }
+
   test("corpus-side-broadcast top-k is bit-identical to the query-side form") {
     // the q81 contract: flipping the build side changes the physical
     // plan only — scores, ranks, and tie-breaks are unchanged
