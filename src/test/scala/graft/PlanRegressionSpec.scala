@@ -73,7 +73,11 @@ class PlanRegressionSpec extends SparkSpec {
       "nearDupComponents" -> graft.ops.Dedup.nearDupComponents(docs, shingleSize = 2, threshold = 0.35),
       "spanDedup" -> graft.ops.Dedup.spanDedup(docs),
       "naiveBayes" -> graft.ops.LangModel.naiveBayes(docs),
-      "unigramScore" -> graft.ops.LangModel.unigramScore(docs))
+      "unigramScore" -> graft.ops.LangModel.unigramScore(docs),
+      "naiveBayes(collapseExact)" ->
+        graft.ops.LangModel.naiveBayes(docs, collapseExact = true),
+      "unigramScore(collapseExact)" ->
+        graft.ops.LangModel.unigramScore(docs, collapseExact = true))
     for ((name, df) <- cases) {
       val cols = shuffledColumns(df)
       assert(!cols.exists(c => c == "text" || c == "__text"),

@@ -93,6 +93,31 @@ class LangModelSpec extends SparkSpec {
     assert(out(1L) === "a" && out(2L) === "a")
   }
 
+  test("collapseExact paths are row-identical to the direct formulations") {
+    // dup-heavy corpus: 6 copies of one text (split across labels — the
+    // collapsed class totals weight per-(stream, label)), 2 of another,
+    // a unique doc, an empty doc, and a cross-label exact pair
+    val rows =
+      (1L to 4L).map(i => (i, "alpha beta alpha", "a")) ++
+      (5L to 6L).map(i => (i, "alpha beta alpha", "b")) ++
+      Seq((7L, "gamma delta", "a"), (8L, "gamma delta", "b"),
+        (9L, "epsilon zeta eta", "b"), (10L, "", "a"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val uniDirect = LangModel.unigramScore(docs).orderBy("doc_id").collect()
+    val uniColl = LangModel.unigramScore(docs, collapseExact = true)
+      .orderBy("doc_id").collect()
+    assert(uniDirect.toSeq === uniColl.toSeq)
+    val nbDirect = LangModel.naiveBayes(docs).orderBy("doc_id").collect()
+    val nbColl = LangModel.naiveBayes(docs, collapseExact = true)
+      .orderBy("doc_id").collect()
+    assert(nbDirect.toSeq === nbColl.toSeq)
+    // vocabK cut must agree too (weighted vs raw counts rank identically)
+    val nbD1 = LangModel.naiveBayes(docs, vocabK = 2).orderBy("doc_id").collect()
+    val nbC1 = LangModel.naiveBayes(docs, vocabK = 2, collapseExact = true)
+      .orderBy("doc_id").collect()
+    assert(nbD1.toSeq === nbC1.toSeq)
+  }
+
   test("bpe pair counts weight pairs by corpus word frequency") {
     import spark.implicits._
     // "abab" twice and "ab" once: ab=2·2+1=5, ba=2·1=2, bb=0;
