@@ -478,6 +478,20 @@ object SparkEntry {
           "c_custkey", Seq("c_mktsegment", "c_nationkey"),
           lit(java.sql.Date.valueOf("1996-01-01")))
       },
+      // exact thresholded Jaccard pair join (AllPairs/PPJoin prefix
+      // filter): every pair ≥ 0.7 with its TRUE similarity — the
+      // no-false-negative complement of the LSH near-dup path
+      "q106_set_similarity_join" -> q { (s, dir) =>
+        graft.ops.SetSimilarity.setSimilarityJoin(
+          t(s, dir, "documents"), thresholdPct = 70)
+      },
+      // deterministic weighted sampling (Efraimidis–Spirakis A-ES):
+      // 20 docs per language, length-weighted, hash-derived priorities
+      "q107_weighted_sample" -> q { (s, dir) =>
+        Sampling.weightedSamplePerStratum(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          col("lang"), col("n_chars"), col("doc_id"), 20)
+      },
       // CDC changelog apply: events as the changelog (key user_id, seq
       // event_id, every 13th entry a delete) collapsed to latest state
       "q94_cdc_apply" -> q { (s, dir) =>
@@ -1502,6 +1516,52 @@ object SparkEntry {
          SELECT u_key, u_seg, u_nat, DATE '1996-01-01',
            CAST(NULL AS DATE), true
          FROM j2 WHERE u_key IS NOT NULL AND (c_custkey IS NULL OR changed)""",
+    // oracle is the EXACT inverted-index all-pairs join — no prefix or
+    // length filtering — so it independently cross-checks that the
+    // operator's pruning loses no true pair
+    "q106_set_similarity_join" -> s"""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END AS ts
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+                 list_transform(range(1, len(ts) - 1),
+                   i -> array_to_string(ts[i:i+2], ' ')),
+                 x -> md5_number_lower(x))) AS hs
+        FROM t WHERE len(ts) >= 3),
+      n AS (SELECT doc_id, len(hs) AS n FROM sh WHERE len(hs) > 0),
+      e AS (SELECT doc_id, unnest(hs) AS g FROM sh WHERE len(hs) > 0),
+      i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(count(*) AS BIGINT) AS inter_size
+            FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT doc_a, doc_b, inter_size,
+        CAST(na.n + nb.n - inter_size AS BIGINT) AS union_size,
+        CAST((1000000 * inter_size) // (na.n + nb.n - inter_size) AS BIGINT)
+          AS jac_ppm
+      FROM i
+      JOIN n na ON na.doc_id = i.doc_a
+      JOIN n nb ON nb.doc_id = i.doc_b
+      WHERE 100 * inter_size >= 70 * (na.n + nb.n - inter_size)""",
+    "q107_weighted_sample" ->
+      """WITH p AS (
+           SELECT doc_id, lang, n_chars,
+             (md5_number_lower('wsamp|' || CAST(doc_id AS VARCHAR))
+              & 9223372036854775807) % 1000000 + 1 AS u_ppm
+           FROM documents WHERE n_chars > 0),
+         k AS (
+           SELECT doc_id, lang, n_chars,
+             (CAST(round((ln(1000000.0) - ln(CAST(u_ppm AS DOUBLE))) * 1e6)
+                   AS BIGINT) * 1000000) // n_chars AS wk
+           FROM p),
+         r AS (
+           SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY wk, doc_id)
+               AS sample_rank
+           FROM k)
+         SELECT doc_id, lang, n_chars, CAST(sample_rank AS INT) AS sample_rank
+         FROM r WHERE sample_rank <= 20""",
     "q94_cdc_apply" ->
       """WITH log AS (
            SELECT user_id, event_id, event_type,

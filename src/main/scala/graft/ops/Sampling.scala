@@ -131,4 +131,62 @@ object Sampling {
   def splitByHash(df: DataFrame, id: Column, trainPpm: Long, valPpm: Long,
                   salt: String = "split"): DataFrame =
     df.withColumn("split", splitExpr(id, trainPpm, valPpm, salt))
+
+  /** Deterministic weighted-sampling priority key (Efraimidis–Spirakis
+    * "Weighted random sampling with a reservoir", IPL 2006, algorithm
+    * A-ES): drawing the k rows with the LARGEST u^(1/w) — equivalently
+    * the SMALLEST −ln(u)/w — is an exact weighted sample without
+    * replacement. Here u is the salted-hash uniform (u_ppm ∈ [1, 10⁶],
+    * so ln is never of 0), −ln(u) is carried in rounded micro-nats, and
+    * the division by the weight is integer (both operands non-negative,
+    * so trunc-vs-floor engine differences cannot bite): the key is a
+    * pure scan-local function of (salt, id, weight) — identical on any
+    * engine, any partitioning, any run. Smaller key = higher priority;
+    * ties (including the floor-division kind) break by id. */
+  def weightedKey(id: Column, weight: Column, salt: String): Column = {
+    val uPpm = hashBucket(id, salt) + lit(1L)
+    val nlnuMicro = round(
+      (log(lit(Million.toDouble)) - log(uPpm.cast("double"))) * 1e6)
+      .cast("long")
+    // integer a div b via the mod identity — Column `/` is double
+    // division, and floor(double-div) can round across the boundary;
+    // (a − a mod b) is an exact multiple, so the division is exact
+    val a = (nlnuMicro * lit(Million)).cast("long")
+    val b = weight.cast("long")
+    ((a - pmod(a, b)) / b).cast("long")
+  }
+
+  /** Weighted sample without replacement: the k rows with the best
+    * [[weightedKey]] priority, globally. Scale: the key is scan-local
+    * and the selection is a bounded top-k (TakeOrderedAndProject — a
+    * per-partition heap of k then one k-row merge, never a global
+    * sort). Rows with weight ≤ 0 are excluded (they have no valid
+    * priority), matching the A-ES domain w > 0. */
+  def weightedSample(df: DataFrame, weight: Column, id: Column, k: Int,
+                     salt: String = "wsamp"): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    df.where(weight > 0)
+      .withColumn("__wk", weightedKey(id, weight, salt))
+      .orderBy(col("__wk"), id)
+      .limit(k)
+      .drop("__wk")
+  }
+
+  /** Per-stratum weighted sample: at most k rows per stratum value,
+    * A-ES-prioritized within each — the "sample N docs per language,
+    * long docs more likely" corpus-construction move. One shuffle on
+    * the stratum; the per-stratum sort is bounded by the stratum's row
+    * count (pre-thin a viral stratum with [[hashSample]] first, as with
+    * [[capPerKey]]). Output adds `sample_rank` (1-based priority order
+    * within the stratum). */
+  def weightedSamplePerStratum(df: DataFrame, strata: Column, weight: Column,
+                               id: Column, k: Int,
+                               salt: String = "wsamp"): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(weightedKey(id, weight, salt), id)
+    df.where(weight > 0)
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
 }

@@ -119,4 +119,54 @@ class SamplingSpec extends SparkSpec {
       assert(sp === expect, s"id $id bucket ${b(id)}")
     }
   }
+
+  test("weightedSample matches the A-ES key computed independently from hashBucket") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, 1L + i % 37)).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, col("w"), col("id"), 25)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    // recompute the priority locally from the same hash buckets
+    val buckets = df.select(col("id"),
+      Sampling.hashBucket(col("id"), "wsamp").as("b"))
+      .as[(Long, Long)].collect().toMap
+    val expected = (0L until 500L).map { i =>
+      val w = 1L + i % 37
+      val uPpm = buckets(i) + 1
+      val nlnu = math.round((math.log(1e6) - math.log(uPpm.toDouble)) * 1e6)
+      (nlnu * 1000000L / w, i)
+    }.sorted.take(25).map(_._2).toSet
+    assert(picked === expected)
+  }
+
+  test("weightedSample favors heavy rows and excludes non-positive weights") {
+    import spark.implicits._
+    val df = ((0L until 200L).map(i => (i, 1L)) ++
+      Seq((200L, 1000000000L), (201L, 0L), (202L, -5L))).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, col("w"), col("id"), 5)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(picked.contains(200L))      // ~1e9:1 odds: always sampled
+    assert(!picked.contains(201L) && !picked.contains(202L))
+  }
+
+  test("weightedSamplePerStratum: bounded per stratum, rank-contiguous, partition-invariant") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}", 1L + i % 11))
+      .toDF("id", "st", "w")
+    val out = Sampling.weightedSamplePerStratum(
+      df.repartition(7), col("st"), col("w"), col("id"), 10)
+    val rows = out.select("id", "st", "sample_rank")
+      .as[(Long, String, Int)].collect()
+    val perStratum = rows.groupBy(_._2)
+    assert(perStratum.keySet === Set("s0", "s1", "s2"))
+    perStratum.values.foreach { g =>
+      assert(g.length === 10)
+      assert(g.map(_._3).sorted.toSeq === (1 to 10))
+    }
+    // identical draw under a different partitioning
+    val again = Sampling.weightedSamplePerStratum(
+      df.repartition(2), col("st"), col("w"), col("id"), 10)
+      .select("id", "st", "sample_rank")
+      .as[(Long, String, Int)].collect()
+    assert(rows.toSet === again.toSet)
+  }
 }
