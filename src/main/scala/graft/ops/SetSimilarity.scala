@@ -76,12 +76,18 @@ object SetSimilarity {
       .where(col("rnk") <=
         expr(s"n - (($thresholdPct * n + 99) div 100) + 1"))
       .select(col("id"), col("n"), col("g"))
-    val cand = prefix.select(col("id").as("doc_a"), col("n").as("n_a"), col("g"))
-      .join(prefix.select(col("id").as("doc_b"), col("n").as("n_b"), col("g")), "g")
-      .where(col("doc_a") < col("doc_b"))
-      .where(least(col("n_a"), col("n_b")) * 100 >=
-        greatest(col("n_a"), col("n_b")) * pct)
-      .select("doc_a", "doc_b", "n_a", "n_b")
+    // self-join from ONE repartitioned relation (the coPurchaseEdges
+    // move): both sides canonicalize to the same exchange, so the
+    // whole prefix pipeline — explode, doc-frequency aggregate, window
+    // — is computed once and ReuseExchange feeds the probe side
+    val prefixP = prefix.repartition(col("g"))
+    val cand = prefixP.alias("a")
+      .join(prefixP.alias("b"), col("a.g") === col("b.g"))
+      .where(col("a.id") < col("b.id"))
+      .where(least(col("a.n"), col("b.n")) * 100 >=
+        greatest(col("a.n"), col("b.n")) * pct)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .distinct()
     // exact verification: true intersection size per surviving candidate
     val inter = cand

@@ -85,6 +85,50 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("set-similarity join computes the prefix pipeline once at corpus scale") {
+    // with broadcasts off (the 100 TB shape — no side fits), the
+    // candidate self-join must feed both sides from ONE exchange: the
+    // explode → doc-frequency → rank window pipeline runs once and the
+    // probe side is a ReusedExchange. A future edit that re-derives the
+    // two sides independently doubles the dominant cost and fails here.
+    // (Counted by walking the AQE-FINAL tree of the df's own execution:
+    // the noop-write trick plans a separate QueryExecution whose
+    // adaptive plan never finalizes, and toString on an adaptive plan
+    // prints initial+final sections — both would miscount.)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+             "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = graft.ops.SetSimilarity.setSimilarityJoin(docs, thresholdPct = 70)
+      df.collect()
+      var windows = 0
+      var reused = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          reused += 1
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          windows += 1; w.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      assert(reused >= 1, "prefix pipeline not shared across the self-join")
+      assert(windows == 1, s"expected the rank window once, got $windows")
+    }
+  }
+
+  private def withConf(entries: (String, String)*)(body: => Unit): Unit = {
+    val saved = entries.map { case (k, _) => k -> spark.conf.getOption(k) }
+    entries.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Every column name appearing in the output of any ShuffleExchange of
     * the executed (AQE-final) plan, across query stages. */
   private def shuffledColumns(df: org.apache.spark.sql.DataFrame): Seq[String] = {
