@@ -99,30 +99,129 @@ object SetSimilarity {
     cross.unionByName(within)
   }
 
+  /** Exact thresholded set-CONTAINMENT join: every DIRECTED pair
+    * (doc_id, container_id) where ≥ `thresholdPct`% of doc_id's
+    * shingle set also appears in container_id's — output (doc_id,
+    * container_id, inter_size, n_doc, n_container, containment_ppm)
+    * with containment_ppm = ⌊10⁶·|∩|/|S_doc|⌋. The asymmetric sibling
+    * of [[setSimilarityJoin]]: Jaccard misses a short document quoted
+    * inside a much longer one (the union dilutes it); containment is
+    * the quote/subset-detection contract — license boilerplate,
+    * embedded benchmark items, wholesale article inclusion.
+    *
+    * Same machinery, two asymmetries:
+    *  - the prefix filter applies to the CONTAINED side only, probing
+    *    the container side's FULL inverted index (the one-sided prefix
+    *    theorem: if |∩| ≥ α and the first n−α+1 rarest elements of the
+    *    contained set miss the container entirely, the remaining α−1
+    *    can't reach α) — the container's size never bounds |∩|'s
+    *    share of the contained set, so only a size gate n_container ≥
+    *    ⌈t·n_doc⌉ prunes that side;
+    *  - exact-dup collapse expands DIRECTED member pairs (both
+    *    directions within an identical-stream group).
+    * Docs with no shingles are absent from both roles. */
+  def containmentJoin(docs: DataFrame, thresholdPct: Int = 80,
+                      shingleSize: Int = 3, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"thresholdPct must be in (0, 100], got $thresholdPct")
+    val keyed = docs.select(col(idCol).as("id"),
+      Dedup.tokenStreamKey(col(textCol)).as("__tk"))
+    val groups = keyed.groupBy("__tk")
+      .agg(min("id").as("rep"), count(lit(1)).as("cnt"))
+    val repDocs = docs.join(groups.select(col("rep").as(idCol)),
+      Seq(idCol), "left_semi")
+    val repPairs = repContainmentPairs(repDocs, thresholdPct, shingleSize,
+      idCol, textCol)
+    val mem = keyed.join(groups.select("__tk", "rep"), "__tk")
+    // directed cross-group expansion: direction rides the rep pair
+    val cross = repPairs
+      .join(mem.select(col("rep").as("rep_in"), col("id").as("ia")), "rep_in")
+      .join(mem.select(col("rep").as("rep_out"), col("id").as("ib")), "rep_out")
+      .select(col("ia").as(idCol), col("ib").as("container_id"),
+        col("inter_size"), col("n_doc"), col("n_container"),
+        col("containment_ppm"))
+    // within-group: identical sets contain each other — both directions
+    val sizes = repDocs.select(col(idCol).as("rep"),
+        graft.functions.TextExpressions.shingle_count(
+          TextStats.tokens(col(textCol)), shingleSize).as("n"))
+      .where(col("n") > 0)
+    val memS = mem.join(sizes, "rep")
+    val within = memS.alias("x")
+      .join(memS.alias("y"),
+        col("x.__tk") === col("y.__tk") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as(idCol), col("y.id").as("container_id"),
+        col("x.n").as("inter_size"), col("x.n").as("n_doc"),
+        col("x.n").as("n_container"), lit(1000000L).as("containment_ppm"))
+    cross.unionByName(within)
+  }
+
+  /** Exploded shingle-hash sets: one (id, n, g) row per set element,
+    * n = |set|. Scan-local (explode of a native expression). */
+  private def explodedSets(docs: DataFrame, shingleSize: Int,
+                           idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.TextExpressions.shingle_hashes(
+          TextStats.tokens(col(textCol)), shingleSize).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("id"), size(col("hs")).cast("long").as("n"),
+        explode(col("hs")).as("g"))
+
+  /** Rarest-first prefix of each set: the first n − ⌈pct·n/100⌉ + 1
+    * elements under the (global doc frequency asc, hash asc) total
+    * order. One aggregate + one per-doc row_number window. */
+  private def rarestFirstPrefix(e: DataFrame, thresholdPct: Int): DataFrame = {
+    val freq = e.groupBy("g").agg(count(lit(1)).as("df"))
+    val ranked = e.join(freq, "g")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("g"))))
+    // integer ceil via div — Column `/` is double division and would
+    // break the ceil
+    ranked
+      .where(col("rnk") <=
+        expr(s"n - (($thresholdPct * n + 99) div 100) + 1"))
+      .select(col("id"), col("n"), col("g"))
+  }
+
+  /** The one-sided-prefix containment join proper, over a relation
+    * already known to be one row per distinct token stream. */
+  private def repContainmentPairs(docs: DataFrame, thresholdPct: Int,
+                                  shingleSize: Int, idCol: String,
+                                  textCol: String): DataFrame = {
+    val pct = lit(thresholdPct.toLong)
+    val e = explodedSets(docs, shingleSize, idCol, textCol)
+    val prefix = rarestFirstPrefix(e, thresholdPct)
+    // contained-side prefix probes the container-side FULL index; the
+    // size gate n_container ≥ ⌈t·n_doc⌉ (⇔ 100·n_out ≥ pct·n_in over
+    // integers) is the only container-side prune available
+    val cand = prefix.select(col("id").as("rep_in"), col("n").as("n_doc"),
+        col("g"))
+      .join(e.select(col("id").as("rep_out"), col("n").as("n_container"),
+        col("g")), "g")
+      .where(col("rep_in") =!= col("rep_out"))
+      .where(col("n_container") * 100 >= col("n_doc") * pct)
+      .select("rep_in", "rep_out", "n_doc", "n_container")
+      .distinct()
+    val inter = cand
+      .join(e.select(col("id").as("rep_in"), col("g")), "rep_in")
+      .join(e.select(col("id").as("rep_out"), col("g")), Seq("rep_out", "g"))
+      .groupBy("rep_in", "rep_out", "n_doc", "n_container")
+      .agg(count(lit(1)).as("inter_size"))
+    inter
+      .where(col("inter_size") * 100 >= col("n_doc") * pct)
+      .select(col("rep_in"), col("rep_out"), col("inter_size"),
+        col("n_doc"), col("n_container"),
+        expr("(1000000 * inter_size) div n_doc").as("containment_ppm"))
+  }
+
   /** The prefix-filtered join proper, over a relation already known to
     * be one row per distinct token stream. */
   private def repSimilarityPairs(docs: DataFrame, thresholdPct: Int,
                                  shingleSize: Int, idCol: String,
                                  textCol: String): DataFrame = {
     val pct = lit(thresholdPct.toLong)
-    // exploded sets in hash space, each row carrying its set's size
-    val e = docs.select(col(idCol).as("id"),
-        graft.functions.TextExpressions.shingle_hashes(
-          TextStats.tokens(col(textCol)), shingleSize).as("hs"))
-      .where(size(col("hs")) > 0)
-      .select(col("id"), size(col("hs")).cast("long").as("n"),
-        explode(col("hs")).as("g"))
-    // global doc frequency per shingle hash → rarest-first total order
-    val freq = e.groupBy("g").agg(count(lit(1)).as("df"))
-    val ranked = e.join(freq, "g")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("g"))))
-    // prefix length n − ⌈pct·n/100⌉ + 1 (integer ceil via div — Column
-    // `/` is double division and would break the ceil)
-    val prefix = ranked
-      .where(col("rnk") <=
-        expr(s"n - (($thresholdPct * n + 99) div 100) + 1"))
-      .select(col("id"), col("n"), col("g"))
+    val e = explodedSets(docs, shingleSize, idCol, textCol)
+    val prefix = rarestFirstPrefix(e, thresholdPct)
     // self-join from ONE repartitioned relation (the coPurchaseEdges
     // move): both sides canonicalize to the same exchange, so the
     // whole prefix pipeline — explode, doc-frequency aggregate, window
