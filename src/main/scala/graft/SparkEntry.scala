@@ -657,7 +657,7 @@ object SparkEntry {
       },
       "q30_asof_join" -> q { (s, dir) =>
         import graft.ops.AsOf
-        val ev = t(s, dir, "events")
+        val ev = Events.withTsNanos(t(s, dir, "events"))
           .withColumn("ts_us", expr("ts div 1000L"))
         val purchases = ev.where(col("event_type") === "purchase")
           .select("event_id", "user_id", "ts_us")

@@ -3,20 +3,36 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Event-stream analytics in batch form (the streaming twin lives in
-  * graft.streaming). `ts` is epoch-nanos (LongType — see GraftSession's
-  * nanosAsLong) so bucket math is pure integer arithmetic: deterministic,
-  * portable, codegen'd.
+  * graft.streaming). Internally `ts` is epoch-nanos (LongType) so bucket
+  * math is pure integer arithmetic: deterministic, portable, codegen'd.
+  * [[withTsNanos]] adapts whatever physical type the source carries.
   */
 object Events {
 
   val NanosPerHour: Long = 3600L * 1000L * 1000L * 1000L
 
+  /** Normalize the `ts` column to epoch-nanos LongType regardless of the
+    * source's physical annotation. Two shapes exist in the wild:
+    * INT64 TIMESTAMP(NANOS), which Spark surfaces as Long under
+    * `spark.sql.legacy.parquet.nanosAsLong` (passes through), and
+    * TIMESTAMP(MICROS) / TIMESTAMP_NTZ, which converts exactly via
+    * `unix_micros` (the cast interprets NTZ wall-time in the session
+    * zone — pinned UTC in GraftSession, matching how the micros data is
+    * written). Scan-local projection: no shuffle, stays in codegen. */
+  def withTsNanos(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case LongType => events
+      case _ => events.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
+
   /** Tumbling-window aggregate: events per (hour, event_type) with count,
     * exact value cents, distinct users. One shuffle on the bucket key. */
   def hourlyAgg(events: DataFrame): DataFrame =
-    events
+    withTsNanos(events)
       // integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds double's 2^53
       // exact range, so float division would misplace bucket edges
       .groupBy(expr(s"ts div ${NanosPerHour}L").as("hour_idx"),
@@ -37,7 +53,7 @@ object Events {
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val gapUs = gapMinutes.toLong * 60L * 1000L * 1000L
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val withGap = events
+    val withGap = withTsNanos(events)
       .withColumn("ts_us", expr("ts div 1000L"))
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",
@@ -73,11 +89,12 @@ object Events {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val spark = events.sparkSession
     import spark.implicits._
+    val ev = withTsNanos(events)
     // fold: per-user first-reach time of each stage, ordered
-    val first = events.where(col("event_type") === stages.head)
+    val first = ev.where(col("event_type") === stages.head)
       .groupBy("user_id").agg(min(col("ts")).as("reach_ts"))
     val perStage = stages.tail.scanLeft(first) { (prev, st) =>
-      events.where(col("event_type") === st).select(col("user_id"), col("ts"))
+      ev.where(col("event_type") === st).select(col("user_id"), col("ts"))
         .join(prev.select(col("user_id"), col("reach_ts").as("prev_ts")), "user_id")
         .where(col("ts") >= col("prev_ts"))
         .groupBy("user_id").agg(min(col("ts")).as("reach_ts"))
@@ -102,9 +119,10 @@ object Events {
     * bounded-cardinality (weeks × weeks). */
   def retention(events: DataFrame): DataFrame = {
     val wk = s"ts div ${NanosPerWeek}L"
-    val cohort = events.groupBy("user_id")
+    val ev = withTsNanos(events)
+    val cohort = ev.groupBy("user_id")
       .agg(min(expr(wk)).as("cohort_week"))
-    val active = events.select(col("user_id"), expr(wk).as("week_idx")).distinct()
+    val active = ev.select(col("user_id"), expr(wk).as("week_idx")).distinct()
     active.join(cohort, "user_id")
       .groupBy(col("cohort_week"),
         (col("week_idx") - col("cohort_week")).as("week_offset"))

@@ -53,7 +53,7 @@ object RangeJoin {
     val gapUs = gapMinutes.toLong * 60L * 1000L * 1000L
     val sessions = Events.sessionize(events, gapMinutes)
       .select("user_id", "session_seq", "session_start_us", "session_end_us")
-    val points = events
+    val points = Events.withTsNanos(events)
       .withColumn("ts_us", expr("ts div 1000L"))
       .select("event_id", "user_id", "ts_us")
     pointInInterval(points, sessions,

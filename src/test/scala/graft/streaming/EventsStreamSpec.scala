@@ -16,7 +16,7 @@ class EventsStreamSpec extends SparkSpec {
     // two time-ordered files → two micro-batches with maxFilesPerTrigger=1,
     // so session state genuinely crosses batch boundaries (split must be
     // by time, not round-robin: the sessionizer assumes in-order batches)
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
+    val ev = Events.withTsNanos(spark.read.parquet("/root/testdata/sf0.001/events.parquet")).cache()
     val mid = ev.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
     ev.where(col("ts") < mid).coalesce(1).write.parquet(s"$dir/a")
     ev.where(col("ts") >= mid).coalesce(1).write.parquet(s"$dir/b")
@@ -35,7 +35,7 @@ class EventsStreamSpec extends SparkSpec {
       .groupBy("hour_idx", "event_type")   // update mode may emit a key twice; keep latest via max
       .agg(max("event_cnt").as("event_cnt"), max("value_cents").as("value_cents"))
       .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
-    val want = Events.hourlyAgg(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val want = Events.hourlyAgg(Events.withTsNanos(spark.read.parquet("/root/testdata/sf0.001/events.parquet")))
       .collect().map(r => (r.getAs[Long]("hour_idx"), r.getAs[String]("event_type")) ->
         (r.getAs[Long]("event_cnt"), r.getAs[Long]("value_cents"))).toMap
     assert(got === want)
@@ -52,7 +52,7 @@ class EventsStreamSpec extends SparkSpec {
     val got = spark.table("sampled_stream")
       .select("event_id").collect().map(_.getLong(0)).toSet
     val want = graft.ops.Sampling.hashSample(
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+        Events.withTsNanos(spark.read.parquet("/root/testdata/sf0.001/events.parquet")),
         col("event_id"), 300000L)
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(got === want)
@@ -71,7 +71,7 @@ class EventsStreamSpec extends SparkSpec {
       .select("user_id", "session_start_us", "session_end_us", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    val batch = Events.sessionize(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val batch = Events.sessionize(Events.withTsNanos(spark.read.parquet("/root/testdata/sf0.001/events.parquet")))
       .select("user_id", "session_start_us", "session_end_us", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
@@ -89,7 +89,7 @@ class EventsStreamSpec extends SparkSpec {
     // micro-batches, so by batch d the watermark has passed every real
     // session's close and append mode has emitted them all
     val dir = Files.createTempDirectory("events-swindow").toString
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
+    val ev = Events.withTsNanos(spark.read.parquet("/root/testdata/sf0.001/events.parquet")).cache()
     val mid = ev.agg(expr("percentile_approx(ts, 0.5)")).head().getLong(0)
     val far = ev.agg(max("ts")).head().getLong(0) + 86400L * 1000000000L
     ev.where(col("ts") < mid).coalesce(1).write.parquet(s"$dir/a")
@@ -133,7 +133,7 @@ class EventsStreamSpec extends SparkSpec {
       .select("purchase_id", "signup_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // batch equivalent over the same data
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = Events.withTsNanos(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val batch = EventsStream.purchaseAttribution(ev)
       .select("purchase_id", "signup_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -235,7 +235,7 @@ class EventsStreamSpec extends SparkSpec {
       .select("user_id", "session_start_us", "session_end_us", "n_events", "value_cents")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
-    val batch = Events.sessionize(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val batch = Events.sessionize(Events.withTsNanos(spark.read.parquet("/root/testdata/sf0.001/events.parquet")))
       .select("user_id", "session_start_us", "session_end_us", "n_events", "value_cents")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
