@@ -36,4 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 100+-query bench generates hundreds of whole-stage-codegen
+  // classes in one JVM; the JDK default 240 MB JIT code cache fills
+  // late in the suite and flush/deopt churn runs hot loops partially
+  // interpreted (measured: iterative PageRank 17 s → 7 s with
+  // headroom). Same flag a production spark-submit would carry via
+  // spark.driver.extraJavaOptions.
+  "-XX:ReservedCodeCacheSize=512m",
 )

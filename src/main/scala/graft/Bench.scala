@@ -21,7 +21,12 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // headline = every query that scales with the sf dir (etl_* read the
     // reference's fixed-size raw fixtures; they are verified, not benched)
+    // SPARK_GRAFT_BENCH_ONLY (dev loop only; unset for driver runs):
+    // comma-separated query-name substrings to bench in isolation
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Nil)
     val headline = SparkEntry.queries.filterNot(_._1.startsWith("etl_"))
+      .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
     // warmup: JIT + codegen + parquet-footer caches (scan, broadcast
     // join, agg paths), so the alphabetically first query doesn't absorb
     // session startup in its measurement
