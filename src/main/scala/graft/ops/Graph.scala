@@ -42,7 +42,7 @@ object Graph {
     * relation every round. The join is followed by one
     * partial-aggregated exchange on dst (≤ |nodes| rows per partition
     * after map-side combine). Only the loop carrier (ranks, |nodes|
-    * rows) is checkpointed per iteration.
+    * rows) is ever truncated, on a periodic cadence (see the loop).
     *
     * `checkpointDir`: see [[Checkpoints]] — pass an HDFS/S3 dir on a
     * real cluster so a lost executor at round k replays from the
@@ -64,8 +64,17 @@ object Graph {
     val danglingB = if (danglingExists) ck(dangling) else dangling
     val nNodes = if (danglingExists) nodes.count() else 0L
 
+    // Truncation cadence: lineage must be cut so round k never replans
+    // rounds 1..k-1 unboundedly, but an EAGER cut every round pays a
+    // full materialization job per iteration — measured 3-4× the whole
+    // query cold (the 5-round chain executes fine as one pipelined DAG).
+    // So: no-dangling graphs truncate every 4th round only; dangling
+    // graphs keep per-round truncation because the share aggregate
+    // collects (executes) each round anyway, making the cut marginal —
+    // without it every share collect would replay the rounds since the
+    // last cut.
     var ranks = ck(nodes.select(col("node"), lit(1000000L).as("rank")))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // per-node damped share of this round's dangling mass (0 when the
       // graph has none — the fast path never runs these two jobs)
       val share: Long =
@@ -75,7 +84,8 @@ object Graph {
             .agg(coalesce(sum("rank"), lit(0L))).head().getLong(0)
           d / nNodes
         }
-      ranks = ck(iterate(e, nodes, ranks, share))
+      ranks = iterate(e, nodes, ranks, share)
+      if (danglingExists || i % 4 == 0) ranks = ck(ranks)
     }
     ranks.select(col("node"), col("rank").as("rank_micro"))
   }

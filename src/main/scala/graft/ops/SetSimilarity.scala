@@ -222,11 +222,17 @@ object SetSimilarity {
     val pct = lit(thresholdPct.toLong)
     val e = explodedSets(docs, shingleSize, idCol, textCol)
     val prefix = rarestFirstPrefix(e, thresholdPct)
-    // self-join from ONE repartitioned relation (the coPurchaseEdges
-    // move): both sides canonicalize to the same exchange, so the
-    // whole prefix pipeline — explode, doc-frequency aggregate, window
-    // — is computed once and ReuseExchange feeds the probe side
-    val prefixP = prefix.repartition(col("g"))
+    // self-join from ONE eagerly-materialized relation: the prefix
+    // pipeline — explode, doc-frequency aggregate, rank window — is the
+    // dominant cost, and both join sides need it. Relying on Catalyst's
+    // ReuseExchange to dedupe two identical subplans proved fragile
+    // (AQE stage-cache misses under suite/bench JVM state re-ran the
+    // pipeline twice, 2.8× on q106), so the sharing is structural:
+    // localCheckpoint computes it exactly once and both sides scan the
+    // materialized blocks. Bounded: the prefix keeps ⌈(1−t)·n⌉+1 rows
+    // of three longs per doc — (1−t)· the exploded relation, a small
+    // slice of the corpus, partition-distributed (never driver-side).
+    val prefixP = prefix.repartition(col("g")).localCheckpoint(true)
     val cand = prefixP.alias("a")
       .join(prefixP.alias("b"), col("a.g") === col("b.g"))
       .where(col("a.id") < col("b.id"))

@@ -21,8 +21,10 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet physical schema (ts = epoch-nanos int64; see
-    * GraftSession nanosAsLong). */
+  /** events parquet schema with `ts` as epoch-nanos int64 — the
+    * engine's INTERNAL event shape (all downstream unit math and the
+    * [[Event]] encoder assume Long nanos). Files written with a
+    * timestamp-typed `ts` are adapted at read (see [[readEvents]]). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -36,12 +38,25 @@ object EventsStream {
     * watermarks can never desynchronize on the unit math. */
   private def eventTime = timestamp_micros(expr("ts div 1000L"))
 
-  /** File-source stream over a directory of events parquet files. */
+  /** File-source stream over a directory of events parquet files.
+    *
+    * A streaming source needs a fixed schema up front, but the events
+    * data exists in two physical shapes (INT64 nanos vs
+    * TIMESTAMP(MICROS) — the testdata regenerated from one to the
+    * other once already), so the reader peeks the directory's parquet
+    * footers via a batch read (metadata-only, no data scan) and
+    * normalizes `ts` to the internal epoch-nanos Long with
+    * [[graft.ops.Events.withTsNanos]] — a scan-local projection, fully
+    * stream-compatible. An empty/unreadable dir falls back to the
+    * internal schema. */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.schema(eventsSchema)
+    val physical =
+      try spark.read.parquet(dir).schema
+      catch { case _: Throwable => eventsSchema }
+    val r = spark.readStream.schema(physical)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(dir)
+    graft.ops.Events.withTsNanos(r.parquet(dir))
   }
 
   /** Tumbling 1-hour event-time window with a 1-hour watermark: count +

@@ -87,10 +87,15 @@ class PlanRegressionSpec extends SparkSpec {
 
   test("set-similarity join computes the prefix pipeline once at corpus scale") {
     // with broadcasts off (the 100 TB shape — no side fits), the
-    // candidate self-join must feed both sides from ONE exchange: the
-    // explode → doc-frequency → rank window pipeline runs once and the
-    // probe side is a ReusedExchange. A future edit that re-derives the
-    // two sides independently doubles the dominant cost and fails here.
+    // candidate self-join must feed both sides from ONE materialized
+    // prefix relation: the explode → doc-frequency → rank window
+    // pipeline runs once (inside the eager checkpoint) and the join
+    // query itself contains NO window at all — a future edit that
+    // re-derives either side inline re-introduces a WindowExec into the
+    // main query and fails here. The earlier ReuseExchange-based
+    // contract proved planner-mood-dependent (AQE stage-cache misses
+    // under full-suite JVM state ran the pipeline twice), which is
+    // exactly why the sharing is now structural.
     // (Counted by walking the AQE-FINAL tree of the df's own execution:
     // the noop-write trick plans a separate QueryExecution whose
     // adaptive plan never finalizes, and toString on an adaptive plan
@@ -101,12 +106,15 @@ class PlanRegressionSpec extends SparkSpec {
       val df = graft.ops.SetSimilarity.setSimilarityJoin(docs, thresholdPct = 70)
       df.collect()
       var windows = 0
+      var rddScans = 0
       var reused = 0
       def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           walk(a.executedPlan)
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
           walk(q.plan)
+        case _: org.apache.spark.sql.execution.RDDScanExec =>
+          rddScans += 1
         case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
           reused += 1
         case w: org.apache.spark.sql.execution.window.WindowExec =>
@@ -114,8 +122,15 @@ class PlanRegressionSpec extends SparkSpec {
         case other => other.children.foreach(walk)
       }
       walk(df.queryExecution.executedPlan)
-      assert(reused >= 1, "prefix pipeline not shared across the self-join")
-      assert(windows == 1, s"expected the rank window once, got $windows")
+      assert(windows == 0,
+        s"prefix pipeline re-derived inline: $windows WindowExec in the join query")
+      // both sides consume the one materialized prefix: either two
+      // direct scans of the checkpointed blocks, or one scan plus a
+      // ReusedExchange of its shuffle (planner's pick — both are
+      // compute-once)
+      assert(rddScans + reused >= 2,
+        s"expected both self-join sides to feed from the checkpointed prefix, " +
+          s"got $rddScans scans + $reused reused exchanges")
     }
   }
 
