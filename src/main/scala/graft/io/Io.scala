@@ -290,10 +290,19 @@ object Io {
     * perfectly and leaves the other shuffled; Z-ordering is the
     * standard multi-dimensional compromise (Databricks OPTIMIZE
     * ZORDER, Iceberg sort orders). Keys are rank-normalized first
-    * (percent_rank over a value histogram → 16-bit codes) so skewed
-    * value domains still interleave evenly; the histogram aggregations
-    * are tiny (distinct values), the corpus itself only shuffles once
-    * for the final range partition.
+    * (exact dense rank over the distinct-value domain → 16-bit codes)
+    * so skewed value domains still interleave evenly; the corpus itself
+    * only shuffles once for the final range partition.
+    *
+    * The rank itself is computed distributed, never through a global
+    * single-partition window: the distinct values are range-partitioned
+    * (global order across partition index), ranked with a
+    * per-partition window, and stitched with per-partition row-count
+    * offsets. The only driver-side state is one row count per range
+    * partition (≤64 longs — bounded regardless of corpus size), so the
+    * scheme survives z-order keys of any cardinality; a
+    * `Window.orderBy` over the distinct set would serialize billions of
+    * values through one task at 100 TB.
     *
     * NULL keys are preserved: the rank joins are null-safe (`<=>`), so
     * a NULL in either z-order column ranks as its own group (first, per
@@ -303,24 +312,54 @@ object Io {
                     colA: String, colB: String): Unit = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
-    def ranks(c: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
-      df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // dictionaries up to ~5M distinct values broadcast comfortably;
+    // beyond that fall back to a shuffled join rather than OOM the driver
+    val broadcastableDict = 5L * 1000 * 1000
+    def ranks(c: String): (DataFrame, Long) = {
+      import org.apache.spark.sql.expressions.Window
+      val buckets = 64
+      // range partition keeps global value order across partition ids;
+      // nulls sort first (partition 0), matching nulls-first rank order
+      val parted = df.select(col(c)).distinct()
+        .repartitionByRange(buckets, col(c))
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += parted
+      // bounded collect: one (pid, count) row per range partition, ≤64
+      val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val total = counts.map(_._2).sum
+      val offsets = counts.scanLeft((0, 0L)) { case ((_, off), (pid, n)) =>
+        (pid, off + n)
+      }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+      val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+      val wIn = Window.partitionBy("__pid").orderBy(col(c))
+      val denom = math.max(1L, total - 1L).toDouble
+      val ranked = parted
+        .withColumn("__rk", row_number().over(wIn))
+        .join(broadcast(offsetsDf), "__pid")
         .select(col(c).as(s"__v_$c"),
-          (percent_rank().over(w) * 65535).cast("int").as(s"__r_$c"))
+          (((col("__off") + col("__rk") - lit(1L)).cast("double") / denom)
+            * 65535).cast("int").as(s"__r_$c"))
+      (ranked, total)
     }
+    def hinted(r: (DataFrame, Long)): DataFrame =
+      if (r._2 <= broadcastableDict) broadcast(r._1) else r._1
     val withRanks = df
-      .join(broadcast(ranks(colA)), col(colA) <=> col(s"__v_$colA"))
-      .join(broadcast(ranks(colB)), col(colB) <=> col(s"__v_$colB"))
+      .join(hinted(ranks(colA)), col(colA) <=> col(s"__v_$colA"))
+      .join(hinted(ranks(colB)), col(colB) <=> col(s"__v_$colB"))
     // interleave 16-bit ranks into a 32-bit Morton code
     val z = (0 until 16).map { i =>
       (shiftright(col(s"__r_$colA"), i).bitwiseAND(lit(1)) * lit(1L << (2 * i + 1))) +
         (shiftright(col(s"__r_$colB"), i).bitwiseAND(lit(1)) * lit(1L << (2 * i)))
     }.reduce(_ + _)
-    withRanks.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z", s"__v_$colA", s"__r_$colA", s"__v_$colB", s"__r_$colB")
-      .write.mode("overwrite").parquet(path)
+    try {
+      withRanks.withColumn("__z", z)
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", s"__v_$colA", s"__r_$colA", s"__v_$colB", s"__r_$colB")
+        .write.mode("overwrite").parquet(path)
+    } finally persisted.foreach(_.unpersist(blocking = false))
   }
 }
