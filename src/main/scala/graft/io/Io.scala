@@ -308,47 +308,55 @@ object Io {
     * a NULL in either z-order column ranks as its own group (first, per
     * Spark's nulls-first ordering) instead of being dropped — a layout
     * rewrite must never lose rows. */
+  /** Distributed rank→16-bit-code dictionary for one z-order key (see
+    * [[writeZOrdered]]). Returns (codes keyed `__v_c`/`__r_c`, distinct
+    * count, the cached range-partitioned relation for the caller to
+    * unpersist once the codes are consumed). */
+  private[io] def zRankCodes(df: DataFrame, c: String): (DataFrame, Long, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val buckets = 64
+    // range partition keeps global value order across partition ids;
+    // nulls sort first (partition 0), matching nulls-first rank order
+    val parted = df.select(col(c)).distinct()
+      .repartitionByRange(buckets, col(c))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded collect: one (pid, count) row per range partition, ≤64
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, off), (pid, n)) =>
+      (pid, off + n)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    val wIn = Window.partitionBy("__pid").orderBy(col(c))
+    val denom = math.max(1L, total - 1L).toDouble
+    val ranked = parted
+      .withColumn("__rk", row_number().over(wIn))
+      .join(broadcast(offsetsDf), "__pid")
+      .select(col(c).as(s"__v_$c"),
+        (((col("__off") + col("__rk") - lit(1L)).cast("double") / denom)
+          * 65535).cast("int").as(s"__r_$c"))
+    (ranked, total, parted)
+  }
+
   def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
                     colA: String, colB: String): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = df.sparkSession
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // dictionaries up to ~5M distinct values broadcast comfortably;
     // beyond that fall back to a shuffled join rather than OOM the driver
     val broadcastableDict = 5L * 1000 * 1000
-    def ranks(c: String): (DataFrame, Long) = {
-      import org.apache.spark.sql.expressions.Window
-      val buckets = 64
-      // range partition keeps global value order across partition ids;
-      // nulls sort first (partition 0), matching nulls-first rank order
-      val parted = df.select(col(c)).distinct()
-        .repartitionByRange(buckets, col(c))
-        .withColumn("__pid", spark_partition_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persisted += parted
-      // bounded collect: one (pid, count) row per range partition, ≤64
-      val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val total = counts.map(_._2).sum
-      val offsets = counts.scanLeft((0, 0L)) { case ((_, off), (pid, n)) =>
-        (pid, off + n)
-      }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
-      val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
-      val wIn = Window.partitionBy("__pid").orderBy(col(c))
-      val denom = math.max(1L, total - 1L).toDouble
-      val ranked = parted
-        .withColumn("__rk", row_number().over(wIn))
-        .join(broadcast(offsetsDf), "__pid")
-        .select(col(c).as(s"__v_$c"),
-          (((col("__off") + col("__rk") - lit(1L)).cast("double") / denom)
-            * 65535).cast("int").as(s"__r_$c"))
-      (ranked, total)
+    def hinted(c: String): DataFrame = {
+      val (codes, total, cached) = zRankCodes(df, c)
+      persisted += cached
+      if (total <= broadcastableDict) broadcast(codes) else codes
     }
-    def hinted(r: (DataFrame, Long)): DataFrame =
-      if (r._2 <= broadcastableDict) broadcast(r._1) else r._1
     val withRanks = df
-      .join(hinted(ranks(colA)), col(colA) <=> col(s"__v_$colA"))
-      .join(hinted(ranks(colB)), col(colB) <=> col(s"__v_$colB"))
+      .join(hinted(colA), col(colA) <=> col(s"__v_$colA"))
+      .join(hinted(colB), col(colB) <=> col(s"__v_$colB"))
     // interleave 16-bit ranks into a 32-bit Morton code
     val z = (0 until 16).map { i =>
       (shiftright(col(s"__r_$colA"), i).bitwiseAND(lit(1)) * lit(1L << (2 * i + 1))) +

@@ -119,4 +119,36 @@ class LayoutMaintenanceSpec extends SparkSpec {
       .select(input_file_name()).distinct().count()
     assert(touched <= 4, s"box touched $touched of 16 files")
   }
+
+  test("zRankCodes: exact global ranks, no single-partition window, high cardinality") {
+    // 10k distinct skewed values — the cardinality regime where the old
+    // Window.orderBy formulation serialized the whole dictionary through
+    // one task. Codes must still be the EXACT dense-rank quantization.
+    val df = (0 until 30000).map { i =>
+      (math.pow(i % 10000, 1.7).toLong, i.toLong)
+    }.toDF("x", "payload")
+    val (codes, total, cached) = Io.zRankCodes(df, "x")
+    try {
+      assert(total === 10000)
+      val got = codes.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(got.length === 10000)
+      // monotone, full-range, and exactly the percent_rank quantization
+      assert(got.head._2 === 0 && got.last._2 === 65535)
+      got.zipWithIndex.foreach { case ((v, code), rank) =>
+        val want = (rank.toDouble / (total - 1).toDouble * 65535).toInt
+        assert(code === want, s"value $v: code $code, want $want (rank $rank)")
+      }
+      // structural guard: every window in the plan is partitioned — the
+      // plan must never route the dictionary through one task. A
+      // partitioned Window line prints THREE top-level bracket groups
+      // (functions, partition spec, order spec); a global one only two.
+      val windowLines = codes.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windowLines.nonEmpty)
+      windowLines.foreach { ln =>
+        assert("\\], \\[".r.findAllIn(ln).size >= 2,
+          s"unpartitioned Window in zRankCodes plan: $ln")
+      }
+    } finally cached.unpersist(blocking = false)
+  }
 }
