@@ -804,11 +804,21 @@ object SparkEntry {
         // declared output carries the exact count (hash-matchable) plus
         // the ±5% bound VERDICT as a boolean the oracle asserts TRUE.
         // This upgrades the old rows-only check to a green hash-match
-        // without pretending DuckDB's HLL equals Spark's.
-        t(s, dir, "events")
-          .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id")).as("approx"),
-            countDistinct(col("user_id")).as("exact_users"))
+        // without pretending DuckDB's HLL equals Spark's. The sketch is
+        // sized rsd=0.015 (2^13 registers) so the asserted 5% bound is
+        // a 3.3-sigma event, not the default-rsd 1-sigma coin flip — at
+        // default rsd=0.05 the regenerated sf0.1 corpus genuinely
+        // drifted all five groups past 5%. The sketch and the
+        // exact count run as SEPARATE aggregates joined on the group
+        // key: countDistinct plans through an expand, and dragging the
+        // 16 KB HLL buffer through the expanded rows cost ~5x the
+        // whole query.
+        val ev = t(s, dir, "events")
+        val approx = ev.groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.015).as("approx"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        approx.join(exact, "event_type")
           .select(col("event_type"), col("exact_users"),
             (abs(col("approx").cast("double") / col("exact_users") - 1.0) <= 0.05)
               .as("within_5pct"))
