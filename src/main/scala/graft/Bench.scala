@@ -25,12 +25,18 @@ object Bench {
     // comma-separated query-name substrings to bench in isolation
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq).getOrElse(Nil)
-    val headline = SparkEntry.queries.filterNot(_._1.startsWith("etl_"))
+    val allHeadline = SparkEntry.queries.filterNot(_._1.startsWith("etl_"))
+    val headline = allHeadline
       .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
     // warmup: JIT + codegen + parquet-footer caches (scan, broadcast
     // join, agg paths), so the alphabetically first query doesn't absorb
-    // session startup in its measurement
-    locally {
+    // session startup in its measurement. The SECOND run of the same
+    // query is timed as `probe_sec`: a fixed stock-Spark plan (scan +
+    // broadcast join + agg) whose time moves with host speed but not
+    // with any graft operator — BENCH_r{N} comparisons across rounds
+    // divide by it to separate host drift from plan regressions
+    // (rounds 5-7 burned days on exactly that ambiguity).
+    def stockProbe(): Unit = {
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val o = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -40,7 +46,24 @@ object Bench {
         .agg(count(lit(1)), sum(round(col("l_quantity")).cast("long")))
         .write.format("noop").mode("overwrite").save()
     }
+    stockProbe() // warmup (untimed: absorbs session startup + codegen)
+    val probeSec = {
+      val t0 = System.nanoTime(); stockProbe(); (System.nanoTime() - t0) / 1e9
+    }
     val ordered = headline.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_PRE=N (dev loop only, requires ONLY): before each
+    // timed pass, run the N queries alphabetically preceding the first
+    // selected query — untimed, through the identical execute/cleanup
+    // path — so in-suite state effects (block-manager pressure, old-gen
+    // fill, codegen-cache churn) reproduce locally. The r7 q89 defect
+    // (38 s in the driver's 107-query suite, 5.65 s isolated) was
+    // invisible to every isolated measurement; this mode is the repro.
+    val preamble: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+      val n = sys.env.get("SPARK_GRAFT_BENCH_PRE").map(_.toInt).getOrElse(0)
+      if (n <= 0 || ordered.isEmpty) Nil
+      else allHeadline.toSeq.sortBy(_._1)
+        .takeWhile(_._1 != ordered.head._1).takeRight(n)
+    }
     // Two timed passes per query; report the per-query minimum. Pass 1
     // absorbs JIT compilation and whole-stage-codegen class generation
     // for each query's own operator mix (LSH generators, ANN aggregates,
@@ -51,7 +74,8 @@ object Bench {
     // A failed attempt records None, never its elapsed time — an
     // analysis-time failure measures near zero and would silently
     // deflate the min-of-passes and the total.
-    def timedPass(): Seq[(String, Option[Double])] = ordered.map { case (name, fn) =>
+    def runOne(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Boolean, Double) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -68,7 +92,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
-      name -> (if (ok) Some(t) else None)
+      (ok, t)
+    }
+    def timedPass(): Seq[(String, Option[Double])] = {
+      preamble.foreach { case (n, fn) => runOne(n, fn) }
+      ordered.map { case (name, fn) =>
+        val (ok, t) = runOne(name, fn)
+        name -> (if (ok) Some(t) else None)
+      }
     }
     val pass1 = timedPass().toMap
     val results = timedPass().map { case (name, t2) =>
@@ -88,11 +119,11 @@ object Bench {
     val qsShort = timed.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"queries":$qsShort,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"probe_sec":${fmt(probeSec)},"queries":$qsShort,"failed":$fs,"sf":"$sfDir"}"""
     val qsFull = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qsFull,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"probe_sec":$probeSec,"queries":$qsFull,"failed":$fs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (jsonFull + "\n").getBytes("UTF-8"))

@@ -808,17 +808,23 @@ object SparkEntry {
         // sized rsd=0.015 (2^13 registers) so the asserted 5% bound is
         // a 3.3-sigma event, not the default-rsd 1-sigma coin flip — at
         // default rsd=0.05 the regenerated sf0.1 corpus genuinely
-        // drifted all five groups past 5%. The sketch and the
-        // exact count run as SEPARATE aggregates joined on the group
-        // key: countDistinct plans through an expand, and dragging the
-        // 16 KB HLL buffer through the expanded rows cost ~5x the
-        // whole query.
-        val ev = t(s, dir, "events")
-        val approx = ev.groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id"), 0.015).as("approx"))
-        val exact = ev.groupBy("event_type")
-          .agg(countDistinct(col("user_id")).as("exact_users"))
-        approx.join(exact, "event_type")
+        // drifted all five groups past 5%.
+        //
+        // Both numbers come from ONE pass over the DEDUPED
+        // (event_type, user_id) pairs: the HLL register state depends
+        // only on the SET of hashed values, so sketching the deduped
+        // pairs is value-identical to sketching the raw stream, and
+        // count(*) over the pairs IS the exact distinct count. Earlier
+        // shapes were strictly worse: a mixed distinct+HLL aggregate
+        // plans through an expand dragging the 16 KB buffer through
+        // doubled rows (~5x), and separate aggregates need a join
+        // whose inner equi-key silently dropped a null event_type
+        // group. One scan, two exchanges, no join, nulls preserved.
+        val pairs = t(s, dir, "events")
+          .groupBy("event_type", "user_id").agg(lit(1))
+        pairs.groupBy("event_type")
+          .agg(count(lit(1)).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.015).as("approx"))
           .select(col("event_type"), col("exact_users"),
             (abs(col("approx").cast("double") / col("exact_users") - 1.0) <= 0.05)
               .as("within_5pct"))

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Event-stream analytics in batch form (the streaming twin lives in
   * graft.streaming). Internally `ts` is epoch-nanos (LongType) so bucket
@@ -21,12 +21,20 @@ object Events {
     * TIMESTAMP(MICROS) / TIMESTAMP_NTZ, which converts exactly via
     * `unix_micros` (the cast interprets NTZ wall-time in the session
     * zone — pinned UTC in GraftSession, matching how the micros data is
-    * written). Scan-local projection: no shuffle, stays in codegen. */
+    * written). Scan-local projection: no shuffle, stays in codegen.
+    * Any OTHER physical type (string, double, date…) throws here, at
+    * the point of use — a silent cast would flow nulls/garbage through
+    * every events query; the TestdataSchemaSpec canary only guards the
+    * checked-in fixture at test time. */
   def withTsNanos(events: DataFrame): DataFrame =
     events.schema("ts").dataType match {
       case LongType => events
-      case _ => events.withColumn("ts",
+      case TimestampType | TimestampNTZType => events.withColumn("ts",
         unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported physical type $other — expected " +
+          "INT64 epoch-nanos or TIMESTAMP(_NTZ); extend Events.withTsNanos " +
+          "if the testdata schema changed again")
     }
 
   /** Tumbling-window aggregate: events per (hour, event_type) with count,

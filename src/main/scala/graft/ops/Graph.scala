@@ -41,8 +41,9 @@ object Graph {
     * Catalyst would otherwise fall back to shuffling the full edge
     * relation every round. The join is followed by one
     * partial-aggregated exchange on dst (≤ |nodes| rows per partition
-    * after map-side combine). Only the loop carrier (ranks, |nodes|
-    * rows) is ever truncated, on a periodic cadence (see the loop).
+    * after map-side combine). The loop carrier (ranks, |nodes| rows) is
+    * lazily persisted per round with a two-carrier retention window
+    * (see the loop) — never eagerly materialized mid-loop.
     *
     * `checkpointDir`: see [[Checkpoints]] — pass an HDFS/S3 dir on a
     * real cluster so a lost executor at round k replays from the
@@ -64,16 +65,29 @@ object Graph {
     val danglingB = if (danglingExists) ck(dangling) else dangling
     val nNodes = if (danglingExists) nodes.count() else 0L
 
-    // Truncation cadence: lineage must be cut so round k never replans
-    // rounds 1..k-1 unboundedly, but an EAGER cut every round pays a
-    // full materialization job per iteration — measured 3-4× the whole
-    // query cold (the 5-round chain executes fine as one pipelined DAG).
-    // So: no-dangling graphs truncate every 4th round only; dangling
-    // graphs keep per-round truncation because the share aggregate
-    // collects (executes) each round anyway, making the cut marginal —
-    // without it every share collect would replay the rounds since the
-    // last cut.
-    var ranks = ck(nodes.select(col("node"), lit(1000000L).as("rank")))
+    // Loop carrier: per-round LAZY persist, never a mid-loop eager cut.
+    // The persist guarantees each round's edges-join executes AT MOST
+    // once no matter how many times its carrier is referenced (the next
+    // round's broadcast, the dangling share aggregate, a consumer
+    // running several actions) — where an eager checkpoint paid a full
+    // materialization job per round (measured 3-4× the whole query) and
+    // a sparse cadence let round k's broadcast replay the untruncated
+    // rounds since the last cut (the r7 in-suite q89 regression). On
+    // the no-dangling fast path nothing executes until the consumer's
+    // action, which then materializes the chain bottom-up — each
+    // round's join exactly once, as one pipelined DAG.
+    //
+    // Bounded memory: only the last two carriers stay registered
+    // (round k-2 is provably consumed once round k exists — its only
+    // readers are round k-1's broadcast and the share aggregate, both
+    // already issued), so the storage footprint is ≤ 2 node-sized
+    // relations regardless of `iters`. A reliable checkpoint every
+    // `cutEvery` rounds bounds plan depth for large iteration counts —
+    // by then the rounds it materializes are persisted, so the cut
+    // re-executes nothing.
+    val cutEvery = 8
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+    var keep: List[DataFrame] = Nil
     for (i <- 1 to iters) {
       // per-node damped share of this round's dangling mass (0 when the
       // graph has none — the fast path never runs these two jobs)
@@ -84,8 +98,11 @@ object Graph {
             .agg(coalesce(sum("rank"), lit(0L))).head().getLong(0)
           d / nNodes
         }
-      ranks = iterate(e, nodes, ranks, share)
-      if (danglingExists || i % 4 == 0) ranks = ck(ranks)
+      ranks = iterate(e, nodes, ranks, share).persist()
+      keep = ranks :: keep
+      keep.drop(2).foreach(_.unpersist(blocking = false))
+      keep = keep.take(2)
+      if (i % cutEvery == 0 && i < iters) ranks = ck(ranks)
     }
     ranks.select(col("node"), col("rank").as("rank_micro"))
   }

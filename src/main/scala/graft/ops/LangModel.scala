@@ -201,11 +201,17 @@ object LangModel {
     * micro-nats BEFORE any aggregation, so sums are exact and
     * engine-portable; argmax ties break to the smaller class name).
     *
-    * Scale shape: one token shuffle for tf; vocabulary and class
-    * statistics are bounded aggregates of it; the matrix join is a
-    * broadcast; per-(doc, class) reduce fans out |classes|× with
-    * map-side combine; the argmax is two same-partitioned aggregates on
-    * doc_id (max, then min-class-among-max), never a window sort.
+    * Scale shape: ONE corpus token pass — the reduced per-(doc, token)
+    * tf relation is materialized once (see [[Checkpoints]]) and every
+    * downstream statistic (vocabulary, class totals, the count matrix,
+    * the scoring join) scans that bounded relation; relying on
+    * ReuseExchange to share four identical corpus-sized subtrees
+    * proved planner-mood-dependent (the SetSimilarity lesson), so the
+    * sharing is structural. The matrix join is a broadcast; the
+    * per-(doc, class) reduce fans out |classes|× with map-side
+    * combine; the argmax is a SINGLE aggregate
+    * min(struct(−score, class)) — max score, ties to the smaller
+    * class name, no self-join and no window sort.
     *
     * `collapseExact`: opt-in exact-text collapse for exact-dup-heavy
     * corpora — tf, per-class score sums, and the argmax are all pure
@@ -218,19 +224,25 @@ object LangModel {
   def naiveBayes(docs: DataFrame, labelCol: String = "source",
                  vocabK: Int = 10000, idCol: String = "doc_id",
                  textCol: String = "text",
-                 collapseExact: Boolean = false): DataFrame =
-    if (collapseExact) naiveBayesCollapsed(docs, labelCol, vocabK, idCol, textCol)
-    else naiveBayesDirect(docs, labelCol, vocabK, idCol, textCol)
+                 collapseExact: Boolean = false,
+                 checkpointDir: Option[String] = None): DataFrame =
+    if (collapseExact)
+      naiveBayesCollapsed(docs, labelCol, vocabK, idCol, textCol, checkpointDir)
+    else naiveBayesDirect(docs, labelCol, vocabK, idCol, textCol, checkpointDir)
 
   private def naiveBayesDirect(docs: DataFrame, labelCol: String,
                                vocabK: Int, idCol: String,
-                               textCol: String): DataFrame = {
-    val tf = docs
+                               textCol: String,
+                               checkpointDir: Option[String]): DataFrame = {
+    val ck = Checkpoints.truncator(docs.sparkSession, checkpointDir)
+    // the one corpus-sized token pass, materialized once: vocabulary,
+    // class totals, count matrix, and the scoring join all scan this
+    val tf = ck(docs
       .select(col(idCol), col(labelCol).as("cls"),
         explode(TextStats.tokens(col(textCol))).as("tok"))
       .where(col("tok").isNotNull)
       .groupBy(col(idCol), col("cls"), col("tok"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+      .agg(count(lit(1)).cast("long").as("tf")))
     val vocab = tf.groupBy("tok").agg(sum("tf").cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(vocabK)
       .select("tok")
@@ -241,7 +253,8 @@ object LangModel {
       .agg(count(lit(1)).cast("long").as("dc"))
     val totals = tfv.groupBy("cls").agg(sum("tf").cast("long").as("tc"))
     val vSize = vocab.agg(count(lit(1)).cast("long").as("v"))
-    val nDocs = docs.agg(count(lit(1)).cast("long").as("d_all"))
+    // derived from the class counts — not a second corpus scan
+    val nDocs = classes.agg(sum("dc").cast("long").as("d_all"))
     val clsStats = classes.join(totals, Seq("cls"), "left")
       .na.fill(0L, Seq("tc"))
       .crossJoin(broadcast(vSize)).crossJoin(broadcast(nDocs))
@@ -266,12 +279,13 @@ object LangModel {
       .crossJoin(broadcast(clsStats.select("cls", "prior_micros")))
       .join(tokSum, Seq(idCol, "cls"), "left")
       .withColumn("score_micros", col("prior_micros") + coalesce(col("ts"), lit(0L)))
-    val best = scored.groupBy(col(idCol))
-      .agg(max(col("score_micros")).as("score_micros"))
-    scored.join(best, Seq(idCol, "score_micros"))
-      .groupBy(col(idCol), col("score_micros"))
-      .agg(min(col("cls")).as("pred"))
-      .select(col(idCol), col("pred"), col("score_micros"))
+    // single-pass argmax: min over (−score, cls) = max score with ties
+    // broken to the smaller class name — the former max-then-rejoin
+    // shape planned the whole scoring pipeline TWICE (self-join)
+    scored.groupBy(col(idCol))
+      .agg(min(struct((-col("score_micros")).as("neg"), col("cls").as("c"))).as("b"))
+      .select(col(idCol), col("b.c").as("pred"),
+        (-col("b.neg")).as("score_micros"))
   }
 
   /** Collapsed twin of [[naiveBayesDirect]] — only (id, digest[, label])
@@ -280,7 +294,9 @@ object LangModel {
     * when it fits), so corpus text is scanned, never exchanged. */
   private def naiveBayesCollapsed(docs: DataFrame, labelCol: String,
                                   vocabK: Int, idCol: String,
-                                  textCol: String): DataFrame = {
+                                  textCol: String,
+                                  checkpointDir: Option[String]): DataFrame = {
+    val ck = Checkpoints.truncator(docs.sparkSession, checkpointDir)
     val keyed = docs.select(col(idCol), col(labelCol).as("cls"),
       Dedup.tokenStreamKey(col(textCol)).as("__tk"))
     val reps = keyed.groupBy("__tk").agg(min(idCol).as("__rep"))
@@ -290,12 +306,13 @@ object LangModel {
       Dedup.tokenStreamKey(col(textCol)).as("__tk"), col(textCol).as("__text"))
     val clsWeights = keyed.groupBy("__tk", "cls")
       .agg(count(lit(1)).cast("long").as("n"))
-    // per-stream term frequencies (the only token explode)
-    val gtf = streams
+    // per-stream term frequencies (the only token explode),
+    // materialized once — same structural sharing as the direct path
+    val gtf = ck(streams
       .select(col("__tk"), explode(TextStats.tokens(col("__text"))).as("tok"))
       .where(col("tok").isNotNull)
       .groupBy("__tk", "tok")
-      .agg(count(lit(1)).cast("long").as("tf"))
+      .agg(count(lit(1)).cast("long").as("tf")))
     val streamN = clsWeights.groupBy("__tk").agg(sum("n").cast("long").as("n_all"))
     val vocab = gtf.join(streamN, "__tk")
       .groupBy("tok").agg(sum(col("tf") * col("n_all")).cast("long").as("cnt"))
@@ -310,7 +327,8 @@ object LangModel {
       .groupBy("cls", "tok").agg(sum(col("tf") * col("n")).cast("long").as("ctc"))
     val totals = wtf.groupBy("cls").agg(sum("ctc").cast("long").as("tc"))
     val vSize = vocab.agg(count(lit(1)).cast("long").as("v"))
-    val nDocs = docs.agg(count(lit(1)).cast("long").as("d_all"))
+    // derived from the class counts — not a second corpus scan
+    val nDocs = classes.agg(sum("dc").cast("long").as("d_all"))
     val clsStats = classes.join(totals, Seq("cls"), "left")
       .na.fill(0L, Seq("tc"))
       .crossJoin(broadcast(vSize)).crossJoin(broadcast(nDocs))
@@ -335,11 +353,11 @@ object LangModel {
       .crossJoin(broadcast(clsStats.select("cls", "prior_micros")))
       .join(tokSum, Seq("__tk", "cls"), "left")
       .withColumn("score_micros", col("prior_micros") + coalesce(col("ts"), lit(0L)))
-    val best = scored.groupBy(col("__tk"))
-      .agg(max(col("score_micros")).as("score_micros"))
-    val verdict = scored.join(best, Seq("__tk", "score_micros"))
-      .groupBy(col("__tk"), col("score_micros"))
-      .agg(min(col("cls")).as("pred"))
+    // single-pass argmax, as the direct path
+    val verdict = scored.groupBy(col("__tk"))
+      .agg(min(struct((-col("score_micros")).as("neg"), col("cls").as("c"))).as("b"))
+      .select(col("__tk"), col("b.c").as("pred"),
+        (-col("b.neg")).as("score_micros"))
     keyed.select(col(idCol), col("__tk"))
       .join(verdict, "__tk")
       .select(col(idCol), col("pred"), col("score_micros"))

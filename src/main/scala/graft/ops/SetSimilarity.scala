@@ -51,10 +51,20 @@ object SetSimilarity {
     *    not by all co-occurring pairs.
     * The doc-frequency ranking is one aggregate + one per-doc
     * row_number window (partitioned by doc — no global sort); the
-    * candidate join shuffles only (id, n, hash) triples. */
+    * candidate join shuffles only (id, n, hash) triples.
+    *
+    * `checkpointDir`: see [[Checkpoints]] — the shared prefix relation
+    * is materialized once (both self-join sides scan it); pass an
+    * HDFS/S3 dir on a real cluster so those blocks survive executor
+    * loss (reliable checkpoint), else the single-node localCheckpoint
+    * is used. Blocks are reclaimed by the ContextCleaner once the
+    * returned plan is unreachable (or by an explicit
+    * `spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist())`
+    * between queries, as graft.Bench does). */
   def setSimilarityJoin(docs: DataFrame, thresholdPct: Int = 70,
                         shingleSize: Int = 3, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        checkpointDir: Option[String] = None): DataFrame = {
     require(thresholdPct > 0 && thresholdPct <= 100,
       s"thresholdPct must be in (0, 100], got $thresholdPct")
     // EXACT-TEXT COLLAPSE (the spanDedup move, unconditional here): a
@@ -73,7 +83,7 @@ object SetSimilarity {
     val repDocs = docs.join(groups.select(col("rep").as(idCol)),
       Seq(idCol), "left_semi")
     val repPairs = repSimilarityPairs(repDocs, thresholdPct, shingleSize,
-        idCol, textCol)
+        idCol, textCol, checkpointDir)
       .withColumnRenamed("doc_a", "rep_a").withColumnRenamed("doc_b", "rep_b")
     val mem = keyed.join(groups.select("__tk", "rep"), "__tk")
     // cross-group pairs: every member pairing of a qualifying rep pair,
@@ -218,7 +228,8 @@ object SetSimilarity {
     * be one row per distinct token stream. */
   private def repSimilarityPairs(docs: DataFrame, thresholdPct: Int,
                                  shingleSize: Int, idCol: String,
-                                 textCol: String): DataFrame = {
+                                 textCol: String,
+                                 checkpointDir: Option[String]): DataFrame = {
     val pct = lit(thresholdPct.toLong)
     val e = explodedSets(docs, shingleSize, idCol, textCol)
     val prefix = rarestFirstPrefix(e, thresholdPct)
@@ -228,11 +239,14 @@ object SetSimilarity {
     // ReuseExchange to dedupe two identical subplans proved fragile
     // (AQE stage-cache misses under suite/bench JVM state re-ran the
     // pipeline twice, 2.8× on q106), so the sharing is structural:
-    // localCheckpoint computes it exactly once and both sides scan the
-    // materialized blocks. Bounded: the prefix keeps ⌈(1−t)·n⌉+1 rows
+    // the truncator computes it exactly once and both sides scan the
+    // materialized blocks — reliable checkpoint when `checkpointDir`
+    // is given (the 100 TB fault-tolerance path), localCheckpoint on
+    // a single node. Bounded: the prefix keeps ⌈(1−t)·n⌉+1 rows
     // of three longs per doc — (1−t)· the exploded relation, a small
     // slice of the corpus, partition-distributed (never driver-side).
-    val prefixP = prefix.repartition(col("g")).localCheckpoint(true)
+    val ck = Checkpoints.truncator(docs.sparkSession, checkpointDir)
+    val prefixP = ck(prefix.repartition(col("g")))
     val cand = prefixP.alias("a")
       .join(prefixP.alias("b"), col("a.g") === col("b.g"))
       .where(col("a.id") < col("b.id"))

@@ -51,9 +51,19 @@ object EventsStream {
     * internal schema. */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // NonFatal only: an OOM/interrupt must propagate, and a corrupt
+    // footer should fail loudly here rather than as a confusing type
+    // error mid-stream. The expected miss is the empty-dir
+    // AnalysisException on a stream started before its source exists.
     val physical =
       try spark.read.parquet(dir).schema
-      catch { case _: Throwable => eventsSchema }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"events schema peek failed for $dir (${e.getMessage}); " +
+              "falling back to the internal INT64-nanos schema")
+          eventsSchema
+      }
     val r = spark.readStream.schema(physical)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     graft.ops.Events.withTsNanos(r.parquet(dir))
