@@ -85,6 +85,37 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("naiveBayes scans its one materialized token pass — no inline explode") {
+    // the structural-sharing contract (round 8): the per-(doc, token)
+    // tf relation is checkpointed once, so the scoring query must
+    // contain ZERO GenerateExec — every downstream statistic (vocab,
+    // class totals, matrix, scoring join) scans the materialized
+    // blocks. An edit that drops the truncator re-inlines the corpus
+    // token explode into N subtrees and fails here. Also guards the
+    // single-aggregate argmax: the old max-then-rejoin self-join
+    // doubled the scoring pipeline (two Generates pre-fix).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for ((name, df) <- Seq(
+        "direct" -> graft.ops.LangModel.naiveBayes(docs),
+        "collapsed" -> graft.ops.LangModel.naiveBayes(docs, collapseExact = true))) {
+      df.write.format("noop").mode("overwrite").save()
+      var generates = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case g: org.apache.spark.sql.execution.GenerateExec =>
+          generates += 1; g.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      assert(generates == 0,
+        s"naiveBayes($name): $generates inline token explode(s) — the tf " +
+          "pass is no longer structurally materialized")
+    }
+  }
+
   test("set-similarity join computes the prefix pipeline once at corpus scale") {
     // with broadcasts off (the 100 TB shape — no side fits), the
     // candidate self-join must feed both sides from ONE materialized

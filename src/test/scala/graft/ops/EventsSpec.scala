@@ -20,6 +20,15 @@ class EventsSpec extends SparkSpec {
     (5L, 65L * M, 2L, "click", 0.75, """{"k": 5}""")
   ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("withTsNanos: unsupported physical ts type fails at the point of use") {
+    // the silent-cast hazard from round 7's schema regeneration: a
+    // string/double ts must throw here, not flow nulls through every
+    // downstream events query
+    val bad = Seq((1L, "2026-01-01 00:00:00")).toDF("event_id", "ts")
+    val e = intercept[IllegalArgumentException](Events.withTsNanos(bad))
+    assert(e.getMessage.contains("unsupported physical type"))
+  }
+
   test("hourly tumbling aggregate: correct buckets and exact cents") {
     val agg = Events.hourlyAgg(events).cache()
     val clickH0 = agg.where(col("hour_idx") === 0 && col("event_type") === "click").head()
