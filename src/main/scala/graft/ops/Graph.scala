@@ -52,9 +52,12 @@ object Graph {
   def pageRank(edges0: DataFrame, iters: Int = 5,
                checkpointDir: Option[String] = None): DataFrame = {
     val ck = Checkpoints.truncator(edges0.sparkSession, checkpointDir)
-    val edges = ck(edges0)
+    val edges = ck(edges0.select("src", "dst"))
+    // node-sized (≤ |nodes| rows): rides the broadcast side every round
+    // — annotating the EDGE relation with outdeg instead costs a second
+    // full edge materialization plus a 50% wider loop scan (measured
+    // ~25% of the whole query at 10×)
     val outdeg = ck(edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
-    val e = ck(edges.join(broadcast(outdeg), Seq("src")))
     // node universe: src ∪ dst — tiny next to edges, reused every round
     // (init, the completion join, the dangling gate), so checkpointed
     val nodes = ck(edges.select(col("src").as("node"))
@@ -98,7 +101,7 @@ object Graph {
             .agg(coalesce(sum("rank"), lit(0L))).head().getLong(0)
           d / nNodes
         }
-      ranks = iterate(e, nodes, ranks, share).persist()
+      ranks = iterate(edges, outdeg, nodes, ranks, share).persist()
       keep = ranks :: keep
       keep.drop(2).foreach(_.unpersist(blocking = false))
       keep = keep.take(2)
@@ -107,16 +110,26 @@ object Graph {
     ranks.select(col("node"), col("rank").as("rank_micro"))
   }
 
-  /** One PageRank round: broadcast-join ranks into the degree-annotated
-    * edges, aggregate contributions on dst, complete over the node
-    * universe, damp. Exposed (package-private) so the plan-regression
-    * spec can assert the executed shape — BroadcastHashJoin on the
-    * ranks side, never a SortMergeJoin of the edge relation — which is
-    * exactly what the loop executes. */
-  private[graft] def iterate(e: DataFrame, nodes: DataFrame,
+  /** One PageRank round: fold outdeg into the node-sized ranks relation
+    * (per-source contribution `rank div outdeg`, a broadcast join of
+    * two ≤|nodes|-row inputs), broadcast-join THAT into the bare
+    * (src, dst) edges, aggregate contributions on dst, complete over
+    * the node universe, damp. Exposed (package-private) so the
+    * plan-regression spec can assert the executed shape —
+    * BroadcastHashJoin on the contribution side, never a SortMergeJoin
+    * of the edge relation — which is exactly what the loop executes.
+    * Dangling nodes drop out of the inner outdeg join, exactly as they
+    * never appear as an edge src; their mass arrives via `share`. */
+  private[graft] def iterate(edges: DataFrame, outdeg: DataFrame,
+                             nodes: DataFrame,
                              ranks: DataFrame, share: Long): DataFrame = {
-    val contrib = e.join(broadcast(ranks), e("src") === ranks("node"))
-      .select(col("dst"), expr("rank div outdeg").as("c"))
+    // key the contribution on ranks("node") (== outdeg("src") by the
+    // join), NOT outdeg("src"): outdeg derives from the same checkpoint
+    // as `edges`, so its src attribute would be ambiguous in the edge
+    // join below
+    val perSrc = ranks.join(broadcast(outdeg), ranks("node") === outdeg("src"))
+      .select(ranks("node").as("src"), expr("rank div outdeg").as("c"))
+    val contrib = edges.join(broadcast(perSrc), Seq("src"))
       .groupBy(col("dst").as("node"))
       .agg(sum("c").as("in_sum"))
     // completion join: zero-in-degree and dangling nodes keep a rank
@@ -137,17 +150,28 @@ object Graph {
     * okey FIRST, then dropDuplicates — hashpartitioning(okey) already
     * clusters every (okey, part) group, so the dedup aggregate is
     * exchange-free and the self-join reuses the same partitioning
-    * (where `.distinct().repartition(okey)` paid two shuffles). */
+    * (where `.distinct().repartition(okey)` paid two shuffles).
+    *
+    * Orientation halving: the join emits each unordered pair ONCE
+    * (`a.part < b.part`) and the symmetric mirror is appended AFTER the
+    * distinct — pair instances scale as orders × pairs-per-order (the
+    * dominant volume; 10× stress: ~18M instances collapsing to ~1.2M
+    * unordered edges), so emitting one orientation halves both the join
+    * output and the distinct's shuffle, and the mirror union doubles
+    * only the already-deduped edge set, exchange-free. */
   def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
     val li = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .repartition(col("okey"))
       .dropDuplicates("okey", "part")
-    li.alias("a")
+    val half = li.alias("a")
       .join(li.alias("b"),
-        col("a.okey") === col("b.okey") && col("a.part") =!= col("b.part"))
+        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
       .select(col("a.part").as("src"), col("b.part").as("dst"))
       .distinct()
+    // disjoint orientations (src < dst vs dst < src): plain UNION ALL,
+    // no second dedup pass
+    half.union(half.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** PageRank over the co-purchase graph: (part_id, rank_micro). The

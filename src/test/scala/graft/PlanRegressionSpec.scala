@@ -33,11 +33,11 @@ class PlanRegressionSpec extends SparkSpec {
     val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     val raw = (und ++ und.map(_.swap)).toDF("src", "dst").localCheckpoint(true)
     val outdeg = raw.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = raw.join(broadcast(outdeg), Seq("src")).localCheckpoint(true)
+      .localCheckpoint(true)
     val nodes = raw.select(col("src").as("node")).distinct().localCheckpoint(true)
     val ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
       .localCheckpoint(true)
-    val plan = executedPlan(Graph.iterate(e, nodes, ranks, 0L))
+    val plan = executedPlan(Graph.iterate(raw, outdeg, nodes, ranks, 0L))
     assert(!plan.contains("SortMergeJoin"),
       s"ranks join degraded to a shuffle join:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), plan)
