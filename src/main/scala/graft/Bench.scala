@@ -13,6 +13,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf (builder-time only): the suite's two timed passes
+      // run ALL queries in pass 1 before ANY repeats in pass 2 — at the
+      // 100-entry default every pass-2 stage has been evicted and
+      // recompiles. See GraftSession for sizing.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     GraftSession.tune(spark)
     // ERROR, not WARN: stray WARN lines interleaving with the final

@@ -36,6 +36,14 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // keep catalog-table data (bucketed writes) out of the repo cwd
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // static conf, defaults to 100 entries: a 100+-query session
+      // generates far more codegen units than that, so by the time a
+      // query re-runs its compiled classes are evicted and recompile
+      // (bench pass 2 runs AFTER all of pass 1 — every stage
+      // recompiles). 2000 covers the whole suite twice over; the
+      // entries are compiled classes, amortized against the 512 MB
+      // reserved code cache.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
 
   def local(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
