@@ -1183,8 +1183,11 @@ object SparkEntry {
     * transitive closure via recursive CTE (the q42 mirror), keep the
     * component minimum. */
   def semDedupOracleSql(spark: SparkSession, sfDir: String): String = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // identical corpus-scaled cluster count as the query side (nlist=0
+    // default in semDedup) — cells are part of the declared output
     val cent = graft.ops.Similarity.trainedCentroids(
-      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      emb, nlist = graft.ops.Similarity.semDedupNlist(emb.count()))
     s"""
       WITH RECURSIVE ${duckCellAssignCtes(cent)},
       pairs AS (

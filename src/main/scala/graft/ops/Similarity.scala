@@ -373,11 +373,19 @@ object Similarity {
     * assignment is one scan-local argmax, and the quadratic pair search
     * is confined to each cell (~n/nlist rows) via an equi-join on cell —
     * never a corpus-wide cross product. Cross-cell near-dups are missed
-    * by construction; that recall loss is the published tradeoff. */
-  def semDedup(corpus: DataFrame, threshold: Double = 0.4, nlist: Int = 16,
+    * by construction; that recall loss is the published tradeoff.
+    *
+    * `nlist = 0` (the default) scales the cluster count WITH the corpus
+    * via [[semDedupNlist]] — the paper trains more clusters on bigger
+    * corpora precisely because a fixed cell count makes the per-cell
+    * pair search quadratic in data size (the 10× stress measured q62 at
+    * 4.7× wall for 10× vectors under fixed nlist=16). Costs one
+    * count() job over the corpus before training. */
+  def semDedup(corpus: DataFrame, threshold: Double = 0.4, nlist: Int = 0,
                idCol: String = "vec_id", vecCol: String = "embedding",
                maxIter: Int = 5, maxTrain: Int = 4096): DataFrame = {
-    val cent = trainedCentroids(corpus, nlist, maxIter, maxTrain, idCol, vecCol)
+    val k = if (nlist > 0) nlist else semDedupNlist(corpus.count())
+    val cent = trainedCentroids(corpus, k, maxIter, maxTrain, idCol, vecCol)
     val assigned = corpus.select(col(idCol), col(vecCol).as("v"),
       VectorExpressions.nearest_cell(col(vecCol), cent.map(_.toSeq).toSeq).as("cell"))
     val a = assigned.select(col("cell"), col(idCol).as("doc_a"), col("v").as("va"))
@@ -392,6 +400,21 @@ object Similarity {
     assigned.join(losers, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell").cast("long").as("cell"))
   }
+
+  /** [[semDedup]]'s corpus-scaled cluster count: one cluster per
+    * `targetCell` vectors, floored at `base` so tiny corpora keep the
+    * paper's published behavior, capped at `cap` so the cluster count
+    * never outgrows the bounded driver-side training sample (maxTrain =
+    * 4096 ⇒ ≥ 16 sample vectors per cluster at the cap). Exposed so the
+    * Verify-time oracle generator computes the IDENTICAL count from the
+    * same corpus — cells are part of q62's declared output. Beyond the
+    * cap (≳65k vectors here) per-cell cost grows linearly again; the
+    * 100 TB move is raising maxTrain and cap together, trading a larger
+    * (still bounded) driver sample for smaller cells. */
+  def semDedupNlist(corpusSize: Long, base: Int = 16, targetCell: Int = 256,
+                    cap: Int = 256): Int =
+    math.min(cap.toLong, math.max(base.toLong,
+      (corpusSize + targetCell - 1) / targetCell)).toInt
 
   /** Per-label embedding pooling: class centroid (as exact micro-unit
     * component sums — consumers divide by n) plus the mean cosine of

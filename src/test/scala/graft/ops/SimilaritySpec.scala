@@ -178,6 +178,15 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semDedup(corpus, threshold = 0.99, nlist = 2).count() === 3)
   }
 
+  test("semDedupNlist scales with corpus size between its floor and cap") {
+    assert(Similarity.semDedupNlist(0L) === 16)        // floor holds on empty
+    assert(Similarity.semDedupNlist(2000L) === 16)     // sf0.1-sized: floor
+    assert(Similarity.semDedupNlist(4096L) === 16)     // exactly at the knee
+    assert(Similarity.semDedupNlist(4097L) === 17)     // first step past it
+    assert(Similarity.semDedupNlist(20000L) === 79)    // 10x stress corpus
+    assert(Similarity.semDedupNlist(10_000_000L) === 256) // cap
+  }
+
   test("labelCentroids: hand-computed pooled sums and mean cosine to centroid") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0),   // label 0: orthogonal pair
