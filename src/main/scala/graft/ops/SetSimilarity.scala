@@ -232,7 +232,6 @@ object SetSimilarity {
                                  checkpointDir: Option[String]): DataFrame = {
     val pct = lit(thresholdPct.toLong)
     val e = explodedSets(docs, shingleSize, idCol, textCol)
-    val prefix = rarestFirstPrefix(e, thresholdPct)
     // self-join from ONE eagerly-materialized relation: the prefix
     // pipeline — explode, doc-frequency aggregate, rank window — is the
     // dominant cost, and both join sides need it. Relying on Catalyst's
@@ -245,8 +244,17 @@ object SetSimilarity {
     // a single node. Bounded: the prefix keeps ⌈(1−t)·n⌉+1 rows
     // of three longs per doc — (1−t)· the exploded relation, a small
     // slice of the corpus, partition-distributed (never driver-side).
+    //
+    // The exploded relation itself is ALSO materialized: it feeds the
+    // doc-frequency aggregate, the rank window, and BOTH verification
+    // joins — four consumers, each of which would otherwise re-run
+    // tokenize + shingle-hash + explode over the corpus (measured 27%
+    // of q106 at the 10× stress). Three longs per token occurrence,
+    // partition-distributed, disk-backed past memory — the cheapest
+    // representation of the corpus this operator ever holds.
     val ck = Checkpoints.truncator(docs.sparkSession, checkpointDir)
-    val prefixP = ck(prefix.repartition(col("g")))
+    val eP = ck(e)
+    val prefixP = ck(rarestFirstPrefix(eP, thresholdPct).repartition(col("g")))
     val cand = prefixP.alias("a")
       .join(prefixP.alias("b"), col("a.g") === col("b.g"))
       .where(col("a.id") < col("b.id"))
@@ -257,8 +265,8 @@ object SetSimilarity {
       .distinct()
     // exact verification: true intersection size per surviving candidate
     val inter = cand
-      .join(e.select(col("id").as("doc_a"), col("g")), "doc_a")
-      .join(e.select(col("id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .join(eP.select(col("id").as("doc_a"), col("g")), "doc_a")
+      .join(eP.select(col("id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter_size"))
     inter
