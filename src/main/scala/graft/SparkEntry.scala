@@ -492,6 +492,15 @@ object SparkEntry {
           t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
           col("lang"), col("n_chars"), col("doc_id"), 20)
       },
+      // exact thresholded set-CONTAINMENT join (one-sided prefix
+      // filter): every DIRECTED pair where ≥ 80% of the doc's 3-gram
+      // shingles appear in the container — the quote/subset contract
+      // Jaccard misses (the union dilutes a short doc quoted in a
+      // long one)
+      "q108_containment_join" -> q { (s, dir) =>
+        graft.ops.SetSimilarity.containmentJoin(
+          t(s, dir, "documents"), thresholdPct = 80)
+      },
       // CDC changelog apply: events as the changelog (key user_id, seq
       // event_id, every 13th entry a delete) collapsed to latest state
       "q94_cdc_apply" -> q { (s, dir) =>
@@ -1563,6 +1572,34 @@ object SparkEntry {
       JOIN n na ON na.doc_id = i.doc_a
       JOIN n nb ON nb.doc_id = i.doc_b
       WHERE 100 * inter_size >= 70 * (na.n + nb.n - inter_size)""",
+    // oracle is the EXACT directed inverted-index all-pairs join — no
+    // one-sided prefix or size gate — independently cross-checking
+    // that the operator's pruning loses no true directed pair
+    "q108_containment_join" -> s"""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END AS ts
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+                 list_transform(range(1, len(ts) - 1),
+                   i -> array_to_string(ts[i:i+2], ' ')),
+                 x -> md5_number_lower(x))) AS hs
+        FROM t WHERE len(ts) >= 3),
+      n AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh
+            WHERE len(hs) > 0),
+      e AS (SELECT doc_id, unnest(hs) AS g FROM sh WHERE len(hs) > 0),
+      i AS (SELECT a.doc_id AS did, b.doc_id AS cid,
+              CAST(count(*) AS BIGINT) AS inter_size
+            FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+      SELECT did AS doc_id, cid AS container_id, inter_size,
+        na.n AS n_doc, nb.n AS n_container,
+        CAST((1000000 * inter_size) // na.n AS BIGINT) AS containment_ppm
+      FROM i
+      JOIN n na ON na.doc_id = i.did
+      JOIN n nb ON nb.doc_id = i.cid
+      WHERE 100 * inter_size >= 80 * na.n""",
     "q107_weighted_sample" ->
       """WITH p AS (
            SELECT doc_id, lang, n_chars,

@@ -129,10 +129,15 @@ object SetSimilarity {
     *    ⌈t·n_doc⌉ prunes that side;
     *  - exact-dup collapse expands DIRECTED member pairs (both
     *    directions within an identical-stream group).
-    * Docs with no shingles are absent from both roles. */
+    * Docs with no shingles are absent from both roles.
+    * `checkpointDir`: as in [[setSimilarityJoin]] — the exploded
+    * relation feeds five consumers here (frequency aggregate, prefix
+    * window, the container-side full index, both verification joins),
+    * so it is materialized once via [[Checkpoints]]. */
   def containmentJoin(docs: DataFrame, thresholdPct: Int = 80,
                       shingleSize: Int = 3, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      checkpointDir: Option[String] = None): DataFrame = {
     require(thresholdPct > 0 && thresholdPct <= 100,
       s"thresholdPct must be in (0, 100], got $thresholdPct")
     val keyed = docs.select(col(idCol).as("id"),
@@ -142,7 +147,7 @@ object SetSimilarity {
     val repDocs = docs.join(groups.select(col("rep").as(idCol)),
       Seq(idCol), "left_semi")
     val repPairs = repContainmentPairs(repDocs, thresholdPct, shingleSize,
-      idCol, textCol)
+      idCol, textCol, checkpointDir)
     val mem = keyed.join(groups.select("__tk", "rep"), "__tk")
     // directed cross-group expansion: direction rides the rep pair
     val cross = repPairs
@@ -197,9 +202,11 @@ object SetSimilarity {
     * already known to be one row per distinct token stream. */
   private def repContainmentPairs(docs: DataFrame, thresholdPct: Int,
                                   shingleSize: Int, idCol: String,
-                                  textCol: String): DataFrame = {
+                                  textCol: String,
+                                  checkpointDir: Option[String]): DataFrame = {
     val pct = lit(thresholdPct.toLong)
-    val e = explodedSets(docs, shingleSize, idCol, textCol)
+    val ck = Checkpoints.truncator(docs.sparkSession, checkpointDir)
+    val e = ck(explodedSets(docs, shingleSize, idCol, textCol))
     val prefix = rarestFirstPrefix(e, thresholdPct)
     // contained-side prefix probes the container-side FULL index; the
     // size gate n_container ≥ ⌈t·n_doc⌉ (⇔ 100·n_out ≥ pct·n_in over
