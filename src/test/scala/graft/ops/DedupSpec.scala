@@ -17,6 +17,16 @@ class DedupSpec extends SparkSpec {
     (6L, "")                                                // empty
   ).toDF("doc_id", "text")
 
+  test("wordShingles: distinct n-grams from raw text; [] when too short") {
+    val out = Seq((0L, "a b c b a b c"), (1L, "x"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 2).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(0L).toSet === Set("a b", "b c", "c b", "b a")) // distinct
+    assert(out(0L).length === 4)
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+  }
+
   test("exact dedup groups normalized-identical docs") {
     val dups = Dedup.exactDuplicates(docs).cache()
     val big = dups.where(col("dup_cnt") === 3).head()

@@ -5,6 +5,35 @@ import graft.SparkSpec
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("standalone column helpers agree with the fused statsFor pass") {
+    import org.apache.spark.sql.functions.{col, round}
+    // the standalone per-column API (qualityScore / langIdHeuristic /
+    // meanTokenLen) must compute the same values as the token_stats
+    // expression statsFor fuses them into — drift here means a library
+    // user's ad-hoc score disagrees with the verified q15 output
+    val docs = Seq(
+      (0L, ("the cat and the dog is " * 10) + "sleeping quietly."),
+      (1L, "le chat et la vie est belle"),
+      (2L, "der hund und die katze ist hier"),
+      (3L, "zzz qqq"),     // no markers → und
+      (4L, ""),             // empty: 0 tokens, quality from zero lengths
+      (5L, "el y la es " * 40)
+    ).toDF("doc_id", "text")
+    val fused = TextStats.statsFor(docs)
+      .select("doc_id", "quality_score", "lang_pred", "mean_token_len")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getString(2), r.getDouble(3)))).toMap
+    val standalone = docs.select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("q"),
+        TextStats.langIdHeuristic(col("text")).as("l"),
+        round(TextStats.meanTokenLen(col("text")), 4).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(standalone === fused)
+    assert(fused(1L)._2 === "fr" && fused(2L)._2 === "de" &&
+      fused(3L)._2 === "und" && fused(5L)._2 === "es")
+  }
+
   test("vocabulary: counts, doc frequency, tie-broken top-k") {
     val docs = Seq(
       (0L, "b a a"),
