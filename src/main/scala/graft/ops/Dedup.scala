@@ -559,7 +559,13 @@ object Dedup {
     val streamN = reps.select(col("__tk"), col("__n"))
     val repDocs = docs.join(reps.select(col("__rep").as("doc_id")),
       Seq("doc_id"), "left_semi")
-    val pt = repDocs
+    // materialized once (the q106 exploded-relation move): the gram
+    // relation feeds BOTH the duplicate-hash aggregate and the flag
+    // join below, and rebuilding it means re-running one md5 per token
+    // position over the whole corpus. Disk-backed blocks of
+    // (key, pos, tok, 16-byte digest) per token — the same volume the
+    // two consumers each shuffle anyway.
+    val pt = Checkpoints.truncator(docs.sparkSession, None)(repDocs
       .select(tokenStreamKey(col(textCol)).as("__tk"),
         TextStats.tokens(col(textCol)).as("ts"))
       .where(size(col("ts")) > 0)
@@ -571,7 +577,7 @@ object Dedup {
             CASE WHEN i + $k <= size(ts)
                  THEN md5(to_binary(concat_ws(' ', slice(ts, i + 1, $k)), 'utf-8'))
             END AS h))""")).as("p"))
-      .select(col("__tk"), col("__n"), col("p.pos"), col("p.tok"), col("p.h"))
+      .select(col("__tk"), col("__n"), col("p.pos"), col("p.tok"), col("p.h")))
     val dup = pt.where(col("h").isNotNull)
       .groupBy("h").agg(min("__tk").as("mn"), max("__tk").as("mx"),
         max("__n").as("mxn"))
