@@ -28,6 +28,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop the finished query's localCheckpoint blocks (iterative
+      // carriers, shared prefix/gram relations) — same per-query
+      // cleanup as Bench, so 121 queries don't accumulate block
+      // storage in one JVM
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
