@@ -76,14 +76,19 @@ object SetSimilarity {
     // Within-group pairs are emitted directly (identical sets, jac =
     // 10⁶) without touching the join at all. Measured 74 s → ~5 s on
     // the 90%-exact-dup 10× stress corpus.
-    val keyed = docs.select(col(idCol).as("id"),
-      Dedup.tokenStreamKey(col(textCol)).as("__tk"))
+    // the stream-digest relation (one md5-of-token-stream per doc) has
+    // two consumers (the group aggregate and the member map) — one
+    // corpus text pass, materialized (the exploded-relation move)
+    val ck = Checkpoints.truncator(docs.sparkSession, checkpointDir)
+    val keyed = ck(docs.select(col(idCol).as("id"),
+      Dedup.tokenStreamKey(col(textCol)).as("__tk")))
     val groups = keyed.groupBy("__tk")
       .agg(min("id").as("rep"), count(lit(1)).as("cnt"))
     val repDocs = docs.join(groups.select(col("rep").as(idCol)),
       Seq(idCol), "left_semi")
-    val repPairs = repSimilarityPairs(repDocs, thresholdPct, shingleSize,
-        idCol, textCol, checkpointDir)
+    val (repPairs0, eP) = repSimilarityPairs(repDocs, thresholdPct,
+      shingleSize, idCol, textCol, checkpointDir)
+    val repPairs = repPairs0
       .withColumnRenamed("doc_a", "rep_a").withColumnRenamed("doc_b", "rep_b")
     val mem = keyed.join(groups.select("__tk", "rep"), "__tk")
     // cross-group pairs: every member pairing of a qualifying rep pair,
@@ -94,11 +99,10 @@ object SetSimilarity {
       .select(least(col("ia"), col("ib")).as("doc_a"),
         greatest(col("ia"), col("ib")).as("doc_b"),
         col("inter_size"), col("union_size"), col("jac_ppm"))
-    // within-group pairs: identical shingle sets at the rep's size
-    val sizes = repDocs.select(col(idCol).as("rep"),
-        graft.functions.TextExpressions.shingle_count(
-          TextStats.tokens(col(textCol)), shingleSize).as("n"))
-      .where(col("n") > 0)
+    // within-group pairs: identical shingle sets at the rep's size —
+    // sizes come from the materialized exploded relation ((id, n) is
+    // constant per id), NOT another corpus tokenize pass
+    val sizes = eP.select(col("id").as("rep"), col("n")).distinct()
     val memS = mem.join(sizes, "rep")
     val within = memS.alias("x")
       .join(memS.alias("y"),
@@ -140,14 +144,17 @@ object SetSimilarity {
                       checkpointDir: Option[String] = None): DataFrame = {
     require(thresholdPct > 0 && thresholdPct <= 100,
       s"thresholdPct must be in (0, 100], got $thresholdPct")
-    val keyed = docs.select(col(idCol).as("id"),
-      Dedup.tokenStreamKey(col(textCol)).as("__tk"))
+    // one materialized corpus text pass for the digest relation, as in
+    // [[setSimilarityJoin]]
+    val ck = Checkpoints.truncator(docs.sparkSession, checkpointDir)
+    val keyed = ck(docs.select(col(idCol).as("id"),
+      Dedup.tokenStreamKey(col(textCol)).as("__tk")))
     val groups = keyed.groupBy("__tk")
       .agg(min("id").as("rep"), count(lit(1)).as("cnt"))
     val repDocs = docs.join(groups.select(col("rep").as(idCol)),
       Seq(idCol), "left_semi")
-    val repPairs = repContainmentPairs(repDocs, thresholdPct, shingleSize,
-      idCol, textCol, checkpointDir)
+    val (repPairs, eP) = repContainmentPairs(repDocs, thresholdPct,
+      shingleSize, idCol, textCol, checkpointDir)
     val mem = keyed.join(groups.select("__tk", "rep"), "__tk")
     // directed cross-group expansion: direction rides the rep pair
     val cross = repPairs
@@ -156,11 +163,9 @@ object SetSimilarity {
       .select(col("ia").as(idCol), col("ib").as("container_id"),
         col("inter_size"), col("n_doc"), col("n_container"),
         col("containment_ppm"))
-    // within-group: identical sets contain each other — both directions
-    val sizes = repDocs.select(col(idCol).as("rep"),
-        graft.functions.TextExpressions.shingle_count(
-          TextStats.tokens(col(textCol)), shingleSize).as("n"))
-      .where(col("n") > 0)
+    // within-group: identical sets contain each other — both
+    // directions; sizes from the materialized exploded relation
+    val sizes = eP.select(col("id").as("rep"), col("n")).distinct()
     val memS = mem.join(sizes, "rep")
     val within = memS.alias("x")
       .join(memS.alias("y"),
@@ -203,7 +208,8 @@ object SetSimilarity {
   private def repContainmentPairs(docs: DataFrame, thresholdPct: Int,
                                   shingleSize: Int, idCol: String,
                                   textCol: String,
-                                  checkpointDir: Option[String]): DataFrame = {
+                                  checkpointDir: Option[String])
+      : (DataFrame, DataFrame) = {
     val pct = lit(thresholdPct.toLong)
     val ck = Checkpoints.truncator(docs.sparkSession, checkpointDir)
     val e = ck(explodedSets(docs, shingleSize, idCol, textCol))
@@ -224,19 +230,23 @@ object SetSimilarity {
       .join(e.select(col("id").as("rep_out"), col("g")), Seq("rep_out", "g"))
       .groupBy("rep_in", "rep_out", "n_doc", "n_container")
       .agg(count(lit(1)).as("inter_size"))
-    inter
+    val pairs = inter
       .where(col("inter_size") * 100 >= col("n_doc") * pct)
       .select(col("rep_in"), col("rep_out"), col("inter_size"),
         col("n_doc"), col("n_container"),
         expr("(1000000 * inter_size) div n_doc").as("containment_ppm"))
+    (pairs, e)
   }
 
   /** The prefix-filtered join proper, over a relation already known to
-    * be one row per distinct token stream. */
+    * be one row per distinct token stream. Also returns the
+    * materialized exploded relation so the caller can reuse (id, n)
+    * without a fresh corpus tokenize. */
   private def repSimilarityPairs(docs: DataFrame, thresholdPct: Int,
                                  shingleSize: Int, idCol: String,
                                  textCol: String,
-                                 checkpointDir: Option[String]): DataFrame = {
+                                 checkpointDir: Option[String])
+      : (DataFrame, DataFrame) = {
     val pct = lit(thresholdPct.toLong)
     val e = explodedSets(docs, shingleSize, idCol, textCol)
     // self-join from ONE eagerly-materialized relation: the prefix
@@ -276,11 +286,12 @@ object SetSimilarity {
       .join(eP.select(col("id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter_size"))
-    inter
+    val pairs = inter
       .withColumn("union_size", col("n_a") + col("n_b") - col("inter_size"))
       .where(col("inter_size") * 100 >= col("union_size") * pct)
       .select(col("doc_a"), col("doc_b"), col("inter_size"),
         col("union_size"),
         expr("(1000000 * inter_size) div union_size").as("jac_ppm"))
+    (pairs, eP)
   }
 }
