@@ -553,7 +553,11 @@ object Dedup {
     // distinct documents" becomes "appears in >= 2 distinct streams, OR
     // in a stream with >= 2 copies" — exact copies of a doc duplicate
     // every one of its grams, exactly as the raw per-doc test saw them.
-    val keyed = docs.select(col("doc_id"), tokenStreamKey(col(textCol)).as("__tk"))
+    // digest relation materialized once (two consumers: the group
+    // aggregate and the final member join) — (doc_id, 16-byte digest)
+    // rows, one corpus text pass instead of two
+    val keyed = Checkpoints.truncator(docs.sparkSession, None)(
+      docs.select(col("doc_id"), tokenStreamKey(col(textCol)).as("__tk")))
     val reps = keyed.groupBy("__tk").agg(min("doc_id").as("__rep"),
       count(lit(1)).cast("long").as("__n"))
     val streamN = reps.select(col("__tk"), col("__n"))
