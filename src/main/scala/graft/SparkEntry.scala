@@ -501,6 +501,13 @@ object SparkEntry {
         graft.ops.SetSimilarity.containmentJoin(
           t(s, dir, "documents"), thresholdPct = 80)
       },
+      // ANN evaluation harness: recall@5 of the single-probe SRP-LSH
+      // path against brute-force cosine truth, per query — the number
+      // that justifies (or rejects) the LSH gate for a corpus
+      "q109_ann_recall" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        Similarity.lshRecall(em.where(col("vec_id") < 20), em, k = 5)
+      },
       // CDC changelog apply: events as the changelog (key user_id, seq
       // event_id, every 13th entry a delete) collapsed to latest state
       "q94_cdc_apply" -> q { (s, dir) =>
@@ -2526,6 +2533,40 @@ object SparkEntry {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
       WHERE rnk <= 5""",
+    // the q20 truth and q21 approx pipelines composed, then recall per
+    // query — same tie-break (sim DESC, neighbor_id) and bit-identical
+    // similarity doubles as both parents
+    "q109_ann_recall" -> s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      tscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_dot_product(q.e, c.e) /
+            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+      truth AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rnk FROM tscored)
+        WHERE rnk <= 5),
+      b AS (SELECT vec_id, e, ${duckSrpBucket("e")} AS bucket FROM v),
+      ascored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_dot_product(q.e, c.e) /
+            (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        FROM b q JOIN b c ON q.bucket = c.bucket
+          AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+      approx AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rnk FROM ascored)
+        WHERE rnk <= 5)
+      SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_true,
+        CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+        CAST((1000000 * count(a.neighbor_id)) // count(*) AS BIGINT)
+          AS recall_ppm
+      FROM truth t LEFT JOIN approx a
+        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+      GROUP BY t.query_id""",
     "q59_quantize_int8" ->
       """WITH s AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -146,6 +146,37 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Recall@k of an approximate neighbor result against exact truth —
+    * the evaluation harness every ANN deployment runs before trading
+    * recall for speed. Both inputs are (query_id, rnk, neighbor_id,
+    * cos_sim) relations ([[bruteForceTopK]] / [[lshTopK]] /
+    * [[multiProbeTopK]] / [[ivfTopK]] shapes); output one row per
+    * TRUTH query: (query_id, n_true, n_hit, recall_ppm) with
+    * recall_ppm = ⌊10⁶·|approx ∩ truth|/|truth|⌋. Queries the approx
+    * side missed entirely (empty bucket) score 0, never drop out.
+    *
+    * Scale: one equi-join on (query_id, neighbor_id) over two ≤ k·|Q|
+    * relations — the evaluator costs nothing next to the pipelines it
+    * measures. */
+  def annRecall(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_true"),
+        coalesce(sum("__hit"), lit(0L)).cast("long").as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        expr("(1000000 * n_hit) div n_true").as("recall_ppm"))
+
+  /** [[annRecall]] of the single-probe SRP-LSH path against brute-force
+    * truth on the same query/corpus split — the recall number that
+    * justifies (or rejects) the LSH gate for a given corpus. */
+  def lshRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                dim: Int = 64, planes: Int = 4, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    annRecall(bruteForceTopK(queries, corpus, k, idCol, vecCol),
+      lshTopK(queries, corpus, k, dim, planes, idCol, vecCol))
+
   /** Multi-probe SRP-LSH ANN: each query probes its own bucket PLUS the
     * `planes` buckets at Hamming distance 1 (one sign bit flipped) —
     * the standard multi-probe trade (Lv et al., VLDB'07): near-miss

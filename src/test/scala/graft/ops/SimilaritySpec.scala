@@ -178,6 +178,33 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semDedup(corpus, threshold = 0.99, nlist = 2).count() === 3)
   }
 
+  test("annRecall: per-query hit ratio; missed queries score 0, never drop") {
+    val truth = Seq(
+      (0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L),   // query 0: 3 true
+      (1L, 1L, 20L), (1L, 2L, 21L)                   // query 1: 2 true
+    ).toDF("query_id", "rnk", "neighbor_id")
+    val approx = Seq(
+      (0L, 1L, 10L), (0L, 2L, 99L),   // query 0: 1 of 3 hit
+      (2L, 1L, 5L)                    // query 2: not in truth — ignored
+    ).toDF("query_id", "rnk", "neighbor_id")
+    val got = Similarity.annRecall(truth, approx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      0L -> ((3L, 1L, 333333L)),   // floor(1e6/3)
+      1L -> ((2L, 0L, 0L))))       // approx empty for q1 → recall 0
+  }
+
+  test("lshRecall: identical-bucket planted corpus reaches full recall") {
+    // all vectors share sign pattern → one bucket → LSH sees everything,
+    // so recall@k must be 10^6 for every query
+    val em = (0L until 30L).map { i =>
+      (i, Array.tabulate(64)(d => 1.0f + 0.001f * ((i + d) % 7)))
+    }.toDF("vec_id", "embedding")
+    val rec = Similarity.lshRecall(em.where($"vec_id" < 3), em, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(rec.length === 3 && rec.forall(_._2 === 1000000L))
+  }
+
   test("semDedupNlist scales with corpus size between its floor and cap") {
     assert(Similarity.semDedupNlist(0L) === 16)        // floor holds on empty
     assert(Similarity.semDedupNlist(2000L) === 16)     // sf0.1-sized: floor
