@@ -77,7 +77,11 @@ class PlanRegressionSpec extends SparkSpec {
       "naiveBayes(collapseExact)" ->
         graft.ops.LangModel.naiveBayes(docs, collapseExact = true),
       "unigramScore(collapseExact)" ->
-        graft.ops.LangModel.unigramScore(docs, collapseExact = true))
+        graft.ops.LangModel.unigramScore(docs, collapseExact = true),
+      "setSimilarityJoin" ->
+        graft.ops.SetSimilarity.setSimilarityJoin(docs, thresholdPct = 70),
+      "containmentJoin" ->
+        graft.ops.SetSimilarity.containmentJoin(docs, thresholdPct = 80))
     for ((name, df) <- cases) {
       val cols = shuffledColumns(df)
       assert(!cols.exists(c => c == "text" || c == "__text"),
