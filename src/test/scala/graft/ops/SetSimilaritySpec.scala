@@ -149,6 +149,21 @@ class SetSimilaritySpec extends SparkSpec {
       (1L, 7L, 3L, 3L, 3L, 1000000L), (7L, 1L, 3L, 3L, 3L, 1000000L)))
   }
 
+  test("containment: shingle-free docs (short/empty) absent from both roles") {
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d e f g"),
+      (2L, "one two"),   // < 3 tokens → no shingles
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = containmentResult(SetSimilarity.containmentJoin(docs, thresholdPct = 80))
+    assert(!out.exists { case (d, c, _, _, _, _) =>
+      d >= 2L || c >= 2L })
+    // the real pair survives: 0's 3 shingles all inside 1's 5
+    assert(out.exists { case (d, c, _, _, _, ppm) =>
+      d == 0L && c == 1L && ppm == 1000000L })
+  }
+
   test("containment prefix+size pruning loses nothing on a skewed corpus") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("k", "v", "t", "s", "r", "w", "q", "b", "f", "g")

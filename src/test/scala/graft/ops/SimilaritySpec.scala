@@ -205,6 +205,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rec.length === 3 && rec.forall(_._2 === 1000000L))
   }
 
+  test("annRecall composes with any neighbor shape (IVF vs brute force)") {
+    val em = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = em.where($"vec_id" < 4)
+    val rec = Similarity.annRecall(
+      Similarity.bruteForceTopK(q, em, k = 3, vecCol = "embedding"),
+      Similarity.ivfTopK(q, em, k = 3, nlist = 4, nprobe = 4))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // nprobe = nlist probes every cell → IVF sees the whole corpus and
+    // must reproduce brute force exactly: full recall for every query
+    assert(rec.keySet === Set(0L, 1L, 2L, 3L))
+    assert(rec.values.forall { case (n, ppm) => n == 3L && ppm == 1000000L })
+  }
+
   test("semDedupNlist scales with corpus size between its floor and cap") {
     assert(Similarity.semDedupNlist(0L) === 16)        // floor holds on empty
     assert(Similarity.semDedupNlist(2000L) === 16)     // sf0.1-sized: floor
