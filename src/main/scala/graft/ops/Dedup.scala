@@ -265,9 +265,14 @@ object Dedup {
     * way the corpus text is scanned, never exchanged. */
   private[ops] def tokenStreamCollapse(docs: DataFrame, textCol: String)
       : (DataFrame, DataFrame) = {
-    val keyed = docs
+    // digest relation materialized once (the SetSimilarity lesson:
+    // relying on ReuseExchange to dedupe the two identical repartition
+    // subtrees is planner-mood-dependent under AQE full-suite state) —
+    // (doc_id, 16-byte digest) rows, one corpus text pass for both the
+    // group aggregate and the member join
+    val keyed = Checkpoints.truncator(docs.sparkSession, None)(docs
       .select(col("doc_id"), tokenStreamKey(col(textCol)).as("__tk"))
-      .repartition(col("__tk"))
+      .repartition(col("__tk")))
     val reps = keyed.groupBy("__tk").agg(min("doc_id").as("__rep"))
     val members = keyed.join(reps, "__tk").select(col("doc_id"), col("__rep"))
     val repDocs = docs.join(reps.select(col("__rep").as("doc_id")),
