@@ -159,16 +159,25 @@ object Graph {
     * unordered edges), so emitting one orientation halves both the join
     * output and the distinct's shuffle, and the mirror union doubles
     * only the already-deduped edge set, exchange-free. */
-  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
-    val li = lineitem
+  def coPurchaseEdges(lineitem: DataFrame,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    // both `li` (the self-join's two sides) and `half` (the mirror
+    // union's two branches) have two consumers; relying on
+    // ReuseExchange to dedupe them proved planner-mood-dependent at
+    // 10x volume (consecutive identical runs measured 9.4 s vs 18.8 s —
+    // the miss re-runs the 18M-pair join + distinct for the mirror), so
+    // both are structurally materialized (see [[Checkpoints]]): li is
+    // (okey, part) longs, half the deduped unordered edge set.
+    val ck = Checkpoints.truncator(lineitem.sparkSession, checkpointDir)
+    val li = ck(lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .repartition(col("okey"))
-      .dropDuplicates("okey", "part")
-    val half = li.alias("a")
+      .dropDuplicates("okey", "part"))
+    val half = ck(li.alias("a")
       .join(li.alias("b"),
         col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
       .select(col("a.part").as("src"), col("b.part").as("dst"))
-      .distinct()
+      .distinct())
     // disjoint orientations (src < dst vs dst < src): plain UNION ALL,
     // no second dedup pass
     half.union(half.select(col("dst").as("src"), col("src").as("dst")))
@@ -177,7 +186,8 @@ object Graph {
   /** PageRank over the co-purchase graph: (part_id, rank_micro). The
     * graph is symmetric by construction, so the dangling path is
     * detected as empty and skipped. */
-  def partRank(lineitem: DataFrame, iters: Int = 5): DataFrame =
-    pageRank(coPurchaseEdges(lineitem), iters)
+  def partRank(lineitem: DataFrame, iters: Int = 5,
+               checkpointDir: Option[String] = None): DataFrame =
+    pageRank(coPurchaseEdges(lineitem, checkpointDir), iters, checkpointDir)
       .select(col("node").as("part_id"), col("rank_micro"))
 }
