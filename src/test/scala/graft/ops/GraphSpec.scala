@@ -75,4 +75,16 @@ class GraphSpec extends SparkSpec {
     assert(ranked.count() === nodes)
     assert(ranked.where($"rank_micro" < 150000L).count() === 0) // damping floor
   }
+
+  test("partRank with a reliable checkpoint dir is bit-equal to local") {
+    // the dir threads through BOTH the co-purchase pair materialization
+    // and the PageRank loop (r8) — the cluster fault-tolerance path must
+    // not change a single rank
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck-pr").toString
+    val local = Graph.partRank(li).as[(Long, Long)].collect().toMap
+    val reliable = Graph.partRank(li, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable === local)
+  }
 }
