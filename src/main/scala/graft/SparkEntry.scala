@@ -830,16 +830,19 @@ object SparkEntry {
         // (event_type, user_id) pairs: the HLL register state depends
         // only on the SET of hashed values, so sketching the deduped
         // pairs is value-identical to sketching the raw stream, and
-        // count(*) over the pairs IS the exact distinct count. Earlier
-        // shapes were strictly worse: a mixed distinct+HLL aggregate
-        // plans through an expand dragging the 16 KB buffer through
-        // doubled rows (~5x), and separate aggregates need a join
-        // whose inner equi-key silently dropped a null event_type
+        // count(user_id) over the pairs IS the exact distinct count —
+        // count(col), not count(*): a (event_type, NULL) pair must be
+        // skipped exactly as COUNT(DISTINCT user_id) and the HLL both
+        // skip NULLs, or a null-carrying corpus inflates exact_users.
+        // Earlier shapes were strictly worse: a mixed distinct+HLL
+        // aggregate plans through an expand dragging the 16 KB buffer
+        // through doubled rows (~5x), and separate aggregates need a
+        // join whose inner equi-key silently dropped a null event_type
         // group. One scan, two exchanges, no join, nulls preserved.
         val pairs = t(s, dir, "events")
           .groupBy("event_type", "user_id").agg(lit(1))
         pairs.groupBy("event_type")
-          .agg(count(lit(1)).as("exact_users"),
+          .agg(count(col("user_id")).as("exact_users"),
             approx_count_distinct(col("user_id"), 0.015).as("approx"))
           .select(col("event_type"), col("exact_users"),
             (abs(col("approx").cast("double") / col("exact_users") - 1.0) <= 0.05)

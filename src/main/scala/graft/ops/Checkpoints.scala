@@ -22,6 +22,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `checkpoint()`; `None` keeps the localCheckpoint default. Both are
   * eager — the iterative loops want the materialization barrier so each
   * round is costed once.
+  *
+  * EAGERNESS CAVEAT for operator callers: any operator built on this
+  * truncator (set-similarity/containment joins, span dedup, the LSH
+  * collapse, naive Bayes, PageRank) runs its materialization jobs AT
+  * DATAFRAME-CONSTRUCTION TIME, not at first action — calling the
+  * builder just to `.explain()` or inspect a schema pays the corpus
+  * passes and registers blocks. Build these plans when you intend to
+  * run them, and release blocks afterwards (`ContextCleaner` reaps them
+  * once unreachable; `graft.Bench`/`Verify` unpersist between queries).
   */
 object Checkpoints {
 

@@ -227,9 +227,10 @@ object Dedup {
     * intra self-join and both cross-expansion joins. */
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
                      numHashes: Int = 8, rowsPerBand: Int = 2,
-                     shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+                     shingleSize: Int = 3, threshold: Double = 0.5,
+                     checkpointDir: Option[String] = None): DataFrame = {
     val (m, repPairs) = collapsedRepPairs(docs, textCol, numHashes,
-      rowsPerBand, shingleSize, threshold)
+      rowsPerBand, shingleSize, threshold, checkpointDir)
     // ---- expansion: intra-group pairs (identical token streams,
     // jaccard exactly 1.0) plus cross-group pairs inheriting their
     // representatives' verified jaccard. Quadratic only in the OUTPUT,
@@ -263,14 +264,15 @@ object Dedup {
     * semi-join against the original scan, which AQE broadcasts whenever
     * the rep set fits and otherwise degrades to a hash join — either
     * way the corpus text is scanned, never exchanged. */
-  private[ops] def tokenStreamCollapse(docs: DataFrame, textCol: String)
+  private[ops] def tokenStreamCollapse(docs: DataFrame, textCol: String,
+                                       checkpointDir: Option[String] = None)
       : (DataFrame, DataFrame) = {
     // digest relation materialized once (the SetSimilarity lesson:
     // relying on ReuseExchange to dedupe the two identical repartition
     // subtrees is planner-mood-dependent under AQE full-suite state) —
     // (doc_id, 16-byte digest) rows, one corpus text pass for both the
     // group aggregate and the member join
-    val keyed = Checkpoints.truncator(docs.sparkSession, None)(docs
+    val keyed = Checkpoints.truncator(docs.sparkSession, checkpointDir)(docs
       .select(col("doc_id"), tokenStreamKey(col(textCol)).as("__tk"))
       .repartition(col("__tk")))
     val reps = keyed.groupBy("__tk").agg(min("doc_id").as("__rep"))
@@ -291,9 +293,10 @@ object Dedup {
     * joins and the intra self-join reuse. */
   private def collapsedRepPairs(docs: DataFrame, textCol: String,
                                 numHashes: Int, rowsPerBand: Int,
-                                shingleSize: Int, threshold: Double)
+                                shingleSize: Int, threshold: Double,
+                                checkpointDir: Option[String])
       : (DataFrame, DataFrame) = {
-    val (members, repDocs) = tokenStreamCollapse(docs, textCol)
+    val (members, repDocs) = tokenStreamCollapse(docs, textCol, checkpointDir)
     val sigs = minHashSignatures(repDocs, textCol, numHashes, shingleSize)
     val repPairs = jaccardVerify(repDocs,
       candidatePairs(lshBands(sigs, numHashes, rowsPerBand)),
@@ -321,7 +324,7 @@ object Dedup {
                         maxIter: Int = 20,
                         checkpointDir: Option[String] = None): DataFrame = {
     val (m, repPairs) = collapsedRepPairs(docs, textCol, numHashes,
-      rowsPerBand, shingleSize, threshold)
+      rowsPerBand, shingleSize, threshold, checkpointDir)
     val covered = connectedComponents(repPairs, maxIter, checkpointDir = checkpointDir)
       .select(col("doc_id").as("__rep"), col("component_id"))
     // multi-member groups untouched by any cross-group pair form their
@@ -490,9 +493,10 @@ object Dedup {
     * when small and falls back to a hash join when it isn't. */
   def keepBestDedup(docs: DataFrame, textCol: String = "text",
                     numHashes: Int = 8, rowsPerBand: Int = 2,
-                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+                    shingleSize: Int = 3, threshold: Double = 0.5,
+                    checkpointDir: Option[String] = None): DataFrame = {
     val comps = nearDupComponents(docs, textCol, numHashes, rowsPerBand,
-      shingleSize, threshold)
+      shingleSize, threshold, checkpointDir = checkpointDir)
     val scored = docs.select(col("doc_id"),
       TextStats.tokenCount(col(textCol)).as("n_tokens"))
     val winners = comps.join(scored, "doc_id")
@@ -550,7 +554,8 @@ object Dedup {
     * per-doc-partitioned window, not a self-join; the final reassembly
     * reuses the window's doc_id exchange. */
   def spanDedup(docs: DataFrame, k: Int = 5,
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text",
+                checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 2, s"spanDedup: k ($k) must be >= 2")
     // exact-text collapse (see nearDuplicates): the gram explode, the
     // cover window, and the reassembly are pure functions of the token
@@ -561,7 +566,7 @@ object Dedup {
     // digest relation materialized once (two consumers: the group
     // aggregate and the final member join) — (doc_id, 16-byte digest)
     // rows, one corpus text pass instead of two
-    val keyed = Checkpoints.truncator(docs.sparkSession, None)(
+    val keyed = Checkpoints.truncator(docs.sparkSession, checkpointDir)(
       docs.select(col("doc_id"), tokenStreamKey(col(textCol)).as("__tk")))
     val reps = keyed.groupBy("__tk").agg(min("doc_id").as("__rep"),
       count(lit(1)).cast("long").as("__n"))
@@ -574,7 +579,7 @@ object Dedup {
     // position over the whole corpus. Disk-backed blocks of
     // (key, pos, tok, 16-byte digest) per token — the same volume the
     // two consumers each shuffle anyway.
-    val pt = Checkpoints.truncator(docs.sparkSession, None)(repDocs
+    val pt = Checkpoints.truncator(docs.sparkSession, checkpointDir)(repDocs
       .select(tokenStreamKey(col(textCol)).as("__tk"),
         TextStats.tokens(col(textCol)).as("ts"))
       .where(size(col("ts")) > 0)

@@ -48,11 +48,19 @@ object Graph {
     * `checkpointDir`: see [[Checkpoints]] — pass an HDFS/S3 dir on a
     * real cluster so a lost executor at round k replays from the
     * checkpoint instead of killing the job; default localCheckpoint is
-    * the single-node path. */
+    * the single-node path.
+    *
+    * `edgesMaterialized`: set true when `edges0` is already a scan of
+    * materialized blocks (e.g. [[coPurchaseEdges]]'s checkpointed
+    * half-edge union) — the loop then reads it directly instead of
+    * copying the whole edge set into a second, redundant checkpoint. */
   def pageRank(edges0: DataFrame, iters: Int = 5,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               edgesMaterialized: Boolean = false): DataFrame = {
     val ck = Checkpoints.truncator(edges0.sparkSession, checkpointDir)
-    val edges = ck(edges0.select("src", "dst"))
+    val edges =
+      if (edgesMaterialized) edges0.select("src", "dst")
+      else ck(edges0.select("src", "dst"))
     // node-sized (≤ |nodes| rows): rides the broadcast side every round
     // — annotating the EDGE relation with outdeg instead costs a second
     // full edge materialization plus a 50% wider loop scan (measured
@@ -188,6 +196,7 @@ object Graph {
     * detected as empty and skipped. */
   def partRank(lineitem: DataFrame, iters: Int = 5,
                checkpointDir: Option[String] = None): DataFrame =
-    pageRank(coPurchaseEdges(lineitem, checkpointDir), iters, checkpointDir)
+    pageRank(coPurchaseEdges(lineitem, checkpointDir), iters, checkpointDir,
+      edgesMaterialized = true)
       .select(col("node").as("part_id"), col("rank_micro"))
 }
