@@ -17,6 +17,20 @@ class DedupSpec extends SparkSpec {
     (6L, "")                                                // empty
   ).toDF("doc_id", "text")
 
+  test("reliable checkpoint dir yields identical span-dedup and keep-best output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck-dd").toString
+    val localSpan = Dedup.spanDedup(docs, k = 3).collect().map(_.toSeq).toSet
+    val reliableSpan = Dedup.spanDedup(docs, k = 3, checkpointDir = Some(dir))
+      .collect().map(_.toSeq).toSet
+    assert(reliableSpan === localSpan)
+    val localKb = Dedup.keepBestDedup(docs, shingleSize = 2, threshold = 0.35)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val reliableKb = Dedup.keepBestDedup(docs, shingleSize = 2,
+      threshold = 0.35, checkpointDir = Some(dir))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(reliableKb === localKb)
+  }
+
   test("wordShingles: distinct n-grams from raw text; [] when too short") {
     val out = Seq((0L, "a b c b a b c"), (1L, "x"), (2L, ""))
       .toDF("doc_id", "text")
