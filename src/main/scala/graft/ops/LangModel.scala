@@ -46,8 +46,9 @@ object LangModel {
     * already run. */
   def unigramScore(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text",
-                   collapseExact: Boolean = false): DataFrame =
-    if (collapseExact) unigramScoreCollapsed(docs, idCol, textCol)
+                   collapseExact: Boolean = false,
+                   checkpointDir: Option[String] = None): DataFrame =
+    if (collapseExact) unigramScoreCollapsed(docs, idCol, textCol, checkpointDir)
     else unigramScoreDirect(docs, idCol, textCol)
 
   private def unigramScoreDirect(docs: DataFrame, idCol: String,
@@ -80,19 +81,26 @@ object LangModel {
     * for digests, once for the rep explode via a doc_id semi-join),
     * never exchanged. */
   private def unigramScoreCollapsed(docs: DataFrame, idCol: String,
-                                    textCol: String): DataFrame = {
-    val keyed = docs.select(col(idCol),
-      Dedup.tokenStreamKey(col(textCol)).as("__tk"))
+                                    textCol: String,
+                                    checkpointDir: Option[String]): DataFrame = {
+    // both corpus-sized relations materialize once (the naiveBayes
+    // treatment): the digest pass feeds the group aggregate and the
+    // final member join; the per-stream tf feeds the corpus counts,
+    // the total, and the scoring join — three consumers that would
+    // otherwise each re-run the token explode
+    val ck = Checkpoints.truncator(docs.sparkSession, checkpointDir)
+    val keyed = ck(docs.select(col(idCol),
+      Dedup.tokenStreamKey(col(textCol)).as("__tk")))
     val reps = keyed.groupBy("__tk")
       .agg(min(idCol).as("__rep"), count(lit(1)).cast("long").as("__n"))
     val repDocs = docs.join(reps.select(col("__rep").as(idCol)),
       Seq(idCol), "left_semi")
-    val gtf = repDocs
+    val gtf = ck(repDocs
       .select(Dedup.tokenStreamKey(col(textCol)).as("__tk"),
         explode(TextStats.tokens(col(textCol))).as("tok"))
       .where(col("tok").isNotNull)
       .groupBy(col("__tk"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     // corpus counts weight each stream by its multiplicity — the
     // trained LM is identical to the per-doc formulation
     val wtf = gtf.join(reps.select("__tk", "__n"), "__tk")
