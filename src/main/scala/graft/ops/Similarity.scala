@@ -159,9 +159,13 @@ object Similarity {
     * relations — the evaluator costs nothing next to the pipelines it
     * measures. */
   def annRecall(truth: DataFrame, approx: DataFrame): DataFrame =
+    // approx is ≤ k·|Q| rows BY CONSTRUCTION (a ranked top-k result),
+    // but it ends in an aggregate+generate whose output size the
+    // planner can't estimate — without the hint it fell back to a
+    // sort-merge join of two tiny relations
     truth.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id"),
-        lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__hit"))), Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).cast("long").as("n_true"),
         coalesce(sum("__hit"), lit(0L)).cast("long").as("n_hit"))
