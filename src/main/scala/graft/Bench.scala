@@ -16,8 +16,8 @@ object Bench {
       // static conf (builder-time only): the suite's two timed passes
       // run ALL queries in pass 1 before ANY repeats in pass 2 — at the
       // 100-entry default every pass-2 stage has been evicted and
-      // recompiles. See GraftSession for sizing.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // recompiles. Sizing lives in GraftSession.CodegenCacheEntries.
+      .config("spark.sql.codegen.cache.maxEntries", GraftSession.CodegenCacheEntries)
       .getOrCreate()
     GraftSession.tune(spark)
     // ERROR, not WARN: stray WARN lines interleaving with the final

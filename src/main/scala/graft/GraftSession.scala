@@ -20,6 +20,16 @@ object GraftSession {
   def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
     .getOrElse(Runtime.getRuntime.availableProcessors())
 
+  /** Static conf, defaults to 100 entries: a 100+-query session
+    * generates far more whole-stage-codegen units than that, so a
+    * re-run query finds its compiled classes evicted and recompiles
+    * (bench pass 2 runs AFTER all of pass 1 — every stage recompiled;
+    * measured 28% of the full suite). 2000 covers the suite twice
+    * over; the single source of truth for every session builder —
+    * Bench builds its own driver-contract session and must size the
+    * cache identically or it re-measures the regression this fixed. */
+  val CodegenCacheEntries = "2000"
+
   def builder(appName: String, cores: Int = cpus): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
@@ -36,14 +46,8 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // keep catalog-table data (bucketed writes) out of the repo cwd
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
-      // static conf, defaults to 100 entries: a 100+-query session
-      // generates far more codegen units than that, so by the time a
-      // query re-runs its compiled classes are evicted and recompile
-      // (bench pass 2 runs AFTER all of pass 1 — every stage
-      // recompiles). 2000 covers the whole suite twice over; the
-      // entries are compiled classes, amortized against the 512 MB
-      // reserved code cache.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // see CodegenCacheEntries
+      .config("spark.sql.codegen.cache.maxEntries", CodegenCacheEntries)
 
   def local(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()

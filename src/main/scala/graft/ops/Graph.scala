@@ -115,7 +115,18 @@ object Graph {
       keep = keep.take(2)
       if (i % cutEvery == 0 && i < iters) ranks = ck(ranks)
     }
-    ranks.select(col("node"), col("rank").as("rank_micro"))
+    // ownership handoff: cut the final carrier into standalone
+    // materialized blocks, then release every loop persist. Without
+    // this, the returned plan would keep the last two Dataset-level
+    // cache entries alive in the CacheManager (which the
+    // ContextCleaner never reaps) — a long-lived session calling
+    // pageRank repeatedly would leak two node-sized cached relations
+    // per invocation, plus keep the edge checkpoint reachable. The
+    // cut costs one |nodes|-row job and the result references nothing
+    // from the loop.
+    val out = ck(ranks.select(col("node"), col("rank").as("rank_micro")))
+    keep.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** One PageRank round: fold outdeg into the node-sized ranks relation

@@ -98,17 +98,19 @@ class PlanRegressionSpec extends SparkSpec {
     // token explode into N subtrees and fails here. Also guards the
     // single-aggregate argmax: the old max-then-rejoin self-join
     // doubled the scoring pipeline (two Generates pre-fix).
+    //
+    // A STATIC plan check on purpose: the Generate absence is decided
+    // at planning (the checkpoint happened at construction), so no
+    // execution is needed — an earlier version paid a full NB run via
+    // a noop write and then walked this same initial plan anyway.
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     for ((name, df) <- Seq(
         "direct" -> graft.ops.LangModel.naiveBayes(docs),
         "collapsed" -> graft.ops.LangModel.naiveBayes(docs, collapseExact = true))) {
-      df.write.format("noop").mode("overwrite").save()
       var generates = 0
       def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q.plan)
         case g: org.apache.spark.sql.execution.GenerateExec =>
           generates += 1; g.children.foreach(walk)
         case other => other.children.foreach(walk)
