@@ -35,9 +35,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Checkpoints {
 
   /** An eager lineage-truncation function for `spark`: reliable when
-    * `dir` is given, local otherwise. */
+    * `dir` is given, local otherwise.
+    *
+    * Reliable-path housekeeping: (a) checkpoint files are orphaned on
+    * DFS unless the ContextCleaner is told to reap them —
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is read ONCE at
+    * SparkContext startup, so [[graft.GraftSession]] sets it in the
+    * builder; a session built elsewhere must set it at context-creation
+    * time or accept one orphaned directory per checkpointed relation,
+    * unbounded over a long-lived session; (b) the checkpoint dir is
+    * SESSION-GLOBAL state. Because every truncation here is EAGER,
+    * sequential operators may each install their own dir safely (all of
+    * op A's checkpoints land before op B resets the dir) — but two
+    * operators built CONCURRENTLY with different dirs race, and the
+    * last-set dir silently receives both operators' files. The switch
+    * is therefore allowed but logged loudly; concurrent builders must
+    * share one dir. */
   def truncator(spark: SparkSession, dir: Option[String]): DataFrame => DataFrame = {
-    dir.foreach(spark.sparkContext.setCheckpointDir)
+    dir.foreach { d =>
+      val existing = spark.sparkContext.getCheckpointDir.map(_.stripSuffix("/"))
+      // setCheckpointDir creates a random subdir under d — compare
+      // against the parent we were asked for, not the generated leaf
+      val samePrefix = existing.exists(_.startsWith(d.stripSuffix("/")))
+      if (existing.isDefined && !samePrefix)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"switching session checkpoint dir ${existing.get} -> $d; " +
+            "operators built CONCURRENTLY with different dirs would " +
+            "interleave checkpoints under the last-set dir — share one " +
+            "dir across concurrent builds")
+      if (!samePrefix) spark.sparkContext.setCheckpointDir(d)
+    }
     df =>
       if (dir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)

@@ -130,16 +130,22 @@ object LangModel {
     * shift signal, not a zero-probability event to paper over; the
     * average covers in-vocabulary tokens only (null when all are OOV).
     *
-    * Scale: train-side stats are the same two aggregates off one tf
-    * exchange as [[unigramScore]]; the vocabulary broadcasts (token
-    * types, not occurrences) and the eval side is one scan + one
-    * per-doc aggregation. */
+    * Scale: the train corpus pays exactly ONE scan+explode — the
+    * vocabulary-sized (tok, cnt) relation is structurally materialized
+    * (see [[Checkpoints]]) and both train-side statistics (the
+    * broadcast LM and the corpus total) derive from it; betting on
+    * ReuseExchange to share the two subtrees re-ran the corpus explode
+    * (measured: a third parquet scan in the plan). The vocabulary
+    * broadcasts (token types, not occurrences) and the eval side is
+    * one scan + one per-doc aggregation. */
   def crossUnigramScore(train: DataFrame, eval: DataFrame,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val trainTf = train
+                        textCol: String = "text",
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val ck = Checkpoints.truncator(train.sparkSession, checkpointDir)
+    val trainTf = ck(train
       .select(explode(TextStats.tokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt")))
     val total = trainTf.agg(sum("cnt").cast("long").as("total_tokens"))
     val evalTf = eval
       .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))

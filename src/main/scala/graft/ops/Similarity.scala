@@ -157,20 +157,30 @@ object Similarity {
     *
     * Scale: one equi-join on (query_id, neighbor_id) over two ≤ k·|Q|
     * relations — the evaluator costs nothing next to the pipelines it
-    * measures. */
-  def annRecall(truth: DataFrame, approx: DataFrame): DataFrame =
-    // approx is ≤ k·|Q| rows BY CONSTRUCTION (a ranked top-k result),
-    // but it ends in an aggregate+generate whose output size the
-    // planner can't estimate — without the hint it fell back to a
-    // sort-merge join of two tiny relations
+    * measures.
+    *
+    * `broadcastApprox` (default true) assumes a BOUNDED query set:
+    * approx is ≤ k·|Q| rows by construction, so for the harness's
+    * intended shape (thousands of queries) the broadcast is MBs. Fed
+    * corpus-scale |Q| (e.g. a self-recall sweep where every corpus row
+    * is a query), k·|Q| is corpus-sized — pass `broadcastApprox =
+    * false` to keep the shuffled equi-join and stay off the driver. */
+  def annRecall(truth: DataFrame, approx: DataFrame,
+                broadcastApprox: Boolean = true): DataFrame = {
+    // approx ends in an aggregate+generate whose output size the
+    // planner can't estimate — without the hint the bounded case fell
+    // back to a sort-merge join of two tiny relations
+    val hits = approx.select(col("query_id"), col("neighbor_id"),
+      lit(1L).as("__hit"))
     truth.select(col("query_id"), col("neighbor_id"))
-      .join(broadcast(approx.select(col("query_id"), col("neighbor_id"),
-        lit(1L).as("__hit"))), Seq("query_id", "neighbor_id"), "left")
+      .join(if (broadcastApprox) broadcast(hits) else hits,
+        Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).cast("long").as("n_true"),
         coalesce(sum("__hit"), lit(0L)).cast("long").as("n_hit"))
       .select(col("query_id"), col("n_true"), col("n_hit"),
         expr("(1000000 * n_hit) div n_true").as("recall_ppm"))
+  }
 
   /** [[annRecall]] of the single-probe SRP-LSH path against brute-force
     * truth on the same query/corpus split — the recall number that
@@ -418,11 +428,17 @@ object Similarity {
     * count() job over the corpus before training. */
   def semDedup(corpus: DataFrame, threshold: Double = 0.4, nlist: Int = 0,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               maxIter: Int = 5, maxTrain: Int = 4096): DataFrame = {
+               maxIter: Int = 5, maxTrain: Int = 4096,
+               checkpointDir: Option[String] = None): DataFrame = {
     val k = if (nlist > 0) nlist else semDedupNlist(corpus.count())
     val cent = trainedCentroids(corpus, k, maxIter, maxTrain, idCol, vecCol)
-    val assigned = corpus.select(col(idCol), col(vecCol).as("v"),
-      VectorExpressions.nearest_cell(col(vecCol), cent.map(_.toSeq).toSeq).as("cell"))
+    // the cell assignment (corpus scan + a k·dim argmax per row) feeds
+    // THREE consumers — both pair-join sides and the final keep
+    // anti-join — so it materializes once (see [[Checkpoints]]) instead
+    // of re-scanning and re-scoring the corpus per consumer
+    val ck = Checkpoints.truncator(corpus.sparkSession, checkpointDir)
+    val assigned = ck(corpus.select(col(idCol), col(vecCol).as("v"),
+      VectorExpressions.nearest_cell(col(vecCol), cent.map(_.toSeq).toSeq).as("cell")))
     val a = assigned.select(col("cell"), col(idCol).as("doc_a"), col("v").as("va"))
     val b = assigned.select(col("cell"), col(idCol).as("doc_b"), col("v").as("vb"))
     val pairs = a.join(b, Seq("cell"))
