@@ -409,15 +409,40 @@ object LangModel {
     * pair_count) — the artifact a tokenizer build actually ships.
     *
     * The algorithm runs where BPE always runs: on the WORD-COUNT
-    * table, not the corpus. One corpus pass builds (word, count); each
-    * iteration is then an aggregation over the vocabulary (distinct
-    * words — millions of rows at 100 TB, not billions) plus a 1-row
-    * collect of the winning pair, and a scan-local `replace` applies
-    * the merge for the next round. Iterations are bounded by
-    * `nMerges`; lineage truncates via localCheckpoint so round k does
-    * not replay rounds 1..k-1. Ties break (count desc, left, right) —
-    * deterministic on any engine; symbols stay ASCII (a-z fragments),
-    * so string comparison agrees across collations.
+    * table, not the corpus. One corpus pass builds (word, count) —
+    * millions of rows at 100 TB, not billions — and then:
+    *
+    *  - **Driver path (vocabulary ≤ `driverCutoff` words, the normal
+    *    case)**: the bounded (word, count) relation collects once and
+    *    the whole merge loop runs in-memory with incremental pair-count
+    *    maintenance (subword-nmt's algorithm: a lazy max-heap over pair
+    *    counts plus a pair→words occurrence index, so each merge
+    *    touches only the words containing its pair). A real ~32k-merge
+    *    vocabulary trains in ONE Spark job total — the per-round
+    *    Spark-job formulation would schedule 32k sequential jobs, which
+    *    no cluster amortizes. This is the same bounded-driver-state
+    *    trade as [[graft.ops.Dedup.connectedComponents]]'s union-find
+    *    fast path: the collected relation is the REDUCED vocabulary,
+    *    whose size grows with language, not corpus bytes.
+    *  - **Distributed fallback (vocabulary above the cutoff)**: each
+    *    iteration is an aggregation over the segmented vocabulary plus
+    *    a 1-row collect of the winning pair, and a scan-local `replace`
+    *    applies the merge for the next round. Lineage truncates via
+    *    [[Checkpoints]] so round k does not replay rounds 1..k-1;
+    *    iterations are capped at 64 — beyond that, raise the cutoff
+    *    (every 2× of `driverCutoff` buys ~constant driver MBs) rather
+    *    than schedule thousands of sequential jobs.
+    *
+    * Both paths implement the identical sequential greedy algorithm and
+    * produce byte-identical merge tables (spec-asserted) — batching
+    * top-N disjoint pairs per round was considered and rejected: a
+    * merge can create a NEW pair (left-context × merged symbol) that
+    * outranks the batch's next accepted pair, so batches reorder ranks
+    * relative to canonical sequential BPE.
+    *
+    * Ties break (count desc, left, right) — deterministic on any
+    * engine; symbols stay ASCII (a-z fragments), so string comparison
+    * agrees across collations.
     *
     * Symbol-string representation: a word's symbols are ' '-joined
     * with sentinel spaces (' a b c '). A naive literal replacement
@@ -436,8 +461,16 @@ object LangModel {
     * to any engine (the DuckDB oracle runs the identical chain). */
   def bpeTrain(docs: DataFrame, nMerges: Int = 4,
                textCol: String = "text",
-               checkpointDir: Option[String] = None): DataFrame =
-    bpeLoop(docs, nMerges, textCol, checkpointDir)._2
+               checkpointDir: Option[String] = None,
+               driverCutoff: Long = BpeDriverCutoff): DataFrame =
+    bpeLoop(docs, nMerges, textCol, checkpointDir, driverCutoff)._2
+
+  /** Default vocabulary-size bound for [[bpeTrain]]'s driver path:
+    * 2M distinct words × ~40 B ≈ 100 MB of driver heap — comfortably
+    * inside any real driver, and larger than the full word vocabulary
+    * of most single-language crawls (English web text plateaus in the
+    * low millions of distinct alphabetic words). */
+  val BpeDriverCutoff: Long = 2L * 1000 * 1000
 
   /** Apply the merges [[bpeTrain]] would learn and count each
     * document's post-BPE tokens — the "how long is this doc under MY
@@ -453,8 +486,9 @@ object LangModel {
   def bpeTokenCounts(docs: DataFrame, nMerges: Int = 4,
                      idCol: String = "doc_id",
                      textCol: String = "text",
-                     checkpointDir: Option[String] = None): DataFrame = {
-    val vocab = bpeLoop(docs, nMerges, textCol, checkpointDir)._1
+                     checkpointDir: Option[String] = None,
+                     driverCutoff: Long = BpeDriverCutoff): DataFrame = {
+    val vocab = bpeLoop(docs, nMerges, textCol, checkpointDir, driverCutoff)._1
     val nSym = vocab.select(col("w"),
       size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
     docs
@@ -467,25 +501,41 @@ object LangModel {
   }
 
   /** The shared training loop: returns (final segmented vocabulary
-    * (w, s, c), merge table). See [[bpeTrain]] for the algorithm and
-    * portability contract. */
-  private def bpeLoop(docs: DataFrame, nMerges: Int, textCol: String,
-                      checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
-    require(nMerges >= 1 && nMerges <= 64, s"nMerges $nMerges out of [1,64]")
+    * (w, s, c), merge table). See [[bpeTrain]] for the algorithm,
+    * the driver/distributed split, and the portability contract. */
+  private[graft] def bpeLoop(docs: DataFrame, nMerges: Int, textCol: String,
+                             checkpointDir: Option[String] = None,
+                             driverCutoff: Long = BpeDriverCutoff): (DataFrame, DataFrame) = {
+    require(nMerges >= 1 && nMerges <= 65536, s"nMerges $nMerges out of [1,65536]")
     val spark = docs.sparkSession
     import spark.implicits._
     val ck = Checkpoints.truncator(spark, checkpointDir)
-    var vocab = docs
+    // the one corpus-sized pass, materialized once: the vocabulary-size
+    // probe, the driver collect / distributed loop, and (via the
+    // returned vocab) bpeTokenCounts' broadcast all derive from it
+    val wc = ck(docs
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
       .where(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      // chars via explicit index (no lookahead regex — portable to RE2)
-      .select(col("w"), concat(lit(" "),
-        concat_ws(" ",
-          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
-        lit(" ")).as("s"),
-        col("c"))
-    vocab = ck(vocab)
+      .groupBy("w").agg(count(lit(1)).as("c")))
+    if (wc.count() <= driverCutoff) {
+      val (segs, merges) = bpeTrainInMemory(
+        wc.as[(String, Long)].collect(), nMerges)
+      val vocabDf = spark.createDataFrame(segs.toIndexedSeq)
+        .toDF("w", "s", "c")
+      val mergesDf = spark.createDataFrame(merges.toIndexedSeq)
+        .toDF("rank", "left", "right", "merged", "pair_count")
+      return (vocabDf, mergesDf)
+    }
+    require(nMerges <= 64,
+      s"distributed BPE fallback schedules one job per merge — $nMerges " +
+        "merges above the 64-job cap; raise driverCutoff (bounded driver " +
+        "memory) instead of running thousands of sequential Spark jobs")
+    // chars via explicit index (no lookahead regex — portable to RE2)
+    var vocab = wc.select(col("w"), concat(lit(" "),
+      concat_ws(" ",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+      lit(" ")).as("s"),
+      col("c"))
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
     while (rank <= nMerges) {
@@ -519,5 +569,104 @@ object LangModel {
     }
     (vocab,
       merges.result().toDF("rank", "left", "right", "merged", "pair_count"))
+  }
+
+  /** In-memory sequential-greedy BPE over a collected (word, count)
+    * vocabulary — the [[bpeLoop]] driver path. Returns (segmented vocab
+    * rows (w, ' sym sym ', c), merge rows (rank, l, r, lr, cnt)), both
+    * byte-identical to the distributed per-round formulation
+    * (spec-asserted on shared corpora).
+    *
+    * Incremental maintenance (subword-nmt): pair counts live in a map;
+    * a lazy max-heap orders candidates (stale entries are re-validated
+    * against the map on pop, (count desc, l, r) tie-break); a
+    * pair→word-indices occurrence index confines each merge's work to
+    * the words actually containing the pair. Per merge the cost is
+    * O(Σ|w| over affected words + log P) instead of O(vocabulary), so
+    * 32k merges over a few-million-word vocabulary is seconds, not
+    * hours. Pair counting includes overlapping positions ('aaa' holds
+    * two (a,a) adjacencies) exactly like the distributed aggregation;
+    * the merge itself is the canonical greedy left-to-right
+    * non-overlapping scan (the space-doubling scheme's semantics). */
+  private def bpeTrainInMemory(wordCounts: Array[(String, Long)],
+                               nMerges: Int)
+      : (Array[(String, String, Long)], Array[(Int, String, String, String, Long)]) = {
+    import scala.collection.mutable
+    val words = wordCounts.map { case (w, _) =>
+      mutable.ArrayBuffer.from(w.map(_.toString)) }
+    val counts = wordCounts.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def wordPairs(syms: mutable.ArrayBuffer[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else syms.iterator.zip(syms.iterator.drop(1))
+    for (i <- words.indices; p <- wordPairs(words(i))) {
+      pairCount.updateWith(p)(c => Some(c.getOrElse(0L) + counts(i)))
+      occ.getOrElseUpdate(p, mutable.BitSet.empty) += i
+    }
+    // max-heap: count desc, then (l, r) asc — matches the distributed
+    // ORDER BY cnt DESC, l, r exactly
+    val heapOrd = Ordering.fromLessThan[(Long, String, String)] { (a, b) =>
+      a._1 < b._1 ||
+        (a._1 == b._1 && (a._2 > b._2 || (a._2 == b._2 && a._3 > b._3)))
+    }
+    val heap = mutable.PriorityQueue.empty(heapOrd)
+    pairCount.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+    val merges = Array.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      // pop until the top entry's count matches the live map (lazy
+      // deletion: superseded entries are simply skipped)
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (c > 0 && pairCount.getOrElse((l, r), 0L) == c) top = Some((c, l, r))
+      }
+      top match {
+        case None => exhausted = true
+        case Some((cnt, l, r)) =>
+          merges += ((rank, l, r, l + r, cnt))
+          val changed = mutable.Set.empty[(String, String)]
+          // BitSet iterates ascending — deterministic, though the
+          // count sums are order-free anyway
+          for (i <- occ.remove((l, r)).getOrElse(mutable.BitSet.empty)) {
+            val syms = words(i)
+            // stale occurrence entries (pair already consumed by an
+            // earlier merge at this word) fall through harmlessly:
+            // old and new pair lists are then identical
+            val before = wordPairs(syms).toArray
+            val out = mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+                out += l + r; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            if (out.length != syms.length) {
+              words(i) = out
+              for (p <- before) {
+                pairCount.updateWith(p)(c => Some(c.getOrElse(0L) - counts(i)))
+                changed += p
+              }
+              for (p <- wordPairs(out)) {
+                pairCount.updateWith(p)(c => Some(c.getOrElse(0L) + counts(i)))
+                occ.getOrElseUpdate(p, mutable.BitSet.empty) += i
+                changed += p
+              }
+            }
+          }
+          changed.foreach { p =>
+            val c = pairCount.getOrElse(p, 0L)
+            if (c <= 0) { pairCount.remove(p); occ.remove(p) }
+            else heap.enqueue((c, p._1, p._2))
+          }
+          rank += 1
+      }
+    }
+    val segs = words.indices.map { i =>
+      (wordCounts(i)._1, words(i).mkString(" ", " ", " "), counts(i))
+    }.toArray
+    (segs, merges.result())
   }
 }

@@ -200,6 +200,63 @@ class LangModelSpec extends SparkSpec {
     assert(m.head.getString(3) === "ab")
   }
 
+  test("bpe driver path is byte-equal to the distributed per-round loop") {
+    import spark.implicits._
+    // adversarial shapes: self-adjacent runs (greedy chaining), merge
+    // chains that re-rank mid-train (a merge creating a pair that
+    // outranks pre-existing ones — the case that rules out batching),
+    // count ties (lex tie-break), and words that fully exhaust
+    val docs = Seq(
+      (1L, "ooooo oooooo"),              // runs of the same symbol
+      (2L, "xab xab xab xab cd cd cd"),  // (a,b) then (x,ab) outranks (c,d)
+      (3L, "pq qr rp"),                  // three-way count tie
+      (4L, "the the thee"),              // shared prefixes
+      (5L, "ab")                         // exhausts after one merge
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 3, 8, 64)) {
+      val drv = LangModel.bpeLoop(docs, n, "text", None, Long.MaxValue)
+      val dst = LangModel.bpeLoop(docs, n, "text", None, 0L)
+      assert(drv._2.collect().map(_.toSeq).toSeq ===
+        dst._2.collect().map(_.toSeq).toSeq, s"merge table, nMerges=$n")
+      assert(drv._1.collect().map(_.toSeq).toSet ===
+        dst._1.collect().map(_.toSeq).toSet, s"segmented vocab, nMerges=$n")
+    }
+  }
+
+  test("bpe 100-merge train runs in O(1) Spark jobs, not one per merge") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val m = LangModel.bpeTrain(docs, nMerges = 100).collect()
+      // listener events are posted asynchronously; a short settle is
+      // enough for the handful of job-start events being counted
+      Thread.sleep(500)
+      // merges may exhaust below 100 on a small corpus; ranks must be
+      // 1..k and the job count bounded by the driver-path constant
+      // (vocab materialize + count + collect + result-side jobs), far
+      // below the per-merge formulation's 100+
+      assert(m.nonEmpty && m.length <= 100)
+      assert(m.map(_.getInt(0)).toSeq === (1 to m.length))
+      assert(jobs <= 10, s"expected O(1) jobs for 100 merges, got $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bpe distributed fallback refuses merge counts above its job cap") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LangModel.bpeLoop(docs, 100, "text", None, 0L)
+    }
+    assert(e.getMessage.contains("driverCutoff"))
+  }
+
   test("crossUnigramScore: hand-computed held-out micro-nats and OOV accounting") {
     import spark.implicits._
     // train: tokens {a:3, b:1}, total 4
