@@ -385,8 +385,13 @@ object Dedup {
     * by default; pass `checkpointDir` (HDFS/S3 on a cluster, see
     * [[Checkpoints]]) so a lost executor replays from the reliable
     * checkpoint instead of killing the job at round k. Convergence is
-    * an exact set-equality check (count + anti-join), the same cost
-    * class as one round. */
+    * an exact set-equality check costing ONE driver action per round:
+    * a single left-join aggregate yields |next| and |next ∩ edges|
+    * together, and with both sides distinct sets, |next| = |next ∩
+    * edges| = |edges| (the previous round's |next|, carried in a
+    * variable) ⇔ the edge sets are equal — the count-then-anti-join
+    * formulation paid three jobs per round at cluster job-latency
+    * prices. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           smallCutoff: Long = 1L << 17,
                           checkpointDir: Option[String] = None): DataFrame = {
@@ -406,7 +411,8 @@ object Dedup {
     // alternating-star loop is the 100 TB path.
     val allLong = edges.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (allLong && edges.count() <= smallCutoff) {
+    val nInitial = edges.count()   // on the materialized blocks — cheap
+    if (allLong && nInitial <= smallCutoff) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -429,10 +435,19 @@ object Dedup {
     }
     var converged = false
     var i = 0
+    // |edges| for round 1's equality check; every later round reuses
+    // the |next| its own aggregate produced
+    var nEdges = nInitial
     while (!converged && i < maxIter) {
       val next = ck(smallStar(largeStar(edges)))
-      converged = next.count() == edges.count() &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      val row = next
+        .join(edges.select(col("u"), col("v"), lit(1).as("__in")),
+          Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"), count(col("__in")).as("m"))
+        .head()
+      val (n, m) = (row.getLong(0), row.getLong(1))
+      converged = n == nEdges && m == n
+      nEdges = n
       edges = next
       i += 1
     }

@@ -138,6 +138,38 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, smallCutoff = 0L).count() === 0)
   }
 
+  test("star loop costs one driver action per round beyond materialization") {
+    // a star graph is already at fixpoint: the loop runs exactly one
+    // round and must spend exactly 4 SQL executions — initial edge
+    // materialize, initial |edges| count, round materialize, and the
+    // round's SINGLE convergence aggregate. The count-plus-anti-join
+    // formulation spent 3 executions per round (two counts + isEmpty)
+    // instead of 1; each extra execution is a driver round-trip at
+    // cluster job-latency prices, every round. SQL execution starts
+    // count driver actions exactly; raw job counts would also include
+    // broadcast-exchange jobs, which are pipeline internals.
+    val pairs = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("doc_a", "doc_b")
+    var actions = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            actions += 1
+          case _ =>
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Dedup.connectedComponents(pairs, smallCutoff = 0L)
+      Thread.sleep(500) // listener events post asynchronously
+      val inLoop = actions
+      assert(inLoop === 4,
+        s"expected 4 SQL executions for a 1-round converge, got $inLoop")
+      assert(df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("star loop with a reliable checkpoint dir agrees with local default") {
     val path = (0L until 11L).map(i => (i, i + 1))
     val pairs = path.toDF("doc_a", "doc_b")
