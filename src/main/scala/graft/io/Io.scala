@@ -298,9 +298,14 @@ object Io {
     * single-partition window: the distinct values are range-partitioned
     * (global order across partition index), ranked with a
     * per-partition window, and stitched with per-partition row-count
-    * offsets. The only driver-side state is one row count per range
-    * partition (≤64 longs — bounded regardless of corpus size), so the
-    * scheme survives z-order keys of any cardinality; a
+    * offsets. The range-bucket count derives from the key's measured
+    * cardinality — ~[[ZTargetPerBucket]] distinct values per bucket,
+    * floored at 64 (small dictionaries keep yesterday's parallelism)
+    * and capped at [[ZMaxBuckets]] — so a billion-value key fans the
+    * rank sort across ~1000 tasks instead of funneling through a fixed
+    * 64. The only driver-side state is one row count per range
+    * partition (≤ [[ZMaxBuckets]] longs — bounded regardless of corpus
+    * size), so the scheme survives z-order keys of any cardinality; a
     * `Window.orderBy` over the distinct set would serialize billions of
     * values through one task at 100 TB.
     *
@@ -312,20 +317,37 @@ object Io {
     * [[writeZOrdered]]). Returns (codes keyed `__v_c`/`__r_c`, distinct
     * count, the cached range-partitioned relation for the caller to
     * unpersist once the codes are consumed). */
-  private[io] def zRankCodes(df: DataFrame, c: String): (DataFrame, Long, DataFrame) = {
+  /** ~1M distinct values ranked per range bucket: tens of MB of sort
+    * working set per task, small enough to never spill. */
+  private[io] val ZTargetPerBucket = 1L << 20
+  /** Bucket ceiling: bounds the per-bucket (pid, count) driver collect
+    * at ~64 KB of longs no matter the key cardinality. */
+  private[io] val ZMaxBuckets = 4096
+
+  private[io] def zRankCodes(df: DataFrame, c: String,
+                             targetPerBucket: Long = ZTargetPerBucket)
+      : (DataFrame, Long, DataFrame) = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    val buckets = 64
+    // cache the distinct dictionary once: the cardinality probe reads
+    // it, then the range shuffle re-reads it — the corpus is scanned
+    // exactly once either way
+    val dv = df.select(col(c)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val distinctN = dv.count()
+    val buckets = math.min(ZMaxBuckets.toLong,
+      math.max(64L, (distinctN + targetPerBucket - 1) / targetPerBucket)).toInt
     // range partition keeps global value order across partition ids;
     // nulls sort first (partition 0), matching nulls-first rank order
-    val parted = df.select(col(c)).distinct()
+    val parted = dv
       .repartitionByRange(buckets, col(c))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded collect: one (pid, count) row per range partition, ≤64
+    // bounded collect: one (pid, count) row per range partition
     val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    dv.unpersist(blocking = false)   // parted is materialized now
     val total = counts.map(_._2).sum
     val offsets = counts.scanLeft((0, 0L)) { case ((_, off), (pid, n)) =>
       (pid, off + n)

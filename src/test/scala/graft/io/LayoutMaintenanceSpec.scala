@@ -151,4 +151,35 @@ class LayoutMaintenanceSpec extends SparkSpec {
       }
     } finally cached.unpersist(blocking = false)
   }
+
+  test("zRankCodes scales range buckets with key cardinality") {
+    // 10k distinct values with a 100-value bucket target stands in for
+    // a billion-value key at the production 1M target: the rank sort
+    // must fan out past the old fixed 64 partitions, the per-bucket
+    // driver collect stays ≤ bucket-count rows, and the codes remain
+    // the exact dense-rank quantization regardless of bucket count
+    val df = (0 until 10000).map(i => (i.toLong * 7, i.toLong))
+      .toDF("x", "payload")
+    val (codes, total, cached) = Io.zRankCodes(df, "x", targetPerBucket = 100L)
+    try {
+      assert(total === 10000)
+      assert(cached.rdd.getNumPartitions === 100,
+        s"expected ceil(10000/100)=100 range buckets, got ${cached.rdd.getNumPartitions}")
+      val got = codes.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(got.head._2 === 0 && got.last._2 === 65535)
+      got.zipWithIndex.foreach { case ((v, code), rank) =>
+        val want = (rank.toDouble / (total - 1).toDouble * 65535).toInt
+        assert(code === want, s"value $v: code $code, want $want (rank $rank)")
+      }
+      // tiny dictionaries keep the 64-bucket floor (yesterday's
+      // default) — the range partitioner itself may emit fewer when
+      // the dictionary has fewer distinct values than buckets
+      val small = (0 until 50).map(i => (i.toLong, i.toLong)).toDF("x", "p")
+      val (_, nSmall, cachedSmall) = Io.zRankCodes(small, "x")
+      try {
+        assert(nSmall === 50)
+        assert(cachedSmall.rdd.getNumPartitions <= 64)
+      } finally cachedSmall.unpersist(blocking = false)
+    } finally cached.unpersist(blocking = false)
+  }
 }
