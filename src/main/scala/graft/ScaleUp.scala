@@ -3,48 +3,83 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev tool: materialize a ~10× replica of the sf0.1 testdata (≈6M-row
-  * lineitem) under /tmp/graft-sf1, with fact-side keys remapped per copy
-  * so join cardinalities scale like real data (dims stay 1×, like a real
-  * star schema). Used to measure how each query class scales one decade
-  * before trusting it for three more. */
+/** Dev tool: materialize scale replicas of the sf0.1 testdata to measure
+  * how each query class scales one (or two) decades before trusting it
+  * for three more.
+  *
+  *  - default mode (no arg): ~10× full replica under /tmp/graft-sf1
+  *    (≈6M-row lineitem), fact-side keys remapped per copy so join
+  *    cardinalities scale like real data (dims stay 1×, like a real
+  *    star schema).
+  *  - `docs100`: 100× DOCUMENTS-ONLY replica under /tmp/graft-sf10-docs
+  *    (500k docs at ~99% exact-duplicate density — every source text
+  *    appears ~100×, the adversarial regime for the dedup/similarity
+  *    family, whose quadratic failure modes bend between 10× and 100×:
+  *    LSH bucket explosion, prefix-filter selectivity collapse, pair
+  *    blowup on dup clusters). Non-document tables copy at 1× so the
+  *    bench probe and any dim access still work.
+  */
 object ScaleUp {
 
   val Copies = 10
   val SrcDir = "/root/testdata/sf0.1"
   val OutDir = "/tmp/graft-sf1"
+  val DocsOutDir = "/tmp/graft-sf10-docs"
+  val DocsCopies = 100
 
   private def replicate(spark: SparkSession, table: String,
-                        strides: Map[String, Long]): DataFrame = {
+                        strides: Map[String, Long], copies: Int): DataFrame = {
     val base = spark.read.parquet(s"$SrcDir/$table.parquet")
-    (0 until Copies).map { i =>
+    (0 until copies).map { i =>
       strides.foldLeft(base) { case (df, (c, stride)) =>
         df.withColumn(c, col(c) + lit(i * stride))
       }
     }.reduce(_ unionByName _)
   }
 
+  private def write(spark: SparkSession, outDir: String, table: String,
+                    strides: Map[String, Long], copies: Int): Unit = {
+    val df = if (strides.isEmpty) spark.read.parquet(s"$SrcDir/$table.parquet")
+             else replicate(spark, table, strides, copies)
+    df.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    println(s"$table: ${spark.read.parquet(s"$outDir/$table.parquet").count()} rows")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("scale-up")
     val ok = 100000000L   // order-key stride
     val ck = 10000000L    // cust-key stride
-    val plans = Seq(
-      "lineitem" -> Map("l_orderkey" -> ok),
-      "orders" -> Map("o_orderkey" -> ok, "o_custkey" -> ck),
-      "customer" -> Map("c_custkey" -> ck),
-      "events" -> Map("event_id" -> 10000000L, "user_id" -> 100000L),
-      "documents" -> Map("doc_id" -> 1000000L),
-      "embeddings" -> Map("vec_id" -> 1000000L),
-      // dims stay 1× (star-schema realism)
-      "region" -> Map.empty[String, Long],
-      "nation" -> Map.empty[String, Long],
-      "supplier" -> Map.empty[String, Long],
-      "part" -> Map.empty[String, Long])
-    plans.foreach { case (t, strides) =>
-      val df = if (strides.isEmpty) spark.read.parquet(s"$SrcDir/$t.parquet")
-               else replicate(spark, t, strides)
-      df.write.mode("overwrite").parquet(s"$OutDir/$t.parquet")
-      println(s"$t: ${spark.read.parquet(s"$OutDir/$t.parquet").count()} rows")
+    if (args.headOption.contains("docs100")) {
+      val plans = Seq(
+        "documents" -> Map("doc_id" -> 1000000L),
+        // 1× passthroughs: probe tables + dims
+        "lineitem" -> Map.empty[String, Long],
+        "orders" -> Map.empty[String, Long],
+        "customer" -> Map.empty[String, Long],
+        "events" -> Map.empty[String, Long],
+        "embeddings" -> Map.empty[String, Long],
+        "region" -> Map.empty[String, Long],
+        "nation" -> Map.empty[String, Long],
+        "supplier" -> Map.empty[String, Long],
+        "part" -> Map.empty[String, Long])
+      plans.foreach { case (t, strides) =>
+        write(spark, DocsOutDir, t, strides,
+          if (t == "documents") DocsCopies else 1)
+      }
+    } else {
+      val plans = Seq(
+        "lineitem" -> Map("l_orderkey" -> ok),
+        "orders" -> Map("o_orderkey" -> ok, "o_custkey" -> ck),
+        "customer" -> Map("c_custkey" -> ck),
+        "events" -> Map("event_id" -> 10000000L, "user_id" -> 100000L),
+        "documents" -> Map("doc_id" -> 1000000L),
+        "embeddings" -> Map("vec_id" -> 1000000L),
+        // dims stay 1× (star-schema realism)
+        "region" -> Map.empty[String, Long],
+        "nation" -> Map.empty[String, Long],
+        "supplier" -> Map.empty[String, Long],
+        "part" -> Map.empty[String, Long])
+      plans.foreach { case (t, strides) => write(spark, OutDir, t, strides, Copies) }
     }
     spark.stop()
   }
