@@ -22,12 +22,25 @@ object Curation {
 
   /** Curated corpus: per-document stats for survivors of both dedup
     * stages with quality_score ≥ minQuality. */
-  def curate(docs: DataFrame, params: Params = Params()): DataFrame = {
-    val keepers = Dedup.exactDedupedCorpus(docs)
+  def curate(docs: DataFrame, params: Params = Params()): DataFrame =
     // LSH runs on the exact-dedup survivors only: any near-dup pair
     // involving a dropped exact-duplicate is represented by its keeper
     // (identical content ⇒ identical shingles), so the loser set over
     // keepers is the same — without re-hashing the duplicates.
+    nearDupAndQuality(Dedup.exactDedupedCorpus(docs), params)
+
+  /** Stages 2-3 of [[curate]] — LSH near-dup removal, then the quality
+    * gate — for a corpus that is ALREADY exact-deduped. Factored out so
+    * the streaming pipeline can run stage 1 continuously (the
+    * fingerprint state store) and this batch tail as its periodic
+    * compaction over the accumulated sink
+    * ([[graft.streaming.EventsStream.curateStreamCompacted]]): the
+    * split is exactly the stage boundary, so stream + compaction and
+    * one-shot batch [[curate]] are the same computation. Quality stays
+    * AFTER near-dup removal on purpose — a low-quality LSH keeper must
+    * still eliminate its higher-id near-dups before the gate drops it,
+    * or the stream/batch results diverge on exactly those pairs. */
+  def nearDupAndQuality(keepers: DataFrame, params: Params = Params()): DataFrame = {
     val nearDupLosers = Dedup.nearDuplicates(keepers,
         numHashes = params.numHashes, rowsPerBand = params.rowsPerBand,
         shingleSize = params.shingleSize, threshold = params.jaccardThreshold)

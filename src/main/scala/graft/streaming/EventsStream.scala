@@ -138,6 +138,50 @@ object EventsStream {
       .where(col("quality_score") >= minQuality)
       .select("doc_id", "n_chars", "n_tokens", "quality_score", "lang_pred")
 
+  /** The full streaming curation story, compaction cycle included —
+    * the lambda split [[curateStream]]'s scaladoc promises, wired:
+    * exact dedup streams (stage 1: the fingerprint state store, text
+    * carried through to `sinkDir`), and every `compactEvery` batches a
+    * foreachBatch hook runs [[graft.ops.Curation.nearDupAndQuality]]
+    * (stages 2-3: the corpus-global LSH self-join plus the quality
+    * gate) over the ACCUMULATED sink, rewriting `compactedDir`. After
+    * any compaction, `compactedDir` equals one-shot batch
+    * `Curation.curate` over every document ingested so far
+    * (spec-asserted across ≥2 cycles) — the only semantic difference
+    * is the stream's first-seen exact-dedup keeper vs batch min-id,
+    * which coincide under in-order arrival.
+    *
+    * Scale: the streaming leg stays per-row (state = one fingerprint
+    * per distinct content); the compaction leg is the same
+    * bucket-capped LSH join verified at 100× dup density (SCALE.md),
+    * re-run over exact-dedup survivors only — at web scale the sink it
+    * rescans is the distinct-content corpus, already the smallest
+    * relation in the pipeline. Returns the writer; callers set
+    * checkpoint/trigger and start. */
+  def curateStreamCompacted(docs: DataFrame, sinkDir: String,
+                            compactedDir: String, compactEvery: Int = 1,
+                            params: graft.ops.Curation.Params = graft.ops.Curation.Params())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery >= 1, s"compactEvery $compactEvery must be >= 1")
+    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = { (batch, id) =>
+      batch.write.mode("append").parquet(sinkDir)
+      if ((id + 1) % compactEvery == 0)
+        compactCurated(batch.sparkSession, sinkDir, compactedDir, params)
+    }
+    dedupStream(docs).writeStream.foreachBatch(fn)
+  }
+
+  /** One compaction cycle: batch-curate the accumulated exact-deduped
+    * sink and replace `compactedDir`. Also the catch-up entry point for
+    * duplicates that slipped a bounded-retention dedup state
+    * ([[dedupStreamBounded]]): exact-dup pairs are jaccard-1.0 LSH
+    * pairs, so the near-dup stage removes them here. */
+  def compactCurated(spark: SparkSession, sinkDir: String,
+                     compactedDir: String,
+                     params: graft.ops.Curation.Params = graft.ops.Curation.Params()): Unit =
+    graft.ops.Curation.nearDupAndQuality(spark.read.parquet(sinkDir), params)
+      .write.mode("overwrite").parquet(compactedDir)
+
   // ---- stream-stream join -------------------------------------------
 
   /** Watermarked stream-stream join: attribute each purchase to a signup

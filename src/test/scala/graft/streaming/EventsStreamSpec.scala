@@ -223,6 +223,53 @@ class EventsStreamSpec extends SparkSpec {
     assert(got.size === batch.size)
   }
 
+  test("stream + LSH compaction equals one-shot batch curation across 2 cycles") {
+    val base = Files.createTempDirectory("docs-compact")
+    val (srcDir, sinkDir, outDir, ckDir) =
+      (s"$base/src", s"$base/sink", s"$base/compacted", s"$base/ck")
+    import spark.implicits._
+    // real corpus split in two id-ordered batches (first-seen == min-id
+    // keeper), PLUS a planted batch-2 near-dup of a batch-1 doc: the
+    // streaming fingerprint store can NOT catch it (different exact
+    // text) — only the compaction's LSH stage can, which is the whole
+    // point of the cycle
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .cache()
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    val seed = docs.where(col("doc_id") < mid).orderBy("doc_id")
+      .select("text").head().getString(0)
+    val planted = Seq((900000L, seed + " ok", "en", "planted", (seed.length + 3).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.where(col("doc_id") < mid).coalesce(1).write.parquet(s"$srcDir/a")
+    docs.where(col("doc_id") >= mid).unionByName(planted)
+      .coalesce(1).write.parquet(s"$srcDir/b")
+    val q = EventsStream.curateStreamCompacted(
+        EventsStream.readDocuments(spark, s"$srcDir/*", maxFilesPerTrigger = Some(1)),
+        sinkDir, outDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min (loaded host)")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).toSet
+    val compacted = rows(spark.read.parquet(outDir))
+    val oneShot = rows(graft.ops.Curation.curate(docs.unionByName(planted)))
+    assert(compacted === oneShot)
+    // the planted near-dup reached the sink (streaming could not drop
+    // it) but not the compacted output (LSH did) — proving the
+    // compaction leg does real work, not just a copy
+    val sinkIds = spark.read.parquet(sinkDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sinkIds.contains(900000L))
+    assert(!compacted.exists(_._1 == 900000L))
+    // and it is dropped BY the LSH stage, not the quality gate
+    val lshPairs = graft.ops.Dedup.nearDuplicates(
+        spark.read.parquet(sinkDir), shingleSize = 2, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lshPairs.exists(_._2 == 900000L))
+    docs.unpersist()
+  }
+
   test("stateful sessionization: closed sessions match batch; state spans micro-batches") {
     import spark.implicits._
     val stream = EventsStream.readEvents(spark, sourceGlob, maxFilesPerTrigger = Some(1))
