@@ -137,16 +137,49 @@ object LangModel {
     * ReuseExchange to share the two subtrees re-ran the corpus explode
     * (measured: a third parquet scan in the plan). The vocabulary
     * broadcasts (token types, not occurrences) and the eval side is
-    * one scan + one per-doc aggregation. */
+    * one scan + one per-doc aggregation.
+    *
+    * `collapseExact`: the family's exact-dup-heavy knob ([[unigramScore]],
+    * [[naiveBayes]]): BOTH sides' token explodes run once per distinct
+    * token stream — train counts weight each stream by its multiplicity
+    * (the trained LM is identical), eval docs join their stream's
+    * scores by one digest equi-join. Output-identical (spec-asserted).
+    * The trade is about DOCUMENT LENGTH, not just dup density: the
+    * digest pass itself reads every token, so it only pays for itself
+    * when the per-doc work it avoids (explode + grouped reduce over
+    * long documents) exceeds one hash pass — on a short-doc corpus the
+    * collapse measured slower than direct even at 99% dup density
+    * (~50-token docs: 1.4 s vs 5.3 s), matching [[unigramScore]]'s
+    * measured behavior on the same corpus. Flip it for long-document,
+    * dup-heavy corpora where upstream exact dedup has not already
+    * run. */
   def crossUnigramScore(train: DataFrame, eval: DataFrame,
                         idCol: String = "doc_id",
                         textCol: String = "text",
+                        collapseExact: Boolean = false,
                         checkpointDir: Option[String] = None): DataFrame = {
     val ck = Checkpoints.truncator(train.sparkSession, checkpointDir)
-    val trainTf = ck(train
-      .select(explode(TextStats.tokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt")))
+    val trainTf =
+      if (collapseExact) {
+        val keyed = ck(train.select(col(idCol),
+          Dedup.tokenStreamKey(col(textCol)).as("__tk")))
+        val reps = keyed.groupBy("__tk")
+          .agg(min(idCol).as("__rep"), count(lit(1)).cast("long").as("__n"))
+        val repDocs = train.join(reps.select(col("__rep").as(idCol)),
+          Seq(idCol), "left_semi")
+        val gtf = repDocs
+          .select(Dedup.tokenStreamKey(col(textCol)).as("__tk"),
+            explode(TextStats.tokens(col(textCol))).as("tok"))
+          .where(col("tok").isNotNull)
+          .groupBy("__tk", "tok").agg(count(lit(1)).as("tf"))
+        ck(gtf.join(reps.select("__tk", "__n"), "__tk")
+          .groupBy("tok").agg(sum(col("tf") * col("__n")).cast("long").as("cnt")))
+      } else ck(train
+        .select(explode(TextStats.tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")))
     val total = trainTf.agg(sum("cnt").cast("long").as("total_tokens"))
+    if (collapseExact)
+      return crossScoreCollapsedEval(eval, trainTf, total, idCol, textCol, ck)
     val evalTf = eval
       .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok"))
@@ -162,6 +195,42 @@ object LangModel {
           .cast("long").as("n_oov"),
         sum(when(col("cnt").isNotNull, col("nlp_micros") * col("tf")))
           .cast("long").as("sum_micros"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        expr("sum_micros div nullif(n_tokens - n_oov, 0)")
+          .as("avg_nlp_micros"))
+  }
+
+  /** [[crossUnigramScore]]'s collapsed eval side: scores are pure
+    * functions of the token stream, so they compute once per distinct
+    * stream (rep texts via a doc_id semi-join against the scan — raw
+    * text never shuffles) and members join by digest. */
+  private def crossScoreCollapsedEval(eval: DataFrame, trainTf: DataFrame,
+                                      total: DataFrame, idCol: String,
+                                      textCol: String,
+                                      ck: DataFrame => DataFrame): DataFrame = {
+    val keyed = ck(eval.select(col(idCol),
+      Dedup.tokenStreamKey(col(textCol)).as("__tk")))
+    val reps = keyed.groupBy("__tk").agg(min(idCol).as("__rep"))
+    val repDocs = eval.join(reps.select(col("__rep").as(idCol)),
+      Seq(idCol), "left_semi")
+    val gtf = repDocs
+      .select(Dedup.tokenStreamKey(col(textCol)).as("__tk"),
+        explode(TextStats.tokens(col(textCol))).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy("__tk", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val perStream = gtf.join(broadcast(trainTf), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("nlp_micros",
+        round((log(col("total_tokens").cast("double")) -
+          log(col("cnt").cast("double"))) * 1e6).cast("long"))
+      .groupBy(col("__tk"))
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        sum(when(col("cnt").isNull, col("tf")).otherwise(lit(0L)))
+          .cast("long").as("n_oov"),
+        sum(when(col("cnt").isNotNull, col("nlp_micros") * col("tf")))
+          .cast("long").as("sum_micros"))
+    keyed.join(perStream, "__tk")
       .select(col(idCol), col("n_tokens"), col("n_oov"),
         expr("sum_micros div nullif(n_tokens - n_oov, 0)")
           .as("avg_nlp_micros"))

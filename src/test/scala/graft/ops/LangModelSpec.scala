@@ -275,4 +275,22 @@ class LangModelSpec extends SparkSpec {
     assert(got(11L) === ((2L, 1L, Some(nlpA))))
     assert(got(12L) === ((2L, 2L, None)))
   }
+
+  test("crossUnigramScore collapsed eval is output-identical to direct") {
+    import spark.implicits._
+    val train = Seq((1L, "a a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a b"), (11L, "a b"),          // exact dups — one stream
+      (12L, "A, b!"),                       // same stream after normalize
+      (13L, "a zz"),                        // partial OOV
+      (14L, "qq qq"),                       // fully OOV
+      (15L, "")                             // token-free — absent both ways
+    ).toDF("doc_id", "text")
+    val direct = LangModel.crossUnigramScore(train, eval)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val collapsed = LangModel.crossUnigramScore(train, eval, collapseExact = true)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(direct.toSeq === collapsed.toSeq)
+    assert(direct.length === 5)   // 15 absent
+  }
 }
