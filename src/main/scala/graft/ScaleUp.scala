@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   *    (≈6M-row lineitem), fact-side keys remapped per copy so join
   *    cardinalities scale like real data (dims stay 1×, like a real
   *    star schema).
-  *  - `docs100`: 100× DOCUMENTS-ONLY replica under /tmp/graft-sf10-docs
-  *    (500k docs at ~99% exact-duplicate density — every source text
-  *    appears ~100×, the adversarial regime for the dedup/similarity
-  *    family, whose quadratic failure modes bend between 10× and 100×:
-  *    LSH bucket explosion, prefix-filter selectivity collapse, pair
-  *    blowup on dup clusters). Non-document tables copy at 1× so the
-  *    bench probe and any dim access still work.
+  *  - `docs100`: 100× CONTENT-ONLY replica under /tmp/graft-sf10-docs
+  *    — documents (500k docs at ~99% exact-duplicate density: every
+  *    source text appears ~100×, the adversarial regime for the
+  *    dedup/similarity family, whose quadratic failure modes bend
+  *    between 10× and 100×: LSH bucket explosion, prefix-filter
+  *    selectivity collapse, pair blowup on dup clusters) and
+  *    embeddings (200k vectors — past semDedup's capped-nlist point,
+  *    so the ANN/semantic family is probed in its worst regime too).
+  *    Other tables copy at 1× so the bench probe and any dim access
+  *    still work.
   */
 object ScaleUp {
 
@@ -57,14 +60,14 @@ object ScaleUp {
         "orders" -> Map.empty[String, Long],
         "customer" -> Map.empty[String, Long],
         "events" -> Map.empty[String, Long],
-        "embeddings" -> Map.empty[String, Long],
+        "embeddings" -> Map("vec_id" -> 1000000L),
         "region" -> Map.empty[String, Long],
         "nation" -> Map.empty[String, Long],
         "supplier" -> Map.empty[String, Long],
         "part" -> Map.empty[String, Long])
       plans.foreach { case (t, strides) =>
         write(spark, DocsOutDir, t, strides,
-          if (t == "documents") DocsCopies else 1)
+          if (strides.nonEmpty) DocsCopies else 1)
       }
     } else {
       val plans = Seq(

@@ -384,11 +384,25 @@ object Similarity {
   /** Scale path for near-dup pairs: SRP buckets gate the self-join
     * (equi-join on bucket, not a cross product), then exact cosine
     * verification. Recall < 1 by construction — near-identical vectors
-    * share all sign bits with high probability. */
+    * share all sign bits with high probability.
+    *
+    * `planes = 0` (the default) scales the hyperplane count WITH the
+    * corpus via [[srpPlanesFor]] — the round-9 100× probe measured the
+    * fixed-4-planes regime at 65× wall for 100× vectors (16 buckets ⇒
+    * bucket occupancy ∝ n ⇒ the pair join is quadratic in n; the same
+    * defect class semDedup's fixed nlist had). Auto-scaling keeps
+    * expected occupancy ~constant, making candidates ∝ n. Costs one
+    * count() job; the floor keeps small-corpus output bit-identical to
+    * the old fixed 4. More planes lower recall for BORDERLINE pairs
+    * (exact/near-exact duplicates still collide — all sign bits
+    * agree); when borderline recall matters at scale, the multi-probe
+    * expansion ([[multiProbeTopK]]'s Hamming-1 trick) composes with
+    * this bucketing. */
   def cosineNearDuplicatesLsh(vectors: DataFrame, threshold: Double,
-                              dim: Int = 64, planes: Int = 4,
+                              dim: Int = 64, planes: Int = 0,
                               idCol: String = "vec_id",
                               vecCol: String = "embedding"): DataFrame = {
+    val p = if (planes > 0) planes else srpPlanesFor(vectors.count())
     // NOTE: no repartition(bucket) barrier here — with only 2^planes
     // distinct buckets that would collapse the corpus into ≤2^planes
     // partitions and serialize the join at scale. The join's own
@@ -396,7 +410,7 @@ object Similarity {
     // per side, which is cheap relative to the pair verification.
     val withBucket = vectors.where(dimGuard(col(vecCol), dim))
       .select(col(idCol).as("id"), col(vecCol).as("v"),
-        srpBucket(col(vecCol), dim, planes).as("bucket"))
+        srpBucket(col(vecCol), dim, p).as("bucket"))
     val a = withBucket.select(col("id").as("id_a"), col("v").as("va"), col("bucket"))
     val b = withBucket.select(col("id").as("id_b"), col("v").as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -404,6 +418,22 @@ object Similarity {
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .where(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** [[cosineNearDuplicatesLsh]]'s corpus-scaled hyperplane count:
+    * enough sign bits that the EXPECTED bucket occupancy is
+    * ~`targetBucket` under a uniform spread — ceil(log2(n/target)) —
+    * floored at 4 (tiny corpora keep the published fixed-planes
+    * behavior bit-identically, which also keeps the sf0.01 oracle
+    * static) and capped at 16 (65k buckets; beyond that occupancy is
+    * driven by the corpus's own cluster structure, not the hash).
+    * Exposed so callers sizing a probe sequence can compute the same
+    * count. */
+  def srpPlanesFor(corpusSize: Long, targetBucket: Int = 500,
+                   floor: Int = 4, cap: Int = 16): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(cap, math.max(floor, needed))
   }
 
   /** SemDedup (Abbas et al., arXiv:2303.09540): embedding-level semantic

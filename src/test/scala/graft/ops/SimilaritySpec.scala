@@ -117,6 +117,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.subsetOf(brute))
   }
 
+  test("srpPlanesFor scales bucket count with corpus, floored and capped") {
+    // floor: tiny corpora keep the published fixed-4 behavior (which
+    // also keeps the static sf0.01 oracle valid)
+    assert(Similarity.srpPlanesFor(0L) === 4)
+    assert(Similarity.srpPlanesFor(200L) === 4)
+    assert(Similarity.srpPlanesFor(8000L) === 4)
+    // scaling: ~constant expected occupancy (target 500/bucket)
+    assert(Similarity.srpPlanesFor(200000L) === 9)    // 512 buckets
+    assert(Similarity.srpPlanesFor(2000000L) === 12)  // 4096 buckets
+    // cap: the hash stops helping past 65k buckets
+    assert(Similarity.srpPlanesFor(Long.MaxValue) === 16)
+    // identical-direction pairs survive ANY plane count (all sign bits
+    // agree), so auto-planes never loses exact near-dups
+    val dup = (0 until 32).map(i => (i.toLong, Array(0.5f, 0.5f, 0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDuplicatesLsh(dup, threshold = 0.99, dim = 4,
+      planes = 14)
+    assert(got.count() === 32L * 31 / 2)
+  }
+
   test("lsh paths fail on vectors shorter than dim") {
     val e = intercept[Exception](
       Similarity.cosineNearDuplicatesLsh(vecs, threshold = 0.5, dim = 64).collect())
