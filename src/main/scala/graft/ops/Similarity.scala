@@ -459,14 +459,17 @@ object Similarity {
   def semDedup(corpus: DataFrame, threshold: Double = 0.4, nlist: Int = 0,
                idCol: String = "vec_id", vecCol: String = "embedding",
                maxIter: Int = 5, maxTrain: Int = 4096,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               collapseExact: Boolean = false): DataFrame = {
     val k = if (nlist > 0) nlist else semDedupNlist(corpus.count())
     val cent = trainedCentroids(corpus, k, maxIter, maxTrain, idCol, vecCol)
+    val ck = Checkpoints.truncator(corpus.sparkSession, checkpointDir)
+    if (collapseExact)
+      return semDedupCollapsed(corpus, threshold, cent, idCol, vecCol, ck)
     // the cell assignment (corpus scan + a k·dim argmax per row) feeds
     // THREE consumers — both pair-join sides and the final keep
     // anti-join — so it materializes once (see [[Checkpoints]]) instead
     // of re-scanning and re-scoring the corpus per consumer
-    val ck = Checkpoints.truncator(corpus.sparkSession, checkpointDir)
     val assigned = ck(corpus.select(col(idCol), col(vecCol).as("v"),
       VectorExpressions.nearest_cell(col(vecCol), cent.map(_.toSeq).toSeq).as("cell")))
     val a = assigned.select(col("cell"), col(idCol).as("doc_a"), col("v").as("va"))
@@ -479,6 +482,55 @@ object Similarity {
       .where(col("doc_id") =!= col("component_id"))
       .select(col("doc_id").as(idCol))
     assigned.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell").cast("long").as("cell"))
+  }
+
+  /** [[semDedup]]'s exact-duplicate collapse (`collapseExact = true`) —
+    * the embedding-domain version of the text family's knob: the
+    * quadratic-in-cell pair search and the component closure run over
+    * DISTINCT vectors only (byte-identical embeddings grouped by
+    * digest, rep = min id per group), then groups expand through the
+    * rep-level result. On a crawl-shaped corpus where most vectors are
+    * copies, the in-cell pair term drops from |corpus|²/cells to
+    * |distinct|²/cells.
+    *
+    * Output-identity argument (spec-asserted): centroids and nlist are
+    * trained on the FULL corpus exactly like the direct path, so every
+    * copy lands in its rep's cell; identical vectors form cos-1
+    * cliques, so a group's members sit in exactly its rep's component —
+    * group members lose to their rep precisely when cos(v, v) ≥
+    * threshold (true for nonzero vectors at any threshold ≤ 1; FALSE
+    * for zero vectors, whose cosine is defined as 0 — so identical
+    * zero-vector copies correctly all survive, as they do in the
+    * direct path), and a rep-level loser takes its whole group with
+    * it. */
+  private def semDedupCollapsed(corpus: DataFrame, threshold: Double,
+                                cent: Array[Array[Double]], idCol: String,
+                                vecCol: String,
+                                ck: DataFrame => DataFrame): DataFrame = {
+    val vkey = md5(to_binary(
+      concat_ws(",", col(vecCol).cast("array<string>")), lit("utf-8")))
+    val keyed = ck(corpus.select(col(idCol), vkey.as("__vk")))
+    val reps = keyed.groupBy("__vk").agg(min(idCol).as("__rep"))
+    val repVecs = corpus.join(reps.select(col("__rep").as(idCol)),
+      Seq(idCol), "left_semi")
+    val assigned = ck(repVecs.select(col(idCol).as("__rep"), col(vecCol).as("v"),
+      VectorExpressions.nearest_cell(col(vecCol), cent.map(_.toSeq).toSeq).as("cell")))
+    val a = assigned.select(col("cell"), col("__rep").as("doc_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("__rep").as("doc_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(cosine(col("va"), col("vb")) >= threshold)
+      .select("doc_a", "doc_b")
+    val repLosers = Dedup.connectedComponents(pairs)
+      .where(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as("__rep"))
+    val repMeta = assigned.select(col("__rep"), col("cell"),
+      (cosine(col("v"), col("v")) >= threshold).as("__selfq"))
+    keyed.join(reps, "__vk")
+      .join(repMeta, "__rep")
+      .join(repLosers, Seq("__rep"), "left_anti")   // a lost rep takes its group
+      .where(col(idCol) === col("__rep") || !col("__selfq"))
       .select(col(idCol), col("cell").cast("long").as("cell"))
   }
 

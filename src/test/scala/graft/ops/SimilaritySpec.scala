@@ -240,6 +240,42 @@ class SimilaritySpec extends SparkSpec {
     assert(rec.values.forall { case (n, ppm) => n == 3L && ppm == 1000000L })
   }
 
+  test("semDedup collapseExact is output-identical to direct") {
+    // adversarial mix: identical copies (exact groups), near-dups
+    // ACROSS groups (rep-level edges must close transitively through
+    // copies), identical zero vectors (cosine 0 — copies must all
+    // survive), and a singleton
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),        // group A rep
+      (1L, Array(1.0f, 0.0f)),        // exact copy of 0
+      (7L, Array(1.0f, 0.0f)),        // exact copy of 0
+      (2L, Array(0.999f, 0.001f)),    // near-dup of A → same component
+      (3L, Array(0.999f, 0.001f)),    // exact copy of 2
+      (10L, Array(0.0f, 1.0f)),       // group B rep
+      (11L, Array(0.0f, 1.0f)),       // exact copy of 10
+      (30L, Array(0.0f, 0.0f)),       // zero vector
+      (31L, Array(0.0f, 0.0f)),       // identical zero — must survive too
+      (20L, Array(-1.0f, 0.5f))       // singleton
+    ).toDF("vec_id", "embedding")
+    for (t <- Seq(0.99, 0.4)) {
+      val direct = Similarity.semDedup(corpus, threshold = t, nlist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val collapsed = Similarity.semDedup(corpus, threshold = t, nlist = 2,
+          collapseExact = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(collapsed === direct, s"threshold $t")
+      assert(direct.map(_._1).intersect(Set(30L, 31L)) === Set(30L, 31L),
+        s"zero vectors must all survive at threshold $t")
+    }
+    // and on the real corpus with operator defaults
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val d = Similarity.semDedup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = Similarity.semDedup(emb, collapseExact = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c === d)
+  }
+
   test("semDedupNlist scales with corpus size between its floor and cap") {
     assert(Similarity.semDedupNlist(0L) === 16)        // floor holds on empty
     assert(Similarity.semDedupNlist(2000L) === 16)     // sf0.1-sized: floor
