@@ -129,17 +129,28 @@ object Similarity {
   /** ANN via SRP-LSH: candidates = same-bucket rows (plus queries join on
     * bucket key — a hash join, not a cross join), then exact re-rank.
     * Recall < 1.0 by construction; bucket count 2^planes tunes the
-    * candidates-per-query ratio at scale. */
+    * candidates-per-query ratio at scale. `planes = 0` (default) scales
+    * with the corpus via [[srpPlanesFor]] — at a fixed plane count,
+    * candidates per query grow ∝ corpus (the 100× probe measured q21
+    * at 4× wall); auto-scaling holds expected bucket occupancy (and so
+    * per-query candidate count) ~constant, trading recall on BORDERLINE
+    * neighbors, the trade [[annRecall]] exists to measure. The floor
+    * keeps sub-8k-vector corpora on the published fixed-4 behavior. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int = 64,
-              planes: Int = 4, idCol: String = "vec_id",
+              planes: Int = 0, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    // top-k cost is occupancy × |queries| (not occupancy² as in the
+    // pair join), and each extra plane costs dim multiplies per corpus
+    // row — so the occupancy target is coarser here than
+    // cosineNearDuplicatesLsh's 500
+    val p = if (planes > 0) planes else srpPlanesFor(corpus.count(), targetBucket = 4096)
     val q = broadcast(
       queries.where(dimGuard(col(vecCol), dim))
         .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          srpBucket(col(vecCol), dim, planes).as("bucket")))
+          srpBucket(col(vecCol), dim, p).as("bucket")))
     val c = corpus.where(dimGuard(col(vecCol), dim))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        srpBucket(col(vecCol), dim, planes).as("bucket"))
+        srpBucket(col(vecCol), dim, p).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
@@ -186,7 +197,7 @@ object Similarity {
     * truth on the same query/corpus split — the recall number that
     * justifies (or rejects) the LSH gate for a given corpus. */
   def lshRecall(queries: DataFrame, corpus: DataFrame, k: Int,
-                dim: Int = 64, planes: Int = 4, idCol: String = "vec_id",
+                dim: Int = 64, planes: Int = 0, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame =
     annRecall(bruteForceTopK(queries, corpus, k, idCol, vecCol),
       lshTopK(queries, corpus, k, dim, planes, idCol, vecCol))
@@ -207,16 +218,21 @@ object Similarity {
     * max-over-pair before ranking (same score either way — max is just
     * the cheapest dedup that keeps the partial-agg pipeline). */
   def multiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                     dim: Int = 64, planes: Int = 4,
+                     dim: Int = 64, planes: Int = 0,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    // planes = 0 → corpus-scaled (see lshTopK); the Hamming-1 probe
+    // set grows with the plane count, recovering part of the recall
+    // the finer bucketing gives up
+    val p = if (planes > 0) planes
+            else srpPlanesFor(corpus.count(), targetBucket = 4096)
     // probe offsets: 0 (home bucket) and each single-bit flip
-    val offsets = array((0L +: (0 until planes).map(1L << _).map(_.toLong))
+    val offsets = array((0L +: (0 until p).map(1L << _).map(_.toLong))
       .map(lit): _*)
     val q = broadcast(
       queries.where(dimGuard(col(vecCol), dim))
         .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          srpBucket(col(vecCol), dim, planes).cast("long").as("home"))
+          srpBucket(col(vecCol), dim, p).cast("long").as("home"))
         .select(col("query_id"), col("qv"), col("home"),
           explode(offsets).as("flip"))
         .withColumn("bucket",
@@ -224,7 +240,7 @@ object Similarity {
         .select("query_id", "qv", "bucket"))
     val c = corpus.where(dimGuard(col(vecCol), dim))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        srpBucket(col(vecCol), dim, planes).as("bucket"))
+        srpBucket(col(vecCol), dim, p).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
