@@ -122,6 +122,41 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("crossUnigramScore scans each corpus side exactly once") {
+    // round-9 contract: the train-side (tok, cnt) relation is
+    // structurally materialized at construction, so its parquet
+    // subtree is REPLACED by the checkpointed-blocks scan — the scoring
+    // plan holds exactly ONE parquet scan (eval). Pre-fix it held
+    // three: eval, train-for-counts, and the corpus total's subtree
+    // re-running the train explode. An edit that drops the truncator
+    // re-grows the train scans and fails here. Static check, same
+    // rationale as the naiveBayes guard.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.LangModel.crossUnigramScore(
+      docs.where(col("doc_id") % 5 =!= 0),
+      docs.where(col("doc_id") % 5 === 0))
+    val scans = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1,
+      s"crossUnigramScore: $scans parquet scans — the train tf is no " +
+        "longer structurally materialized (expect 1: eval only; train " +
+        "serves from checkpointed blocks)")
+  }
+
+  test("semDedup assigns cells once — no inline nearest_cell per consumer") {
+    // round-9 contract: the cell assignment (corpus scan + k-centroid
+    // argmax) is materialized once; its three consumers (both pair-join
+    // sides, the keep anti-join) scan the checkpointed blocks. The
+    // argmax expression re-inlining into the plan means the truncator
+    // was dropped.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.ops.Similarity.semDedup(emb, nlist = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("nearest_cell"),
+      "semDedup: nearest_cell re-inlined — the cell assignment is no " +
+        "longer structurally materialized")
+  }
+
   test("set-similarity join computes the prefix pipeline once at corpus scale") {
     // with broadcasts off (the 100 TB shape — no side fits), the
     // candidate self-join must feed both sides from ONE materialized
