@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *    between 10× and 100×: LSH bucket explosion, prefix-filter
   *    selectivity collapse, pair blowup on dup clusters) and
   *    embeddings (200k vectors — past semDedup's capped-nlist point,
-  *    so the ANN/semantic family is probed in its worst regime too).
-  *    Other tables copy at 1× so the bench probe and any dim access
-  *    still work.
+  *    so the ANN/semantic family is probed in its worst regime too)
+  *    and events (10M rows — past the q86 interval-broadcast
+  *    threshold, so the sort-merge degradation path is what gets
+  *    measured). Other tables copy at 1× so the bench probe and any
+  *    dim access still work.
   */
 object ScaleUp {
 
@@ -59,7 +61,7 @@ object ScaleUp {
         "lineitem" -> Map.empty[String, Long],
         "orders" -> Map.empty[String, Long],
         "customer" -> Map.empty[String, Long],
-        "events" -> Map.empty[String, Long],
+        "events" -> Map("event_id" -> 10000000L, "user_id" -> 100000L),
         "embeddings" -> Map("vec_id" -> 1000000L),
         "region" -> Map.empty[String, Long],
         "nation" -> Map.empty[String, Long],
