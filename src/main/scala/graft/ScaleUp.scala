@@ -54,7 +54,29 @@ object ScaleUp {
     val spark = GraftSession.local("scale-up")
     val ok = 100000000L   // order-key stride
     val ck = 10000000L    // cust-key stride
-    if (args.headOption.contains("docs100")) {
+    if (args.headOption.contains("li100")) {
+      // 100× relational replica: lineitem 60M / orders 15M /
+      // customer 1.5M (fact keys remapped per copy), dims 1× — probes
+      // the scan/agg/join/anti-join family and q89's edge-extraction
+      // scan two decades up (the co-purchase GRAPH stays 1×-sized by
+      // construction: dims fixed ⇒ distinct part pairs fixed — the
+      // realistic dims-fixed scaling)
+      val plans = Seq(
+        "lineitem" -> Map("l_orderkey" -> ok),
+        "orders" -> Map("o_orderkey" -> ok, "o_custkey" -> ck),
+        "customer" -> Map("c_custkey" -> ck),
+        "events" -> Map.empty[String, Long],
+        "documents" -> Map.empty[String, Long],
+        "embeddings" -> Map.empty[String, Long],
+        "region" -> Map.empty[String, Long],
+        "nation" -> Map.empty[String, Long],
+        "supplier" -> Map.empty[String, Long],
+        "part" -> Map.empty[String, Long])
+      plans.foreach { case (t, strides) =>
+        write(spark, "/tmp/graft-sf10-li", t, strides,
+          if (strides.nonEmpty) DocsCopies else 1)
+      }
+    } else if (args.headOption.contains("docs100")) {
       val plans = Seq(
         "documents" -> Map("doc_id" -> 1000000L),
         // 1× passthroughs: probe tables + dims
