@@ -103,6 +103,55 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(p => p._2 >= 100L))
   }
 
+  test("crossNearDuplicates collapse is row-identical to the uncollapsed formulation (seeded fuzz)") {
+    // the r9 both-side exact-collapse must reproduce the raw pipeline
+    // EXACTLY: candidates from shared LSH bands, exact jaccard >= t,
+    // every (corpus copy, bench copy) pair listed with the rep pair's
+    // jaccard. Reference = the pre-collapse algorithm, re-built here
+    // from the same public pieces over the RAW relations.
+    val rnd = new scala.util.Random(46)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def text() = Seq.fill(4 + rnd.nextInt(6))(words(rnd.nextInt(words.size)))
+      .mkString(" ")
+    // ~25 base texts, each duplicated 1-4x across both sides
+    val base = Seq.fill(25)(text())
+    var id = 0L
+    val rows = base.flatMap { t =>
+      Seq.fill(1 + rnd.nextInt(4)) { id += 1; (id, t) }
+    }
+    val all = rows.toDF("doc_id", "text")
+    val corpus = all.where(col("doc_id") % 3 =!= 0)
+    val bench = all.where(col("doc_id") % 3 === 0)
+    val (nh, rpb, ss, t) = (8, 2, 2, 0.35)
+    val got = Dedup.crossNearDuplicates(corpus, bench, numHashes = nh,
+        rowsPerBand = rpb, shingleSize = ss, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // uncollapsed reference: raw bands join + exact verify on raw docs
+    val bandsC = Dedup.lshBands(
+      Dedup.minHashSignatures(corpus, shingleSize = ss, numHashes = nh), nh, rpb)
+    val bandsB = Dedup.lshBands(
+      Dedup.minHashSignatures(bench, shingleSize = ss, numHashes = nh), nh, rpb)
+    def sh(d: org.apache.spark.sql.DataFrame, as: String, setName: String) =
+      d.select(col("doc_id").as(as),
+        graft.functions.TextExpressions.shingle_hashes(
+          graft.ops.TextStats.tokens(col("text")), ss).as(setName))
+    val want = bandsC.alias("c").join(bandsB.alias("b"),
+        col("c.band_id") === col("b.band_id") &&
+        col("c.band_hash") === col("b.band_hash"))
+      .select(col("c.doc_id").as("doc_id"), col("b.doc_id").as("bench_doc_id"))
+      .distinct()
+      .join(sh(corpus, "doc_id", "sh_a"), "doc_id")
+      .join(sh(bench, "bench_doc_id", "sh_b"), "bench_doc_id")
+      .withColumn("jaccard",
+        graft.functions.TextExpressions.array_jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= t)
+      .select(col("doc_id"), col("bench_doc_id"), round(col("jaccard"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "fuzz corpus produced no cross pairs — weak test")
+    assert(got === want)
+  }
+
   test("connectedComponents labels chains, cliques, and long paths with the component min") {
     // two components: a 12-node path (worst-case diameter for naive
     // propagation — exercises multiple star rounds) and a triangle
