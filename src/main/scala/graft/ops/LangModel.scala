@@ -665,13 +665,18 @@ object LangModel {
       mutable.ArrayBuffer.from(w.map(_.toString)) }
     val counts = wordCounts.map(_._2)
     val pairCount = mutable.HashMap.empty[(String, String), Long]
-    val occ = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // occurrence lists, NOT BitSets: a BitSet allocates ∝ the max word
+    // index it holds (~250 KB per rare pair at a 2M-word vocabulary —
+    // gigabytes across the pair space); lists are bounded by total
+    // symbol positions (Σ|word|). Entries may repeat or go stale; the
+    // merge pass dedupes and a no-longer-matching word is a no-op.
+    val occ = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
     def wordPairs(syms: mutable.ArrayBuffer[String]): Iterator[(String, String)] =
       if (syms.length < 2) Iterator.empty
       else syms.iterator.zip(syms.iterator.drop(1))
     for (i <- words.indices; p <- wordPairs(words(i))) {
       pairCount.updateWith(p)(c => Some(c.getOrElse(0L) + counts(i)))
-      occ.getOrElseUpdate(p, mutable.BitSet.empty) += i
+      occ.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int]) += i
     }
     // max-heap: count desc, then (l, r) asc — matches the distributed
     // ORDER BY cnt DESC, l, r exactly
@@ -697,9 +702,11 @@ object LangModel {
         case Some((cnt, l, r)) =>
           merges += ((rank, l, r, l + r, cnt))
           val changed = mutable.Set.empty[(String, String)]
-          // BitSet iterates ascending — deterministic, though the
-          // count sums are order-free anyway
-          for (i <- occ.remove((l, r)).getOrElse(mutable.BitSet.empty)) {
+          // dedupe + sort the occurrence list — deterministic, though
+          // the count sums are order-free anyway
+          for (i <- occ.remove((l, r))
+                 .getOrElse(mutable.ArrayBuffer.empty[Int])
+                 .distinct.sorted) {
             val syms = words(i)
             // stale occurrence entries (pair already consumed by an
             // earlier merge at this word) fall through harmlessly:
@@ -720,7 +727,7 @@ object LangModel {
               }
               for (p <- wordPairs(out)) {
                 pairCount.updateWith(p)(c => Some(c.getOrElse(0L) + counts(i)))
-                occ.getOrElseUpdate(p, mutable.BitSet.empty) += i
+                occ.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int]) += i
                 changed += p
               }
             }
