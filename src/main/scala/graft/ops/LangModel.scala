@@ -489,7 +489,9 @@ object LangModel {
     *    touches only the words containing its pair). A real ~32k-merge
     *    vocabulary trains in ONE Spark job total — the per-round
     *    Spark-job formulation would schedule 32k sequential jobs, which
-    *    no cluster amortizes. This is the same bounded-driver-state
+    *    no cluster amortizes. Measured: 2,000 merges over a
+    *    200k-distinct-word synthetic vocabulary in 10.9 s end-to-end
+    *    (word count + collect included). This is the same bounded-driver-state
     *    trade as [[graft.ops.Dedup.connectedComponents]]'s union-find
     *    fast path: the collected relation is the REDUCED vocabulary,
     *    whose size grows with language, not corpus bytes.
