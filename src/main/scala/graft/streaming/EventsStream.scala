@@ -157,14 +157,21 @@ object EventsStream {
     * re-run over exact-dedup survivors only — at web scale the sink it
     * rescans is the distinct-content corpus, already the smallest
     * relation in the pipeline. Returns the writer; callers set
-    * checkpoint/trigger and start. */
+    * checkpoint/trigger and start.
+    *
+    * Replay safety: foreachBatch re-invokes with the SAME batchId after
+    * a mid-batch failure, so a plain append sink would duplicate the
+    * replayed rows. Each batch instead overwrites its own
+    * `batch=<id>/` subdirectory — re-running batch k replaces batch
+    * k's files and nothing else, making the sink idempotent per the
+    * foreachBatch exactly-once contract. */
   def curateStreamCompacted(docs: DataFrame, sinkDir: String,
                             compactedDir: String, compactEvery: Int = 1,
                             params: graft.ops.Curation.Params = graft.ops.Curation.Params())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactEvery >= 1, s"compactEvery $compactEvery must be >= 1")
     val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = { (batch, id) =>
-      batch.write.mode("append").parquet(sinkDir)
+      batch.write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
       if ((id + 1) % compactEvery == 0)
         compactCurated(batch.sparkSession, sinkDir, compactedDir, params)
     }
@@ -175,11 +182,14 @@ object EventsStream {
     * sink and replace `compactedDir`. Also the catch-up entry point for
     * duplicates that slipped a bounded-retention dedup state
     * ([[dedupStreamBounded]]): exact-dup pairs are jaccard-1.0 LSH
-    * pairs, so the near-dup stage removes them here. */
+    * pairs, so the near-dup stage removes them here. The `batch=<id>`
+    * layout reads back as a partition column; it is provenance, not
+    * content, and is dropped before curation. */
   def compactCurated(spark: SparkSession, sinkDir: String,
                      compactedDir: String,
                      params: graft.ops.Curation.Params = graft.ops.Curation.Params()): Unit =
-    graft.ops.Curation.nearDupAndQuality(spark.read.parquet(sinkDir), params)
+    graft.ops.Curation.nearDupAndQuality(
+        spark.read.parquet(sinkDir).drop("batch"), params)
       .write.mode("overwrite").parquet(compactedDir)
 
   // ---- stream-stream join -------------------------------------------
