@@ -223,6 +223,30 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("bpe driver path matches distributed on randomized corpora (seeded fuzz)") {
+    import spark.implicits._
+    // random low-alphabet words maximize pair collisions, ties, runs,
+    // and mid-train re-ranking — the regimes where the incremental
+    // maintenance (lazy heap, stale occurrence entries, delta updates)
+    // could drift from the per-round recount
+    val rnd = new scala.util.Random(101)
+    val alpha = "abc"
+    for (trial <- 1 to 3) {
+      val words = Seq.fill(40)(
+        Seq.fill(2 + rnd.nextInt(6))(alpha(rnd.nextInt(alpha.length))).mkString)
+      val docs = Seq.fill(60)(words(rnd.nextInt(words.size)))
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val n = 1 + rnd.nextInt(12)
+      val drv = LangModel.bpeLoop(docs, n, "text", None, Long.MaxValue)
+      val dst = LangModel.bpeLoop(docs, n, "text", None, 0L)
+      assert(drv._2.collect().map(_.toSeq).toSeq ===
+        dst._2.collect().map(_.toSeq).toSeq, s"trial $trial merges, n=$n")
+      assert(drv._1.collect().map(_.toSeq).toSet ===
+        dst._1.collect().map(_.toSeq).toSet, s"trial $trial vocab, n=$n")
+    }
+  }
+
   test("bpe 100-merge train runs in O(1) Spark jobs, not one per merge") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
