@@ -276,6 +276,30 @@ class SimilaritySpec extends SparkSpec {
     assert(c === d)
   }
 
+  test("semDedup collapse matches direct on randomized duplicated corpora (seeded fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(62)
+    for (trial <- 1 to 3) {
+      // ~15 base vectors (some zero), each duplicated 1-4×; coarse
+      // component values force near-dup collisions and exact ties
+      val base = Seq.fill(15)(
+        if (rnd.nextInt(6) == 0) Array.fill(4)(0.0f)
+        else Array.fill(4)((rnd.nextInt(3) - 1).toFloat))
+      var id = 0L
+      val rows = base.flatMap { v =>
+        Seq.fill(1 + rnd.nextInt(4)) { id += 1; (id, v) }
+      }
+      val corpus = rows.toDF("vec_id", "embedding")
+      val t = Seq(0.3, 0.7, 0.99)(rnd.nextInt(3))
+      val direct = Similarity.semDedup(corpus, threshold = t, nlist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val collapsed = Similarity.semDedup(corpus, threshold = t, nlist = 2,
+          collapseExact = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(collapsed === direct, s"trial $trial threshold $t")
+    }
+  }
+
   test("semDedupNlist scales with corpus size between its floor and cap") {
     assert(Similarity.semDedupNlist(0L) === 16)        // floor holds on empty
     assert(Similarity.semDedupNlist(2000L) === 16)     // sf0.1-sized: floor
