@@ -53,10 +53,18 @@ object Checkpoints {
     * share one dir. */
   def truncator(spark: SparkSession, dir: Option[String]): DataFrame => DataFrame = {
     dir.foreach { d =>
-      val existing = spark.sparkContext.getCheckpointDir.map(_.stripSuffix("/"))
+      // normalize through the URI path: getCheckpointDir returns a
+      // scheme-qualified URI (file:/..., hdfs://...) while callers pass
+      // raw paths — comparing the raw strings would treat EVERY
+      // re-request as a switch
+      def norm(s: String): String =
+        new org.apache.hadoop.fs.Path(s).toUri.getPath.stripSuffix("/")
+      val existing = spark.sparkContext.getCheckpointDir.map(norm)
       // setCheckpointDir creates a random subdir under d — compare
-      // against the parent we were asked for, not the generated leaf
-      val samePrefix = existing.exists(_.startsWith(d.stripSuffix("/")))
+      // against the parent we were asked for, not the generated leaf;
+      // the boundary slash keeps /tmp/abc from matching a request for
+      // /tmp/a (a bare startsWith would silently skip the switch)
+      val samePrefix = existing.exists(_.startsWith(norm(d) + "/"))
       if (existing.isDefined && !samePrefix)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"switching session checkpoint dir ${existing.get} -> $d; " +
