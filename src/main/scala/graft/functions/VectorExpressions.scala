@@ -180,6 +180,62 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** SRP bucket key: `planes` sign bits of deterministic hyperplane
+    * projections, packed into an int — the native twin of the composed
+    * `Σ_d element_at(vec, d+1) · c_{p,d}` column tree, which at
+    * planes×dim = 9×64 is a 576-node expression janino must compile
+    * and evaluate per corpus row (the dominant cost of the ANN paths'
+    * corpus side at 200k vectors). Bit-identical contract with the
+    * composed form, which the DuckDB oracles replicate:
+    * double-widened, d-ascending LEFT-ASSOCIATIVE accumulation per
+    * plane, bit set on proj ≥ 0; a vector shorter than `dim` nulls
+    * every plane's sum in the composed form (non-ANSI element_at) and
+    * therefore buckets to 0 — reproduced here explicitly (the dim
+    * guard raises before this matters in every caller).
+    * CodegenFallback for the NearestCell reason: the plane matrix
+    * lives in the instance, not in generated literals. */
+  case class SrpBucket(child: Expression, dim: Int, planes: Int,
+                       matrix: Seq[Seq[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types.IntegerType
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val m: Array[Array[Double]] =
+      matrix.map(_.toArray).toArray
+    @transient private lazy val isFloat = elemKind(child) == FloatType
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() < dim) return 0
+      val vec = new Array[Double](dim)
+      var d = 0
+      while (d < dim) {
+        vec(d) = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        d += 1
+      }
+      var bucket = 0
+      var p = 0
+      while (p < planes) {
+        val c = m(p)
+        var proj = 0.0
+        d = 0
+        while (d < dim) { proj += vec(d) * c(d); d += 1 }
+        if (proj >= 0) bucket += (1 << p)
+        p += 1
+      }
+      bucket
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def srp_bucket(vec: Column, dim: Int, planes: Int,
+                 matrix: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(SrpBucket(ColumnBridge.expression(vec), dim, planes, matrix))
+
   def nearest_cell(vec: Column, centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(NearestCell(ColumnBridge.expression(vec), centroids))
 

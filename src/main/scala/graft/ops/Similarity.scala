@@ -96,10 +96,26 @@ object Similarity {
 
   /** SRP-LSH bucket key: `planes` sign bits of deterministic hyperplane
     * dot products, packed into an int. Callers must validate vector
-    * length ≥ dim first (see [[requireDim]]) — out-of-range element_at
-    * yields nulls that would silently send every row to bucket 0,
-    * collapsing the LSH gate into a full cross product. */
-  def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
+    * length ≥ dim first (the dimGuard filter) — a short vector buckets
+    * to 0, which would silently collapse the LSH gate into a full
+    * cross product.
+    *
+    * Backed by the native [[VectorExpressions.SrpBucket]]: the composed
+    * `element_at · lit` column tree is planes×dim nodes (576 at the
+    * corpus-scaled 9 planes) that janino compiles and evaluates per
+    * corpus row — the measured dominant cost of the ANN corpus side.
+    * The native loop is bit-identical (same left-associative
+    * d-ascending accumulation, same ≥ 0 bit rule, same short-vector
+    * zero — spec-asserted against the composed form), so the DuckDB
+    * oracles that replicate the composed arithmetic still match. */
+  def srpBucket(vec: Column, dim: Int, planes: Int): Column =
+    VectorExpressions.srp_bucket(vec, dim, planes,
+      (0 until planes).map(p => (0 until dim).map(d => planeComponent(p, d))))
+
+  /** The composed-column formulation [[srpBucket]] replaced — retained
+    * as the spec's equality reference (it is the arithmetic the DuckDB
+    * oracles embed). */
+  private[graft] def srpBucketComposed(vec: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { pIdx =>
       val proj = (0 until dim).map { d =>
         element_at(vec, d + 1).cast("double") * lit(planeComponent(pIdx, d))

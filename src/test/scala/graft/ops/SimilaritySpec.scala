@@ -117,6 +117,34 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.subsetOf(brute))
   }
 
+  test("native srp bucket is bit-identical to the composed column form") {
+    import spark.implicits._
+    // the composed element_at·lit tree is the arithmetic the DuckDB
+    // oracles embed — the native loop must agree on every row,
+    // including sign boundaries and exact zeros
+    val rnd = new scala.util.Random(97)
+    val vecs = (0 until 500).map { i =>
+      (i.toLong, Array.fill(8)((rnd.nextInt(2001) - 1000) / 250.0f))
+    } ++ Seq(
+      (9000L, Array.fill(8)(0.0f)),             // all-zero → proj 0 ≥ 0
+      (9001L, Array.fill(8)(1.0f)),
+      (9002L, Array.fill(8)(-1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    for (planes <- Seq(4, 9, 16)) {
+      val both = df.select(col("vec_id"),
+          Similarity.srpBucket(col("embedding"), 8, planes).as("native"),
+          Similarity.srpBucketComposed(col("embedding"), 8, planes).as("composed"))
+        .where(col("native") =!= col("composed"))
+      assert(both.isEmpty, s"bucket mismatch at planes=$planes: " +
+        both.limit(3).collect().mkString(", "))
+    }
+    // short vector: composed nulls every plane sum → 0; native matches
+    val short = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.srpBucket(col("embedding"), 8, 4).as("b"))
+      .head().getInt(0)
+    assert(short === 0)
+  }
+
   test("srpPlanesFor scales bucket count with corpus, floored and capped") {
     // floor: tiny corpora keep the published fixed-4 behavior (which
     // also keeps the static sf0.01 oracle valid)
