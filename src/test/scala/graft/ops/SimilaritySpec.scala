@@ -143,6 +143,13 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.srpBucket(col("embedding"), 8, 4).as("b"))
       .head().getInt(0)
     assert(short === 0)
+    // array<double> inputs take the getDouble path — must agree with
+    // the float rendition of the same values
+    val asF = Seq((1L, Array(0.5f, -0.25f, 1.0f, -1.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.srpBucket(col("embedding"), 4, 9).as("b")).head().getInt(0)
+    val asD = Seq((1L, Array(0.5d, -0.25d, 1.0d, -1.0d))).toDF("vec_id", "embedding")
+      .select(Similarity.srpBucket(col("embedding"), 4, 9).as("b")).head().getInt(0)
+    assert(asF === asD)
   }
 
   test("srpPlanesFor scales bucket count with corpus, floored and capped") {
