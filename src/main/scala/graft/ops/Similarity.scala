@@ -331,7 +331,18 @@ object Similarity {
     * collected to the driver, spherical k-means runs locally, and the
     * tiny centroid set is broadcast back as literals. The corpus itself
     * is never shuffled for training, so the 100 TB path is one scan for
-    * assignment + one hash join — no MLlib iteration jobs. */
+    * assignment + one hash join — no MLlib iteration jobs.
+    *
+    * Sizing at scale: candidates per query ≈ n · nprobe / nlist, so at
+    * FIXED defaults candidate work grows linearly with the corpus
+    * (measured benign at the 100× probe — 0.95 s at 200k vectors,
+    * native-cosine scoring is cheap). Unlike the LSH paths' plane
+    * count, this is deliberately NOT auto-scaled: shrinking the probe
+    * FRACTION nprobe/nlist is a direct recall cut (the faiss guidance —
+    * grow nlist ~√n AND nprobe with it — trades those explicitly), so
+    * the knobs stay caller-owned; pick them with [[annRecall]] against
+    * [[bruteForceTopK]] truth on a sample, which is exactly what the
+    * recall harness exists for. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding", maxIter: Int = 5,
