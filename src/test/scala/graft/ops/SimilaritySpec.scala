@@ -325,7 +325,10 @@ class SimilaritySpec extends SparkSpec {
         Seq.fill(1 + rnd.nextInt(4)) { id += 1; (id, v) }
       }
       val corpus = rows.toDF("vec_id", "embedding")
-      val t = Seq(0.3, 0.7, 0.99)(rnd.nextInt(3))
+      // includes non-positive thresholds: cos(0,0) is defined 0, so at
+      // t <= 0 identical ZERO vectors DO qualify and must lose — the
+      // opposite of the positive-threshold zero-vector edge
+      val t = Seq(-0.1, 0.0, 0.3, 0.7, 0.99)(rnd.nextInt(5))
       val direct = Similarity.semDedup(corpus, threshold = t, nlist = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val collapsed = Similarity.semDedup(corpus, threshold = t, nlist = 2,
