@@ -515,17 +515,26 @@ object Similarity {
     // of re-scanning and re-scoring the corpus per consumer
     val assigned = ck(corpus.select(col(idCol), col(vecCol).as("v"),
       VectorExpressions.nearest_cell(col(vecCol), cent.map(_.toSeq).toSeq).as("cell")))
+    val losers = cellPairLosers(assigned, idCol, threshold)
+      .select(col("doc_id").as(idCol))
+    assigned.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell").cast("long").as("cell"))
+  }
+
+  /** In-cell cosine pair search + component closure over an `assigned`
+    * (id, v, cell) relation; returns the non-representative members
+    * (doc_id ≠ component_id) — shared by both [[semDedup]] paths. */
+  private def cellPairLosers(assigned: DataFrame, idCol: String,
+                             threshold: Double): DataFrame = {
     val a = assigned.select(col("cell"), col(idCol).as("doc_a"), col("v").as("va"))
     val b = assigned.select(col("cell"), col(idCol).as("doc_b"), col("v").as("vb"))
     val pairs = a.join(b, Seq("cell"))
       .where(col("doc_a") < col("doc_b"))
       .where(cosine(col("va"), col("vb")) >= threshold)
       .select("doc_a", "doc_b")
-    val losers = Dedup.connectedComponents(pairs)
+    Dedup.connectedComponents(pairs)
       .where(col("doc_id") =!= col("component_id"))
-      .select(col("doc_id").as(idCol))
-    assigned.join(losers, Seq(idCol), "left_anti")
-      .select(col(idCol), col("cell").cast("long").as("cell"))
+      .select("doc_id")
   }
 
   /** [[semDedup]]'s exact-duplicate collapse (`collapseExact = true`) —
@@ -559,14 +568,7 @@ object Similarity {
       Seq(idCol), "left_semi")
     val assigned = ck(repVecs.select(col(idCol).as("__rep"), col(vecCol).as("v"),
       VectorExpressions.nearest_cell(col(vecCol), cent.map(_.toSeq).toSeq).as("cell")))
-    val a = assigned.select(col("cell"), col("__rep").as("doc_a"), col("v").as("va"))
-    val b = assigned.select(col("cell"), col("__rep").as("doc_b"), col("v").as("vb"))
-    val pairs = a.join(b, Seq("cell"))
-      .where(col("doc_a") < col("doc_b"))
-      .where(cosine(col("va"), col("vb")) >= threshold)
-      .select("doc_a", "doc_b")
-    val repLosers = Dedup.connectedComponents(pairs)
-      .where(col("doc_id") =!= col("component_id"))
+    val repLosers = cellPairLosers(assigned, "__rep", threshold)
       .select(col("doc_id").as("__rep"))
     val repMeta = assigned.select(col("__rep"), col("cell"),
       (cosine(col("v"), col("v")) >= threshold).as("__selfq"))
