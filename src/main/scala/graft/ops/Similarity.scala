@@ -125,17 +125,14 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** In-job width guard around the bucket expression: any row with a
-    * too-short vector fails the job at scan time instead of silently
-    * mapping to bucket 0 (which would collapse the LSH gate into a full
-    * cross product). One integer comparison per row — negligible next to
-    * the 64-dim projections — and, unlike a sampled driver-side check, it
-    * catches a mixed-width corpus on every row. */
   /** Per-row width guard as a standalone filter predicate: true for
-    * valid rows, raises for short vectors. Kept OUT of the bucket
-    * projection — attaching the guard to the bucket expression itself
-    * (as an added CASE) measured 2× on q21/q38, while a small separate
-    * filter is free. */
+    * valid rows, raises for short vectors — the row fails at scan time
+    * instead of silently mapping to bucket 0 (which would collapse the
+    * LSH gate into a full cross product), and unlike a sampled
+    * driver-side check it catches a mixed-width corpus on every row.
+    * Kept OUT of the bucket projection — attaching the guard to the
+    * bucket expression itself (as an added CASE) measured 2× on
+    * q21/q38, while a small separate filter is free. */
   private def dimGuard(vec: Column, dim: Int): Column =
     when(size(vec) >= dim, lit(true))
       .otherwise(raise_error(concat(
