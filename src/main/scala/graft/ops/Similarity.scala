@@ -17,8 +17,10 @@ import graft.functions.VectorExpressions
   *    keys shrink the candidate set from |corpus| to the colliding bucket,
   *    trading recall for a |corpus|/2^planes-fold reduction in distance
   *    computations — the standard Charikar construction;
-  *  - dot products use the higher-order `aggregate` over `zip_with`
-  *    (codegen'd, no UDF); accumulation is in index order (deterministic).
+  *  - all vector math (dot, cosine, SRP buckets, cell argmax) runs in
+  *    native Catalyst expressions — one primitive loop per row, no
+  *    UDFs, no higher-order-function interpretation; accumulation is in
+  *    index order (deterministic, oracle-portable).
   */
 object Similarity {
 
