@@ -282,41 +282,6 @@ object Io {
     names.toSeq
   }
 
-  /** Z-order-clustered layout: interleave the bits of two integer sort
-    * keys into one Morton code and range-partition + sort on it — rows
-    * close in EITHER dimension land in the same files, so parquet
-    * min/max stats stay tight on BOTH columns and range predicates on
-    * either key skip files. [[writeSorted]] clusters one dimension
-    * perfectly and leaves the other shuffled; Z-ordering is the
-    * standard multi-dimensional compromise (Databricks OPTIMIZE
-    * ZORDER, Iceberg sort orders). Keys are rank-normalized first
-    * (exact dense rank over the distinct-value domain → 16-bit codes)
-    * so skewed value domains still interleave evenly; the corpus itself
-    * only shuffles once for the final range partition.
-    *
-    * The rank itself is computed distributed, never through a global
-    * single-partition window: the distinct values are range-partitioned
-    * (global order across partition index), ranked with a
-    * per-partition window, and stitched with per-partition row-count
-    * offsets. The range-bucket count derives from the key's measured
-    * cardinality — ~[[ZTargetPerBucket]] distinct values per bucket,
-    * floored at 64 (small dictionaries keep yesterday's parallelism)
-    * and capped at [[ZMaxBuckets]] — so a billion-value key fans the
-    * rank sort across ~1000 tasks instead of funneling through a fixed
-    * 64. The only driver-side state is one row count per range
-    * partition (≤ [[ZMaxBuckets]] longs — bounded regardless of corpus
-    * size), so the scheme survives z-order keys of any cardinality; a
-    * `Window.orderBy` over the distinct set would serialize billions of
-    * values through one task at 100 TB.
-    *
-    * NULL keys are preserved: the rank joins are null-safe (`<=>`), so
-    * a NULL in either z-order column ranks as its own group (first, per
-    * Spark's nulls-first ordering) instead of being dropped — a layout
-    * rewrite must never lose rows. */
-  /** Distributed rank→16-bit-code dictionary for one z-order key (see
-    * [[writeZOrdered]]). Returns (codes keyed `__v_c`/`__r_c`, distinct
-    * count, the cached range-partitioned relation for the caller to
-    * unpersist once the codes are consumed). */
   /** ~1M distinct values ranked per range bucket: tens of MB of sort
     * working set per task, small enough to never spill. */
   private[io] val ZTargetPerBucket = 1L << 20
@@ -324,6 +289,10 @@ object Io {
     * at ~64 KB of longs no matter the key cardinality. */
   private[io] val ZMaxBuckets = 4096
 
+  /** Distributed rank→16-bit-code dictionary for one z-order key (see
+    * [[writeZOrdered]]). Returns (codes keyed `__v_c`/`__r_c`, distinct
+    * count, the cached range-partitioned relation for the caller to
+    * unpersist once the codes are consumed). */
   private[io] def zRankCodes(df: DataFrame, c: String,
                              targetPerBucket: Long = ZTargetPerBucket)
       : (DataFrame, Long, DataFrame) = {
@@ -364,6 +333,37 @@ object Io {
     (ranked, total, parted)
   }
 
+  /** Z-order-clustered layout: interleave the bits of two integer sort
+    * keys into one Morton code and range-partition + sort on it — rows
+    * close in EITHER dimension land in the same files, so parquet
+    * min/max stats stay tight on BOTH columns and range predicates on
+    * either key skip files. [[writeSorted]] clusters one dimension
+    * perfectly and leaves the other shuffled; Z-ordering is the
+    * standard multi-dimensional compromise (Databricks OPTIMIZE
+    * ZORDER, Iceberg sort orders). Keys are rank-normalized first
+    * (exact dense rank over the distinct-value domain → 16-bit codes)
+    * so skewed value domains still interleave evenly; the corpus itself
+    * only shuffles once for the final range partition.
+    *
+    * The rank itself is computed distributed, never through a global
+    * single-partition window: the distinct values are range-partitioned
+    * (global order across partition index), ranked with a
+    * per-partition window, and stitched with per-partition row-count
+    * offsets. The range-bucket count derives from the key's measured
+    * cardinality — ~[[ZTargetPerBucket]] distinct values per bucket,
+    * floored at 64 (small dictionaries keep yesterday's parallelism)
+    * and capped at [[ZMaxBuckets]] — so a billion-value key fans the
+    * rank sort across ~1000 tasks instead of funneling through a fixed
+    * 64. The only driver-side state is one row count per range
+    * partition (≤ [[ZMaxBuckets]] longs — bounded regardless of corpus
+    * size), so the scheme survives z-order keys of any cardinality; a
+    * `Window.orderBy` over the distinct set would serialize billions of
+    * values through one task at 100 TB.
+    *
+    * NULL keys are preserved: the rank joins are null-safe (`<=>`), so
+    * a NULL in either z-order column ranks as its own group (first, per
+    * Spark's nulls-first ordering) instead of being dropped — a layout
+    * rewrite must never lose rows. */
   def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
                     colA: String, colB: String): Unit = {
     import org.apache.spark.sql.functions._

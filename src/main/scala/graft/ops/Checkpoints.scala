@@ -53,12 +53,22 @@ object Checkpoints {
     * share one dir. */
   def truncator(spark: SparkSession, dir: Option[String]): DataFrame => DataFrame = {
     dir.foreach { d =>
-      // normalize through the URI path: getCheckpointDir returns a
-      // scheme-qualified URI (file:/..., hdfs://...) while callers pass
-      // raw paths — comparing the raw strings would treat EVERY
-      // re-request as a switch
-      def norm(s: String): String =
-        new org.apache.hadoop.fs.Path(s).toUri.getPath.stripSuffix("/")
+      // normalize through the FULL URI — scheme + authority + path:
+      // getCheckpointDir returns a scheme-qualified URI (file:/...,
+      // hdfs://nn/...) while callers pass raw paths, so raw-string
+      // comparison would treat EVERY re-request as a switch; but a
+      // path-only comparison would treat hdfs://nn/ckpt and file:/ckpt
+      // as the SAME dir and silently skip a genuine filesystem switch,
+      // losing the reliable-checkpoint guarantee. Scheme-less paths
+      // resolve against the session's default FS (fs.defaultFS), same
+      // as setCheckpointDir itself does.
+      def norm(s: String): String = {
+        val p  = new org.apache.hadoop.fs.Path(s)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val u  = fs.makeQualified(p).toUri
+        val auth = Option(u.getAuthority).getOrElse("")
+        s"${u.getScheme}://$auth${u.getPath.stripSuffix("/")}"
+      }
       val existing = spark.sparkContext.getCheckpointDir.map(norm)
       // setCheckpointDir creates a random subdir under d — compare
       // against the parent we were asked for, not the generated leaf;

@@ -559,8 +559,15 @@ object Similarity {
                                 cent: Array[Array[Double]], idCol: String,
                                 vecCol: String,
                                 ck: DataFrame => DataFrame): DataFrame = {
-    val vkey = md5(to_binary(
-      concat_ws(",", col(vecCol).cast("array<string>")), lit("utf-8")))
+    // null elements must stay distinguishable in the digest: concat_ws
+    // silently DROPS nulls, so [1,null,2] and [1,2] would collapse to
+    // one group and members would inherit a keep/drop fate the direct
+    // path (where cosine over a null element is null ⇒ not a dup pair)
+    // never assigns. Map each null to a sentinel no float cast can
+    // produce ("null") before joining.
+    val vkey = md5(to_binary(concat_ws(",",
+      expr(s"transform($vecCol, x -> coalesce(CAST(x AS STRING), 'null'))")),
+      lit("utf-8")))
     val keyed = ck(corpus.select(col(idCol), vkey.as("__vk")))
     val reps = keyed.groupBy("__vk").agg(min(idCol).as("__rep"))
     val repVecs = corpus.join(reps.select(col("__rep").as(idCol)),

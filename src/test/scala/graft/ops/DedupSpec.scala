@@ -198,20 +198,27 @@ class DedupSpec extends SparkSpec {
     // count driver actions exactly; raw job counts would also include
     // broadcast-exchange jobs, which are pipeline internals.
     val pairs = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("doc_a", "doc_b")
-    var actions = 0
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
         e match {
           case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
-            actions += 1
+            actions.incrementAndGet()
           case _ =>
         }
     }
+    // drain events from any earlier test on the shared session BEFORE
+    // registering, so the count covers exactly the executions between
+    // registration and the post-construction drain — a fixed sleep is
+    // both racy (events still in flight on a loaded host) and
+    // over-scoped (counts stragglers from prior SQL)
+    import org.apache.spark.grafttest.ListenerBusHelper.waitUntilListenerBusEmpty
+    waitUntilListenerBusEmpty(spark.sparkContext)
     spark.sparkContext.addSparkListener(listener)
     try {
       val df = Dedup.connectedComponents(pairs, smallCutoff = 0L)
-      Thread.sleep(500) // listener events post asynchronously
-      val inLoop = actions
+      waitUntilListenerBusEmpty(spark.sparkContext)
+      val inLoop = actions.get()
       assert(inLoop === 4,
         s"expected 4 SQL executions for a 1-round converge, got $inLoop")
       assert(df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===

@@ -311,6 +311,40 @@ class SimilaritySpec extends SparkSpec {
     assert(c === d)
   }
 
+  test("semDedup collapse keeps null-element vectors distinct from their null-dropped twins") {
+    // the digest must NOT collapse [1,null,2] with [1,2]: concat_ws
+    // silently drops null elements, so without the null sentinel both
+    // hash to "1.0,2.0" and members inherit a keep/drop fate the
+    // direct path never assigns (cosine reads a null slot as 0.0, so
+    // [1,null,2]·[1,2] ≈ 0.447 — NOT a duplicate at t=0.99).
+    // maxTrain = 3 keeps the null-free low ids as the training sample
+    // (trainedCentroids collects the sample driver-side and cannot
+    // unbox null elements), matching how a crawl corpus trains on a
+    // bounded clean sample while the full scan sees dirty rows.
+    val rows: Seq[(Long, Seq[java.lang.Float])] = Seq(
+      (0L, Seq[java.lang.Float](1.0f, 0.0f, 0.0f)),
+      (1L, Seq[java.lang.Float](0.0f, 1.0f, 0.0f)),
+      (2L, Seq[java.lang.Float](0.0f, 0.0f, 1.0f)),
+      (10L, Seq[java.lang.Float](1.0f, null, 2.0f)),  // null-element vector
+      (11L, Seq[java.lang.Float](1.0f, null, 2.0f)),  // identical copy — must lose to 10
+      (12L, Seq[java.lang.Float](1.0f, 2.0f))         // null-DROPPED twin — must survive
+    ).map { case (id, v) => (id, v) }
+    val corpus = rows.toDF("vec_id", "embedding")
+    for (t <- Seq(0.99, 0.4)) {
+      val direct = Similarity.semDedup(corpus, threshold = t, nlist = 2, maxTrain = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val collapsed = Similarity.semDedup(corpus, threshold = t, nlist = 2, maxTrain = 3,
+          collapseExact = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(collapsed === direct, s"threshold $t")
+    }
+    // the discriminating regime: at 0.99 the twins are NOT duplicates
+    val kept = Similarity.semDedup(corpus, threshold = 0.99, nlist = 2, maxTrain = 3,
+        collapseExact = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(10L) && kept.contains(12L) && !kept.contains(11L))
+  }
+
   test("semDedup collapse matches direct on randomized duplicated corpora (seeded fuzz)") {
     import spark.implicits._
     val rnd = new scala.util.Random(62)
