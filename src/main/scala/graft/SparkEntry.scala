@@ -1178,8 +1178,12 @@ object SparkEntry {
   }
 
   def ivfOracleSql(spark: SparkSession, sfDir: String): String = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // identical corpus-scaled cluster count as the query side (nlist=0
+    // default in ivfTopK) — the cell partition shapes the probed set,
+    // so both engines must derive the same nlist from the same corpus
     val cent = graft.ops.Similarity.trainedCentroids(
-      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      emb, nlist = graft.ops.Similarity.ivfNlistFor(emb.count()))
     s"""
       WITH ${duckCellAssignCtes(cent)},
       assigned AS (SELECT vec_id AS neighbor_id, e AS cv, cell FROM cells),

@@ -150,7 +150,18 @@ object Similarity {
     * at 4× wall); auto-scaling holds expected bucket occupancy (and so
     * per-query candidate count) ~constant, trading recall on BORDERLINE
     * neighbors, the trade [[annRecall]] exists to measure. The floor
-    * keeps sub-8k-vector corpora on the published fixed-4 behavior. */
+    * keeps sub-8k-vector corpora on the published fixed-4 behavior.
+    *
+    * When auto-scaling raises the plane count ABOVE the floor, the
+    * query side switches to Hamming-1 multi-probe
+    * ([[multiProbeTopK]]): the round-9 recall harness measured
+    * single-probe recall collapsing as planes scale on cluster-free
+    * corpora (13.6% → 1.2% at 4 → 9 planes on uniform vectors) while
+    * multi-probe held ~4× higher — so the scaled default keeps the
+    * occupancy bound AND most of the recall, at (p+1)× candidates per
+    * query (still occupancy-bounded per probe). An EXPLICIT `planes`
+    * value keeps the published single-probe behavior — callers who
+    * pin the hash own the recall trade. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int = 64,
               planes: Int = 0, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
@@ -159,6 +170,8 @@ object Similarity {
     // row — so the occupancy target is coarser here than
     // cosineNearDuplicatesLsh's 500
     val p = if (planes > 0) planes else srpPlanesFor(corpus.count(), targetBucket = 4096)
+    if (planes == 0 && p > 4)   // auto-scaled past the floor: multi-probe
+      return multiProbeTopK(queries, corpus, k, dim, p, idCol, vecCol)
     val q = broadcast(
       queries.where(dimGuard(col(vecCol), dim))
         .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -208,9 +221,11 @@ object Similarity {
         expr("(1000000 * n_hit) div n_true").as("recall_ppm"))
   }
 
-  /** [[annRecall]] of the single-probe SRP-LSH path against brute-force
-    * truth on the same query/corpus split — the recall number that
-    * justifies (or rejects) the LSH gate for a given corpus. */
+  /** [[annRecall]] of the SRP-LSH path (as [[lshTopK]] would run it:
+    * single-probe at the floor or an explicit plane count, Hamming-1
+    * multi-probe when auto-scaled past it) against brute-force truth
+    * on the same query/corpus split — the recall number that justifies
+    * (or rejects) the LSH gate for a given corpus. */
   def lshRecall(queries: DataFrame, corpus: DataFrame, k: Int,
                 dim: Int = 64, planes: Int = 0, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame =
@@ -333,20 +348,26 @@ object Similarity {
     * assignment + one hash join — no MLlib iteration jobs.
     *
     * Sizing at scale: candidates per query ≈ n · nprobe / nlist, so at
-    * FIXED defaults candidate work grows linearly with the corpus
-    * (measured benign at the 100× probe — 0.95 s at 200k vectors,
-    * native-cosine scoring is cheap). Unlike the LSH paths' plane
-    * count, this is deliberately NOT auto-scaled: shrinking the probe
-    * FRACTION nprobe/nlist is a direct recall cut (the faiss guidance —
-    * grow nlist ~√n AND nprobe with it — trades those explicitly), so
-    * the knobs stay caller-owned; pick them with [[annRecall]] against
-    * [[bruteForceTopK]] truth on a sample, which is exactly what the
-    * recall harness exists for. */
+    * a FIXED nlist candidate work grows linearly with the corpus (the
+    * 100× probe measured the fixed-16 default at 0.95 s for 200k
+    * vectors — benign there, but linear). `nlist = 0` (the default
+    * since round 10) derives the cluster count from the corpus via
+    * [[ivfNlistFor]] — the faiss √n guidance, capped by the training
+    * sample exactly like [[semDedupNlist]] — which keeps candidates
+    * per query ~√n instead of ∝ n. Shrinking the probe FRACTION
+    * nprobe/nlist is a direct recall cut, so `nprobe` stays
+    * caller-owned: grow it with nlist when recall matters, and pick
+    * the pair with [[annRecall]] against [[bruteForceTopK]] truth on a
+    * sample — the measured recall-vs-nprobe curve for the 100× replica
+    * is in SCALE.md. Explicit `nlist > 0` keeps the published
+    * fixed-count behavior. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
+              nlist: Int = 0, nprobe: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding", maxIter: Int = 5,
               maxTrain: Int = 4096): DataFrame = {
-    val cent = trainedCentroids(corpus, nlist, maxIter, maxTrain, idCol, vecCol)
+    val nl = if (nlist > 0) nlist
+             else ivfNlistFor(corpus.count(), maxTrain = maxTrain)
+    val cent = trainedCentroids(corpus, nl, maxIter, maxTrain, idCol, vecCol)
 
     // distributed cell assignment: a native argmax expression holding the
     // centroid matrix — ties to the lowest cell, one scan, no shuffle
@@ -369,6 +390,22 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
     rankTopK(scored, k)
+  }
+
+  /** [[ivfTopK]]'s corpus-scaled cluster count: the faiss guidance
+    * (nlist ≈ √n, so per-query candidate work n·nprobe/nlist grows
+    * ~√n instead of ∝ n), floored at `base` = 16 — the pre-round-10
+    * fixed default, so it also pins the oracle floor — and capped at
+    * `maxTrain / minTrainPerCell` exactly like [[semDedupNlist]]: the
+    * cluster count must not outgrow the bounded driver training
+    * sample, and raising `maxTrain` raises the cap in lockstep (the
+    * one-knob 100 TB move). Exposed so the Verify-time q29 oracle
+    * generator computes the IDENTICAL count from the same corpus. */
+  def ivfNlistFor(corpusSize: Long, base: Int = 16,
+                  maxTrain: Int = 4096, minTrainPerCell: Int = 16): Int = {
+    val cap = math.max(base.toLong, maxTrain.toLong / minTrainPerCell)
+    val want = math.round(math.sqrt(math.max(0L, corpusSize).toDouble))
+    math.min(cap, math.max(base.toLong, want)).toInt
   }
 
   /** The centroids [[ivfTopK]] trains for a given corpus — same bounded
@@ -467,12 +504,19 @@ object Similarity {
     * ~`targetBucket` under a uniform spread — ceil(log2(n/target)) —
     * floored at 4 (tiny corpora keep the published fixed-planes
     * behavior bit-identically, which also keeps the sf0.01 oracle
-    * static) and capped at 16 (65k buckets; beyond that occupancy is
-    * driven by the corpus's own cluster structure, not the hash).
-    * Exposed so callers sizing a probe sequence can compute the same
-    * count. */
+    * static) and capped at 24 (16.7M buckets — at the default target
+    * that binds only past ~8.4B vectors, i.e. past any single-table
+    * corpus this engine partitions one job over; the hard limit is 30,
+    * the sign-bit budget of the packed Int bucket key). The cap is NOT
+    * sample-bound like [[semDedupNlist]]'s — SRP trains nothing; each
+    * extra plane costs `dim` multiplies per corpus row and one more
+    * Hamming-1 probe on the query side, and past the cap bucket
+    * occupancy resumes growing ∝ n (the regime the round-10 cap probe
+    * measures as a plane-count↔occupancy sweep in SCALE.md). Exposed
+    * so callers sizing a probe sequence can compute the same count. */
   def srpPlanesFor(corpusSize: Long, targetBucket: Int = 500,
-                   floor: Int = 4, cap: Int = 16): Int = {
+                   floor: Int = 4, cap: Int = 24): Int = {
+    require(cap <= 30, s"srpPlanesFor: cap $cap exceeds the Int bucket's 30-bit budget")
     val needed = math.ceil(
       math.log(math.max(1.0, corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt
     math.min(cap, math.max(floor, needed))
@@ -503,7 +547,8 @@ object Similarity {
                maxIter: Int = 5, maxTrain: Int = 4096,
                checkpointDir: Option[String] = None,
                collapseExact: Boolean = false): DataFrame = {
-    val k = if (nlist > 0) nlist else semDedupNlist(corpus.count())
+    val k = if (nlist > 0) nlist
+            else semDedupNlist(corpus.count(), maxTrain = maxTrain)
     val cent = trainedCentroids(corpus, k, maxIter, maxTrain, idCol, vecCol)
     val ck = Checkpoints.truncator(corpus.sparkSession, checkpointDir)
     if (collapseExact)
@@ -587,18 +632,29 @@ object Similarity {
 
   /** [[semDedup]]'s corpus-scaled cluster count: one cluster per
     * `targetCell` vectors, floored at `base` so tiny corpora keep the
-    * paper's published behavior, capped at `cap` so the cluster count
-    * never outgrows the bounded driver-side training sample (maxTrain =
-    * 4096 ⇒ ≥ 16 sample vectors per cluster at the cap). Exposed so the
-    * Verify-time oracle generator computes the IDENTICAL count from the
-    * same corpus — cells are part of q62's declared output. Beyond the
-    * cap (≳65k vectors here) per-cell cost grows linearly again; the
-    * 100 TB move is raising maxTrain and cap together, trading a larger
-    * (still bounded) driver sample for smaller cells. */
+    * paper's published behavior, capped at `maxTrain /
+    * minTrainPerCell` so the cluster count never outgrows the bounded
+    * driver-side training sample (the defaults give 4096/16 = 256 —
+    * the pre-round-10 constant, so defaulted callers are unchanged).
+    * Exposed so the Verify-time oracle generator computes the
+    * IDENTICAL count from the same corpus — cells are part of q62's
+    * declared output.
+    *
+    * The cap is DERIVED, not a constant: beyond cap·targetCell
+    * distinct vectors (~65k at defaults) per-cell cost grows linearly
+    * again, and the 100 TB move is raising `maxTrain` — the cap rises
+    * with it automatically, trading a larger (still bounded,
+    * maxTrain·dim doubles) driver sample and an O(maxTrain·nlist·dim)
+    * driver training loop for cells that stay ~targetCell-sized.
+    * [[semDedup]] threads its own `maxTrain` through, so one knob
+    * moves sample and cap together; the capped-vs-raised regimes are
+    * measured in SCALE.md (round-10 cap probe). */
   def semDedupNlist(corpusSize: Long, base: Int = 16, targetCell: Int = 256,
-                    cap: Int = 256): Int =
-    math.min(cap.toLong, math.max(base.toLong,
+                    maxTrain: Int = 4096, minTrainPerCell: Int = 16): Int = {
+    val cap = math.max(base.toLong, maxTrain.toLong / minTrainPerCell)
+    math.min(cap, math.max(base.toLong,
       (corpusSize + targetCell - 1) / targetCell)).toInt
+  }
 
   /** Per-label embedding pooling: class centroid (as exact micro-unit
     * component sums — consumers divide by n) plus the mean cosine of

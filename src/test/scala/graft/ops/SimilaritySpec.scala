@@ -161,8 +161,14 @@ class SimilaritySpec extends SparkSpec {
     // scaling: ~constant expected occupancy (target 500/bucket)
     assert(Similarity.srpPlanesFor(200000L) === 9)    // 512 buckets
     assert(Similarity.srpPlanesFor(2000000L) === 12)  // 4096 buckets
-    // cap: the hash stops helping past 65k buckets
-    assert(Similarity.srpPlanesFor(Long.MaxValue) === 16)
+    // cap: 24 planes (16.7M buckets) — binds past ~8.4B vectors at the
+    // default target; the Int bucket's sign-bit budget hard-limits at 30
+    assert(Similarity.srpPlanesFor(20_000_000L) === 16)   // pre-r10 cap value, now derived
+    assert(Similarity.srpPlanesFor(Long.MaxValue) === 24)
+    assert(Similarity.srpPlanesFor(Long.MaxValue, cap = 30) === 30)
+    intercept[IllegalArgumentException] {
+      Similarity.srpPlanesFor(100L, cap = 31)
+    }
     // identical-direction pairs survive ANY plane count (all sign bits
     // agree), so auto-planes never loses exact near-dups
     val dup = (0 until 32).map(i => (i.toLong, Array(0.5f, 0.5f, 0.1f, 0.9f)))
@@ -378,7 +384,48 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semDedupNlist(4096L) === 16)     // exactly at the knee
     assert(Similarity.semDedupNlist(4097L) === 17)     // first step past it
     assert(Similarity.semDedupNlist(20000L) === 79)    // 10x stress corpus
-    assert(Similarity.semDedupNlist(10_000_000L) === 256) // cap
+    assert(Similarity.semDedupNlist(10_000_000L) === 256) // default-derived cap
+    // the cap derives from the training-sample budget (maxTrain /
+    // minTrainPerCell), so raising maxTrain raises the cap in lockstep
+    assert(Similarity.semDedupNlist(10_000_000L, maxTrain = 16384) === 1024)
+    assert(Similarity.semDedupNlist(300_000L, maxTrain = 16384) === 1024)
+    // between the old and new caps the count is corpus-driven again
+    assert(Similarity.semDedupNlist(100_000L, maxTrain = 16384) === 391)
+    // a maxTrain below base·minTrainPerCell never caps under the floor
+    assert(Similarity.semDedupNlist(10_000_000L, maxTrain = 64) === 16)
+  }
+
+  test("ivfNlistFor follows sqrt(n) between the floor and the maxTrain-derived cap") {
+    assert(Similarity.ivfNlistFor(0L) === 16)              // floor on empty
+    assert(Similarity.ivfNlistFor(256L) === 16)            // sqrt = floor
+    assert(Similarity.ivfNlistFor(1000L) === 32)           // sf0.01-sized: sqrt
+    assert(Similarity.ivfNlistFor(10000L) === 100)
+    assert(Similarity.ivfNlistFor(65536L) === 256)         // sqrt hits the cap
+    assert(Similarity.ivfNlistFor(200000L) === 256)        // capped (100x replica)
+    // raising maxTrain raises the cap in lockstep, sqrt resumes
+    assert(Similarity.ivfNlistFor(200000L, maxTrain = 16384) === 447)
+    assert(Similarity.ivfNlistFor(1000000L, maxTrain = 16384) === 1000)
+  }
+
+  test("lshTopK auto-scaled past the floor equals multiProbeTopK at the same plane count") {
+    // 64-dim uniform vectors, enough that srpPlanesFor(target 4096)
+    // derives planes > 4 — the auto path must take the multi-probe
+    // branch and match the explicit multi-probe call row-for-row
+    val n = 70000L
+    val p = Similarity.srpPlanesFor(n, targetBucket = 4096)
+    assert(p > 4, s"corpus too small to leave the floor (p=$p)")
+    val corpus = spark.range(n).selectExpr("id AS vec_id",
+      "transform(sequence(0, 63), d -> CAST((pmod(hash(id, d), 2001) - 1000) / 1000.0 AS FLOAT)) AS embedding")
+    val queries = corpus.where(col("vec_id") < 5)
+    val auto = Similarity.lshTopK(queries, corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val explicit = Similarity.multiProbeTopK(queries, corpus, k = 3, planes = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto === explicit)
+    // and an explicit planes value keeps single-probe: its candidate
+    // set (home bucket only) is a subset of the multi-probe run's
+    val single = Similarity.lshTopK(queries, corpus, k = 3, planes = p)
+    assert(single.collect().nonEmpty)
   }
 
   test("labelCentroids: hand-computed pooled sums and mean cosine to centroid") {
