@@ -50,10 +50,34 @@ object ScaleUp {
     println(s"$table: ${spark.read.parquet(s"$outDir/$table.parquet").count()} rows")
   }
 
+  /** Cap-probe replica: `n` DISTINCT uniform 64-dim vectors under
+    * /tmp/graft-vecs<n> — the regime the docs100 replica (exact
+    * copies, 2k distinct streams) cannot reach. The derived-cap
+    * boundaries (semDedupNlist / ivfNlistFor / srpPlanesFor) bind on
+    * DISTINCT-vector volume: exact-collapse makes copies free, so only
+    * a corpus of genuinely distinct vectors exercises the
+    * past-the-cap per-cell growth. Components are hash-uniform in
+    * [-1, 1] (deterministic per (id, dim) — rebuildable bit-identically),
+    * so cosines concentrate near 0 and pair OUTPUT stays tiny: the
+    * probe measures join/assignment/verification cost, not pair-listing
+    * cardinality. */
+  private def writeVecs(spark: SparkSession, n: Long): Unit = {
+    val out = s"/tmp/graft-vecs$n"
+    spark.range(n).selectExpr("id AS vec_id",
+      "transform(sequence(0, 63), d -> CAST((pmod(hash(id, d), 2001) - 1000) / 1000.0 AS FLOAT)) AS embedding")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"vecs: $n distinct vectors at $out")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("scale-up")
     val ok = 100000000L   // order-key stride
     val ck = 10000000L    // cust-key stride
+    if (args.headOption.contains("vecs")) {
+      writeVecs(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("li100")) {
       // 100× relational replica: lineitem 60M / orders 15M /
       // customer 1.5M (fact keys remapped per copy), dims 1× — probes

@@ -253,6 +253,18 @@ object Dedup {
   private[ops] def tokenStreamKey(text: Column): Column =
     md5(to_binary(concat_ws(" ", TextStats.tokens(text)), lit("utf-8")))
 
+  /** Is `df` broadcast-class by the planner's OWN estimate? The same
+    * standard Catalyst uses to pick broadcast joins
+    * (autoBroadcastJoinThreshold over optimized-plan sizeInBytes) —
+    * free to evaluate, no job. Used to skip fixed materialization
+    * costs on provably-tiny sides; -1 (broadcast disabled) means
+    * nothing qualifies. */
+  private[ops] def tinyByEstimate(df: DataFrame): Boolean = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+  }
+
   /** Exact-text collapse shared by the stream-collapsed operators
     * (near-dup, Naive Bayes, span dedup): returns
     * (members `(doc_id, __rep)`, repDocs — `docs` filtered to one rep,
@@ -263,18 +275,33 @@ object Dedup {
     * exchange (text never shuffles); rep texts come from a doc_id
     * semi-join against the original scan, which AQE broadcasts whenever
     * the rep set fits and otherwise degrades to a hash join — either
-    * way the corpus text is scanned, never exchanged. */
+    * way the corpus text is scanned, never exchanged.
+    *
+    * `materialize = false` (tiny-side escape): skips the digest
+    * checkpoint AND the repartition, so the group aggregate and member
+    * join each carry their own independent scan+hash subtree — the
+    * input is scanned twice instead of once, but there is NO shared
+    * subtree and therefore no ReuseExchange bet to lose (the flake
+    * that forced materialization in the first place); correct for
+    * sides the caller can bound (see [[tinyByEstimate]]), where the
+    * duplicated scan is cheaper than the fixed eager-checkpoint job.
+    * [[crossNearDuplicates]] decides per side automatically. */
   private[ops] def tokenStreamCollapse(docs: DataFrame, textCol: String,
-                                       checkpointDir: Option[String] = None)
+                                       checkpointDir: Option[String] = None,
+                                       materialize: Boolean = true)
       : (DataFrame, DataFrame) = {
     // digest relation materialized once (the SetSimilarity lesson:
     // relying on ReuseExchange to dedupe the two identical repartition
     // subtrees is planner-mood-dependent under AQE full-suite state) —
     // (doc_id, 16-byte digest) rows, one corpus text pass for both the
     // group aggregate and the member join
-    val keyed = Checkpoints.truncator(docs.sparkSession, checkpointDir)(docs
+    val keyedPlan = docs
       .select(col("doc_id"), tokenStreamKey(col(textCol)).as("__tk"))
-      .repartition(col("__tk")))
+    val keyed =
+      if (materialize)
+        Checkpoints.truncator(docs.sparkSession, checkpointDir)(
+          keyedPlan.repartition(col("__tk")))
+      else keyedPlan
     val reps = keyed.groupBy("__tk").agg(min("doc_id").as("__rep"))
     val members = keyed.join(reps, "__tk").select(col("doc_id"), col("__rep"))
     val repDocs = docs.join(reps.select(col("__rep").as("doc_id")),
@@ -363,8 +390,14 @@ object Dedup {
                           numHashes: Int = 8, rowsPerBand: Int = 2,
                           shingleSize: Int = 3, threshold: Double = 0.5,
                           checkpointDir: Option[String] = None): DataFrame = {
-    val (membersC, repC) = tokenStreamCollapse(corpus, textCol, checkpointDir)
-    val (membersB, repB) = tokenStreamCollapse(bench, textCol, checkpointDir)
+    // per-side tiny escape: a side the planner already estimates at
+    // broadcast size skips its fixed digest-checkpoint job (the
+    // disclosed +0.4-0.6 s at dup-light sf0.1, paid twice) — the
+    // collapse's 135×→7× payoff only matters when a side is big
+    val (membersC, repC) = tokenStreamCollapse(corpus, textCol, checkpointDir,
+      materialize = !tinyByEstimate(corpus))
+    val (membersB, repB) = tokenStreamCollapse(bench, textCol, checkpointDir,
+      materialize = !tinyByEstimate(bench))
     val bandsC = lshBands(minHashSignatures(repC, textCol, numHashes, shingleSize),
       numHashes, rowsPerBand)
     val bandsB = lshBands(minHashSignatures(repB, textCol, numHashes, shingleSize),
@@ -411,17 +444,30 @@ object Dedup {
     * edges| = |edges| (the previous round's |next|, carried in a
     * variable) ⇔ the edge sets are equal — the count-then-anti-join
     * formulation paid three jobs per round at cluster job-latency
-    * prices. */
+    * prices.
+    *
+    * `restartDir` (opt-in) additionally commits each round's edge
+    * relation as parquet ([[Restart]]) so a run killed at round k —
+    * driver and all — resumes from round k in a FRESH session instead
+    * of replaying 1..k; the resumed rounds are bit-identical because
+    * each round is a deterministic set function of the previous edge
+    * set. Costs one edge-sized parquet write per round; the dir is
+    * per-input (resuming over different `pairs` is operator error). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           smallCutoff: Long = 1L << 17,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          restartDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val ck = Checkpoints.truncator(spark, checkpointDir)
-    // orient large→small; drop self-loops
-    var edges = ck(pairs
+    val resumed = restartDir.flatMap(Restart.latest(spark, _))
+    // orient large→small; drop self-loops. On resume the saved round-k
+    // edge set REPLACES the initial build (and the small-graph fast
+    // path below is skipped — saved state means the distributed loop
+    // was already the chosen path).
+    var edges = ck(resumed.map(_._2).getOrElse(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .where(col("u") =!= col("v")).distinct())
+      .where(col("u") =!= col("v")).distinct()))
     // Small-graph fast path: near-dup edge sets are usually tiny relative
     // to the corpus (dup clusters, not the documents, drive |E|). Below
     // the cutoff a driver union-find replaces ~log n distributed rounds
@@ -432,7 +478,7 @@ object Dedup {
     val allLong = edges.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     val nInitial = edges.count()   // on the materialized blocks — cheap
-    if (allLong && nInitial <= smallCutoff) {
+    if (resumed.isEmpty && allLong && nInitial <= smallCutoff) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -454,9 +500,11 @@ object Dedup {
         .toDF("doc_id", "component_id")
     }
     var converged = false
-    var i = 0
-    // |edges| for round 1's equality check; every later round reuses
-    // the |next| its own aggregate produced
+    var i = resumed.map(_._1).getOrElse(0)
+    // |edges| for the next round's equality check; every later round
+    // reuses the |next| its own aggregate produced (on resume,
+    // nInitial IS the saved round's |next| — the count above ran on
+    // the saved relation)
     var nEdges = nInitial
     while (!converged && i < maxIter) {
       val next = ck(smallStar(largeStar(edges)))
@@ -470,6 +518,7 @@ object Dedup {
       nEdges = n
       edges = next
       i += 1
+      restartDir.foreach(Restart.save(next, _, i))
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // fixpoint = disjoint stars: u → component min; centers map to themselves

@@ -53,10 +53,21 @@ object Graph {
     * `edgesMaterialized`: set true when `edges0` is already a scan of
     * materialized blocks (e.g. [[coPurchaseEdges]]'s checkpointed
     * half-edge union) — the loop then reads it directly instead of
-    * copying the whole edge set into a second, redundant checkpoint. */
+    * copying the whole edge set into a second, redundant checkpoint.
+    *
+    * `restartDir` (opt-in): commits each round's integer rank carrier
+    * as parquet ([[Restart]]) so a run killed at round k — driver and
+    * all — resumes at round k+1 in a fresh session. Ranks are exact
+    * micro-units, each round a deterministic function of the previous
+    * carrier and the (re-derived) edges/outdeg/dangling statics, so
+    * the resumed rounds are bit-identical (RestartSpec). Costs one
+    * node-sized parquet write per round; the dir is per-(graph,
+    * damping) — resuming over a different edge set is operator
+    * error. */
   def pageRank(edges0: DataFrame, iters: Int = 5,
                checkpointDir: Option[String] = None,
-               edgesMaterialized: Boolean = false): DataFrame = {
+               edgesMaterialized: Boolean = false,
+               restartDir: Option[String] = None): DataFrame = {
     val ck = Checkpoints.truncator(edges0.sparkSession, checkpointDir)
     val edges =
       if (edgesMaterialized) edges0.select("src", "dst")
@@ -97,9 +108,12 @@ object Graph {
     // by then the rounds it materializes are persisted, so the cut
     // re-executes nothing.
     val cutEvery = 8
-    var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+    val resumed = restartDir.flatMap(Restart.latest(edges0.sparkSession, _))
+    var ranks = resumed.map(_._2)
+      .getOrElse(nodes.select(col("node"), lit(1000000L).as("rank")))
+    val startRound = resumed.map(_._1).getOrElse(0)
     var keep: List[DataFrame] = Nil
-    for (i <- 1 to iters) {
+    for (i <- startRound + 1 to iters) {
       // per-node damped share of this round's dangling mass (0 when the
       // graph has none — the fast path never runs these two jobs)
       val share: Long =
@@ -114,6 +128,10 @@ object Graph {
       keep.drop(2).foreach(_.unpersist(blocking = false))
       keep = keep.take(2)
       if (i % cutEvery == 0 && i < iters) ranks = ck(ranks)
+      // the save's write action materializes THROUGH the lazy persist,
+      // so the next round's broadcast reuses the cached carrier — one
+      // extra action per round, no recompute
+      restartDir.foreach(Restart.save(ranks, _, i))
     }
     // ownership handoff: cut the final carrier into standalone
     // materialized blocks, then release every loop persist. Without

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-JOB restart state for iterative operators (connected
+  * components, PageRank).
+  *
+  * [[Checkpoints]] covers EXECUTOR loss inside one job: a reliable
+  * checkpoint lets Spark recompute lost partitions without replaying
+  * the lineage. It does NOT survive the driver — checkpoint files are
+  * keyed to the SparkContext that wrote them and are not a supported
+  * restore surface for a new application. At 100 TB an iterative job
+  * can outlive its driver (spot loss, deploy, OOM), so the loop state
+  * itself must be restartable: this helper persists each round's
+  * carrier relation as plain parquet under `dir/round=<k>` and lets a
+  * FRESH session resume from the newest complete round.
+  *
+  * Why this is correct to resume from: both loops carry exact-integer
+  * or id-valued state (CC: the oriented edge relation; PageRank:
+  * micro-unit integer ranks), and each round is a deterministic
+  * function of (carrier, static inputs) — so a resumed run computes
+  * bit-identical rounds k+1.. regardless of which driver ran 1..k
+  * (spec-asserted in RestartSpec).
+  *
+  * Atomicity: the parquet lands in `dir/.inprogress_round=<k>` first
+  * and a RENAME to `dir/round=<k>` is the commit point — a driver
+  * killed mid-write leaves only the in-progress dir, which [[latest]]
+  * ignores. Single-writer per dir (two concurrent drivers on one dir
+  * is operator error, as with any checkpoint location).
+  *
+  * Cost: one carrier-sized parquet write per saved round — the price
+  * of driver-loss insurance, opt-in via `restartDir` and OFF by
+  * default. Completed runs leave their round files for the caller to
+  * reap; rerunning over a finished dir just resumes at the fixpoint.
+  */
+object Restart {
+  private val RoundRe = "^round=(\\d+)$".r
+
+  /** Commit `state` as the round-`k` snapshot under `dir`. */
+  def save(state: DataFrame, dir: String, round: Int): Unit = {
+    val spark = state.sparkSession
+    val tmp = new Path(dir, s".inprogress_round=$round")
+    val dst = new Path(dir, s"round=$round")
+    state.write.mode("overwrite").parquet(tmp.toString)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      sys.error(s"Restart.save: rename $tmp -> $dst failed")
+  }
+
+  /** The newest COMMITTED (round, state) under `dir`, if any. */
+  def latest(spark: SparkSession, dir: String): Option[(Int, DataFrame)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val rounds = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case RoundRe(k) => Some(k.toInt)
+        case _          => None
+      })
+    rounds.maxOption.map(k =>
+      (k, spark.read.parquet(new Path(dir, s"round=$k").toString)))
+  }
+}

@@ -103,6 +103,37 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(p => p._2 >= 100L))
   }
 
+  test("tokenStreamCollapse tiny escape: non-materialized path is output-identical; estimate gate") {
+    // the materialize=false shape duplicates the scan instead of
+    // betting on ReuseExchange — output must be identical either way
+    val (mT, rT) = Dedup.tokenStreamCollapse(docs, "text", materialize = true)
+    val (mF, rF) = Dedup.tokenStreamCollapse(docs, "text", materialize = false)
+    assert(mT.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      mF.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(rT.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      rF.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // the gate follows the planner's broadcast standard: a local tiny
+    // relation qualifies; with broadcasts disabled nothing does
+    assert(Dedup.tinyByEstimate(docs))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!Dedup.tinyByEstimate(docs))
+      // and crossNearDuplicates under the forced-materialize regime
+      // matches the tiny-path default on the same input
+      val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      val forced = Dedup.crossNearDuplicates(docs, bench, shingleSize = 2,
+          threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      val tiny = Dedup.crossNearDuplicates(docs, bench, shingleSize = 2,
+          threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(forced === tiny)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("crossNearDuplicates collapse is row-identical to the uncollapsed formulation (seeded fuzz)") {
     // the r9 both-side exact-collapse must reproduce the raw pipeline
     // EXACTLY: candidates from shared LSH bands, exact jaccard >= t,

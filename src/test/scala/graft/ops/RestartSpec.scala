@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Driver-loss restart for the iterative batch operators: a run that
+  * dies after committing round k's state must be resumable by a fresh
+  * invocation — picking up at round k+1, not replaying 1..k — with
+  * bit-identical final output. The "kill" is simulated by a run bounded
+  * to k rounds: observationally identical to a driver death at the
+  * round-k barrier, since [[Restart.save]]'s rename commit is the last
+  * thing a round does. */
+class RestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** A 40-node path graph: CC needs several alternating-star rounds
+    * (diameter-heavy), PageRank ranks are non-uniform. */
+  private def pathEdges = (0L until 39L).map(i => (i, i + 1))
+
+  test("connectedComponents resumes mid-loop from restartDir, output bit-identical") {
+    val pairs = pathEdges.toDF("doc_a", "doc_b")
+    val dir = tmpDir("graft-cc-restart")
+    // the doomed run: dies (maxIter exhausted) after committing 2 rounds
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 2, smallCutoff = 0L,
+        restartDir = Some(dir))
+    }
+    val committed = new java.io.File(dir).list().filter(_.startsWith("round=")).sorted
+    assert(committed.sameElements(Array("round=1", "round=2")))
+    val round1Mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "round=1"))
+
+    // resume in a FRESH session (shares the JVM context, but reads the
+    // state solely through parquet — nothing of the doomed run's plans
+    // or caches is reachable from it)
+    val spark2 = spark.newSession()
+    val pairs2 = {
+      import spark2.implicits._
+      pathEdges.toDF("doc_a", "doc_b")
+    }
+    val resumed = Dedup.connectedComponents(pairs2, smallCutoff = 0L,
+        restartDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rounds 1..2 were NOT replayed: their commit times are untouched
+    // and the resumed run appended round=3 onward
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "round=1")) === round1Mtime)
+    assert(new java.io.File(dir).list().exists(_ == "round=3"))
+
+    val oneShot = Dedup.connectedComponents(pairs, smallCutoff = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed === oneShot)
+    assert(resumed.values.toSet === Set(0L))  // one path component, min id 0
+  }
+
+  test("pageRank resumes mid-loop from restartDir, ranks bit-identical") {
+    val edges = (pathEdges ++ Seq((39L, 0L), (5L, 20L), (20L, 5L)))
+      .toDF("src", "dst")
+    val dir = tmpDir("graft-pr-restart")
+    // the doomed run: completes only 2 of 5 rounds before "dying"
+    Graph.pageRank(edges, iters = 2, restartDir = Some(dir))
+      .collect()
+    val round2Mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "round=2"))
+
+    val spark2 = spark.newSession()
+    val edges2 = {
+      import spark2.implicits._
+      (pathEdges ++ Seq((39L, 0L), (5L, 20L), (20L, 5L))).toDF("src", "dst")
+    }
+    val resumed = Graph.pageRank(edges2, iters = 5, restartDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 2's commit is untouched (not replayed), rounds 3..5 appended
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "round=2")) === round2Mtime)
+    assert(new java.io.File(dir).list().count(_.startsWith("round=")) === 5)
+
+    val oneShot = Graph.pageRank(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed === oneShot)
+  }
+
+  test("save commit is atomic: an in-progress write is invisible to latest()") {
+    val dir = tmpDir("graft-restart-atomic")
+    val st = Seq((1L, 2L)).toDF("u", "v")
+    Restart.save(st, dir, 1)
+    // a writer killed mid-write leaves only the in-progress dir
+    st.write.mode("overwrite").parquet(s"$dir/.inprogress_round=2")
+    val got = Restart.latest(spark, dir)
+    assert(got.map(_._1) === Some(1))
+    // and a committed round 2 supersedes it
+    Restart.save(st, dir, 2)
+    assert(Restart.latest(spark, dir).map(_._1) === Some(2))
+  }
+}
