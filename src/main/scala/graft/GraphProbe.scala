@@ -48,6 +48,17 @@ object GraphProbe {
       timed("consume again (persisted)") {
         ranks.write.format("noop").mode("overwrite").save()
       }
+      // the per-round broadcast REBUILD share (the untried q89 lever):
+      // what one round's build side costs to compute and collect —
+      // ranks ⋈ outdeg is node-sized, so if this is small relative to
+      // a round (consume loop / 5), a persisted broadcast variable
+      // cannot buy anything
+      timed("one round's broadcast build (node join + collect)") {
+        val n = ranks.join(broadcast(outdeg), ranks("node") === outdeg("src"))
+          .select(ranks("node"), expr("rank div outdeg").as("c"))
+          .collect().length
+        println(s"  (build side rows: $n)")
+      }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()

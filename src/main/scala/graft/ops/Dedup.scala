@@ -390,14 +390,34 @@ object Dedup {
                           numHashes: Int = 8, rowsPerBand: Int = 2,
                           shingleSize: Int = 3, threshold: Double = 0.5,
                           checkpointDir: Option[String] = None): DataFrame = {
-    // per-side tiny escape: a side the planner already estimates at
-    // broadcast size skips its fixed digest-checkpoint job (the
-    // disclosed +0.4-0.6 s at dup-light sf0.1, paid twice) — the
-    // collapse's 135×→7× payoff only matters when a side is big
+    // tiny escape: the exact-collapse (reps + member expansion) earns
+    // its keep on dup-dense volume (135×→7× at the 100× probe) but is
+    // pure fixed cost on small inputs — the disclosed +0.4-0.6 s at
+    // dup-light sf0.1. When BOTH sides are broadcast-class by the
+    // planner's own estimate, run the raw uncollapsed pipeline
+    // (bands join + exact verify on the raw docs — output-identical,
+    // the equivalence the collapse fuzz spec asserts); when only one
+    // side is tiny, keep the collapse but skip that side's fixed
+    // digest-checkpoint job (no shared subtree ⇒ no ReuseExchange bet).
+    val tinyC = tinyByEstimate(corpus)
+    val tinyB = tinyByEstimate(bench)
+    if (tinyC && tinyB) {
+      val bandsC = lshBands(minHashSignatures(corpus, textCol, numHashes, shingleSize),
+        numHashes, rowsPerBand)
+      val bandsB = lshBands(minHashSignatures(bench, textCol, numHashes, shingleSize),
+        numHashes, rowsPerBand)
+      val cand = bandsC.alias("c").join(bandsB.alias("b"),
+          col("c.band_id") === col("b.band_id") &&
+          col("c.band_hash") === col("b.band_hash"))
+        .select(col("c.doc_id").as("doc_id"), col("b.doc_id").as("bench_doc_id"))
+        .distinct()
+      return jaccardVerifyAcross(corpus, bench, cand, "doc_id", "bench_doc_id",
+        textCol, shingleSize, threshold)
+    }
     val (membersC, repC) = tokenStreamCollapse(corpus, textCol, checkpointDir,
-      materialize = !tinyByEstimate(corpus))
+      materialize = !tinyC)
     val (membersB, repB) = tokenStreamCollapse(bench, textCol, checkpointDir,
-      materialize = !tinyByEstimate(bench))
+      materialize = !tinyB)
     val bandsC = lshBands(minHashSignatures(repC, textCol, numHashes, shingleSize),
       numHashes, rowsPerBand)
     val bandsB = lshBands(minHashSignatures(repB, textCol, numHashes, shingleSize),
