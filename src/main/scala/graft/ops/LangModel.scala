@@ -533,8 +533,9 @@ object LangModel {
   def bpeTrain(docs: DataFrame, nMerges: Int = 4,
                textCol: String = "text",
                checkpointDir: Option[String] = None,
-               driverCutoff: Long = BpeDriverCutoff): DataFrame =
-    bpeLoop(docs, nMerges, textCol, checkpointDir, driverCutoff)._2
+               driverCutoff: Long = BpeDriverCutoff,
+               restartDir: Option[String] = None): DataFrame =
+    bpeLoop(docs, nMerges, textCol, checkpointDir, driverCutoff, restartDir)._2
 
   /** Default vocabulary-size bound for [[bpeTrain]]'s driver path:
     * 2M distinct words × ~40 B ≈ 100 MB of driver heap — comfortably
@@ -576,39 +577,70 @@ object LangModel {
     * the driver/distributed split, and the portability contract. */
   private[graft] def bpeLoop(docs: DataFrame, nMerges: Int, textCol: String,
                              checkpointDir: Option[String] = None,
-                             driverCutoff: Long = BpeDriverCutoff): (DataFrame, DataFrame) = {
+                             driverCutoff: Long = BpeDriverCutoff,
+                             restartDir: Option[String] = None): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 65536, s"nMerges $nMerges out of [1,65536]")
     val spark = docs.sparkSession
     import spark.implicits._
     val ck = Checkpoints.truncator(spark, checkpointDir)
-    // the one corpus-sized pass, materialized once: the vocabulary-size
-    // probe, the driver collect / distributed loop, and (via the
-    // returned vocab) bpeTokenCounts' broadcast all derive from it
-    val wc = ck(docs
-      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
-      .where(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("c")))
-    if (wc.count() <= driverCutoff) {
-      val (segs, merges) = bpeTrainInMemory(
-        wc.as[(String, Long)].collect(), nMerges)
-      val vocabDf = spark.createDataFrame(segs.toIndexedSeq)
-        .toDF("w", "s", "c")
-      val mergesDf = spark.createDataFrame(merges.toIndexedSeq)
-        .toDF("rank", "left", "right", "merged", "pair_count")
-      return (vocabDf, mergesDf)
+    // `restartDir` (opt-in, distributed path only): each merge round
+    // commits (vocab, merges-so-far) via [[Restart]] — one job per
+    // merge makes this the longest-lived loop in the engine, so a
+    // driver lost at merge k resumes at k+1 instead of replaying the
+    // schedule. The driver path needs none of this: it is one bounded
+    // collect + an in-memory loop, so a lost driver just reruns it.
+    // merges are committed BEFORE vocab, so a vocab round on disk
+    // always has its merge list.
+    val resumed = restartDir.flatMap(d => Restart.latest(spark, s"$d/vocab"))
+    var vocab: DataFrame = null
+    resumed match {
+      case Some((_, saved)) =>
+        // resume replaces BOTH the corpus pass and the cutoff probe:
+        // saved state exists only on the distributed path
+        vocab = ck(saved)
+      case None =>
+        // the one corpus-sized pass, materialized once: the
+        // vocabulary-size probe, the driver collect / distributed loop,
+        // and (via the returned vocab) bpeTokenCounts' broadcast all
+        // derive from it
+        val wc = ck(docs
+          .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+          .where(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("c")))
+        if (wc.count() <= driverCutoff) {
+          val (segs, merges) = bpeTrainInMemory(
+            wc.as[(String, Long)].collect(), nMerges)
+          val vocabDf = spark.createDataFrame(segs.toIndexedSeq)
+            .toDF("w", "s", "c")
+          val mergesDf = spark.createDataFrame(merges.toIndexedSeq)
+            .toDF("rank", "left", "right", "merged", "pair_count")
+          return (vocabDf, mergesDf)
+        }
+        require(nMerges <= 64,
+          s"distributed BPE fallback schedules one job per merge — $nMerges " +
+            "merges above the 64-job cap; raise driverCutoff (bounded driver " +
+            "memory) instead of running thousands of sequential Spark jobs")
+        // chars via explicit index (no lookahead regex — portable to RE2)
+        vocab = wc.select(col("w"), concat(lit(" "),
+          concat_ws(" ",
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+          lit(" ")).as("s"),
+          col("c"))
     }
-    require(nMerges <= 64,
-      s"distributed BPE fallback schedules one job per merge — $nMerges " +
-        "merges above the 64-job cap; raise driverCutoff (bounded driver " +
-        "memory) instead of running thousands of sequential Spark jobs")
-    // chars via explicit index (no lookahead regex — portable to RE2)
-    var vocab = wc.select(col("w"), concat(lit(" "),
-      concat_ws(" ",
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
-      lit(" ")).as("s"),
-      col("c"))
-    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    var rank = 1
+    // buffer, not a Builder: the restart commit snapshots the
+    // merges-so-far each round, so the collection is read mid-build
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    resumed.foreach { case (k, _) =>
+      Restart.latest(spark, s"${restartDir.get}/merges")
+        .filter(_._1 == k)
+        .getOrElse(sys.error(s"bpeTrain restart: vocab round $k committed " +
+          "without its merge list — corrupted restart dir"))
+        ._2.orderBy("rank").collect().foreach(r =>
+          merges += ((r.getInt(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))))
+    }
+    var rank = resumed.map(_._1 + 1).getOrElse(1)
     while (rank <= nMerges) {
       val top = vocab
         .select(col("c"), expr("split(trim(s), ' ')").as("sym"))
@@ -635,11 +667,19 @@ object LangModel {
         vocab = ck(vocab.select(col("w"),
           expr(s"replace(replace(replace(s, ' ', '  '), ' $l  $r ', ' $l$r '), '  ', ' ')")
             .as("s"), col("c")))
+        restartDir.foreach { d =>
+          // merges first, vocab second: a committed vocab round k
+          // implies its merge list is on disk (resume asserts this)
+          Restart.save(merges.toSeq
+            .toDF("rank", "left", "right", "merged", "pair_count"),
+            s"$d/merges", rank)
+          Restart.save(vocab, s"$d/vocab", rank)
+        }
         rank += 1
       }
     }
     (vocab,
-      merges.result().toDF("rank", "left", "right", "merged", "pair_count"))
+      merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count"))
   }
 
   /** In-memory sequential-greedy BPE over a collected (word, count)

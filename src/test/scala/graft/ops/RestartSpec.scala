@@ -84,6 +84,44 @@ class RestartSpec extends SparkSpec {
     assert(resumed === oneShot)
   }
 
+  test("bpeTrain distributed path resumes mid-schedule from restartDir, merges bit-identical") {
+    val docs = Seq(
+      (1L, "banana bandana cabana"),
+      (2L, "banana banana bandana"),
+      (3L, "cabana banana and a bandana")
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("graft-bpe-restart")
+    // the doomed run: driverCutoff=0 forces the distributed one-job-per-
+    // merge schedule; it completes only 2 of 4 merges before "dying"
+    LangModel.bpeTrain(docs, nMerges = 2, driverCutoff = 0L,
+      restartDir = Some(dir)).collect()
+    val round2Mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "vocab", "round=2"))
+
+    val spark2 = spark.newSession()
+    val docs2 = {
+      import spark2.implicits._
+      Seq(
+        (1L, "banana bandana cabana"),
+        (2L, "banana banana bandana"),
+        (3L, "cabana banana and a bandana")
+      ).toDF("doc_id", "text")
+    }
+    val resumed = LangModel.bpeTrain(docs2, nMerges = 4, driverCutoff = 0L,
+        restartDir = Some(dir))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "vocab", "round=2")) === round2Mtime)
+    assert(new java.io.File(s"$dir/vocab").list().exists(_ == "round=4"))
+
+    val oneShot = LangModel.bpeTrain(docs, nMerges = 4, driverCutoff = 0L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(resumed === oneShot)
+    assert(resumed.size === 4)
+  }
+
   test("save commit is atomic: an in-progress write is invisible to latest()") {
     val dir = tmpDir("graft-restart-atomic")
     val st = Seq((1L, 2L)).toDF("u", "v")
