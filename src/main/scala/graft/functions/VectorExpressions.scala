@@ -131,14 +131,21 @@ object VectorExpressions {
 
   /** argmax over a fixed centroid set of cosine(vec, centroid_i), ties to
     * the lowest cell; zero-magnitude pairs score 0 (as CosineSimilarity).
-    * The centroid matrix lives in the expression instance, not in
-    * generated code — an equivalent array-of-struct-literals formulation
-    * embeds nlist×dim double literals into codegen and pays seconds of
-    * janino compile before the first row. CodegenFallback: one virtual
-    * call per row around a tight primitive loop. */
+    * The centroid matrix lives in the expression INSTANCE and reaches
+    * generated code through the codegen reference table
+    * (`addReferenceObj`) — an array-of-struct-literals formulation
+    * would embed nlist×dim double literals into the source janino must
+    * compile (seconds before the first row), while a reference is one
+    * array load. Real `doGenCode` since round 10: the argmax
+    * previously ran as CodegenFallback (a virtual call + boxing per
+    * row, and it broke whole-stage fusion around the assignment scan),
+    * which at the raised derived caps — nlist ∝ maxTrain — made the
+    * O(nlist·dim) per-row assignment the dominant semDedup/IVF cost.
+    * The generated loop replicates nullSafeEval's arithmetic order
+    * exactly, so cell ids stay bit-identical to the interpreted path
+    * and to the oracle's unrolled CTE argmax. */
   case class NearestCell(child: Expression, centroids: Seq[Seq[Double]])
-      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     import org.apache.spark.sql.types.IntegerType
     override def dataType: DataType = IntegerType
     override def nullIntolerant: Boolean = true
@@ -176,6 +183,48 @@ object VectorExpressions {
       best
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val m = ctx.addReferenceObj("centroidMatrix", matrix, "double[][]")
+        val nrm = ctx.addReferenceObj("centroidNorms", norms, "double[]")
+        val n = ctx.freshName("n")
+        val vec = ctx.freshName("vec")
+        val nv = ctx.freshName("nv")
+        val d = ctx.freshName("d")
+        val x = ctx.freshName("x")
+        val normV = ctx.freshName("normV")
+        val best = ctx.freshName("best")
+        val bestCos = ctx.freshName("bestCos")
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        val mm = ctx.freshName("mm")
+        val dot = ctx.freshName("dot")
+        val cos = ctx.freshName("cos")
+        val load =
+          if (isFloat) s"(double) $v.getFloat($d)" else s"$v.getDouble($d)"
+        s"""
+        int $n = $v.numElements();
+        double[] $vec = new double[$n];
+        double $nv = 0.0;
+        for (int $d = 0; $d < $n; $d++) {
+          double $x = $load;
+          $vec[$d] = $x; $nv += $x * $x;
+        }
+        double $normV = java.lang.Math.sqrt($nv);
+        int $best = 0; double $bestCos = -2.0;
+        for (int $i = 0; $i < $m.length; $i++) {
+          double[] $c = $m[$i];
+          int $mm = java.lang.Math.min($c.length, $n);
+          double $dot = 0.0;
+          for (int $d = 0; $d < $mm; $d++) { $dot += $c[$d] * $vec[$d]; }
+          double $cos = ($nrm[$i] == 0.0 || $normV == 0.0)
+            ? 0.0 : $dot / ($nrm[$i] * $normV);
+          if ($cos > $bestCos) { $bestCos = $cos; $best = $i; }
+        }
+        ${ev.value} = $best;
+        """
+      })
+
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
@@ -192,12 +241,17 @@ object VectorExpressions {
     * every plane's sum in the composed form (non-ANSI element_at) and
     * therefore buckets to 0 — reproduced here explicitly (the dim
     * guard raises before this matters in every caller).
-    * CodegenFallback for the NearestCell reason: the plane matrix
-    * lives in the instance, not in generated literals. */
+    * The plane matrix reaches generated code via the codegen reference
+    * table (`addReferenceObj`, the NearestCell treatment — real
+    * `doGenCode` since round 10): literal embedding would hand janino
+    * planes×dim doubles to compile, CodegenFallback broke whole-stage
+    * fusion around the corpus-side bucket scan. The generated loops
+    * replicate nullSafeEval's accumulation order, keeping buckets
+    * bit-identical to the interpreted path, the composed column form,
+    * and the oracles' embedded-literal SQL. */
   case class SrpBucket(child: Expression, dim: Int, planes: Int,
                        matrix: Seq[Seq[Double]])
-      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     import org.apache.spark.sql.types.IntegerType
     override def dataType: DataType = IntegerType
     override def nullIntolerant: Boolean = true
@@ -227,6 +281,35 @@ object VectorExpressions {
       }
       bucket
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val mRef = ctx.addReferenceObj("srpPlaneMatrix", m, "double[][]")
+        val vec = ctx.freshName("vec")
+        val d = ctx.freshName("d")
+        val bucket = ctx.freshName("bucket")
+        val p = ctx.freshName("p")
+        val c = ctx.freshName("c")
+        val proj = ctx.freshName("proj")
+        val load =
+          if (isFloat) s"(double) $v.getFloat($d)" else s"$v.getDouble($d)"
+        s"""
+        if ($v.numElements() < $dim) {
+          ${ev.value} = 0;
+        } else {
+          double[] $vec = new double[$dim];
+          for (int $d = 0; $d < $dim; $d++) { $vec[$d] = $load; }
+          int $bucket = 0;
+          for (int $p = 0; $p < $planes; $p++) {
+            double[] $c = $mRef[$p];
+            double $proj = 0.0;
+            for (int $d = 0; $d < $dim; $d++) { $proj += $vec[$d] * $c[$d]; }
+            if ($proj >= 0) { $bucket += (1 << $p); }
+          }
+          ${ev.value} = $bucket;
+        }
+        """
+      })
 
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)

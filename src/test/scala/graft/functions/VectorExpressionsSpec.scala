@@ -20,6 +20,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got === Map(0L -> 0, 1L -> 1, 2L -> 0))
   }
 
+  test("nearest_cell and srp_bucket codegen compiles and matches interpreted eval (no silent fallback)") {
+    // CODEGEN_ONLY surfaces janino errors instead of quietly falling
+    // back to the interpreted path — without it a broken doGenCode
+    // would pass every behavioral test while silently destroying the
+    // perf it exists for
+    val rnd = new scala.util.Random(10)
+    val cents = Seq.fill(5)(Seq.fill(8)(rnd.nextDouble() - 0.5))
+    val planes = (0 until 6).map(p => (0 until 8).map(d =>
+      graft.ops.Similarity.planeComponent(p, d)))
+    val vecs = (0L until 100L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("id", "v")
+    def run(): Map[Long, (Int, Int)] = vecs.select(col("id"),
+        VectorExpressions.nearest_cell(col("v"), cents).as("cell"),
+        VectorExpressions.srp_bucket(col("v"), 8, 6, planes).as("bucket"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val saved = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val viaCodegen = try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      run()
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val viaInterp = try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      run()
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(viaCodegen === viaInterp)
+  }
+
   test("nearest_cell agrees with per-centroid cosine_similarity argmax on random vectors") {
     val rnd = new scala.util.Random(5)
     val cents = Seq.fill(7)(Seq.fill(16)(rnd.nextDouble() - 0.5))
