@@ -253,16 +253,32 @@ object Dedup {
   private[ops] def tokenStreamKey(text: Column): Column =
     md5(to_binary(concat_ws(" ", TextStats.tokens(text)), lit("utf-8")))
 
-  /** Is `df` broadcast-class by the planner's OWN estimate? The same
-    * standard Catalyst uses to pick broadcast joins
-    * (autoBroadcastJoinThreshold over optimized-plan sizeInBytes) —
-    * free to evaluate, no job. Used to skip fixed materialization
-    * costs on provably-tiny sides; -1 (broadcast disabled) means
-    * nothing qualifies. */
+  /** Row cap backing [[tinyByEstimate]]'s confirmation probe: the most
+    * rows a genuinely broadcast-class side plausibly holds (10 MB
+    * default threshold / ~100 B rows ≈ 1e5). Same order as the CC
+    * small-graph cutoff, and far below any corpus where losing the
+    * exact-collapse matters. */
+  private[ops] val TinyMaxRows: Long = 1L << 17
+
+  /** Is `df` broadcast-class — by the planner's estimate AND a bounded
+    * row probe? The estimate is the standard Catalyst broadcast test
+    * (autoBroadcastJoinThreshold over optimized-plan sizeInBytes, free
+    * to evaluate), but it can UNDERESTIMATE by orders of magnitude —
+    * heavily-compressed parquet of duplicate text, or CBO selectivity
+    * guesses under filters — and a misclassified dup-dense corpus
+    * taking an escape path re-opens exactly the quadratic the
+    * exact-collapse exists to avoid. So a tiny-looking side must also
+    * CONFIRM ≤ [[TinyMaxRows]] rows via `limit(cap+1).count()`: the
+    * LocalLimit stops each partition at the cap, so the probe costs
+    * O(min(n, cap)) rows either way — one cheap job, paid only when
+    * the estimate already said tiny (big sides still return false
+    * estimate-only, no job). -1 (broadcast disabled) disqualifies
+    * everything. */
   private[ops] def tinyByEstimate(df: DataFrame): Boolean = {
     val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     threshold > 0 &&
-      df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold &&
+      df.limit((TinyMaxRows + 1).toInt).count() <= TinyMaxRows
   }
 
   /** Exact-text collapse shared by the stream-collapsed operators
@@ -526,7 +542,15 @@ object Dedup {
     // nInitial IS the saved round's |next| — the count above ran on
     // the saved relation)
     var nEdges = nInitial
-    while (!converged && i < maxIter) {
+    // On resume, allow one verification round even when the saved round
+    // is already maxIter: a run that converged EXACTLY at maxIter left
+    // round maxIter-1 as its newest commit only if it died first — but
+    // a finished run's fixpoint rerun resumes at the last saved round,
+    // which can equal maxIter; skipping the loop would then throw the
+    // non-convergence error on a converged state. The extra round is
+    // the convergence CHECK itself (next == edges), never new work.
+    val resumedRound = resumed.map(_._1)
+    while (!converged && (i < maxIter || resumedRound.contains(i))) {
       val next = ck(smallStar(largeStar(edges)))
       val row = next
         .join(edges.select(col("u"), col("v"), lit(1).as("__in")),
@@ -538,7 +562,10 @@ object Dedup {
       nEdges = n
       edges = next
       i += 1
-      restartDir.foreach(Restart.save(next, _, i))
+      // the converged round is set-equal to its predecessor — saving it
+      // would only grow the dir by one redundant snapshot per fixpoint
+      // rerun (the verification round above would re-commit every time)
+      if (!converged) restartDir.foreach(Restart.save(next, _, i))
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // fixpoint = disjoint stars: u → component min; centers map to themselves

@@ -590,8 +590,19 @@ object LangModel {
     // schedule. The driver path needs none of this: it is one bounded
     // collect + an in-memory loop, so a lost driver just reruns it.
     // merges are committed BEFORE vocab, so a vocab round on disk
-    // always has its merge list.
-    val resumed = restartDir.flatMap(d => Restart.latest(spark, s"$d/vocab"))
+    // always has its merge list. A dir whose newest vocab round k
+    // EXCEEDS nMerges (a rerun asking for fewer merges) resumes from
+    // round nMerges instead — each round is a cumulative snapshot, so
+    // the function's output contract stays that of a fresh nMerges run.
+    val resumed = restartDir
+      .flatMap(d => Restart.latest(spark, s"$d/vocab"))
+      .map { case (k, saved) =>
+        if (k <= nMerges) (k, saved)
+        else (nMerges,
+          Restart.read(spark, s"${restartDir.get}/vocab", nMerges)
+            .getOrElse(sys.error(s"bpeTrain restart: dir holds round $k " +
+              s"but not the requested round $nMerges — corrupted restart dir")))
+      }
     var vocab: DataFrame = null
     resumed match {
       case Some((_, saved)) =>
@@ -632,11 +643,15 @@ object LangModel {
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     resumed.foreach { case (k, _) =>
-      Restart.latest(spark, s"${restartDir.get}/merges")
-        .filter(_._1 == k)
+      // round k read DIRECTLY, not latest(): merges commit before vocab,
+      // so a driver lost between the two leaves an ORPHAN merges round
+      // k+1 — latest() would return it and a k-vs-k+1 equality check
+      // would abort the exact resume this protocol exists for. The
+      // orphan is harmless: rank k+1 re-commits over it.
+      Restart.read(spark, s"${restartDir.get}/merges", k)
         .getOrElse(sys.error(s"bpeTrain restart: vocab round $k committed " +
           "without its merge list — corrupted restart dir"))
-        ._2.orderBy("rank").collect().foreach(r =>
+        .orderBy("rank").collect().foreach(r =>
           merges += ((r.getInt(0), r.getString(1), r.getString(2),
             r.getString(3), r.getLong(4))))
     }

@@ -23,11 +23,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * bit-identical rounds k+1.. regardless of which driver ran 1..k
   * (spec-asserted in RestartSpec).
   *
-  * Atomicity: the parquet lands in `dir/.inprogress_round=<k>` first
-  * and a RENAME to `dir/round=<k>` is the commit point — a driver
-  * killed mid-write leaves only the in-progress dir, which [[latest]]
-  * ignores. Single-writer per dir (two concurrent drivers on one dir
-  * is operator error, as with any checkpoint location).
+  * Atomicity: the parquet lands in `dir/.inprogress_round=<k>` first,
+  * a RENAME to `dir/round=<k>` follows, and an empty `_GRAFT_COMMITTED`
+  * marker written INTO the renamed dir is the commit point — [[latest]]
+  * and [[read]] trust only marked rounds. The marker matters beyond
+  * HDFS/local: on object stores (S3A) a directory "rename" is a
+  * non-atomic client-side copy, so a driver killed mid-rename leaves a
+  * PARTIAL `round=<k>` that a name-only check would treat as committed
+  * — and a resume would then silently compute from a truncated
+  * relation. The marker is a single object created only after the full
+  * rename returns, so a partial copy is never trusted. Single-writer
+  * per dir (two concurrent drivers on one dir is operator error, as
+  * with any checkpoint location).
   *
   * Cost: one carrier-sized parquet write per saved round — the price
   * of driver-loss insurance, opt-in via `restartDir` and OFF by
@@ -36,6 +43,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Restart {
   private val RoundRe = "^round=(\\d+)$".r
+  private[ops] val CommitMarker = "_GRAFT_COMMITTED"
 
   /** Commit `state` as the round-`k` snapshot under `dir`. */
   def save(state: DataFrame, dir: String, round: Int): Unit = {
@@ -47,6 +55,9 @@ object Restart {
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       sys.error(s"Restart.save: rename $tmp -> $dst failed")
+    // marker AFTER the rename returns — the real commit point (see
+    // the object doc on non-atomic object-store renames)
+    fs.create(new Path(dst, CommitMarker), true).close()
   }
 
   /** The newest COMMITTED (round, state) under `dir`, if any. */
@@ -60,7 +71,22 @@ object Restart {
         case RoundRe(k) => Some(k.toInt)
         case _          => None
       })
+      .filter(k => fs.exists(
+        new Path(new Path(dir, s"round=$k"), CommitMarker)))
     rounds.maxOption.map(k =>
       (k, spark.read.parquet(new Path(dir, s"round=$k").toString)))
+  }
+
+  /** The round-`round` snapshot under `dir`, iff committed. Resume code
+    * that must pair two relations of the SAME round (e.g. bpeTrain's
+    * vocab + merge list) reads the named round directly — `latest()`
+    * on the second dir would race the crash window where round k+1 of
+    * one relation committed but the other did not. */
+  def read(spark: SparkSession, dir: String, round: Int): Option[DataFrame] = {
+    val dst = new Path(dir, s"round=$round")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dst, CommitMarker)))
+      Some(spark.read.parquet(dst.toString))
+    else None
   }
 }

@@ -132,6 +132,17 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(forced === tiny)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // the estimate alone is not trusted: a side whose sizeInBytes
+    // estimate underestimates reality (compressed parquet of dup text,
+    // CBO selectivity guesses) must still fail the bounded row probe —
+    // modeled by an over-cap relation under an inflated threshold
+    val saved2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1L << 40).toString)
+      assert(!Dedup.tinyByEstimate(
+        spark.range(Dedup.TinyMaxRows + 1).toDF("doc_id")))
+      assert(Dedup.tinyByEstimate(spark.range(100).toDF("doc_id")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved2)
   }
 
   test("crossNearDuplicates collapse is row-identical to the uncollapsed formulation (seeded fuzz)") {

@@ -134,4 +134,85 @@ class RestartSpec extends SparkSpec {
     Restart.save(st, dir, 2)
     assert(Restart.latest(spark, dir).map(_._1) === Some(2))
   }
+
+  test("a round dir without the commit marker (partial object-store rename) is not trusted") {
+    val dir = tmpDir("graft-restart-marker")
+    val st = Seq((1L, 2L)).toDF("u", "v")
+    Restart.save(st, dir, 1)
+    // a non-atomic rename killed mid-copy: round=2 EXISTS by name and
+    // even holds valid parquet, but the copy may be truncated — only
+    // the post-rename marker proves completeness
+    st.write.mode("overwrite").parquet(s"$dir/round=2")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "round=2", Restart.CommitMarker))
+    assert(Restart.latest(spark, dir).map(_._1) === Some(1))
+    assert(Restart.read(spark, dir, 2).isEmpty)
+    assert(Restart.read(spark, dir, 1).isDefined)
+  }
+
+  test("bpeTrain resumes across the merges-committed/vocab-missing crash window") {
+    val docs = Seq(
+      (1L, "banana bandana cabana"),
+      (2L, "banana banana bandana"),
+      (3L, "cabana banana and a bandana")
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("graft-bpe-orphan")
+    LangModel.bpeTrain(docs, nMerges = 2, driverCutoff = 0L,
+      restartDir = Some(dir)).collect()
+    // the crash window: merges commit BEFORE vocab, so a driver lost
+    // between the two leaves an orphan merges round with no vocab twin
+    val orphan = Seq((3, "x", "y", "xy", 1L))
+      .toDF("rank", "left", "right", "merged", "pair_count")
+    Restart.save(orphan, s"$dir/merges", 3)
+
+    val resumed = LangModel.bpeTrain(docs, nMerges = 4, driverCutoff = 0L,
+        restartDir = Some(dir))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    val oneShot = LangModel.bpeTrain(docs, nMerges = 4, driverCutoff = 0L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    // resume read merges round 2 (the vocab's twin), re-ran merges 3-4,
+    // and re-committed over the orphan — the fake merge is nowhere
+    assert(resumed === oneShot)
+    assert(!resumed.exists(_._4 == "xy"))
+  }
+
+  test("bpeTrain with nMerges below the newest committed round returns the nMerges-run contract") {
+    val docs = Seq(
+      (1L, "banana bandana cabana"),
+      (2L, "banana banana bandana")
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("graft-bpe-shrink")
+    LangModel.bpeTrain(docs, nMerges = 4, driverCutoff = 0L,
+      restartDir = Some(dir)).collect()
+    // rounds are cumulative snapshots: asking the same dir for FEWER
+    // merges must resume from round nMerges, not hand back all 4
+    val shrunk = LangModel.bpeTrain(docs, nMerges = 2, driverCutoff = 0L,
+        restartDir = Some(dir))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    val fresh = LangModel.bpeTrain(docs, nMerges = 2, driverCutoff = 0L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(shrunk === fresh)
+    assert(shrunk.size === 2)
+  }
+
+  test("connectedComponents fixpoint rerun when the saved round equals maxIter") {
+    val pairs = pathEdges.toDF("doc_a", "doc_b")
+    val dir = tmpDir("graft-cc-fixpoint")
+    val done = Dedup.connectedComponents(pairs, smallCutoff = 0L,
+        restartDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lastSaved = new java.io.File(dir).list()
+      .filter(_.startsWith("round=")).map(_.stripPrefix("round=").toInt).max
+    // rerun over the finished dir with maxIter == the resumed round:
+    // the loop gets ONE verification round (next == edges) instead of
+    // being skipped into the non-convergence error
+    val again = Dedup.connectedComponents(pairs, maxIter = lastSaved,
+        smallCutoff = 0L, restartDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === done)
+  }
 }
