@@ -487,12 +487,16 @@ object Dedup {
     * driver and all — resumes from round k in a FRESH session instead
     * of replaying 1..k; the resumed rounds are bit-identical because
     * each round is a deterministic set function of the previous edge
-    * set. Costs one edge-sized parquet write per round; the dir is
-    * per-input (resuming over different `pairs` is operator error). */
+    * set. Costs one edge-sized parquet write per committed round —
+    * `restartEvery` commits every k-th round instead (≤ k-1 rounds
+    * replay on resume); the dir is per-input (resuming over different
+    * `pairs` is operator error). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           smallCutoff: Long = 1L << 17,
                           checkpointDir: Option[String] = None,
-                          restartDir: Option[String] = None): DataFrame = {
+                          restartDir: Option[String] = None,
+                          restartEvery: Int = 1): DataFrame = {
+    require(restartEvery >= 1, s"restartEvery $restartEvery must be >= 1")
     val spark = pairs.sparkSession
     val ck = Checkpoints.truncator(spark, checkpointDir)
     val resumed = restartDir.flatMap(Restart.latest(spark, _))
@@ -564,8 +568,11 @@ object Dedup {
       i += 1
       // the converged round is set-equal to its predecessor — saving it
       // would only grow the dir by one redundant snapshot per fixpoint
-      // rerun (the verification round above would re-commit every time)
-      if (!converged) restartDir.foreach(Restart.save(next, _, i))
+      // rerun (the verification round above would re-commit every time).
+      // `restartEvery` thins the cadence: at most restartEvery-1 rounds
+      // replay on resume, for that many fewer edge-sized parquet writes.
+      if (!converged && i % restartEvery == 0)
+        restartDir.foreach(Restart.save(next, _, i))
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // fixpoint = disjoint stars: u → component min; centers map to themselves

@@ -67,7 +67,9 @@ object Graph {
   def pageRank(edges0: DataFrame, iters: Int = 5,
                checkpointDir: Option[String] = None,
                edgesMaterialized: Boolean = false,
-               restartDir: Option[String] = None): DataFrame = {
+               restartDir: Option[String] = None,
+               restartEvery: Int = 1): DataFrame = {
+    require(restartEvery >= 1, s"restartEvery $restartEvery must be >= 1")
     val ck = Checkpoints.truncator(edges0.sparkSession, checkpointDir)
     val edges =
       if (edgesMaterialized) edges0.select("src", "dst")
@@ -108,7 +110,11 @@ object Graph {
     // by then the rounds it materializes are persisted, so the cut
     // re-executes nothing.
     val cutEvery = 8
-    val resumed = restartDir.flatMap(Restart.latest(edges0.sparkSession, _))
+    // atMost = iters: a rerun with fewer iterations than the dir holds
+    // must resume at-or-below its own target (cumulative snapshots), so
+    // the output stays that of a fresh iters-round run
+    val resumed = restartDir.flatMap(
+      Restart.latest(edges0.sparkSession, _, atMost = iters))
     var ranks = resumed.map(_._2)
       .getOrElse(nodes.select(col("node"), lit(1000000L).as("rank")))
     val startRound = resumed.map(_._1).getOrElse(0)
@@ -130,8 +136,9 @@ object Graph {
       if (i % cutEvery == 0 && i < iters) ranks = ck(ranks)
       // the save's write action materializes THROUGH the lazy persist,
       // so the next round's broadcast reuses the cached carrier — one
-      // extra action per round, no recompute
-      restartDir.foreach(Restart.save(ranks, _, i))
+      // extra action per committed round, no recompute. `restartEvery`
+      // thins the cadence (≤ restartEvery-1 rounds replay on resume)
+      if (i % restartEvery == 0) restartDir.foreach(Restart.save(ranks, _, i))
     }
     // ownership handoff: cut the final carrier into standalone
     // materialized blocks, then release every loop persist. Without

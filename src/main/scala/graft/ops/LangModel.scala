@@ -534,8 +534,10 @@ object LangModel {
                textCol: String = "text",
                checkpointDir: Option[String] = None,
                driverCutoff: Long = BpeDriverCutoff,
-               restartDir: Option[String] = None): DataFrame =
-    bpeLoop(docs, nMerges, textCol, checkpointDir, driverCutoff, restartDir)._2
+               restartDir: Option[String] = None,
+               restartEvery: Int = 1): DataFrame =
+    bpeLoop(docs, nMerges, textCol, checkpointDir, driverCutoff, restartDir,
+      restartEvery)._2
 
   /** Default vocabulary-size bound for [[bpeTrain]]'s driver path:
     * 2M distinct words × ~40 B ≈ 100 MB of driver heap — comfortably
@@ -578,8 +580,10 @@ object LangModel {
   private[graft] def bpeLoop(docs: DataFrame, nMerges: Int, textCol: String,
                              checkpointDir: Option[String] = None,
                              driverCutoff: Long = BpeDriverCutoff,
-                             restartDir: Option[String] = None): (DataFrame, DataFrame) = {
+                             restartDir: Option[String] = None,
+                             restartEvery: Int = 1): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 65536, s"nMerges $nMerges out of [1,65536]")
+    require(restartEvery >= 1, s"restartEvery $restartEvery must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     val ck = Checkpoints.truncator(spark, checkpointDir)
@@ -590,19 +594,14 @@ object LangModel {
     // schedule. The driver path needs none of this: it is one bounded
     // collect + an in-memory loop, so a lost driver just reruns it.
     // merges are committed BEFORE vocab, so a vocab round on disk
-    // always has its merge list. A dir whose newest vocab round k
-    // EXCEEDS nMerges (a rerun asking for fewer merges) resumes from
-    // round nMerges instead — each round is a cumulative snapshot, so
-    // the function's output contract stays that of a fresh nMerges run.
+    // always has its merge list. Resume from the newest round AT OR
+    // BELOW nMerges: a dir holding more rounds than requested (a rerun
+    // asking for fewer merges) must not hand back the bigger snapshot —
+    // each round is cumulative, so resuming ≤ nMerges and replaying
+    // forward preserves the fresh-run output contract under any commit
+    // cadence.
     val resumed = restartDir
-      .flatMap(d => Restart.latest(spark, s"$d/vocab"))
-      .map { case (k, saved) =>
-        if (k <= nMerges) (k, saved)
-        else (nMerges,
-          Restart.read(spark, s"${restartDir.get}/vocab", nMerges)
-            .getOrElse(sys.error(s"bpeTrain restart: dir holds round $k " +
-              s"but not the requested round $nMerges — corrupted restart dir")))
-      }
+      .flatMap(d => Restart.latest(spark, s"$d/vocab", atMost = nMerges))
     var vocab: DataFrame = null
     resumed match {
       case Some((_, saved)) =>
@@ -682,7 +681,11 @@ object LangModel {
         vocab = ck(vocab.select(col("w"),
           expr(s"replace(replace(replace(s, ' ', '  '), ' $l  $r ', ' $l$r '), '  ', ' ')")
             .as("s"), col("c")))
-        restartDir.foreach { d =>
+        // `restartEvery`: commit every k-th round — a long schedule on a
+        // big vocab trades at most k-1 replayed merges on resume for
+        // k× fewer vocab-sized parquet writes. Cadence 1 (the default)
+        // keeps the commit-per-merge behavior.
+        if (rank % restartEvery == 0) restartDir.foreach { d =>
           // merges first, vocab second: a committed vocab round k
           // implies its merge list is on disk (resume asserts this)
           Restart.save(merges.toSeq

@@ -60,8 +60,15 @@ object Restart {
     fs.create(new Path(dst, CommitMarker), true).close()
   }
 
-  /** The newest COMMITTED (round, state) under `dir`, if any. */
-  def latest(spark: SparkSession, dir: String): Option[(Int, DataFrame)] = {
+  /** The newest COMMITTED (round, state) under `dir` with round ≤
+    * `atMost`, if any. `atMost` serves the shrunk-rerun contract:
+    * a caller asked for fewer rounds than the dir holds must resume
+    * from a snapshot no newer than its own target — with a sparse
+    * commit cadence ([[Restart]] consumers' `restartEvery`) the exact
+    * target round may not exist, so the newest one at-or-below it is
+    * the right resume point. */
+  def latest(spark: SparkSession, dir: String,
+             atMost: Int = Int.MaxValue): Option[(Int, DataFrame)] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
@@ -71,7 +78,7 @@ object Restart {
         case RoundRe(k) => Some(k.toInt)
         case _          => None
       })
-      .filter(k => fs.exists(
+      .filter(k => k <= atMost && fs.exists(
         new Path(new Path(dir, s"round=$k"), CommitMarker)))
     rounds.maxOption.map(k =>
       (k, spark.read.parquet(new Path(dir, s"round=$k").toString)))

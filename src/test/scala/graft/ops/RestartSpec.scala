@@ -199,6 +199,75 @@ class RestartSpec extends SparkSpec {
     assert(shrunk.size === 2)
   }
 
+  test("restartEvery cadence: kill between commits resumes from the last committed round") {
+    // pageRank, cadence 2: a run killed at round 3 has committed only
+    // round 2 — the resume replays round 3 (≤ restartEvery-1 rounds)
+    // and continues, bit-identical to the one-shot run
+    val edges = (pathEdges ++ Seq((39L, 0L), (5L, 20L), (20L, 5L)))
+      .toDF("src", "dst")
+    val dir = tmpDir("graft-pr-cadence")
+    Graph.pageRank(edges, iters = 3, restartDir = Some(dir), restartEvery = 2)
+      .collect()
+    assert(new java.io.File(dir).list().filter(_.startsWith("round=")).toSet
+      === Set("round=2"))
+    val resumed = Graph.pageRank(edges, iters = 5, restartDir = Some(dir),
+        restartEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(new java.io.File(dir).list().filter(_.startsWith("round=")).toSet
+      === Set("round=2", "round=4"))
+    val oneShot = Graph.pageRank(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed === oneShot)
+
+    // connectedComponents, cadence 2: the doomed maxIter=3 run commits
+    // only round 2; resume replays 3.. and converges identically
+    val pairs = pathEdges.toDF("doc_a", "doc_b")
+    val ccDir = tmpDir("graft-cc-cadence")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 3, smallCutoff = 0L,
+        restartDir = Some(ccDir), restartEvery = 2)
+    }
+    assert(new java.io.File(ccDir).list().filter(_.startsWith("round=")).toSet
+      === Set("round=2"))
+    val cc = Dedup.connectedComponents(pairs, smallCutoff = 0L,
+        restartDir = Some(ccDir), restartEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Dedup.connectedComponents(pairs, smallCutoff = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
+    // bpeTrain, cadence 2: the doomed 3-merge run commits only round 2;
+    // the 4-merge resume replays merge 3 and lands identical
+    val docs = Seq(
+      (1L, "banana bandana cabana"),
+      (2L, "banana banana bandana"),
+      (3L, "cabana banana and a bandana")
+    ).toDF("doc_id", "text")
+    val bpeDir = tmpDir("graft-bpe-cadence")
+    LangModel.bpeTrain(docs, nMerges = 3, driverCutoff = 0L,
+      restartDir = Some(bpeDir), restartEvery = 2).collect()
+    assert(new java.io.File(s"$bpeDir/vocab").list()
+      .filter(_.startsWith("round=")).toSet === Set("round=2"))
+    val bpe = LangModel.bpeTrain(docs, nMerges = 4, driverCutoff = 0L,
+        restartDir = Some(bpeDir), restartEvery = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(bpe === LangModel.bpeTrain(docs, nMerges = 4, driverCutoff = 0L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet)
+  }
+
+  test("pageRank rerun with fewer iters than the dir holds returns the fewer-iters ranks") {
+    val edges = (pathEdges ++ Seq((39L, 0L), (5L, 20L), (20L, 5L)))
+      .toDF("src", "dst")
+    val dir = tmpDir("graft-pr-shrink")
+    Graph.pageRank(edges, iters = 4, restartDir = Some(dir)).collect()
+    val shrunk = Graph.pageRank(edges, iters = 2, restartDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fresh = Graph.pageRank(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shrunk === fresh)
+  }
+
   test("connectedComponents fixpoint rerun when the saved round equals maxIter") {
     val pairs = pathEdges.toDF("doc_a", "doc_b")
     val dir = tmpDir("graft-cc-fixpoint")
