@@ -52,9 +52,23 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     stockProbe() // warmup (untimed: absorbs session startup + codegen)
-    val probeSec = {
+    def timedProbe(): Double = {
       val t0 = System.nanoTime(); stockProbe(); (System.nanoTime() - t0) / 1e9
     }
+    val probeSec = timedProbe()
+    // All interleaved probes of the whole run as (query-index, sec):
+    // a single start-of-run probe is blind to a host window opening
+    // mid-suite (the r10 phantom-regression adjudication) — probes run
+    // at each pass start, every `ProbeEvery` queries, and at pass end.
+    // Their VALUES are noisy (measured 2× within-run wobble on a quiet
+    // host — each probe sits in whatever GC/cache state the preceding
+    // queries left), so they are not a normalization source; what IS
+    // robust is comparing the probe at the same timeline position
+    // across two runs — a host window shows up as a contiguous stretch
+    // of elevated position-matched ratios, which benchdiff uses to
+    // adjudicate host-vs-code without re-running the suite.
+    val ProbeEvery = 25
+    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, probeSec))
     val ordered = headline.toSeq.sortBy(_._1)
     // SPARK_GRAFT_BENCH_PRE=N (dev loop only, requires ONLY): before each
     // timed pass, run the N queries alphabetically preceding the first
@@ -101,10 +115,15 @@ object Bench {
     }
     def timedPass(): Seq[(String, Option[Double])] = {
       preamble.foreach { case (n, fn) => runOne(n, fn) }
-      ordered.map { case (name, fn) =>
+      def probeAt(pos: Int): Unit = probes += ((pos, timedProbe()))
+      probeAt(0)
+      val raw = ordered.zipWithIndex.map { case ((name, fn), i) =>
+        if (i > 0 && i % ProbeEvery == 0) probeAt(i)
         val (ok, t) = runOne(name, fn)
         name -> (if (ok) Some(t) else None)
       }
+      probeAt(ordered.size)
+      raw
     }
     val pass1 = timedPass().toMap
     val results = timedPass().map { case (name, t2) =>
@@ -123,12 +142,19 @@ object Bench {
     def fmt(v: Double) = f"$v%.3f"
     val qsShort = timed.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // probes ride in BOTH lines (~170 bytes: [[pos,sec],...]) — the
+    // driver keeps only the short line, and benchdiff's host-window
+    // adjudication needs the probe timeline from the driver's files
+    val psShort = probes.map { case (p, s) => s"[$p,${fmt(s)}]" }
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"probe_sec":${fmt(probeSec)},"queries":$qsShort,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"probe_sec":${fmt(probeSec)},"probes":$psShort,"queries":$qsShort,"failed":$fs,"sf":"$sfDir"}"""
     val qsFull = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val psFull = probes.map { case (p, s) => s"[$p,$s]" }
+      .mkString("[", ",", "]")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"probe_sec":$probeSec,"queries":$qsFull,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"probe_sec":$probeSec,"probes":$psFull,"queries":$qsFull,"failed":$fs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (jsonFull + "\n").getBytes("UTF-8"))

@@ -268,17 +268,20 @@ object Dedup {
     * guesses under filters — and a misclassified dup-dense corpus
     * taking an escape path re-opens exactly the quadratic the
     * exact-collapse exists to avoid. So a tiny-looking side must also
-    * CONFIRM ≤ [[TinyMaxRows]] rows via `limit(cap+1).count()`: the
-    * LocalLimit stops each partition at the cap, so the probe costs
-    * O(min(n, cap)) rows either way — one cheap job, paid only when
-    * the estimate already said tiny (big sides still return false
-    * estimate-only, no job). -1 (broadcast disabled) disqualifies
-    * everything. */
+    * CONFIRM ≤ [[TinyMaxRows]] rows with one count() job — a single
+    * minimal-column scan, paid only when the estimate already said
+    * tiny (big sides return false estimate-only, no job). A plain
+    * count rather than `limit(cap+1).count()`: GlobalLimit executes
+    * in scale-up waves (several jobs), which measured ~3× the one-job
+    * count on exactly the tiny sides this gate serves. If the
+    * estimate lied, the probe scans the big side once — the bounded
+    * price of never re-opening the unbounded quadratic. -1 (broadcast
+    * disabled) disqualifies everything. */
   private[ops] def tinyByEstimate(df: DataFrame): Boolean = {
     val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     threshold > 0 &&
       df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold &&
-      df.limit((TinyMaxRows + 1).toInt).count() <= TinyMaxRows
+      df.count() <= TinyMaxRows
   }
 
   /** Exact-text collapse shared by the stream-collapsed operators
