@@ -831,6 +831,14 @@ object SparkEntry {
       "q37_frame_sample" -> q { (s, dir) =>
         Multimodal.frameSample(t(s, dir, "documents"))
       },
+      // REAL image decode (javax.imageio) over the golden fixture bytes:
+      // the engine decodes payloads at query time; the oracle reads the
+      // expectations MakeImageFixtures computed with the same decoder at
+      // generation time (DuckDB cannot decode an image). Corrupt
+      // payloads must be dropped, not failed — the fixture plants two.
+      "q110_image_decode" -> q { (s, _) =>
+        Multimodal.imageFeaturesExpr(s.read.parquet(Multimodal.ImageFixture))
+      },
       "q35_approx_distinct" -> q { (s, dir) =>
         // HLL sketch — the estimate itself is engine-specific, so the
         // declared output carries the exact count (hash-matchable) plus
@@ -2700,6 +2708,17 @@ object SparkEntry {
          SELECT doc_id, frame_idx,
                 md5(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
          FROM f WHERE frame_idx % 4 = 0""",
+    // golden-file oracle: expectations were computed by the SAME JDK
+    // decoder at fixture-generation time (MakeImageFixtures) — the
+    // hash compare catches any drift in the engine's decode plumbing.
+    // The two corrupt planted rows carry NULL expectations and must be
+    // absent from the Spark output too (drop-don't-fail).
+    "q110_image_decode" ->
+      s"""SELECT doc_id, media_type, exp_n_bytes AS n_bytes,
+            exp_width AS width, exp_height AS height,
+            exp_channels AS channels, exp_pixel_md5 AS pixel_md5
+          FROM read_parquet('${graft.ops.Multimodal.ImageFixture}/*.parquet')
+          WHERE exp_pixel_md5 IS NOT NULL""",
     "q31_rollup" ->
       """SELECT year(o_orderdate) AS order_year, o_orderpriority,
               count(*) AS order_cnt

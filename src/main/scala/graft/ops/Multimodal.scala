@@ -3,18 +3,68 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
+import graft.functions.ImageExpressions
+
 /** Multimodal-column plumbing: images/audio/video ride through the engine
   * as opaque `binary` payloads with typed metadata; decode/feature steps
   * run per-partition in batches.
   *
-  * The decode itself is STUBBED (no codec libraries in this environment):
-  * `fakeDecode` derives deterministic pseudo-features from the bytes. The
-  * Spark-side plumbing is real — schema, per-partition batching,
-  * mapPartitions signature — exactly where a JNI/FFI decoder would slot
-  * in. At 100 TB the decode stage is partition-parallel with no shuffle:
-  * features attach to rows in place.
+  * Two decode tiers:
+  *  - REAL image decode/resize on javax.imageio + Graphics2D (public
+  *    JDK API, no native deps): [[imageFeaturesExpr]] /
+  *    [[decodeImageFeatures]] / [[resize]], verified against golden
+  *    fixture bytes (q110). At 100 TB the decode stage is
+  *    partition-parallel with no shuffle: features attach to rows in
+  *    place, and the mapPartitions shape is where a heavier JNI/FFI
+  *    codec (video, audio) would slot in with per-partition init.
+  *  - The opaque-payload tier ([[withPayload]] + [[fakeDecode]]):
+  *    deterministic pseudo-features over ARBITRARY binary — the schema/
+  *    batching smoke path for payloads that are not images at all
+  *    (q25 runs it over text-derived bytes corpus-wide).
   */
 object Multimodal {
+
+  /** Golden image fixture (checked in): deterministic PNG/JPEG bytes +
+    * the expected decode results, both produced by graft.MakeImageFixtures
+    * with the SAME JDK decoder the engine runs — so the DuckDB oracle
+    * can read expectations no SQL engine could compute itself. */
+  val ImageFixture = "/root/repo/fixtures/images.parquet"
+
+  final case class ImageFeatures(doc_id: Long, media_type: String,
+                                 n_bytes: Long, width: Int, height: Int,
+                                 channels: Int, pixel_md5: String)
+
+  /** Expression-path real decode: one scan, decode in place, null-row
+    * for undecodable payloads (dropped here — a corrupt object must
+    * not fail a 100 TB stage, and the caller can anti-join to audit). */
+  def imageFeaturesExpr(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"), col("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        ImageExpressions.image_decode(col("payload")).as("d"))
+      .where(col("d").isNotNull)
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("d.width").cast("long").as("width"),
+        col("d.height").cast("long").as("height"),
+        col("d.channels").cast("long").as("channels"),
+        col("d.pixel_md5").as("pixel_md5"))
+
+  /** mapPartitions twin of [[imageFeaturesExpr]] — the per-partition
+    * batch boundary a native decoder needs (amortized codec init).
+    * Output rows are identical (spec-asserted). */
+  def decodeImageFeatures(media: DataFrame): Dataset[ImageFeatures] = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    media.select(col("doc_id"), col("payload"), col("media_type"))
+      .as[MediaRow](Encoders.product[MediaRow]).mapPartitions { rows =>
+        // per-partition init of a heavier codec would go here
+        rows.flatMap { r =>
+          ImageExpressions.decodeImage(r.payload).map { case (w, h, c, m) =>
+            ImageFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+              w, h, c, m)
+          }
+        }
+      }
+  }
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte],
                             media_type: String)
@@ -43,20 +93,21 @@ object Multimodal {
                                 width: Int, height: Int,
                                 thumbnail: Array[Byte])
 
-  /** STUB resize: deterministic fake — a real implementation calls the
-    * image library here. The "thumbnail" is a strided byte sample of the
-    * payload (content-dependent, reproducible); dims are the requested
-    * target. Same per-partition batch boundary as decodeFeatures. */
-  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+  /** Real resize: bilinear Graphics2D scale to (targetW, targetH),
+    * PNG-re-encoded thumbnail bytes ([[ImageExpressions.resizeToPng]]).
+    * Undecodable payloads are dropped, same null semantics as the
+    * decode paths; output bytes are deterministic (software raster,
+    * spec-asserted). Same per-partition batch boundary as
+    * [[decodeImageFeatures]] — scan-local, no shuffle. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
     implicit val enc = Encoders.product[ResizedMedia]
-    media.as[MediaRow](Encoders.product[MediaRow]).mapPartitions { rows =>
-      // per-partition init of a real codec would go here
-      rows.map { r =>
-        val stride = math.max(1, r.payload.length / (targetW * targetH / 64 + 1))
-        val thumb = r.payload.indices.by(stride).map(r.payload).toArray
-        ResizedMedia(r.doc_id, r.media_type, targetW, targetH, thumb)
+    media.select(col("doc_id"), col("payload"), col("media_type"))
+      .as[MediaRow](Encoders.product[MediaRow]).mapPartitions { rows =>
+        rows.flatMap { r =>
+          ImageExpressions.resizeToPng(r.payload, targetW, targetH).map(png =>
+            ResizedMedia(r.doc_id, r.media_type, targetW, targetH, png))
+        }
       }
-    }
   }
 
   /** Per-partition batch "decode": the mapPartitions boundary a native

@@ -20,17 +20,49 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[String]("media_type") === "image/fake-0")
   }
 
-  test("resize stub: deterministic strided thumbnail with target dims") {
-    val media = Multimodal.withPayload(docs)
-    val out = Multimodal.resizeStub(media, 32, 32).collect()
+  /** Real image rows: deterministic synthetic PNG/JPEG bytes from the
+    * fixture generator (in-memory — the spec must not depend on the
+    * checked-in parquet, which q110 covers). */
+  private lazy val images = {
+    import graft.MakeImageFixtures
+    MakeImageFixtures.rows()
+      .map(r => (r.doc_id, r.payload, r.media_type))
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  test("real decode: expression and mapPartitions twins agree; corrupt rows dropped") {
+    val viaExpr = Multimodal.imageFeaturesExpr(images)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("width"), r.getAs[Long]("height"),
+        r.getAs[Long]("channels"), r.getAs[String]("pixel_md5"))).toSet
+    val viaPartitions = Multimodal.decodeImageFeatures(images)
+      .collect().map(f => (f.doc_id, f.n_bytes, f.width.toLong,
+        f.height.toLong, f.channels.toLong, f.pixel_md5)).toSet
+    assert(viaExpr === viaPartitions)
+    // the 48 valid images decode; the 2 corrupt payloads (doc_id 1000+)
+    // drop without failing the job
+    assert(viaExpr.size === 48)
+    assert(!viaExpr.exists(_._1 >= 1000L))
+    // decode reproduces the generator's own expectations
+    val exp = graft.MakeImageFixtures.rows().filter(_.exp_pixel_md5.isDefined)
+      .map(r => (r.doc_id, r.exp_n_bytes, r.exp_width.get, r.exp_height.get,
+        r.exp_channels.get, r.exp_pixel_md5.get)).toSet
+    assert(viaExpr === exp)
+  }
+
+  test("real resize: bilinear thumbnail with target dims, deterministic, PNG round-trips") {
+    val out = Multimodal.resize(images, 16, 12).collect()
       .map(r => r.doc_id -> r).toMap
-    assert(out(0L).width === 32 && out(0L).height === 32)
+    assert(out.size === 48 && !out.contains(1000L))  // corrupt rows dropped
+    assert(out(1L).width === 16 && out(1L).height === 12)
     // deterministic: same input → same thumbnail bytes
-    val again = Multimodal.resizeStub(media, 32, 32).collect()
+    val again = Multimodal.resize(images, 16, 12).collect()
       .map(r => r.doc_id -> r.thumbnail.toSeq).toMap
     assert(out.view.mapValues(_.thumbnail.toSeq).toMap === again)
-    // content-dependent, smaller than or equal to the payload
-    assert(out(1L).thumbnail.length <= 700)
+    // the thumbnail is a real PNG that decodes back to the target dims
+    val (w, h, c, _) =
+      graft.functions.ImageExpressions.decodeImage(out(5L).thumbnail).get
+    assert((w, h, c) === (16, 12, 3))
   }
 
   test("frame sampling keeps every 2nd of 8-char frames with checksums") {
