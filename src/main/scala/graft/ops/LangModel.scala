@@ -495,14 +495,18 @@ object LangModel {
     *    trade as [[graft.ops.Dedup.connectedComponents]]'s union-find
     *    fast path: the collected relation is the REDUCED vocabulary,
     *    whose size grows with language, not corpus bytes.
-    *  - **Distributed fallback (vocabulary above the cutoff)**: each
-    *    iteration is an aggregation over the segmented vocabulary plus
-    *    a 1-row collect of the winning pair, and a scan-local `replace`
-    *    applies the merge for the next round. Lineage truncates via
-    *    [[Checkpoints]] so round k does not replay rounds 1..k-1;
-    *    iterations are capped at 64 — beyond that, raise the cutoff
-    *    (every 2× of `driverCutoff` buys ~constant driver MBs) rather
-    *    than schedule thousands of sequential jobs.
+    *  - **Distributed fallback (vocabulary above the cutoff)**: the
+    *    same incremental maintenance, as relations. One full pair
+    *    explode seeds a pair-count relation; each merge then takes a
+    *    1-row top-1 collect from it, folds in the pair DELTA of only
+    *    the words containing the merged pair, and applies the merge as
+    *    a scan-local CASE-gated `replace`. Lineage truncates via
+    *    [[Checkpoints]] so round k does not replay rounds 1..k-1, and
+    *    the per-merge job count is constant (spec-asserted), so large
+    *    merge schedules are bounded by job latency × nMerges — still,
+    *    prefer raising the cutoff (every 2× of `driverCutoff` buys
+    *    ~constant driver MBs) before scheduling tens of thousands of
+    *    sequential rounds.
     *
     * Both paths implement the identical sequential greedy algorithm and
     * produce byte-identical merge tables (spec-asserted) — batching
@@ -626,10 +630,6 @@ object LangModel {
             .toDF("rank", "left", "right", "merged", "pair_count")
           return (vocabDf, mergesDf)
         }
-        require(nMerges <= 64,
-          s"distributed BPE fallback schedules one job per merge — $nMerges " +
-            "merges above the 64-job cap; raise driverCutoff (bounded driver " +
-            "memory) instead of running thousands of sequential Spark jobs")
         // chars via explicit index (no lookahead regex — portable to RE2)
         vocab = wc.select(col("w"), concat(lit(" "),
           concat_ws(" ",
@@ -655,20 +655,37 @@ object LangModel {
             r.getString(3), r.getLong(4))))
     }
     var rank = resumed.map(_._1 + 1).getOrElse(1)
+    // Incremental pair-count maintenance — the distributed analogue of
+    // the driver path's subword-nmt bookkeeping, and what lifted the
+    // old 64-merge schedule cap. ONE full pair explode seeds `pc`
+    // (also on resume: a full recount of the saved vocab IS the
+    // incremental state); each merge after that touches only the words
+    // CONTAINING the merged pair — in the sentinel representation
+    // that is exactly `instr(s, ' l r ') > 0` — and folds their pair
+    // delta (post-merge pairs minus pre-merge pairs, weighted by word
+    // count) into pc. Unaffected words contribute identical pairs, so
+    // pc stays equal to a full recount of the updated vocab
+    // (spec-fuzzed against the driver path). Per-merge cost: one
+    // top-1 on the pc relation, one delta explode over affected words,
+    // one narrow CASE-gated map over the vocab — a BOUNDED number of
+    // jobs per merge (spec-asserted via a job-count listener), instead
+    // of a full vocabulary explode+shuffle+sort per merge.
+    def pairCounts(v: DataFrame): DataFrame = v
+      .select(col("c"), expr("split(trim(s), ' ')").as("sym"))
+      // guard: a fully-merged single-symbol word must yield a typed
+      // empty array (sequence(1, 0) DESCENDS in Spark)
+      .select(col("c"), explode(expr(
+        """CASE WHEN size(sym) >= 2
+           THEN transform(sequence(1, size(sym) - 1),
+                  i -> struct(element_at(sym, i) AS l,
+                              element_at(sym, i + 1) AS r))
+           ELSE cast(array() AS array<struct<l:string,r:string>>) END"""))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("c").as("cnt"))
+    var pc = ck(pairCounts(vocab))
     while (rank <= nMerges) {
-      val top = vocab
-        .select(col("c"), expr("split(trim(s), ' ')").as("sym"))
-        // guard: a fully-merged single-symbol word must yield a typed
-        // empty array (sequence(1, 0) DESCENDS in Spark)
-        .select(col("c"), explode(expr(
-          """CASE WHEN size(sym) >= 2
-             THEN transform(sequence(1, size(sym) - 1),
-                    i -> struct(element_at(sym, i) AS l,
-                                element_at(sym, i + 1) AS r))
-             ELSE cast(array() AS array<struct<l:string,r:string>>) END"""))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("c").as("cnt"))
+      val top = pc
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
       if (top.isEmpty) rank = nMerges + 1
@@ -678,9 +695,18 @@ object LangModel {
         merges += ((rank, l, r, l + r, cnt))
         // space-doubling canonical merge (see scaladoc); symbols are
         // [a-z]+ so inlining them into the SQL string is quote-safe
+        val mergeS =
+          s"replace(replace(replace(s, ' ', '  '), ' $l  $r ', ' $l$r '), '  ', ' ')"
+        val hit = s"instr(s, ' $l $r ') > 0"
+        val affected = vocab.where(expr(hit))
+        val delta = pairCounts(affected.select(col("w"), expr(mergeS).as("s"), col("c")))
+          .unionByName(pairCounts(affected)
+            .select(col("l"), col("r"), (-col("cnt")).as("cnt")))
+        pc = ck(pc.unionByName(delta)
+          .groupBy("l", "r").agg(sum("cnt").as("cnt"))
+          .where(col("cnt") =!= 0))
         vocab = ck(vocab.select(col("w"),
-          expr(s"replace(replace(replace(s, ' ', '  '), ' $l  $r ', ' $l$r '), '  ', ' ')")
-            .as("s"), col("c")))
+          expr(s"CASE WHEN $hit THEN $mergeS ELSE s END").as("s"), col("c")))
         // `restartEvery`: commit every k-th round — a long schedule on a
         // big vocab trades at most k-1 replayed merges on resume for
         // k× fewer vocab-sized parquet writes. Cadence 1 (the default)

@@ -272,13 +272,42 @@ class LangModelSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("bpe distributed fallback refuses merge counts above its job cap") {
+  test("bpe distributed 128-merge schedule: byte-equal to driver, bounded jobs per merge") {
     import spark.implicits._
-    val docs = Seq((1L, "abab")).toDF("doc_id", "text")
-    val e = intercept[IllegalArgumentException] {
-      LangModel.bpeLoop(docs, 100, "text", None, 0L)
+    // a corpus rich enough to sustain 128 merges: 80 distinct words of
+    // length 5-9 over 6 letters, duplicated with varied counts
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdef"
+    val words = Seq.fill(80)(
+      Seq.fill(5 + rnd.nextInt(5))(alpha(rnd.nextInt(alpha.length))).mkString)
+    val docs = (0 until 200).map(i => (i.toLong, words(rnd.nextInt(words.size))))
+      .toDF("doc_id", "text")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
     }
-    assert(e.getMessage.contains("driverCutoff"))
+    spark.sparkContext.addSparkListener(listener)
+    val dst = try {
+      val out = LangModel.bpeLoop(docs, 128, "text", None, 0L)
+      val m = out._2.collect().map(_.toSeq).toSeq
+      val v = out._1.collect().map(_.toSeq).toSet
+      Thread.sleep(500)
+      (m, v)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val drv = LangModel.bpeLoop(docs, 128, "text", None, Long.MaxValue)
+    assert(dst._1 === drv._2.collect().map(_.toSeq).toSeq, "merge table")
+    assert(dst._2 === drv._1.collect().map(_.toSeq).toSet, "segmented vocab")
+    assert(dst._1.size >= 100, "corpus must actually sustain a long schedule")
+    // the old formulation was one full-vocab explode+shuffle+sort per
+    // merge and hard-refused past 64; the incremental schedule runs a
+    // CONSTANT number of jobs per merge — top-1 + pc fold + vocab map,
+    // where AQE submits each exchange stage as its own job (~6
+    // observed) — so the schedule scales linearly in nMerges with a
+    // small constant, never superlinearly
+    assert(jobs <= 8 * dst._1.size + 30,
+      s"expected bounded jobs per merge, got $jobs for ${dst._1.size} merges")
   }
 
   test("crossUnigramScore: hand-computed held-out micro-nats and OOV accounting") {
