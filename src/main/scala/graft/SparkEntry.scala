@@ -839,6 +839,11 @@ object SparkEntry {
       "q110_image_decode" -> q { (s, _) =>
         Multimodal.imageFeaturesExpr(s.read.parquet(Multimodal.ImageFixture))
       },
+      // REAL audio decode (javax.sound.sampled) — same golden-fixture
+      // contract as q110, over WAV containers (MakeAudioFixtures)
+      "q111_audio_decode" -> q { (s, _) =>
+        Multimodal.audioFeaturesExpr(s.read.parquet(Multimodal.AudioFixture))
+      },
       "q35_approx_distinct" -> q { (s, dir) =>
         // HLL sketch — the estimate itself is engine-specific, so the
         // declared output carries the exact count (hash-matchable) plus
@@ -2719,6 +2724,13 @@ object SparkEntry {
             exp_channels AS channels, exp_pixel_md5 AS pixel_md5
           FROM read_parquet('${graft.ops.Multimodal.ImageFixture}/*.parquet')
           WHERE exp_pixel_md5 IS NOT NULL""",
+    "q111_audio_decode" ->
+      s"""SELECT doc_id, media_type, exp_n_bytes AS n_bytes,
+            exp_sample_rate AS sample_rate, exp_channels AS channels,
+            exp_bits AS bits, exp_n_frames AS n_frames,
+            exp_pcm_md5 AS pcm_md5
+          FROM read_parquet('${graft.ops.Multimodal.AudioFixture}/*.parquet')
+          WHERE exp_pcm_md5 IS NOT NULL""",
     "q31_rollup" ->
       """SELECT year(o_orderdate) AS order_year, o_orderpriority,
               count(*) AS order_cnt

@@ -10,10 +10,12 @@ import graft.functions.ImageExpressions
   * run per-partition in batches.
   *
   * Two decode tiers:
-  *  - REAL image decode/resize on javax.imageio + Graphics2D (public
-  *    JDK API, no native deps): [[imageFeaturesExpr]] /
-  *    [[decodeImageFeatures]] / [[resize]], verified against golden
-  *    fixture bytes (q110). At 100 TB the decode stage is
+  *  - REAL decode on public JDK APIs (no native deps): images via
+  *    javax.imageio + Graphics2D ([[imageFeaturesExpr]] /
+  *    [[decodeImageFeatures]] / [[resize]], golden-fixture q110) and
+  *    audio via javax.sound.sampled ([[audioFeaturesExpr]] /
+  *    [[decodeAudioFeatures]], golden-fixture q111). At 100 TB the
+  *    decode stage is
   *    partition-parallel with no shuffle: features attach to rows in
   *    place, and the mapPartitions shape is where a heavier JNI/FFI
   *    codec (video, audio) would slot in with per-partition init.
@@ -87,6 +89,46 @@ object Multimodal {
     val hex = md.digest(bytes).map("%02x".format(_)).mkString
     val n = bytes.length
     (n % 640, (n * 7) % 480, hex)
+  }
+
+  /** Golden audio fixture (checked in): deterministic WAV bytes + the
+    * expected decode results, both from graft.MakeAudioFixtures with
+    * the SAME javax.sound.sampled stack the engine runs. */
+  val AudioFixture = "/root/repo/fixtures/audio.parquet"
+
+  final case class AudioFeatures(doc_id: Long, media_type: String,
+                                 n_bytes: Long, sample_rate: Long,
+                                 channels: Long, bits: Long,
+                                 n_frames: Long, pcm_md5: String)
+
+  /** Expression-path real audio decode — [[imageFeaturesExpr]]'s
+    * pattern on the second modality; undecodable payloads drop. */
+  def audioFeaturesExpr(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"), col("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        graft.functions.AudioExpressions.audio_decode(col("payload")).as("d"))
+      .where(col("d").isNotNull)
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("d.sample_rate").cast("long").as("sample_rate"),
+        col("d.channels").cast("long").as("channels"),
+        col("d.bits").cast("long").as("bits"),
+        col("d.n_frames").as("n_frames"),
+        col("d.pcm_md5").as("pcm_md5"))
+
+  /** mapPartitions twin of [[audioFeaturesExpr]] (spec-asserted equal). */
+  def decodeAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    media.select(col("doc_id"), col("payload"), col("media_type"))
+      .as[MediaRow](Encoders.product[MediaRow]).mapPartitions { rows =>
+        rows.flatMap { r =>
+          graft.functions.AudioExpressions.decodeAudio(r.payload).map {
+            case (sr, ch, b, fr, m) =>
+              AudioFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+                sr.toLong, ch.toLong, b.toLong, fr, m)
+          }
+        }
+      }
   }
 
   final case class ResizedMedia(doc_id: Long, media_type: String,

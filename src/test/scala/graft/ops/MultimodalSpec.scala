@@ -65,6 +65,32 @@ class MultimodalSpec extends SparkSpec {
     assert((w, h, c) === (16, 12, 3))
   }
 
+  test("real audio decode: twins agree; format metadata exact; corrupt rows dropped") {
+    import graft.MakeAudioFixtures
+    val clips = MakeAudioFixtures.rows()
+      .map(r => (r.doc_id, r.payload, r.media_type))
+      .toDF("doc_id", "payload", "media_type")
+    val viaExpr = Multimodal.audioFeaturesExpr(clips)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("sample_rate"), r.getAs[Long]("channels"),
+        r.getAs[Long]("bits"), r.getAs[Long]("n_frames"),
+        r.getAs[String]("pcm_md5"))).toSet
+    val viaPartitions = Multimodal.decodeAudioFeatures(clips)
+      .collect().map(f => (f.doc_id, f.n_bytes, f.sample_rate, f.channels,
+        f.bits, f.n_frames, f.pcm_md5)).toSet
+    assert(viaExpr === viaPartitions)
+    assert(viaExpr.size === 24 && !viaExpr.exists(_._1 >= 1000L))
+    // decode reproduces the generator's expectations exactly — incl.
+    // the synthesis parameters it can cross-check (rate/channels/frames)
+    val exp = MakeAudioFixtures.rows().filter(_.exp_pcm_md5.isDefined)
+      .map(r => (r.doc_id, r.exp_n_bytes, r.exp_sample_rate.get,
+        r.exp_channels.get, r.exp_bits.get, r.exp_n_frames.get,
+        r.exp_pcm_md5.get)).toSet
+    assert(viaExpr === exp)
+    val clip3 = viaExpr.find(_._1 == 3L).get
+    assert(clip3._3 === 8000L && clip3._4 === 2L && clip3._5 === 16L)
+  }
+
   test("frame sampling keeps every 2nd of 8-char frames with checksums") {
     val frames = Multimodal.frameSample(docs, frameChars = 8, every = 2)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")))
