@@ -52,6 +52,44 @@ object Checkpoints {
     * is therefore allowed but logged loudly; concurrent builders must
     * share one dir. */
   def truncator(spark: SparkSession, dir: Option[String]): DataFrame => DataFrame = {
+    installDir(spark, dir)
+    df =>
+      if (dir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+  }
+
+  /** The LAZY variant: truncates the LOGICAL plan immediately (the
+    * result is a LogicalRDD over a checkpoint-marked RDD) but runs no
+    * job — materialization happens inside the consumer's first action,
+    * and later references reuse the stored blocks.
+    *
+    * This is the truncation for LOOP CARRIERS whose rounds are cheap
+    * but numerous (the distributed BPE schedule: one top-1 action per
+    * merge wants to pay one job per merge, not three). A Dataset-level
+    * `persist()` is NOT a substitute there: persist leaves the logical
+    * plan nested, and any CacheManager operation on a later round
+    * (lookup, uncache) normalizes the plan through alias inlining
+    * (`AliasHelper.trimAliases`) — a carrier whose per-round projection
+    * references its input column c times inlines to a c^k-node
+    * expression tree at round k (observed: the BPE vocab map references
+    * `s` 3× per merge; 3^64 hung the driver inside `unpersist`).
+    * Aggregates/joins between rounds block the inlining, which is why
+    * [[graft.ops.Graph.pageRank]] can carry a lazy persist while a
+    * projection chain cannot.
+    *
+    * Failure semantics per the class doc: local blocks die with their
+    * executor (single-node / restartDir-covered loops), reliable ones
+    * recompute from DFS — note the reliable flavor re-executes each
+    * carrier once more at checkpoint-write time (standard Spark
+    * checkpoint behavior), the price of executor-loss recovery. */
+  def lazyTruncator(spark: SparkSession, dir: Option[String]): DataFrame => DataFrame = {
+    installDir(spark, dir)
+    df =>
+      if (dir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+  }
+
+  private def installDir(spark: SparkSession, dir: Option[String]): Unit = {
     dir.foreach { d =>
       // normalize through the FULL URI — scheme + authority + path:
       // getCheckpointDir returns a scheme-qualified URI (file:/...,
@@ -83,8 +121,5 @@ object Checkpoints {
             "dir across concurrent builds")
       if (!samePrefix) spark.sparkContext.setCheckpointDir(d)
     }
-    df =>
-      if (dir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
   }
 }

@@ -684,6 +684,24 @@ object LangModel {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum("c").as("cnt"))
     var pc = ck(pairCounts(vocab))
+    // Loop carriers (pc, vocab) are truncated LAZILY per round, never
+    // eagerly cut: each round's ONE driver action (the top-1 collect)
+    // materializes the previous round's delta fold and vocab map
+    // through the stored blocks, so the local-truncation schedule
+    // costs ~one job per merge where an eager checkpoint per carrier
+    // paid three (measured 0.39 vs 0.15 s/merge against the
+    // full-recount formulation at a 200k-word vocabulary — job
+    // overhead, not data, dominated). The truncation MUST be
+    // checkpoint-lazy, not a Dataset persist: the vocab map is a
+    // projection chain referencing `s` three times per round, and
+    // CacheManager plan normalization inlines stacked projections —
+    // 3^k expression nodes by round k (3^64 hung the driver inside
+    // unpersist); see [[Checkpoints.lazyTruncator]]. The LogicalRDD
+    // the lazy truncation leaves behind keeps every round's ANALYZED
+    // plan depth constant too, so no mid-loop eager cut is needed at
+    // any schedule length. Superseded blocks are reaped by the
+    // ContextCleaner once their round's RDD becomes unreachable.
+    val ckLazy = Checkpoints.lazyTruncator(spark, checkpointDir)
     while (rank <= nMerges) {
       val top = pc
         .orderBy(col("cnt").desc, col("l"), col("r"))
@@ -698,14 +716,26 @@ object LangModel {
         val mergeS =
           s"replace(replace(replace(s, ' ', '  '), ' $l  $r ', ' $l$r '), '  ', ' ')"
         val hit = s"instr(s, ' $l $r ') > 0"
-        val affected = vocab.where(expr(hit))
-        val delta = pairCounts(affected.select(col("w"), expr(mergeS).as("s"), col("c")))
-          .unionByName(pairCounts(affected)
-            .select(col("l"), col("r"), (-col("cnt")).as("cnt")))
-        pc = ck(pc.unionByName(delta)
+        // one-pass delta: each affected word (and ONLY those — the
+        // instr gate) emits its post-merge pairs at +c and its
+        // pre-merge pairs at -c from a single scan
+        def signedPairs(symCol: String, d: String) =
+          s"""CASE WHEN size($symCol) >= 2
+              THEN transform(sequence(1, size($symCol) - 1),
+                     i -> struct(element_at($symCol, i) AS l,
+                                 element_at($symCol, i + 1) AS r,
+                                 CAST($d AS BIGINT) AS d))
+              ELSE cast(array() AS array<struct<l:string,r:string,d:bigint>>) END"""
+        val delta = vocab.where(expr(hit))
+          .select(col("c"), expr("split(trim(s), ' ')").as("so"),
+            expr(s"split(trim($mergeS), ' ')").as("sn"))
+          .select(explode(expr(
+            s"concat(${signedPairs("sn", "c")}, ${signedPairs("so", "-c")})")).as("p"))
+          .select(col("p.l").as("l"), col("p.r").as("r"), col("p.d").as("cnt"))
+        pc = ckLazy(pc.unionByName(delta)
           .groupBy("l", "r").agg(sum("cnt").as("cnt"))
           .where(col("cnt") =!= 0))
-        vocab = ck(vocab.select(col("w"),
+        vocab = ckLazy(vocab.select(col("w"),
           expr(s"CASE WHEN $hit THEN $mergeS ELSE s END").as("s"), col("c")))
         // `restartEvery`: commit every k-th round — a long schedule on a
         // big vocab trades at most k-1 replayed merges on resume for
@@ -722,7 +752,11 @@ object LangModel {
         rank += 1
       }
     }
-    (vocab,
+    // ownership handoff: one eager cut makes the returned vocab
+    // standalone materialized blocks, after which nothing references
+    // the loop rounds' RDDs and the ContextCleaner reaps their blocks
+    val out = ck(vocab.select("w", "s", "c"))
+    (out,
       merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count"))
   }
 
