@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.StarAnalytics
-import graft.ops.{Contamination, Dedup, Events, LangModel, Multimodal, Sampling, Similarity, TextStats}
+import graft.ops.{Contamination, Dedup, Events, LangModel, LshIndex, Multimodal, Sampling, Similarity, TextStats}
 
 /** Driver contract — the engine's declared query surface.
   *
@@ -29,6 +29,20 @@ object SparkEntry {
   private def countOnce(s: SparkSession, dir: String, name: String): Long =
     tableCounts.computeIfAbsent(s"$dir/$name",
       _ => t(s, dir, name).count())
+
+  /** Process-lifetime memo of built LSH index dirs (sf-dir-keyed, like
+    * `tableCounts`): [[LshIndex]] is build-once/probe-many, so repeated
+    * q112 calls pay only the probe — the serving economics the index
+    * exists for. The indexed side is q46's benchmark split. */
+  private val lshIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lshIndexFor(s: SparkSession, dir: String): String =
+    lshIndexDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+      LshIndex.build(t(s, dir, "documents").where(col("doc_id") % 17 === 0),
+        d, numHashes = 8, rowsPerBand = 2, shingleSize = 2)
+      d
+    })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -774,6 +788,19 @@ object SparkEntry {
           docs.where(col("doc_id") % 17 =!= 0),
           docs.where(col("doc_id") % 17 === 0),
           numHashes = 8, rowsPerBand = 2, shingleSize = 2, threshold = 0.35)
+      },
+      // the build-once/probe-many serving shape of q46: the benchmark
+      // side's bands + shingle hashes persist once (memoized per sf
+      // dir, like the ANN corpus counts) and the corpus probes them —
+      // output-identical to crossNearDuplicates by contract, so the
+      // oracle is q46's SQL verbatim
+      "q112_lsh_index_probe" -> q { (s, dir) =>
+        val idx = lshIndexFor(s, dir)
+        LshIndex.nearDuplicates(
+          t(s, dir, "documents").where(col("doc_id") % 17 =!= 0),
+          idx, threshold = 0.35)
+          .select(col("doc_id"), col("index_doc_id").as("bench_doc_id"),
+            col("jaccard"))
       },
       "q51_training_samples" -> q { (s, dir) =>
         // end-to-end sample prep: curate (dedup chain + quality gate) →
@@ -1908,6 +1935,44 @@ object SparkEntry {
         SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v)
       SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u""",
     "q46_decontaminate" -> {
+      def side(name: String, pred: String) = s"""
+      sh_$name AS (SELECT doc_id, $DuckShingles AS shingles
+                   FROM documents WHERE $pred),
+      sig_$name AS (
+        SELECT doc_id,
+          ${(0 until 8).map(duckMh).mkString(",\n          ")}
+        FROM sh_$name WHERE len(shingles) > 0),
+      band_$name AS (
+        SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS h FROM sig_$name UNION ALL
+        SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig_$name UNION ALL
+        SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig_$name UNION ALL
+        SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig_$name),
+      hs_$name AS (
+        SELECT doc_id,
+          list_distinct(list_transform(shingles, x -> md5_number_lower(x))) AS h
+        FROM sh_$name)"""
+      s"""
+      WITH ${side("c", "doc_id % 17 <> 0")},
+      ${side("b", "doc_id % 17 = 0")},
+      cand AS (
+        SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_doc_id
+        FROM band_c c JOIN band_b b ON c.band_id = b.band_id AND c.h = b.h),
+      v AS (
+        SELECT p.doc_id, p.bench_doc_id,
+          len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS inter,
+          len(sa.h) + len(sb.h)
+            - len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS uni
+        FROM cand p
+        JOIN hs_c sa ON sa.doc_id = p.doc_id
+        JOIN hs_b sb ON sb.doc_id = p.bench_doc_id)
+      SELECT doc_id, bench_doc_id, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+      FROM v WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35"""
+    },
+    // q112 serves q46's exact semantics from a persisted index — the
+    // contract is output identity, so the ground truth is the SAME SQL
+    // (the paths differ in WHERE the corpus-side work happens, which an
+    // oracle cannot and should not see)
+    "q112_lsh_index_probe" -> {
       def side(name: String, pred: String) = s"""
       sh_$name AS (SELECT doc_id, $DuckShingles AS shingles
                    FROM documents WHERE $pred),

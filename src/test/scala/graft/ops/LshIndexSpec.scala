@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Build-once / probe-many LSH near-dup index: probing must be
+  * bit-identical to the one-shot [[Dedup.crossNearDuplicates]] over the
+  * same two corpora, appending a shard must equal rebuilding over the
+  * union, and the probe plan must never re-shingle the indexed corpus. */
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private lazy val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over a sleepy dog"),
+    (2L, "completely different words entirely here now ok yes"),
+    (3L, "pack my box with five dozen liquor jugs today"),
+    (4L, "ab"),                                             // < 2 tokens
+    (5L, "")                                                // empty
+  ).toDF("doc_id", "text")
+
+  private lazy val probe = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog"),  // exact of 0
+    (101L, "the quick brown fox leaps over the lazy dog"),  // near of 0
+    (102L, "totally unrelated content with no overlap at all"),
+    (103L, "")                                              // empty
+  ).toDF("doc_id", "text")
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSet
+
+  test("probe results are bit-identical to one-shot crossNearDuplicates") {
+    val dir = tmpDir("graft-lsh-idx")
+    LshIndex.build(corpus, dir, shingleSize = 2)
+    val indexed = asSet(LshIndex.nearDuplicates(probe, dir, threshold = 0.3))
+    // crossNearDuplicates(corpus=probe, bench=corpus) lists the same
+    // pairs with the probe side first — the contract LshIndex mirrors
+    val oneShot = asSet(Dedup.crossNearDuplicates(probe, corpus,
+      shingleSize = 2, threshold = 0.3))
+    assert(indexed === oneShot)
+    assert(indexed.exists { case (q, x, j) => q == 100L && x == 0L && j == 1.0 })
+    // NOTE: no assertion that 101 (the one-word edit) is found — LSH
+    // recall is < 1 by construction and whether its bands collide is a
+    // hash accident; the contract under test is identity with the
+    // one-shot path, not recall
+    assert(!indexed.exists { case (q, _, _) => q == 102L || q == 103L })
+  }
+
+  test("append a shard == rebuild over the union; params survive the roundtrip") {
+    val (half1, half2) =
+      (corpus.where(col("doc_id") < 3), corpus.where(col("doc_id") >= 3))
+    val appended = tmpDir("graft-lsh-app")
+    LshIndex.build(half1, appended, numHashes = 8, rowsPerBand = 4,
+      shingleSize = 2)
+    LshIndex.append(half2, appended)
+    val rebuilt = tmpDir("graft-lsh-reb")
+    LshIndex.build(corpus, rebuilt, numHashes = 8, rowsPerBand = 4,
+      shingleSize = 2)
+    assert(asSet(LshIndex.nearDuplicates(probe, appended, threshold = 0.3))
+      === asSet(LshIndex.nearDuplicates(probe, rebuilt, threshold = 0.3)))
+    assert(LshIndex.params(spark, appended)
+      === LshIndex.Params(8, 4, 2))
+  }
+
+  test("probe plan never re-shingles the indexed corpus") {
+    val dir = tmpDir("graft-lsh-plan")
+    LshIndex.build(corpus, dir, shingleSize = 2)
+    val plan = LshIndex.nearDuplicates(probe, dir, threshold = 0.3)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    // the probe batch computes one minhash signature and one shingle
+    // set; the index sides must come from the persisted parquet scans
+    // (the expression prints as "shingleminhash" in optimized plans)
+    assert(plan.split("shingleminhash", -1).length - 1 === 1,
+      s"expected exactly one ShingleMinHash (probe side only):\n$plan")
+    assert(plan.contains("parquet"), "index sides must be parquet scans")
+  }
+
+  test("a threshold of 1.0 keeps only exact-token-stream matches") {
+    val dir = tmpDir("graft-lsh-exact")
+    LshIndex.build(corpus, dir, shingleSize = 2)
+    val out = asSet(LshIndex.nearDuplicates(probe, dir, threshold = 1.0))
+    assert(out === Set((100L, 0L, 1.0)))
+  }
+}
