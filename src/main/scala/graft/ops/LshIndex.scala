@@ -69,14 +69,25 @@ object LshIndex {
 
   /** Build the index: ONE pass over the corpus (signatures, bands, and
     * shingle hashes are all scan-local projections of the same read)
-    * writing the two derived relations plus the parameter row. */
+    * writing the two derived relations plus the parameter row.
+    *
+    * Layout: each ingest unit lands in its own `shard=<id>` partition
+    * subdirectory (the build is `shard=base`), so an [[append]] is an
+    * OVERWRITE of one shard directory — deterministic shard ids make
+    * re-running a failed append (or a replayed streaming batch, see
+    * [[graft.streaming.IngestStream]]) idempotent instead of
+    * row-duplicating, the same per-batch-subdir contract the streaming
+    * sinks use. Probes read the parent dir; the shard column is
+    * provenance, never content. */
   def build(corpus: DataFrame, dir: String, textCol: String = "text",
             numHashes: Int = 8, rowsPerBand: Int = 2,
             shingleSize: Int = 3): Unit = {
     val p = Params(numHashes, rowsPerBand, shingleSize)
     writeMeta(corpus.sparkSession, dir, p)
-    bandsOf(corpus, textCol, p).write.mode("overwrite").parquet(s"$dir/bands")
-    shinglesOf(corpus, textCol, p).write.mode("overwrite").parquet(s"$dir/shingles")
+    bandsOf(corpus, textCol, p)
+      .write.mode("overwrite").parquet(s"$dir/bands/shard=base")
+    shinglesOf(corpus, textCol, p)
+      .write.mode("overwrite").parquet(s"$dir/shingles/shard=base")
   }
 
   /** Append a new corpus shard — the daily-ingest maintenance step.
@@ -84,12 +95,20 @@ object LshIndex {
     * rows is EXACTLY rebuilding over the union (spec-asserted); only
     * the shard is scanned. Parameters must match the build (an index
     * probed with different hashing has silently-zero recall — refuse
-    * loudly instead). Caller owns doc_id uniqueness across shards, as
-    * everywhere in the dedup family. */
-  def append(shard: DataFrame, dir: String, textCol: String = "text"): Unit = {
+    * loudly instead). Re-running the SAME shardId replaces that shard
+    * (idempotent); distinct ingest units must use distinct ids, and the
+    * caller owns doc_id uniqueness across shards, as everywhere in the
+    * dedup family. */
+  def append(shard: DataFrame, dir: String, textCol: String = "text",
+             shardId: String = java.util.UUID.randomUUID().toString): Unit = {
+    require(shardId.nonEmpty && shardId != "base" &&
+      shardId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"shardId '$shardId' must be a non-'base' [A-Za-z0-9_-]+ token")
     val p = params(shard.sparkSession, dir)
-    bandsOf(shard, textCol, p).write.mode("append").parquet(s"$dir/bands")
-    shinglesOf(shard, textCol, p).write.mode("append").parquet(s"$dir/shingles")
+    bandsOf(shard, textCol, p)
+      .write.mode("overwrite").parquet(s"$dir/bands/shard=$shardId")
+    shinglesOf(shard, textCol, p)
+      .write.mode("overwrite").parquet(s"$dir/shingles/shard=$shardId")
   }
 
   /** Probe: every (probe doc, index doc) near-duplicate pair at or above
@@ -102,13 +121,24 @@ object LshIndex {
     * (band_id, band_hash), verification on the two doc ids — all
     * digest-or-id keys, no text payloads anywhere). The corpus is
     * never re-shingled: the only ShingleMinHash/ShingleHashes in the
-    * plan sit over the probe batch (spec-asserted). */
+    * plan sit over the probe batch (spec-asserted).
+    *
+    * `excludeShards`: shard ids whose rows the probe must not see — a
+    * PARTITION filter, so excluded shards' files are never even listed.
+    * The load-bearing use is replay safety ([[graft.streaming
+    * .IngestStream]]): a replayed batch already appended (part of) its
+    * own survivors as `batch-<id>`, and probing without excluding that
+    * shard would find the batch duplicating ITSELF and drop every row. */
   def nearDuplicates(probe: DataFrame, dir: String, threshold: Double = 0.5,
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     excludeShards: Seq[String] = Nil): DataFrame = {
     val spark = probe.sparkSession
     val p = params(spark, dir)
-    val idxBands = spark.read.parquet(s"$dir/bands")
-    val idxSh = spark.read.parquet(s"$dir/shingles")
+    def shardFilter(df: DataFrame): DataFrame =
+      if (excludeShards.isEmpty) df
+      else df.where(!col("shard").isin(excludeShards: _*))
+    val idxBands = shardFilter(spark.read.parquet(s"$dir/bands"))
+    val idxSh = shardFilter(spark.read.parquet(s"$dir/shingles"))
     val cand = bandsOf(probe, textCol, p).alias("q")
       .join(idxBands.alias("x"),
         col("q.band_id") === col("x.band_id") &&

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.ops.{Dedup, LshIndex}
+
+/** Streaming ingest dedup against a persisted [[graft.ops.LshIndex]] —
+  * the continuous form of the "does today's shard duplicate three years
+  * of history?" flow. Each micro-batch:
+  *
+  *  1. probes the index: any batch doc with a near-duplicate at or
+  *     above `threshold` among everything indexed so far (the base
+  *     corpus plus every prior batch's survivors) is dropped;
+  *  2. collapses within-batch near-duplicates (the index cannot see
+  *     them — none of the batch is indexed yet): one representative
+  *     per near-dup component, the component-minimum doc_id, same
+  *     keeper rule as the batch operators;
+  *  3. writes the survivors to `sinkDir/batch=<id>` and appends them
+  *     to the index as `shard=batch-<id>`, so the NEXT batch dedupes
+  *     against them.
+  *
+  * Exactly-once: foreachBatch replays a failed batch under the SAME
+  * batchId; both the sink write and the index append overwrite their
+  * own batch-keyed directory, so a replay replaces its partial output
+  * instead of duplicating rows ([[LshIndex.append]]'s shard contract).
+  * The index append reads the batch back FROM THE COMMITTED SINK, so
+  * the indexed rows are exactly the rows a downstream consumer sees
+  * even if the source re-delivers the batch differently on replay.
+  *
+  * Scale shape: the probe is the index's serving join — batch-side
+  * bands/shingles scan-local, index sides bare parquet scans, digest
+  * keys only; the within-batch component pass is batch-sized, never
+  * history-sized. History grows only through the index's derived
+  * relations (band keys + 64-bit shingle-hash sets — longs, not text),
+  * the whole point of the flow: raw history text is NEVER rescanned.
+  *
+  * LSH params come from the index meta; recall is the LSH families'
+  * (< 1 by construction) — a near-dup the bands never bucket slips
+  * through, exactly as in the one-shot operators. */
+object IngestStream {
+
+  def ingestDedupStream(docs: DataFrame, indexDir: String, sinkDir: String,
+                        threshold: Double = 0.5, textCol: String = "text")
+      : DataStreamWriter[Row] = {
+    val fn: (Dataset[Row], Long) => Unit =
+      (batch, id) => ingestBatch(batch.toDF(), id, indexDir, sinkDir,
+        threshold, textCol)
+    docs.writeStream.foreachBatch(fn)
+  }
+
+  /** One ingest cycle, callable directly for batch backfill: dedupe
+    * `batch` against the index and within itself, commit survivors to
+    * `sinkDir/batch=<id>`, index them as `shard=batch-<id>`. */
+  def ingestBatch(batch: DataFrame, id: Long, indexDir: String,
+                  sinkDir: String, threshold: Double = 0.5,
+                  textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val p = LshIndex.params(spark, indexDir)
+    // vs history: one distinct doc_id list of batch docs with an
+    // indexed near-dup
+    // excludeShards: a replayed batch has already appended (part of)
+    // its own survivors as batch-<id> — history must not include them
+    // or the replay would see the batch duplicating itself and drop
+    // every row (spec: "replaying a batch id is idempotent")
+    val dupOfHistory = LshIndex.nearDuplicates(batch, indexDir, threshold,
+      textCol, excludeShards = Seq(s"batch-$id"))
+      .select("doc_id").distinct()
+    // within batch: keep each near-dup component's minimum doc_id
+    // (docs in no component pass untouched) — same LSH params as the
+    // index so "near-dup" means one thing across both checks
+    val demoted = Dedup.nearDupComponents(batch, textCol,
+        numHashes = p.numHashes, rowsPerBand = p.rowsPerBand,
+        shingleSize = p.shingleSize, threshold = threshold)
+      .where(col("doc_id") =!= col("component_id"))
+      .select("doc_id")
+    val survivors = batch
+      .join(dupOfHistory, Seq("doc_id"), "left_anti")
+      .join(demoted, Seq("doc_id"), "left_anti")
+    survivors.write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
+    // index exactly what was committed (replay-stable even if the
+    // source re-delivers the batch in different tasks)
+    LshIndex.append(spark.read.parquet(s"$sinkDir/batch=$id"), indexDir,
+      textCol, shardId = s"batch-$id")
+  }
+}

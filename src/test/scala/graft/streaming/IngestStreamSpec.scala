@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.ops.LshIndex
+
+/** Streaming ingest dedup against a persisted LSH index: history dups
+  * drop, within-batch dups keep their component minimum, survivors are
+  * indexed so LATER batches dedupe against them, and replays are
+  * idempotent. All texts are fixed strings hashed with md5-derived
+  * functions, so every LSH bucketing below is deterministic. */
+class IngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", "spec", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val baseText = "the quick brown fox jumps over the lazy dog again"
+  private val novel1 = "pack my box with five dozen liquor jugs right now"
+  private val novel2 = "how vexingly quick daft zebras jump over fences"
+  private val novel3 = "sphinx of black quartz judge my vow tonight please"
+
+  test("multi-batch ingest: history dups drop, batch dups keep min, survivors feed the index") {
+    val base = Files.createTempDirectory("graft-ingest").toString
+    val (idxDir, srcDir, sinkDir, ckDir) =
+      (s"$base/idx", s"$base/src", s"$base/sink", s"$base/ck")
+    LshIndex.build(docsDf(Seq((1L, baseText))), idxDir, shingleSize = 2)
+    // batch 0: 10 = exact copy of indexed 1 (drop vs history);
+    //          11 = novel; 12 = exact copy of 11 (within-batch, 12>11
+    //          so demoted); 13 = novel
+    docsDf(Seq((10L, baseText), (11L, novel1), (12L, novel1), (13L, novel2)))
+      .coalesce(1).write.parquet(s"$srcDir/a")
+    // batch 1: 20 = exact copy of batch-0 survivor 11 (drops ONLY if
+    //          batch 0's survivors were appended to the index);
+    //          21 = novel
+    docsDf(Seq((20L, novel1), (21L, novel3)))
+      .coalesce(1).write.parquet(s"$srcDir/b")
+    val q = IngestStream.ingestDedupStream(
+        EventsStream.readDocuments(spark, s"$srcDir/*", maxFilesPerTrigger = Some(1)),
+        idxDir, sinkDir, threshold = 0.5)
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min")
+    val survivors = spark.read.parquet(sinkDir)
+      .select("doc_id", "batch").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(survivors === Map(11L -> 0, 13L -> 0, 21L -> 1))
+    // the index now holds base + both batches' survivors as shards
+    val shards = spark.read.parquet(s"$idxDir/bands")
+      .select("shard").distinct().collect().map(_.getString(0)).toSet
+    assert(shards === Set("base", "batch-0", "batch-1"))
+    // and serves them: a fresh probe of novel3's copy is a dup now
+    val probed = LshIndex.nearDuplicates(docsDf(Seq((99L, novel3))), idxDir,
+      threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(probed.toSet === Set((99L, 21L)))
+  }
+
+  test("a fuzzy (non-exact) history near-dup also drops") {
+    val base = Files.createTempDirectory("graft-ingest-fuzzy").toString
+    val (idxDir, sinkDir) = (s"$base/idx", s"$base/sink")
+    LshIndex.build(docsDf(Seq((1L, baseText))), idxDir, shingleSize = 2)
+    // one-word suffix edit: high bigram jaccard, different fingerprint —
+    // deterministic md5 banding, verified to bucket with the base doc
+    val fuzzy = "the quick brown fox jumps over the lazy dog thrice"
+    IngestStream.ingestBatch(docsDf(Seq((30L, fuzzy), (31L, novel1))), 0L,
+      idxDir, sinkDir, threshold = 0.35)
+    val got = spark.read.parquet(s"$sinkDir/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(31L))
+  }
+
+  test("replaying a batch id is idempotent for sink and index") {
+    val base = Files.createTempDirectory("graft-ingest-replay").toString
+    val (idxDir, sinkDir) = (s"$base/idx", s"$base/sink")
+    LshIndex.build(docsDf(Seq((1L, baseText))), idxDir, shingleSize = 2)
+    val batch = docsDf(Seq((40L, novel1), (41L, novel2)))
+    IngestStream.ingestBatch(batch, 7L, idxDir, sinkDir)
+    def state() = (
+      spark.read.parquet(sinkDir).select("doc_id").collect()
+        .map(_.getLong(0)).toSet,
+      spark.read.parquet(s"$idxDir/bands").count(),
+      spark.read.parquet(s"$idxDir/shingles").count())
+    val first = state()
+    IngestStream.ingestBatch(batch, 7L, idxDir, sinkDir)   // the replay
+    assert(state() === first)
+    assert(first._1 === Set(40L, 41L))
+  }
+}
