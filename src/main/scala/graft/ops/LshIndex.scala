@@ -13,45 +13,80 @@ import org.apache.spark.sql.functions._
   * of history?" (ingest dedup) and "does this corpus overlap the frozen
   * eval suite?" (decontamination) — where one side is immutable across
   * thousands of calls. The index persists that side's derived relations
-  * once:
+  * once, EXACT-COLLAPSED to one representative per distinct token
+  * stream (the RefinedWeb/Gopher ordering every near-dup operator here
+  * uses): a web-scale crawl is dominated by exact copies, and an
+  * uncollapsed index both stores bands per copy and re-opens the
+  * copy×copy verification quadratic at probe time (measured: on the
+  * 100× dup-density replica a per-doc index probed at 4.01 s/probe vs
+  * 4.61 one-shot — the collapse is what restores the serving win).
   *
-  *  - `dir/bands`   — (doc_id, band_id, band_hash): the LSH bucket keys,
-  *  - `dir/shingles`— (doc_id, sh): the 64-bit shingle-hash sets the
-  *    exact-Jaccard verification needs (payloads stay longs, never
-  *    strings — same reasoning as [[Dedup.jaccardVerify]]),
-  *  - `dir/meta`    — one row of LSH parameters, validated on every
+  *  - `dir/members`  — (doc_id, rep): every doc's representative (the
+  *    min doc_id of its token-stream group);
+  *  - `dir/bands`    — (rep, band_id, band_hash): LSH bucket keys, one
+  *    set per DISTINCT stream;
+  *  - `dir/shingles` — (rep, sh): the 64-bit shingle-hash sets exact
+  *    Jaccard verification needs (longs, never strings — the
+  *    [[Dedup.jaccardVerify]] reasoning);
+  *  - `dir/meta`     — one row of LSH parameters, validated on every
   *    probe/append so an index can never be served with mismatched
   *    hashing (silently-zero recall otherwise).
   *
-  * A probe batch then computes its own bands/shingles scan-locally (the
-  * native [[graft.functions.TextExpressions.ShingleMinHash]] projection
-  * — no shuffle) and joins the persisted relations: candidate cost is
-  * ∝ batch + matched index rows, never ∝ corpus. Both join sides carry
-  * digests, so the shuffles are skew-free; when the batch is small the
-  * planner broadcasts it against the index's bare parquet scans (real
-  * file statistics — nothing here hides them behind a barrier). New
-  * corpus shards [[append]] in place: the derived relations are
-  * row-wise functions of each doc, so append ≡ rebuild (spec-asserted).
+  * Each ingest unit owns a `shard=<id>` partition subdirectory (the
+  * build is `shard=base`), so appends are per-shard OVERWRITES —
+  * deterministic shard ids make re-running a failed append (or a
+  * replayed streaming batch, [[graft.streaming.IngestStream]])
+  * idempotent instead of row-duplicating. Reps are shard-local minima;
+  * identical streams indexed under two shards keep two rep rows whose
+  * identical signatures still bucket together, so pairs spanning
+  * shards are found without any cross-shard rep reconciliation.
+  *
+  * A probe batch exact-collapses itself the same way (scan-local
+  * signatures over its reps — no corpus work), joins the persisted
+  * band relation for rep-level candidates, verifies rep pairs once,
+  * and expands to (probe doc, index doc) pairs through the two member
+  * relations by pure id joins — quadratic only in the OUTPUT listing,
+  * which is the contract. Probe cost is ∝ batch + matched index rows,
+  * never ∝ corpus; every shuffle keys on a digest or an id.
   *
   * Results are bit-identical to [[Dedup.crossNearDuplicates]] over the
-  * same two corpora (same candidate generation, same verification
-  * payloads, same rounding) — the index changes WHERE the corpus-side
-  * work happens (once, at build), not what is computed.
+  * same two corpora (same collapse, same candidate generation, same
+  * verification payloads, same rep-level rounding) — the index changes
+  * WHERE the corpus-side work happens (once, at build), not what is
+  * computed.
   */
 object LshIndex {
 
   /** LSH parameters pinned at build time. */
   final case class Params(numHashes: Int, rowsPerBand: Int, shingleSize: Int)
 
-  private def bandsOf(docs: DataFrame, textCol: String, p: Params): DataFrame =
+  private def bandsOf(repDocs: DataFrame, textCol: String, p: Params): DataFrame =
     Dedup.lshBands(
-      Dedup.minHashSignatures(docs, textCol, p.numHashes, p.shingleSize),
+      Dedup.minHashSignatures(repDocs, textCol, p.numHashes, p.shingleSize),
       p.numHashes, p.rowsPerBand)
+      .withColumnRenamed("doc_id", "rep")
 
-  private def shinglesOf(docs: DataFrame, textCol: String, p: Params): DataFrame =
-    docs.select(col("doc_id"),
+  private def shinglesOf(repDocs: DataFrame, textCol: String, p: Params): DataFrame =
+    repDocs.select(col("doc_id").as("rep"),
       graft.functions.TextExpressions.shingle_hashes(
         TextStats.tokens(col(textCol)), p.shingleSize).as("sh"))
+
+  /** Shard-local exact collapse — [[Dedup.tokenStreamCollapse]] with
+    * the usual tiny-side materialization gate. */
+  private def collapsed(docs: DataFrame, textCol: String): (DataFrame, DataFrame) =
+    Dedup.tokenStreamCollapse(docs, textCol,
+      materialize = !Dedup.tinyByEstimate(docs))
+
+  private def writeShard(docs: DataFrame, dir: String, textCol: String,
+                         p: Params, shardId: String): Unit = {
+    val (members, repDocs) = collapsed(docs, textCol)
+    members.select(col("doc_id"), col("__rep").as("rep"))
+      .write.mode("overwrite").parquet(s"$dir/members/shard=$shardId")
+    bandsOf(repDocs, textCol, p)
+      .write.mode("overwrite").parquet(s"$dir/bands/shard=$shardId")
+    shinglesOf(repDocs, textCol, p)
+      .write.mode("overwrite").parquet(s"$dir/shingles/shard=$shardId")
+  }
 
   private def writeMeta(spark: SparkSession, dir: String, p: Params): Unit = {
     import spark.implicits._
@@ -67,48 +102,31 @@ object LshIndex {
       r.getAs[Int]("shingle_size"))
   }
 
-  /** Build the index: ONE pass over the corpus (signatures, bands, and
-    * shingle hashes are all scan-local projections of the same read)
-    * writing the two derived relations plus the parameter row.
-    *
-    * Layout: each ingest unit lands in its own `shard=<id>` partition
-    * subdirectory (the build is `shard=base`), so an [[append]] is an
-    * OVERWRITE of one shard directory — deterministic shard ids make
-    * re-running a failed append (or a replayed streaming batch, see
-    * [[graft.streaming.IngestStream]]) idempotent instead of
-    * row-duplicating, the same per-batch-subdir contract the streaming
-    * sinks use. Probes read the parent dir; the shard column is
-    * provenance, never content. */
+  /** Build the index: one collapse pass over the corpus writing the
+    * three derived relations (as `shard=base`) plus the parameter row. */
   def build(corpus: DataFrame, dir: String, textCol: String = "text",
             numHashes: Int = 8, rowsPerBand: Int = 2,
             shingleSize: Int = 3): Unit = {
     val p = Params(numHashes, rowsPerBand, shingleSize)
     writeMeta(corpus.sparkSession, dir, p)
-    bandsOf(corpus, textCol, p)
-      .write.mode("overwrite").parquet(s"$dir/bands/shard=base")
-    shinglesOf(corpus, textCol, p)
-      .write.mode("overwrite").parquet(s"$dir/shingles/shard=base")
+    writeShard(corpus, dir, textCol, p, "base")
   }
 
   /** Append a new corpus shard — the daily-ingest maintenance step.
-    * Bands and shingle sets are per-doc functions, so appending shard
-    * rows is EXACTLY rebuilding over the union (spec-asserted); only
-    * the shard is scanned. Parameters must match the build (an index
-    * probed with different hashing has silently-zero recall — refuse
-    * loudly instead). Re-running the SAME shardId replaces that shard
-    * (idempotent); distinct ingest units must use distinct ids, and the
-    * caller owns doc_id uniqueness across shards, as everywhere in the
-    * dedup family. */
+    * The derived relations are functions of each shard alone (reps are
+    * shard-local), so appending shard rows equals rebuilding over the
+    * union (spec-asserted); only the shard is scanned. Parameters must
+    * match the build (an index probed with different hashing has
+    * silently-zero recall — refuse loudly instead). Re-running the
+    * SAME shardId replaces that shard (idempotent); distinct ingest
+    * units must use distinct ids, and the caller owns doc_id
+    * uniqueness across shards, as everywhere in the dedup family. */
   def append(shard: DataFrame, dir: String, textCol: String = "text",
              shardId: String = java.util.UUID.randomUUID().toString): Unit = {
     require(shardId.nonEmpty && shardId != "base" &&
       shardId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"shardId '$shardId' must be a non-'base' [A-Za-z0-9_-]+ token")
-    val p = params(shard.sparkSession, dir)
-    bandsOf(shard, textCol, p)
-      .write.mode("overwrite").parquet(s"$dir/bands/shard=$shardId")
-    shinglesOf(shard, textCol, p)
-      .write.mode("overwrite").parquet(s"$dir/shingles/shard=$shardId")
+    writeShard(shard, dir, textCol, params(shard.sparkSession, dir), shardId)
   }
 
   /** Probe: every (probe doc, index doc) near-duplicate pair at or above
@@ -116,12 +134,12 @@ object LshIndex {
     * jaccard·1e-4-rounded) — the [[Dedup.crossNearDuplicates]] contract
     * with the index side second.
     *
-    * Plan shape: the probe batch's bands/shingles are scan-local; the
-    * index sides are bare parquet scans (candidates join on
-    * (band_id, band_hash), verification on the two doc ids — all
-    * digest-or-id keys, no text payloads anywhere). The corpus is
-    * never re-shingled: the only ShingleMinHash/ShingleHashes in the
-    * plan sit over the probe batch (spec-asserted).
+    * Plan shape: the probe batch collapses and signs itself scan-side;
+    * the index sides are bare parquet scans. Candidates join on
+    * (band_id, band_hash), verification and expansion on rep/doc ids —
+    * digest-or-id keys throughout, no text payloads anywhere. The
+    * corpus is never re-shingled: the only ShingleMinHash in the plan
+    * sits over the probe batch's reps (spec-asserted).
     *
     * `excludeShards`: shard ids whose rows the probe must not see — a
     * PARTITION filter, so excluded shards' files are never even listed.
@@ -137,23 +155,28 @@ object LshIndex {
     def shardFilter(df: DataFrame): DataFrame =
       if (excludeShards.isEmpty) df
       else df.where(!col("shard").isin(excludeShards: _*))
-    val idxBands = shardFilter(spark.read.parquet(s"$dir/bands"))
-    val idxSh = shardFilter(spark.read.parquet(s"$dir/shingles"))
-    val cand = bandsOf(probe, textCol, p).alias("q")
-      .join(idxBands.alias("x"),
+    val xBands = shardFilter(spark.read.parquet(s"$dir/bands"))
+    val xSh = shardFilter(spark.read.parquet(s"$dir/shingles"))
+    val xMembers = shardFilter(spark.read.parquet(s"$dir/members"))
+    val (mProbe, repProbe) = collapsed(probe, textCol)
+    val cand = bandsOf(repProbe, textCol, p).alias("q")
+      .join(xBands.alias("x"),
         col("q.band_id") === col("x.band_id") &&
         col("q.band_hash") === col("x.band_hash"))
-      .select(col("q.doc_id").as("doc_id"), col("x.doc_id").as("index_doc_id"))
+      .select(col("q.rep").as("__rq"), col("x.rep").as("__rx"))
       .distinct()
-    cand
-      .join(shinglesOf(probe, textCol, p)
-        .select(col("doc_id"), col("sh").as("sh_q")), "doc_id")
-      .join(idxSh.select(col("doc_id").as("index_doc_id"), col("sh").as("sh_x")),
-        "index_doc_id")
+    val repPairs = cand
+      .join(shinglesOf(repProbe, textCol, p)
+        .select(col("rep").as("__rq"), col("sh").as("sh_q")), "__rq")
+      .join(xSh.select(col("rep").as("__rx"), col("sh").as("sh_x")), "__rx")
       .withColumn("jaccard",
         graft.functions.TextExpressions.array_jaccard(col("sh_q"), col("sh_x")))
       .where(col("jaccard") >= threshold)
-      .select(col("doc_id"), col("index_doc_id"),
-        round(col("jaccard"), 4).as("jaccard"))
+      .select(col("__rq"), col("__rx"), round(col("jaccard"), 4).as("jaccard"))
+    mProbe.select(col("doc_id"), col("__rep").as("__rq"))
+      .join(repPairs, "__rq")
+      .join(xMembers.select(col("doc_id").as("index_doc_id"),
+        col("rep").as("__rx")), "__rx")
+      .select(col("doc_id"), col("index_doc_id"), col("jaccard"))
   }
 }
