@@ -451,7 +451,12 @@ object Similarity {
     * Determinism: the same bounded lowest-id training sample as
     * [[ivfTopK]]; centroids round-trip parquet as exact doubles, so
     * [[ivfTopKIndexed]] is bit-identical to an [[ivfTopK]] call with
-    * the same sizing (spec-asserted). */
+    * the same sizing (spec-asserted).
+    *
+    * Layout: each ingest unit owns `corpus/shard=<id>/cell=<n>/` (the
+    * build is `shard=base`) — same per-shard overwrite/replay contract
+    * as [[LshIndex]], and cell pruning is unaffected (partition
+    * filters prune on any partition column). */
   def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 0,
                     maxIter: Int = 5, maxTrain: Int = 4096,
                     idCol: String = "vec_id", vecCol: String = "embedding",
@@ -465,11 +470,41 @@ object Similarity {
     cent.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        VectorExpressions.nearest_cell(col(vecCol), cent.map(_.toSeq).toSeq)
-          .as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    writeIvfShard(corpus, dir, cent.map(_.toSeq).toSeq, "base", idCol, vecCol)
   }
+
+  /** Append a vector shard to a [[buildIvfIndex]] directory — the
+    * standard IVF add: new vectors are assigned to the FROZEN persisted
+    * centroids (one scan-local NearestCell pass over the shard, no
+    * retraining, no corpus touch) and land in their cells under
+    * `shard=<id>`. Re-running the same shardId replaces that shard
+    * (idempotent — the ingest-replay contract). Frozen centroids mean
+    * recall for appended vectors depends on how well the build-time
+    * cells cover them; scoring stays exact (the probe re-ranks by true
+    * cosine), so a full probe (nprobe = nlist) remains exact over the
+    * union (spec-asserted). Rebuild when drift accumulates — the same
+    * trade faiss's add() makes. */
+  def appendToIvfIndex(shard: DataFrame, dir: String,
+                       shardId: String = java.util.UUID.randomUUID().toString,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    require(shardId.nonEmpty && shardId != "base" &&
+      shardId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"shardId '$shardId' must be a non-'base' [A-Za-z0-9_-]+ token")
+    val spark = shard.sparkSession
+    val cent = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1))
+    writeIvfShard(shard, dir, cent.toSeq, shardId, idCol, vecCol)
+  }
+
+  private def writeIvfShard(vectors: DataFrame, dir: String,
+                            cent: Seq[Seq[Double]], shardId: String,
+                            idCol: String, vecCol: String): Unit =
+    vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        VectorExpressions.nearest_cell(col(vecCol), cent).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/corpus/shard=$shardId")
 
   /** Serve top-k ANN from a [[buildIvfIndex]] directory: probe the
     * nprobe closest cells per query against the persisted centroids,

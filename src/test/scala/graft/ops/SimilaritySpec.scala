@@ -81,6 +81,36 @@ class SimilaritySpec extends SparkSpec {
       rows(served))
   }
 
+  test("ivf index append: frozen-centroid add; full probe exact over the union; replay idempotent") {
+    val all = (0L until 96L).map(i =>
+        (i, Array.tabulate(4)(d => math.cos(i * 5.0 + d * 2.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (base, shard) =
+      (all.where(col("vec_id") < 64), all.where(col("vec_id") >= 64))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    Similarity.buildIvfIndex(base, dir, nlist = 4)
+    Similarity.appendToIvfIndex(shard, dir, shardId = "day-1")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    val q = all.where(col("vec_id") % 31 === 0)
+    // centroids are frozen at build, but scoring is exact cosine — a
+    // full probe over every cell must equal brute force over the UNION,
+    // appended vectors included
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, k = 3, nprobe = 4)) ===
+      rows(Similarity.bruteForceTopK(q, all, k = 3)))
+    // appended rows live in their own shard partitions; replaying the
+    // same shard id replaces them instead of duplicating
+    val spark2 = base.sparkSession
+    val counts = () => spark2.read.parquet(s"$dir/corpus")
+      .groupBy("shard").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = counts()
+    assert(first === Map("base" -> 64L, "day-1" -> 32L))
+    Similarity.appendToIvfIndex(shard, dir, shardId = "day-1")   // replay
+    assert(counts() === first)
+  }
+
   test("pca: recovers the dominant direction; projections are centered") {
     // points on the (1,1) diagonal with slight orthogonal noise: the top
     // component must be ~(0.707, 0.707) with positive sign canon
