@@ -532,6 +532,49 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Embedding near-duplicates of a probe batch against a
+    * [[buildIvfIndex]] directory: every (probe vector, index vector)
+    * pair with cosine >= `threshold`, searched in each probe vector's
+    * `nprobe` closest cells — the thresholded sibling of
+    * [[ivfTopKIndexed]] and the history-side primitive of semantic
+    * ingest dedup ([[graft.streaming.IngestStream]]). Output
+    * (vec_id, index_vec_id, cos_sim·1e-4-rounded).
+    *
+    * Recall: a near-dup in an unprobed cell is missed (the IVF family
+    * contract); for dedup thresholds the duplicate is by definition
+    * close to the probe, so the nearest cells capture it far more
+    * reliably than generic top-k probes — and `nprobe = nlist` is
+    * EXACT (spec-asserted against the brute-force pair listing).
+    *
+    * `excludeShards` is the ingest-replay filter, partition-pruned
+    * exactly as in [[LshIndex.nearDuplicates]]. */
+  def cosineNearDuplicatesIndexed(probe: DataFrame, dir: String,
+                                  threshold: Double, nprobe: Int = 4,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding",
+                                  excludeShards: Seq[String] = Nil): DataFrame = {
+    val spark = probe.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assigned0 = spark.read.parquet(s"$dir/corpus")
+    val assigned =
+      if (excludeShards.isEmpty) assigned0
+      else assigned0.where(!col("shard").isin(excludeShards: _*))
+    val q = probe.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wCell = Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("dist", -cosine(col("qv"), col("centroid")))
+      .withColumn("cell_rnk", row_number().over(wCell))
+      .where(col("cell_rnk") <= nprobe)
+      .select("query_id", "qv", "cell")
+    assigned.join(broadcast(probed), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .where(col("cos_sim") >= threshold)
+      .select(col("query_id").as(idCol),
+        col("neighbor_id").as("index_vec_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** Int8 quantization of an embedding column: per-vector max-abs scale,
     * component -> floor(x / scale * 127 + 0.5) in [-127, 127] (floor+0.5
     * instead of round(): identical half-up semantics in every engine,
@@ -672,6 +715,24 @@ object Similarity {
       .select(col("doc_id").as(idCol))
     assigned.join(losers, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell").cast("long").as("cell"))
+  }
+
+  /** [[semDedup]]'s in-cell search under the FROZEN centroids of a
+    * [[buildIvfIndex]] directory: the non-representative members
+    * (column `doc_id`) of the batch's within-batch semantic-dup
+    * components, cells assigned by the index's centroids rather than
+    * batch-trained ones — so an ingest flow ([[graft.streaming
+    * .IngestStream]]) bounds its within-batch pair search with the
+    * SAME cell geometry its history probe uses. One scan-local
+    * assignment pass over the batch; no corpus touch. */
+  def semDedupLosersIndexed(batch: DataFrame, dir: String,
+                            threshold: Double, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val cent = batch.sparkSession.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(r => r.getSeq[Double](1))
+    val assigned = batch.select(col(idCol), col(vecCol).as("v"),
+      VectorExpressions.nearest_cell(col(vecCol), cent.toSeq).as("cell"))
+    cellPairLosers(assigned, idCol, threshold)
   }
 
   /** In-cell cosine pair search + component closure over an `assigned`

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.ops.{Dedup, LshIndex}
+import graft.ops.{Dedup, LshIndex, Similarity}
 
 /** Streaming ingest dedup against a persisted [[graft.ops.LshIndex]] —
   * the continuous form of the "does today's shard duplicate three years
@@ -83,5 +83,46 @@ object IngestStream {
     // source re-delivers the batch in different tasks)
     LshIndex.append(spark.read.parquet(s"$sinkDir/batch=$id"), indexDir,
       textCol, shardId = s"batch-$id")
+  }
+
+  /** The embedding twin of [[ingestDedupStream]]: semantic ingest dedup
+    * against a persisted [[Similarity.buildIvfIndex]] directory. Per
+    * micro-batch: vectors with an indexed semantic duplicate (cosine >=
+    * `threshold` in their `nprobe` closest cells) drop; within-batch
+    * semantic-dup components — searched under the index's FROZEN
+    * centroids, the same cell geometry as the history probe — keep
+    * their minimum vec_id; survivors land in `sinkDir/batch=<id>` and
+    * append to the index as `shard=batch-<id>` (frozen-centroid
+    * assignment, [[Similarity.appendToIvfIndex]]), so later batches
+    * dedupe against earlier ones. Replay-safe by the same two pieces
+    * as the text flow: batch-keyed overwrites everywhere, and the
+    * history probe excludes the batch's own shard. Recall is the IVF
+    * family's (an unprobed cell hides its dups; `nprobe = nlist` is
+    * exact). */
+  def ingestEmbeddingDedupStream(vectors: DataFrame, indexDir: String,
+                                 sinkDir: String, threshold: Double = 0.9,
+                                 nprobe: Int = 4): DataStreamWriter[Row] = {
+    val fn: (Dataset[Row], Long) => Unit =
+      (batch, id) => ingestEmbeddingBatch(batch.toDF(), id, indexDir,
+        sinkDir, threshold, nprobe)
+    vectors.writeStream.foreachBatch(fn)
+  }
+
+  /** One semantic ingest cycle, callable directly for batch backfill. */
+  def ingestEmbeddingBatch(batch: DataFrame, id: Long, indexDir: String,
+                           sinkDir: String, threshold: Double = 0.9,
+                           nprobe: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    val dupOfHistory = Similarity.cosineNearDuplicatesIndexed(batch, indexDir,
+        threshold, nprobe, excludeShards = Seq(s"batch-$id"))
+      .select("vec_id").distinct()
+    val demoted = Similarity.semDedupLosersIndexed(batch, indexDir, threshold)
+      .select(col("doc_id").as("vec_id"))
+    val survivors = batch
+      .join(dupOfHistory, Seq("vec_id"), "left_anti")
+      .join(demoted, Seq("vec_id"), "left_anti")
+    survivors.write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
+    Similarity.appendToIvfIndex(spark.read.parquet(s"$sinkDir/batch=$id"),
+      indexDir, shardId = s"batch-$id")
   }
 }

@@ -111,6 +111,29 @@ class SimilaritySpec extends SparkSpec {
     assert(counts() === first)
   }
 
+  test("cosineNearDuplicatesIndexed at nprobe=nlist equals the brute cross pair listing") {
+    val corpus = (0L until 64L).map(i =>
+        (i, Array.tabulate(4)(d => math.sin(i * 7.0 + d * 3.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val probe = (100L until 108L).map(i =>
+        (i, Array.tabulate(4)(d => math.cos(i * 11.0 + d * 5.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-neardup").toString
+    Similarity.buildIvfIndex(corpus, dir, nlist = 4)
+    val got = Similarity.cosineNearDuplicatesIndexed(probe, dir,
+        threshold = 0.5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute: every cross pair through the same cosine expression
+    val want = probe.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(corpus.select(col("vec_id").as("xid"), col("embedding").as("xv")))
+      .withColumn("cos_sim", Similarity.cosine(col("qv"), col("xv")))
+      .where(col("cos_sim") >= 0.5)
+      .select(col("qid"), col("xid"), round(col("cos_sim"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "threshold chose no pairs — test is vacuous")
+  }
+
   test("pca: recovers the dominant direction; projections are centered") {
     // points on the (1,1) diagonal with slight orthogonal noise: the top
     // component must be ~(0.707, 0.707) with positive sign canon

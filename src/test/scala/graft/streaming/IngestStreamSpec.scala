@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
-import graft.ops.LshIndex
+import graft.ops.{LshIndex, Similarity}
 
 /** Streaming ingest dedup against a persisted LSH index: history dups
   * drop, within-batch dups keep their component minimum, survivors are
@@ -72,6 +72,42 @@ class IngestStreamSpec extends SparkSpec {
     val got = spark.read.parquet(s"$sinkDir/batch=0")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === Set(31L))
+  }
+
+  test("embedding ingest: history semantic dups drop, batch dups keep min, survivors feed the index") {
+    val base = Files.createTempDirectory("graft-emb-ingest").toString
+    val (idxDir, sinkDir) = (s"$base/idx", s"$base/sink")
+    def vecs(rows: (Long, Array[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+    val (v1, v2, v3, v4) = (
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    Similarity.buildIvfIndex(
+      vecs(1L -> v1, 2L -> v2, 3L -> v3, 4L -> v4), idxDir, nlist = 2)
+    val diag = Array(0.7f, 0.7f, 0f, 0f)          // cos ≈ .707 to v1/v2
+    val mix = Array(0f, 0.6f, 0.8f, 0f)           // cos .6/.8 to v2/v3
+    // batch 0: 10 = copy of indexed v1 (drop vs history); 11 = novel
+    // direction; 12 = copy of 11 (within-batch, demoted); 13 = novel
+    IngestStream.ingestEmbeddingBatch(
+      vecs(10L -> v1, 11L -> diag, 12L -> diag, 13L -> mix), 0L,
+      idxDir, sinkDir, threshold = 0.9, nprobe = 2)
+    // batch 1: 20 = copy of batch-0 survivor 11 (drops ONLY via the
+    // index-append feedback); 21 = novel
+    IngestStream.ingestEmbeddingBatch(
+      vecs(20L -> diag, 21L -> Array(0.5f, 0.5f, 0.5f, 0.5f)), 1L,
+      idxDir, sinkDir, threshold = 0.9, nprobe = 2)
+    val survivors = spark.read.parquet(sinkDir)
+      .select("vec_id", "batch").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(survivors === Map(11L -> 0, 13L -> 0, 21L -> 1))
+    val shards = spark.read.parquet(s"$idxDir/corpus")
+      .select("shard").distinct().collect().map(_.getString(0)).toSet
+    assert(shards === Set("base", "batch-0", "batch-1"))
+    // replay of batch 1 is idempotent (own shard excluded from history)
+    IngestStream.ingestEmbeddingBatch(
+      vecs(20L -> diag, 21L -> Array(0.5f, 0.5f, 0.5f, 0.5f)), 1L,
+      idxDir, sinkDir, threshold = 0.9, nprobe = 2)
+    assert(spark.read.parquet(s"$sinkDir/batch=1")
+      .select("vec_id").collect().map(_.getLong(0)).toSet === Set(21L))
   }
 
   test("replaying a batch id is idempotent for sink and index") {
