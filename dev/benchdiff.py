@@ -25,10 +25,12 @@ Flagging discipline (the r10 adjudication baked in -- six phantom
 >1.3x flags came from a mid-run host window a clean start probe never
 saw):
   * If the suite-wide MEDIAN normalized ratio is displaced beyond
-    +/-10%, no per-query flag is trustworthy: either a host window
-    opened (probe timeline localizes it) or something global changed
-    (code or config) -- both need a human, neither is a per-query
-    list. INCONCLUSIVE, exit 0, with the probe-timeline diagnosis.
+    +/-10%, no per-query flag is trustworthy. The position-matched
+    probe timeline then adjudicates: a visible host window (or no
+    alignable timeline) -> INCONCLUSIVE, exit 0; timelines that align
+    CLEANLY while the median is slow -> the displacement is not
+    environmental, FAIL exit 1 (a slowdown spread across every query
+    -- a shared helper, a config -- is still a regression).
   * Otherwise a query flags only if it exceeds the threshold BOTH
     absolutely and relative to the median (a genuine regression
     leaves the median at ~1.0, so this costs real flags nothing).
@@ -55,12 +57,23 @@ def load(path):
 
 def probe_windows(base, cand, out):
     """Position-matched probe-ratio diagnosis; True if a host window is
-    visible in the probe timeline."""
+    visible in the probe timeline. Returns None when the two timelines
+    cannot be aligned (legacy file without probes, or suite-size change
+    moved the emission positions) — "no evidence" is distinct from
+    "evidence of no window"."""
     pb, pc = base.get("probes") or [], cand.get("probes") or []
-    if len(pb) < 3 or len(pc) < 3:
-        return False
-    n = min(len(pb), len(pc))
-    ratios = [(pc[i][0], pc[i][1] / pb[i][1]) for i in range(n) if pb[i][1] > 0]
+    # pair index-wise but REQUIRE the recorded positions to agree —
+    # adding/removing queries shifts the pass-end emission position,
+    # and comparing a mid-pass probe against a pass-end probe would let
+    # the documented 2x within-run wobble fabricate (or hide) a window.
+    # Index-wise pairing keeps the shared positions (0, 25, 50, ...)
+    # aligned across a suite-size change and simply skips the moved
+    # pass-end probes.
+    ratios = [(pc[i][0], pc[i][1] / pb[i][1])
+              for i in range(min(len(pb), len(pc)))
+              if pc[i][0] == pb[i][0] and pb[i][1] > 0]
+    if len(ratios) < 3:
+        return None
     out("probe timeline (cand/base at matched positions): "
         + "  ".join(f"@{p}:{r:.2f}x" for p, r in ratios))
     # a window = >=2 consecutive positions elevated >=1.25x (single
@@ -106,13 +119,29 @@ def diff(base, cand, threshold, out=print):
     out(f"\nmedian normalized ratio: {med:.2f}x over {len(rows)} shared queries")
 
     if med > 1.10 or med < 1 / 1.10:
-        out(f"\nINCONCLUSIVE: suite-wide movement (median {med:.2f}x) -- "
-            "per-query ratios are not evidence while the whole suite is "
-            "displaced. Diagnosis:")
-        if not probe_windows(base, cand, out):
-            out("no sustained hot stretch in the probe timeline (or no "
-                "timeline in these files) -- adjudicate by re-running the "
-                "bench in a second window")
+        out(f"\nSuite-wide movement (median {med:.2f}x) -- per-query "
+            "ratios are not evidence while the whole suite is displaced. "
+            "Diagnosis:")
+        win = probe_windows(base, cand, out)
+        if win:
+            out("INCONCLUSIVE: host window visible -- re-run the bench in "
+                "a second window before trusting either direction")
+            return 0
+        if win is None:
+            out("INCONCLUSIVE: no alignable probe timeline in these files "
+                "-- adjudicate by re-running the bench in a second window")
+            return 0
+        # timelines align and show NO host window: the displacement is
+        # not environmental -- a shared-helper/config change moved the
+        # whole suite, which is exactly what a regression gate must
+        # catch (a slowdown spread across every query is still a
+        # regression, not noise)
+        if med > 1.10:
+            out(f"\nFAIL: suite-wide slowdown (median {med:.2f}x) with a "
+                "clean position-matched probe timeline -- treat as a code "
+                "or config regression, not host drift")
+            return 1
+        out("suite-wide SPEEDUP with a clean probe timeline -- no flags")
         return 0
     if regressions:
         out(f"\nFAIL: {len(regressions)} concentrated regression(s) "
@@ -173,7 +202,27 @@ def selftest():
     assert rc == 0 and any("OK:" in l for l in lines), \
         "probe wobble alone must stay clean"
 
-    print("selftest OK (6 assertions)")
+    # 5. suite-wide slowdown with CLEAN aligned timelines is a code
+    #    regression, not host drift: must FAIL, not INCONCLUSIVE
+    lines = []
+    rc = diff(bench(qs, probes=flat),
+              bench({q: t * 1.45 for q, t in qs.items()}, probes=flat),
+              1.3, lines.append)
+    assert rc == 1, "clean-probe suite-wide slowdown must fail"
+    assert any("code or config regression" in l for l in lines)
+
+    # 6. a suite-size change moves emission positions -- probes that
+    #    cannot be position-aligned are NO evidence (never fabricate a
+    #    window or a clean bill from misaligned pairs)
+    moved = [[0, 1.0], [25, 1.0], [50, 1.0], [0, 1.0], [25, 1.0], [50, 1.0]]
+    lines = []
+    rc = diff(bench(qs, probes=flat),
+              bench({q: t * 1.45 for q, t in qs.items()}, probes=moved),
+              1.3, lines.append)
+    assert rc == 0, "misaligned timelines must stay inconclusive"
+    assert any("no alignable probe timeline" in l for l in lines)
+
+    print("selftest OK (10 assertions)")
     return 0
 
 

@@ -540,8 +540,11 @@ object LangModel {
                driverCutoff: Long = BpeDriverCutoff,
                restartDir: Option[String] = None,
                restartEvery: Int = 1): DataFrame =
+    // cutFinalVocab=false: only the driver-local merge table is
+    // returned, so the loop must not pay a vocab-sized handoff job for
+    // a relation nobody reads
     bpeLoop(docs, nMerges, textCol, checkpointDir, driverCutoff, restartDir,
-      restartEvery)._2
+      restartEvery, cutFinalVocab = false)._2
 
   /** Default vocabulary-size bound for [[bpeTrain]]'s driver path:
     * 2M distinct words × ~40 B ≈ 100 MB of driver heap — comfortably
@@ -585,7 +588,8 @@ object LangModel {
                              checkpointDir: Option[String] = None,
                              driverCutoff: Long = BpeDriverCutoff,
                              restartDir: Option[String] = None,
-                             restartEvery: Int = 1): (DataFrame, DataFrame) = {
+                             restartEvery: Int = 1,
+                             cutFinalVocab: Boolean = true): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 65536, s"nMerges $nMerges out of [1,65536]")
     require(restartEvery >= 1, s"restartEvery $restartEvery must be >= 1")
     val spark = docs.sparkSession
@@ -754,8 +758,12 @@ object LangModel {
     }
     // ownership handoff: one eager cut makes the returned vocab
     // standalone materialized blocks, after which nothing references
-    // the loop rounds' RDDs and the ContextCleaner reaps their blocks
-    val out = ck(vocab.select("w", "s", "c"))
+    // the loop rounds' RDDs and the ContextCleaner reaps their blocks.
+    // Callers that discard the vocab (bpeTrain returns only the merge
+    // table) skip the cut — a vocab-sized job for an unread relation
+    val out =
+      if (cutFinalVocab) ck(vocab.select("w", "s", "c"))
+      else vocab.select("w", "s", "c")
     (out,
       merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count"))
   }

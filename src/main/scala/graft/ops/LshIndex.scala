@@ -120,9 +120,14 @@ object LshIndex {
     * silently-zero recall — refuse loudly instead). Re-running the
     * SAME shardId replaces that shard (idempotent); distinct ingest
     * units must use distinct ids, and the caller owns doc_id
-    * uniqueness across shards, as everywhere in the dedup family. */
-  def append(shard: DataFrame, dir: String, textCol: String = "text",
-             shardId: String = java.util.UUID.randomUUID().toString): Unit = {
+    * uniqueness across shards, as everywhere in the dedup family.
+    * `shardId` is deliberately REQUIRED, not defaulted to a random
+    * token: a random id turns a retried append into a new shard, and
+    * the crashed attempt's partial directories would then duplicate
+    * every affected doc's rows in probe output — naming the ingest
+    * unit is what makes the retry an overwrite. */
+  def append(shard: DataFrame, dir: String, shardId: String,
+             textCol: String = "text"): Unit = {
     require(shardId.nonEmpty && shardId != "base" &&
       shardId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"shardId '$shardId' must be a non-'base' [A-Za-z0-9_-]+ token")

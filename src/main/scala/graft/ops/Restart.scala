@@ -72,14 +72,24 @@ object Restart {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
-    val rounds = fs.listStatus(root).toSeq
+    val named = fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .flatMap(st => st.getPath.getName match {
         case RoundRe(k) => Some(k.toInt)
         case _          => None
       })
-      .filter(k => k <= atMost && fs.exists(
-        new Path(new Path(dir, s"round=$k"), CommitMarker)))
+    val (marked, unmarked) = named.partition(k => fs.exists(
+      new Path(new Path(dir, s"round=$k"), CommitMarker)))
+    // loud, not silent: an unmarked round dir is either a partial
+    // object-store rename (correctly distrusted) or a dir written by a
+    // pre-marker build — in the latter case the operator should rerun
+    // the producer once to re-commit, not wonder why insurance vanished
+    if (unmarked.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Restart.latest($dir): ignoring round(s) ${unmarked.sorted.mkString(", ")} " +
+          s"without the $CommitMarker marker (partial rename, or written " +
+          "by a pre-marker build); resuming from the newest MARKED round")
+    val rounds = marked.filter(_ <= atMost)
     rounds.maxOption.map(k =>
       (k, spark.read.parquet(new Path(dir, s"round=$k").toString)))
   }

@@ -483,9 +483,11 @@ object Similarity {
     * cells cover them; scoring stays exact (the probe re-ranks by true
     * cosine), so a full probe (nprobe = nlist) remains exact over the
     * union (spec-asserted). Rebuild when drift accumulates — the same
-    * trade faiss's add() makes. */
-  def appendToIvfIndex(shard: DataFrame, dir: String,
-                       shardId: String = java.util.UUID.randomUUID().toString,
+    * trade faiss's add() makes. `shardId` is required, not
+    * random-defaulted, for the same reason as [[LshIndex.append]]: a
+    * retried append must overwrite the crashed attempt's shard, not
+    * orphan a partial one whose rows would duplicate probe output. */
+  def appendToIvfIndex(shard: DataFrame, dir: String, shardId: String,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
     require(shardId.nonEmpty && shardId != "base" &&
@@ -547,7 +549,15 @@ object Similarity {
     * EXACT (spec-asserted against the brute-force pair listing).
     *
     * `excludeShards` is the ingest-replay filter, partition-pruned
-    * exactly as in [[LshIndex.nearDuplicates]]. */
+    * exactly as in [[LshIndex.nearDuplicates]].
+    *
+    * Id spaces are NOT assumed disjoint: a probe row whose vec_id
+    * equals an index row's is still compared (same as
+    * [[LshIndex.nearDuplicates]] — an id-collision guard here would
+    * silently drop true cross-source duplicates whenever two sources
+    * number from 0). Probing an index that literally contains the
+    * probe rows therefore returns their trivial self pairs; self-check
+    * flows filter `vec_id =!= index_vec_id` themselves. */
   def cosineNearDuplicatesIndexed(probe: DataFrame, dir: String,
                                   threshold: Double, nprobe: Int = 4,
                                   idCol: String = "vec_id",
@@ -567,7 +577,6 @@ object Similarity {
       .where(col("cell_rnk") <= nprobe)
       .select("query_id", "qv", "cell")
     assigned.join(broadcast(probed), Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
       .where(col("cos_sim") >= threshold)
       .select(col("query_id").as(idCol),
@@ -730,8 +739,12 @@ object Similarity {
                             vecCol: String = "embedding"): DataFrame = {
     val cent = batch.sparkSession.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect().map(r => r.getSeq[Double](1))
-    val assigned = batch.select(col(idCol), col(vecCol).as("v"),
-      VectorExpressions.nearest_cell(col(vecCol), cent.toSeq).as("cell"))
+    // materialized once, same as semDedup's own assignment: the
+    // relation feeds both pair-join sides, and betting on ReuseExchange
+    // to dedupe the twin scan+argmax subtrees is planner-mood-dependent
+    val assigned = Checkpoints.truncator(batch.sparkSession, None)(
+      batch.select(col(idCol), col(vecCol).as("v"),
+        VectorExpressions.nearest_cell(col(vecCol), cent.toSeq).as("cell")))
     cellPairLosers(assigned, idCol, threshold)
   }
 

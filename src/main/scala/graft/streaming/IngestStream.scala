@@ -38,7 +38,17 @@ import graft.ops.{Dedup, LshIndex, Similarity}
   *
   * LSH params come from the index meta; recall is the LSH families'
   * (< 1 by construction) — a near-dup the bands never bucket slips
-  * through, exactly as in the one-shot operators. */
+  * through, exactly as in the one-shot operators.
+  *
+  * Disclosed cost: steps 1 and 2 each derive the batch's
+  * shingles/signatures from scratch (the history probe inside
+  * [[LshIndex.nearDuplicates]], the component pass inside
+  * [[Dedup.nearDupComponents]]) — two passes over the batch with
+  * identical params. Acceptable at micro-batch sizes (both passes are
+  * batch-local; neither touches history text); a fused probe sharing
+  * one rep band/shingle derivation is the next optimization if ingest
+  * ever becomes rate-bound, and belongs in [[LshIndex]] so the two
+  * operators cannot drift. */
 object IngestStream {
 
   def ingestDedupStream(docs: DataFrame, indexDir: String, sinkDir: String,
@@ -82,7 +92,7 @@ object IngestStream {
     // index exactly what was committed (replay-stable even if the
     // source re-delivers the batch in different tasks)
     LshIndex.append(spark.read.parquet(s"$sinkDir/batch=$id"), indexDir,
-      textCol, shardId = s"batch-$id")
+      shardId = s"batch-$id", textCol = textCol)
   }
 
   /** The embedding twin of [[ingestDedupStream]]: semantic ingest dedup

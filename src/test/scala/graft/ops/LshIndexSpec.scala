@@ -57,7 +57,7 @@ class LshIndexSpec extends SparkSpec {
     val appended = tmpDir("graft-lsh-app")
     LshIndex.build(half1, appended, numHashes = 8, rowsPerBand = 4,
       shingleSize = 2)
-    LshIndex.append(half2, appended)
+    LshIndex.append(half2, appended, shardId = "day-1")
     val rebuilt = tmpDir("graft-lsh-reb")
     LshIndex.build(corpus, rebuilt, numHashes = 8, rowsPerBand = 4,
       shingleSize = 2)
