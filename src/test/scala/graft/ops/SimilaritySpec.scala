@@ -132,6 +132,16 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === want)
     assert(want.nonEmpty, "threshold chose no pairs — test is vacuous")
+    // overlapping id spaces: a probe vec_id that also exists in the
+    // index is still compared — an id-collision guard here would
+    // silently drop true cross-source duplicates (two sources each
+    // numbering from 0). Probe with corpus row 7 under its own id: the
+    // trivial self pair must come back at cos 1.0.
+    val overlap = corpus.where(col("vec_id") === 7)
+    val self = Similarity.cosineNearDuplicatesIndexed(overlap, dir,
+        threshold = 0.999, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(self.contains((7L, 7L)))
   }
 
   test("pca: recovers the dominant direction; projections are centered") {
