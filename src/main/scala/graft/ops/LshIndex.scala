@@ -134,6 +134,30 @@ object LshIndex {
     writeShard(shard, dir, textCol, params(shard.sparkSession, dir), shardId)
   }
 
+  /** Compact an index that has accreted many append shards into a
+    * fresh single-shard index at `newDir` — the maintenance pass for
+    * long-running ingest: a year of daily batches is ~365 shard
+    * directories per relation, and at object-store scale the listing
+    * fan-out (and per-shard small files) eventually dominates probe
+    * startup. Compaction is a straight row rewrite (reps are already
+    * per-shard, and cross-shard duplicate reps are benign by the shard
+    * contract), so probe results over `newDir` are identical
+    * (spec-asserted).
+    *
+    * Deliberately NOT in-place: an in-place rewrite has a crash window
+    * where both the old shards and the compacted copy exist and every
+    * affected pair is emitted twice. Writing a fresh dir leaves the
+    * live index untouched until the caller's own atomic pointer swap
+    * (the standard index-versioning move); the old dir is then the
+    * caller's to reap. */
+  def compact(spark: SparkSession, dir: String, newDir: String): Unit = {
+    writeMeta(spark, newDir, params(spark, dir))
+    def rewrite(rel: String): Unit =
+      spark.read.parquet(s"$dir/$rel").drop("shard")
+        .write.mode("overwrite").parquet(s"$newDir/$rel/shard=base")
+    rewrite("members"); rewrite("bands"); rewrite("shingles")
+  }
+
   /** Probe: every (probe doc, index doc) near-duplicate pair at or above
     * `threshold` exact n-gram Jaccard. Output (doc_id, index_doc_id,
     * jaccard·1e-4-rounded) — the [[Dedup.crossNearDuplicates]] contract

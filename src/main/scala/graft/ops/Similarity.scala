@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -498,6 +498,20 @@ object Similarity {
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](1))
     writeIvfShard(shard, dir, cent.toSeq, shardId, idCol, vecCol)
+  }
+
+  /** Compact an appended-many-times IVF index into a fresh
+    * single-shard index at `newDir` — [[LshIndex.compact]]'s twin,
+    * with the same versioned-cutover protocol (never in-place; the
+    * caller's pointer swap is the atomic step, the old dir is theirs
+    * to reap). Centroids copy verbatim, so served results are
+    * identical (spec-asserted). */
+  def compactIvfIndex(spark: SparkSession, dir: String, newDir: String): Unit = {
+    spark.read.parquet(s"$dir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$newDir/centroids")
+    spark.read.parquet(s"$dir/corpus").drop("shard")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$newDir/corpus/shard=base")
   }
 
   private def writeIvfShard(vectors: DataFrame, dir: String,

@@ -80,6 +80,26 @@ class LshIndexSpec extends SparkSpec {
     assert(plan.contains("parquet"), "index sides must be parquet scans")
   }
 
+  test("compact rewrites many shards into one; probe results identical") {
+    val (half1, half2) =
+      (corpus.where(col("doc_id") < 3), corpus.where(col("doc_id") >= 3))
+    val dir = tmpDir("graft-lsh-precompact")
+    LshIndex.build(half1, dir, shingleSize = 2)
+    LshIndex.append(half2, dir, shardId = "day-1")
+    val before = asSet(LshIndex.nearDuplicates(probe, dir, threshold = 0.3))
+    val newDir = tmpDir("graft-lsh-compacted")
+    LshIndex.compact(spark, dir, newDir)
+    assert(asSet(LshIndex.nearDuplicates(probe, newDir, threshold = 0.3))
+      === before)
+    assert(spark.read.parquet(s"$newDir/bands")
+      .select("shard").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("base"))
+    assert(LshIndex.params(spark, newDir) === LshIndex.params(spark, dir))
+    // the live index was never touched — versioned cutover, not in-place
+    assert(asSet(LshIndex.nearDuplicates(probe, dir, threshold = 0.3))
+      === before)
+  }
+
   test("a threshold of 1.0 keeps only exact-token-stream matches") {
     val dir = tmpDir("graft-lsh-exact")
     LshIndex.build(corpus, dir, shingleSize = 2)

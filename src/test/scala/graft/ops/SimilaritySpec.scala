@@ -109,6 +109,15 @@ class SimilaritySpec extends SparkSpec {
     assert(first === Map("base" -> 64L, "day-1" -> 32L))
     Similarity.appendToIvfIndex(shard, dir, shardId = "day-1")   // replay
     assert(counts() === first)
+    // compaction: one shard afterward, served results identical, live
+    // index untouched (versioned cutover)
+    val newDir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    Similarity.compactIvfIndex(spark2, dir, newDir)
+    assert(rows(Similarity.ivfTopKIndexed(q, newDir, k = 3, nprobe = 4)) ===
+      rows(Similarity.ivfTopKIndexed(q, dir, k = 3, nprobe = 4)))
+    assert(spark2.read.parquet(s"$newDir/corpus")
+      .select("shard").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("base"))
   }
 
   test("cosineNearDuplicatesIndexed at nprobe=nlist equals the brute cross pair listing") {
