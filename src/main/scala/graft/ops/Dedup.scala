@@ -371,6 +371,19 @@ object Dedup {
                         checkpointDir: Option[String] = None): DataFrame = {
     val (m, repPairs) = collapsedRepPairs(docs, textCol, numHashes,
       rowsPerBand, shingleSize, threshold, checkpointDir)
+    componentsFromCollapsed(m, repPairs, maxIter, checkpointDir)
+  }
+
+  /** [[nearDupComponents]]'s closure + member-attach tail, callable
+    * with an externally-derived (eligible members, verified rep pairs)
+    * — the shared piece that lets [[LshIndex]]'s fused ingest probe
+    * reuse ONE rep band/shingle derivation for both its history check
+    * and the within-batch component pass without re-implementing (and
+    * silently drifting from) these semantics. */
+  private[ops] def componentsFromCollapsed(m: DataFrame, repPairs: DataFrame,
+                                           maxIter: Int = 20,
+                                           checkpointDir: Option[String] = None)
+      : DataFrame = {
     val covered = connectedComponents(repPairs, maxIter, checkpointDir = checkpointDir)
       .select(col("doc_id").as("__rep"), col("component_id"))
     // multi-member groups untouched by any cross-group pair form their

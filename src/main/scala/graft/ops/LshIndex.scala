@@ -134,6 +134,81 @@ object LshIndex {
     writeShard(shard, dir, textCol, params(shard.sparkSession, dir), shardId)
   }
 
+  /** The fused ingest probe: every batch doc that must NOT survive an
+    * ingest cycle, with why — `reason = "history"` (a near-dup at or
+    * above `threshold` exists among the indexed corpus, minus
+    * `excludeShards`) or `reason = "batch"` (the doc is a
+    * non-minimum member of a within-batch near-dup component, closed
+    * with [[Dedup]]'s own component semantics). A doc can carry both
+    * rows; callers dropping docs dedup the ids.
+    *
+    * This exists because running [[nearDuplicates]] and
+    * [[Dedup.nearDupComponents]] separately — the obvious two-operator
+    * formulation — derives the batch's collapse, signatures, and
+    * shingle sets TWICE per micro-batch. Here one collapse feeds one
+    * signature pass (truncated once, consumed by the intra self-join's
+    * two sides, the history band join, and the eligibility gate) and
+    * one shingle-set pass (consumed by all three verifications); the
+    * component tail is [[Dedup.componentsFromCollapsed]], the same
+    * code `nearDupComponents` runs, so the semantics cannot drift
+    * (spec asserts verdict-for-verdict equality with the two-operator
+    * formulation). */
+  def ingestVerdicts(batch: DataFrame, dir: String, threshold: Double = 0.5,
+                     textCol: String = "text",
+                     excludeShards: Seq[String] = Nil): DataFrame = {
+    val spark = batch.sparkSession
+    val p = params(spark, dir)
+    def shardFilter(df: DataFrame): DataFrame =
+      if (excludeShards.isEmpty) df
+      else df.where(!col("shard").isin(excludeShards: _*))
+    val xBands = shardFilter(spark.read.parquet(s"$dir/bands"))
+    val xSh = shardFilter(spark.read.parquet(s"$dir/shingles"))
+    val ck = Checkpoints.truncator(spark, None)
+    val (members, repDocs) = collapsed(batch, textCol)
+    val sigs = ck(Dedup.minHashSignatures(repDocs, textCol,
+      p.numHashes, p.shingleSize))
+    val qBands = Dedup.lshBands(sigs, p.numHashes, p.rowsPerBand)
+      .withColumnRenamed("doc_id", "rep")
+    val qSh = ck(shinglesOf(repDocs, textCol, p))
+    // history: rep-level candidates vs the index, verified once per rep
+    val dupReps = qBands.alias("q")
+      .join(xBands.alias("x"),
+        col("q.band_id") === col("x.band_id") &&
+        col("q.band_hash") === col("x.band_hash"))
+      .select(col("q.rep").as("__rq"), col("x.rep").as("__rx"))
+      .distinct()
+      .join(qSh.select(col("rep").as("__rq"), col("sh").as("sh_q")), "__rq")
+      .join(xSh.select(col("rep").as("__rx"), col("sh").as("sh_x")), "__rx")
+      .where(graft.functions.TextExpressions
+        .array_jaccard(col("sh_q"), col("sh_x")) >= threshold)
+      .select(col("__rq").as("__rep")).distinct()
+    val history = members.join(dupReps, "__rep")
+      .select(col("doc_id"), lit("history").as("reason"))
+    // within batch: the nearDupComponents pipeline fed from the SAME
+    // sigs/shingles (candidate shape matches Dedup.candidatePairs'
+    // uncapped default: bucket equi-join, a < b, distinct)
+    val candI = qBands.alias("a")
+      .join(qBands.alias("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("doc_a"), col("b.rep").as("doc_b"))
+      .distinct()
+    val repPairs = candI
+      .join(qSh.select(col("rep").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(qSh.select(col("rep").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .where(graft.functions.TextExpressions
+        .array_jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select("doc_a", "doc_b")
+    val mE = members
+      .join(sigs.select(col("doc_id").as("__rep")), "__rep")
+      .repartition(col("__rep"))
+    val demoted = Dedup.componentsFromCollapsed(mE, repPairs)
+      .where(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id"), lit("batch").as("reason"))
+    history.unionByName(demoted)
+  }
+
   /** Compact an index that has accreted many append shards into a
     * fresh single-shard index at `newDir` — the maintenance pass for
     * long-running ingest: a year of daily batches is ~365 shard

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.ops.{Dedup, LshIndex, Similarity}
+import graft.ops.{LshIndex, Similarity}
 
 /** Streaming ingest dedup against a persisted [[graft.ops.LshIndex]] —
   * the continuous form of the "does today's shard duplicate three years
@@ -40,15 +40,11 @@ import graft.ops.{Dedup, LshIndex, Similarity}
   * (< 1 by construction) — a near-dup the bands never bucket slips
   * through, exactly as in the one-shot operators.
   *
-  * Disclosed cost: steps 1 and 2 each derive the batch's
-  * shingles/signatures from scratch (the history probe inside
-  * [[LshIndex.nearDuplicates]], the component pass inside
-  * [[Dedup.nearDupComponents]]) — two passes over the batch with
-  * identical params. Acceptable at micro-batch sizes (both passes are
-  * batch-local; neither touches history text); a fused probe sharing
-  * one rep band/shingle derivation is the next optimization if ingest
-  * ever becomes rate-bound, and belongs in [[LshIndex]] so the two
-  * operators cannot drift. */
+  * Steps 1 and 2 run as ONE fused probe ([[LshIndex.ingestVerdicts]]):
+  * a single collapse + signature + shingle derivation of the batch
+  * feeds the history check and the within-batch component pass —
+  * the two-operator formulation derived all three twice per
+  * micro-batch (spec asserts the fused verdicts equal it exactly). */
 object IngestStream {
 
   def ingestDedupStream(docs: DataFrame, indexDir: String, sinkDir: String,
@@ -67,27 +63,16 @@ object IngestStream {
                   sinkDir: String, threshold: Double = 0.5,
                   textCol: String = "text"): Unit = {
     val spark = batch.sparkSession
-    val p = LshIndex.params(spark, indexDir)
-    // vs history: one distinct doc_id list of batch docs with an
-    // indexed near-dup
-    // excludeShards: a replayed batch has already appended (part of)
-    // its own survivors as batch-<id> — history must not include them
-    // or the replay would see the batch duplicating itself and drop
-    // every row (spec: "replaying a batch id is idempotent")
-    val dupOfHistory = LshIndex.nearDuplicates(batch, indexDir, threshold,
-      textCol, excludeShards = Seq(s"batch-$id"))
+    // one fused probe: history near-dups AND within-batch demotions
+    // from a single batch derivation. excludeShards: a replayed batch
+    // has already appended (part of) its own survivors as batch-<id> —
+    // history must not include them or the replay would see the batch
+    // duplicating itself and drop every row (spec: "replaying a batch
+    // id is idempotent")
+    val drop = LshIndex.ingestVerdicts(batch, indexDir, threshold, textCol,
+        excludeShards = Seq(s"batch-$id"))
       .select("doc_id").distinct()
-    // within batch: keep each near-dup component's minimum doc_id
-    // (docs in no component pass untouched) — same LSH params as the
-    // index so "near-dup" means one thing across both checks
-    val demoted = Dedup.nearDupComponents(batch, textCol,
-        numHashes = p.numHashes, rowsPerBand = p.rowsPerBand,
-        shingleSize = p.shingleSize, threshold = threshold)
-      .where(col("doc_id") =!= col("component_id"))
-      .select("doc_id")
-    val survivors = batch
-      .join(dupOfHistory, Seq("doc_id"), "left_anti")
-      .join(demoted, Seq("doc_id"), "left_anti")
+    val survivors = batch.join(drop, Seq("doc_id"), "left_anti")
     survivors.write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
     // index exactly what was committed (replay-stable even if the
     // source re-delivers the batch in different tasks)

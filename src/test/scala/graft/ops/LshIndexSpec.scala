@@ -100,6 +100,35 @@ class LshIndexSpec extends SparkSpec {
       === before)
   }
 
+  test("ingestVerdicts equals the two-operator formulation, verdict for verdict") {
+    val dir = tmpDir("graft-lsh-verdicts")
+    LshIndex.build(corpus, dir, shingleSize = 2)
+    // a batch exercising both reasons at once: exact + fuzzy history
+    // dups, an intra-batch exact pair, an intra-batch component via a
+    // shared near-dup, and clean docs
+    val batch = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog"),   // exact of idx 0
+      (201L, "pack my box with five dozen liquor jugs now"),   // fuzzy of idx 3
+      (202L, "a totally novel sentence with original words"),
+      (203L, "a totally novel sentence with original words"),  // intra exact of 202
+      (204L, "a totally novel sentence with original words ok"), // intra fuzzy of 202/203
+      (205L, "nothing here resembles anything else at all"),
+      (206L, "")
+    ).toDF("doc_id", "text")
+    val fused = LshIndex.ingestVerdicts(batch, dir, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val hist = LshIndex.nearDuplicates(batch, dir, threshold = 0.3)
+      .select("doc_id").distinct().collect().map(_.getLong(0))
+      .map(_ -> "history").toSet
+    val dem = Dedup.nearDupComponents(batch, shingleSize = 2, threshold = 0.3)
+      .where(col("doc_id") =!= col("component_id"))
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(_ -> "batch").toSet
+    assert(fused === (hist ++ dem))
+    // both reasons genuinely occurred, or the equality is vacuous
+    assert(hist.exists(_._1 == 200L) && dem.nonEmpty)
+  }
+
   test("a threshold of 1.0 keeps only exact-token-stream matches") {
     val dir = tmpDir("graft-lsh-exact")
     LshIndex.build(corpus, dir, shingleSize = 2)
