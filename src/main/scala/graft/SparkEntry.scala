@@ -802,6 +802,18 @@ object SparkEntry {
           .select(col("doc_id"), col("index_doc_id").as("bench_doc_id"),
             col("jaccard"))
       },
+      // the fused ingest probe as an oracle-checked surface: one batch
+      // derivation yields BOTH drop reasons — docs near-duplicating the
+      // indexed history ('history') and non-minimum members of
+      // within-batch near-dup components ('batch'). The oracle
+      // re-derives each independently: the q46 band/verify construction
+      // for history, the q42 recursive-CTE closure for components.
+      "q113_ingest_verdicts" -> q { (s, dir) =>
+        val idx = lshIndexFor(s, dir)
+        LshIndex.ingestVerdicts(
+          t(s, dir, "documents").where(col("doc_id") % 17 =!= 0),
+          idx, threshold = 0.35)
+      },
       "q51_training_samples" -> q { (s, dir) =>
         // end-to-end sample prep: curate (dedup chain + quality gate) →
         // per-language deterministic mixture sampling → chunk into
@@ -2005,6 +2017,70 @@ object SparkEntry {
         JOIN hs_b sb ON sb.doc_id = p.bench_doc_id)
       SELECT doc_id, bench_doc_id, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
       FROM v WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35"""
+    },
+    // q113: both verdict reasons re-derived independently — history via
+    // the q46 cross-band construction, within-batch demotion via the
+    // q42 doc-level recursive closure restricted to the batch side (the
+    // engine's collapsed machinery is row-identical to the doc-level
+    // truth, which is exactly what q42 already proves)
+    "q113_ingest_verdicts" -> {
+      def side(name: String, pred: String) = s"""
+      sh_$name AS (SELECT doc_id, $DuckShingles AS shingles
+                   FROM documents WHERE $pred),
+      sig_$name AS (
+        SELECT doc_id,
+          ${(0 until 8).map(duckMh).mkString(",\n          ")}
+        FROM sh_$name WHERE len(shingles) > 0),
+      band_$name AS (
+        SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS h FROM sig_$name UNION ALL
+        SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig_$name UNION ALL
+        SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig_$name UNION ALL
+        SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig_$name),
+      hs_$name AS (
+        SELECT doc_id,
+          list_distinct(list_transform(shingles, x -> md5_number_lower(x))) AS h
+        FROM sh_$name)"""
+      s"""
+      WITH RECURSIVE ${side("c", "doc_id % 17 <> 0")},
+      ${side("b", "doc_id % 17 = 0")},
+      histcand AS (
+        SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_doc_id
+        FROM band_c c JOIN band_b b ON c.band_id = b.band_id AND c.h = b.h),
+      hist AS (
+        SELECT DISTINCT p.doc_id FROM histcand p
+        JOIN hs_c sa ON sa.doc_id = p.doc_id
+        JOIN hs_b sb ON sb.doc_id = p.bench_doc_id
+        WHERE len(sa.h) + len(sb.h)
+                - len(list_filter(sa.h, x -> list_contains(sb.h, x))) > 0
+          AND CAST(len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS DOUBLE)
+                / (len(sa.h) + len(sb.h)
+                   - len(list_filter(sa.h, x -> list_contains(sb.h, x)))) >= 0.35),
+      bpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_c a JOIN band_c b
+          ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
+      bverified AS (
+        SELECT p.doc_a, p.doc_b,
+          len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS inter,
+          len(sa.h) + len(sb.h)
+            - len(list_filter(sa.h, x -> list_contains(sb.h, x))) AS uni
+        FROM bpairs p
+        JOIN hs_c sa ON sa.doc_id = p.doc_a
+        JOIN hs_c sb ON sb.doc_id = p.doc_b),
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM bverified
+        WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35
+        UNION
+        SELECT doc_b, doc_a FROM bverified
+        WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.35),
+      reach(u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u)
+      SELECT doc_id, 'history' AS reason FROM hist
+      UNION ALL
+      SELECT doc_id, 'batch' AS reason FROM comp WHERE doc_id <> component_id"""
     },
     "q51_training_samples" -> s"""
       WITH curated AS ($DuckCuratedSql),
