@@ -60,6 +60,118 @@ object LshIndex {
   /** LSH parameters pinned at build time. */
   final case class Params(numHashes: Int, rowsPerBand: Int, shingleSize: Int)
 
+  // ---- generations ---------------------------------------------------
+  //
+  // Two layouts are served transparently:
+  //  - FLAT (what [[build]] writes): relations directly under `dir` —
+  //    the one-corpus, compact-by-cutover shape; [[compact]] writes a
+  //    new flat dir and the caller swaps pointers.
+  //  - VERSIONED (what [[buildVersioned]] writes): relations under
+  //    `dir/gen-<n>` with a one-line `dir/CURRENT` naming the live
+  //    generation. The pointer swap lives IN the engine, which is what
+  //    lets a long-running ingest stream compact itself mid-flight
+  //    ([[compactInPlace]], `ingestDedupStream(compactEvery)`).
+  //
+  // Every read/append resolves through [[genRoot]]; flat dirs resolve
+  // to themselves, so all flat-layout behavior is unchanged.
+
+  private val CurrentFile = "CURRENT"
+  private val GenRe = "^gen-(\\d+)$".r
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def genNumbers(spark: SparkSession, dir: String): Seq[Int] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .flatMap(_.getPath.getName match {
+        case GenRe(n) => Some(n.toInt)
+        case _        => None
+      })
+  }
+
+  /** The directory actually holding the live relations: `dir/<gen>`
+    * for a versioned index, `dir` itself for a flat one. During a
+    * [[compactInPlace]] pointer swap there is a brief window with no
+    * `CURRENT` file; the newest generation wins then — by that point
+    * it is fully written, so a reader landing on it merely sees the
+    * compaction a moment early. */
+  private def genRoot(spark: SparkSession, dir: String): String = {
+    val (fs, _) = fsOf(spark, dir)
+    val cur = new org.apache.hadoop.fs.Path(dir, CurrentFile)
+    if (fs.exists(cur)) {
+      val in = fs.open(cur)
+      val name = try scala.io.Source.fromInputStream(in).mkString.trim
+                 finally in.close()
+      s"$dir/$name"
+    } else genNumbers(spark, dir) match {
+      case Nil  => dir
+      case gens => s"$dir/gen-${gens.max}"
+    }
+  }
+
+  private def setCurrent(spark: SparkSession, dir: String, gen: String): Unit = {
+    val (fs, _) = fsOf(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$CurrentFile.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, CurrentFile)
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      sys.error(s"LshIndex: CURRENT swap rename failed for $dir -> $gen")
+  }
+
+  /** [[build]] into a VERSIONED layout: relations land in `dir/gen-0`
+    * and `dir/CURRENT` points at it. Required for [[compactInPlace]];
+    * everything else (append/probe/verdicts) works identically on
+    * either layout. */
+  def buildVersioned(corpus: DataFrame, dir: String, textCol: String = "text",
+                     numHashes: Int = 8, rowsPerBand: Int = 2,
+                     shingleSize: Int = 3): Unit = {
+    build(corpus, s"$dir/gen-0", textCol, numHashes, rowsPerBand, shingleSize)
+    setCurrent(corpus.sparkSession, dir, "gen-0")
+  }
+
+  /** In-place compaction for a VERSIONED index: write the compacted
+    * relations as generation n+1, then atomically swap `CURRENT`. The
+    * previous generation stays on disk for in-flight readers (and is
+    * the operator's to reap).
+    *
+    * `keepShards`: shard ids copied through AS THEIR OWN SHARD instead
+    * of folding into `base`. The load-bearing use is the streaming
+    * cadence: the in-flight batch's shard must survive compaction
+    * under its own id, or a post-compaction REPLAY of that batch could
+    * not exclude its own rows and would see the batch duplicating
+    * itself (the [[nearDuplicates]] excludeShards contract). Batches
+    * older than the in-flight one need no such protection — Structured
+    * Streaming replays at most the current batch. */
+  def compactInPlace(spark: SparkSession, dir: String,
+                     keepShards: Seq[String] = Nil): Unit = {
+    val gens = genNumbers(spark, dir)
+    require(gens.nonEmpty || new org.apache.hadoop.fs.Path(s"$dir/$CurrentFile")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$dir/$CurrentFile")),
+      s"compactInPlace needs a versioned index (buildVersioned); " +
+        s"$dir has no generations — use compact(dir, newDir) for flat layouts")
+    val root = genRoot(spark, dir)
+    val next = s"gen-${gens.max + 1}"
+    writeMeta(spark, s"$dir/$next", params(spark, dir))
+    def rewrite(rel: String): Unit = {
+      val all = spark.read.parquet(s"$root/$rel")
+      all.where(!col("shard").isin(keepShards: _*)).drop("shard")
+        .write.mode("overwrite").parquet(s"$dir/$next/$rel/shard=base")
+      keepShards.foreach { ks =>
+        all.where(col("shard") === ks).drop("shard")
+          .write.mode("overwrite").parquet(s"$dir/$next/$rel/shard=$ks")
+      }
+    }
+    rewrite("members"); rewrite("bands"); rewrite("shingles")
+    setCurrent(spark, dir, next)
+  }
+
   private def bandsOf(repDocs: DataFrame, textCol: String, p: Params): DataFrame =
     Dedup.lshBands(
       Dedup.minHashSignatures(repDocs, textCol, p.numHashes, p.shingleSize),
@@ -97,7 +209,7 @@ object LshIndex {
 
   /** The parameters an index was built with. */
   def params(spark: SparkSession, dir: String): Params = {
-    val r = spark.read.parquet(s"$dir/meta").head()
+    val r = spark.read.parquet(s"${genRoot(spark, dir)}/meta").head()
     Params(r.getAs[Int]("num_hashes"), r.getAs[Int]("rows_per_band"),
       r.getAs[Int]("shingle_size"))
   }
@@ -131,7 +243,8 @@ object LshIndex {
     require(shardId.nonEmpty && shardId != "base" &&
       shardId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"shardId '$shardId' must be a non-'base' [A-Za-z0-9_-]+ token")
-    writeShard(shard, dir, textCol, params(shard.sparkSession, dir), shardId)
+    writeShard(shard, genRoot(shard.sparkSession, dir), textCol,
+      params(shard.sparkSession, dir), shardId)
   }
 
   /** The fused ingest probe: every batch doc that must NOT survive an
@@ -157,12 +270,13 @@ object LshIndex {
                      textCol: String = "text",
                      excludeShards: Seq[String] = Nil): DataFrame = {
     val spark = batch.sparkSession
+    val root = genRoot(spark, dir)
     val p = params(spark, dir)
     def shardFilter(df: DataFrame): DataFrame =
       if (excludeShards.isEmpty) df
       else df.where(!col("shard").isin(excludeShards: _*))
-    val xBands = shardFilter(spark.read.parquet(s"$dir/bands"))
-    val xSh = shardFilter(spark.read.parquet(s"$dir/shingles"))
+    val xBands = shardFilter(spark.read.parquet(s"$root/bands"))
+    val xSh = shardFilter(spark.read.parquet(s"$root/shingles"))
     val ck = Checkpoints.truncator(spark, None)
     val (members, repDocs) = collapsed(batch, textCol)
     val sigs = ck(Dedup.minHashSignatures(repDocs, textCol,
@@ -227,8 +341,9 @@ object LshIndex {
     * caller's to reap. */
   def compact(spark: SparkSession, dir: String, newDir: String): Unit = {
     writeMeta(spark, newDir, params(spark, dir))
+    val root = genRoot(spark, dir)
     def rewrite(rel: String): Unit =
-      spark.read.parquet(s"$dir/$rel").drop("shard")
+      spark.read.parquet(s"$root/$rel").drop("shard")
         .write.mode("overwrite").parquet(s"$newDir/$rel/shard=base")
     rewrite("members"); rewrite("bands"); rewrite("shingles")
   }
@@ -255,13 +370,14 @@ object LshIndex {
                      textCol: String = "text",
                      excludeShards: Seq[String] = Nil): DataFrame = {
     val spark = probe.sparkSession
+    val root = genRoot(spark, dir)
     val p = params(spark, dir)
     def shardFilter(df: DataFrame): DataFrame =
       if (excludeShards.isEmpty) df
       else df.where(!col("shard").isin(excludeShards: _*))
-    val xBands = shardFilter(spark.read.parquet(s"$dir/bands"))
-    val xSh = shardFilter(spark.read.parquet(s"$dir/shingles"))
-    val xMembers = shardFilter(spark.read.parquet(s"$dir/members"))
+    val xBands = shardFilter(spark.read.parquet(s"$root/bands"))
+    val xSh = shardFilter(spark.read.parquet(s"$root/shingles"))
+    val xMembers = shardFilter(spark.read.parquet(s"$root/members"))
     val (mProbe, repProbe) = collapsed(probe, textCol)
     val cand = bandsOf(repProbe, textCol, p).alias("q")
       .join(xBands.alias("x"),

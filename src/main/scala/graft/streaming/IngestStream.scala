@@ -47,12 +47,23 @@ import graft.ops.{LshIndex, Similarity}
   * micro-batch (spec asserts the fused verdicts equal it exactly). */
 object IngestStream {
 
+  /** `compactEvery` (0 = never): every k-th batch, fold the index's
+    * accreted shards into a fresh generation via
+    * [[LshIndex.compactInPlace]] — requires an index built with
+    * [[LshIndex.buildVersioned]]. The in-flight batch's shard is kept
+    * under its own id (`keepShards`) so a post-compaction replay can
+    * still exclude its own rows; older batches are committed by the
+    * streaming checkpoint and never replayed, so folding them is
+    * safe. */
   def ingestDedupStream(docs: DataFrame, indexDir: String, sinkDir: String,
-                        threshold: Double = 0.5, textCol: String = "text")
-      : DataStreamWriter[Row] = {
-    val fn: (Dataset[Row], Long) => Unit =
-      (batch, id) => ingestBatch(batch.toDF(), id, indexDir, sinkDir,
-        threshold, textCol)
+                        threshold: Double = 0.5, textCol: String = "text",
+                        compactEvery: Int = 0): DataStreamWriter[Row] = {
+    val fn: (Dataset[Row], Long) => Unit = (batch, id) => {
+      ingestBatch(batch.toDF(), id, indexDir, sinkDir, threshold, textCol)
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        LshIndex.compactInPlace(batch.sparkSession, indexDir,
+          keepShards = Seq(s"batch-$id"))
+    }
     docs.writeStream.foreachBatch(fn)
   }
 

@@ -100,6 +100,37 @@ class LshIndexSpec extends SparkSpec {
       === before)
   }
 
+  test("versioned layout: build/append/probe identical to flat; compactInPlace swaps atomically") {
+    val (half1, half2) =
+      (corpus.where(col("doc_id") < 3), corpus.where(col("doc_id") >= 3))
+    val flat = tmpDir("graft-lsh-flat")
+    LshIndex.build(half1, flat, shingleSize = 2)
+    LshIndex.append(half2, flat, shardId = "day-1")
+    val vdir = tmpDir("graft-lsh-versioned")
+    LshIndex.buildVersioned(half1, vdir, shingleSize = 2)
+    LshIndex.append(half2, vdir, shardId = "day-1")
+    val want = asSet(LshIndex.nearDuplicates(probe, flat, threshold = 0.3))
+    assert(asSet(LshIndex.nearDuplicates(probe, vdir, threshold = 0.3)) === want)
+    assert(LshIndex.params(spark, vdir) === LshIndex.params(spark, flat))
+    // in-place compaction: results identical, CURRENT advanced to a
+    // single-base generation, kept shard survives under its own id
+    LshIndex.compactInPlace(spark, vdir, keepShards = Seq("day-1"))
+    assert(asSet(LshIndex.nearDuplicates(probe, vdir, threshold = 0.3)) === want)
+    val cur = scala.io.Source.fromFile(s"$vdir/CURRENT").mkString.trim
+    assert(cur === "gen-1")
+    val shards = spark.read.parquet(s"$vdir/gen-1/bands")
+      .select("shard").distinct().collect().map(_.getString(0)).toSet
+    assert(shards === Set("base", "day-1"))
+    // a second compaction folds the kept shard too
+    LshIndex.compactInPlace(spark, vdir)
+    assert(asSet(LshIndex.nearDuplicates(probe, vdir, threshold = 0.3)) === want)
+    assert(spark.read.parquet(s"$vdir/gen-2/bands")
+      .select("shard").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("base"))
+    // flat layouts refuse in-place compaction loudly
+    intercept[RuntimeException] { LshIndex.compactInPlace(spark, flat) }
+  }
+
   test("ingestVerdicts equals the two-operator formulation, verdict for verdict") {
     val dir = tmpDir("graft-lsh-verdicts")
     LshIndex.build(corpus, dir, shingleSize = 2)

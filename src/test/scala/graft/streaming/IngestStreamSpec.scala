@@ -74,6 +74,40 @@ class IngestStreamSpec extends SparkSpec {
     assert(got === Set(31L))
   }
 
+  test("compactEvery cadence: per-batch compaction preserves semantics and replay safety") {
+    val base = Files.createTempDirectory("graft-ingest-compact").toString
+    val (idxDir, srcDir, sinkDir, ckDir) =
+      (s"$base/idx", s"$base/src", s"$base/sink", s"$base/ck")
+    LshIndex.buildVersioned(docsDf(Seq((1L, baseText))), idxDir, shingleSize = 2)
+    docsDf(Seq((10L, baseText), (11L, novel1), (12L, novel1), (13L, novel2)))
+      .coalesce(1).write.parquet(s"$srcDir/a")
+    docsDf(Seq((20L, novel1), (21L, novel3)))
+      .coalesce(1).write.parquet(s"$srcDir/b")
+    val q = IngestStream.ingestDedupStream(
+        EventsStream.readDocuments(spark, s"$srcDir/*", maxFilesPerTrigger = Some(1)),
+        idxDir, sinkDir, threshold = 0.5, compactEvery = 1)
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min")
+    // same survivors as the uncompacted run of the same scenario
+    val survivors = spark.read.parquet(sinkDir)
+      .select("doc_id", "batch").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(survivors === Map(11L -> 0, 13L -> 0, 21L -> 1))
+    // two compactions ran; the live generation holds base + the last
+    // batch's kept shard only
+    assert(scala.io.Source.fromFile(s"$idxDir/CURRENT").mkString.trim === "gen-2")
+    val shards = spark.read.parquet(s"$idxDir/gen-2/bands")
+      .select("shard").distinct().collect().map(_.getString(0)).toSet
+    assert(shards === Set("base", "batch-1"))
+    // the kept shard is what makes a POST-COMPACTION replay of the
+    // in-flight batch idempotent: its own rows are still excludable
+    IngestStream.ingestBatch(docsDf(Seq((20L, novel1), (21L, novel3))), 1L,
+      idxDir, sinkDir, threshold = 0.5)
+    assert(spark.read.parquet(s"$sinkDir/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(21L))
+  }
+
   test("embedding ingest: history semantic dups drop, batch dups keep min, survivors feed the index") {
     val base = Files.createTempDirectory("graft-emb-ingest").toString
     val (idxDir, sinkDir) = (s"$base/idx", s"$base/sink")
