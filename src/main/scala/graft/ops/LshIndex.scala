@@ -72,57 +72,8 @@ object LshIndex {
   //    lets a long-running ingest stream compact itself mid-flight
   //    ([[compactInPlace]], `ingestDedupStream(compactEvery)`).
   //
-  // Every read/append resolves through [[genRoot]]; flat dirs resolve
+  // Every read/append resolves through [[Generations.root]]; flat dirs resolve
   // to themselves, so all flat-layout behavior is unchanged.
-
-  private val CurrentFile = "CURRENT"
-  private val GenRe = "^gen-(\\d+)$".r
-
-  private def fsOf(spark: SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  private def genNumbers(spark: SparkSession, dir: String): Seq[Int] = {
-    val (fs, p) = fsOf(spark, dir)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.filter(_.isDirectory)
-      .flatMap(_.getPath.getName match {
-        case GenRe(n) => Some(n.toInt)
-        case _        => None
-      })
-  }
-
-  /** The directory actually holding the live relations: `dir/<gen>`
-    * for a versioned index, `dir` itself for a flat one. During a
-    * [[compactInPlace]] pointer swap there is a brief window with no
-    * `CURRENT` file; the newest generation wins then — by that point
-    * it is fully written, so a reader landing on it merely sees the
-    * compaction a moment early. */
-  private def genRoot(spark: SparkSession, dir: String): String = {
-    val (fs, _) = fsOf(spark, dir)
-    val cur = new org.apache.hadoop.fs.Path(dir, CurrentFile)
-    if (fs.exists(cur)) {
-      val in = fs.open(cur)
-      val name = try scala.io.Source.fromInputStream(in).mkString.trim
-                 finally in.close()
-      s"$dir/$name"
-    } else genNumbers(spark, dir) match {
-      case Nil  => dir
-      case gens => s"$dir/gen-${gens.max}"
-    }
-  }
-
-  private def setCurrent(spark: SparkSession, dir: String, gen: String): Unit = {
-    val (fs, _) = fsOf(spark, dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".$CurrentFile.tmp")
-    val dst = new org.apache.hadoop.fs.Path(dir, CurrentFile)
-    val out = fs.create(tmp, true)
-    try out.write(gen.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      sys.error(s"LshIndex: CURRENT swap rename failed for $dir -> $gen")
-  }
 
   /** [[build]] into a VERSIONED layout: relations land in `dir/gen-0`
     * and `dir/CURRENT` points at it. Required for [[compactInPlace]];
@@ -132,7 +83,7 @@ object LshIndex {
                      numHashes: Int = 8, rowsPerBand: Int = 2,
                      shingleSize: Int = 3): Unit = {
     build(corpus, s"$dir/gen-0", textCol, numHashes, rowsPerBand, shingleSize)
-    setCurrent(corpus.sparkSession, dir, "gen-0")
+    Generations.setCurrent(corpus.sparkSession, dir, "gen-0")
   }
 
   /** In-place compaction for a VERSIONED index: write the compacted
@@ -150,14 +101,9 @@ object LshIndex {
     * Streaming replays at most the current batch. */
   def compactInPlace(spark: SparkSession, dir: String,
                      keepShards: Seq[String] = Nil): Unit = {
-    val gens = genNumbers(spark, dir)
-    require(gens.nonEmpty || new org.apache.hadoop.fs.Path(s"$dir/$CurrentFile")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(s"$dir/$CurrentFile")),
-      s"compactInPlace needs a versioned index (buildVersioned); " +
-        s"$dir has no generations — use compact(dir, newDir) for flat layouts")
-    val root = genRoot(spark, dir)
-    val next = s"gen-${gens.max + 1}"
+    val next = Generations.nextGen(spark, dir,
+      "use compact(dir, newDir) + a caller-side cutover for flat layouts")
+    val root = Generations.root(spark, dir)
     writeMeta(spark, s"$dir/$next", params(spark, dir))
     def rewrite(rel: String): Unit = {
       val all = spark.read.parquet(s"$root/$rel")
@@ -169,7 +115,7 @@ object LshIndex {
       }
     }
     rewrite("members"); rewrite("bands"); rewrite("shingles")
-    setCurrent(spark, dir, next)
+    Generations.setCurrent(spark, dir, next)
   }
 
   private def bandsOf(repDocs: DataFrame, textCol: String, p: Params): DataFrame =
@@ -209,7 +155,7 @@ object LshIndex {
 
   /** The parameters an index was built with. */
   def params(spark: SparkSession, dir: String): Params = {
-    val r = spark.read.parquet(s"${genRoot(spark, dir)}/meta").head()
+    val r = spark.read.parquet(s"${Generations.root(spark, dir)}/meta").head()
     Params(r.getAs[Int]("num_hashes"), r.getAs[Int]("rows_per_band"),
       r.getAs[Int]("shingle_size"))
   }
@@ -243,7 +189,7 @@ object LshIndex {
     require(shardId.nonEmpty && shardId != "base" &&
       shardId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"shardId '$shardId' must be a non-'base' [A-Za-z0-9_-]+ token")
-    writeShard(shard, genRoot(shard.sparkSession, dir), textCol,
+    writeShard(shard, Generations.root(shard.sparkSession, dir), textCol,
       params(shard.sparkSession, dir), shardId)
   }
 
@@ -270,7 +216,7 @@ object LshIndex {
                      textCol: String = "text",
                      excludeShards: Seq[String] = Nil): DataFrame = {
     val spark = batch.sparkSession
-    val root = genRoot(spark, dir)
+    val root = Generations.root(spark, dir)
     val p = params(spark, dir)
     def shardFilter(df: DataFrame): DataFrame =
       if (excludeShards.isEmpty) df
@@ -341,7 +287,7 @@ object LshIndex {
     * caller's to reap. */
   def compact(spark: SparkSession, dir: String, newDir: String): Unit = {
     writeMeta(spark, newDir, params(spark, dir))
-    val root = genRoot(spark, dir)
+    val root = Generations.root(spark, dir)
     def rewrite(rel: String): Unit =
       spark.read.parquet(s"$root/$rel").drop("shard")
         .write.mode("overwrite").parquet(s"$newDir/$rel/shard=base")
@@ -370,7 +316,7 @@ object LshIndex {
                      textCol: String = "text",
                      excludeShards: Seq[String] = Nil): DataFrame = {
     val spark = probe.sparkSession
-    val root = genRoot(spark, dir)
+    val root = Generations.root(spark, dir)
     val p = params(spark, dir)
     def shardFilter(df: DataFrame): DataFrame =
       if (excludeShards.isEmpty) df

@@ -494,10 +494,11 @@ object Similarity {
       shardId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"shardId '$shardId' must be a non-'base' [A-Za-z0-9_-]+ token")
     val spark = shard.sparkSession
-    val cent = spark.read.parquet(s"$dir/centroids")
+    val root = Generations.root(spark, dir)
+    val cent = spark.read.parquet(s"$root/centroids")
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](1))
-    writeIvfShard(shard, dir, cent.toSeq, shardId, idCol, vecCol)
+    writeIvfShard(shard, root, cent.toSeq, shardId, idCol, vecCol)
   }
 
   /** Compact an appended-many-times IVF index into a fresh
@@ -507,11 +508,52 @@ object Similarity {
     * to reap). Centroids copy verbatim, so served results are
     * identical (spec-asserted). */
   def compactIvfIndex(spark: SparkSession, dir: String, newDir: String): Unit = {
-    spark.read.parquet(s"$dir/centroids")
+    val root = Generations.root(spark, dir)
+    spark.read.parquet(s"$root/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$newDir/centroids")
-    spark.read.parquet(s"$dir/corpus").drop("shard")
+    spark.read.parquet(s"$root/corpus").drop("shard")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$newDir/corpus/shard=base")
+  }
+
+  /** [[buildIvfIndex]] into the VERSIONED layout ([[LshIndex
+    * .buildVersioned]]'s twin): relations under `dir/gen-0`, the
+    * `CURRENT` pointer naming it. Required for
+    * [[compactIvfIndexInPlace]]; all reads/appends serve either
+    * layout. */
+  def buildIvfIndexVersioned(corpus: DataFrame, dir: String, nlist: Int = 0,
+                             maxIter: Int = 5, maxTrain: Int = 4096,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             corpusSize: Long = 0L): Unit = {
+    buildIvfIndex(corpus, s"$dir/gen-0", nlist, maxIter, maxTrain,
+      idCol, vecCol, corpusSize)
+    Generations.setCurrent(corpus.sparkSession, dir, "gen-0")
+  }
+
+  /** In-place IVF compaction — [[LshIndex.compactInPlace]]'s twin,
+    * same generation protocol and the same `keepShards` replay
+    * contract for the streaming cadence (the in-flight batch's shard
+    * survives under its own id so a post-compaction replay can still
+    * exclude its own rows). Centroids copy verbatim; served results
+    * are identical. */
+  def compactIvfIndexInPlace(spark: SparkSession, dir: String,
+                             keepShards: Seq[String] = Nil): Unit = {
+    val next = Generations.nextGen(spark, dir,
+      "use compactIvfIndex(dir, newDir) + a caller-side cutover for flat layouts")
+    val root = Generations.root(spark, dir)
+    spark.read.parquet(s"$root/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$next/centroids")
+    val all = spark.read.parquet(s"$root/corpus")
+    all.where(!col("shard").isin(keepShards: _*)).drop("shard")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/$next/corpus/shard=base")
+    keepShards.foreach { ks =>
+      all.where(col("shard") === ks).drop("shard")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/$next/corpus/shard=$ks")
+    }
+    Generations.setCurrent(spark, dir, next)
   }
 
   private def writeIvfShard(vectors: DataFrame, dir: String,
@@ -533,8 +575,9 @@ object Similarity {
                      nprobe: Int = 4, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
-    val centroids = spark.read.parquet(s"$dir/centroids")
-    val assigned = spark.read.parquet(s"$dir/corpus")
+    val root = Generations.root(spark, dir)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val assigned = spark.read.parquet(s"$root/corpus")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wCell = Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))
     val probed = q.crossJoin(broadcast(centroids))
@@ -578,8 +621,9 @@ object Similarity {
                                   vecCol: String = "embedding",
                                   excludeShards: Seq[String] = Nil): DataFrame = {
     val spark = probe.sparkSession
-    val centroids = spark.read.parquet(s"$dir/centroids")
-    val assigned0 = spark.read.parquet(s"$dir/corpus")
+    val root = Generations.root(spark, dir)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val assigned0 = spark.read.parquet(s"$root/corpus")
     val assigned =
       if (excludeShards.isEmpty) assigned0
       else assigned0.where(!col("shard").isin(excludeShards: _*))
@@ -751,7 +795,8 @@ object Similarity {
   def semDedupLosersIndexed(batch: DataFrame, dir: String,
                             threshold: Double, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
-    val cent = batch.sparkSession.read.parquet(s"$dir/centroids")
+    val cent = batch.sparkSession.read
+      .parquet(s"${Generations.root(batch.sparkSession, dir)}/centroids")
       .orderBy("cell").collect().map(r => r.getSeq[Double](1))
     // materialized once, same as semDedup's own assignment: the
     // relation feeds both pair-join sides, and betting on ReuseExchange

@@ -107,10 +107,18 @@ object IngestStream {
     * exact). */
   def ingestEmbeddingDedupStream(vectors: DataFrame, indexDir: String,
                                  sinkDir: String, threshold: Double = 0.9,
-                                 nprobe: Int = 4): DataStreamWriter[Row] = {
-    val fn: (Dataset[Row], Long) => Unit =
-      (batch, id) => ingestEmbeddingBatch(batch.toDF(), id, indexDir,
-        sinkDir, threshold, nprobe)
+                                 nprobe: Int = 4,
+                                 compactEvery: Int = 0): DataStreamWriter[Row] = {
+    val fn: (Dataset[Row], Long) => Unit = (batch, id) => {
+      ingestEmbeddingBatch(batch.toDF(), id, indexDir, sinkDir, threshold,
+        nprobe)
+      // same cadence contract as the text flow: requires
+      // buildIvfIndexVersioned; the in-flight batch's shard survives
+      // under its own id so a post-compaction replay stays excludable
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        Similarity.compactIvfIndexInPlace(batch.sparkSession, indexDir,
+          keepShards = Seq(s"batch-$id"))
+    }
     vectors.writeStream.foreachBatch(fn)
   }
 

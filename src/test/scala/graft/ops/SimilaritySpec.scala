@@ -120,6 +120,36 @@ class SimilaritySpec extends SparkSpec {
       === Seq("base"))
   }
 
+  test("versioned ivf index: serve equals flat; in-place compaction keeps the replay shard") {
+    val all = (0L until 96L).map(i =>
+        (i, Array.tabulate(4)(d => math.cos(i * 5.0 + d * 2.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (base, shard) =
+      (all.where(col("vec_id") < 64), all.where(col("vec_id") >= 64))
+    val flat = java.nio.file.Files.createTempDirectory("graft-ivf-flat").toString
+    Similarity.buildIvfIndex(base, flat, nlist = 4)
+    Similarity.appendToIvfIndex(shard, flat, shardId = "batch-0")
+    val vdir = java.nio.file.Files.createTempDirectory("graft-ivf-gen").toString
+    Similarity.buildIvfIndexVersioned(base, vdir, nlist = 4)
+    Similarity.appendToIvfIndex(shard, vdir, shardId = "batch-0")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    val q = all.where(col("vec_id") % 31 === 0)
+    val want = rows(Similarity.ivfTopKIndexed(q, flat, k = 3, nprobe = 4))
+    assert(rows(Similarity.ivfTopKIndexed(q, vdir, k = 3, nprobe = 4)) === want)
+    Similarity.compactIvfIndexInPlace(spark, vdir, keepShards = Seq("batch-0"))
+    assert(rows(Similarity.ivfTopKIndexed(q, vdir, k = 3, nprobe = 4)) === want)
+    assert(scala.io.Source.fromFile(s"$vdir/CURRENT").mkString.trim === "gen-1")
+    assert(spark.read.parquet(s"$vdir/gen-1/corpus")
+      .select("shard").distinct().collect().map(_.getString(0)).toSet
+      === Set("base", "batch-0"))
+    // flat layouts refuse in-place compaction loudly
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndexInPlace(spark, flat)
+    }
+  }
+
   test("cosineNearDuplicatesIndexed at nprobe=nlist equals the brute cross pair listing") {
     val corpus = (0L until 64L).map(i =>
         (i, Array.tabulate(4)(d => math.sin(i * 7.0 + d * 3.0).toFloat)))
