@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.PqExpressions
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val em =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def rows(df: DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toSet
+
+  /** Driver reference: encode + ADC + rank in plain Scala, same
+    * arithmetic order as the expressions. */
+  private def reference(cb: Array[Array[Array[Double]]],
+                        vecs: Map[Long, Array[Double]],
+                        queryIds: Seq[Long], k: Int): Set[(Long, Long, Long, Double)] = {
+    val m = cb.length; val ds = cb(0)(0).length; val ks = cb(0).length
+    def codesOf(v: Array[Double]): Array[Int] = Array.tabulate(m) { s =>
+      var best = 0; var bd = Double.PositiveInfinity
+      for (j <- 0 until ks) {
+        var dist = 0.0
+        for (d <- 0 until ds) {
+          val t = v(s * ds + d) - cb(s)(j)(d); dist += t * t
+        }
+        if (dist < bd) { bd = dist; best = j }
+      }
+      best
+    }
+    val codes = vecs.map { case (id, v) => id -> codesOf(v) }
+    queryIds.flatMap { q =>
+      val lut = Array.tabulate(m, ks) { (s, j) =>
+        var dist = 0.0
+        for (d <- 0 until ds) {
+          val t = vecs(q)(s * ds + d) - cb(s)(j)(d); dist += t * t
+        }
+        dist
+      }
+      val scored = codes.toSeq.filter(_._1 != q).map { case (id, c) =>
+        var acc = 0.0
+        for (s <- 0 until m) acc += lut(s)(c(s))
+        (id, acc)
+      }
+      scored.sortBy { case (id, dist) => (dist, id) }.take(k).zipWithIndex
+        .map { case ((id, dist), r) =>
+          (q, (r + 1).toLong, id,
+            BigDecimal(dist).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSet
+  }
+
+  test("pq encode/lut/adc: codegen compiles and matches interpreted eval bit-for-bit") {
+    val cb = Pq.trainCodebooks(em, m = 8, ks = 8)
+    val ks = cb(0).length
+    val q = em.where(col("vec_id") < 5)
+      .select(col("vec_id"), PqExpressions.pq_lut(col("embedding"),
+        cb.map(_.map(_.toSeq).toSeq).toSeq).as("lut"))
+    def run(): Set[(Long, Long, Double)] = Pq.encode(em, cb)
+      .crossJoin(broadcast(q.select(col("vec_id").as("qid"), col("lut"))))
+      .select(col("qid"), col("vec_id"),
+        PqExpressions.pq_adc(col("lut"), col("codes"), ks).as("adc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def withMode(mode: String)(f: => Set[(Long, Long, Double)]) = {
+      val saved = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      try { spark.conf.set("spark.sql.codegen.factoryMode", mode); f }
+      finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(withMode("CODEGEN_ONLY")(run()) === withMode("NO_CODEGEN")(run()))
+  }
+
+  test("pq topK matches the driver-side reference ADC ranking exactly") {
+    val cb = Pq.trainCodebooks(em, m = 8, ks = 8)
+    val vecs = em.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = em.where(col("vec_id") < 5)
+    val got = rows(Pq.topK(q, em, k = 3, m = 8, ks = 8))
+    assert(got === reference(cb, vecs, Seq(0L, 1L, 2L, 3L, 4L), 3))
+  }
+
+  test("short vectors encode to all-zero codes (documented guard contract)") {
+    val cb = Array.fill(2)(Array.fill(2)(Array(0.5, 0.5)))
+    val got = Seq((0L, Array(9.0f)), (1L, Array(0.6f, 0.6f, 0.4f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val codes = Pq.encode(got, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(0L) === Seq(0, 0))       // 1 element < m*ds = 4
+    assert(codes(1L).length === 2)        // well-formed vector encodes
+  }
+
+  test("pq index round-trip: pqTopKIndexed bit-equal to topK; codes-only layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Pq.buildPqIndex(em, dir, m = 8, ks = 8)
+    val q = em.where(col("vec_id") < 5)
+    val served = Pq.pqTopKIndexed(q, dir, k = 3)
+    assert(rows(served) === rows(Pq.topK(q, em, k = 3, m = 8, ks = 8)))
+    // the persisted codes relation has no float vectors to read
+    assert(spark.read.parquet(s"$dir/codes").columns.sorted
+      === Array("codes", "id", "shard"))
+  }
+
+  test("ivf-pq: full probe equals flat pq topK; serve plan reads codes only, no encode/assign") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Pq.buildIvfPqIndex(em, dir, m = 8, ks = 8, nlist = 4)
+    val q = em.where(col("vec_id") < 5)
+    // nprobe = nlist probes every cell: the candidate set is the whole
+    // corpus, so ranking must equal the flat PQ scan bit-for-bit
+    val served = Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 4)
+    assert(rows(served) === rows(Pq.topK(q, em, k = 3, m = 8, ks = 8)))
+    val plan = served.queryExecution.executedPlan.toString
+    // serve never re-encodes or re-assigns the corpus...
+    assert(!plan.contains("PqEncode") && !plan.contains("NearestCell"))
+    // ...and the corpus scan reads code bytes, never float vectors:
+    // the one FileScan over dir/corpus projects exactly (neighbor_id,
+    // codes) + the cell partition column
+    val corpusScan = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("corpus"))
+      .mkString("\n")
+    assert(corpusScan.contains("neighbor_id") && corpusScan.contains("codes"))
+    assert(!corpusScan.contains("cv") && !corpusScan.contains("embedding"))
+  }
+
+  test("ivf-pq restricted probe: candidates only from probed cells; recall floor vs exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-probe").toString
+    Pq.buildIvfPqIndex(em, dir, m = 8, ks = 16, nlist = 8)
+    val q = em.where(col("vec_id") < 20)
+    val approx = Pq.ivfPqTopKIndexed(q, dir, k = 5, nprobe = 2)
+    val truth = Similarity.bruteForceTopK(q, em, k = 5)
+    val recall = Similarity.annRecall(truth, approx)
+      .agg(avg("recall_ppm")).head().getDouble(0)
+    // measured 0.26 on this fixture (PqProbe: uniform random unit
+    // vectors — the quantization worst case; real embedding corpora
+    // cluster). The floor pins against silent ranking/probing
+    // regressions, not against noise
+    assert(recall > 150000, s"ivf-pq recall@5 collapsed: $recall ppm")
+  }
+
+  test("ivf-pq append: frozen quantizers, replay-idempotent shard, excludeShards filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    val (base, shard) =
+      (em.where(col("vec_id") < 400), em.where(col("vec_id") >= 400))
+    Pq.buildIvfPqIndex(base, dir, m = 8, ks = 8, nlist = 4)
+    Pq.appendToIvfPqIndex(shard, dir, shardId = "day-1")
+    val q = em.where(col("vec_id") < 5)
+    val got = Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 4)
+    // appended vectors compete: full probe over the union must equal
+    // a from-scratch flat ranking under the SAME (base-trained)
+    // codebooks — encode the union with the frozen cube and rank
+    val cb = Pq.readCodebooks(spark, dir)
+    val ks = cb(0).length
+    val lut = broadcast(q.select(col("vec_id").as("query_id"),
+      PqExpressions.pq_lut(col("embedding"),
+        cb.map(_.map(_.toSeq).toSeq).toSeq).as("lut")))
+    val flat = Pq.encode(em, cb)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(lut, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        negate(PqExpressions.pq_adc(col("lut"), col("codes"), ks)))
+      .groupBy("query_id")
+      .agg(graft.functions.AggExpressions.top_k_by_score(
+        col("score"), col("neighbor_id").cast("long"), 3).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("nb"))
+      .select(col("query_id"), col("nb.rnk").as("rnk"),
+        col("nb.id").as("neighbor_id"),
+        round(negate(col("nb.score")), 4).as("adc_dist"))
+    assert(rows(got) === rows(flat))
+    // replaying the same shard id replaces, not duplicates
+    Pq.appendToIvfPqIndex(shard, dir, shardId = "day-1")
+    assert(rows(Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 4)) === rows(got))
+    // excluding the shard restores a base-only candidate set
+    val baseOnly = Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 4,
+      excludeShards = Seq("day-1"))
+    val baseIds = base.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(baseOnly.collect().map(_.getAs[Long]("neighbor_id"))
+      .forall(baseIds.contains))
+  }
+
+  test("refined pq: saturated shortlist equals exact brute force; shortlist stage stays PQ") {
+    val q = em.where(col("vec_id") < 5)
+    // refine·k ≥ |corpus| ⇒ the shortlist is every candidate and the
+    // exact-cosine re-rank must reproduce bruteForceTopK bit-for-bit
+    val sat = Pq.topKRefined(q, em, k = 3, m = 8, ks = 8, refine = 200)
+    def cosRows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    assert(cosRows(sat) === cosRows(Similarity.bruteForceTopK(q, em, k = 3)))
+    // a bounded refine improves on pure ADC recall (measured 0.22 ADC
+    // → 0.8+ refined on this fixture; floor pins the mechanism works)
+    val truth = Similarity.bruteForceTopK(q, em, k = 5)
+    val refined = Pq.topKRefined(q, em, k = 5, m = 8, ks = 16, refine = 8)
+    val r = Similarity.annRecall(truth, refined)
+      .agg(avg("recall_ppm")).head().getDouble(0)
+    assert(r > 500000, s"refined recall collapsed: $r ppm")
+  }
+
+  test("indexed refined pq: index shortlist + source re-rank; full probe + saturation is exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-ref").toString
+    Pq.buildIvfPqIndex(em, dir, m = 8, ks = 8, nlist = 4)
+    val q = em.where(col("vec_id") < 5)
+    val sat = Pq.ivfPqTopKRefined(q, dir, k = 3, source = em,
+      nprobe = 4, refine = 200)
+    def cosRows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    assert(cosRows(sat) === cosRows(Similarity.bruteForceTopK(q, em, k = 3)))
+  }
+}
