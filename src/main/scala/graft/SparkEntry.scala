@@ -814,6 +814,23 @@ object SparkEntry {
           t(s, dir, "documents").where(col("doc_id") % 17 =!= 0),
           idx, threshold = 0.35)
       },
+      // product quantization ANN: trained codebooks embed in the oracle
+      // as literals (the q29/q62 mechanism); the oracle re-derives
+      // per-subspace codes (argmin squared-L2, ties to the lowest
+      // code) and the s-ascending ADC sums independently in SQL
+      "q114_pq_ann" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        graft.ops.Pq.topK(em.where(col("vec_id") < 20), em, k = 5,
+          m = 8, ks = 16)
+      },
+      // the refine stage: ADC shortlist (k·refine) → exact-cosine
+      // re-rank of only those ids — the oracle composes the q114 code
+      // derivation with the q20-style exact cosine over the shortlist
+      "q115_pq_refine" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        graft.ops.Pq.topKRefined(em.where(col("vec_id") < 20), em, k = 5,
+          m = 8, ks = 16, refine = 4)
+      },
       "q51_training_samples" -> q { (s, dir) =>
         // end-to-end sample prep: curate (dedup chain + quality gate) →
         // per-language deterministic mixture sampling → chunk into
@@ -1310,6 +1327,103 @@ object SparkEntry {
       .mkString(" + ")
     s"""SELECT vec_id, round($proj, 6) AS pc1
         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"""
+  }
+
+  /** Shared CTE block for the PQ oracles (q114, q115): the trained
+    * codebook cube as a VALUES relation, per-(vector, subspace, code)
+    * squared-L2 with d-ascending left-associated term sums, and the
+    * per-subspace argmin code (ties to the lowest code) — the same
+    * IEEE ops in the same order as PqEncode/PqLut, so codes and
+    * distances agree bit-for-bit with the native expressions. */
+  private def duckPqCtes(cb: Array[Array[Array[Double]]]): String = {
+    val m = cb.length; val ks = cb(0).length; val ds = cb(0)(0).length
+    val values = cb.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) =>
+        s"($s, $j, CAST(${c.mkString("[", ", ", "]")} AS DOUBLE[]))"
+      }
+    }.mkString(",\n          ")
+    // (e[s·ds+d+1] − c[d+1])² terms, d ascending, left-associated
+    val distExpr = (0 until ds).map { d =>
+      s"(e[cb.s*$ds+${d + 1}]-c[${d + 1}])*(e[cb.s*$ds+${d + 1}]-c[${d + 1}])"
+    }.mkString("\n            + ")
+    val codeCols = (0 until m)
+      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s").mkString(", ")
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      cb AS (SELECT * FROM (VALUES
+          $values) AS t(s, j, c)),
+      sub AS (
+        SELECT v.vec_id, cb.s, cb.j,
+          $distExpr AS dist
+        FROM v CROSS JOIN cb),
+      codes AS (
+        SELECT vec_id, s, j AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, j) AS rn
+          FROM sub) WHERE rn = 1),
+      n AS (SELECT vec_id AS neighbor_id, $codeCols
+            FROM codes GROUP BY vec_id),
+      ql AS (SELECT vec_id AS query_id, s, j, dist FROM sub
+             WHERE vec_id < 20)"""
+  }
+
+  /** The ADC join-sum over the pivoted code columns: one ql row per
+    * subspace, summed s-ascending left-associated — the PqAdc loop. */
+  private def duckAdcCte(m: Int): String = {
+    val joins = (1 until m).map { s =>
+      s"JOIN ql l$s ON l$s.query_id = l0.query_id AND l$s.s = $s AND l$s.j = n.c$s"
+    }.mkString("\n        ")
+    val sum = (0 until m).map(s => s"l$s.dist").mkString(" + ")
+    s"""adc AS (
+        SELECT l0.query_id, n.neighbor_id, $sum AS adist
+        FROM n
+        JOIN ql l0 ON l0.s = 0 AND l0.j = n.c0
+        $joins
+        WHERE l0.query_id <> n.neighbor_id)"""
+  }
+
+  /** q114 oracle, generated at Verify-dump time: the SAME codebooks
+    * Pq.topK trains (deterministic lowest-id sample, per-subspace
+    * Lloyd), embedded as literals; codes + ADC re-derived in SQL. */
+  def pqOracleSql(spark: SparkSession, sfDir: String): String = {
+    val cb = graft.ops.Pq.trainCodebooks(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), m = 8, ks = 16)
+    s"""
+      WITH ${duckPqCtes(cb)},
+      ${duckAdcCte(cb.length)}
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(adist, 4) AS adc_dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS rnk FROM adc)
+      WHERE rnk <= 5"""
+  }
+
+  /** q115 oracle: the q114 ADC ranking truncated at k·refine = 20 ids
+    * per query (same tie order), then exact cosine re-ranked — the
+    * q29-style list_dot_product formulation over only shortlist rows. */
+  def pqRefineOracleSql(spark: SparkSession, sfDir: String): String = {
+    val cb = graft.ops.Pq.trainCodebooks(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), m = 8, ks = 16)
+    s"""
+      WITH ${duckPqCtes(cb)},
+      ${duckAdcCte(cb.length)},
+      shortlist AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist, neighbor_id) AS rnk FROM adc)
+        WHERE rnk <= 20),
+      rer AS (
+        SELECT sl.query_id, sl.neighbor_id,
+          list_dot_product(qv.e, nv.e) /
+            (sqrt(list_dot_product(qv.e, qv.e)) *
+             sqrt(list_dot_product(nv.e, nv.e))) AS sim
+        FROM shortlist sl
+        JOIN v qv ON qv.vec_id = sl.query_id
+        JOIN v nv ON nv.vec_id = sl.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(sim, 4) AS cos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rnk FROM rer)
+      WHERE rnk <= 5"""
   }
 
   // q29_ivf_ann, q62_semdedup, and q82_pca_project are intentionally
