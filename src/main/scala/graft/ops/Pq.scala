@@ -360,6 +360,52 @@ object Pq {
     rankAsc(scored, k)
   }
 
+  /** [[buildIvfPqIndex]] into the VERSIONED layout ([[Generations]]
+    * protocol, the [[Similarity.buildIvfIndexVersioned]] twin):
+    * relations under `dir/gen-0`, the CURRENT pointer naming it.
+    * Required for [[compactIvfPqIndexInPlace]]; every read/append
+    * above serves either layout via [[Generations.root]]. */
+  def buildIvfPqIndexVersioned(corpus: DataFrame, dir: String, m: Int,
+                               ks: Int = 16, nlist: Int = 0,
+                               maxIter: Int = 5, maxTrain: Int = 4096,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               corpusSize: Long = 0L): Unit = {
+    buildIvfPqIndex(corpus, s"$dir/gen-0", m, ks, nlist, maxIter, maxTrain,
+      idCol, vecCol, corpusSize)
+    Generations.setCurrent(corpus.sparkSession, dir, "gen-0")
+  }
+
+  /** In-place IVF-PQ compaction — [[Similarity.compactIvfIndexInPlace]]
+    * with the codebook relation carried along: accreted append shards
+    * rewrite into a single `shard=base` under generation n+1, the
+    * CURRENT pointer swaps atomically, and `keepShards` (the in-flight
+    * ingest batch) survive under their own ids so a post-compaction
+    * replay can still exclude its own rows. Centroids and codebooks
+    * copy verbatim — codes were assigned under frozen quantizers, so
+    * rewriting shard layout cannot change any served result
+    * (spec-asserted). */
+  def compactIvfPqIndexInPlace(spark: SparkSession, dir: String,
+                               keepShards: Seq[String] = Nil): Unit = {
+    val next = Generations.nextGen(spark, dir,
+      "build with buildIvfPqIndexVersioned for in-place compaction")
+    val root = Generations.root(spark, dir)
+    spark.read.parquet(s"$root/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$next/centroids")
+    spark.read.parquet(s"$root/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$next/codebooks")
+    val all = spark.read.parquet(s"$root/corpus")
+    all.where(!col("shard").isin(keepShards: _*)).drop("shard")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/$next/corpus/shard=base")
+    keepShards.foreach { ks =>
+      all.where(col("shard") === ks).drop("shard")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/$next/corpus/shard=$ks")
+    }
+    Generations.setCurrent(spark, dir, next)
+  }
+
   /** [[ivfPqTopKIndexed]] + the [[topKRefined]] refine stage: the
     * index supplies the `refine`·k ADC shortlist (codes-only scan);
     * `source` is the raw vector relation the exact re-rank fetches

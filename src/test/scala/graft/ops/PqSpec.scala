@@ -184,6 +184,32 @@ class PqSpec extends SparkSpec {
       .forall(baseIds.contains))
   }
 
+  test("versioned ivf-pq: serve equals flat; in-place compaction keeps the replay shard") {
+    val (base, shard) =
+      (em.where(col("vec_id") < 400), em.where(col("vec_id") >= 400))
+    val flat = java.nio.file.Files.createTempDirectory("graft-ivfpq-f").toString
+    val ver = java.nio.file.Files.createTempDirectory("graft-ivfpq-v").toString
+    Pq.buildIvfPqIndex(em, flat, m = 8, ks = 8, nlist = 4)
+    Pq.buildIvfPqIndexVersioned(em, ver, m = 8, ks = 8, nlist = 4)
+    val q = em.where(col("vec_id") < 5)
+    val flatRows = rows(Pq.ivfPqTopKIndexed(q, flat, k = 3, nprobe = 4))
+    assert(rows(Pq.ivfPqTopKIndexed(q, ver, k = 3, nprobe = 4)) === flatRows)
+    // rebuild versioned over base only, append a shard, compact keeping it
+    val ver2 = java.nio.file.Files.createTempDirectory("graft-ivfpq-v2").toString
+    Pq.buildIvfPqIndexVersioned(base, ver2, m = 8, ks = 8, nlist = 4)
+    Pq.appendToIvfPqIndex(shard, ver2, shardId = "b7")
+    val before = rows(Pq.ivfPqTopKIndexed(q, ver2, k = 3, nprobe = 4))
+    Pq.compactIvfPqIndexInPlace(spark, ver2, keepShards = Seq("b7"))
+    assert(rows(Pq.ivfPqTopKIndexed(q, ver2, k = 3, nprobe = 4)) === before)
+    // the kept shard survives under its own id for replay exclusion
+    val shards = spark.read
+      .parquet(s"${Generations.root(spark, ver2)}/corpus")
+      .select("shard").distinct().collect().map(_.getString(0)).toSet
+    assert(shards === Set("base", "b7"))
+    assert(rows(Pq.ivfPqTopKIndexed(q, ver2, k = 3, nprobe = 4,
+        excludeShards = Seq("b7"))).nonEmpty)
+  }
+
   test("refined pq: saturated shortlist equals exact brute force; shortlist stage stays PQ") {
     val q = em.where(col("vec_id") < 5)
     // refine·k ≥ |corpus| ⇒ the shortlist is every candidate and the
