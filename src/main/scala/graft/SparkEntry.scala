@@ -831,6 +831,14 @@ object SparkEntry {
         graft.ops.Pq.topKRefined(em.where(col("vec_id") < 20), em, k = 5,
           m = 8, ks = 16, refine = 4)
       },
+      // DSIR importance weights: target = English docs, raw = the full
+      // pool; hashed unigram+bigram features, two add-1 bucket models,
+      // per-doc integer-micros log-ratio sums (order-independent)
+      "q116_dsir_weights" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        graft.ops.Dsir.logWeights(docs, docs.where(col("lang") === "en"),
+          buckets = 1024)
+      },
       "q51_training_samples" -> q { (s, dir) =>
         // end-to-end sample prep: curate (dedup chain + quality gate) →
         // per-language deterministic mixture sampling → chunk into
@@ -2300,6 +2308,48 @@ object SparkEntry {
       losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
       SELECT doc_id, n_tokens FROM tok
       WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
+    // q116: the whole derivation re-done in SQL — featurize (unigrams
+    // + non-distinct bigrams), hash-bucket via md5_number_lower (the
+    // engine's md5_lower64 twin), two add-1 bucket models, per-doc
+    // integer-micros sums. The ln-chain is written left-associated
+    // exactly as the engine column expression, and the round-to-micros
+    // happens per BUCKET, so both engines sum identical BIGINTs.
+    "q116_dsir_weights" -> s"""
+      WITH fa AS (
+        SELECT doc_id, lang, unnest(list_concat(
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END,
+          CASE WHEN length(trim(text)) = 0 OR len($DuckTokens) < 2
+               THEN []::VARCHAR[]
+               ELSE list_transform(range(1, len($DuckTokens)),
+                 i -> array_to_string(($DuckTokens)[i:i+1], ' ')) END)) AS f
+        FROM documents),
+      fb AS (
+        SELECT doc_id, lang,
+          (md5_number_lower(f) & 9223372036854775807) % 1024 AS bucket
+        FROM fa),
+      tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tcnt
+             FROM fb WHERE lang = 'en' GROUP BY 1),
+      rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rcnt
+             FROM fb GROUP BY 1),
+      tot AS (SELECT
+          CAST(coalesce((SELECT sum(tcnt) FROM tc), 0) AS BIGINT) AS tt,
+          CAST(coalesce((SELECT sum(rcnt) FROM rc), 0) AS BIGINT) AS rt),
+      df AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS k
+             FROM fb GROUP BY 1, 2),
+      sc AS (
+        SELECT doc_id,
+          CAST(sum(k) AS BIGINT) AS n_feats,
+          CAST(sum(k * CAST(round((ln(coalesce(tcnt, 0) + 1)
+            - ln(tt + 1024) - ln(coalesce(rcnt, 0) + 1)
+            + ln(rt + 1024)) * 1e6) AS BIGINT)) AS BIGINT) AS lw
+        FROM df LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+        CROSS JOIN tot
+        GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+        CAST(coalesce(lw, 0) AS BIGINT) AS logw_micros
+      FROM documents d LEFT JOIN sc USING (doc_id)""",
     "q66_bigram_lm" -> s"""
       WITH toks AS (
         SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+
+/** DSIR-style data selection (Xie et al., "Data Selection for Language
+  * Models via Importance Resampling", arXiv:2302.03169): score every
+  * raw document by how much more likely its hashed n-gram features are
+  * under a TARGET corpus' bag-of-features model than under the raw
+  * pool's own model — the standard cheap proxy for "select pretraining
+  * data that looks like the high-quality target" at corpus scale.
+  *
+  * Features are word unigrams + space-joined bigrams (multiplicity
+  * kept — these are counts, not shingle sets), hashed into `buckets`
+  * cells via the engine's cross-engine-stable md5 lower-64 hash
+  * ([[TextExpressions.md5_lower64]] ≡ DuckDB `md5_number_lower`, the
+  * q107 idiom). Both models are add-1-smoothed over the bucket space;
+  * a document's log importance weight is
+  *
+  *   Σ_feature [ ln(tgt[b]+1) − ln(T_tgt+B) − ln(raw[b]+1) + ln(T_raw+B) ]
+  *
+  * summed per feature instance. Determinism contract (the q100/q66
+  * integer-micros recipe): the per-bucket delta is rounded to integer
+  * MICROS once, so every downstream aggregate is an order-independent
+  * BIGINT sum — no float accumulation across shuffles. Buckets absent
+  * from a model take the same expression with count 0 (ln(1) ≡ +0.0,
+  * bit-identical to the dedicated branch an oracle would write).
+  *
+  * Scale shape: featurization is scan-local; each model is one
+  * map-side-combined aggregate bounded by `buckets` rows (broadcast
+  * back); the per-document aggregate shuffles (id, bucket) pairs — the
+  * only corpus-sized exchange, with partial aggregation upstream.
+  * Nothing grows with the pair structure of the corpus and no stage
+  * depends on |target|·|raw|. Selection composes downstream: feed
+  * `logw_micros` to [[Sampling.weightedSample]] (Gumbel/A-ES) or a
+  * plain top-fraction filter.
+  *
+  * The reference has no selection operators (its pipeline loads
+  * everything it stages, `dags/scripts/spark/data_preparation.py`);
+  * this extends the LLM-pipeline surface alongside [[QualityFilters]]
+  * and [[LangModel.crossUnigramScore]] (which scores against ONE model;
+  * DSIR is the two-model contrastive form over hashed features). */
+object Dsir {
+
+  /** Word unigrams + adjacent-pair bigrams, multiplicity kept. */
+  private def featureArray(text: Column): Column = {
+    val toks = TextStats.tokens(text)
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+    concat(toks, bigrams)
+  }
+
+  private def bucketOf(f: Column, buckets: Int): Column =
+    (TextExpressions.md5_lower64(f).bitwiseAND(lit(Long.MaxValue))
+      % buckets).as("bucket")
+
+  /** (bucket, cnt) — one corpus pass, ≤ `buckets` rows out. */
+  private def bucketCounts(docs: DataFrame, buckets: Int,
+                           textCol: String): DataFrame =
+    docs.select(explode(featureArray(col(textCol))).as("f"))
+      .select(bucketOf(col("f"), buckets))
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** Per-document DSIR log importance weights of `raw` against
+    * `target`: (idCol, n_feats, logw_micros). Featureless documents
+    * (empty text) score (0, 0) rather than dropping out. */
+  def logWeights(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"Dsir.logWeights: buckets must be positive, got $buckets")
+    val tc = bucketCounts(target, buckets, textCol)
+      .withColumnRenamed("cnt", "tcnt")
+    val rc = bucketCounts(raw, buckets, textCol)
+      .withColumnRenamed("cnt", "rcnt")
+    val counts = tc.join(rc, Seq("bucket"), "full_outer")
+    val totals = tc.agg(coalesce(sum("tcnt"), lit(0L)).cast("long").as("tt"))
+      .crossJoin(rc.agg(coalesce(sum("rcnt"), lit(0L)).cast("long").as("rt")))
+    val docFeats = raw
+      .select(col(idCol), explode(featureArray(col(textCol))).as("f"))
+      .select(col(idCol), bucketOf(col("f"), buckets))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("k"))
+    val scored = docFeats
+      .join(broadcast(counts), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      // ((ln(t+1) − ln(T+B)) − ln(r+1)) + ln(R+B), rounded to integer
+      // micros ONCE — everything after is exact BIGINT arithmetic
+      .withColumn("delta_micros",
+        round((log(coalesce(col("tcnt"), lit(0L)) + 1)
+          - log(col("tt") + buckets)
+          - log(coalesce(col("rcnt"), lit(0L)) + 1)
+          + log(col("rt") + buckets)) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum("k").cast("long").as("n_feats"),
+        sum(col("k") * col("delta_micros")).cast("long").as("logw_micros"))
+    raw.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw_micros"), lit(0L)).as("logw_micros"))
+  }
+}

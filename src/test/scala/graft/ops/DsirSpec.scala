@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("target-like documents score higher than target-unlike ones") {
+    val w = Dsir.logWeights(docs, docs.where(col("lang") === "en"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val byLang = w.groupBy("lang")
+      .agg(avg(col("logw_micros").cast("double")).as("aw"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the English model should prefer English text over every other
+    // language in the pool — the selection signal DSIR exists for
+    assert(Seq("fr", "es", "de", "zh").forall(l => byLang("en") > byLang(l)),
+      s"en not preferred: $byLang")
+  }
+
+  test("featureless and feature-counted documents: n_feats = tokens + bigrams, empty text scores (0, 0)") {
+    val tiny = Seq(
+      (1L, "alpha beta gamma"),   // 3 unigrams + 2 bigrams = 5
+      (2L, "alpha"),              // 1 + 0
+      (3L, ""),                   // featureless
+      (4L, "   ")                 // whitespace-only — also featureless
+    ).toDF("doc_id", "text")
+    val w = Dsir.logWeights(tiny, tiny.where(col("doc_id") === 1L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(w(1L)._1 === 5L)
+    assert(w(2L)._1 === 1L)
+    assert(w(3L) === ((0L, 0L)))
+    assert(w(4L) === ((0L, 0L)))
+    // every raw doc appears exactly once
+    assert(w.keySet === Set(1L, 2L, 3L, 4L))
+    // the doc that IS the target scores strictly above the others
+    assert(w(1L)._2 > w(2L)._2)
+  }
+
+  test("weights are deterministic across runs and independent of partitioning") {
+    val a = Dsir.logWeights(docs, docs.where(col("lang") === "en"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Dsir.logWeights(docs.repartition(13),
+        docs.where(col("lang") === "en").repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
+  test("model joins stay broadcast: no shuffle on the bucket-delta side") {
+    val w = Dsir.logWeights(docs, docs.where(col("lang") === "en"))
+    val plan = w.queryExecution.executedPlan.toString
+    // the ≤buckets-row delta/total relations must reach the scoring
+    // join as broadcasts — a sort-merge join there would shuffle the
+    // corpus-sized feature relation against a 1024-row table
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
