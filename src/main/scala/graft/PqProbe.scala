@@ -9,9 +9,56 @@ import graft.ops.{Pq, Similarity}
   * ANN structure (cf. the SRP occupancy sweeps in SCALE.md). Pins the
   * honest floor PqSpec asserts and records the knob curve. */
 object PqProbe {
+
+  /** `PqProbe scale /tmp/graft-vecs1000000` — index-build and serve
+    * economics of IVF-PQ vs the float IVF index on a distinct-vector
+    * replica (`ScaleUp vecs <n>`): build wall, on-disk bytes of the
+    * probed relation, and per-batch serve wall at equal nprobe. The
+    * number that matters at 100 TB is the bytes ratio: the IVF-PQ
+    * corpus holds m ints/row vs d floats/row, and serve reads
+    * nprobe/nlist of THOSE bytes. */
+  private def scaleProbe(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val em = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = em.count()
+    val q = em.where(col("vec_id") < 20)
+    def wall[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def bytes(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    }
+    def drain(df: DataFrame): Long = df.count()
+    val ivfDir = java.nio.file.Files.createTempDirectory("scale-ivf").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("scale-ivfpq").toString
+    val (_, tIvf) = wall(ops.Similarity.buildIvfIndex(em, ivfDir, corpusSize = n))
+    val (_, tPq) = wall(ops.Pq.buildIvfPqIndex(em, pqDir, m = 8, ks = 256,
+      corpusSize = n))
+    println(f"n=$n build: ivf=$tIvf%.1fs ivfpq=$tPq%.1fs  " +
+      f"corpusBytes: ivf=${bytes(s"$ivfDir/corpus")} pq=${bytes(s"$pqDir/corpus")}")
+    for (round <- 1 to 3) {
+      val (_, sIvf) = wall(drain(
+        ops.Similarity.ivfTopKIndexed(q, ivfDir, k = 5, nprobe = 8)))
+      val (_, sPq) = wall(drain(
+        ops.Pq.ivfPqTopKIndexed(q, pqDir, k = 5, nprobe = 8)))
+      val (_, sRef) = wall(drain(
+        ops.Pq.ivfPqTopKRefined(q, pqDir, k = 5, source = em, nprobe = 8,
+          refine = 8)))
+      println(f"serve round $round: ivf=$sIvf%.2fs ivfpq=$sPq%.2fs " +
+        f"ivfpq+refine=$sRef%.2fs")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("pqprobe")
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("scale")) {
+      scaleProbe(spark, args(1)); spark.stop(); return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = em.where(col("vec_id") < 20)

@@ -11,8 +11,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * Schmid — "Product Quantization for Nearest Neighbor Search", TPAMI
   * 2011): the byte-per-subspace vector representation that makes
   * 100 TB-scale ANN serving memory-feasible. A d-dim float vector
-  * (4·d bytes) compresses to m small codes (m·4 bytes as int codes
-  * here, m bytes once ks ≤ 256 codes are byte-packed on disk), and the
+  * (4·d bytes) compresses to m small codes (`array<int>` in flight via
+  * [[PqEncode]]; exactly m bytes at rest via [[PqEncodeBytes]] — the
+  * index-resident faiss uint8 layout, ks ≤ 256), and the
   * asymmetric-distance scan touches ONLY codes — O(m) adds per
   * candidate via a per-query lookup table instead of O(d) multiplies
   * over raw floats.
@@ -266,8 +267,126 @@ object PqExpressions {
       copy(left = l, right = r)
   }
 
+  /** [[PqEncode]] emitting the packed byte-per-code form: `binary` of
+    * exactly m bytes (requires ks ≤ 256 — the faiss uint8 layout).
+    * Identical argmin arithmetic; code j stores as the unsigned byte
+    * j. This is the INDEX-resident representation ([[graft.ops.Pq]]
+    * persists it), cutting the serve-scan bytes to m per row where
+    * the int-array form pays parquet's int encoding. */
+  case class PqEncodeBytes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression {
+    import org.apache.spark.sql.types.BinaryType
+    require(codebooks.head.length <= 256,
+      s"PqEncodeBytes: ks=${codebooks.head.length} exceeds one byte")
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val inner = PqEncode(child, codebooks)
+
+    override def nullSafeEval(input: Any): Any = {
+      val codes = inner.nullSafeEval(input).asInstanceOf[ArrayData]
+      val out = new Array[Byte](codes.numElements())
+      var s = 0
+      while (s < out.length) { out(s) = codes.getInt(s).toByte; s += 1 }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val cb = ctx.addReferenceObj("pqCodebooks",
+          codebooks.map(_.map(_.toArray).toArray).toArray, "double[][][]")
+        val m = codebooks.length
+        val ds = codebooks.head.head.length
+        val isFloat = elemIsFloat(child)
+        val out = ctx.freshName("out")
+        val s = ctx.freshName("s")
+        val off = ctx.freshName("off")
+        val book = ctx.freshName("book")
+        val best = ctx.freshName("best")
+        val bestDist = ctx.freshName("bestDist")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val dist = ctx.freshName("dist")
+        val d = ctx.freshName("d")
+        val x = ctx.freshName("x")
+        val diff = ctx.freshName("diff")
+        val load =
+          if (isFloat) s"(double) $v.getFloat($off + $d)"
+          else s"$v.getDouble($off + $d)"
+        s"""
+        byte[] $out = new byte[$m];
+        if ($v.numElements() >= ${m * ds}) {
+          for (int $s = 0; $s < $m; $s++) {
+            int $off = $s * $ds;
+            double[][] $book = $cb[$s];
+            int $best = 0;
+            double $bestDist = java.lang.Double.POSITIVE_INFINITY;
+            for (int $j = 0; $j < $book.length; $j++) {
+              double[] $c = $book[$j];
+              double $dist = 0.0;
+              for (int $d = 0; $d < $ds; $d++) {
+                double $x = $load;
+                double $diff = $x - $c[$d];
+                $dist += $diff * $diff;
+              }
+              if ($dist < $bestDist) { $bestDist = $dist; $best = $j; }
+            }
+            $out[$s] = (byte) $best;
+          }
+        }
+        ${ev.value} = $out;
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** [[PqAdc]] over packed byte codes: Σ_s lut[s·ks + (codes[s] & 0xFF)],
+    * s-ascending — identical sums, binary-resident candidate side. */
+  case class PqAdcBytes(left: Expression, right: Expression, ks: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val lut = a.asInstanceOf[ArrayData]
+      val codes = b.asInstanceOf[Array[Byte]]
+      var acc = 0.0
+      var s = 0
+      while (s < codes.length) {
+        acc += lut.getDouble(s * ks + (codes(s) & 0xFF))
+        s += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val acc = ctx.freshName("acc")
+        val s = ctx.freshName("s")
+        s"""
+        double $acc = 0.0;
+        for (int $s = 0; $s < $b.length; $s++) {
+          $acc += $a.getDouble($s * $ks + (($b[$s]) & 0xFF));
+        }
+        ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), codebooks))
+
+  def pq_encode_bytes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncodeBytes(ColumnBridge.expression(vec), codebooks))
+
+  def pq_adc_bytes(lut: Column, codes: Column, ks: Int): Column =
+    ColumnBridge.column(PqAdcBytes(
+      ColumnBridge.expression(lut), ColumnBridge.expression(codes), ks))
 
   def pq_lut(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(PqLut(ColumnBridge.expression(vec), codebooks))

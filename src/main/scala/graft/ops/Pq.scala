@@ -122,15 +122,17 @@ object Pq {
     * (query_id, rnk, neighbor_id, adc_dist·1e-4-rounded). */
   private def adcRank(queries: DataFrame, codes: DataFrame,
                       codebooks: Array[Array[Array[Double]]], k: Int,
-                      idCol: String, vecCol: String): DataFrame = {
+                      idCol: String, vecCol: String,
+                      packed: Boolean = false): DataFrame = {
     val ks = codebooks(0).length
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       PqExpressions.pq_lut(col(vecCol), asSeq(codebooks)).as("lut")))
+    def adc = if (packed) PqExpressions.pq_adc_bytes(col("lut"), col("codes"), ks)
+              else PqExpressions.pq_adc(col("lut"), col("codes"), ks)
     val scored = codes
       .select(col(idCol).as("neighbor_id"), col("codes"))
       .join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        negate(PqExpressions.pq_adc(col("lut"), col("codes"), ks)))
+      .withColumn("score", negate(adc))
     rankAsc(scored, k)
   }
 
@@ -148,7 +150,7 @@ object Pq {
   /** Brute-force PQ top-k: train on the corpus, encode it (scan-local),
     * ADC-rank every code row against the broadcast query LUTs. The
     * flat-scan PQ baseline — linear in |corpus| like
-    * [[Similarity.bruteForceTopK]], but the scan side is m ints per
+    * [[Similarity.bruteForceTopK]], but the scan side is m codes per
     * row, and each candidate costs m adds instead of d multiplies. */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int,
            m: Int, ks: Int = 16, maxIter: Int = 5, maxTrain: Int = 4096,
@@ -170,8 +172,8 @@ object Pq {
                    vecCol: String = "embedding"): Unit = {
     val cb = trainCodebooks(corpus, m, ks, maxIter, maxTrain, idCol, vecCol)
     writeCodebooks(corpus.sparkSession, cb, dir)
-    encode(corpus, cb, idCol, vecCol)
-      .withColumnRenamed(idCol, "id")
+    corpus.select(col(idCol).as("id"),
+        PqExpressions.pq_encode_bytes(col(vecCol), asSeq(cb)).as("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes/shard=base")
   }
 
@@ -205,7 +207,8 @@ object Pq {
     val root = Generations.root(spark, dir)
     val cb = readCodebooks(spark, root)
     adcRank(queries, spark.read.parquet(s"$root/codes")
-      .select(col("id").as(idCol), col("codes")), cb, k, idCol, vecCol)
+      .select(col("id").as(idCol), col("codes")), cb, k, idCol, vecCol,
+      packed = true)
   }
 
   /** PQ shortlist + exact re-rank (the faiss refine stage): ADC ranks
@@ -317,7 +320,7 @@ object Pq {
                               shardId: String,
                               idCol: String, vecCol: String): Unit =
     vectors.select(col(idCol).as("neighbor_id"),
-        PqExpressions.pq_encode(col(vecCol), asSeq(cb)).as("codes"),
+        PqExpressions.pq_encode_bytes(col(vecCol), asSeq(cb)).as("codes"),
         graft.functions.VectorExpressions.nearest_cell(col(vecCol),
           cent.map(_.toSeq).toSeq).as("cell"))
       .write.mode("overwrite").partitionBy("cell")
@@ -356,7 +359,7 @@ object Pq {
       .join(broadcast(probed), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
-        negate(PqExpressions.pq_adc(col("lut"), col("codes"), ks)))
+        negate(PqExpressions.pq_adc_bytes(col("lut"), col("codes"), ks)))
     rankAsc(scored, k)
   }
 

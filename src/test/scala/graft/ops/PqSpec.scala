@@ -75,6 +75,18 @@ class PqSpec extends SparkSpec {
       }
     }
     assert(withMode("CODEGEN_ONLY")(run()) === withMode("NO_CODEGEN")(run()))
+    // the packed byte form is the same quantizer: byte codes unpack to
+    // the int codes, and byte-ADC sums the same LUT entries
+    val both = em.select(col("vec_id"),
+        PqExpressions.pq_encode(col("embedding"),
+          cb.map(_.map(_.toSeq).toSeq).toSeq).as("ci"),
+        PqExpressions.pq_encode_bytes(col("embedding"),
+          cb.map(_.map(_.toSeq).toSeq).toSeq).as("cbts"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getAs[Array[Byte]]("cbts").map(_ & 0xFF).toSeq ===
+        r.getSeq[Int](1))
+    }
   }
 
   test("pq topK matches the driver-side reference ADC ranking exactly") {
