@@ -839,6 +839,14 @@ object SparkEntry {
         graft.ops.Dsir.logWeights(docs, docs.where(col("lang") === "en"),
           buckets = 1024)
       },
+      // the selection step over those weights: top 25% per source by
+      // (logw desc, doc_id), exact ceil quotas — rank-based so the cut
+      // is deterministic and every stratum keeps exactly its quota
+      "q117_dsir_select" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        graft.ops.Dsir.selectTopFraction(docs,
+          docs.where(col("lang") === "en"), fractionPpm = 250000L)
+      },
       "q51_training_samples" -> q { (s, dir) =>
         // end-to-end sample prep: curate (dedup chain + quality gate) →
         // per-language deterministic mixture sampling → chunk into
@@ -1063,6 +1071,44 @@ object SparkEntry {
     s"""(CASE WHEN length(trim(text)) = 0 OR len($DuckTokens) < 2 THEN []::VARCHAR[]
         ELSE list_distinct(list_transform(range(1, len($DuckTokens)),
              i -> array_to_string(($DuckTokens)[i:i+1], ' '))) END)"""
+
+  /** Shared CTE chain for the DSIR oracles (q116, q117): featurize
+    * (unigrams + NON-distinct bigrams — counts, not shingle sets),
+    * md5 hash buckets, the two add-1 bucket models, and the per-doc
+    * integer-micros log-ratio sums. The ln-chain is left-associated
+    * exactly as the engine's column expression and rounded to micros
+    * per BUCKET, so both engines aggregate identical BIGINTs. */
+  private val DuckDsirCtes = s"""fa AS (
+        SELECT doc_id, lang, unnest(list_concat(
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END,
+          CASE WHEN length(trim(text)) = 0 OR len($DuckTokens) < 2
+               THEN []::VARCHAR[]
+               ELSE list_transform(range(1, len($DuckTokens)),
+                 i -> array_to_string(($DuckTokens)[i:i+1], ' ')) END)) AS f
+        FROM documents),
+      fb AS (
+        SELECT doc_id, lang,
+          (md5_number_lower(f) & 9223372036854775807) % 1024 AS bucket
+        FROM fa),
+      tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tcnt
+             FROM fb WHERE lang = 'en' GROUP BY 1),
+      rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rcnt
+             FROM fb GROUP BY 1),
+      tot AS (SELECT
+          CAST(coalesce((SELECT sum(tcnt) FROM tc), 0) AS BIGINT) AS tt,
+          CAST(coalesce((SELECT sum(rcnt) FROM rc), 0) AS BIGINT) AS rt),
+      df AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS k
+             FROM fb GROUP BY 1, 2),
+      sc AS (
+        SELECT doc_id,
+          CAST(sum(k) AS BIGINT) AS n_feats,
+          CAST(sum(k * CAST(round((ln(coalesce(tcnt, 0) + 1)
+            - ln(tt + 1024) - ln(coalesce(rcnt, 0) + 1)
+            + ln(rt + 1024)) * 1e6) AS BIGINT)) AS BIGINT) AS lw
+        FROM df LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+        CROSS JOIN tot
+        GROUP BY 1)"""
 
   /** SRP bucket expression for the q38 oracle: the exact hyperplane
     * constants from Similarity.planeComponent embedded as double
@@ -2315,41 +2361,32 @@ object SparkEntry {
     // exactly as the engine column expression, and the round-to-micros
     // happens per BUCKET, so both engines sum identical BIGINTs.
     "q116_dsir_weights" -> s"""
-      WITH fa AS (
-        SELECT doc_id, lang, unnest(list_concat(
-          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-               ELSE $DuckTokens END,
-          CASE WHEN length(trim(text)) = 0 OR len($DuckTokens) < 2
-               THEN []::VARCHAR[]
-               ELSE list_transform(range(1, len($DuckTokens)),
-                 i -> array_to_string(($DuckTokens)[i:i+1], ' ')) END)) AS f
-        FROM documents),
-      fb AS (
-        SELECT doc_id, lang,
-          (md5_number_lower(f) & 9223372036854775807) % 1024 AS bucket
-        FROM fa),
-      tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tcnt
-             FROM fb WHERE lang = 'en' GROUP BY 1),
-      rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rcnt
-             FROM fb GROUP BY 1),
-      tot AS (SELECT
-          CAST(coalesce((SELECT sum(tcnt) FROM tc), 0) AS BIGINT) AS tt,
-          CAST(coalesce((SELECT sum(rcnt) FROM rc), 0) AS BIGINT) AS rt),
-      df AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS k
-             FROM fb GROUP BY 1, 2),
-      sc AS (
-        SELECT doc_id,
-          CAST(sum(k) AS BIGINT) AS n_feats,
-          CAST(sum(k * CAST(round((ln(coalesce(tcnt, 0) + 1)
-            - ln(tt + 1024) - ln(coalesce(rcnt, 0) + 1)
-            + ln(rt + 1024)) * 1e6) AS BIGINT)) AS BIGINT) AS lw
-        FROM df LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
-        CROSS JOIN tot
-        GROUP BY 1)
+      WITH $DuckDsirCtes
       SELECT d.doc_id,
         CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
         CAST(coalesce(lw, 0) AS BIGINT) AS logw_micros
       FROM documents d LEFT JOIN sc USING (doc_id)""",
+    // q117: the q116 weight chain + per-source ceil-quota rank cut —
+    // integer quota arithmetic and the same (logw desc, doc_id) order
+    "q117_dsir_select" -> s"""
+      WITH $DuckDsirCtes,
+      w AS (
+        SELECT d.doc_id, d.source,
+          CAST(coalesce(lw, 0) AS BIGINT) AS logw_micros
+        FROM documents d LEFT JOIN sc USING (doc_id)),
+      qt AS (
+        SELECT source,
+          CAST((CAST(count(*) AS BIGINT) * 250000 + 999999) // 1000000
+            AS BIGINT) AS quota
+        FROM w GROUP BY 1),
+      rk AS (
+        SELECT doc_id, source, logw_micros,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY logw_micros DESC, doc_id) AS BIGINT) AS kept_rank
+        FROM w)
+      SELECT doc_id, source, logw_micros, kept_rank
+      FROM rk JOIN qt USING (source)
+      WHERE kept_rank <= quota""",
     "q66_bigram_lm" -> s"""
       WITH toks AS (
         SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]

@@ -104,4 +104,41 @@ object Dsir {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("logw_micros"), lit(0L)).as("logw_micros"))
   }
+
+  /** The selection step DSIR weights exist for: keep the top
+    * ⌈fraction·n⌉ documents of each stratum (source, language, shard —
+    * any column) ranked by (logw_micros desc, id asc). Rank-based
+    * rather than threshold-based so ties at the cut are broken
+    * deterministically and every stratum keeps EXACTLY its quota.
+    * Output: the kept (idCol, stratum, logw_micros, kept_rank).
+    *
+    * Scale shape: one exchange on the stratum key feeding a
+    * per-stratum sort window (rank) joined against the broadcast
+    * per-stratum quotas (|strata| rows). The sort is per-stratum,
+    * parallel across strata — the q41 top-k-per-group shape with a
+    * data-dependent k; for corpus-sized strata this is the one
+    * unavoidable sort, and skew lives on the stratum key (salt
+    * upstream if one source dominates, as with any groupBy here). */
+  def selectTopFraction(raw: DataFrame, target: DataFrame,
+                        fractionPpm: Long, stratumCol: String = "source",
+                        buckets: Int = 1024, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(fractionPpm >= 0 && fractionPpm <= 1000000L,
+      s"Dsir.selectTopFraction: fractionPpm $fractionPpm out of [0, 1e6]")
+    val w = logWeights(raw, target, buckets, idCol, textCol)
+      .join(raw.select(col(idCol), col(stratumCol)), Seq(idCol))
+    val quotas = w.groupBy(stratumCol)
+      .agg(count(lit(1)).cast("long").as("n"))
+      // ⌈fraction·n⌉ in exact integer arithmetic: (n·ppm + 999999) div 1e6
+      .select(col(stratumCol),
+        expr(s"(n * ${fractionPpm}L + 999999L) div 1000000L")
+          .cast("long").as("quota"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(col("logw_micros").desc, col(idCol).asc)
+    w.withColumn("kept_rank", row_number().over(win).cast("long"))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .where(col("kept_rank") <= col("quota"))
+      .select(col(idCol), col(stratumCol), col("logw_micros"), col("kept_rank"))
+  }
 }

@@ -50,6 +50,34 @@ class DsirSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("selectTopFraction: exact ceil quotas per stratum, deterministic cut, top-ranked kept") {
+    val sel = Dsir.selectTopFraction(docs, docs.where(col("lang") === "en"),
+      fractionPpm = 250000L)
+    val perSource = sel.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum keeps exactly ceil(0.25·n)
+    sizes.foreach { case (s, n) =>
+      assert(perSource(s) === (n * 250000L + 999999L) / 1000000L,
+        s"source $s: ${perSource.get(s)} of $n")
+    }
+    // kept docs are the weight-top ones: the minimum kept weight in a
+    // stratum is >= the maximum dropped weight (ties broken by doc_id)
+    val w = Dsir.logWeights(docs, docs.where(col("lang") === "en"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val keptIds = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    val bySource = w.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("logw_micros")))
+      .groupBy(_._1)
+    bySource.foreach { case (_, rows) =>
+      val (kept, dropped) = rows.partition(r => keptIds.contains(r._2))
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.map(_._3).min >= dropped.map(_._3).max)
+    }
+  }
+
   test("model joins stay broadcast: no shuffle on the bucket-delta side") {
     val w = Dsir.logWeights(docs, docs.where(col("lang") === "en"))
     val plan = w.queryExecution.executedPlan.toString
