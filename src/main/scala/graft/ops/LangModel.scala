@@ -539,12 +539,36 @@ object LangModel {
                checkpointDir: Option[String] = None,
                driverCutoff: Long = BpeDriverCutoff,
                restartDir: Option[String] = None,
-               restartEvery: Int = 1): DataFrame =
+               restartEvery: Int = 1,
+               strategy: String = BpeIncremental): DataFrame =
     // cutFinalVocab=false: only the driver-local merge table is
     // returned, so the loop must not pay a vocab-sized handoff job for
     // a relation nobody reads
     bpeLoop(docs, nMerges, textCol, checkpointDir, driverCutoff, restartDir,
-      restartEvery, cutFinalVocab = false)._2
+      restartEvery, cutFinalVocab = false, strategy = strategy)._2
+
+  /** Distributed-schedule strategies for [[bpeTrain]] — byte-identical
+    * outputs (spec-asserted), different cost shapes:
+    *
+    *  - [[BpeIncremental]] (default): seed the pair-count relation
+    *    once, then per merge fold only the delta from words CONTAINING
+    *    the merged pair. Jobs per merge are bounded and the per-merge
+    *    scan shrinks with the affected-word fraction — the shape that
+    *    wins when merges touch a vanishing slice of a huge vocabulary.
+    *  - [[BpeRecount]]: re-aggregate all pair counts from the current
+    *    vocabulary every merge. On local[32] this is 2-3× FASTER per
+    *    merge at every vocabulary size we measured (SCALE.md round-11:
+    *    map-side combine collapses the explode to the distinct-pair
+    *    relation, and the incremental path's extra fixed jobs dominate)
+    *    — but it rescans the whole vocabulary per merge, so its cost is
+    *    ∝ vocabulary × merges regardless of how little changed.
+    *
+    * The default stays incremental because the 100 TB regime is the
+    * affected-fraction one; profiles that show the fixed-job constant
+    * dominating (small vocabularies, fast clusters) should pass
+    * [[BpeRecount]]. */
+  val BpeIncremental = "incremental"
+  val BpeRecount = "recount"
 
   /** Default vocabulary-size bound for [[bpeTrain]]'s driver path:
     * 2M distinct words × ~40 B ≈ 100 MB of driver heap — comfortably
@@ -589,9 +613,12 @@ object LangModel {
                              driverCutoff: Long = BpeDriverCutoff,
                              restartDir: Option[String] = None,
                              restartEvery: Int = 1,
-                             cutFinalVocab: Boolean = true): (DataFrame, DataFrame) = {
+                             cutFinalVocab: Boolean = true,
+                             strategy: String = BpeIncremental): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 65536, s"nMerges $nMerges out of [1,65536]")
     require(restartEvery >= 1, s"restartEvery $restartEvery must be >= 1")
+    require(strategy == BpeIncremental || strategy == BpeRecount,
+      s"bpeTrain strategy '$strategy' not in {$BpeIncremental, $BpeRecount}")
     val spark = docs.sparkSession
     import spark.implicits._
     val ck = Checkpoints.truncator(spark, checkpointDir)
@@ -687,7 +714,10 @@ object LangModel {
         .as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum("c").as("cnt"))
-    var pc = ck(pairCounts(vocab))
+    // recount mode never materializes the maintained relation — each
+    // round re-aggregates from the current vocab (see [[BpeRecount]])
+    var pc: DataFrame =
+      if (strategy == BpeIncremental) ck(pairCounts(vocab)) else null
     // Loop carriers (pc, vocab) are truncated LAZILY per round, never
     // eagerly cut: each round's ONE driver action (the top-1 collect)
     // materializes the previous round's delta fold and vocab map
@@ -707,7 +737,7 @@ object LangModel {
     // ContextCleaner once their round's RDD becomes unreachable.
     val ckLazy = Checkpoints.lazyTruncator(spark, checkpointDir)
     while (rank <= nMerges) {
-      val top = pc
+      val top = (if (strategy == BpeIncremental) pc else pairCounts(vocab))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
       if (top.isEmpty) rank = nMerges + 1
@@ -730,15 +760,17 @@ object LangModel {
                                  element_at($symCol, i + 1) AS r,
                                  CAST($d AS BIGINT) AS d))
               ELSE cast(array() AS array<struct<l:string,r:string,d:bigint>>) END"""
-        val delta = vocab.where(expr(hit))
-          .select(col("c"), expr("split(trim(s), ' ')").as("so"),
-            expr(s"split(trim($mergeS), ' ')").as("sn"))
-          .select(explode(expr(
-            s"concat(${signedPairs("sn", "c")}, ${signedPairs("so", "-c")})")).as("p"))
-          .select(col("p.l").as("l"), col("p.r").as("r"), col("p.d").as("cnt"))
-        pc = ckLazy(pc.unionByName(delta)
-          .groupBy("l", "r").agg(sum("cnt").as("cnt"))
-          .where(col("cnt") =!= 0))
+        if (strategy == BpeIncremental) {
+          val delta = vocab.where(expr(hit))
+            .select(col("c"), expr("split(trim(s), ' ')").as("so"),
+              expr(s"split(trim($mergeS), ' ')").as("sn"))
+            .select(explode(expr(
+              s"concat(${signedPairs("sn", "c")}, ${signedPairs("so", "-c")})")).as("p"))
+            .select(col("p.l").as("l"), col("p.r").as("r"), col("p.d").as("cnt"))
+          pc = ckLazy(pc.unionByName(delta)
+            .groupBy("l", "r").agg(sum("cnt").as("cnt"))
+            .where(col("cnt") =!= 0))
+        }
         vocab = ckLazy(vocab.select(col("w"),
           expr(s"CASE WHEN $hit THEN $mergeS ELSE s END").as("s"), col("c")))
         // `restartEvery`: commit every k-th round — a long schedule on a

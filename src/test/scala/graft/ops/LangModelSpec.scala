@@ -223,6 +223,29 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("bpe recount strategy is byte-equal to incremental on the adversarial corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ooooo oooooo"),
+      (2L, "xab xab xab xab cd cd cd"),
+      (3L, "pq qr rp"),
+      (4L, "the the thee"),
+      (5L, "ab")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 8, 64)) {
+      val inc = LangModel.bpeLoop(docs, n, "text", None, 0L)
+      val rec = LangModel.bpeLoop(docs, n, "text", None, 0L,
+        strategy = LangModel.BpeRecount)
+      assert(inc._2.collect().map(_.toSeq).toSeq ===
+        rec._2.collect().map(_.toSeq).toSeq, s"merge table, nMerges=$n")
+      assert(inc._1.collect().map(_.toSeq).toSet ===
+        rec._1.collect().map(_.toSeq).toSet, s"segmented vocab, nMerges=$n")
+    }
+    intercept[IllegalArgumentException] {
+      LangModel.bpeTrain(docs, 2, strategy = "both-at-once")
+    }
+  }
+
   test("bpe driver path matches distributed on randomized corpora (seeded fuzz)") {
     import spark.implicits._
     // random low-alphabet words maximize pair collisions, ties, runs,
