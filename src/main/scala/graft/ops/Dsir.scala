@@ -80,12 +80,15 @@ object Dsir {
     val counts = tc.join(rc, Seq("bucket"), "full_outer")
     val totals = tc.agg(coalesce(sum("tcnt"), lit(0L)).cast("long").as("tt"))
       .crossJoin(rc.agg(coalesce(sum("rcnt"), lit(0L)).cast("long").as("rt")))
+    // explode_OUTER keeps featureless documents as one null-bucket row
+    // — they score (0, 0) through the same aggregate instead of via a
+    // corpus-sized re-join at the end (one fewer shuffle join)
     val docFeats = raw
-      .select(col(idCol), explode(featureArray(col(textCol))).as("f"))
+      .select(col(idCol), explode_outer(featureArray(col(textCol))).as("f"))
       .select(col(idCol), bucketOf(col("f"), buckets))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).cast("long").as("k"))
-    val scored = docFeats
+    docFeats
       .join(broadcast(counts), Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
       // ((ln(t+1) − ln(T+B)) − ln(r+1)) + ln(R+B), rounded to integer
@@ -96,13 +99,11 @@ object Dsir {
           - log(coalesce(col("rcnt"), lit(0L)) + 1)
           + log(col("rt") + buckets)) * 1e6).cast("long"))
       .groupBy(col(idCol))
-      .agg(sum("k").cast("long").as("n_feats"),
-        sum(col("k") * col("delta_micros")).cast("long").as("logw_micros"))
-    raw.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("logw_micros"), lit(0L)).as("logw_micros"))
+      .agg(sum(when(col("bucket").isNull, lit(0L)).otherwise(col("k")))
+          .cast("long").as("n_feats"),
+        sum(when(col("bucket").isNull, lit(0L))
+          .otherwise(col("k") * col("delta_micros")))
+          .cast("long").as("logw_micros"))
   }
 
   /** The selection step DSIR weights exist for: keep the top
