@@ -55,7 +55,8 @@ object Verify {
       ("q62_semdedup" -> SparkEntry.semDedupOracleSql(spark, sfDir)) +
       ("q82_pca_project" -> SparkEntry.pcaOracleSql(spark, sfDir)) +
       ("q114_pq_ann" -> SparkEntry.pqOracleSql(spark, sfDir)) +
-      ("q115_pq_refine" -> SparkEntry.pqRefineOracleSql(spark, sfDir))
+      ("q115_pq_refine" -> SparkEntry.pqRefineOracleSql(spark, sfDir)) +
+      ("q118_ivfpq_probe" -> SparkEntry.ivfPqOracleSql(spark, sfDir))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
