@@ -1314,7 +1314,14 @@ object SparkEntry {
     * every vector against every trained centroid, then argmax cell
     * assignment — component sums written left-associated so the doubles
     * are bit-identical to the native NearestCell loop. */
-  private def duckCellAssignCtes(cent: Array[Array[Double]]): String = {
+  /** `prefix` renames the emitted CTEs (`<p>v0/<p>v/<p>cellcos/
+    * <p>cells`) so the block can coexist with other generated chains
+    * in one WITH (q118 composes it with [[duckPqCtes]], whose `v`
+    * would otherwise collide) — ONE generator for the load-bearing
+    * routing arithmetic, never a hand-copied variant. */
+  private def duckCellAssignCtes(cent: Array[Array[Double]],
+                                 prefix: String = ""): String = {
+    val p = prefix
     val norms = cent.map(c => math.sqrt(c.map(x => x * x).sum))
     val dim = cent.head.length
     val selfDot = (0 until dim).map(d => s"e[${d + 1}]*e[${d + 1}]").mkString(" + ")
@@ -1324,16 +1331,16 @@ object SparkEntry {
       s"""SELECT vec_id, e, $i AS cell,
             (CASE WHEN ${norms(i)} = 0.0 OR nv = 0.0 THEN 0.0
                   ELSE ($dotE) / (${norms(i)} * nv) END) AS cos
-          FROM v"""
+          FROM ${p}v"""
     }.mkString("\n        UNION ALL ")
-    s"""v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      v AS (SELECT vec_id, e, sqrt($selfDot) AS nv FROM v0),
-      cellcos AS ($cellBranches),
-      cells AS (
+    s"""${p}v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      ${p}v AS (SELECT vec_id, e, sqrt($selfDot) AS nv FROM ${p}v0),
+      ${p}cellcos AS ($cellBranches),
+      ${p}cells AS (
         SELECT vec_id, e, cell FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
             ORDER BY cos DESC, cell) AS rn
-          FROM cellcos) WHERE rn = 1)"""
+          FROM ${p}cellcos) WHERE rn = 1)"""
   }
 
   def ivfOracleSql(spark: SparkSession, sfDir: String): String = {
@@ -1516,43 +1523,26 @@ object SparkEntry {
     val cent = graft.ops.Similarity.trainedCentroids(em, nlist = 8)
     val cb = graft.ops.Pq.trainCodebooks(em, m = 8, ks = 16)
     val m = cb.length
-    val norms = cent.map(c => math.sqrt(c.map(x => x * x).sum))
-    val dim = cent.head.length
-    val selfDot = (0 until dim).map(d => s"e[${d + 1}]*e[${d + 1}]").mkString(" + ")
-    val cellBranches = cent.zipWithIndex.map { case (c, i) =>
-      val dotE = c.zipWithIndex
-        .map { case (w, d) => s"e[${d + 1}]*$w" }.mkString(" + ")
-      s"""SELECT vec_id, $i AS cell,
-            (CASE WHEN ${norms(i)} = 0.0 OR nv = 0.0 THEN 0.0
-                  ELSE ($dotE) / (${norms(i)} * nv) END) AS cos
-          FROM iv"""
-    }.mkString("\n        UNION ALL ")
     val adcJoins = (1 until m).map { s =>
       s"JOIN ql l$s ON l$s.query_id = l0.query_id AND l$s.s = $s AND l$s.j = n.c$s"
     }.mkString("\n        ")
     val adcSum = (0 until m).map(s => s"l$s.dist").mkString(" + ")
     s"""
       WITH ${duckPqCtes(cb)},
-      iv AS (SELECT vec_id, e, sqrt($selfDot) AS nv FROM v),
-      ivcos AS ($cellBranches),
-      icells AS (
-        SELECT vec_id AS neighbor_id, cell FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id
-            ORDER BY cos DESC, cell) AS rn
-          FROM ivcos) WHERE rn = 1),
+      ${duckCellAssignCtes(cent, prefix = "i")},
       probed AS (
         SELECT vec_id AS query_id, cell FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
             ORDER BY cos DESC, cell) AS rn
-          FROM ivcos WHERE vec_id < 20) WHERE rn <= 2),
+          FROM icellcos WHERE vec_id < 20) WHERE rn <= 2),
       adc AS (
-        SELECT p.query_id, a.neighbor_id, $adcSum AS adist
+        SELECT p.query_id, a.vec_id AS neighbor_id, $adcSum AS adist
         FROM probed p
         JOIN icells a USING (cell)
-        JOIN n ON n.neighbor_id = a.neighbor_id
+        JOIN n ON n.neighbor_id = a.vec_id
         JOIN ql l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = n.c0
         $adcJoins
-        WHERE p.query_id <> a.neighbor_id)
+        WHERE p.query_id <> a.vec_id)
       SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
         round(adist, 4) AS adc_dist
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id

@@ -45,6 +45,58 @@ object PqExpressions {
       s"expected array<float|double>, got $other")
   }
 
+  /** Shared codegen for the per-subspace argmin loop — the ONE source
+    * of the encode arithmetic both [[PqEncode]] (int codes) and
+    * [[PqEncodeBytes]] (byte codes) emit, so the bit-identity contract
+    * with the oracle cannot silently fork between the two output
+    * types. Returns (outVar, code); `out` is a filled
+    * `elemJavaType[m]` (all zeros for the short-vector guard case). */
+  private def encodeLoopCode(ctx: CodegenContext, v: String,
+                             cube: Array[Array[Array[Double]]],
+                             isFloat: Boolean,
+                             elemJavaType: String): (String, String) = {
+    val cb = ctx.addReferenceObj("pqCodebooks", cube, "double[][][]")
+    val m = cube.length
+    val ds = cube(0)(0).length
+    val out = ctx.freshName("codes")
+    val s = ctx.freshName("s")
+    val off = ctx.freshName("off")
+    val book = ctx.freshName("book")
+    val best = ctx.freshName("best")
+    val bestDist = ctx.freshName("bestDist")
+    val j = ctx.freshName("j")
+    val c = ctx.freshName("c")
+    val dist = ctx.freshName("dist")
+    val d = ctx.freshName("d")
+    val x = ctx.freshName("x")
+    val diff = ctx.freshName("diff")
+    val load =
+      if (isFloat) s"(double) $v.getFloat($off + $d)"
+      else s"$v.getDouble($off + $d)"
+    (out, s"""
+        $elemJavaType[] $out = new $elemJavaType[$m];
+        if ($v.numElements() >= ${m * ds}) {
+          for (int $s = 0; $s < $m; $s++) {
+            int $off = $s * $ds;
+            double[][] $book = $cb[$s];
+            int $best = 0;
+            double $bestDist = java.lang.Double.POSITIVE_INFINITY;
+            for (int $j = 0; $j < $book.length; $j++) {
+              double[] $c = $book[$j];
+              double $dist = 0.0;
+              for (int $d = 0; $d < $ds; $d++) {
+                double $x = $load;
+                double $diff = $x - $c[$d];
+                $dist += $diff * $diff;
+              }
+              if ($dist < $bestDist) { $bestDist = $dist; $best = $j; }
+            }
+            $out[$s] = ($elemJavaType) $best;
+          }
+        }
+        """)
+  }
+
   /** Per-subspace argmin code over a fixed codebook cube:
     * codes[s] = argmin_j Σ_d (vec[s·ds+d] − cb[s][j][d])², ties to the
     * lowest j. Output `array<int>` of length m. */
@@ -93,45 +145,10 @@ object PqExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, v => {
-        val cb = ctx.addReferenceObj("pqCodebooks", cube, "double[][][]")
-        val m = cube.length
-        val codes = ctx.freshName("codes")
-        val s = ctx.freshName("s")
-        val off = ctx.freshName("off")
-        val book = ctx.freshName("book")
-        val best = ctx.freshName("best")
-        val bestDist = ctx.freshName("bestDist")
-        val j = ctx.freshName("j")
-        val c = ctx.freshName("c")
-        val dist = ctx.freshName("dist")
-        val d = ctx.freshName("d")
-        val x = ctx.freshName("x")
-        val diff = ctx.freshName("diff")
-        val load =
-          if (isFloat) s"(double) $v.getFloat($off + $d)"
-          else s"$v.getDouble($off + $d)"
+        val (out, code) = encodeLoopCode(ctx, v, cube, isFloat, "int")
         s"""
-        int[] $codes = new int[$m];
-        if ($v.numElements() >= ${m * ds}) {
-          for (int $s = 0; $s < $m; $s++) {
-            int $off = $s * $ds;
-            double[][] $book = $cb[$s];
-            int $best = 0;
-            double $bestDist = java.lang.Double.POSITIVE_INFINITY;
-            for (int $j = 0; $j < $book.length; $j++) {
-              double[] $c = $book[$j];
-              double $dist = 0.0;
-              for (int $d = 0; $d < $ds; $d++) {
-                double $x = $load;
-                double $diff = $x - $c[$d];
-                $dist += $diff * $diff;
-              }
-              if ($dist < $bestDist) { $bestDist = $dist; $best = $j; }
-            }
-            $codes[$s] = $best;
-          }
-        }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+        $code
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
         """
       })
 
@@ -293,47 +310,11 @@ object PqExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, v => {
-        val cb = ctx.addReferenceObj("pqCodebooks",
-          codebooks.map(_.map(_.toArray).toArray).toArray, "double[][][]")
-        val m = codebooks.length
-        val ds = codebooks.head.head.length
-        val isFloat = elemIsFloat(child)
-        val out = ctx.freshName("out")
-        val s = ctx.freshName("s")
-        val off = ctx.freshName("off")
-        val book = ctx.freshName("book")
-        val best = ctx.freshName("best")
-        val bestDist = ctx.freshName("bestDist")
-        val j = ctx.freshName("j")
-        val c = ctx.freshName("c")
-        val dist = ctx.freshName("dist")
-        val d = ctx.freshName("d")
-        val x = ctx.freshName("x")
-        val diff = ctx.freshName("diff")
-        val load =
-          if (isFloat) s"(double) $v.getFloat($off + $d)"
-          else s"$v.getDouble($off + $d)"
+        val (out, code) = encodeLoopCode(ctx, v,
+          codebooks.map(_.map(_.toArray).toArray).toArray,
+          elemIsFloat(child), "byte")
         s"""
-        byte[] $out = new byte[$m];
-        if ($v.numElements() >= ${m * ds}) {
-          for (int $s = 0; $s < $m; $s++) {
-            int $off = $s * $ds;
-            double[][] $book = $cb[$s];
-            int $best = 0;
-            double $bestDist = java.lang.Double.POSITIVE_INFINITY;
-            for (int $j = 0; $j < $book.length; $j++) {
-              double[] $c = $book[$j];
-              double $dist = 0.0;
-              for (int $d = 0; $d < $ds; $d++) {
-                double $x = $load;
-                double $diff = $x - $c[$d];
-                $dist += $diff * $diff;
-              }
-              if ($dist < $bestDist) { $bestDist = $dist; $best = $j; }
-            }
-            $out[$s] = (byte) $best;
-          }
-        }
+        $code
         ${ev.value} = $out;
         """
       })

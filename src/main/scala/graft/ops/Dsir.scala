@@ -78,8 +78,15 @@ object Dsir {
     val rc = bucketCounts(raw, buckets, textCol)
       .withColumnRenamed("cnt", "rcnt")
     val counts = tc.join(rc, Seq("bucket"), "full_outer")
-    val totals = tc.agg(coalesce(sum("tcnt"), lit(0L)).cast("long").as("tt"))
-      .crossJoin(rc.agg(coalesce(sum("rcnt"), lit(0L)).cast("long").as("rt")))
+    // totals from the ≤buckets-row `counts` relation, NOT from tc/rc
+    // again — those are uncached corpus-sized derivations, and summing
+    // coalesced BIGINTs over the joined relation is exactly the same
+    // integer totals (missing-side rows contribute 0)
+    val totals = counts.agg(
+      coalesce(sum(coalesce(col("tcnt"), lit(0L))), lit(0L))
+        .cast("long").as("tt"),
+      coalesce(sum(coalesce(col("rcnt"), lit(0L))), lit(0L))
+        .cast("long").as("rt"))
     // explode_OUTER keeps featureless documents as one null-bucket row
     // — they score (0, 0) through the same aggregate instead of via a
     // corpus-sized re-join at the end (one fewer shuffle join)
@@ -128,7 +135,10 @@ object Dsir {
       s"Dsir.selectTopFraction: fractionPpm $fractionPpm out of [0, 1e6]")
     val w = logWeights(raw, target, buckets, idCol, textCol)
       .join(raw.select(col(idCol), col(stratumCol)), Seq(idCol))
-    val quotas = w.groupBy(stratumCol)
+    // quotas from the RAW relation: logWeights emits exactly one row
+    // per raw doc, so the per-stratum counts are identical — counting
+    // `w` would run the whole (uncached) weights chain a second time
+    val quotas = raw.groupBy(stratumCol)
       .agg(count(lit(1)).cast("long").as("n"))
       // ⌈fraction·n⌉ in exact integer arithmetic: (n·ppm + 999999) div 1e6
       .select(col(stratumCol),

@@ -45,16 +45,29 @@ object Pq {
   def trainCodebooks(corpus: DataFrame, m: Int, ks: Int = 16,
                      maxIter: Int = 5, maxTrain: Int = 4096,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
-    val train = corpus
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .orderBy("id").limit(maxTrain)
-      .collect().map(_.getSeq[Double](1).toArray)
+                     vecCol: String = "embedding"): Array[Array[Array[Double]]] =
+    trainCodebooksFromSample(
+      Similarity.collectTrainSample(corpus, maxTrain, idCol, vecCol),
+      m, ks, maxIter)
+
+  /** [[trainCodebooks]] over an already-collected sample — shared with
+    * the IVF router training in [[buildIvfPqIndex]] so the build pays
+    * ONE sampling job. Validates every sampled vector's width: a
+    * ragged (short) vector would otherwise surface as a bare
+    * ArrayIndexOutOfBoundsException mid-Lloyd, unlike the distributed
+    * encode whose short-vector contract is documented all-zero codes. */
+  private[ops] def trainCodebooksFromSample(train: Array[Array[Double]],
+                                            m: Int, ks: Int,
+                                            maxIter: Int): Array[Array[Array[Double]]] = {
     require(train.nonEmpty, "Pq.trainCodebooks: empty corpus")
     val dim = train.head.length
     require(m > 0 && dim % m == 0,
       s"Pq.trainCodebooks: dim $dim not divisible by m=$m")
+    train.indices.foreach { i =>
+      require(train(i).length == dim,
+        s"Pq.trainCodebooks: training vector $i has ${train(i).length} " +
+          s"dims, expected $dim (ragged embedding column)")
+    }
     val ds = dim / m
     Array.tabulate(m) { s =>
       val sub = train.map(_.slice(s * ds, s * ds + ds))
@@ -280,9 +293,11 @@ object Pq {
              else Similarity.ivfNlistFor(
                if (corpusSize > 0) corpusSize else corpus.count(),
                maxTrain = maxTrain)
-    val cent = Similarity.trainedCentroids(corpus, nl, maxIter, maxTrain,
-      idCol, vecCol)
-    val cb = trainCodebooks(corpus, m, ks, maxIter, maxTrain, idCol, vecCol)
+    // ONE sampling job feeds both trainers — the router and the
+    // codebooks use the identical deterministic sample anyway
+    val sample = Similarity.collectTrainSample(corpus, maxTrain, idCol, vecCol)
+    val cent = Similarity.trainedCentroidsFromSample(sample, nl, maxIter)
+    val cb = trainCodebooksFromSample(sample, m, ks, maxIter)
     val spark = corpus.sparkSession
     import spark.implicits._
     cent.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -349,15 +364,23 @@ object Pq {
       else corpus0.where(!col("shard").isin(excludeShards: _*))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wCell = Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))
-    val probed = q.crossJoin(broadcast(centroids))
+    // routing and LUTs broadcast SEPARATELY: the (query, cell) pairs
+    // are nprobe tiny rows each, while the m·ks-double LUT rides its
+    // own query-keyed relation — computed and shipped once per query,
+    // not once per probed cell (at real sizing m·ks doubles is ~100s
+    // of KB per query; duplicating it nprobe× in the routing
+    // broadcast was the expensive part)
+    val probedCells = q.crossJoin(broadcast(centroids))
       .withColumn("dist", negate(Similarity.cosine(col("qv"), col("centroid"))))
       .withColumn("cell_rnk", row_number().over(wCell))
       .where(col("cell_rnk") <= nprobe)
-      .select(col("query_id"),
-        PqExpressions.pq_lut(col("qv"), asSeq(cb)).as("lut"), col("cell"))
+      .select(col("query_id"), col("cell"))
+    val luts = q.select(col("query_id"),
+      PqExpressions.pq_lut(col("qv"), asSeq(cb)).as("lut"))
     val scored = corpus.select(col("neighbor_id"), col("codes"), col("cell"))
-      .join(broadcast(probed), Seq("cell"))
+      .join(broadcast(probedCells), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(luts), Seq("query_id"))
       .withColumn("score",
         negate(PqExpressions.pq_adc_bytes(col("lut"), col("codes"), ks)))
     rankAsc(scored, k)

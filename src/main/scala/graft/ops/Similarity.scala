@@ -421,14 +421,31 @@ object Similarity {
     * constant-embedding trick applied to learned constants). */
   def trainedCentroids(corpus: DataFrame, nlist: Int = 16, maxIter: Int = 5,
                        maxTrain: Int = 4096, idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Array[Array[Double]] = {
+                       vecCol: String = "embedding"): Array[Array[Double]] =
+    trainedCentroidsFromSample(
+      collectTrainSample(corpus, maxTrain, idCol, vecCol), nlist, maxIter)
+
+  /** The deterministic bounded training sample every driver-side
+    * trainer here uses: the lowest `maxTrain` ids, one TakeOrdered
+    * pass. Exposed package-private so a build that trains BOTH an IVF
+    * router and PQ codebooks ([[Pq.buildIvfPqIndex]]) collects it
+    * once instead of running the identical corpus job twice. */
+  private[ops] def collectTrainSample(corpus: DataFrame, maxTrain: Int,
+                                      idCol: String,
+                                      vecCol: String): Array[Array[Double]] = {
     val train = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
       .orderBy("id").limit(maxTrain)
       .collect().map(_.getSeq[Double](1).toArray)
-    require(train.nonEmpty, "ivfTopK: empty corpus")
-    trainCentroids(train, math.min(nlist, train.length), maxIter)
+    require(train.nonEmpty, "collectTrainSample: empty corpus")
+    train
   }
+
+  /** [[trainedCentroids]] over an already-collected sample. */
+  private[ops] def trainedCentroidsFromSample(train: Array[Array[Double]],
+                                              nlist: Int,
+                                              maxIter: Int): Array[Array[Double]] =
+    trainCentroids(train, math.min(nlist, train.length), maxIter)
 
   /** Train-once / serve-many IVF index: persists what [[ivfTopK]]
     * recomputes per call — the trained centroids and the cell-assigned
