@@ -139,4 +139,41 @@ object IngestStream {
     Similarity.appendToIvfIndex(spark.read.parquet(s"$sinkDir/batch=$id"),
       indexDir, shardId = s"batch-$id")
   }
+
+  /** Streaming ANN enrichment: each micro-batch of query vectors gets
+    * its top-k neighbors from a persisted [[graft.ops.Pq]] IVF-PQ
+    * index — the retrieval side of a labeling / RAG-style pipeline,
+    * where the index updates on its OWN ingest cadence and the stream
+    * only reads it. `refine > 0` adds the exact-cosine re-rank stage
+    * against `source` (the raw vector relation — the index stores
+    * codes, not floats).
+    *
+    * Replay-safe the usual way: results overwrite `sinkDir/batch=<id>`,
+    * so a replayed batch replaces its own output. The index is never
+    * written here, so batches are independent: the union of per-batch
+    * outputs equals one big indexed call over the union of queries
+    * (spec-asserted) — no cross-batch state to reason about. */
+  def annEnrichStream(queries: DataFrame, indexDir: String, sinkDir: String,
+                      k: Int = 5, nprobe: Int = 4, refine: Int = 0,
+                      source: Option[DataFrame] = None): DataStreamWriter[Row] = {
+    val fn: (Dataset[Row], Long) => Unit = (batch, id) =>
+      annEnrichBatch(batch.toDF(), id, indexDir, sinkDir, k, nprobe,
+        refine, source)
+    queries.writeStream.foreachBatch(fn)
+  }
+
+  /** One enrichment cycle, callable directly for batch backfill. */
+  def annEnrichBatch(batch: DataFrame, id: Long, indexDir: String,
+                     sinkDir: String, k: Int = 5, nprobe: Int = 4,
+                     refine: Int = 0,
+                     source: Option[DataFrame] = None): Unit = {
+    val out =
+      if (refine > 0) {
+        val src = source.getOrElse(sys.error(
+          "annEnrichBatch: refine > 0 needs `source` (the raw vector " +
+            "relation) — the IVF-PQ index holds codes, not floats"))
+        graft.ops.Pq.ivfPqTopKRefined(batch, indexDir, k, src, nprobe, refine)
+      } else graft.ops.Pq.ivfPqTopKIndexed(batch, indexDir, k, nprobe)
+    out.write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
+  }
 }

@@ -144,6 +144,38 @@ class IngestStreamSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet === Set(21L))
   }
 
+  test("ann enrichment: per-batch outputs union to one indexed call; replay idempotent") {
+    val base = Files.createTempDirectory("graft-ann-enrich").toString
+    val (idxDir, sinkDir) = (s"$base/idx", s"$base/sink")
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.ops.Pq.buildIvfPqIndex(em, idxDir, m = 8, ks = 8, nlist = 4)
+    val (qa, qb) = (em.where(col("vec_id") < 5),
+      em.where(col("vec_id") >= 5 && col("vec_id") < 10))
+    IngestStream.annEnrichBatch(qa, 0L, idxDir, sinkDir, k = 3, nprobe = 4)
+    IngestStream.annEnrichBatch(qb, 1L, idxDir, sinkDir, k = 3, nprobe = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toSet
+    // the index is read-only to this flow, so batches are independent:
+    // the union of batch outputs IS one indexed call over all queries
+    assert(rows(spark.read.parquet(sinkDir)
+        .drop("batch")) ===
+      rows(graft.ops.Pq.ivfPqTopKIndexed(
+        em.where(col("vec_id") < 10), idxDir, k = 3, nprobe = 4)))
+    // replay overwrites its own batch dir, not duplicates
+    IngestStream.annEnrichBatch(qa, 0L, idxDir, sinkDir, k = 3, nprobe = 4)
+    assert(spark.read.parquet(s"$sinkDir/batch=0").count() === 15)
+    // refined flavor needs the raw source and re-ranks by exact cosine
+    IngestStream.annEnrichBatch(qa, 2L, idxDir, sinkDir, k = 3, nprobe = 4,
+      refine = 200, source = Some(em))
+    val refined = spark.read.parquet(s"$sinkDir/batch=2")
+    assert(refined.columns.contains("cos_sim"))
+    assert(refined.count() === 15)
+    intercept[RuntimeException] {
+      IngestStream.annEnrichBatch(qa, 3L, idxDir, sinkDir, refine = 2)
+    }
+  }
+
   test("replaying a batch id is idempotent for sink and index") {
     val base = Files.createTempDirectory("graft-ingest-replay").toString
     val (idxDir, sinkDir) = (s"$base/idx", s"$base/sink")
