@@ -146,6 +146,11 @@ class PqSpec extends SparkSpec {
     Pq.buildIvfPqIndex(em, dir, m = 8, ks = 16, nlist = 8)
     val q = em.where(col("vec_id") < 20)
     val approx = Pq.ivfPqTopKIndexed(q, dir, k = 5, nprobe = 2)
+    // the probed-cell broadcast join must partition-prune the corpus
+    // scan (dynamic pruning on the cell dir) — without it the serve
+    // reads every cell's bytes and the nprobe/nlist cost story is gone
+    assert(approx.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"))
     val truth = Similarity.bruteForceTopK(q, em, k = 5)
     val recall = Similarity.annRecall(truth, approx)
       .agg(avg("recall_ppm")).head().getDouble(0)
