@@ -871,6 +871,12 @@ object SparkEntry {
         graft.ops.Pq.ivfPqTopKIndexed(em.where(col("vec_id") < 20),
           ivfPqIndexFor(s, dir), k = 5, nprobe = 2)
       },
+      // CCNet-style perplexity filter signal: mean negative log
+      // likelihood under a self-trained Jelinek-Mercer bigram LM;
+      // per-bigram micro-nats rounded once, integer sums after
+      "q119_bigram_perplexity" -> q { (s, dir) =>
+        LangModel.bigramInterpolatedScore(t(s, dir, "documents"))
+      },
       "q51_training_samples" -> q { (s, dir) =>
         // end-to-end sample prep: curate (dedup chain + quality gate) →
         // per-language deterministic mixture sampling → chunk into
@@ -2457,6 +2463,38 @@ object SparkEntry {
       SELECT doc_id, source, logw_micros, kept_rank
       FROM rk JOIN qt USING (source)
       WHERE kept_rank <= quota""",
+    // q119: the engine's mixing chain mirrored verbatim — λ and 1−λ
+    // interpolate as the SAME Scala-computed doubles (1.0−0.7 prints
+    // 0.30000000000000004; embedding a hand-written 0.3 would be a
+    // different constant), per-bigram micro-nats rounded once
+    "q119_bigram_perplexity" -> s"""
+      WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END AS ts
+        FROM documents),
+      db AS (
+        SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS g
+              FROM toks WHERE len(ts) >= 2)),
+      bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+             FROM db GROUP BY 1, 2),
+      ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1l FROM bc GROUP BY 1),
+      uni AS (SELECT u AS w2, CAST(count(*) AS BIGINT) AS c1r
+              FROM (SELECT unnest(ts) AS u FROM toks) GROUP BY 1),
+      tot AS (SELECT CAST(coalesce(sum(c1r), 0) AS BIGINT) AS t FROM uni),
+      pn AS (
+        SELECT w1, w2,
+          CAST(round(ln(${0.7} * (CAST(c2 AS DOUBLE) / c1l)
+            + ${1.0 - 0.7} * (CAST(c1r AS DOUBLE) / t)) * -1e6) AS BIGINT)
+            AS nlp_micros
+        FROM bc JOIN ctx USING (w1) JOIN uni USING (w2) CROSS JOIN tot),
+      sc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+          CAST(sum(nlp_micros) AS BIGINT) AS sm
+        FROM db JOIN pn USING (w1, w2) GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        CAST(sm // nullif(nb, 0) AS BIGINT) AS avg_nlp_micros
+      FROM documents d LEFT JOIN sc USING (doc_id)""",
     "q66_bigram_lm" -> s"""
       WITH toks AS (
         SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]

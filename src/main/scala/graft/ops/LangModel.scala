@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-trained unigram language-model scoring: each document gets the
@@ -268,6 +268,68 @@ object LangModel {
           .cast("long").as("logp_micros"))
       .orderBy(col("c2").desc, col("w1"), col("w2"))
       .limit(k)
+  }
+
+  /** Bigram-interpolated LM document scoring — the CCNet-style
+    * "perplexity filter" signal: each document's mean negative log
+    * likelihood under a Jelinek-Mercer-interpolated bigram model
+    * trained on the corpus itself,
+    *
+    *   P(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/T
+    *
+    * (c(w₁·) = bigram tokens starting with w₁, T = unigram tokens).
+    * Self-training means every document bigram exists in the counts —
+    * no OOV branch; the unigram term alone handles unseen *contexts*
+    * in held-out variants a caller builds by passing a different
+    * training frame through [[crossUnigramScore]]'s pattern.
+    *
+    * Determinism (the engine-wide integer-micros recipe): the mixed
+    * probability is computed per DISTINCT BIGRAM with a fixed
+    * left-associated arithmetic chain, rounded once to BIGINT
+    * micro-nats, and every per-document aggregate after that is exact
+    * integer arithmetic — order-independent under any partitioning.
+    *
+    * Scale shape: one corpus pass for bigram counts (one shuffle on
+    * the pair), context totals by one more bounded aggregate, the
+    * scoring join is a shuffled equi-join on the pair key (the bigram
+    * relation is vocabulary²-bounded in principle but corpus-bounded
+    * in fact — NOT broadcast), then one per-doc aggregate. Documents
+    * with fewer than two tokens surface with (0, null) via
+    * explode_outer, never dropped. */
+  def bigramInterpolatedScore(docs: DataFrame, lambda: Double = 0.7,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val bgOf = (ts: Column) => when(size(ts) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+    val toks = docs.select(TextStats.tokens(col(textCol)).as("ts"))
+    val bc = toks
+      .select(explode(bgOf(col("ts"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c2"))
+    val ctx = bc.groupBy("w1").agg(sum("c2").cast("long").as("c1l"))
+    val uni = toks.select(explode(col("ts")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).cast("long").as("c1r"))
+    val tot = uni.agg(coalesce(sum("c1r"), lit(0L)).cast("long").as("t"))
+    // per-bigram micro-nats: ln(λ·(c2/c1l) + (1−λ)·(c1r/T)) · −1e6,
+    // rounded ONCE — the chain below is mirrored verbatim in the q119
+    // oracle SQL
+    val pairNlp = bc.join(ctx, "w1").join(uni, "w2").crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        round(log(lit(lambda) * (col("c2").cast("double") / col("c1l"))
+          + lit(1.0 - lambda) * (col("c1r").cast("double") / col("t")))
+          * -1e6).cast("long").as("nlp_micros"))
+    docs
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("ts"))
+      .select(col(idCol), explode_outer(bgOf(col("ts"))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(pairNlp, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("w1")).cast("long").as("n_bigrams"),
+        sum(col("nlp_micros")).cast("long").as("sum_micros"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("sum_micros div nullif(n_bigrams, 0)").as("avg_nlp_micros"))
   }
 
   /** Corpus-trained multinomial Naive Bayes over a bounded feature

@@ -118,6 +118,28 @@ class LangModelSpec extends SparkSpec {
     assert(nbD1.toSeq === nbC1.toSeq)
   }
 
+  test("bigramInterpolatedScore: hand-computed micro-nats, short docs (0, null), repeated text scores lower") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"),  // bigrams: (a,b)x2, (a,c)x1
+      (4L, "a"),                              // < 2 tokens
+      (5L, "")                                // featureless
+    ).toDF("doc_id", "text")
+    val got = LangModel.bigramInterpolatedScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    // counts: c2(a,b)=2, c2(a,c)=1, c1l(a)=3; uni: a=4, b=2, c=1, T=7
+    def nlp(c2: Long, c1l: Long, c1r: Long): Long =
+      math.round(math.log(0.7 * (c2.toDouble / c1l)
+        + (1.0 - 0.7) * (c1r.toDouble / 7)) * -1e6)
+    assert(got(1L) === ((1L, Some(nlp(2, 3, 2)))))
+    assert(got(3L) === ((1L, Some(nlp(1, 3, 1)))))
+    assert(got(4L) === ((0L, None)))
+    assert(got(5L) === ((0L, None)))
+    // the twice-seen bigram is more likely -> lower negative log
+    assert(got(1L)._2.get < got(3L)._2.get)
+  }
+
   test("bpe pair counts weight pairs by corpus word frequency") {
     import spark.implicits._
     // "abab" twice and "ab" once: ab=2·2+1=5, ba=2·1=2, bb=0;
