@@ -250,14 +250,23 @@ object LangModel {
     * Σ_w2' c(w1,w2') re-aggregates that already-reduced relation (rows ∝
     * distinct bigrams, not corpus tokens) and broadcasts back; top-k is
     * a bounded TakeOrdered, never a global sort. */
+  /** Adjacent-pair bigram structs of a token array — THE bigram
+    * extraction both [[bigramCounts]] (q66) and
+    * [[bigramInterpolatedScore]] (q119) derive from; one definition so
+    * the LM-training relation and the scoring relation cannot drift.
+    * Sub-2-token arrays yield a typed empty array (sequence(0, -1)
+    * would run BACKWARDS in Spark). */
+  private[ops] def bigramStructs(ts: Column): Column =
+    when(size(ts) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(0), size(ts) - 2),
+        i => struct(element_at(ts, i + 1).as("w1"),
+          element_at(ts, i + 2).as("w2"))))
+
   def bigramCounts(docs: DataFrame, k: Int = 50,
                    textCol: String = "text"): DataFrame = {
     val bg = docs
       .select(TextStats.tokens(col(textCol)).as("ts"))
-      .where(size(col("ts")) >= 2)   // sequence(0, -1) would run backwards
-      .select(explode(expr(
-        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
-        .as("b"))
+      .select(explode(bigramStructs(col("ts"))).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .where(col("w1").isNotNull && col("w2").isNotNull)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
@@ -289,45 +298,50 @@ object LangModel {
     * micro-nats, and every per-document aggregate after that is exact
     * integer arithmetic — order-independent under any partitioning.
     *
-    * Scale shape: one corpus pass for bigram counts (one shuffle on
-    * the pair), context totals by one more bounded aggregate, the
-    * scoring join is a shuffled equi-join on the pair key (the bigram
-    * relation is vocabulary²-bounded in principle but corpus-bounded
-    * in fact — NOT broadcast), then one per-doc aggregate. Documents
-    * with fewer than two tokens surface with (0, null) via
-    * explode_outer, never dropped. */
+    * Scale shape (the [[unigramScoreDirect]] recipe): ONE corpus
+    * bigram pass — the per-doc (id, w1, w2, k) tf relation's exchange
+    * feeds BOTH the corpus bigram counts (a fold of the same
+    * aggregate) and the pair-key scoring join, so the corpus
+    * tokenizes twice in total (bigrams + the separate unigram pass),
+    * not three times. The vocabulary-sized context/unigram relations
+    * broadcast into the per-distinct-bigram probability projection
+    * (the [[bigramCounts]] treatment); only the pair-key scoring join
+    * shuffles at corpus-bigram scale. Documents with fewer than two
+    * tokens surface with (0, null) via explode_outer, never dropped. */
   def bigramInterpolatedScore(docs: DataFrame, lambda: Double = 0.7,
                               idCol: String = "doc_id",
                               textCol: String = "text"): DataFrame = {
-    val bgOf = (ts: Column) => when(size(ts) < 2,
-        array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(expr(
-        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
-    val toks = docs.select(TextStats.tokens(col(textCol)).as("ts"))
-    val bc = toks
-      .select(explode(bgOf(col("ts"))).as("b"))
-      .select(col("b.w1"), col("b.w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c2"))
+    val tf = docs
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("ts"))
+      .select(col(idCol), explode_outer(bigramStructs(col("ts"))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("k"))
+    // corpus bigram counts fold the SAME tf exchange (guard above the
+    // exchange keeps the subtree canonical — the unigramScoreDirect /
+    // Tfidf ReuseExchange shape); featureless docs' null-bigram row
+    // drops here and is handled in the final aggregate
+    val bc = tf.where(col("w1").isNotNull && col("k") > 0)
+      .groupBy("w1", "w2").agg(sum("k").cast("long").as("c2"))
     val ctx = bc.groupBy("w1").agg(sum("c2").cast("long").as("c1l"))
-    val uni = toks.select(explode(col("ts")).as("w2"))
+    val uni = docs
+      .select(explode(TextStats.tokens(col(textCol))).as("w2"))
       .groupBy("w2").agg(count(lit(1)).cast("long").as("c1r"))
     val tot = uni.agg(coalesce(sum("c1r"), lit(0L)).cast("long").as("t"))
     // per-bigram micro-nats: ln(λ·(c2/c1l) + (1−λ)·(c1r/T)) · −1e6,
     // rounded ONCE — the chain below is mirrored verbatim in the q119
-    // oracle SQL
-    val pairNlp = bc.join(ctx, "w1").join(uni, "w2").crossJoin(broadcast(tot))
+    // oracle SQL; ctx/uni are vocabulary-sized → broadcast
+    val pairNlp = bc.join(broadcast(ctx), "w1").join(broadcast(uni), "w2")
+      .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"),
         round(log(lit(lambda) * (col("c2").cast("double") / col("c1l"))
           + lit(1.0 - lambda) * (col("c1r").cast("double") / col("t")))
           * -1e6).cast("long").as("nlp_micros"))
-    docs
-      .select(col(idCol), TextStats.tokens(col(textCol)).as("ts"))
-      .select(col(idCol), explode_outer(bgOf(col("ts"))).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .join(pairNlp, Seq("w1", "w2"), "left")
+    tf.join(pairNlp, Seq("w1", "w2"), "left")
       .groupBy(col(idCol))
-      .agg(count(col("w1")).cast("long").as("n_bigrams"),
-        sum(col("nlp_micros")).cast("long").as("sum_micros"))
+      .agg(sum(when(col("w1").isNull, lit(0L)).otherwise(col("k")))
+          .cast("long").as("n_bigrams"),
+        sum(col("k") * col("nlp_micros")).cast("long").as("sum_micros"))
       .select(col(idCol), col("n_bigrams"),
         expr("sum_micros div nullif(n_bigrams, 0)").as("avg_nlp_micros"))
   }

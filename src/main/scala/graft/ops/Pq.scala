@@ -136,15 +136,17 @@ object Pq {
   private def adcRank(queries: DataFrame, codes: DataFrame,
                       codebooks: Array[Array[Array[Double]]], k: Int,
                       idCol: String, vecCol: String,
-                      packed: Boolean = false): DataFrame = {
+                      packed: Boolean = false,
+                      excludeSelf: Boolean = true): DataFrame = {
     val ks = codebooks(0).length
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       PqExpressions.pq_lut(col(vecCol), asSeq(codebooks)).as("lut")))
     def adc = if (packed) PqExpressions.pq_adc_bytes(col("lut"), col("codes"), ks)
               else PqExpressions.pq_adc(col("lut"), col("codes"), ks)
-    val scored = codes
-      .select(col(idCol).as("neighbor_id"), col("codes"))
-      .join(q, col("query_id") =!= col("neighbor_id"))
+    val cand = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+    val scored =
+      (if (excludeSelf) cand.join(q, col("query_id") =!= col("neighbor_id"))
+       else cand.crossJoin(q))
       .withColumn("score", negate(adc))
     rankAsc(scored, k)
   }
@@ -352,7 +354,8 @@ object Pq {
   def ivfPqTopKIndexed(queries: DataFrame, dir: String, k: Int,
                        nprobe: Int = 4, idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       excludeShards: Seq[String] = Nil): DataFrame = {
+                       excludeShards: Seq[String] = Nil,
+                       excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     val root = Generations.root(spark, dir)
     val cb = readCodebooks(spark, root)
@@ -377,9 +380,16 @@ object Pq {
       .select(col("query_id"), col("cell"))
     val luts = q.select(col("query_id"),
       PqExpressions.pq_lut(col("qv"), asSeq(cb)).as("lut"))
-    val scored = corpus.select(col("neighbor_id"), col("codes"), col("cell"))
+    // excludeSelf: the ANN-family default filters the trivial self
+    // pair when queries ARE corpus rows; pass false when query ids
+    // live in a DIFFERENT namespace than the index (the enrichment
+    // shape) — an id collision there is not a self pair, and dropping
+    // it would silently hide a true neighbor
+    val joined = corpus.select(col("neighbor_id"), col("codes"), col("cell"))
       .join(broadcast(probedCells), Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
+    val scored =
+      (if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+       else joined)
       .join(broadcast(luts), Seq("query_id"))
       .withColumn("score",
         negate(PqExpressions.pq_adc_bytes(col("lut"), col("codes"), ks)))
@@ -441,10 +451,12 @@ object Pq {
                        source: DataFrame, nprobe: Int = 4, refine: Int = 4,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       excludeShards: Seq[String] = Nil): DataFrame = {
+                       excludeShards: Seq[String] = Nil,
+                       excludeSelf: Boolean = true): DataFrame = {
     require(refine > 0, s"Pq.ivfPqTopKRefined: refine must be positive, got $refine")
     val shortlist = ivfPqTopKIndexed(queries, dir, k * refine, nprobe,
-      idCol, vecCol, excludeShards).select(col("query_id"), col("neighbor_id"))
+      idCol, vecCol, excludeShards, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
     rerankExact(shortlist, queries, source, k, idCol, vecCol)
   }
 }

@@ -152,13 +152,21 @@ object IngestStream {
     * so a replayed batch replaces its own output. The index is never
     * written here, so batches are independent: the union of per-batch
     * outputs equals one big indexed call over the union of queries
-    * (spec-asserted) — no cross-batch state to reason about. */
+    * (spec-asserted) — no cross-batch state to reason about.
+    *
+    * `excludeSelf` defaults FALSE here, the opposite of the Pq family:
+    * enrichment queries normally come from a DIFFERENT id namespace
+    * than the index, so an id collision is not a self pair — the
+    * family default would silently hide a true neighbor whose vec_id
+    * happens to equal the query's. Pass true only when the stream's
+    * queries really are corpus rows. */
   def annEnrichStream(queries: DataFrame, indexDir: String, sinkDir: String,
                       k: Int = 5, nprobe: Int = 4, refine: Int = 0,
-                      source: Option[DataFrame] = None): DataStreamWriter[Row] = {
+                      source: Option[DataFrame] = None,
+                      excludeSelf: Boolean = false): DataStreamWriter[Row] = {
     val fn: (Dataset[Row], Long) => Unit = (batch, id) =>
       annEnrichBatch(batch.toDF(), id, indexDir, sinkDir, k, nprobe,
-        refine, source)
+        refine, source, excludeSelf)
     queries.writeStream.foreachBatch(fn)
   }
 
@@ -166,14 +174,17 @@ object IngestStream {
   def annEnrichBatch(batch: DataFrame, id: Long, indexDir: String,
                      sinkDir: String, k: Int = 5, nprobe: Int = 4,
                      refine: Int = 0,
-                     source: Option[DataFrame] = None): Unit = {
+                     source: Option[DataFrame] = None,
+                     excludeSelf: Boolean = false): Unit = {
     val out =
       if (refine > 0) {
         val src = source.getOrElse(sys.error(
           "annEnrichBatch: refine > 0 needs `source` (the raw vector " +
             "relation) — the IVF-PQ index holds codes, not floats"))
-        graft.ops.Pq.ivfPqTopKRefined(batch, indexDir, k, src, nprobe, refine)
-      } else graft.ops.Pq.ivfPqTopKIndexed(batch, indexDir, k, nprobe)
+        graft.ops.Pq.ivfPqTopKRefined(batch, indexDir, k, src, nprobe, refine,
+          excludeSelf = excludeSelf)
+      } else graft.ops.Pq.ivfPqTopKIndexed(batch, indexDir, k, nprobe,
+        excludeSelf = excludeSelf)
     out.write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
   }
 }

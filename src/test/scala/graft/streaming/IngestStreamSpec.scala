@@ -151,8 +151,13 @@ class IngestStreamSpec extends SparkSpec {
     graft.ops.Pq.buildIvfPqIndex(em, idxDir, m = 8, ks = 8, nlist = 4)
     val (qa, qb) = (em.where(col("vec_id") < 5),
       em.where(col("vec_id") >= 5 && col("vec_id") < 10))
-    IngestStream.annEnrichBatch(qa, 0L, idxDir, sinkDir, k = 3, nprobe = 4)
-    IngestStream.annEnrichBatch(qb, 1L, idxDir, sinkDir, k = 3, nprobe = 4)
+    // these queries ARE corpus rows, so self-exclusion is wanted — the
+    // non-default here; the default (false) is the external-namespace
+    // contract asserted below
+    IngestStream.annEnrichBatch(qa, 0L, idxDir, sinkDir, k = 3, nprobe = 4,
+      excludeSelf = true)
+    IngestStream.annEnrichBatch(qb, 1L, idxDir, sinkDir, k = 3, nprobe = 4,
+      excludeSelf = true)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
         r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toSet
@@ -163,17 +168,57 @@ class IngestStreamSpec extends SparkSpec {
       rows(graft.ops.Pq.ivfPqTopKIndexed(
         em.where(col("vec_id") < 10), idxDir, k = 3, nprobe = 4)))
     // replay overwrites its own batch dir, not duplicates
-    IngestStream.annEnrichBatch(qa, 0L, idxDir, sinkDir, k = 3, nprobe = 4)
+    IngestStream.annEnrichBatch(qa, 0L, idxDir, sinkDir, k = 3, nprobe = 4,
+      excludeSelf = true)
     assert(spark.read.parquet(s"$sinkDir/batch=0").count() === 15)
+    // DEFAULT (external id namespace): an id-colliding corpus row is a
+    // legitimate neighbor — querying with corpus row 0's own vector
+    // must surface vec 0 itself at rank 1, distance 0
+    IngestStream.annEnrichBatch(qa, 2L, idxDir, sinkDir, k = 3, nprobe = 4)
+    // (ADC to its own codes is the quantization residual, not 0 — the
+    // contract is presence, not distance)
+    val q0 = spark.read.parquet(s"$sinkDir/batch=2")
+      .where(col("query_id") === 0L).collect()
+    assert(q0.exists(_.getAs[Long]("neighbor_id") == 0L),
+      "id-colliding corpus row was dropped under excludeSelf=false")
     // refined flavor needs the raw source and re-ranks by exact cosine
-    IngestStream.annEnrichBatch(qa, 2L, idxDir, sinkDir, k = 3, nprobe = 4,
-      refine = 200, source = Some(em))
-    val refined = spark.read.parquet(s"$sinkDir/batch=2")
+    IngestStream.annEnrichBatch(qa, 3L, idxDir, sinkDir, k = 3, nprobe = 4,
+      refine = 200, source = Some(em), excludeSelf = true)
+    val refined = spark.read.parquet(s"$sinkDir/batch=3")
     assert(refined.columns.contains("cos_sim"))
     assert(refined.count() === 15)
     intercept[RuntimeException] {
-      IngestStream.annEnrichBatch(qa, 3L, idxDir, sinkDir, refine = 2)
+      IngestStream.annEnrichBatch(qa, 4L, idxDir, sinkDir, refine = 2)
     }
+  }
+
+  test("ann enrichment through a real streaming query: two file batches, batch-keyed sink") {
+    val base = Files.createTempDirectory("graft-ann-stream").toString
+    val (idxDir, srcDir, sinkDir, ckDir) =
+      (s"$base/idx", s"$base/src", s"$base/sink", s"$base/ck")
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.ops.Pq.buildIvfPqIndex(em, idxDir, m = 8, ks = 8, nlist = 4)
+    em.where(col("vec_id") < 5).select("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$srcDir/a")
+    em.where(col("vec_id") >= 5 && col("vec_id") < 10)
+      .select("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$srcDir/b")
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = IngestStream.annEnrichStream(stream, idxDir, sinkDir,
+        k = 3, nprobe = 4, excludeSelf = true)
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(600000), "stream did not finish within 10 min")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toSet
+    assert(spark.read.parquet(sinkDir).select("batch").distinct().count() === 2)
+    assert(rows(spark.read.parquet(sinkDir).drop("batch")) ===
+      rows(graft.ops.Pq.ivfPqTopKIndexed(
+        em.where(col("vec_id") < 10), idxDir, k = 3, nprobe = 4)))
   }
 
   test("replaying a batch id is idempotent for sink and index") {
