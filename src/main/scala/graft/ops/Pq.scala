@@ -169,10 +169,11 @@ object Pq {
     * row, and each candidate costs m adds instead of d multiplies. */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int,
            m: Int, ks: Int = 16, maxIter: Int = 5, maxTrain: Int = 4096,
-           idCol: String = "vec_id",
-           vecCol: String = "embedding"): DataFrame = {
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           excludeSelf: Boolean = true): DataFrame = {
     val cb = trainCodebooks(corpus, m, ks, maxIter, maxTrain, idCol, vecCol)
-    adcRank(queries, encode(corpus, cb, idCol, vecCol), cb, k, idCol, vecCol)
+    adcRank(queries, encode(corpus, cb, idCol, vecCol), cb, k, idCol, vecCol,
+      excludeSelf = excludeSelf)
   }
 
   /** Train-once / serve-many PQ index: `dir/codebooks` (s, j, centroid)
@@ -217,13 +218,14 @@ object Pq {
     * no training collect, no PqEncode over the corpus. */
   def pqTopKIndexed(queries: DataFrame, dir: String, k: Int,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     val root = Generations.root(spark, dir)
     val cb = readCodebooks(spark, root)
     adcRank(queries, spark.read.parquet(s"$root/codes")
       .select(col("id").as(idCol), col("codes")), cb, k, idCol, vecCol,
-      packed = true)
+      packed = true, excludeSelf = excludeSelf)
   }
 
   /** PQ shortlist + exact re-rank (the faiss refine stage): ADC ranks
