@@ -310,23 +310,30 @@ object LangModel {
     * tokens surface with (0, null) via explode_outer, never dropped. */
   def bigramInterpolatedScore(docs: DataFrame, lambda: Double = 0.7,
                               idCol: String = "doc_id",
-                              textCol: String = "text"): DataFrame = {
-    val tf = docs
+                              textCol: String = "text",
+                              checkpointDir: Option[String] = None): DataFrame = {
+    // both corpus-derived relations are STRUCTURALLY materialized (the
+    // crossUnigramScore treatment): tf feeds the corpus bigram counts
+    // AND the scoring join, uni feeds the unigram model AND the token
+    // total — relying on ReuseExchange re-ran the tokenize scan per
+    // consumer (column pruning de-canonicalizes the subtrees; observed
+    // 5-scan plan), so the corpus now tokenizes exactly twice
+    val ck = Checkpoints.truncator(docs.sparkSession, checkpointDir)
+    val tf = ck(docs
       .select(col(idCol), TextStats.tokens(col(textCol)).as("ts"))
       .select(col(idCol), explode_outer(bigramStructs(col("ts"))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).cast("long").as("k"))
-    // corpus bigram counts fold the SAME tf exchange (guard above the
-    // exchange keeps the subtree canonical — the unigramScoreDirect /
-    // Tfidf ReuseExchange shape); featureless docs' null-bigram row
-    // drops here and is handled in the final aggregate
-    val bc = tf.where(col("w1").isNotNull && col("k") > 0)
+      .agg(count(lit(1)).cast("long").as("k")))
+    // featureless docs' (null, null) group survives into bc but joins
+    // nothing in the probability projection (null keys never
+    // equi-match), so every real count is unchanged
+    val bc = tf.where(col("k") > 0)
       .groupBy("w1", "w2").agg(sum("k").cast("long").as("c2"))
     val ctx = bc.groupBy("w1").agg(sum("c2").cast("long").as("c1l"))
-    val uni = docs
+    val uni = ck(docs
       .select(explode(TextStats.tokens(col(textCol))).as("w2"))
-      .groupBy("w2").agg(count(lit(1)).cast("long").as("c1r"))
+      .groupBy("w2").agg(count(lit(1)).cast("long").as("c1r")))
     val tot = uni.agg(coalesce(sum("c1r"), lit(0L)).cast("long").as("t"))
     // per-bigram micro-nats: ln(λ·(c2/c1l) + (1−λ)·(c1r/T)) · −1e6,
     // rounded ONCE — the chain below is mirrored verbatim in the q119
