@@ -70,13 +70,24 @@ object Dsir {
     * `target`: (idCol, n_feats, logw_micros). Featureless documents
     * (empty text) score (0, 0) rather than dropping out. */
   def logWeights(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
-                 idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 checkpointDir: Option[String] = None): DataFrame = {
     require(buckets > 0, s"Dsir.logWeights: buckets must be positive, got $buckets")
+    // the raw pool featurizes ONCE: the per-doc (id, bucket, k)
+    // relation is structurally materialized (ReuseExchange does not
+    // survive the differing prunes — the q119 lesson) and the raw
+    // bucket model FOLDS it; only the target corpus gets its own
+    // featurize pass
+    val ck = Checkpoints.truncator(raw.sparkSession, checkpointDir)
+    val docFeats = ck(raw
+      .select(col(idCol), explode_outer(featureArray(col(textCol))).as("f"))
+      .select(col(idCol), bucketOf(col("f"), buckets))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("k")))
     val tc = bucketCounts(target, buckets, textCol)
       .withColumnRenamed("cnt", "tcnt")
-    val rc = bucketCounts(raw, buckets, textCol)
-      .withColumnRenamed("cnt", "rcnt")
+    val rc = docFeats.where(col("bucket").isNotNull)
+      .groupBy("bucket").agg(sum("k").cast("long").as("rcnt"))
     val counts = tc.join(rc, Seq("bucket"), "full_outer")
     // totals from the ≤buckets-row `counts` relation, NOT from tc/rc
     // again — those are uncached corpus-sized derivations, and summing
@@ -87,14 +98,9 @@ object Dsir {
         .cast("long").as("tt"),
       coalesce(sum(coalesce(col("rcnt"), lit(0L))), lit(0L))
         .cast("long").as("rt"))
-    // explode_OUTER keeps featureless documents as one null-bucket row
-    // — they score (0, 0) through the same aggregate instead of via a
-    // corpus-sized re-join at the end (one fewer shuffle join)
-    val docFeats = raw
-      .select(col(idCol), explode_outer(featureArray(col(textCol))).as("f"))
-      .select(col(idCol), bucketOf(col("f"), buckets))
-      .groupBy(col(idCol), col("bucket"))
-      .agg(count(lit(1)).cast("long").as("k"))
+    // explode_OUTER above kept featureless documents as a null-bucket
+    // row — they score (0, 0) through the same aggregate instead of
+    // via a corpus-sized re-join at the end
     docFeats
       .join(broadcast(counts), Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
