@@ -32,9 +32,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * codegen path, and the oracle's embedded-literal SQL.
   *
   * Short-vector contract (the [[VectorExpressions.SrpBucket]]
-  * convention): a vector with fewer than m·ds elements encodes to all-
-  * zero codes / an all-zero LUT rather than raising — every caller in
-  * [[graft.ops.Pq]] guards dimensions before this matters.
+  * convention): the expressions themselves encode a vector with fewer
+  * than m·ds elements to all-zero codes / an all-zero LUT rather than
+  * raising — but every [[graft.ops.Pq]] encode/LUT site now precedes
+  * them with a PER-ROW width filter (`Pq.widthGuarded`, the LSH
+  * dimGuard convention) that raises loudly on short vectors, so the
+  * zero-code branch is unreachable through the public operators; it
+  * remains the expressions' own behavior only for direct expression
+  * use. Vectors LONGER than m·ds prefix-encode over their first m·ds
+  * dims.
   */
 object PqExpressions {
 

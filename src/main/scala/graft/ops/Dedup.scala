@@ -515,7 +515,11 @@ object Dedup {
     require(restartEvery >= 1, s"restartEvery $restartEvery must be >= 1")
     val spark = pairs.sparkSession
     val ck = Checkpoints.truncator(spark, checkpointDir)
-    val resumed = restartDir.flatMap(Restart.latest(spark, _))
+    // atMost = maxIter, like pageRank / bpeTrain: a rerun with a
+    // smaller budget over a dir holding later rounds must resume AT
+    // OR BELOW its own maxIter (resuming past it would throw the
+    // non-convergence error below instead of converging)
+    val resumed = restartDir.flatMap(Restart.latest(spark, _, atMost = maxIter))
     // orient large→small; drop self-loops. On resume the saved round-k
     // edge set REPLACES the initial build (and the small-graph fast
     // path below is skipped — saved state means the distributed loop
@@ -567,8 +571,10 @@ object Dedup {
     // round maxIter-1 as its newest commit only if it died first — but
     // a finished run's fixpoint rerun resumes at the last saved round,
     // which can equal maxIter; skipping the loop would then throw the
-    // non-convergence error on a converged state. The extra round is
-    // the convergence CHECK itself (next == edges), never new work.
+    // non-convergence error on a converged state. The extra round
+    // recomputes the fixpoint state (one smallStar(largeStar) pass)
+    // so the convergence CHECK (next == edges) can run — redundant
+    // work on an already-converged edge set, never a different result.
     val resumedRound = resumed.map(_._1)
     while (!converged && (i < maxIter || resumedRound.contains(i))) {
       val next = ck(smallStar(largeStar(edges)))

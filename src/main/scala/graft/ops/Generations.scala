@@ -11,12 +11,27 @@ import org.apache.spark.sql.SparkSession
   * themselves, so every index function serves both layouts.
   *
   * The swap is a small-file create + delete + rename; during the brief
-  * window with no `CURRENT`, [[root]] serves the NEWEST generation —
-  * fully written by that point, so a reader landing on it merely sees
-  * the compaction a moment early. Single writer per index dir (the
-  * ingest loop), as with any checkpoint location. */
+  * window with no `CURRENT`, [[root]] serves the newest COMPLETE
+  * generation — [[setCurrent]] drops a `_GRAFT_GEN_COMPLETE` marker
+  * into the generation before touching the pointer (the
+  * [[Restart]] `_GRAFT_COMMITTED` convention), so a reader in the gap
+  * merely sees the compaction a moment early, and a generation a
+  * compaction crashed mid-write (no marker yet) is never served even
+  * if a second crash also lost `CURRENT`. Generations from builds
+  * predating the marker carry none; with no marked generation the
+  * fallback is the newest generation (their writers always completed
+  * the swap, so reaching the fallback at all means only the benign
+  * delete→rename gap).
+  *
+  * Single writer per index dir (the ingest loop), as with any
+  * checkpoint location. Writer crash recovery is single-step: a crash
+  * between the delete and the rename leaves no `CURRENT`; the writer
+  * (or operator) re-runs [[setCurrent]] with the generation it was
+  * swapping to — the marker is already in place and the swap is
+  * idempotent. */
 private[ops] object Generations {
   val CurrentFile = "CURRENT"
+  val CompleteMarker = "_GRAFT_GEN_COMPLETE"
   private val GenRe = "^gen-(\\d+)$".r
 
   private def fsOf(spark: SparkSession, dir: String) = {
@@ -51,12 +66,29 @@ private[ops] object Generations {
       s"$dir/$name"
     } else numbers(spark, dir) match {
       case Nil  => dir
-      case gens => s"$dir/gen-${gens.max}"
+      case gens =>
+        // no CURRENT (the swap gap, or a writer crash inside it):
+        // prefer the newest generation whose writer finished it —
+        // an unmarked newer generation is a compaction that crashed
+        // mid-write and must not be served. No marked generation at
+        // all = a pre-marker layout; newest is then correct (see the
+        // object doc).
+        val marked = gens.filter(n => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/gen-$n", CompleteMarker)))
+        s"$dir/gen-${(if (marked.nonEmpty) marked else gens).max}"
     }
   }
 
+  /** Mark `gen` complete, then atomically swap the pointer to it.
+    * Idempotent — re-running after a writer crash anywhere inside
+    * (marker written / CURRENT deleted / rename lost) converges to the
+    * same end state, which IS the documented recovery step. */
   def setCurrent(spark: SparkSession, dir: String, gen: String): Unit = {
     val (fs, _) = fsOf(spark, dir)
+    // marker BEFORE the pointer: once CURRENT can name (or fall back
+    // to) this generation, it is durably complete
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/$gen", CompleteMarker),
+      true).close()
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$CurrentFile.tmp")
     val dst = new org.apache.hadoop.fs.Path(dir, CurrentFile)
     val out = fs.create(tmp, true)

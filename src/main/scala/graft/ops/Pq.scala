@@ -120,12 +120,34 @@ object Pq {
   private def asSeq(cube: Array[Array[Array[Double]]]): Seq[Seq[Seq[Double]]] =
     cube.map(_.map(_.toSeq).toSeq).toSeq
 
+  /** Per-row width guard (the [[Similarity]] dimGuard convention): a
+    * corpus/query vector shorter than the codebooks' m·ds dims RAISES
+    * at scan time instead of silently encoding to all-zero codes — an
+    * all-zero code row's ADC distance is a sum of code-0 LUT entries,
+    * which can surface the ragged row as a false top-k neighbor with
+    * no error anywhere. Only the bounded training sample was
+    * width-checked before this; the guard covers every encoded and
+    * LUT'd row. A SEPARATE filter, not a CASE wrapped around the
+    * encode expression — the LSH family measured the wrapped form at
+    * 2× while a standalone predicate is free. Longer vectors
+    * prefix-encode over their first m·ds dims (documented in
+    * [[graft.functions.PqExpressions]]). */
+  private def widthGuarded(df: DataFrame, vecCol: String,
+                           cube: Array[Array[Array[Double]]]): DataFrame = {
+    val dim = cube.length * cube(0)(0).length
+    df.where(
+      when(size(col(vecCol)) >= dim, lit(true))
+        .otherwise(raise_error(concat(
+          lit("Pq: vector has "), size(col(vecCol)).cast("string"),
+          lit(s" dims, need >= $dim (m*ds)"))).cast("boolean")))
+  }
+
   /** Scan-local encode: (idCol, codes array<int>). One corpus pass, no
     * shuffle — the output is the index-resident representation. */
   def encode(vectors: DataFrame, codebooks: Array[Array[Array[Double]]],
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame =
-    vectors.select(col(idCol),
+    widthGuarded(vectors, vecCol, codebooks).select(col(idCol),
       PqExpressions.pq_encode(col(vecCol), asSeq(codebooks)).as("codes"))
 
   /** Rank PQ candidates to each query's top k by ascending ADC
@@ -139,8 +161,9 @@ object Pq {
                       packed: Boolean = false,
                       excludeSelf: Boolean = true): DataFrame = {
     val ks = codebooks(0).length
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      PqExpressions.pq_lut(col(vecCol), asSeq(codebooks)).as("lut")))
+    val q = broadcast(widthGuarded(queries, vecCol, codebooks)
+      .select(col(idCol).as("query_id"),
+        PqExpressions.pq_lut(col(vecCol), asSeq(codebooks)).as("lut")))
     def adc = if (packed) PqExpressions.pq_adc_bytes(col("lut"), col("codes"), ks)
               else PqExpressions.pq_adc(col("lut"), col("codes"), ks)
     val cand = codes.select(col(idCol).as("neighbor_id"), col("codes"))
@@ -188,7 +211,7 @@ object Pq {
                    vecCol: String = "embedding"): Unit = {
     val cb = trainCodebooks(corpus, m, ks, maxIter, maxTrain, idCol, vecCol)
     writeCodebooks(corpus.sparkSession, cb, dir)
-    corpus.select(col(idCol).as("id"),
+    widthGuarded(corpus, vecCol, cb).select(col(idCol).as("id"),
         PqExpressions.pq_encode_bytes(col(vecCol), asSeq(cb)).as("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes/shard=base")
   }
@@ -338,7 +361,7 @@ object Pq {
                               cb: Array[Array[Array[Double]]],
                               shardId: String,
                               idCol: String, vecCol: String): Unit =
-    vectors.select(col(idCol).as("neighbor_id"),
+    widthGuarded(vectors, vecCol, cb).select(col(idCol).as("neighbor_id"),
         PqExpressions.pq_encode_bytes(col(vecCol), asSeq(cb)).as("codes"),
         graft.functions.VectorExpressions.nearest_cell(col(vecCol),
           cent.map(_.toSeq).toSeq).as("cell"))

@@ -587,10 +587,19 @@ object Similarity {
     * corpus-wide assignment — the plan over `dir/corpus` is a pruned
     * scan + broadcast join (spec asserts no NearestCell anywhere).
     * Same scoring, ranking, and tie-breaks as [[ivfTopK]]; results are
-    * bit-identical to a fresh call with the index's sizing. */
+    * bit-identical to a fresh call with the index's sizing.
+    *
+    * `excludeSelf` (default true, the ANN-family convention) filters
+    * the trivial self pair when queries ARE corpus rows; pass false
+    * when query ids live in a DIFFERENT namespace than the index (the
+    * enrichment shape, [[graft.streaming.IngestStream.annEnrich]]) —
+    * an id collision there is not a self pair, and dropping it would
+    * silently hide a true neighbor. Same knob as
+    * [[graft.ops.Pq.ivfPqTopKIndexed]]. */
   def ivfTopKIndexed(queries: DataFrame, dir: String, k: Int,
                      nprobe: Int = 4, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     val root = Generations.root(spark, dir)
     val centroids = spark.read.parquet(s"$root/centroids")
@@ -602,8 +611,10 @@ object Similarity {
       .withColumn("cell_rnk", row_number().over(wCell))
       .where(col("cell_rnk") <= nprobe)
       .select("query_id", "qv", "cell")
-    val scored = assigned.join(broadcast(probed), Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
+    val joined = assigned.join(broadcast(probed), Seq("cell"))
+    val scored =
+      (if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+       else joined)
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
     rankTopK(scored, k)
   }

@@ -99,14 +99,26 @@ class PqSpec extends SparkSpec {
     assert(got === reference(cb, vecs, Seq(0L, 1L, 2L, 3L, 4L), 3))
   }
 
-  test("short vectors encode to all-zero codes (documented guard contract)") {
+  test("short vectors RAISE through the operators; raw expression keeps zero codes") {
     val cb = Array.fill(2)(Array.fill(2)(Array(0.5, 0.5)))
-    val got = Seq((0L, Array(9.0f)), (1L, Array(0.6f, 0.6f, 0.4f, 0.4f)))
+    val mixed = Seq((0L, Array(9.0f)), (1L, Array(0.6f, 0.6f, 0.4f, 0.4f)))
       .toDF("vec_id", "embedding")
-    val codes = Pq.encode(got, cb).collect()
+    // operator path: the per-row width guard fails the ragged row
+    // loudly (the LSH dimGuard convention) instead of zero-coding it
+    // into the index as a false ADC neighbor
+    val e = intercept[Exception] { Pq.encode(mixed, cb).collect() }
+    assert(e.getMessage.contains("need >= 4") ||
+      Option(e.getCause).exists(_.getMessage.contains("need >= 4")))
+    // well-formed rows still encode through the operator
+    val ok = Pq.encode(mixed.where(col("vec_id") === 1L), cb).collect()
+    assert(ok.length === 1 && ok.head.getSeq[Int](1).length === 2)
+    // the raw expression's own short-vector contract is unchanged
+    // (all-zero codes, no raise) for direct expression use
+    val raw = mixed.select(col("vec_id"),
+      graft.functions.PqExpressions.pq_encode(col("embedding"),
+        cb.map(_.map(_.toSeq).toSeq).toSeq).as("codes")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    assert(codes(0L) === Seq(0, 0))       // 1 element < m*ds = 4
-    assert(codes(1L).length === 2)        // well-formed vector encodes
+    assert(raw(0L) === Seq(0, 0))
   }
 
   test("pq index round-trip: pqTopKIndexed bit-equal to topK; codes-only layout") {

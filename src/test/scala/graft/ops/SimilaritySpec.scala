@@ -79,6 +79,14 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("NearestCell") && !plan.contains("nearest_cell"))
     assert(rows(Similarity.ivfTopKIndexed(q, dir, k = 3, nprobe = 2)) ===
       rows(served))
+    // excludeSelf = false (the enrichment-namespace contract, uniform
+    // with Pq.ivfPqTopKIndexed): an id collision is NOT a self pair —
+    // a full probe must surface the identical-vector row at rank 1
+    // instead of silently dropping it
+    val kept = Similarity.ivfTopKIndexed(q, dir, k = 1, nprobe = 4,
+        excludeSelf = false).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+    assert(kept.nonEmpty && kept.forall { case (qid, nid) => qid == nid })
   }
 
   test("ivf index append: frozen-centroid add; full probe exact over the union; replay idempotent") {
