@@ -53,11 +53,52 @@ object PqProbe {
     }
   }
 
+  /** `PqProbe residual` — raw vs residual (IVFADC) encoding at equal
+    * (m, ks, nlist, nprobe), on BOTH regimes: the uniform sf fixture
+    * (no cell structure — residuals cannot help, the honest null
+    * result) and a deterministic clustered corpus (the real embedding
+    * regime, where encoding the within-cell displacement is the
+    * standard recall lever). */
+  private def residualProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val uniform = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 16 well-separated centers in 64 dims, deterministic sinusoidal
+    // displacement — same construction as the PqSpec fixture, scaled
+    val clustered = (0L until 4096L).map { i =>
+      val c = (i % 16).toInt
+      (i, Array.tabulate(64) { d =>
+        val center = if (d / 4 == c) 1.0 else 0.0
+        (center + 0.2 * math.sin(i * 13.0 + d * 7.0)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    for ((name, corpus) <- Seq(("uniform", uniform), ("clustered", clustered))) {
+      val q = corpus.where(col("vec_id") < 20)
+      val truth = Similarity.bruteForceTopK(q, corpus, k = 5)
+      for (residual <- Seq(false, true)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"pqres-$name-$residual").toString
+        Pq.buildIvfPqIndex(corpus, dir, m = 8, ks = 16, nlist = 8,
+          residual = residual)
+        for (nprobe <- Seq(1, 2, 4, 8)) {
+          val approx = Pq.ivfPqTopKIndexed(q, dir, k = 5, nprobe = nprobe)
+          val r = Similarity.annRecall(truth, approx)
+            .agg(avg("recall_ppm")).head().getDouble(0)
+          println(f"$name%-9s residual=$residual%-5s m=8 ks=16 nlist=8 " +
+            f"nprobe=$nprobe recall_ppm=$r%.0f")
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("pqprobe")
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("scale")) {
       scaleProbe(spark, args(1)); spark.stop(); return
+    }
+    if (args.headOption.contains("residual")) {
+      residualProbe(spark); spark.stop(); return
     }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")

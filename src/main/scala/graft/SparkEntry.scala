@@ -59,6 +59,19 @@ object SparkEntry {
       d
     })
 
+  /** q122's memoized RESIDUAL (IVFADC) index — q118's twin with
+    * `residual = true`, same pinned sizing so the oracle embeds the
+    * identically trained centroids and residual codebooks. */
+  private val ivfPqResIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqResIndexFor(s: SparkSession, dir: String): String =
+    ivfPqResIndexDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-ivfpqres-index").toString
+      graft.ops.Pq.buildIvfPqIndex(t(s, dir, "embeddings"), d,
+        m = 8, ks = 16, nlist = 8, residual = true)
+      d
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.tune(spark)
@@ -871,6 +884,16 @@ object SparkEntry {
         graft.ops.Pq.ivfPqTopKIndexed(em.where(col("vec_id") < 20),
           ivfPqIndexFor(s, dir), k = 5, nprobe = 2)
       },
+      // q118 with residual (true-IVFADC) encoding: codes are the
+      // displacement from each vector's cell centroid, the query LUT
+      // is per probed cell over q − centroid — the oracle re-derives
+      // the whole chain (routing, per-cell residuals, codes, ADC)
+      // from the identically trained embedded constants
+      "q122_ivfpq_residual" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        graft.ops.Pq.ivfPqTopKIndexed(em.where(col("vec_id") < 20),
+          ivfPqResIndexFor(s, dir), k = 5, nprobe = 2)
+      },
       // CCNet-style perplexity filter signal: mean negative log
       // likelihood under a self-trained Jelinek-Mercer bigram LM;
       // per-bigram micro-nats rounded once, integer sums after
@@ -1547,6 +1570,105 @@ object SparkEntry {
         JOIN icells a USING (cell)
         JOIN n ON n.neighbor_id = a.vec_id
         JOIN ql l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = n.c0
+        $adcJoins
+        WHERE p.query_id <> a.vec_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(adist, 4) AS adc_dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS rnk FROM adc)
+      WHERE rnk <= 5"""
+  }
+
+  /** q122 oracle: the RESIDUAL IVF-PQ (true IVFADC) serving path
+    * re-derived end to end — the q118 chain extended with the per-cell
+    * centroid subtraction on BOTH sides. Corpus codes derive from
+    * v − centroid(cell(v)) under residual-trained codebooks (`rv` →
+    * `sub` → `codes`); each query's LUT is computed PER PROBED CELL
+    * from q − centroid(cell) (`qr` → `ql`, keyed (query_id, cell)), so
+    * the ADC join additionally matches the candidate's cell. All
+    * constants (router centroids, residual codebooks) embed as the
+    * identical Scala-printed doubles; every element-wise subtraction
+    * is written out per component so both engines run the same IEEE
+    * op on the same values (CAST-to-double element − double literal,
+    * exactly [[graft.functions.VectorExpressions.CellResidual]]'s
+    * widen-then-subtract). */
+  def ivfPqResidualOracleSql(spark: SparkSession, sfDir: String): String = {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cent = graft.ops.Similarity.trainedCentroids(em, nlist = 8)
+    val cb = graft.ops.Pq.trainedResidualCodebooks(em, cent, m = 8, ks = 16)
+    val m = cb.length; val ds = cb(0)(0).length
+    val dim = cent.head.length
+    val centValues = cent.zipWithIndex.map { case (c, i) =>
+      s"($i, CAST(${c.mkString("[", ", ", "]")} AS DOUBLE[]))"
+    }.mkString(",\n          ")
+    val cbValues = cb.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) =>
+        s"($s, $j, CAST(${c.mkString("[", ", ", "]")} AS DOUBLE[]))"
+      }
+    }.mkString(",\n          ")
+    val subList = (1 to dim).map(d => s"a.e[$d]-cc.c[$d]")
+      .mkString("[", ", ", "]")
+    val qSubList = (1 to dim).map(d => s"q.e[$d]-cc.c[$d]")
+      .mkString("[", ", ", "]")
+    val distExpr = (0 until ds).map { d =>
+      s"(e[cb.s*$ds+${d + 1}]-c[${d + 1}])*(e[cb.s*$ds+${d + 1}]-c[${d + 1}])"
+    }.mkString("\n            + ")
+    val codeCols = (0 until m)
+      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s").mkString(", ")
+    val adcJoins = (1 until m).map { s =>
+      s"JOIN ql l$s ON l$s.query_id = l0.query_id AND l$s.cell = p.cell " +
+        s"AND l$s.s = $s AND l$s.j = n.c$s"
+    }.mkString("\n        ")
+    val adcSum = (0 until m).map(s => s"l$s.dist").mkString(" + ")
+    // the multiply-referenced CTEs are MATERIALIZED by hand: the ADC
+    // stage references `ql` eight times and DuckDB's default inlining
+    // replicates the whole routing + per-cell-residual expression
+    // chain into every copy — the optimizer then chews on 8× the
+    // (64-subtraction × 128-entry) trees for minutes (measured; 1.7 s
+    // with the hint). Values are unchanged — materialization only
+    // pins evaluate-once.
+    s"""
+      WITH ${duckCellAssignCtes(cent, prefix = "i")
+        .replace("icells AS (", "icells AS MATERIALIZED (")},
+      cc AS (SELECT * FROM (VALUES
+          $centValues) AS t(cell, c)),
+      cb AS (SELECT * FROM (VALUES
+          $cbValues) AS t(s, j, c)),
+      rv AS (
+        SELECT a.vec_id, $subList AS e
+        FROM icells a JOIN cc ON a.cell = cc.cell),
+      sub AS (
+        SELECT rv.vec_id, cb.s, cb.j,
+          $distExpr AS dist
+        FROM rv CROSS JOIN cb),
+      codes AS (
+        SELECT vec_id, s, j AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, j) AS rn
+          FROM sub) WHERE rn = 1),
+      n AS MATERIALIZED (SELECT vec_id AS neighbor_id, $codeCols
+            FROM codes GROUP BY vec_id),
+      probed AS MATERIALIZED (
+        SELECT vec_id AS query_id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cell) AS rn
+          FROM icellcos WHERE vec_id < 20) WHERE rn <= 2),
+      qr AS (
+        SELECT p.query_id, p.cell, $qSubList AS e
+        FROM probed p
+        JOIN iv q ON q.vec_id = p.query_id
+        JOIN cc ON cc.cell = p.cell),
+      ql AS MATERIALIZED (
+        SELECT qr.query_id, qr.cell, cb.s, cb.j,
+          $distExpr AS dist
+        FROM qr CROSS JOIN cb),
+      adc AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, $adcSum AS adist
+        FROM probed p
+        JOIN icells a USING (cell)
+        JOIN n ON n.neighbor_id = a.vec_id
+        JOIN ql l0 ON l0.query_id = p.query_id AND l0.cell = p.cell
+          AND l0.s = 0 AND l0.j = n.c0
         $adcJoins
         WHERE p.query_id <> a.vec_id)
       SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,

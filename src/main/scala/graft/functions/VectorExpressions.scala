@@ -315,6 +315,76 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Residual of a vector against its assigned cell's centroid:
+    * out[d] = vec[d] − centroids[cell][d], d over the centroid width —
+    * the per-vector subtraction faiss's IVFADC (`by_residual`) encodes
+    * instead of the raw vector, so the PQ codebooks only have to cover
+    * the within-cell displacement distribution (much tighter than the
+    * global one — the standard recall lever at small nprobe).
+    * Output `array<double>`; float inputs widen per element BEFORE the
+    * subtraction (double − double, one IEEE op), which is exactly the
+    * `CAST(embedding AS DOUBLE[])[d] − <literal>` arithmetic the DuckDB
+    * oracle runs, so residuals are bit-identical across engines.
+    * A vector shorter than the centroid width yields all-zero output
+    * (the [[SrpBucket]] convention — [[graft.ops.Pq]] width-guards
+    * every caller before this matters); longer vectors use their first
+    * `width` elements. The centroid matrix rides the codegen reference
+    * table like [[NearestCell]]'s. */
+  case class CellResidual(left: Expression, right: Expression,
+                          centroids: Seq[Seq[Double]])
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val matrix: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+    @transient private lazy val width = matrix(0).length
+    @transient private lazy val isFloat = elemKind(left) == FloatType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val c = matrix(b.asInstanceOf[Int])
+      val out = new Array[Double](width)
+      if (v.numElements() >= width) {
+        var d = 0
+        while (d < width) {
+          val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+          out(d) = x - c(d)
+          d += 1
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, cell) => {
+        val m = ctx.addReferenceObj("residualCentroids", matrix, "double[][]")
+        val c = ctx.freshName("c")
+        val out = ctx.freshName("out")
+        val d = ctx.freshName("d")
+        val load =
+          if (isFloat) s"(double) $v.getFloat($d)" else s"$v.getDouble($d)"
+        s"""
+        double[] $c = $m[$cell];
+        double[] $out = new double[$width];
+        if ($v.numElements() >= $width) {
+          for (int $d = 0; $d < $width; $d++) {
+            $out[$d] = ($load) - $c[$d];
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def cell_residual(vec: Column, cell: Column,
+                    centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(CellResidual(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cell), centroids))
+
   def srp_bucket(vec: Column, dim: Int, planes: Int,
                  matrix: Seq[Seq[Double]]): Column =
     ColumnBridge.column(SrpBucket(ColumnBridge.expression(vec), dim, planes, matrix))

@@ -307,15 +307,29 @@ object Pq {
     * code bytes, never floats: the two prunings multiply into the
     * 100 TB serving cost shape (nprobe/nlist of m-byte rows).
     *
+    * `residual = true` is TRUE IVFADC (faiss `by_residual`): each
+    * vector PQ-encodes its displacement from its cell's centroid,
+    * v − centroid(cell(v)), and the codebooks train on the SAMPLE's
+    * residuals — the codebooks then only cover the within-cell
+    * displacement distribution instead of the whole space, the
+    * standard recall lever at small nprobe (PqProbe prints the
+    * measured delta vs raw encoding at equal nprobe). The serve-time
+    * cost shape is unchanged except the query LUT: it is computed per
+    * PROBED CELL from q − centroid (nprobe · m·ks doubles per query —
+    * still broadcast-sized; see [[ivfPqTopKIndexed]]). The mode is
+    * persisted in `dir/params` and every reader honors it; a dir
+    * without params (pre-residual builds) serves as raw.
+    *
     * Layout: `dir/centroids` (cell, centroid — the IVF router),
     * `dir/codebooks` (s, j, centroid — the PQ cube),
+    * `dir/params` (m, ks, residual),
     * `dir/corpus/shard=<id>/cell=<n>/` (id, codes) with the same
     * per-shard overwrite/replay contract as [[Similarity
     * .buildIvfIndex]]. */
   def buildIvfPqIndex(corpus: DataFrame, dir: String, m: Int, ks: Int = 16,
                       nlist: Int = 0, maxIter: Int = 5, maxTrain: Int = 4096,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      corpusSize: Long = 0L): Unit = {
+                      corpusSize: Long = 0L, residual: Boolean = false): Unit = {
     val nl = if (nlist > 0) nlist
              else Similarity.ivfNlistFor(
                if (corpusSize > 0) corpusSize else corpus.count(),
@@ -324,14 +338,66 @@ object Pq {
     // codebooks use the identical deterministic sample anyway
     val sample = Similarity.collectTrainSample(corpus, maxTrain, idCol, vecCol)
     val cent = Similarity.trainedCentroidsFromSample(sample, nl, maxIter)
-    val cb = trainCodebooksFromSample(sample, m, ks, maxIter)
+    // residual mode trains the codebooks on the sample's residuals —
+    // assignment uses the SAME cosine-argmax arithmetic as the
+    // distributed NearestCell, so a sample vector's training residual
+    // is exactly the residual the shard write will encode for it
+    val cbTrain =
+      if (residual) residualsOf(sample, cent) else sample
+    val cb = trainCodebooksFromSample(cbTrain, m, ks, maxIter)
     val spark = corpus.sparkSession
     import spark.implicits._
     cent.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     writeCodebooks(spark, cb, dir)
-    writeIvfPqShard(corpus, dir, cent, cb, "base", idCol, vecCol)
+    writeParams(spark, dir, m, cb(0).length, residual)
+    writeIvfPqShard(corpus, dir, cent, cb, "base", idCol, vecCol, residual)
+  }
+
+  /** The residual-trained codebook cube [[buildIvfPqIndex]] trains
+    * with `residual = true` under an already-trained router — exposed
+    * for Verify-time oracle generation, which must embed the IDENTICAL
+    * doubles as literals. */
+  private[graft] def trainedResidualCodebooks(corpus: DataFrame,
+                                              cent: Array[Array[Double]],
+                                              m: Int, ks: Int = 16,
+                                              maxIter: Int = 5,
+                                              maxTrain: Int = 4096,
+                                              idCol: String = "vec_id",
+                                              vecCol: String = "embedding"): Array[Array[Array[Double]]] =
+    trainCodebooksFromSample(
+      residualsOf(Similarity.collectTrainSample(corpus, maxTrain, idCol, vecCol),
+        cent), m, ks, maxIter)
+
+  /** Sample residuals under the trained router, driver-side — the
+    * [[Similarity.nearestCell]] assignment (cosine argmax, ties to the
+    * lowest cell), identical to the distributed encode's. */
+  private def residualsOf(sample: Array[Array[Double]],
+                          cent: Array[Array[Double]]): Array[Array[Double]] = {
+    val norms = cent.map(c => math.sqrt(c.map(x => x * x).sum))
+    sample.map { v =>
+      val c = cent(Similarity.nearestCell(cent, norms, v))
+      Array.tabulate(v.length)(d => v(d) - c(d))
+    }
+  }
+
+  /** `dir/params` (m, ks, residual): the sizing/mode facts a reader
+    * must not have to guess. Absent file = a pre-params build: raw
+    * encoding (the only mode that existed then). */
+  private def writeParams(spark: SparkSession, dir: String,
+                          m: Int, ks: Int, residual: Boolean): Unit = {
+    import spark.implicits._
+    Seq((m, ks, residual)).toDF("m", "ks", "residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  private[ops] def readResidualFlag(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      spark.read.parquet(s"$root/params").select("residual")
+        .head().getBoolean(0)
   }
 
   /** Append a shard to a [[buildIvfPqIndex]] directory under the frozen
@@ -353,20 +419,34 @@ object Pq {
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
     writeIvfPqShard(shard, root, cent, readCodebooks(spark, root), shardId,
-      idCol, vecCol)
+      idCol, vecCol, readResidualFlag(spark, root))
   }
 
+  /** One scan-local pass: cell = NearestCell(v); codes = PqEncode of
+    * either v (raw) or v − centroid(cell) (residual). The residual
+    * subtraction composes [[graft.functions.VectorExpressions
+    * .CellResidual]] under the byte encode — still a single projection,
+    * no shuffle, no second pass. */
   private def writeIvfPqShard(vectors: DataFrame, dir: String,
                               cent: Array[Array[Double]],
                               cb: Array[Array[Array[Double]]],
                               shardId: String,
-                              idCol: String, vecCol: String): Unit =
+                              idCol: String, vecCol: String,
+                              residual: Boolean): Unit = {
+    val centSeq = cent.map(_.toSeq).toSeq
+    def cellOf(v: Column) =
+      graft.functions.VectorExpressions.nearest_cell(v, centSeq)
+    val encodeInput: Column =
+      if (residual)
+        graft.functions.VectorExpressions.cell_residual(
+          col(vecCol), cellOf(col(vecCol)), centSeq)
+      else col(vecCol)
     widthGuarded(vectors, vecCol, cb).select(col(idCol).as("neighbor_id"),
-        PqExpressions.pq_encode_bytes(col(vecCol), asSeq(cb)).as("codes"),
-        graft.functions.VectorExpressions.nearest_cell(col(vecCol),
-          cent.map(_.toSeq).toSeq).as("cell"))
+        PqExpressions.pq_encode_bytes(encodeInput, asSeq(cb)).as("codes"),
+        cellOf(col(vecCol)).as("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/corpus/shard=$shardId")
+  }
 
   /** Serve top-k ANN from a [[buildIvfPqIndex]] directory: probe the
     * `nprobe` closest cells against the persisted IVF centroids, then
@@ -385,12 +465,15 @@ object Pq {
     val root = Generations.root(spark, dir)
     val cb = readCodebooks(spark, root)
     val ks = cb(0).length
+    val residual = readResidualFlag(spark, root)
     val centroids = spark.read.parquet(s"$root/centroids")
     val corpus0 = spark.read.parquet(s"$root/corpus")
     val corpus =
       if (excludeShards.isEmpty) corpus0
       else corpus0.where(!col("shard").isin(excludeShards: _*))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = widthGuarded(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", cb)
     val wCell = Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))
     // routing and LUTs broadcast SEPARATELY: the (query, cell) pairs
     // are nprobe tiny rows each, while the m·ks-double LUT rides its
@@ -402,20 +485,39 @@ object Pq {
       .withColumn("dist", negate(Similarity.cosine(col("qv"), col("centroid"))))
       .withColumn("cell_rnk", row_number().over(wCell))
       .where(col("cell_rnk") <= nprobe)
-      .select(col("query_id"), col("cell"))
-    val luts = q.select(col("query_id"),
-      PqExpressions.pq_lut(col("qv"), asSeq(cb)).as("lut"))
+      .select(col("query_id"), col("qv"), col("cell"))
+    // raw mode: ONE m·ks LUT per query (the LUT key is query_id).
+    // residual mode (IVFADC): the candidate codes are residuals
+    // against THEIR cell's centroid, so the query side must measure
+    // from the same origin — one LUT per (query, probed cell) over
+    // q − centroid(cell), nprobe · m·ks doubles per query, still
+    // broadcast-sized, joined on (query_id, cell) so the candidate
+    // scan cost is unchanged
+    val (luts, lutKeys) =
+      if (residual) {
+        val centArr = centroids.orderBy("cell").collect()
+          .map(_.getSeq[Double](1).toSeq).toSeq
+        (probedCells.select(col("query_id"), col("cell"),
+          PqExpressions.pq_lut(
+            graft.functions.VectorExpressions.cell_residual(
+              col("qv"), col("cell"), centArr),
+            asSeq(cb)).as("lut")),
+          Seq("query_id", "cell"))
+      } else
+        (q.select(col("query_id"),
+          PqExpressions.pq_lut(col("qv"), asSeq(cb)).as("lut")),
+          Seq("query_id"))
     // excludeSelf: the ANN-family default filters the trivial self
     // pair when queries ARE corpus rows; pass false when query ids
     // live in a DIFFERENT namespace than the index (the enrichment
     // shape) — an id collision there is not a self pair, and dropping
     // it would silently hide a true neighbor
     val joined = corpus.select(col("neighbor_id"), col("codes"), col("cell"))
-      .join(broadcast(probedCells), Seq("cell"))
+      .join(broadcast(probedCells.select("query_id", "cell")), Seq("cell"))
     val scored =
       (if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
        else joined)
-      .join(broadcast(luts), Seq("query_id"))
+      .join(broadcast(luts), lutKeys)
       .withColumn("score",
         negate(PqExpressions.pq_adc_bytes(col("lut"), col("codes"), ks)))
     rankAsc(scored, k)
@@ -431,9 +533,10 @@ object Pq {
                                maxIter: Int = 5, maxTrain: Int = 4096,
                                idCol: String = "vec_id",
                                vecCol: String = "embedding",
-                               corpusSize: Long = 0L): Unit = {
+                               corpusSize: Long = 0L,
+                               residual: Boolean = false): Unit = {
     buildIvfPqIndex(corpus, s"$dir/gen-0", m, ks, nlist, maxIter, maxTrain,
-      idCol, vecCol, corpusSize)
+      idCol, vecCol, corpusSize, residual)
     Generations.setCurrent(corpus.sparkSession, dir, "gen-0")
   }
 
@@ -455,6 +558,13 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$next/centroids")
     spark.read.parquet(s"$root/codebooks")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$next/codebooks")
+    // params (the residual flag) travel with the quantizers — codes in
+    // the rewritten shards were assigned under them
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$root/params")
+    if (paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(paramsPath))
+      spark.read.parquet(s"$root/params")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$next/params")
     val all = spark.read.parquet(s"$root/corpus")
     all.where(!col("shard").isin(keepShards: _*)).drop("shard")
       .write.mode("overwrite").partitionBy("cell")

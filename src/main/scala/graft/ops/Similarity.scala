@@ -312,8 +312,8 @@ object Similarity {
     * arithmetic as [[VectorExpressions.NearestCell]], so training
     * assigns every vector to the cell the distributed expression will
     * later put it in. */
-  private def nearestCell(cent: Array[Array[Double]], norms: Array[Double],
-                          v: Array[Double]): Int = {
+  private[ops] def nearestCell(cent: Array[Array[Double]], norms: Array[Double],
+                               v: Array[Double]): Int = {
     var nv = 0.0
     var d = 0
     while (d < v.length) { nv += v(d) * v(d); d += 1 }

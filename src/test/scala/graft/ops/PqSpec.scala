@@ -268,4 +268,158 @@ class PqSpec extends SparkSpec {
         r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
     assert(cosRows(sat) === cosRows(Similarity.bruteForceTopK(q, em, k = 3)))
   }
+
+  /** Full driver re-derivation of the RESIDUAL (IVFADC) serve: cell
+    * routing by cosine (ties to the lowest cell), residual against the
+    * assigned/probed cell's centroid, per-(query, cell) LUTs, ADC over
+    * residual codes — the same independent-arithmetic check the q122
+    * oracle runs in DuckDB. */
+  private def residualReference(dir: String, queryIds: Seq[Long],
+                                k: Int, nprobe: Int): Set[(Long, Long, Long, Double)] = {
+    val cent = spark.read.parquet(s"$dir/centroids").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val norms = cent.map(c => math.sqrt(c.map(x => x * x).sum))
+    val cb = Pq.readCodebooks(spark, dir)
+    val m = cb.length; val ds = cb(0)(0).length; val ks = cb(0).length
+    val vecs = em.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosTo(v: Array[Double], i: Int): Double = {
+      var nv = 0.0; var d = 0
+      while (d < v.length) { nv += v(d) * v(d); d += 1 }
+      val normV = math.sqrt(nv)
+      var dot = 0.0; d = 0
+      while (d < cent(i).length) { dot += cent(i)(d) * v(d); d += 1 }
+      if (norms(i) == 0.0 || normV == 0.0) 0.0 else dot / (norms(i) * normV)
+    }
+    def residual(v: Array[Double], cell: Int): Array[Double] =
+      Array.tabulate(v.length)(d => v(d) - cent(cell)(d))
+    def codesOf(r: Array[Double]): Array[Int] = Array.tabulate(m) { s =>
+      var best = 0; var bd = Double.PositiveInfinity
+      for (j <- 0 until ks) {
+        var dist = 0.0
+        for (d <- 0 until ds) { val t = r(s * ds + d) - cb(s)(j)(d); dist += t * t }
+        if (dist < bd) { bd = dist; best = j }
+      }
+      best
+    }
+    // corpus side: each vector's cell (cos argmax, lowest-cell ties)
+    // and its residual codes
+    val assigned = vecs.map { case (id, v) =>
+      val cell = cent.indices.maxBy(i => (cosTo(v, i), -i))
+      (id, cell, codesOf(residual(v, cell)))
+    }.toSeq
+    queryIds.flatMap { qid =>
+      val qv = vecs(qid)
+      val probed = cent.indices
+        .sortBy(i => (-cosTo(qv, i), i)).take(nprobe).toSet
+      val scored = assigned
+        .filter { case (id, cell, _) => id != qid && probed(cell) }
+        .map { case (id, cell, codes) =>
+          val qr = residual(qv, cell)
+          var acc = 0.0
+          for (s <- 0 until m) {
+            // ADC term: squared-L2 of the query residual's subvector
+            // to the CANDIDATE's code centroid (the LUT entry)
+            var lutEntry = 0.0
+            for (d <- 0 until ds) {
+              val t = qr(s * ds + d) - cb(s)(codes(s))(d); lutEntry += t * t
+            }
+            acc += lutEntry
+          }
+          (id, acc)
+        }
+      scored.sortBy { case (id, dist) => (dist, id) }.take(k).zipWithIndex
+        .map { case ((id, dist), r) =>
+          (qid, (r + 1).toLong, id,
+            BigDecimal(dist).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSet
+  }
+
+  test("residual ivf-pq (IVFADC): driver re-derivation matches; corpus scan stays codes-only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-res").toString
+    Pq.buildIvfPqIndex(em, dir, m = 8, ks = 8, nlist = 4, residual = true)
+    val q = em.where(col("vec_id") < 5)
+    val served = Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 2)
+    assert(rows(served) === residualReference(dir, 0L until 5L, k = 3, nprobe = 2))
+    val plan = served.queryExecution.executedPlan.toString
+    // the candidate side never re-encodes/re-assigns; the residual
+    // work (CellResidual under PqLut) lives ONLY on the tiny query side
+    assert(!plan.contains("PqEncode") && !plan.contains("NearestCell"))
+    val corpusScan = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("corpus"))
+      .mkString("\n")
+    assert(corpusScan.contains("neighbor_id") && corpusScan.contains("codes"))
+    assert(!corpusScan.contains("embedding"))
+  }
+
+  test("residual ivf-pq: saturated probe + refine is exact; beats raw recall on clustered data") {
+    val dirRes = java.nio.file.Files.createTempDirectory("graft-ivfpq-res2").toString
+    Pq.buildIvfPqIndex(em, dirRes, m = 8, ks = 8, nlist = 4, residual = true)
+    val q = em.where(col("vec_id") < 5)
+    // full probe + saturating refine re-ranks a corpus-sized shortlist
+    // by exact cosine — must equal brute force regardless of encoding
+    def cosRows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    val sat = Pq.ivfPqTopKRefined(q, dirRes, k = 3, source = em,
+      nprobe = 4, refine = 200)
+    assert(cosRows(sat) === cosRows(Similarity.bruteForceTopK(q, em, k = 3)))
+    // the recall LEVER, pinned where it exists: on a CLUSTERED corpus
+    // (the real embedding regime — the uniform `em` fixture has no
+    // cell structure for residuals to exploit, measured ±1 neighbor
+    // there) residual ADC at equal (m, ks, nprobe) must beat raw.
+    // Deterministic fixture: 4 well-separated centers in 16 dims,
+    // small sinusoidal displacement per vector.
+    val clustered = (0L until 256L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16) { d =>
+        val center = if (d / 4 == c) 1.0 else 0.0
+        (center + 0.2 * math.sin(i * 13.0 + d * 7.0)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val dirResC = java.nio.file.Files.createTempDirectory("graft-ivfpq-resc").toString
+    val dirRawC = java.nio.file.Files.createTempDirectory("graft-ivfpq-rawc").toString
+    Pq.buildIvfPqIndex(clustered, dirResC, m = 8, ks = 8, nlist = 4, residual = true)
+    Pq.buildIvfPqIndex(clustered, dirRawC, m = 8, ks = 8, nlist = 4, residual = false)
+    val qs = clustered.where(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(qs, clustered, k = 5)
+    def recallOf(dir: String) = Similarity.annRecall(truth,
+        Pq.ivfPqTopKIndexed(qs, dir, k = 5, nprobe = 2))
+      .agg(avg("recall_ppm")).head().getDouble(0)
+    val (rRes, rRaw) = (recallOf(dirResC), recallOf(dirRawC))
+    assert(rRes > rRaw,
+      s"residual recall $rRes ppm not above raw $rRaw ppm at equal nprobe " +
+        "on the clustered fixture")
+  }
+
+  test("residual flag survives append + in-place compaction; absent params serve raw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-resv").toString
+    val (base, shard) =
+      (em.where(col("vec_id") < 400), em.where(col("vec_id") >= 400))
+    Pq.buildIvfPqIndexVersioned(base, dir, m = 8, ks = 8, nlist = 4,
+      residual = true)
+    Pq.appendToIvfPqIndex(shard, dir, shardId = "day-1")
+    val q = em.where(col("vec_id") < 5)
+    val before = rows(Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 4))
+    // the appended rows must rank exactly as the driver re-derivation
+    // says (i.e. the shard was RESIDUAL-encoded under the frozen
+    // quantizers, not raw-encoded)
+    assert(before === residualReference(Generations.root(spark, dir),
+      0L until 5L, k = 3, nprobe = 4))
+    // replay idempotent; compaction carries params to the new gen
+    Pq.appendToIvfPqIndex(shard, dir, shardId = "day-1")
+    assert(rows(Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 4)) === before)
+    Pq.compactIvfPqIndexInPlace(spark, dir, keepShards = Seq("day-1"))
+    assert(rows(Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 4)) === before)
+    // a pre-params dir serves as raw: strip params from a raw build
+    // and results are unchanged
+    val legacy = java.nio.file.Files.createTempDirectory("graft-ivfpq-leg").toString
+    Pq.buildIvfPqIndex(em, legacy, m = 8, ks = 8, nlist = 4)
+    val withParams = rows(Pq.ivfPqTopKIndexed(q, legacy, k = 3, nprobe = 2))
+    val pp = new org.apache.hadoop.fs.Path(s"$legacy/params")
+    pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    assert(rows(Pq.ivfPqTopKIndexed(q, legacy, k = 3, nprobe = 2)) === withParams)
+  }
 }
