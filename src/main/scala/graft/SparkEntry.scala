@@ -894,6 +894,35 @@ object SparkEntry {
         graft.ops.Pq.ivfPqTopKIndexed(em.where(col("vec_id") < 20),
           ivfPqResIndexFor(s, dir), k = 5, nprobe = 2)
       },
+      // materialized token-id sequences under the corpus-trained BPE
+      // merges — what a tokenized training shard stores (q101/q104
+      // stop at the merge table / lengths); exploded to (doc_id, pos,
+      // token_id) rows so the oracle's re-derivation hash-compares
+      "q120_bpe_token_ids" -> q { (s, dir) =>
+        LangModel.bpeEncode(t(s, dir, "documents"), nMerges = 4)
+          .select(col("doc_id"),
+            posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("token_id").cast("long").as("token_id"))
+      },
+      // the end-to-end tokenized-shard pipeline: curate (dedup chain +
+      // quality gate) → DSIR-select the top half per source against
+      // the curated-English target → tokenize the selection under a
+      // BPE model trained ONCE on the full corpus (the serve-many
+      // artifact) → pack by BPE lengths into fixed-capacity bins
+      "q121_tokenized_shards" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val curated = graft.ops.Curation.curate(docs)
+        val pool = docs.select("doc_id", "text", "source")
+          .join(curated.select("doc_id", "lang_pred"), Seq("doc_id"))
+        val selected = graft.ops.Dsir.selectTopFraction(pool,
+          pool.where(col("lang_pred") === "en"), fractionPpm = 500000L)
+        val model = LangModel.trainBpeModel(docs, nMerges = 4)
+        val enc = LangModel.bpeEncodeWithModel(
+          docs.join(selected.select("doc_id"), Seq("doc_id")), model)
+        graft.ops.Packer.packTokenized(enc.select("doc_id", "n_tokens"),
+          capacityTokens = 64, numGroups = 8)
+      },
       // CCNet-style perplexity filter signal: mean negative log
       // likelihood under a self-trained Jelinek-Mercer bigram LM;
       // per-bigram micro-nats rounded once, integer sums after
@@ -1117,6 +1146,111 @@ object SparkEntry {
       FROM dw LEFT JOIN nsym USING (w)
       GROUP BY doc_id"""
 
+  /** q120 oracle: per-doc token-ID sequences re-derived fully — the
+    * q101 unrolled-merge chain segments the vocabulary (v4), the
+    * model-derived id space assigns ids (a–z = 0–25, then merged
+    * symbols in rank order, first occurrence wins — mirrors
+    * [[graft.ops.LangModel.BpeModel.tokenIds]]), and each doc's words
+    * and symbols explode WITH POSITION so pos = row_number over
+    * (wpos, spos) − 1 reproduces the engine's posexplode order.
+    * 1-char words fall back to per-character symbols exactly like
+    * LangModel.encodeTokens. */
+  private lazy val DuckBpeTokenIdsSql: String = s"""
+      WITH $DuckBpeCtes,
+      mm AS (${(1 to 4).map(k => s"SELECT $k AS mrank, l, r FROM m$k")
+        .mkString("\n        UNION ALL ")}),
+      ids AS (
+        SELECT sym, CAST(row_number() OVER (ORDER BY mo) - 1 AS BIGINT)
+          AS token_id
+        FROM (SELECT sym, min(ord) AS mo FROM (
+                SELECT chr(CAST(96 + i AS INT)) AS sym,
+                  CAST(i - 1 AS BIGINT) AS ord
+                FROM range(1, 27) t(i)
+                UNION ALL
+                SELECT l || r, CAST(25 + mrank AS BIGINT) FROM mm)
+              GROUP BY sym)),
+      seg AS (SELECT w, string_split(trim(s), ' ') AS syms FROM v4),
+      dw AS (
+        SELECT doc_id, u.wpos, u.w FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+            i -> {'wpos': i, 'w': ws[i]})) AS u
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                    x -> length(x) >= 1) AS ws
+                FROM documents))),
+      toks AS (
+        SELECT doc_id, wpos, u.spos, u.sym FROM (
+          SELECT t.doc_id, t.wpos,
+            unnest(list_transform(range(1, len(t.syms) + 1),
+              i -> {'spos': i, 'sym': t.syms[i]})) AS u
+          FROM (SELECT dw.doc_id, dw.wpos,
+                  coalesce(seg.syms,
+                    list_transform(range(1, length(dw.w) + 1),
+                      i -> substring(dw.w, i, 1))) AS syms
+                FROM dw LEFT JOIN seg ON seg.w = dw.w) t))
+      SELECT toks.doc_id,
+        CAST(row_number() OVER (PARTITION BY toks.doc_id
+          ORDER BY wpos, spos) - 1 AS BIGINT) AS pos,
+        ids.token_id
+      FROM toks JOIN ids USING (sym)"""
+
+  /** q121 oracle: the composed tokenized-shard pipeline — curated pool
+    * (the q39 chain), DSIR weights over it against the curated-English
+    * target (the SAME generator as q116/q117, reparameterized), the
+    * 50% per-source ceil-quota cut, BPE lengths of the selection under
+    * merges trained on ALL documents (the q101 chain — the model
+    * artifact's training corpus), and the q54 packing arithmetic over
+    * those BPE lengths. */
+  private lazy val DuckTokenizedShardsSql: String = s"""
+      WITH curated AS ($DuckCuratedSql),
+      pool AS (
+        SELECT d.doc_id, d.text, d.source, c.lang_pred
+        FROM documents d JOIN curated c USING (doc_id)),
+      ${duckDsirCtes(src = "pool", langCol = "lang_pred",
+        targetPred = "lang_pred = 'en'")},
+      w AS (
+        SELECT p.doc_id, p.source, CAST(coalesce(lw, 0) AS BIGINT)
+          AS logw_micros
+        FROM pool p LEFT JOIN sc USING (doc_id)),
+      qt AS (
+        SELECT source,
+          CAST((CAST(count(*) AS BIGINT) * 500000 + 999999) // 1000000
+            AS BIGINT) AS quota
+        FROM w GROUP BY 1),
+      rk AS (
+        SELECT doc_id, source, logw_micros,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY logw_micros DESC, doc_id) AS BIGINT) AS kept_rank
+        FROM w),
+      sel AS (SELECT doc_id FROM rk JOIN qt USING (source)
+              WHERE kept_rank <= quota),
+      $DuckBpeCtes,
+      nsym AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+                 AS n_sym FROM v4),
+      dw AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+            x -> length(x) >= 1)) AS w
+        FROM documents JOIN sel USING (doc_id)),
+      bt AS (
+        SELECT doc_id, CAST(sum(coalesce(n_sym, 1)) AS BIGINT) AS n_tokens
+        FROM dw LEFT JOIN nsym USING (w)
+        GROUP BY doc_id),
+      g AS (
+        SELECT doc_id, n_tokens,
+          (md5_number_lower('pack|' || CAST(doc_id AS VARCHAR))
+             & 9223372036854775807) % 8 AS pack_group
+        FROM bt),
+      o AS (
+        SELECT doc_id, pack_group, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY pack_group
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS bin_offset
+        FROM g)
+      SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group,
+        bin_offset // 64 AS bin_id, n_tokens, bin_offset
+      FROM o"""
+
   /** DuckDB list expr: word shingles of size 2 over `text`, distinct. */
   private val DuckTokens =
     "regexp_split_to_array(trim(text), '\\s+')"
@@ -1131,21 +1265,30 @@ object SparkEntry {
     * integer-micros log-ratio sums. The ln-chain is left-associated
     * exactly as the engine's column expression and rounded to micros
     * per BUCKET, so both engines aggregate identical BIGINTs. */
-  private val DuckDsirCtes = s"""fa AS (
-        SELECT doc_id, lang, unnest(list_concat(
+  private val DuckDsirCtes = duckDsirCtes()
+  /** `src`/`langCol`/`targetPred` parameterize the corpus relation and
+    * the target-membership predicate so the SAME generator serves the
+    * plain-documents oracles (q116/q117 — defaults, byte-identical
+    * text) and the composed-pipeline oracle (q121 — a curated pool CTE
+    * with lang_pred). ONE generator for the load-bearing weight
+    * arithmetic, never a hand-copied variant. */
+  private def duckDsirCtes(src: String = "documents",
+                           langCol: String = "lang",
+                           targetPred: String = "lang = 'en'"): String = s"""fa AS (
+        SELECT doc_id, $langCol, unnest(list_concat(
           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                ELSE $DuckTokens END,
           CASE WHEN length(trim(text)) = 0 OR len($DuckTokens) < 2
                THEN []::VARCHAR[]
                ELSE list_transform(range(1, len($DuckTokens)),
                  i -> array_to_string(($DuckTokens)[i:i+1], ' ')) END)) AS f
-        FROM documents),
+        FROM $src),
       fb AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, $langCol,
           (md5_number_lower(f) & 9223372036854775807) % 1024 AS bucket
         FROM fa),
       tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tcnt
-             FROM fb WHERE lang = 'en' GROUP BY 1),
+             FROM fb WHERE $targetPred GROUP BY 1),
       rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rcnt
              FROM fb GROUP BY 1),
       tot AS (SELECT
@@ -2226,6 +2369,8 @@ object SparkEntry {
          FROM scored GROUP BY doc_id""",
     "q101_bpe_train" -> DuckBpeSql,
     "q104_bpe_tokenize" -> DuckBpeTokenizeSql,
+    "q120_bpe_token_ids" -> DuckBpeTokenIdsSql,
+    "q121_tokenized_shards" -> DuckTokenizedShardsSql,
     "q102_split_leakage" -> s"""
       WITH $DuckNearDupCtes,
       nd AS (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-trained unigram language-model scoring: each document gets the
@@ -677,8 +677,19 @@ object LangModel {
                      checkpointDir: Option[String] = None,
                      driverCutoff: Long = BpeDriverCutoff): DataFrame = {
     val vocab = bpeLoop(docs, nMerges, textCol, checkpointDir, driverCutoff)._1
-    val nSym = vocab.select(col("w"),
-      size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+    tokenCountsOver(docs, vocab.select(col("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("n_sym")),
+      idCol, textCol)
+  }
+
+  /** Shared tail of [[bpeTokenCounts]]/[[bpeTokenCountsWithModel]]:
+    * one corpus word explode against the broadcast (word → symbol
+    * count) map. Unmapped words count 1 — only 1-char words are ever
+    * unmapped (both vocab builders cover every ≥2-char word of the
+    * corpus being counted), and a 1-char word is its own single
+    * symbol. */
+  private def tokenCountsOver(docs: DataFrame, nSym: DataFrame,
+                              idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
       .where(length(col("w")) >= 1)
@@ -686,6 +697,170 @@ object LangModel {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("n_sym"), lit(1L))).cast("long").as("n_bpe_tokens"))
+
+  /** A trained BPE tokenizer artifact: the merge table in rank order —
+    * what [[saveBpeModel]] persists and every `...WithModel` operator
+    * consumes (the train-once / serve-many shape the LSH and IVF
+    * indexes already have). Driver-resident by design: the table is
+    * bounded by nMerges (≤ 65536 rows), the one genuinely small
+    * relation in the tokenizer.
+    *
+    * Token-id space (stable across corpora — two batches encoded under
+    * the same model agree on every id, the property training shards
+    * need): ids 0–25 are 'a'–'z'; each merge then contributes its
+    * merged symbol the FIRST time it appears, taking the next id.
+    * Duplicate merged strings (two different merges producing the same
+    * text, e.g. a+bc and ab+c) keep their first id. */
+  case class BpeModel(merges: Seq[(Int, String, String, String, Long)]) {
+    require(merges.map(_._1) == (1 to merges.size),
+      s"BpeModel: ranks must be contiguous 1..${merges.size}, " +
+        s"got ${merges.map(_._1).take(8).mkString(",")}…")
+    def nMerges: Int = merges.size
+    /** (left, right) pairs, rank-ascending —
+      * [[graft.functions.BpeExpressions.BpeSegment]]'s input. */
+    def pairs: Seq[(String, String)] = merges.map(m => (m._2, m._3))
+    /** symbol → token id (see class doc). */
+    def tokenIds: Seq[(String, Int)] =
+      (('a' to 'z').map(_.toString) ++ merges.map(_._4)).distinct.zipWithIndex
+  }
+
+  private def collectMerges(mergesDf: DataFrame): Seq[(Int, String, String, String, Long)] =
+    mergesDf.orderBy("rank").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+
+  /** [[bpeTrain]] collected into the driver-resident artifact (the
+    * merge table is nMerges rows — a bounded collect by construction). */
+  def trainBpeModel(docs: DataFrame, nMerges: Int = 4,
+                    textCol: String = "text",
+                    checkpointDir: Option[String] = None,
+                    driverCutoff: Long = BpeDriverCutoff): BpeModel =
+    BpeModel(collectMerges(
+      bpeTrain(docs, nMerges, textCol, checkpointDir, driverCutoff)))
+
+  /** Persist a [[BpeModel]]: `dir/merges` (the table) + `dir/params`
+    * (n_merges) — the [[graft.ops.LshIndex]] meta convention, so a
+    * reader can refuse a mismatched artifact loudly instead of
+    * tokenizing differently in silence. */
+  def saveBpeModel(spark: SparkSession, model: BpeModel, dir: String): Unit = {
+    import spark.implicits._
+    spark.createDataFrame(model.merges)
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    Seq(Tuple1(model.nMerges)).toDF("n_merges")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Load a persisted model. `expectMerges` ≥ 0 refuses an artifact
+    * trained with a different merge count (the param-mismatch refusal
+    * of [[graft.ops.LshIndex.params]] — a tokenizer under the wrong
+    * vocabulary corrupts every downstream token count silently);
+    * internal consistency (params vs table vs rank contiguity) is
+    * always checked. */
+  def loadBpeModel(spark: SparkSession, dir: String,
+                   expectMerges: Int = -1): BpeModel = {
+    val n = spark.read.parquet(s"$dir/params").head().getInt(0)
+    require(expectMerges < 0 || expectMerges == n,
+      s"loadBpeModel: artifact at $dir was trained with $n merges, " +
+        s"caller expects $expectMerges — refusing a mismatched tokenizer")
+    val merges = collectMerges(spark.read.parquet(s"$dir/merges"))
+    require(merges.size == n,
+      s"loadBpeModel: params claim $n merges but the table holds " +
+        s"${merges.size} — corrupted artifact")
+    BpeModel(merges)
+  }
+
+  /** Per-document BPE token-ID sequences under merges trained on THIS
+    * corpus — the materialized form a tokenized training shard stores
+    * (where [[bpeTokenCounts]] stops at lengths). Output
+    * (idCol, token_ids array<int>, n_tokens); ids per [[BpeModel]]'s
+    * model-derived space. Documents with no [a-z] words are absent
+    * (the [[bpeTokenCounts]] convention).
+    *
+    * Scale shape: identical to [[bpeTokenCounts]] — the merges apply
+    * to the VOCABULARY (the training loop's own segmented relation is
+    * reused, no re-segmentation), the corpus pays one word explode
+    * joined against the broadcast (word → symbols) map, and the
+    * per-doc assembly is one sort_array over that doc's tokens. */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 4,
+                idCol: String = "doc_id", textCol: String = "text",
+                checkpointDir: Option[String] = None,
+                driverCutoff: Long = BpeDriverCutoff): DataFrame = {
+    val (vocab, mergesDf) =
+      bpeLoop(docs, nMerges, textCol, checkpointDir, driverCutoff)
+    encodeTokens(docs,
+      vocab.select(col("w"), split(trim(col("s")), " ").as("syms")),
+      BpeModel(collectMerges(mergesDf)), idCol, textCol)
+  }
+
+  /** [[bpeEncode]] under an already-trained model (the serve path for
+    * fresh corpora): this corpus's distinct words segment via the
+    * native [[graft.functions.BpeExpressions.BpeSegment]] apply —
+    * vocabulary-sized work, spec-pinned byte-identical to the training
+    * loop's own segmentation on shared corpora. */
+  def bpeEncodeWithModel(docs: DataFrame, model: BpeModel,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    encodeTokens(docs, segmentVocab(docs, model, textCol), model,
+      idCol, textCol)
+
+  /** [[bpeTokenCounts]] under an already-trained model — same output
+    * schema, no training pass. */
+  def bpeTokenCountsWithModel(docs: DataFrame, model: BpeModel,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame =
+    tokenCountsOver(docs,
+      segmentVocab(docs, model, textCol)
+        .select(col("w"), size(col("syms")).cast("long").as("n_sym")),
+      idCol, textCol)
+
+  /** This corpus's distinct ≥2-char words segmented under the model:
+    * (w, syms array<string>). One distinct-word shuffle, then the
+    * scan-local greedy apply per vocabulary row. */
+  private def segmentVocab(docs: DataFrame, model: BpeModel,
+                           textCol: String): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 2).distinct()
+      .select(col("w"),
+        graft.functions.BpeExpressions.bpe_segment(col("w"), model.pairs)
+          .as("syms"))
+
+  /** Shared tail of [[bpeEncode]]/[[bpeEncodeWithModel]]: corpus word
+    * explode → broadcast (word → symbols) join (1-char and unseen
+    * words fall back to per-character symbols — both conventions match
+    * the trained vocabulary, which only holds ≥2-char training words)
+    * → broadcast symbol→id join → per-doc (wpos, spos)-ordered
+    * assembly. An unmapped symbol is impossible by construction
+    * (symbols are single letters or merge outputs, both in
+    * [[BpeModel.tokenIds]]) and raises rather than dropping a token. */
+  private def encodeTokens(docs: DataFrame, segVocab: DataFrame,
+                           model: BpeModel, idCol: String,
+                           textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ids = model.tokenIds.toDF("sym", "token_id")
+    val words = docs
+      .select(col(idCol), posexplode(split(lower(col(textCol)), "[^a-z]+"))
+        .as(Seq("wpos", "w")))
+      .where(length(col("w")) >= 1)
+    val toks = words
+      .join(broadcast(segVocab), Seq("w"), "left")
+      .select(col(idCol), col("wpos"),
+        posexplode(coalesce(col("syms"),
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+          .as(Seq("spos", "sym")))
+      .join(broadcast(ids), Seq("sym"), "left")
+      .select(col(idCol), col("wpos"), col("spos"),
+        when(col("token_id").isNotNull, col("token_id"))
+          .otherwise(raise_error(concat(lit("bpeEncode: symbol '"),
+            col("sym"), lit("' has no token id — corrupted model"))))
+          .as("token_id"))
+    toks.groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("wpos"), col("spos"), col("token_id")))).as("tt"))
+      .select(col(idCol),
+        expr("transform(tt, x -> x.token_id)").as("token_ids"),
+        size(col("tt")).cast("long").as("n_tokens"))
   }
 
   /** The shared training loop: returns (final segmented vocabulary

@@ -26,12 +26,30 @@ object Packer {
 
   def packSequences(docs: DataFrame, capacityTokens: Int = 256,
                     numGroups: Int = 32, textCol: String = "text",
-                    salt: String = "pack"): DataFrame = {
+                    salt: String = "pack"): DataFrame =
+    packCounted(docs.select(col("doc_id"),
+      size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens")),
+      capacityTokens, numGroups, salt)
+
+  /** [[packSequences]] over EXPLICIT per-document token counts —
+    * (doc_id, n_tokens) — instead of whitespace counts: the packing
+    * step of a TOKENIZED pipeline, where lengths come from the
+    * tokenizer actually shipping ([[graft.ops.LangModel.bpeEncode]]'s
+    * n_tokens; whitespace counts drift badly from BPE lengths on
+    * long/rare words). Identical grouping, ordering, and bin
+    * arithmetic; identical output schema. */
+  def packTokenized(counts: DataFrame, capacityTokens: Int = 256,
+                    numGroups: Int = 32, salt: String = "pack"): DataFrame =
+    packCounted(counts.select(col("doc_id"),
+      col("n_tokens").cast("long").as("n_tokens")),
+      capacityTokens, numGroups, salt)
+
+  private def packCounted(counts: DataFrame, capacityTokens: Int,
+                          numGroups: Int, salt: String): DataFrame = {
     require(capacityTokens > 0 && numGroups > 0,
       s"capacityTokens ($capacityTokens) and numGroups ($numGroups) must be positive")
-    val grouped = docs.select(
-      col("doc_id"),
-      size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"),
+    val grouped = counts.select(
+      col("doc_id"), col("n_tokens"),
       pmod(graft.functions.TextExpressions.md5_lower64(
           concat(lit(salt), lit("|"), col("doc_id").cast("string")))
         .bitwiseAND(lit(Long.MaxValue)), lit(numGroups.toLong)).as("pack_group"))

@@ -222,6 +222,78 @@ class LangModelSpec extends SparkSpec {
     assert(m.head.getString(3) === "ab")
   }
 
+  test("bpeEncode: hand-computable token-id sequences under model-derived ids") {
+    import spark.implicits._
+    // merges (see the bpeTrain test): 1=(a,b)→ab, 2=(ab,ab)→abab,
+    // 3=(c,d)→cd. Ids: 'a'..'z' = 0..25, then ab=26, abab=27, cd=28.
+    val docs = (Seq.fill(3)("abab") ++ Seq.fill(2)("ab") :+ "cd")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = LangModel.bpeEncode(docs, nMerges = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(2)))).toMap
+    assert(got === Map(
+      0L -> ((Seq(27), 1L)), 1L -> ((Seq(27), 1L)), 2L -> ((Seq(27), 1L)),
+      3L -> ((Seq(26), 1L)), 4L -> ((Seq(26), 1L)), 5L -> ((Seq(28), 1L))))
+    // multi-word sequence order: words in doc order, symbols in word
+    // order ("ab cd ab" → [26, 28, 26])
+    val multi = docs.unionByName(Seq((9L, "ab cd ab")).toDF("doc_id", "text"))
+    val seq9 = LangModel.bpeEncode(multi, nMerges = 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(seq9(9L) === Seq(26, 28, 26))
+  }
+
+  test("bpe model save/load: WithModel paths byte-equal to inline; param mismatch refused") {
+    import spark.implicits._
+    // the adversarial corpus (runs, mid-train re-ranking, ties,
+    // exhaustion) — if model-apply segmentation diverged from the
+    // training loop's anywhere, it would be here
+    val docs = Seq(
+      (1L, "ooooo oooooo"),
+      (2L, "xab xab xab xab cd cd cd"),
+      (3L, "pq qr rp"),
+      (4L, "the the thee"),
+      (5L, "ab")
+    ).toDF("doc_id", "text")
+    val model = LangModel.trainBpeModel(docs, nMerges = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString
+    LangModel.saveBpeModel(spark, model, dir)
+    val loaded = LangModel.loadBpeModel(spark, dir)
+    assert(loaded === model)
+    def enc(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(2)))).toMap
+    assert(enc(LangModel.bpeEncodeWithModel(docs, loaded)) ===
+      enc(LangModel.bpeEncode(docs, nMerges = 8)),
+      "loaded-model encode must be byte-equal to the inline training path")
+    def cnt(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cnt(LangModel.bpeTokenCountsWithModel(docs, loaded)) ===
+      cnt(LangModel.bpeTokenCounts(docs, nMerges = 8)))
+    // a tokenizer trained with a different merge count must refuse
+    val e = intercept[IllegalArgumentException] {
+      LangModel.loadBpeModel(spark, dir, expectMerges = 3)
+    }
+    assert(e.getMessage.contains("refusing"))
+  }
+
+  test("model apply on an UNSEEN corpus: greedy segmentation + 1-char fallback, hand-computed") {
+    import spark.implicits._
+    val train = (Seq.fill(3)("abab") ++ Seq.fill(2)("ab") :+ "cd")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val model = LangModel.trainBpeModel(train, nMerges = 3)
+    // "abab"→[abab]=27; "zz" (unseen, no merge applies)→[z,z]=[25,25];
+    // "x" (1-char)→[x]=23; "cd"→[cd]=28
+    val eval = Seq((9L, "abab zz x cd")).toDF("doc_id", "text")
+    val got = LangModel.bpeEncodeWithModel(eval, model).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+    assert(got.toSeq === Seq((9L, Seq(27, 25, 25, 23, 28), 5L)))
+    // run-adjacency under model apply chains left-to-right like the
+    // training replace: merge (o,o) on "ooooo" → [oo, oo, o]
+    val runs = Seq((1L, "ooooo oooooo")).toDF("doc_id", "text")
+    val runModel = LangModel.trainBpeModel(runs, nMerges = 1)
+    val g2 = LangModel.bpeTokenCountsWithModel(
+      Seq((7L, "ooooo")).toDF("doc_id", "text"), runModel).collect().head
+    assert(g2.getLong(2) === 3L)
+  }
+
   test("bpe driver path is byte-equal to the distributed per-round loop") {
     import spark.implicits._
     // adversarial shapes: self-adjacent runs (greedy chaining), merge
