@@ -55,13 +55,14 @@ def load(path):
     return d
 
 
-def probe_windows(base, cand, out):
-    """Position-matched probe-ratio diagnosis; True if a host window is
-    visible in the probe timeline. Returns None when the two timelines
-    cannot be aligned (legacy file without probes, or suite-size change
-    moved the emission positions) — "no evidence" is distinct from
+def one_probe_family(base, cand, key, label, out):
+    """Position-matched probe-ratio diagnosis for ONE probe family;
+    True if a host window is visible. Returns None when the two
+    timelines cannot be aligned (legacy file without this family, a
+    suite-size change moved the emission positions, or the two runs
+    used different shuffle orders) — "no evidence" is distinct from
     "evidence of no window"."""
-    pb, pc = base.get("probes") or [], cand.get("probes") or []
+    pb, pc = base.get(key) or [], cand.get(key) or []
     # pair index-wise but REQUIRE the recorded positions to agree —
     # adding/removing queries shifts the pass-end emission position,
     # and comparing a mid-pass probe against a pass-end probe would let
@@ -74,7 +75,7 @@ def probe_windows(base, cand, out):
               if pc[i][0] == pb[i][0] and pb[i][1] > 0]
     if len(ratios) < 3:
         return None
-    out("probe timeline (cand/base at matched positions): "
+    out(f"{label} timeline (cand/base at matched positions): "
         + "  ".join(f"@{p}:{r:.2f}x" for p, r in ratios))
     # a window = >=2 consecutive positions elevated >=1.25x (single
     # elevated probes are the measured within-run wobble)
@@ -82,9 +83,31 @@ def probe_windows(base, cand, out):
            if ratios[i][1] > 1.25 and ratios[i + 1][1] > 1.25]
     if hot:
         spans = ", ".join(f"positions {ratios[i][0]}..{ratios[i+1][0]}" for i in hot)
-        out(f"probe timeline shows a sustained hot stretch ({spans}) -- "
+        out(f"{label} timeline shows a sustained hot stretch ({spans}) -- "
             "consistent with a HOST window, not a code change")
         return True
+    return False
+
+
+def probe_windows(base, cand, out):
+    """Both probe families (scan-shaped "probes", memory-shaped
+    "mem_probes" — the Expand-sensitive dimension the scan probe cannot
+    see, the r11 q48 adjudication): a window in EITHER is a window;
+    None only when NO family is alignable. Runs from different
+    shuffled orders never position-match (a probe at position 25 sat
+    after different queries in each run)."""
+    sb, sc = base.get("shuffle_seed"), cand.get("shuffle_seed")
+    if sb != sc:
+        out(f"shuffle seeds differ (base={sb} cand={cand.get('shuffle_seed')}) "
+            "-- probe positions sit after different query prefixes, "
+            "timelines are not position-comparable")
+        return None
+    results = [one_probe_family(base, cand, "probes", "scan probe", out),
+               one_probe_family(base, cand, "mem_probes", "mem probe", out)]
+    if any(r is True for r in results):
+        return True
+    if all(r is None for r in results):
+        return None
     return False
 
 
@@ -155,11 +178,15 @@ def diff(base, cand, threshold, out=print):
 
 def selftest():
     """The r10 adjudication, as executable cases."""
-    def bench(times, probes=None, probe=1.0):
+    def bench(times, probes=None, probe=1.0, mem_probes=None, seed=None):
         d = {"value": sum(times.values()), "probe_sec": probe,
              "queries": dict(times)}
         if probes is not None:
             d["probes"] = probes
+        if mem_probes is not None:
+            d["mem_probes"] = mem_probes
+        if seed is not None:
+            d["shuffle_seed"] = seed
         return d
 
     quiet = lambda *a, **k: None
@@ -222,7 +249,33 @@ def selftest():
     assert rc == 0, "misaligned timelines must stay inconclusive"
     assert any("no alignable probe timeline" in l for l in lines)
 
-    print("selftest OK (10 assertions)")
+    # 7. a MEMORY-shaped window (mem probes hot, scan probes calm — the
+    #    q48 signature) is still a window: INCONCLUSIVE, not FAIL. Base
+    #    is the clean suite; candidate carries case 1's suite movement
+    #    but only the mem-probe family sees the window
+    memhot = [[0, 1.0], [20, 1.5], [40, 1.5], [0, 1.5], [20, 1.5], [40, 1.0]]
+    lines = []
+    rc = diff(bench(qs, probes=flat, mem_probes=flat),
+              bench(infl, probes=flat, mem_probes=memhot), 1.3, lines.append)
+    assert rc == 0, "mem-probe-only window must not flag"
+    assert any("mem probe timeline shows" in l for l in lines), \
+        "the mem family must localize the window"
+
+    # 8. different shuffle seeds: timelines are not position-comparable
+    #    -- suite movement stays INCONCLUSIVE even with 'clean' probes
+    lines = []
+    rc = diff(bench(qs, probes=flat, mem_probes=flat, seed=1),
+              bench({q: t * 1.45 for q, t in qs.items()},
+                    probes=flat, mem_probes=flat, seed=2),
+              1.3, lines.append)
+    assert rc == 0, "cross-seed suite movement must stay inconclusive"
+    assert any("shuffle seeds differ" in l for l in lines)
+    # same seed on both sides position-matches again (case 5's FAIL)
+    assert diff(bench(qs, probes=flat, seed=7),
+                bench({q: t * 1.45 for q, t in qs.items()},
+                      probes=flat, seed=7), 1.3, quiet) == 1
+
+    print("selftest OK (16 assertions)")
     return 0
 
 
