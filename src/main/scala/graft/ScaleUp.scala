@@ -70,12 +70,38 @@ object ScaleUp {
     println(s"vecs: $n distinct vectors at $out")
   }
 
+  /** Distinct-heavy text replica: `n` documents of GENUINELY DISTINCT
+    * text under /tmp/graft-docs-distinct<n> — the regime docs100
+    * (exact copies, ~2k distinct token streams) cannot reach, and the
+    * LSH index's worst case: exact-collapse buys nothing, so the bands
+    * relation is corpus-sized and the index build/probe economics are
+    * dominated by the band join itself (the r12 SCALE.md addendum
+    * measures exactly that). 20 words/doc drawn hash-uniform from a
+    * 50k-word vocabulary (deterministic per (id, position) —
+    * rebuildable bit-identically); 19 shingles/doc over a 2.5e9
+    * shingle-pair space ⇒ cross-doc collisions are rare, so the probe
+    * measures band/shingle machinery, not pair-listing cardinality. */
+  private def writeDistinctDocs(spark: SparkSession, n: Long): Unit = {
+    val out = s"/tmp/graft-docs-distinct$n"
+    spark.range(n).selectExpr("id AS doc_id",
+      "concat_ws(' ', transform(sequence(0, 19), " +
+        "i -> concat('w', pmod(hash(id, i), 50000)))) AS text",
+      "'en' AS lang", "'synthetic' AS source")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"docsdistinct: $n distinct-text documents at $out")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("scale-up")
     val ok = 100000000L   // order-key stride
     val ck = 10000000L    // cust-key stride
     if (args.headOption.contains("vecs")) {
       writeVecs(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("docsdistinct")) {
+      writeDistinctDocs(spark, args.lift(1).map(_.toLong).getOrElse(200000L))
       spark.stop(); return
     }
     if (args.headOption.contains("li100")) {
