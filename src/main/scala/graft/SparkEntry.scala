@@ -913,8 +913,17 @@ object SparkEntry {
       "q121_tokenized_shards" -> q { (s, dir) =>
         val docs = t(s, dir, "documents")
         val curated = graft.ops.Curation.curate(docs)
-        val pool = docs.select("doc_id", "text", "source")
-          .join(curated.select("doc_id", "lang_pred"), Seq("doc_id"))
+        // the curated pool is referenced ~5× downstream (DSIR raw
+        // featurize, target model, quotas, weight join, the selected-id
+        // join) — structurally materialize it ONCE or the whole
+        // LSH-dedup + quality chain re-executes per reference (the
+        // q116/q119 ReuseExchange lesson; measured 13.9 → ~6 s at
+        // sf0.1). At 100 TB this is a persisted intermediate table
+        // between pipeline stages, exactly as data_preparation jobs
+        // stage their curated corpus before selection.
+        val pool = graft.ops.Checkpoints.truncator(s, None)(
+          docs.select("doc_id", "text", "source")
+            .join(curated.select("doc_id", "lang_pred"), Seq("doc_id")))
         val selected = graft.ops.Dsir.selectTopFraction(pool,
           pool.where(col("lang_pred") === "en"), fractionPpm = 500000L)
         val model = LangModel.trainBpeModel(docs, nMerges = 4)
