@@ -905,6 +905,20 @@ object SparkEntry {
           .select(col("doc_id"), col("pos").cast("long").as("pos"),
             col("token_id").cast("long").as("token_id"))
       },
+      // the materialized training shards: every (pack_group, seq_id)
+      // holds exactly one capacity-window of the group's concatenated
+      // token stream — documents straddling a boundary split at token
+      // level (the concat-then-chunk contract, now materialized)
+      "q123_token_shards" -> q { (s, dir) =>
+        val enc = LangModel.bpeEncode(t(s, dir, "documents"), nMerges = 4)
+        graft.ops.Packer.materializeTokenShards(enc,
+            capacityTokens = 32, numGroups = 8)
+          .select(col("pack_group"), col("seq_id"),
+            posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+          .select(col("pack_group"), col("seq_id"),
+            col("pos").cast("long").as("pos"),
+            col("token_id").cast("long").as("token_id"))
+      },
       // the end-to-end tokenized-shard pipeline: curate (dedup chain +
       // quality gate) → DSIR-select the top half per source against
       // the curated-English target → tokenize the selection under a
@@ -1164,8 +1178,14 @@ object SparkEntry {
     * (wpos, spos) − 1 reproduces the engine's posexplode order.
     * 1-char words fall back to per-character symbols exactly like
     * LangModel.encodeTokens. */
-  private lazy val DuckBpeTokenIdsSql: String = s"""
-      WITH $DuckBpeCtes,
+  private lazy val DuckBpeTokenIdsSql: String =
+    s"""WITH $DuckBpeTokenIdCtes
+      SELECT doc_id, pos, token_id FROM tokid"""
+
+  /** The q120 chain as a reusable CTE block ending in
+    * `tokid(doc_id, pos, token_id)` — q123 builds the packed-shard
+    * placement on top of it. */
+  private lazy val DuckBpeTokenIdCtes: String = s"""$DuckBpeCtes,
       mm AS (${(1 to 4).map(k => s"SELECT $k AS mrank, l, r FROM m$k")
         .mkString("\n        UNION ALL ")}),
       ids AS (
@@ -1196,12 +1216,13 @@ object SparkEntry {
                   coalesce(seg.syms,
                     list_transform(range(1, length(dw.w) + 1),
                       i -> substring(dw.w, i, 1))) AS syms
-                FROM dw LEFT JOIN seg ON seg.w = dw.w) t))
-      SELECT toks.doc_id,
-        CAST(row_number() OVER (PARTITION BY toks.doc_id
-          ORDER BY wpos, spos) - 1 AS BIGINT) AS pos,
-        ids.token_id
-      FROM toks JOIN ids USING (sym)"""
+                FROM dw LEFT JOIN seg ON seg.w = dw.w) t)),
+      tokid AS (
+        SELECT toks.doc_id,
+          CAST(row_number() OVER (PARTITION BY toks.doc_id
+            ORDER BY wpos, spos) - 1 AS BIGINT) AS pos,
+          ids.token_id
+        FROM toks JOIN ids USING (sym))"""
 
   /** q121 oracle: the composed tokenized-shard pipeline — curated pool
     * (the q39 chain), DSIR weights over it against the curated-English
@@ -2380,6 +2401,30 @@ object SparkEntry {
     "q104_bpe_tokenize" -> DuckBpeTokenizeSql,
     "q120_bpe_token_ids" -> DuckBpeTokenIdsSql,
     "q121_tokenized_shards" -> DuckTokenizedShardsSql,
+    // q123: the q120 token-id chain placed into fixed-capacity
+    // sequences — the q54 pack arithmetic at TOKEN granularity
+    // (global_pos = bin_offset + doc-relative pos; seq = div/mod 32)
+    "q123_token_shards" -> s"""
+      WITH $DuckBpeTokenIdCtes,
+      dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+             FROM tokid GROUP BY doc_id),
+      pg AS (SELECT doc_id, n_tokens,
+          (md5_number_lower('pack|' || CAST(doc_id AS VARCHAR))
+             & 9223372036854775807) % 8 AS pack_group
+        FROM dc),
+      po AS (SELECT doc_id, pack_group,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY pack_group
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS bin_offset
+        FROM pg),
+      placed AS (
+        SELECT po.pack_group, (po.bin_offset + t.pos) // 32 AS seq_id,
+          (po.bin_offset + t.pos) % 32 AS pos, t.token_id
+        FROM tokid t JOIN po USING (doc_id))
+      SELECT CAST(pack_group AS BIGINT) AS pack_group,
+        CAST(seq_id AS BIGINT) AS seq_id,
+        CAST(pos AS BIGINT) AS pos, token_id
+      FROM placed""",
     "q102_split_leakage" -> s"""
       WITH $DuckNearDupCtes,
       nd AS (

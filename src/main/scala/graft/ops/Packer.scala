@@ -44,6 +44,49 @@ object Packer {
       col("n_tokens").cast("long").as("n_tokens")),
       capacityTokens, numGroups, salt)
 
+  /** Materialized fixed-length training sequences — the relation a
+    * trainer actually reads, where [[packTokenized]] stops at the
+    * doc→bin map: each (pack_group, seq_id) row carries EXACTLY the
+    * tokens of one capacity-sized window over the group's
+    * concatenated-in-doc_id-order token stream, so a document
+    * straddling a boundary is SPLIT at token level (the
+    * concat-then-chunk contract). Input is [[graft.ops.LangModel
+    * .bpeEncode]]'s schema (doc_id, token_ids, n_tokens); output
+    * (pack_group, seq_id, token_ids, n_tokens), where only each
+    * group's final sequence may be shorter than the capacity —
+    * `dropRemainder = true` drops those (the training-shard
+    * convention when partial sequences are not padded).
+    *
+    * Scale shape: the doc→(group, offset) map is [[packTokenized]]
+    * (one group-local sort per pack_group); placement is one token
+    * explode joined against that doc-level map on doc_id (shuffle
+    * keyed by doc id — never a global sort), and assembly is one
+    * (pack_group, seq_id)-keyed aggregation whose groups are bounded
+    * by the capacity. numGroups is the parallelism knob, as
+    * documented on the object. */
+  def materializeTokenShards(enc: DataFrame, capacityTokens: Int = 256,
+                             numGroups: Int = 32, salt: String = "pack",
+                             dropRemainder: Boolean = false): DataFrame = {
+    val packed = packTokenized(enc.select(col("doc_id"), col("n_tokens")),
+      capacityTokens, numGroups, salt)
+    val toks = enc.select(col("doc_id"),
+      posexplode(col("token_ids")).as(Seq("tpos", "token_id")))
+    val placed = toks
+      .join(packed.select("doc_id", "pack_group", "bin_offset"), Seq("doc_id"))
+      .select(col("pack_group"),
+        expr(s"(bin_offset + tpos) div $capacityTokens").as("seq_id"),
+        pmod(col("bin_offset") + col("tpos"), lit(capacityTokens.toLong))
+          .as("pos_in_seq"),
+        col("token_id"))
+    val seqs = placed.groupBy("pack_group", "seq_id")
+      .agg(sort_array(collect_list(
+        struct(col("pos_in_seq"), col("token_id")))).as("tt"))
+      .select(col("pack_group"), col("seq_id"),
+        expr("transform(tt, x -> x.token_id)").as("token_ids"),
+        size(col("tt")).cast("long").as("n_tokens"))
+    if (dropRemainder) seqs.where(col("n_tokens") === capacityTokens) else seqs
+  }
+
   private def packCounted(counts: DataFrame, capacityTokens: Int,
                           numGroups: Int, salt: String): DataFrame = {
     require(capacityTokens > 0 && numGroups > 0,

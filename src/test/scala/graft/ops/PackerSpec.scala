@@ -36,4 +36,45 @@ class PackerSpec extends SparkSpec {
         }
       }
   }
+
+  test("materializeTokenShards: straddling docs split at token level, hand-computed") {
+    // one group; doc token streams in doc_id order:
+    //   doc 0 -> [10, 11, 12], doc 1 -> [20, 21], doc 2 -> [30, 31, 32, 33]
+    // concatenated: 10 11 12 20 | 21 30 31 32 | 33   at capacity 4:
+    //   seq 0 = [10,11,12,20]  (doc 1 STRADDLES the boundary)
+    //   seq 1 = [21,30,31,32]  (doc 2 straddles too)
+    //   seq 2 = [33]           (partial remainder)
+    val enc = Seq(
+      (0L, Seq(10, 11, 12), 3L),
+      (1L, Seq(20, 21), 2L),
+      (2L, Seq(30, 31, 32, 33), 4L)
+    ).toDF("doc_id", "token_ids", "n_tokens")
+    val shards = Packer.materializeTokenShards(enc, capacityTokens = 4,
+        numGroups = 1).orderBy("seq_id").collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getSeq[Int](2), r.getAs[Long]("n_tokens")))
+    assert(shards.toSeq === Seq(
+      (0L, Seq(10, 11, 12, 20), 4L),
+      (1L, Seq(21, 30, 31, 32), 4L),
+      (2L, Seq(33), 1L)))
+    // dropRemainder keeps only full sequences
+    val full = Packer.materializeTokenShards(enc, capacityTokens = 4,
+      numGroups = 1, dropRemainder = true)
+    assert(full.count() === 2 &&
+      full.where(col("n_tokens") =!= 4L).count() === 0)
+    // multi-group: every token lands exactly once, seq fill is exact
+    val enc2 = (0L until 40L)
+      .map(i => (i, (0 until 7).map(j => (i * 7 + j).toInt), 7L))
+      .toDF("doc_id", "token_ids", "n_tokens")
+    val s2 = Packer.materializeTokenShards(enc2, capacityTokens = 16,
+      numGroups = 4)
+    assert(s2.agg(sum("n_tokens")).head().getLong(0) === 280L)
+    // within each group, all sequences except the last are full and
+    // seq_ids are contiguous from 0
+    s2.orderBy("pack_group", "seq_id").collect()
+      .groupBy(_.getAs[Long]("pack_group")).foreach { case (_, rows) =>
+        assert(rows.map(_.getAs[Long]("seq_id")).toSeq ===
+          (0L until rows.length.toLong))
+        rows.init.foreach(r => assert(r.getAs[Long]("n_tokens") === 16L))
+      }
+  }
 }
