@@ -8,22 +8,26 @@ import graft.ops.{Dedup, LshIndex}
   * plus N cheap probes vs N one-shot [[Dedup.crossNearDuplicates]]
   * calls that each re-derive the corpus side. Usage:
   *
-  *   dev/run.sh graft.LshServeProbe [corpusDir] [nProbes]
+  *   dev/run.sh graft.LshServeProbe [corpusDir] [nProbes] [sliceMod]
   *
   * corpusDir defaults to /root/testdata/sf0.1 (pass /tmp/graft-sf10-docs
   * after `dev/run.sh graft.ScaleUp docs100` for the dup-heavy 100×
-  * point). Probe batches are disjoint ~1% doc_id slices; every probe's
-  * pair count is asserted equal between the two paths before timing is
-  * trusted. */
+  * point, or /tmp/graft-docs-distinct<n> after `ScaleUp docsdistinct`
+  * for the corpus-sized-bands regime). Probe batches are disjoint
+  * doc_id slices of corpus/sliceMod docs each (100 = the default ~1%
+  * slices; 10000 = the ~100-doc streaming-ingest batch shape); every
+  * probe's pair count is asserted equal between the two paths before
+  * timing is trusted. */
 object LshServeProbe {
   def main(args: Array[String]): Unit = {
     val corpusDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nProbes = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val sliceMod = args.drop(2).headOption.map(_.toInt).getOrElse(100)
     val spark = GraftSession.local("lsh-serve-probe")
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
-    val corpus = docs.where(col("doc_id") % 100 >= nProbes)
-    def batch(i: Int) = docs.where(col("doc_id") % 100 === i)
+    val corpus = docs.where(col("doc_id") % sliceMod >= nProbes)
+    def batch(i: Int) = docs.where(col("doc_id") % sliceMod === i)
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
