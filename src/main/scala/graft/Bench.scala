@@ -175,12 +175,16 @@ object Bench {
     val failed = results.collect { case (k, None) => k }
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timed.map(_._2).sum
-    // The driver captures a bounded tail of the sbt log; BENCH_r02's
-    // "parsed": null was the full-name, full-precision line (~1.9 KB)
-    // overflowing that window and losing its head. The parsed line now
-    // uses the qNN prefix and 3-decimal seconds (~0.9 KB); the
+    // The driver captures a bounded 2000-byte tail of the sbt log;
+    // BENCH_r02's "parsed": null was the full-name, full-precision
+    // line (~1.9 KB) overflowing that window and losing its head. The
+    // parsed line uses the qNN prefix and TWO-decimal seconds — at 123
+    // queries + two probe timelines the 3-decimal form measured 1950
+    // bytes (50 under the window; one more query or failed entry would
+    // clip). 2 dp is lossless for benchdiff's purposes: flags require
+    // > 0.2 s absolute movement, where 0.01 s rounding is ≤ 2.5%. The
     // full-name, full-precision record goes to a file instead.
-    def fmt(v: Double) = f"$v%.3f"
+    def fmt(v: Double) = f"$v%.2f"
     val qsShort = timed.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // probes ride in BOTH lines (~170 bytes/family: [[pos,sec],...]) —
