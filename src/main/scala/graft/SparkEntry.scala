@@ -910,7 +910,12 @@ object SparkEntry {
       // token stream — documents straddling a boundary split at token
       // level (the concat-then-chunk contract, now materialized)
       "q123_token_shards" -> q { (s, dir) =>
-        val enc = LangModel.bpeEncode(t(s, dir, "documents"), nMerges = 4)
+        // stage the encoded relation once: materializeTokenShards reads
+        // it twice (token placement + the doc→bin map) and an inline
+        // bpeEncode chain would otherwise derive twice (the operator's
+        // documented contract; at scale `enc` IS a persisted table)
+        val enc = graft.ops.Checkpoints.truncator(s, None)(
+          LangModel.bpeEncode(t(s, dir, "documents"), nMerges = 4))
         graft.ops.Packer.materializeTokenShards(enc,
             capacityTokens = 32, numGroups = 8)
           .select(col("pack_group"), col("seq_id"),

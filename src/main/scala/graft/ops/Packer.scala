@@ -63,7 +63,11 @@ object Packer {
     * keyed by doc id — never a global sort), and assembly is one
     * (pack_group, seq_id)-keyed aggregation whose groups are bounded
     * by the capacity. numGroups is the parallelism knob, as
-    * documented on the object. */
+    * documented on the object. `enc` is read TWICE (placement + the
+    * doc→bin map): a persisted table pays two column-pruned scans; an
+    * inline derivation (e.g. a fresh [[graft.ops.LangModel.bpeEncode]]
+    * chain) should be staged by the caller first — ReuseExchange does
+    * not survive the differing prunes (the q121 lesson). */
   def materializeTokenShards(enc: DataFrame, capacityTokens: Int = 256,
                              numGroups: Int = 32, salt: String = "pack",
                              dropRemainder: Boolean = false): DataFrame = {
