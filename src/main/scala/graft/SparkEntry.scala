@@ -946,8 +946,12 @@ object SparkEntry {
         val selected = graft.ops.Dsir.selectTopFraction(pool,
           pool.where(col("lang_pred") === "en"), fractionPpm = 500000L)
         val model = LangModel.trainBpeModel(docs, nMerges = 4)
-        val enc = LangModel.bpeEncodeWithModel(
-          docs.join(selected.select("doc_id"), Seq("doc_id")), model)
+        // the selected corpus is read twice inside bpeEncodeWithModel
+        // (vocabulary segmentation + the word explode) — stage it so
+        // the DSIR selection chain doesn't re-derive per reference
+        val sel = graft.ops.Checkpoints.truncator(s, None)(
+          docs.join(selected.select("doc_id"), Seq("doc_id")))
+        val enc = LangModel.bpeEncodeWithModel(sel, model)
         graft.ops.Packer.packTokenized(enc.select("doc_id", "n_tokens"),
           capacityTokens = 64, numGroups = 8)
       },
