@@ -894,6 +894,15 @@ object SparkEntry {
         graft.ops.Pq.ivfPqTopKIndexed(em.where(col("vec_id") < 20),
           ivfPqResIndexFor(s, dir), k = 5, nprobe = 2)
       },
+      // the REFINED residual serving path (how IVFADC actually ships:
+      // codes-only ADC shortlist, then an id-join exact re-rank over
+      // the raw vectors): q122's index + the q115 refine stage
+      "q124_ivfpq_res_refined" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        graft.ops.Pq.ivfPqTopKRefined(em.where(col("vec_id") < 20),
+          ivfPqResIndexFor(s, dir), k = 5, source = em,
+          nprobe = 2, refine = 2)
+      },
       // materialized token-id sequences under the corpus-trained BPE
       // merges — what a tokenized training shard stores (q101/q104
       // stop at the merge table / lengths); exploded to (doc_id, pos,
@@ -1774,7 +1783,46 @@ object SparkEntry {
     * op on the same values (CAST-to-double element − double literal,
     * exactly [[graft.functions.VectorExpressions.CellResidual]]'s
     * widen-then-subtract). */
-  def ivfPqResidualOracleSql(spark: SparkSession, sfDir: String): String = {
+  def ivfPqResidualOracleSql(spark: SparkSession, sfDir: String): String =
+    s"""
+      WITH ${ivfPqResidualChain(spark, sfDir)}
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(adist, 4) AS adc_dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS rnk FROM adc)
+      WHERE rnk <= 5"""
+
+  /** q124 oracle: the REFINED residual serving path — the q122 ADC
+    * chain truncated to each query's k·refine = 10 shortlist ids (same
+    * (adist, neighbor_id) tie order as [[graft.ops.Pq.ivfPqTopKRefined]]'s
+    * shortlist stage), then exact-cosine re-ranked against the raw
+    * vectors (`iv` — the q115 re-rank construction), top 5. */
+  def ivfPqResidualRefinedOracleSql(spark: SparkSession, sfDir: String): String =
+    s"""
+      WITH ${ivfPqResidualChain(spark, sfDir)},
+      shortlist AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist, neighbor_id) AS rnk FROM adc)
+        WHERE rnk <= 10),
+      rer AS (
+        SELECT sl.query_id, sl.neighbor_id,
+          list_dot_product(qv.e, nv.e) /
+            (sqrt(list_dot_product(qv.e, qv.e)) *
+             sqrt(list_dot_product(nv.e, nv.e))) AS sim
+        FROM shortlist sl
+        JOIN iv qv ON qv.vec_id = sl.query_id
+        JOIN iv nv ON nv.vec_id = sl.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(sim, 4) AS cos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rnk FROM rer)
+      WHERE rnk <= 5"""
+
+  /** The shared WITH-body of the residual (IVFADC) oracles, ending in
+    * `adc(query_id, neighbor_id, adist)` — q122 ranks it directly,
+    * q124 shortlists and exact-re-ranks it. */
+  private def ivfPqResidualChain(spark: SparkSession, sfDir: String): String = {
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cent = graft.ops.Similarity.trainedCentroids(em, nlist = 8)
     val cb = graft.ops.Pq.trainedResidualCodebooks(em, cent, m = 8, ks = 16)
@@ -1809,8 +1857,7 @@ object SparkEntry {
     // (64-subtraction × 128-entry) trees for minutes (measured; 1.7 s
     // with the hint). Values are unchanged — materialization only
     // pins evaluate-once.
-    s"""
-      WITH ${duckCellAssignCtes(cent, prefix = "i")
+    s"""${duckCellAssignCtes(cent, prefix = "i")
         .replace("icells AS (", "icells AS MATERIALIZED (")},
       cc AS (SELECT * FROM (VALUES
           $centValues) AS t(cell, c)),
@@ -1852,12 +1899,7 @@ object SparkEntry {
         JOIN ql l0 ON l0.query_id = p.query_id AND l0.cell = p.cell
           AND l0.s = 0 AND l0.j = n.c0
         $adcJoins
-        WHERE p.query_id <> a.vec_id)
-      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
-        round(adist, 4) AS adc_dist
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY adist, neighbor_id) AS rnk FROM adc)
-      WHERE rnk <= 5"""
+        WHERE p.query_id <> a.vec_id)"""
   }
 
   // q29_ivf_ann, q62_semdedup, and q82_pca_project are intentionally

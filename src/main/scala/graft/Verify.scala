@@ -57,7 +57,9 @@ object Verify {
       ("q114_pq_ann" -> SparkEntry.pqOracleSql(spark, sfDir)) +
       ("q115_pq_refine" -> SparkEntry.pqRefineOracleSql(spark, sfDir)) +
       ("q118_ivfpq_probe" -> SparkEntry.ivfPqOracleSql(spark, sfDir)) +
-      ("q122_ivfpq_residual" -> SparkEntry.ivfPqResidualOracleSql(spark, sfDir))
+      ("q122_ivfpq_residual" -> SparkEntry.ivfPqResidualOracleSql(spark, sfDir)) +
+      ("q124_ivfpq_res_refined" ->
+        SparkEntry.ivfPqResidualRefinedOracleSql(spark, sfDir))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
