@@ -394,6 +394,27 @@ class PqSpec extends SparkSpec {
         "on the clustered fixture")
   }
 
+  test("refined residual serve: shortlist stage stays codes-only; bounded probe output sane") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-resref").toString
+    Pq.buildIvfPqIndex(em, dir, m = 8, ks = 8, nlist = 4, residual = true)
+    val q = em.where(col("vec_id") < 5)
+    val refined = Pq.ivfPqTopKRefined(q, dir, k = 3, source = em,
+      nprobe = 2, refine = 2)
+    val plan = refined.queryExecution.executedPlan.toString
+    // the ADC shortlist never re-encodes/re-assigns; floats enter the
+    // plan ONLY through the shortlist-sized id-join re-rank (the
+    // source relation), never the index corpus scan
+    assert(!plan.contains("PqEncode") && !plan.contains("NearestCell"))
+    val corpusScan = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("corpus"))
+      .mkString("\n")
+    assert(corpusScan.contains("codes") && !corpusScan.contains("embedding"))
+    // output contract: k rows per query, exact-cosine scores in [-1, 1]
+    val rows = refined.collect()
+    assert(rows.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 3))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0))
+  }
+
   test("residual flag survives append + in-place compaction; absent params serve raw") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-resv").toString
     val (base, shard) =
