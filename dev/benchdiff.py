@@ -102,6 +102,18 @@ def probe_windows(base, cand, out):
             "-- probe positions sit after different query prefixes, "
             "timelines are not position-comparable")
         return None
+    # the SAME seed does not reproduce the same order across a
+    # suite-SIZE change (the shuffle permutes a different-length
+    # list), so shuffled timelines are only position-comparable at
+    # equal query counts (r12 lesson; alphabetical runs keep their
+    # approximate prefix alignment and are handled by the existing
+    # position matching)
+    if sb is not None and len(base["queries"]) != len(cand["queries"]):
+        out(f"same shuffle seed but different suite sizes "
+            f"({len(base['queries'])} vs {len(cand['queries'])} queries) "
+            "-- shuffled orders diverge, timelines are not "
+            "position-comparable")
+        return None
     results = [one_probe_family(base, cand, "probes", "scan probe", out),
                one_probe_family(base, cand, "mem_probes", "mem probe", out)]
     if any(r is True for r in results):
@@ -275,7 +287,18 @@ def selftest():
                 bench({q: t * 1.45 for q, t in qs.items()},
                       probes=flat, seed=7), 1.3, quiet) == 1
 
-    print("selftest OK (16 assertions)")
+    # 9. same seed but DIFFERENT suite sizes: shuffled orders diverge
+    #    (a permutation of a different-length list), so clean-looking
+    #    timelines are no evidence -- INCONCLUSIVE, not FAIL
+    bigger = dict(qs); bigger.update({f"r{i}": 1.0 for i in range(3)})
+    lines = []
+    rc = diff(bench(qs, probes=flat, seed=7),
+              bench({q: t * 1.45 for q, t in bigger.items()},
+                    probes=flat, seed=7), 1.3, lines.append)
+    assert rc == 0, "same-seed cross-size movement must stay inconclusive"
+    assert any("different suite sizes" in l for l in lines)
+
+    print("selftest OK (18 assertions)")
     return 0
 
 
