@@ -715,6 +715,15 @@ object LangModel {
     require(merges.map(_._1) == (1 to merges.size),
       s"BpeModel: ranks must be contiguous 1..${merges.size}, " +
         s"got ${merges.map(_._1).take(8).mkString(",")}…")
+    // merged must BE left+right — a column-reordered or corrupted
+    // merges table would otherwise pass the rank/count checks and
+    // tokenize differently in silence (the exact failure the params
+    // refusal exists to prevent)
+    merges.foreach { case (rank, l, r, m, _) =>
+      require(m == l + r,
+        s"BpeModel: merge rank $rank is inconsistent — merged '$m' != " +
+          s"left '$l' + right '$r' (corrupted or column-reordered table)")
+    }
     def nMerges: Int = merges.size
     /** (left, right) pairs, rank-ascending —
       * [[graft.functions.BpeExpressions.BpeSegment]]'s input. */
@@ -725,9 +734,12 @@ object LangModel {
   }
 
   private def collectMerges(mergesDf: DataFrame): Seq[(Int, String, String, String, Long)] =
-    mergesDf.orderBy("rank").collect().map(r =>
-      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
-        r.getLong(4))).toSeq
+    // columns BY NAME — a reordered parquet schema must not silently
+    // permute (left, right, merged) into a different tokenizer
+    mergesDf.select("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank").collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getLong(4))).toSeq
 
   /** [[bpeTrain]] collected into the driver-resident artifact (the
     * merge table is nMerges rows — a bounded collect by construction). */
@@ -759,7 +771,8 @@ object LangModel {
     * always checked. */
   def loadBpeModel(spark: SparkSession, dir: String,
                    expectMerges: Int = -1): BpeModel = {
-    val n = spark.read.parquet(s"$dir/params").head().getInt(0)
+    val n = spark.read.parquet(s"$dir/params").select("n_merges")
+      .head().getInt(0)
     require(expectMerges < 0 || expectMerges == n,
       s"loadBpeModel: artifact at $dir was trained with $n merges, " +
         s"caller expects $expectMerges — refusing a mismatched tokenizer")

@@ -392,6 +392,24 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** Collect the persisted (cell, centroid) router relation into a
+    * positionally-indexable table: columns selected BY NAME, cell ids
+    * required to be exactly 0 until n. [[writeIvfPqShard]] and the
+    * residual-serve [[graft.functions.VectorExpressions.CellResidual]]
+    * index this array BY cell id — a sparse or renumbered relation
+    * would silently subtract the wrong centroid, so refuse it loudly
+    * instead. */
+  private[ops] def collectCentroidTable(centroids: DataFrame): Array[Array[Double]] = {
+    val rows = centroids.select(col("cell").cast("int").as("cell"),
+      col("centroid")).orderBy("cell").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"centroid relation is not densely numbered 0..${rows.length - 1}: " +
+          s"expected cell $i at position $i, found ${r.getInt(0)}")
+    }
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
   private[ops] def readResidualFlag(spark: SparkSession, root: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$root/params")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -415,9 +433,7 @@ object Pq {
       s"shardId '$shardId' must be a non-'base' [A-Za-z0-9_-]+ token")
     val spark = shard.sparkSession
     val root = Generations.root(spark, dir)
-    val cent = spark.read.parquet(s"$root/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cent = collectCentroidTable(spark.read.parquet(s"$root/centroids"))
     writeIvfPqShard(shard, root, cent, readCodebooks(spark, root), shardId,
       idCol, vecCol, readResidualFlag(spark, root))
   }
@@ -495,8 +511,7 @@ object Pq {
     // scan cost is unchanged
     val (luts, lutKeys) =
       if (residual) {
-        val centArr = centroids.orderBy("cell").collect()
-          .map(_.getSeq[Double](1).toSeq).toSeq
+        val centArr = collectCentroidTable(centroids).map(_.toSeq).toSeq
         (probedCells.select(col("query_id"), col("cell"),
           PqExpressions.pq_lut(
             graft.functions.VectorExpressions.cell_residual(

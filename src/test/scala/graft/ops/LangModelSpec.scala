@@ -274,6 +274,35 @@ class LangModelSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing"))
   }
 
+  test("bpe model load: corrupted merges (merged != left+right) and reordered columns refused/survived") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abab ab cd")).toDF("doc_id", "text")
+    val model = LangModel.trainBpeModel(docs, nMerges = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-corrupt").toString
+    LangModel.saveBpeModel(spark, model, dir)
+    // a column-REORDERED merges table must still load correctly
+    // (by-name access), not permute (left, right, merged) silently
+    val reordered = spark.read.parquet(s"$dir/merges")
+      .select("merged", "pair_count", "rank", "right", "left")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-bpe-reord").toString
+    reordered.write.mode("overwrite").parquet(s"$dir2/merges")
+    spark.read.parquet(s"$dir/params").write.mode("overwrite")
+      .parquet(s"$dir2/params")
+    assert(LangModel.loadBpeModel(spark, dir2) === model)
+    // a merges table whose merged column disagrees with left+right is
+    // a corrupted artifact — must refuse, not tokenize differently
+    val corrupt = spark.read.parquet(s"$dir/merges")
+      .withColumn("merged", org.apache.spark.sql.functions.lit("zz"))
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-bpe-bad").toString
+    corrupt.write.mode("overwrite").parquet(s"$dir3/merges")
+    spark.read.parquet(s"$dir/params").write.mode("overwrite")
+      .parquet(s"$dir3/params")
+    val e2 = intercept[IllegalArgumentException] {
+      LangModel.loadBpeModel(spark, dir3)
+    }
+    assert(e2.getMessage.contains("inconsistent"))
+  }
+
   test("model apply on an UNSEEN corpus: greedy segmentation + 1-char fallback, hand-computed") {
     import spark.implicits._
     val train = (Seq.fill(3)("abab") ++ Seq.fill(2)("ab") :+ "cd")

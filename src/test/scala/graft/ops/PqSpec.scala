@@ -443,4 +443,22 @@ class PqSpec extends SparkSpec {
     pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
     assert(rows(Pq.ivfPqTopKIndexed(q, legacy, k = 3, nprobe = 2)) === withParams)
   }
+
+  test("centroid table collect: by-name columns; sparse or renumbered cells refused") {
+    import spark.implicits._
+    val dense = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    // column order must not matter (by-name select)
+    val swapped = dense.select("centroid", "cell")
+    assert(Pq.collectCentroidTable(swapped).map(_.toSeq).toSeq ===
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    // a sparse relation (cell 1 missing) would positionally index the
+    // wrong centroid — must refuse loudly
+    val sparse = Seq((0, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    val e = intercept[IllegalArgumentException] {
+      Pq.collectCentroidTable(sparse)
+    }
+    assert(e.getMessage.contains("densely"))
+  }
 }
