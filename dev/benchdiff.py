@@ -8,18 +8,26 @@ Both files are graft.Bench JSON lines -- either the bare object the
 Bench main writes (target/bench_full.json) or the driver's BENCH_r{N}
 wrapper (the bare object then lives under "parsed").
 
-Normalization: per-query times divided by each run's probe_sec (the
-START-of-run stock-Spark probe -- the only probe whose JVM/cache
-context is reproducible across runs). The INTERLEAVED "probes"
-timeline [[pos,sec],...] is deliberately NOT a normalization source:
-its within-run values wobble up to 2x on a quiet host (measured r11 --
-each probe inherits whatever GC/cache state the preceding queries
-left), so dividing queries by their nearest probe would inject that
-noise straight into the comparison. What the timeline IS good for:
-comparing the probe at the SAME position across the two runs -- a host
-window shows up as a contiguous stretch of elevated position-matched
-ratios, which turns "the suite moved, was it host or code?" from a
-re-run into a read.
+Normalization (r12 lesson): the host-speed ratio between the two runs
+is estimated from the MEDIAN of the position-matched in-run scan-probe
+ratios whenever the timelines align (same order, >=3 matched
+positions) and show no sustained hot stretch -- those probes ran
+INSIDE the query window and measure the host the queries actually
+saw. The single START-of-run probe_sec is one cold sample: in r12 it
+diverged 12% from the in-run reality (1.034 vs 0.920 across rounds
+while the in-run medians sat at parity) and manufactured a suite-wide
+1.18x FAIL out of a 1.037x raw movement on byte-untouched code.
+Individual in-run probes still wobble up to 2x (each inherits the
+preceding queries' GC/cache state -- the r11 measurement), which is
+why the estimator is a MEDIAN over >=3 positions, never a per-query
+nearest-probe division, and why a timeline that itself shows a host
+window (a contiguous elevated stretch) is rejected as a normalization
+source (a partial window would absorb into the median and skew every
+query outside it). When the two estimators disagree by >10% both are
+printed. The timeline's other job is unchanged: comparing the probe
+at the SAME position across the two runs localizes a host window,
+which turns "the suite moved, was it host or code?" from a re-run
+into a read.
 
 Flagging discipline (the r10 adjudication baked in -- six phantom
 >1.3x flags came from a mid-run host window a clean start probe never
@@ -55,6 +63,94 @@ def load(path):
     return d
 
 
+def matched_pairs(base, cand, key):
+    """Position-matched (position, base_sec, cand_sec) probe triples
+    for one family -- index-wise pairing that REQUIRES the recorded
+    positions to agree (see one_probe_family)."""
+    pb, pc = base.get(key) or [], cand.get(key) or []
+    return [(pc[i][0], pb[i][1], pc[i][1])
+            for i in range(min(len(pb), len(pc)))
+            if pc[i][0] == pb[i][0] and pb[i][1] > 0]
+
+
+def matched_ratios(base, cand, key):
+    """Position-matched cand/base probe ratios for one family."""
+    return [(p, c / b) for p, b, c in matched_pairs(base, cand, key)]
+
+
+def median(vals):
+    return sorted(vals)[len(vals) // 2]
+
+
+def timelines_comparable(base, cand, out):
+    """Whether the two runs' probe TIMELINES sit after comparable
+    query prefixes at matched positions. Different shuffle seeds, or
+    the same seed at different suite sizes (the permutation of a
+    different-length list diverges wholly -- r12 lesson), are NOT
+    comparable. Alphabetical runs at different suite sizes keep only
+    APPROXIMATE prefix alignment (position 25 sits after a different
+    prefix once new names sort into it) -- comparable, with a
+    warning."""
+    sb, sc = base.get("shuffle_seed"), cand.get("shuffle_seed")
+    if sb != sc:
+        out(f"shuffle seeds differ (base={sb} cand={sc}) "
+            "-- probe positions sit after different query prefixes, "
+            "timelines are not position-comparable")
+        return False
+    if sb is not None and len(base["queries"]) != len(cand["queries"]):
+        out(f"same shuffle seed but different suite sizes "
+            f"({len(base['queries'])} vs {len(cand['queries'])} queries) "
+            "-- shuffled orders diverge, timelines are not "
+            "position-comparable")
+        return False
+    if sb is None and len(base["queries"]) != len(cand["queries"]):
+        out(f"WARNING: alphabetical runs at different suite sizes "
+            f"({len(base['queries'])} vs {len(cand['queries'])} queries) "
+            "-- a probe at position N sits after a different query "
+            "prefix in each run; position-matched evidence is "
+            "approximate")
+    return True
+
+
+def host_speed_ratio(base, cand, out):
+    """cand-host-speed / base-host-speed, plus a one-line provenance
+    string. Primary estimator: median of the position-matched in-run
+    scan-probe ratios (>=3 matched positions, timelines comparable,
+    no sustained hot stretch in the scan family). Fallback: the
+    start probe_sec ratio."""
+    start = (float(cand.get("probe_sec") or 1.0) /
+             float(base.get("probe_sec") or 1.0))
+    if not timelines_comparable(base, cand, out):
+        return start, "start probe (timelines not position-comparable)"
+    pairs = matched_pairs(base, cand, "probes")
+    if len(pairs) < 3:
+        return start, "start probe (<3 matched timeline positions)"
+    # a sustained hot stretch means the in-run probes measured a host
+    # WINDOW, not a steady host speed -- a partial window would absorb
+    # into the median and mis-normalize every query outside it; let
+    # the window diagnosis (probe_windows) adjudicate instead
+    ratios = [c / b for _, b, c in pairs]
+    if any(ratios[i] > 1.25 and ratios[i + 1] > 1.25
+           for i in range(len(ratios) - 1)):
+        return start, ("start probe (in-run timeline shows a hot "
+                       "stretch -- not a steady host-speed source)")
+    # ratio of MEDIANS (each run's own in-run probe median), not the
+    # median of per-position ratios: individual positions wobble up to
+    # 2x independently in each run, and the per-run median is the
+    # stable summary of "how fast was this host during the queries"
+    # (it also stays meaningful when cross-size alphabetical runs make
+    # the per-position pairing approximate)
+    tl = median([c for _, _, c in pairs]) / median([b for _, b, _ in pairs])
+    if abs(tl / start - 1) > 0.10:
+        out(f"host-speed estimators disagree >10%: in-run timeline "
+            f"medians ratio {tl:.3f}x over {len(pairs)} matched positions "
+            f"vs start probe {start:.3f}x -- trusting the timeline (it "
+            f"measured the host DURING the queries; the start probe "
+            f"is one cold sample)")
+    return tl, (f"in-run timeline medians ratio over {len(pairs)} "
+                f"matched positions")
+
+
 def one_probe_family(base, cand, key, label, out):
     """Position-matched probe-ratio diagnosis for ONE probe family;
     True if a host window is visible. Returns None when the two
@@ -62,7 +158,6 @@ def one_probe_family(base, cand, key, label, out):
     suite-size change moved the emission positions, or the two runs
     used different shuffle orders) — "no evidence" is distinct from
     "evidence of no window"."""
-    pb, pc = base.get(key) or [], cand.get(key) or []
     # pair index-wise but REQUIRE the recorded positions to agree —
     # adding/removing queries shifts the pass-end emission position,
     # and comparing a mid-pass probe against a pass-end probe would let
@@ -70,9 +165,7 @@ def one_probe_family(base, cand, key, label, out):
     # Index-wise pairing keeps the shared positions (0, 25, 50, ...)
     # aligned across a suite-size change and simply skips the moved
     # pass-end probes.
-    ratios = [(pc[i][0], pc[i][1] / pb[i][1])
-              for i in range(min(len(pb), len(pc)))
-              if pc[i][0] == pb[i][0] and pb[i][1] > 0]
+    ratios = matched_ratios(base, cand, key)
     if len(ratios) < 3:
         return None
     out(f"{label} timeline (cand/base at matched positions): "
@@ -96,23 +189,7 @@ def probe_windows(base, cand, out):
     None only when NO family is alignable. Runs from different
     shuffled orders never position-match (a probe at position 25 sat
     after different queries in each run)."""
-    sb, sc = base.get("shuffle_seed"), cand.get("shuffle_seed")
-    if sb != sc:
-        out(f"shuffle seeds differ (base={sb} cand={cand.get('shuffle_seed')}) "
-            "-- probe positions sit after different query prefixes, "
-            "timelines are not position-comparable")
-        return None
-    # the SAME seed does not reproduce the same order across a
-    # suite-SIZE change (the shuffle permutes a different-length
-    # list), so shuffled timelines are only position-comparable at
-    # equal query counts (r12 lesson; alphabetical runs keep their
-    # approximate prefix alignment and are handled by the existing
-    # position matching)
-    if sb is not None and len(base["queries"]) != len(cand["queries"]):
-        out(f"same shuffle seed but different suite sizes "
-            f"({len(base['queries'])} vs {len(cand['queries'])} queries) "
-            "-- shuffled orders diverge, timelines are not "
-            "position-comparable")
+    if not timelines_comparable(base, cand, out):
         return None
     results = [one_probe_family(base, cand, "probes", "scan probe", out),
                one_probe_family(base, cand, "mem_probes", "mem probe", out)]
@@ -127,31 +204,41 @@ def diff(base, cand, threshold, out=print):
     pb = float(base.get("probe_sec") or 1.0)
     pc = float(cand.get("probe_sec") or 1.0)
     bq, cq = base["queries"], cand["queries"]
-    out(f"probe: base {pb:.3f}s  cand {pc:.3f}s  "
-        f"(host speed ratio {pc / pb:.2f}x)")
+    h, src = host_speed_ratio(base, cand, out)
+    out(f"start probes: base {pb:.3f}s  cand {pc:.3f}s  (ratio {pc / pb:.2f}x)")
+    out(f"host speed ratio used: {h:.3f}x -- {src}")
     out(f"total: base {base.get('value', '?')}s  cand {cand.get('value', '?')}s")
     rows = []
     for q in sorted(set(bq) & set(cq)):
-        nb, nc = bq[q] / pb, cq[q] / pc
+        # nc = candidate seconds RESCALED to the base run's host speed;
+        # nb stays the raw base seconds, so (nc - nb) is an absolute
+        # seconds delta and ratio is the host-corrected movement
+        nb, nc = bq[q], cq[q] / h
         ratio = nc / nb if nb > 0 else float("inf")
         rows.append((ratio, q, bq[q], cq[q], nb, nc))
     med = sorted(r[0] for r in rows)[len(rows) // 2] if rows else 1.0
     regressions = [(ratio, q) for ratio, q, b, c, nb, nc in rows
                    if ratio > threshold and ratio / med > threshold
-                   and (nc - nb) * pc > 0.2]
+                   and nc - nb > 0.2]
 
     rows.sort(reverse=True)
-    out(f"\n{'query':<8}{'base_s':>8}{'cand_s':>8}{'norm_b':>8}"
-        f"{'norm_c':>8}{'ratio':>7}")
+    out(f"\n{'query':<8}{'base_s':>8}{'cand_s':>8}{'cand@bh':>9}{'ratio':>7}")
     for ratio, q, b, c, nb, nc in rows[:15]:
         flag = "  <-- REGRESSION" if any(q == r[1] for r in regressions) else ""
-        out(f"{q:<8}{b:>8.3f}{c:>8.3f}{nb:>8.3f}{nc:>8.3f}{ratio:>6.2f}x{flag}")
+        out(f"{q:<8}{b:>8.3f}{c:>8.3f}{nc:>9.3f}{ratio:>6.2f}x{flag}")
     only_b, only_c = sorted(set(bq) - set(cq)), sorted(set(cq) - set(bq))
     if only_b:
         out(f"\nremoved vs baseline: {', '.join(only_b)}")
     if only_c:
         out(f"new vs baseline: {', '.join(only_c)}")
     out(f"\nmedian normalized ratio: {med:.2f}x over {len(rows)} shared queries")
+    start_h = pc / pb
+    if rows and abs(h / start_h - 1) > 0.10:
+        shared = sorted(set(bq) & set(cq))
+        alt = sorted((cq[q] / start_h) / bq[q] for q in shared if bq[q] > 0)
+        out(f"(under start-probe normalization the median would read "
+            f"{alt[len(alt) // 2]:.2f}x -- printed for transparency, "
+            f"not used)")
 
     if med > 1.10 or med < 1 / 1.10:
         out(f"\nSuite-wide movement (median {med:.2f}x) -- per-query "
@@ -170,8 +257,22 @@ def diff(base, cand, threshold, out=print):
         # not environmental -- a shared-helper/config change moved the
         # whole suite, which is exactly what a regression gate must
         # catch (a slowdown spread across every query is still a
-        # regression, not noise)
+        # regression, not noise). EXCEPT when the displacement is
+        # smaller than the in-run probes' own wobble: if matched probe
+        # ratios routinely reach 1.2x on byte-identical stock-Spark
+        # work, a 1.15x suite median is not attributable to code from
+        # this data -- demand a re-run instead of manufacturing a FAIL
         if med > 1.10:
+            rs = [r for _, r in matched_ratios(base, cand, "probes")]
+            if rs:
+                band = sorted(rs)[3 * len(rs) // 4] / median(rs)
+                if med <= band:
+                    out(f"INCONCLUSIVE: suite median {med:.2f}x sits inside "
+                        f"the in-run probe noise band ({band:.2f}x = p75/"
+                        f"median of matched probe ratios) -- the probes "
+                        f"themselves wobble more than the suite moved; "
+                        f"re-run before trusting either direction")
+                    return 0
             out(f"\nFAIL: suite-wide slowdown (median {med:.2f}x) with a "
                 "clean position-matched probe timeline -- treat as a code "
                 "or config regression, not host drift")
@@ -298,7 +399,56 @@ def selftest():
     assert rc == 0, "same-seed cross-size movement must stay inconclusive"
     assert any("different suite sizes" in l for l in lines)
 
-    print("selftest OK (18 assertions)")
+    # 10. the r12 artifact: diverging COLD start probes (1.034 vs
+    #     0.920) with an in-run timeline at parity must NOT manufacture
+    #     a suite-wide FAIL -- the timeline median normalizes (median
+    #     ~= raw movement) and both estimators are printed
+    near = {q: t * 1.04 for q, t in qs.items()}
+    lines = []
+    rc = diff(bench(qs, probes=flat, probe=1.034),
+              bench(near, probes=flat, probe=0.920), 1.3, lines.append)
+    assert rc == 0, "cold-start probe divergence must not manufacture a FAIL"
+    assert any("estimators disagree" in l for l in lines), \
+        "diverging estimators must both be surfaced"
+    assert any("median normalized ratio: 1.04x" in l for l in lines), \
+        "timeline normalization must report the raw movement"
+    assert any("start-probe normalization" in l for l in lines), \
+        "the unused estimator's median must be printed for transparency"
+
+    # 11. alphabetical runs at different suite sizes position-match
+    #     index-wise but sit after different prefixes -- must WARN
+    #     (while still normalizing by the matched timeline)
+    grown = dict(qs)
+    grown.update({f"s{i}": 1.0 for i in range(4)})
+    lines = []
+    rc = diff(bench(qs, probes=flat), bench(grown, probes=flat),
+              1.3, lines.append)
+    assert rc == 0
+    assert any("WARNING: alphabetical runs at different suite sizes" in l
+               for l in lines), "cross-size alphabetical match must warn"
+
+    # 12. an in-run timeline that itself shows a hot stretch is NOT a
+    #     normalization source (a partial window would absorb into the
+    #     median): fall back to the start probe
+    lines = []
+    diff(bench(qs, probes=flat), bench(dict(qs), probes=hot),
+         1.3, lines.append)
+    assert any("hot stretch -- not a steady host-speed source" in l
+               for l in lines), "hot timeline must not normalize"
+
+    # 13. a suite displacement SMALLER than the in-run probes' own
+    #     wobble (windowless noisy timeline) is not attributable to
+    #     code -- INCONCLUSIVE, not FAIL; a displacement far beyond
+    #     the band still fails (case 5)
+    noisy = [[0, 1.0], [20, 1.3], [40, 0.8], [0, 1.2], [20, 0.75], [40, 1.0]]
+    lines = []
+    rc = diff(bench(qs, probes=flat),
+              bench({q: t * 1.15 for q, t in qs.items()}, probes=noisy),
+              1.3, lines.append)
+    assert rc == 0, "displacement inside probe noise must stay inconclusive"
+    assert any("probe noise band" in l for l in lines)
+
+    print("selftest OK (29 assertions)")
     return 0
 
 
