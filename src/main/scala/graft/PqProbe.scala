@@ -91,6 +91,58 @@ object PqProbe {
     }
   }
 
+  /** `PqProbe opq` — the residualProbe matrix extended with the OPQ
+    * rotation dimension: (residual) × (opq) at equal sizing on three
+    * regimes — uniform (the honest null), axis-aligned clustered
+    * (structure PQ's subspaces already see), and MIXED clustered (the
+    * same clusters rotated 45° across subspace boundaries — the
+    * correlated-embedding regime OPQ exists for). */
+  private def opqProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val uniform = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def clusteredRaw(i: Long): Array[Double] = {
+      val c = (i % 16).toInt
+      Array.tabulate(64) { d =>
+        val center = if (d / 4 == c) 1.0 else 0.0
+        center + 0.2 * math.sin(i * 13.0 + d * 7.0)
+      }
+    }
+    val clustered = (0L until 4096L)
+      .map(i => (i, clusteredRaw(i).map(_.toFloat))).toDF("vec_id", "embedding")
+    // 45° mixing between dims (d, d+32): every 8-dim PQ subspace now
+    // straddles two cluster blocks
+    val mixed = (0L until 4096L).map { i =>
+      val x = clusteredRaw(i)
+      val y = Array.tabulate(64) { d =>
+        if (d < 32) (x(d) - x(d + 32)) / math.sqrt(2.0)
+        else (x(d - 32) + x(d)) / math.sqrt(2.0)
+      }
+      (i, y.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    for ((name, corpus) <- Seq(("uniform", uniform),
+                               ("clustered", clustered), ("mixed", mixed))) {
+      val q = corpus.where(col("vec_id") < 20)
+      val truth = Similarity.bruteForceTopK(q, corpus, k = 5)
+      for (residual <- Seq(false, true); opq <- Seq(false, true)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"pqopq-$name-$residual-$opq").toString
+        val t0 = System.nanoTime()
+        Pq.buildIvfPqIndex(corpus, dir, m = 8, ks = 16, nlist = 8,
+          residual = residual, opq = opq)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        for (nprobe <- Seq(1, 2, 4, 8)) {
+          val approx = Pq.ivfPqTopKIndexed(q, dir, k = 5, nprobe = nprobe)
+          val r = Similarity.annRecall(truth, approx)
+            .agg(avg("recall_ppm")).head().getDouble(0)
+          println(f"$name%-9s residual=$residual%-5s opq=$opq%-5s " +
+            f"m=8 ks=16 nlist=8 nprobe=$nprobe recall_ppm=$r%.0f " +
+            f"build=$tBuild%.1fs")
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("pqprobe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -99,6 +151,9 @@ object PqProbe {
     }
     if (args.headOption.contains("residual")) {
       residualProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("opq")) {
+      opqProbe(spark); spark.stop(); return
     }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")

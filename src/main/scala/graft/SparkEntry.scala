@@ -72,6 +72,22 @@ object SparkEntry {
       d
     })
 
+  /** q125's memoized OPQ + RESIDUAL (IVFADC+OPQ) index — q122's twin
+    * with `opq = true`: codes assigned in the rotated residual space,
+    * the rotation trained by the alternating Procrustes solver on the
+    * same deterministic sample, so the oracle embeds the identically
+    * trained centroids, rotation matrix, and rotated-residual
+    * codebooks. */
+  private val ivfPqOpqIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqOpqIndexFor(s: SparkSession, dir: String): String =
+    ivfPqOpqIndexDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-ivfpqopq-index").toString
+      graft.ops.Pq.buildIvfPqIndex(t(s, dir, "embeddings"), d,
+        m = 8, ks = 16, nlist = 8, residual = true, opq = true)
+      d
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.tune(spark)
@@ -902,6 +918,16 @@ object SparkEntry {
         graft.ops.Pq.ivfPqTopKRefined(em.where(col("vec_id") < 20),
           ivfPqResIndexFor(s, dir), k = 5, source = em,
           nprobe = 2, refine = 2)
+      },
+      // q122 under an OPQ rotation (faiss "OPQ8,IVF8,PQ8x4"-style):
+      // codes and LUTs live in R·(v − centroid) space; the oracle
+      // re-derives the full chain — routing, per-cell residual,
+      // ROTATION (literal left-assoc component sums), codes, ADC —
+      // from the identically trained embedded constants
+      "q125_ivfpq_opq" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        graft.ops.Pq.ivfPqTopKIndexed(em.where(col("vec_id") < 20),
+          ivfPqOpqIndexFor(s, dir), k = 5, nprobe = 2)
       },
       // materialized token-id sequences under the corpus-trained BPE
       // merges — what a tokenized training shard stores (q101/q104
@@ -1792,6 +1818,21 @@ object SparkEntry {
               ORDER BY adist, neighbor_id) AS rnk FROM adc)
       WHERE rnk <= 5"""
 
+  /** q125 oracle: the q122 chain with the OPQ rotation layer — corpus
+    * codes derive from R·(v − centroid), query LUTs from
+    * R·(q − centroid); each rotated component is a literal left-assoc
+    * multiply-accumulate chain over the embedded rotation doubles,
+    * exactly [[graft.functions.VectorExpressions.Rotate]]'s
+    * ascending-d loop. */
+  def ivfPqOpqOracleSql(spark: SparkSession, sfDir: String): String =
+    s"""
+      WITH ${ivfPqResidualChain(spark, sfDir, opq = true)}
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(adist, 4) AS adc_dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS rnk FROM adc)
+      WHERE rnk <= 5"""
+
   /** q124 oracle: the REFINED residual serving path — the q122 ADC
     * chain truncated to each query's k·refine = 10 shortlist ids (same
     * (adist, neighbor_id) tie order as [[graft.ops.Pq.ivfPqTopKRefined]]'s
@@ -1821,11 +1862,20 @@ object SparkEntry {
 
   /** The shared WITH-body of the residual (IVFADC) oracles, ending in
     * `adc(query_id, neighbor_id, adist)` — q122 ranks it directly,
-    * q124 shortlists and exact-re-ranks it. */
-  private def ivfPqResidualChain(spark: SparkSession, sfDir: String): String = {
+    * q124 shortlists and exact-re-ranks it; `opq = true` (q125)
+    * inserts the rotation layer (rrv/qrr) between the residuals and
+    * the code/LUT derivation, with the trained matrix embedded as
+    * literal multiply-accumulate chains. */
+  private def ivfPqResidualChain(spark: SparkSession, sfDir: String,
+                                 opq: Boolean = false): String = {
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cent = graft.ops.Similarity.trainedCentroids(em, nlist = 8)
-    val cb = graft.ops.Pq.trainedResidualCodebooks(em, cent, m = 8, ks = 16)
+    val (rotOpt, cb) =
+      if (opq) {
+        val (r, c) = graft.ops.Pq.trainedOpqResidual(em, cent, m = 8, ks = 16)
+        (Some(r), c)
+      } else
+        (None, graft.ops.Pq.trainedResidualCodebooks(em, cent, m = 8, ks = 16))
     val m = cb.length; val ds = cb(0)(0).length
     val dim = cent.head.length
     val centValues = cent.zipWithIndex.map { case (c, i) =>
@@ -1850,6 +1900,25 @@ object SparkEntry {
         s"AND l$s.s = $s AND l$s.j = n.c$s"
     }.mkString("\n        ")
     val adcSum = (0 until m).map(s => s"l$s.dist").mkString(" + ")
+    // the rotation layer: each output component is one literal
+    // left-assoc multiply-accumulate chain over the source's residual
+    // components — ascending d, no FMA, the Rotate expression's exact
+    // arithmetic. The source CTEs materialize in opq mode because each
+    // residual component is referenced `dim` times by the rotation.
+    def rotList(src: String, rot: Array[Array[Double]]): String =
+      rot.map(row => row.zipWithIndex
+        .map { case (w, d) => s"$w*$src.e[${d + 1}]" }
+        .mkString("(", " + ", ")")).mkString("[", ", ", "]")
+    val mat = if (opq) "MATERIALIZED " else ""
+    val rotCtes = rotOpt.map { rot =>
+      s""",
+      rrv AS MATERIALIZED (
+        SELECT vec_id, ${rotList("rv", rot)} AS e FROM rv),
+      qrr AS MATERIALIZED (
+        SELECT query_id, cell, ${rotList("qr", rot)} AS e FROM qr)"""
+    }.getOrElse("")
+    val corpusSrc = if (opq) "rrv" else "rv"
+    val querySrc = if (opq) "qrr" else "qr"
     // the multiply-referenced CTEs are MATERIALIZED by hand: the ADC
     // stage references `ql` eight times and DuckDB's default inlining
     // replicates the whole routing + per-cell-residual expression
@@ -1863,13 +1932,23 @@ object SparkEntry {
           $centValues) AS t(cell, c)),
       cb AS (SELECT * FROM (VALUES
           $cbValues) AS t(s, j, c)),
-      rv AS (
+      rv AS $mat(
         SELECT a.vec_id, $subList AS e
         FROM icells a JOIN cc ON a.cell = cc.cell),
+      probed AS MATERIALIZED (
+        SELECT vec_id AS query_id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cell) AS rn
+          FROM icellcos WHERE vec_id < 20) WHERE rn <= 2),
+      qr AS $mat(
+        SELECT p.query_id, p.cell, $qSubList AS e
+        FROM probed p
+        JOIN iv q ON q.vec_id = p.query_id
+        JOIN cc ON cc.cell = p.cell)$rotCtes,
       sub AS (
-        SELECT rv.vec_id, cb.s, cb.j,
+        SELECT $corpusSrc.vec_id, cb.s, cb.j,
           $distExpr AS dist
-        FROM rv CROSS JOIN cb),
+        FROM $corpusSrc CROSS JOIN cb),
       codes AS (
         SELECT vec_id, s, j AS code FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id, s
@@ -1877,20 +1956,10 @@ object SparkEntry {
           FROM sub) WHERE rn = 1),
       n AS MATERIALIZED (SELECT vec_id AS neighbor_id, $codeCols
             FROM codes GROUP BY vec_id),
-      probed AS MATERIALIZED (
-        SELECT vec_id AS query_id, cell FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id
-            ORDER BY cos DESC, cell) AS rn
-          FROM icellcos WHERE vec_id < 20) WHERE rn <= 2),
-      qr AS (
-        SELECT p.query_id, p.cell, $qSubList AS e
-        FROM probed p
-        JOIN iv q ON q.vec_id = p.query_id
-        JOIN cc ON cc.cell = p.cell),
       ql AS MATERIALIZED (
-        SELECT qr.query_id, qr.cell, cb.s, cb.j,
+        SELECT $querySrc.query_id, $querySrc.cell, cb.s, cb.j,
           $distExpr AS dist
-        FROM qr CROSS JOIN cb),
+        FROM $querySrc CROSS JOIN cb),
       adc AS (
         SELECT p.query_id, a.vec_id AS neighbor_id, $adcSum AS adist
         FROM probed p

@@ -59,7 +59,8 @@ object Verify {
       ("q118_ivfpq_probe" -> SparkEntry.ivfPqOracleSql(spark, sfDir)) +
       ("q122_ivfpq_residual" -> SparkEntry.ivfPqResidualOracleSql(spark, sfDir)) +
       ("q124_ivfpq_res_refined" ->
-        SparkEntry.ivfPqResidualRefinedOracleSql(spark, sfDir))
+        SparkEntry.ivfPqResidualRefinedOracleSql(spark, sfDir)) +
+      ("q125_ivfpq_opq" -> SparkEntry.ivfPqOpqOracleSql(spark, sfDir))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -380,6 +380,72 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** y = R·x: the OPQ rotation (Ge, He, Ke, Sun — CVPR 2013) applied
+    * before PQ encoding, so the codebooks quantize a space whose
+    * variance is balanced across subspaces instead of whatever axes
+    * the embedding happened to ship with. Output `array<double>`;
+    * component r = Σ_d R(r)(d)·x(d), accumulated in ascending d with
+    * one multiply and one add per term (no FMA) — the identical
+    * left-assoc component sums the DuckDB oracle embeds as literal
+    * `R*e[d]` chains, so rotated values are bit-identical across
+    * engines. Float inputs widen per element before the multiply
+    * ([[CellResidual]]'s convention); the input vector materializes
+    * into a local array once, so the d² inner loop reads primitives.
+    * Short-vector/width conventions follow [[CellResidual]] (all-zero
+    * output below `width`; extra elements ignored); the matrix rides
+    * the codegen reference table. */
+  case class Rotate(child: Expression, rotation: Seq[Seq[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val matrix: Array[Array[Double]] =
+      rotation.map(_.toArray).toArray
+    @transient private lazy val width = matrix(0).length
+    @transient private lazy val rows = matrix.length
+    @transient private lazy val isFloat = elemKind(child) == FloatType
+
+    /** Public so generated code runs the SAME loop as interpreted eval
+      * (identical by construction — the [[graft.functions
+      * .BpeExpressions.BpeSegment]] treatment). */
+    def rotate(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+      val out = new Array[Double](rows)
+      if (v.numElements() >= width) {
+        val x = new Array[Double](width)
+        var d = 0
+        while (d < width) {
+          x(d) = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+          d += 1
+        }
+        var r = 0
+        while (r < rows) {
+          val row = matrix(r)
+          var acc = 0.0
+          d = 0
+          while (d < width) { acc += row(d) * x(d); d += 1 }
+          out(r) = acc
+          r += 1
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      rotate(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val ref = ctx.addReferenceObj("rotateExpr", this, classOf[Rotate].getName)
+        s"${ev.value} = $ref.rotate($v);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def rotate(vec: Column, rotation: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(Rotate(ColumnBridge.expression(vec), rotation))
+
   def cell_residual(vec: Column, cell: Column,
                     centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(CellResidual(ColumnBridge.expression(vec),

@@ -320,16 +320,29 @@ object Pq {
     * persisted in `dir/params` and every reader honors it; a dir
     * without params (pre-residual builds) serves as raw.
     *
+    * `opq = true` additionally trains an orthogonal rotation of the
+    * encode space ([[trainOpq]] — faiss's `OPQ..` prefix) and encodes
+    * R·v (or R·(v − centroid)): rotation balances variance across the
+    * PQ subspaces, the standard accuracy lever when embedding
+    * dimensions are correlated. One extra codegen'd matrix multiply
+    * per encoded row and per query LUT; candidate-scan cost unchanged
+    * (codes-only either way). Opt-in like residual: measured on the
+    * synthetic fixtures it helps correlated/clustered corpora and is
+    * ~neutral on uniform ones (PqProbe prints the deltas; SCALE.md
+    * records them).
+    *
     * Layout: `dir/centroids` (cell, centroid — the IVF router),
     * `dir/codebooks` (s, j, centroid — the PQ cube),
-    * `dir/params` (m, ks, residual),
+    * `dir/params` (m, ks, residual, opq),
+    * `dir/rotation` (r, vec — the OPQ matrix, present iff opq),
     * `dir/corpus/shard=<id>/cell=<n>/` (id, codes) with the same
     * per-shard overwrite/replay contract as [[Similarity
     * .buildIvfIndex]]. */
   def buildIvfPqIndex(corpus: DataFrame, dir: String, m: Int, ks: Int = 16,
                       nlist: Int = 0, maxIter: Int = 5, maxTrain: Int = 4096,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      corpusSize: Long = 0L, residual: Boolean = false): Unit = {
+                      corpusSize: Long = 0L, residual: Boolean = false,
+                      opq: Boolean = false): Unit = {
     val nl = if (nlist > 0) nlist
              else Similarity.ivfNlistFor(
                if (corpusSize > 0) corpusSize else corpus.count(),
@@ -341,18 +354,23 @@ object Pq {
     // residual mode trains the codebooks on the sample's residuals —
     // assignment uses the SAME cosine-argmax arithmetic as the
     // distributed NearestCell, so a sample vector's training residual
-    // is exactly the residual the shard write will encode for it
+    // is exactly the residual the shard write will encode for it.
+    // opq additionally trains a rotation OF that space (raw or
+    // residual) and the codebooks over the rotated sample.
     val cbTrain =
       if (residual) residualsOf(sample, cent) else sample
-    val cb = trainCodebooksFromSample(cbTrain, m, ks, maxIter)
+    val (rot, cb) =
+      if (opq) { val (r, c) = trainOpq(cbTrain, m, ks, maxIter); (Some(r), c) }
+      else (None, trainCodebooksFromSample(cbTrain, m, ks, maxIter))
     val spark = corpus.sparkSession
     import spark.implicits._
     cent.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     writeCodebooks(spark, cb, dir)
-    writeParams(spark, dir, m, cb(0).length, residual)
-    writeIvfPqShard(corpus, dir, cent, cb, "base", idCol, vecCol, residual)
+    rot.foreach(writeRotation(spark, _, dir))
+    writeParams(spark, dir, m, cb(0).length, residual, opq)
+    writeIvfPqShard(corpus, dir, cent, cb, "base", idCol, vecCol, residual, rot)
   }
 
   /** The residual-trained codebook cube [[buildIvfPqIndex]] trains
@@ -382,13 +400,146 @@ object Pq {
     }
   }
 
-  /** `dir/params` (m, ks, residual): the sizing/mode facts a reader
-    * must not have to guess. Absent file = a pre-params build: raw
-    * encoding (the only mode that existed then). */
-  private def writeParams(spark: SparkSession, dir: String,
-                          m: Int, ks: Int, residual: Boolean): Unit = {
+  /** OPQ rotation training (Ge, He, Ke, Sun — CVPR 2013; the
+    * non-parametric alternating solver faiss's OPQMatrix runs):
+    * alternate (a) train PQ codebooks on the rotated sample and
+    * (b) solve the orthogonal Procrustes problem — R = U·Vᵀ from
+    * SVD(Ŷ·Xᵀ), Ŷ the sample's quantization under the current
+    * codebooks — so the rotation turns the space until PQ's
+    * independent-subspace assumption fits it best. Deterministic:
+    * deterministic training sample, the deterministic Lloyd's above,
+    * init R = I, fixed iteration count, LAPACK SVD on the same d×d
+    * input. Driver-side by construction (the sample is ≤ maxTrain
+    * rows, the SVD is d×d — 64×64 here).
+    *
+    * Returns (R with rows = output dims, the codebooks trained on
+    * R·sample in the FINAL iteration) as ONE unit: build and
+    * Verify-time oracle generation call this same function on the
+    * same sample, so both embed identical doubles — the
+    * [[trainedResidualCodebooks]] contract. */
+  private[graft] def trainOpq(train: Array[Array[Double]], m: Int, ks: Int,
+                              maxIter: Int, opqIters: Int = 8)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val d = train.head.length
+    var r = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var cb: Array[Array[Array[Double]]] = null
+    var it = 0
+    while (it < opqIters) {
+      val rot = train.map(x => matVec(r, x))
+      cb = trainCodebooksFromSample(rot, m, ks, maxIter)
+      if (it < opqIters - 1) {
+        val recon = rot.map(y => reconstruct(y, cb))
+        // M = Σᵢ ŷᵢ·xᵢᵀ (d×d): Procrustes argmin_R ||R·X − Ŷ||_F
+        // over orthogonal R is U·Vᵀ of SVD(M) (reflections allowed —
+        // fine for quantization)
+        val mm = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+        var i = 0
+        while (i < train.length) {
+          val x = train(i); val y = recon(i)
+          var a = 0
+          while (a < d) {
+            var b = 0
+            while (b < d) { mm(a, b) += y(a) * x(b); b += 1 }
+            a += 1
+          }
+          i += 1
+        }
+        val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mm)
+        val rm = u * vt
+        r = Array.tabulate(d, d)((a, b) => rm(a, b))
+      }
+      it += 1
+    }
+    (r, cb)
+  }
+
+  /** Driver-side R·x with EXACTLY [[graft.functions.VectorExpressions
+    * .Rotate]]'s loop (ascending-d multiply-accumulate): codebooks are
+    * trained on driver-rotated samples while the shard write rotates
+    * distributed — code assignment stays consistent only if the two
+    * rotations are bit-identical. */
+  private[graft] def matVec(r: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](r.length)
+    var a = 0
+    while (a < r.length) {
+      val row = r(a)
+      var acc = 0.0
+      var dd = 0
+      while (dd < row.length) { acc += row(dd) * x(dd); dd += 1 }
+      out(a) = acc
+      a += 1
+    }
+    out
+  }
+
+  /** Encode-then-decode under the codebooks — the quantization Ŷ the
+    * Procrustes step aligns the rotation against. */
+  private def reconstruct(v: Array[Double],
+                          cb: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = cb.length; val ds = cb(0)(0).length
+    val out = new Array[Double](m * ds)
+    var s = 0
+    while (s < m) {
+      val sub = java.util.Arrays.copyOfRange(v, s * ds, s * ds + ds)
+      System.arraycopy(cb(s)(nearestCode(cb(s), sub)), 0, out, s * ds, ds)
+      s += 1
+    }
+    out
+  }
+
+  /** The (rotation, residual codebooks) pair [[buildIvfPqIndex]]
+    * trains with `residual = true, opq = true` under an
+    * already-trained router — exposed for Verify-time oracle
+    * generation ([[trainedResidualCodebooks]]'s twin). */
+  private[graft] def trainedOpqResidual(corpus: DataFrame,
+                                        cent: Array[Array[Double]],
+                                        m: Int, ks: Int = 16,
+                                        maxIter: Int = 5, maxTrain: Int = 4096,
+                                        idCol: String = "vec_id",
+                                        vecCol: String = "embedding")
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    trainOpq(
+      residualsOf(Similarity.collectTrainSample(corpus, maxTrain, idCol, vecCol),
+        cent), m, ks, maxIter)
+
+  private def writeRotation(spark: SparkSession, r: Array[Array[Double]],
+                            dir: String): Unit = {
     import spark.implicits._
-    Seq((m, ks, residual)).toDF("m", "ks", "residual")
+    r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("r", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+  }
+
+  /** The persisted OPQ rotation, if this index has one. By-name
+    * columns + dense-row-id refusal — [[collectCentroidTable]]'s
+    * reasoning: [[graft.functions.VectorExpressions.Rotate]] indexes
+    * the matrix positionally. */
+  private[ops] def readRotation(spark: SparkSession,
+                                root: String): Option[Array[Array[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/rotation")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else {
+      val rows = spark.read.parquet(s"$root/rotation")
+        .select(col("r").cast("int").as("r"), col("vec"))
+        .orderBy("r").collect()
+      rows.zipWithIndex.foreach { case (row, i) =>
+        require(row.getInt(0) == i,
+          s"rotation relation is not densely numbered 0..${rows.length - 1}: " +
+            s"expected row $i, found ${row.getInt(0)}")
+      }
+      Some(rows.map(_.getSeq[Double](1).toArray))
+    }
+  }
+
+  /** `dir/params` (m, ks, residual, opq): the sizing/mode facts a
+    * reader must not have to guess. Absent file = a pre-params build:
+    * raw encoding (the only mode that existed then); absent `opq`
+    * column = a pre-OPQ artifact (no rotation). */
+  private def writeParams(spark: SparkSession, dir: String,
+                          m: Int, ks: Int, residual: Boolean,
+                          opq: Boolean = false): Unit = {
+    import spark.implicits._
+    Seq((m, ks, residual, opq)).toDF("m", "ks", "residual", "opq")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
@@ -435,28 +586,32 @@ object Pq {
     val root = Generations.root(spark, dir)
     val cent = collectCentroidTable(spark.read.parquet(s"$root/centroids"))
     writeIvfPqShard(shard, root, cent, readCodebooks(spark, root), shardId,
-      idCol, vecCol, readResidualFlag(spark, root))
+      idCol, vecCol, readResidualFlag(spark, root), readRotation(spark, root))
   }
 
   /** One scan-local pass: cell = NearestCell(v); codes = PqEncode of
-    * either v (raw) or v − centroid(cell) (residual). The residual
-    * subtraction composes [[graft.functions.VectorExpressions
-    * .CellResidual]] under the byte encode — still a single projection,
-    * no shuffle, no second pass. */
+    * either v (raw) or v − centroid(cell) (residual), optionally
+    * rotated ([[graft.functions.VectorExpressions.Rotate]], the OPQ
+    * space). The subtraction/rotation compose under the byte encode —
+    * still a single projection, no shuffle, no second pass. */
   private def writeIvfPqShard(vectors: DataFrame, dir: String,
                               cent: Array[Array[Double]],
                               cb: Array[Array[Array[Double]]],
                               shardId: String,
                               idCol: String, vecCol: String,
-                              residual: Boolean): Unit = {
+                              residual: Boolean,
+                              rot: Option[Array[Array[Double]]] = None): Unit = {
     val centSeq = cent.map(_.toSeq).toSeq
     def cellOf(v: Column) =
       graft.functions.VectorExpressions.nearest_cell(v, centSeq)
-    val encodeInput: Column =
+    val base: Column =
       if (residual)
         graft.functions.VectorExpressions.cell_residual(
           col(vecCol), cellOf(col(vecCol)), centSeq)
       else col(vecCol)
+    val encodeInput: Column = rot.map(rm =>
+      graft.functions.VectorExpressions.rotate(base, rm.map(_.toSeq).toSeq))
+      .getOrElse(base)
     widthGuarded(vectors, vecCol, cb).select(col(idCol).as("neighbor_id"),
         PqExpressions.pq_encode_bytes(encodeInput, asSeq(cb)).as("codes"),
         cellOf(col(vecCol)).as("cell"))
@@ -482,6 +637,13 @@ object Pq {
     val cb = readCodebooks(spark, root)
     val ks = cb(0).length
     val residual = readResidualFlag(spark, root)
+    // OPQ: the LUT must measure in the SAME rotated space the codes
+    // were assigned in — rotate the query (or its per-cell residual)
+    // before the LUT; the candidate scan stays codes-only either way
+    val rotOpt = readRotation(spark, root)
+    def rotated(c: Column): Column = rotOpt.map(rm =>
+      graft.functions.VectorExpressions.rotate(c, rm.map(_.toSeq).toSeq))
+      .getOrElse(c)
     val centroids = spark.read.parquet(s"$root/centroids")
     val corpus0 = spark.read.parquet(s"$root/corpus")
     val corpus =
@@ -514,13 +676,13 @@ object Pq {
         val centArr = collectCentroidTable(centroids).map(_.toSeq).toSeq
         (probedCells.select(col("query_id"), col("cell"),
           PqExpressions.pq_lut(
-            graft.functions.VectorExpressions.cell_residual(
-              col("qv"), col("cell"), centArr),
+            rotated(graft.functions.VectorExpressions.cell_residual(
+              col("qv"), col("cell"), centArr)),
             asSeq(cb)).as("lut")),
           Seq("query_id", "cell"))
       } else
         (q.select(col("query_id"),
-          PqExpressions.pq_lut(col("qv"), asSeq(cb)).as("lut")),
+          PqExpressions.pq_lut(rotated(col("qv")), asSeq(cb)).as("lut")),
           Seq("query_id"))
     // excludeSelf: the ANN-family default filters the trivial self
     // pair when queries ARE corpus rows; pass false when query ids
@@ -549,9 +711,10 @@ object Pq {
                                idCol: String = "vec_id",
                                vecCol: String = "embedding",
                                corpusSize: Long = 0L,
-                               residual: Boolean = false): Unit = {
+                               residual: Boolean = false,
+                               opq: Boolean = false): Unit = {
     buildIvfPqIndex(corpus, s"$dir/gen-0", m, ks, nlist, maxIter, maxTrain,
-      idCol, vecCol, corpusSize, residual)
+      idCol, vecCol, corpusSize, residual, opq)
     Generations.setCurrent(corpus.sparkSession, dir, "gen-0")
   }
 
@@ -573,13 +736,14 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$next/centroids")
     spark.read.parquet(s"$root/codebooks")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$next/codebooks")
-    // params (the residual flag) travel with the quantizers — codes in
-    // the rewritten shards were assigned under them
-    val paramsPath = new org.apache.hadoop.fs.Path(s"$root/params")
-    if (paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(paramsPath))
-      spark.read.parquet(s"$root/params")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$next/params")
+    // params (the residual/opq flags) and the rotation travel with the
+    // quantizers — codes in the rewritten shards were assigned under them
+    for (rel <- Seq("params", "rotation")) {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        spark.read.parquet(s"$root/$rel")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/$next/$rel")
+    }
     val all = spark.read.parquet(s"$root/corpus")
     all.where(!col("shard").isin(keepShards: _*)).drop("shard")
       .write.mode("overwrite").partitionBy("cell")

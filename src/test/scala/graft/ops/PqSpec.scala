@@ -444,6 +444,157 @@ class PqSpec extends SparkSpec {
     assert(rows(Pq.ivfPqTopKIndexed(q, legacy, k = 3, nprobe = 2)) === withParams)
   }
 
+  /** [[residualReference]] extended with the OPQ rotation: codes from
+    * R·(v − centroid), query LUTs from R·(q − centroid) — the same
+    * independent re-derivation the q125 oracle runs in DuckDB. The
+    * rotation is read back from the index dir (exact doubles) and
+    * applied with an ascending-d multiply-accumulate, matching
+    * [[graft.functions.VectorExpressions.Rotate]] bit-for-bit. */
+  private def opqResidualReference(dir: String, queryIds: Seq[Long],
+                                   k: Int, nprobe: Int): Set[(Long, Long, Long, Double)] = {
+    val rot = Pq.readRotation(spark, dir).get
+    def rotate(v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](rot.length)
+      var r = 0
+      while (r < rot.length) {
+        var acc = 0.0; var d = 0
+        while (d < rot(r).length) { acc += rot(r)(d) * v(d); d += 1 }
+        out(r) = acc; r += 1
+      }
+      out
+    }
+    val cent = spark.read.parquet(s"$dir/centroids").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val norms = cent.map(c => math.sqrt(c.map(x => x * x).sum))
+    val cb = Pq.readCodebooks(spark, dir)
+    val m = cb.length; val ds = cb(0)(0).length; val ks = cb(0).length
+    val vecs = em.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosTo(v: Array[Double], i: Int): Double = {
+      var nv = 0.0; var d = 0
+      while (d < v.length) { nv += v(d) * v(d); d += 1 }
+      val normV = math.sqrt(nv)
+      var dot = 0.0; d = 0
+      while (d < cent(i).length) { dot += cent(i)(d) * v(d); d += 1 }
+      if (norms(i) == 0.0 || normV == 0.0) 0.0 else dot / (norms(i) * normV)
+    }
+    def residual(v: Array[Double], cell: Int): Array[Double] =
+      Array.tabulate(v.length)(d => v(d) - cent(cell)(d))
+    def codesOf(r: Array[Double]): Array[Int] = Array.tabulate(m) { s =>
+      var best = 0; var bd = Double.PositiveInfinity
+      for (j <- 0 until ks) {
+        var dist = 0.0
+        for (d <- 0 until ds) { val t = r(s * ds + d) - cb(s)(j)(d); dist += t * t }
+        if (dist < bd) { bd = dist; best = j }
+      }
+      best
+    }
+    val assigned = vecs.map { case (id, v) =>
+      val cell = cent.indices.maxBy(i => (cosTo(v, i), -i))
+      (id, cell, codesOf(rotate(residual(v, cell))))
+    }.toSeq
+    queryIds.flatMap { qid =>
+      val qv = vecs(qid)
+      val probed = cent.indices
+        .sortBy(i => (-cosTo(qv, i), i)).take(nprobe).toSet
+      val scored = assigned
+        .filter { case (id, cell, _) => id != qid && probed(cell) }
+        .map { case (id, cell, codes) =>
+          val qr = rotate(residual(qv, cell))
+          var acc = 0.0
+          for (s <- 0 until m) {
+            var lutEntry = 0.0
+            for (d <- 0 until ds) {
+              val t = qr(s * ds + d) - cb(s)(codes(s))(d); lutEntry += t * t
+            }
+            acc += lutEntry
+          }
+          (id, acc)
+        }
+      scored.sortBy { case (id, dist) => (dist, id) }.take(k).zipWithIndex
+        .map { case ((id, dist), r) =>
+          (qid, (r + 1).toLong, id,
+            BigDecimal(dist).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSet
+  }
+
+  test("opq ivf-pq: driver re-derivation matches; codes-only scan; artifacts survive append+compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-opq").toString
+    Pq.buildIvfPqIndexVersioned(em, dir, m = 8, ks = 8, nlist = 4,
+      residual = true, opq = true)
+    val q = em.where(col("vec_id") < 5)
+    val served = Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 2)
+    val expect = opqResidualReference(Generations.root(spark, dir),
+      0L until 5L, k = 3, nprobe = 2)
+    assert(rows(served) === expect)
+    // rotation is REAL (not identity) and orthogonal to ~1e-9
+    val rot = Pq.readRotation(spark, Generations.root(spark, dir)).get
+    assert(rot.zipWithIndex.exists { case (row, i) =>
+      row.zipWithIndex.exists { case (x, j) =>
+        math.abs(x - (if (i == j) 1.0 else 0.0)) > 1e-6 } },
+      "trained rotation is the identity — OPQ training did nothing")
+    for (i <- rot.indices; j <- rot.indices) {
+      val dot = rot.indices.map(d => rot(i)(d) * rot(j)(d)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"rotation rows $i,$j not orthonormal (dot $dot)")
+    }
+    // the candidate side never re-encodes/re-assigns/re-rotates: the
+    // corpus scan stays (neighbor_id, codes); Rotate lives only on
+    // the tiny query side
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("PqEncode") && !plan.contains("NearestCell"))
+    val corpusScan = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("corpus"))
+      .mkString("\n")
+    assert(corpusScan.contains("neighbor_id") && corpusScan.contains("codes"))
+    assert(!corpusScan.contains("embedding"))
+    // append under the frozen rotation, then compact: served results
+    // unchanged (rotation + params carried to the new generation)
+    val shard = em.withColumn("vec_id", col("vec_id") + 10000)
+      .where(col("vec_id") < 10003)
+    Pq.appendToIvfPqIndex(shard, dir, shardId = "day-1")
+    val withShard = rows(Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 4))
+    Pq.compactIvfPqIndexInPlace(spark, dir, keepShards = Seq("day-1"))
+    assert(rows(Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 4)) === withShard)
+    assert(Pq.readRotation(spark, Generations.root(spark, dir)).isDefined,
+      "compaction dropped the rotation relation")
+  }
+
+  test("opq recall: rotation recovers subspace-straddling structure a plain PQ cannot see") {
+    import spark.implicits._
+    // the clustered fixture MIXED by a fixed 45-degree rotation between
+    // dims (d, d+8): cluster structure now straddles every (2d, 2d+1)
+    // PQ subspace pair, the exact failure OPQ exists to undo
+    val mixed = (0L until 256L).map { i =>
+      val c = (i % 4).toInt
+      val x = Array.tabulate(16) { d =>
+        val center = if (d / 4 == c) 1.0 else 0.0
+        center + 0.2 * math.sin(i * 13.0 + d * 7.0)
+      }
+      val y = Array.tabulate(16) { d =>
+        if (d < 8) (x(d) - x(d + 8)) / math.sqrt(2.0)
+        else (x(d - 8) + x(d)) / math.sqrt(2.0)
+      }
+      (i, y.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val dirPlain = java.nio.file.Files.createTempDirectory("graft-opq-plain").toString
+    val dirOpq = java.nio.file.Files.createTempDirectory("graft-opq-rot").toString
+    Pq.buildIvfPqIndex(mixed, dirPlain, m = 8, ks = 8, nlist = 4, residual = true)
+    Pq.buildIvfPqIndex(mixed, dirOpq, m = 8, ks = 8, nlist = 4,
+      residual = true, opq = true)
+    val qs = mixed.where(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(qs, mixed, k = 5)
+    def recallOf(dir: String) = Similarity.annRecall(truth,
+        Pq.ivfPqTopKIndexed(qs, dir, k = 5, nprobe = 2))
+      .agg(avg("recall_ppm")).head().getDouble(0)
+    val (rOpq, rPlain) = (recallOf(dirOpq), recallOf(dirPlain))
+    assert(rOpq > rPlain,
+      s"opq recall $rOpq ppm not above plain $rPlain ppm at equal sizing " +
+        "on the mixed-subspace fixture")
+  }
+
   test("centroid table collect: by-name columns; sparse or renumbered cells refused") {
     import spark.implicits._
     val dense = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
