@@ -959,6 +959,20 @@ object SparkEntry {
             col("pos").cast("long").as("pos"),
             col("token_id").cast("long").as("token_id"))
       },
+      // the trainer-facing shard order: q123's materialized sequences
+      // deterministically SHUFFLED into reader shards (salted-md5 key;
+      // corpus order is crawl order — a sequential reader must not see
+      // that curriculum). Sequence-level rows: the token contents are
+      // q123's, already verified
+      "q126_shuffled_shards" -> q { (s, dir) =>
+        val enc = graft.ops.Checkpoints.truncator(s, None)(
+          LangModel.bpeEncode(t(s, dir, "documents"), nMerges = 4))
+        val seqs = graft.ops.Packer.materializeTokenShards(enc,
+          capacityTokens = 32, numGroups = 8)
+        graft.ops.Packer.shuffleSequences(seqs, numShards = 4, seed = "s42")
+          .select(col("shard"), col("shard_pos"), col("pack_group"),
+            col("seq_id"), col("n_tokens"))
+      },
       // the end-to-end tokenized-shard pipeline: curate (dedup chain +
       // quality gate) → DSIR-select the top half per source against
       // the curated-English target → tokenize the selection under a
@@ -2545,6 +2559,39 @@ object SparkEntry {
         CAST(seq_id AS BIGINT) AS seq_id,
         CAST(pos AS BIGINT) AS pos, token_id
       FROM placed""",
+    // q126: q123's sequences shuffled into reader shards — shard =
+    // salted-md5(seed|group|seq) mod 4, in-shard order ascending that
+    // key (ties (pack_group, seq_id))
+    "q126_shuffled_shards" -> s"""
+      WITH $DuckBpeTokenIdCtes,
+      dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+             FROM tokid GROUP BY doc_id),
+      pg AS (SELECT doc_id, n_tokens,
+          (md5_number_lower('pack|' || CAST(doc_id AS VARCHAR))
+             & 9223372036854775807) % 8 AS pack_group
+        FROM dc),
+      po AS (SELECT doc_id, pack_group,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY pack_group
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS bin_offset
+        FROM pg),
+      placed AS (
+        SELECT po.pack_group, (po.bin_offset + t.pos) // 32 AS seq_id
+        FROM tokid t JOIN po USING (doc_id)),
+      seqs AS (
+        SELECT pack_group, seq_id, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM placed GROUP BY pack_group, seq_id),
+      keyed AS (
+        SELECT *,
+          (md5_number_lower('s42|' || CAST(pack_group AS VARCHAR) || '|' ||
+             CAST(seq_id AS VARCHAR)) & 9223372036854775807) AS skey
+        FROM seqs)
+      SELECT CAST(skey % 4 AS BIGINT) AS shard,
+        CAST(row_number() OVER (PARTITION BY skey % 4
+          ORDER BY skey, pack_group, seq_id) - 1 AS BIGINT) AS shard_pos,
+        CAST(pack_group AS BIGINT) AS pack_group,
+        CAST(seq_id AS BIGINT) AS seq_id, n_tokens
+      FROM keyed""",
     "q102_split_leakage" -> s"""
       WITH $DuckNearDupCtes,
       nd AS (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Build-once / probe-many MinHash-LSH near-duplicate index — the text
@@ -100,15 +100,23 @@ object LshIndex {
     * older than the in-flight one need no such protection — Structured
     * Streaming replays at most the current batch. */
   def compactInPlace(spark: SparkSession, dir: String,
-                     keepShards: Seq[String] = Nil): Unit = {
+                     keepShards: Seq[String] = Nil,
+                     pointLayout: Boolean = false,
+                     sortedFiles: Int = 64): Unit = {
     val next = Generations.nextGen(spark, dir,
       "use compact(dir, newDir) + a caller-side cutover for flat layouts")
     val root = Generations.root(spark, dir)
     writeMeta(spark, s"$dir/$next", params(spark, dir))
     def rewrite(rel: String): Unit = {
       val all = spark.read.parquet(s"$root/$rel")
-      all.where(!col("shard").isin(keepShards: _*)).drop("shard")
-        .write.mode("overwrite").parquet(s"$dir/$next/$rel/shard=base")
+      val base = all.where(!col("shard").isin(keepShards: _*)).drop("shard")
+      val (df, opts) =
+        if (pointLayout)
+          (rangeSorted(base, PointLayoutKeys(rel), sortedFiles),
+            Map("parquet.block.size" -> PointLayoutBlockBytes))
+        else (base, Map.empty[String, String])
+      df.write.options(opts).mode("overwrite")
+        .parquet(s"$dir/$next/$rel/shard=base")
       keepShards.foreach { ks =>
         all.where(col("shard") === ks).drop("shard")
           .write.mode("overwrite").parquet(s"$dir/$next/$rel/shard=$ks")
@@ -124,6 +132,48 @@ object LshIndex {
       p.numHashes, p.rowsPerBand)
       .withColumnRenamed("doc_id", "rep")
 
+  /** Rewrite a serve relation RANGE-SORTED by its point-lookup key
+    * (`bands` by band_hash, `shingles`/`members` by rep): each output
+    * file covers a disjoint key range and small parquet row groups
+    * carry tight min/max stats, so a point probe's pushed
+    * `key IN (...)` filter reads only the row groups that can contain
+    * its handful of keys instead of scanning the corpus-sized
+    * relation. This is the row-group-skipping shape the r12 addendum
+    * left open after hive-partitioning by band-hash bucket was built,
+    * measured, and REJECTED (57× build / 6× serve from file fan-out):
+    * here the file count stays BOUNDED (`sortedFiles`, default 64)
+    * and the skipping granularity comes from row-group stats inside
+    * few large sorted files — exactly the fan-out-free mechanism that
+    * experiment pointed to. Layout-only: same schema, same rows;
+    * every existing reader works unchanged (batch probes just don't
+    * benefit — thousands of uniform probe hashes touch every row
+    * group, see [[nearDuplicates]]'s maxPushedBandHashes doc). */
+  private def rangeSorted(rel: DataFrame, key: String,
+                          sortedFiles: Int): DataFrame =
+    rel.repartitionByRange(sortedFiles, col(key)).sortWithinPartitions(key)
+
+  /** 8 MB row groups for point-layout files: the skip unit a point
+    * probe reads — small enough that one probed key costs ~MBs, big
+    * enough that parquet metadata stays negligible. */
+  private val PointLayoutBlockBytes = (8 * 1024 * 1024).toString
+
+  /** The point-lookup sort key of each serve relation. */
+  private val PointLayoutKeys =
+    Map("bands" -> "band_hash", "shingles" -> "rep", "members" -> "rep")
+
+  /** An `IN (...)` predicate parquet can actually push at ANY value
+    * count: Spark converts an In to a parquet filter only up to
+    * `spark.sql.parquet.pushdown.inFilterThreshold` values (default
+    * 10; beyond it only a [min,max] range is pushed — vacuous for
+    * scattered keys), but an OR of ≤ threshold-sized Ins converts
+    * clause by clause. Row-group stat evaluation of a few dozen
+    * clauses is nanoseconds against the megabytes each skipped group
+    * would have cost. */
+  private def pushedIsin(c: Column, values: Seq[Any],
+                         chunk: Int = 10): Column =
+    if (values.isEmpty) lit(false)
+    else values.grouped(chunk).map(g => c.isin(g: _*)).reduce(_ || _)
+
   private def shinglesOf(repDocs: DataFrame, textCol: String, p: Params): DataFrame =
     repDocs.select(col("doc_id").as("rep"),
       graft.functions.TextExpressions.shingle_hashes(
@@ -136,14 +186,22 @@ object LshIndex {
       materialize = !Dedup.tinyByEstimate(docs))
 
   private def writeShard(docs: DataFrame, dir: String, textCol: String,
-                         p: Params, shardId: String): Unit = {
+                         p: Params, shardId: String,
+                         pointLayout: Boolean = false,
+                         sortedFiles: Int = 64): Unit = {
     val (members, repDocs) = collapsed(docs, textCol)
-    members.select(col("doc_id"), col("__rep").as("rep"))
-      .write.mode("overwrite").parquet(s"$dir/members/shard=$shardId")
-    bandsOf(repDocs, textCol, p)
-      .write.mode("overwrite").parquet(s"$dir/bands/shard=$shardId")
-    shinglesOf(repDocs, textCol, p)
-      .write.mode("overwrite").parquet(s"$dir/shingles/shard=$shardId")
+    def write(rel: String, df: DataFrame): Unit = {
+      val (out, opts) =
+        if (pointLayout)
+          (rangeSorted(df, PointLayoutKeys(rel), sortedFiles),
+            Map("parquet.block.size" -> PointLayoutBlockBytes))
+        else (df, Map.empty[String, String])
+      out.write.options(opts).mode("overwrite")
+        .parquet(s"$dir/$rel/shard=$shardId")
+    }
+    write("members", members.select(col("doc_id"), col("__rep").as("rep")))
+    write("bands", bandsOf(repDocs, textCol, p))
+    write("shingles", shinglesOf(repDocs, textCol, p))
   }
 
   private def writeMeta(spark: SparkSession, dir: String, p: Params): Unit = {
@@ -161,13 +219,20 @@ object LshIndex {
   }
 
   /** Build the index: one collapse pass over the corpus writing the
-    * three derived relations (as `shard=base`) plus the parameter row. */
+    * three derived relations (as `shard=base`) plus the parameter row.
+    * `pointLayout = true` writes each base relation range-sorted by
+    * its point-lookup key ([[rangeSorted]]: bands by band_hash,
+    * shingles/members by rep) — the point-probe serving layout;
+    * appended shards stay unsorted until the next point-layout
+    * compaction (a point probe still prunes the base, which
+    * dominates). */
   def build(corpus: DataFrame, dir: String, textCol: String = "text",
             numHashes: Int = 8, rowsPerBand: Int = 2,
-            shingleSize: Int = 3): Unit = {
+            shingleSize: Int = 3, pointLayout: Boolean = false,
+            sortedFiles: Int = 64): Unit = {
     val p = Params(numHashes, rowsPerBand, shingleSize)
     writeMeta(corpus.sparkSession, dir, p)
-    writeShard(corpus, dir, textCol, p, "base")
+    writeShard(corpus, dir, textCol, p, "base", pointLayout, sortedFiles)
   }
 
   /** Append a new corpus shard — the daily-ingest maintenance step.
@@ -269,6 +334,101 @@ object LshIndex {
     history.unionByName(demoted)
   }
 
+  /** The POINT-LOOKUP serve path — "is THIS document a near-dup of the
+    * indexed corpus?", request/response-shaped: where [[nearDuplicates]]
+    * builds one lazy plan whose verification stage scans the
+    * corpus-sized shingles and members relations (right for batch
+    * probes — the scan amortizes over thousands of candidates), a
+    * point probe's candidates are a handful, and the corpus scans ARE
+    * the cost (measured at 9.5M distinct streams: 2.1 s/probe floor
+    * with the band scan already pruned — all of it shingles/members
+    * bytes). This path runs TWO phases with a driver synchronization
+    * between them, the standard point-serving trade:
+    *
+    *  1. derive the probe's bands scan-locally, COLLECT its band
+    *     hashes (bounded: numHashes/rowsPerBand per distinct stream in
+    *     the probe), and resolve candidate reps through a
+    *     [[pushedIsin]]-pruned bands scan — row groups that cannot
+    *     contain a probed hash are skipped entirely under a
+    *     [[build]] `pointLayout = true` index;
+    *  2. with the candidate rep ids IN HAND (collected, capped by
+    *     `maxCandidateReps`), build the verification/expansion plan
+    *     with pushed `rep IN (...)` filters on the shingles and
+    *     members scans — the same join shapes, the same
+    *     [[graft.functions.TextExpressions.array_jaccard]] + 1e-4
+    *     rounding as [[nearDuplicates]], so results are bit-identical
+    *     (spec-asserted), but every corpus-sized relation is read
+    *     through row-group-skipping point filters.
+    *
+    * Falls back to [[nearDuplicates]] when the probe is not
+    * point-shaped (more than `maxPushedBandHashes` distinct band
+    * hashes) or the candidate set exceeds `maxCandidateReps` (a
+    * pathological near-dup family — the batch plan is the right one
+    * there). Works on any layout; the byte savings need
+    * `pointLayout`. */
+  def pointNearDuplicates(probe: DataFrame, dir: String,
+                          threshold: Double = 0.5,
+                          textCol: String = "text",
+                          excludeShards: Seq[String] = Nil,
+                          maxPushedBandHashes: Int = 64,
+                          maxCandidateReps: Int = 4096): DataFrame = {
+    val spark = probe.sparkSession
+    val root = Generations.root(spark, dir)
+    val p = params(spark, dir)
+    def shardFilter(df: DataFrame): DataFrame =
+      if (excludeShards.isEmpty) df
+      else df.where(!col("shard").isin(excludeShards: _*))
+    val (mProbe, repProbe) = collapsed(probe, textCol)
+    val qBands = bandsOf(repProbe, textCol, p)
+    val hashes = qBands.select("band_hash").distinct()
+      .limit(maxPushedBandHashes + 1).collect().map(_.getString(0)).toSeq
+    if (hashes.length > maxPushedBandHashes)
+      return nearDuplicates(probe, dir, threshold, textCol, excludeShards)
+    if (hashes.isEmpty)
+      // no band-eligible stream in the probe (empty/short docs): the
+      // batch path's result is empty too
+      return mProbe.select(col("doc_id"), col("doc_id").as("index_doc_id"),
+        lit(0.0).as("jaccard")).where(lit(false))
+    // phase 1→2 synchronization: candidate reps, via the pruned scan
+    val xBands = shardFilter(spark.read.parquet(s"$root/bands"))
+      .where(pushedIsin(col("band_hash"), hashes))
+    val cand = qBands.alias("q")
+      .join(xBands.alias("x"),
+        col("q.band_id") === col("x.band_id") &&
+        col("q.band_hash") === col("x.band_hash"))
+      .select(col("q.rep").as("__rq"), col("x.rep").as("__rx"))
+      .distinct()
+    val candRows = cand.limit(maxCandidateReps + 1).collect()
+    if (candRows.length > maxCandidateReps)
+      return nearDuplicates(probe, dir, threshold, textCol, excludeShards)
+    if (candRows.isEmpty)
+      return mProbe.select(col("doc_id"), col("doc_id").as("index_doc_id"),
+        lit(0.0).as("jaccard")).where(lit(false))
+    val rxs = candRows.map(_.getLong(1)).distinct.toSeq
+    import spark.implicits._
+    val candDf = candRows.map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.toDF("__rq", "__rx")
+    // phase 2: verification + expansion over point-filtered scans —
+    // the nearDuplicates join shapes and arithmetic, verbatim
+    val xSh = shardFilter(spark.read.parquet(s"$root/shingles"))
+      .where(pushedIsin(col("rep"), rxs))
+    val repPairs = candDf
+      .join(shinglesOf(repProbe, textCol, p)
+        .select(col("rep").as("__rq"), col("sh").as("sh_q")), "__rq")
+      .join(xSh.select(col("rep").as("__rx"), col("sh").as("sh_x")), "__rx")
+      .withColumn("jaccard",
+        graft.functions.TextExpressions.array_jaccard(col("sh_q"), col("sh_x")))
+      .where(col("jaccard") >= threshold)
+      .select(col("__rq"), col("__rx"), round(col("jaccard"), 4).as("jaccard"))
+    val xMembers = shardFilter(spark.read.parquet(s"$root/members"))
+      .where(pushedIsin(col("rep"), rxs))
+    mProbe.select(col("doc_id"), col("__rep").as("__rq"))
+      .join(repPairs, "__rq")
+      .join(xMembers.select(col("doc_id").as("index_doc_id"),
+        col("rep").as("__rx")), "__rx")
+      .select(col("doc_id"), col("index_doc_id"), col("jaccard"))
+  }
+
   /** Compact an index that has accreted many append shards into a
     * fresh single-shard index at `newDir` — the maintenance pass for
     * long-running ingest: a year of daily batches is ~365 shard
@@ -285,12 +445,21 @@ object LshIndex {
     * live index untouched until the caller's own atomic pointer swap
     * (the standard index-versioning move); the old dir is then the
     * caller's to reap. */
-  def compact(spark: SparkSession, dir: String, newDir: String): Unit = {
+  def compact(spark: SparkSession, dir: String, newDir: String,
+              pointLayout: Boolean = false,
+              sortedFiles: Int = 64): Unit = {
     writeMeta(spark, newDir, params(spark, dir))
     val root = Generations.root(spark, dir)
-    def rewrite(rel: String): Unit =
-      spark.read.parquet(s"$root/$rel").drop("shard")
-        .write.mode("overwrite").parquet(s"$newDir/$rel/shard=base")
+    def rewrite(rel: String): Unit = {
+      val base = spark.read.parquet(s"$root/$rel").drop("shard")
+      val (df, opts) =
+        if (pointLayout)
+          (rangeSorted(base, PointLayoutKeys(rel), sortedFiles),
+            Map("parquet.block.size" -> PointLayoutBlockBytes))
+        else (base, Map.empty[String, String])
+      df.write.options(opts).mode("overwrite")
+        .parquet(s"$newDir/$rel/shard=base")
+    }
     rewrite("members"); rewrite("bands"); rewrite("shingles")
   }
 
@@ -311,21 +480,52 @@ object LshIndex {
     * The load-bearing use is replay safety ([[graft.streaming
     * .IngestStream]]): a replayed batch already appended (part of) its
     * own survivors as `batch-<id>`, and probing without excluding that
-    * shard would find the batch duplicating ITSELF and drop every row. */
+    * shard would find the batch duplicating ITSELF and drop every row.
+    *
+    * `pushBandFilter = true` is the POINT-PROBE serving path ("is this
+    * one document a duplicate of 10M indexed streams?"): the probe's
+    * distinct band hashes are collected (bounded by the probe's size —
+    * a one-doc probe has numHashes/rowsPerBand of them) and pushed as
+    * a `band_hash IN (...)` parquet filter on the index bands scan.
+    * Over a [[sortedBands]] layout the parquet reader then skips every
+    * row group whose min/max cannot contain a probed hash — the scan
+    * reads a few row groups instead of the corpus-sized relation. The
+    * filter is implied by the join, so results are identical
+    * (spec-asserted); if the probe carries more than
+    * `maxPushedBandHashes` distinct hashes the pushdown is skipped —
+    * beyond `spark.sql.parquet.pushdown.inFilterThreshold` (default
+    * 10) Spark pushes only a [min,max] range, which is vacuous for
+    * uniform hashes, and a BATCH probe's thousands of uniform hashes
+    * touch every row group anyway (the r13 SCALE.md measurement) —
+    * the full-scan band join is already the right plan there. */
   def nearDuplicates(probe: DataFrame, dir: String, threshold: Double = 0.5,
                      textCol: String = "text",
-                     excludeShards: Seq[String] = Nil): DataFrame = {
+                     excludeShards: Seq[String] = Nil,
+                     pushBandFilter: Boolean = false,
+                     maxPushedBandHashes: Int = 10): DataFrame = {
     val spark = probe.sparkSession
     val root = Generations.root(spark, dir)
     val p = params(spark, dir)
     def shardFilter(df: DataFrame): DataFrame =
       if (excludeShards.isEmpty) df
       else df.where(!col("shard").isin(excludeShards: _*))
-    val xBands = shardFilter(spark.read.parquet(s"$root/bands"))
+    val xBands0 = shardFilter(spark.read.parquet(s"$root/bands"))
     val xSh = shardFilter(spark.read.parquet(s"$root/shingles"))
     val xMembers = shardFilter(spark.read.parquet(s"$root/members"))
     val (mProbe, repProbe) = collapsed(probe, textCol)
-    val cand = bandsOf(repProbe, textCol, p).alias("q")
+    val qBands = bandsOf(repProbe, textCol, p)
+    val xBands =
+      if (!pushBandFilter) xBands0
+      else {
+        // one extra probe-sized job (collapse + sign the probe twice —
+        // point probes are the use case, so this is ~free); cap + 1 so
+        // an over-cap probe is detected without collecting everything
+        val hashes = qBands.select("band_hash").distinct()
+          .limit(maxPushedBandHashes + 1).collect().map(_.getString(0))
+        if (hashes.length > maxPushedBandHashes) xBands0
+        else xBands0.where(pushedIsin(col("band_hash"), hashes.toSeq))
+      }
+    val cand = qBands.alias("q")
       .join(xBands.alias("x"),
         col("q.band_id") === col("x.band_id") &&
         col("q.band_hash") === col("x.band_hash"))

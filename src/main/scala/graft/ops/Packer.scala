@@ -91,6 +91,41 @@ object Packer {
     if (dropRemainder) seqs.where(col("n_tokens") === capacityTokens) else seqs
   }
 
+  /** Deterministic pseudorandom shuffle of packed training sequences
+    * into `numShards` reader shards — the "global shuffle before
+    * training" step: [[materializeTokenShards]] emits sequences in
+    * (pack_group, seq_id) order, which is doc_id order, which is
+    * corpus order — and corpus order is crawl order, so a trainer
+    * reading shards sequentially would see a topical/temporal
+    * curriculum nobody asked for. Every sequence gets a shuffle key =
+    * salted-md5(seed | pack_group | seq_id) (the [[Sampling
+    * .hashBucket]] arithmetic — reproducible on any engine, and a new
+    * `seed` is a fresh epoch-order for free); its shard is the key mod
+    * `numShards`, its position within the shard is ascending key
+    * (ties by (pack_group, seq_id) — unreachable for md5-128 but
+    * pinned anyway so the contract is total).
+    *
+    * Scale shape: one hash projection + ONE shard-keyed exchange with
+    * an in-shard sort — no global sort, no driver state. Each shard
+    * sorts within one task, which is exactly the training-shard
+    * contract: a shard IS the unit one reader consumes, so size
+    * `numShards` to the reader fleet (thousands at 100 TB), never to
+    * the corpus. Output = input columns + (shard, shard_pos). */
+  def shuffleSequences(seqs: DataFrame, numShards: Int = 32,
+                       seed: String = "shuffle"): DataFrame = {
+    require(numShards > 0, s"numShards ($numShards) must be positive")
+    val key = graft.functions.TextExpressions.md5_lower64(
+        concat(lit(seed), lit("|"), col("pack_group").cast("string"),
+          lit("|"), col("seq_id").cast("string")))
+      .bitwiseAND(lit(Long.MaxValue))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("__skey"), col("pack_group"), col("seq_id"))
+    seqs.withColumn("__skey", key)
+      .withColumn("shard", pmod(col("__skey"), lit(numShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
+      .drop("__skey")
+  }
+
   private def packCounted(counts: DataFrame, capacityTokens: Int,
                           numGroups: Int, salt: String): DataFrame = {
     require(capacityTokens > 0 && numGroups > 0,

@@ -166,4 +166,83 @@ class LshIndexSpec extends SparkSpec {
     val out = asSet(LshIndex.nearDuplicates(probe, dir, threshold = 1.0))
     assert(out === Set((100L, 0L, 1.0)))
   }
+
+  test("point probe with pushed band filter: identical results; In filter reaches the bands scan") {
+    val dir = tmpDir("graft-lsh-sorted")
+    LshIndex.build(corpus, dir, shingleSize = 2, pointLayout = true,
+      sortedFiles = 2)
+    // sorted layout serves every probe identically (layout-only change)
+    assert(asSet(LshIndex.nearDuplicates(probe, dir, threshold = 0.3)) ===
+      asSet(Dedup.crossNearDuplicates(probe, corpus,
+        shingleSize = 2, threshold = 0.3)))
+    // ONE-doc probe (the point-lookup shape): pushed filter must not
+    // change results, and the In predicate must reach the parquet scan
+    val one = probe.where(col("doc_id") === 100L)
+    val pushed = LshIndex.nearDuplicates(one, dir, threshold = 0.3,
+      pushBandFilter = true)
+    assert(asSet(pushed) ===
+      asSet(LshIndex.nearDuplicates(one, dir, threshold = 0.3)))
+    val scans = pushed.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("bands"))
+      .mkString("\n")
+    assert(scans.contains("PushedFilters: [In(band_hash"),
+      s"no pushed In(band_hash) on the bands scan:\n$scans")
+    // over-cap probe (the whole batch): pushdown silently skipped,
+    // results identical — the full-scan band join is the right plan
+    assert(asSet(LshIndex.nearDuplicates(probe, dir, threshold = 0.3,
+        pushBandFilter = true, maxPushedBandHashes = 2)) ===
+      asSet(LshIndex.nearDuplicates(probe, dir, threshold = 0.3)))
+  }
+
+  test("sorted compaction: results identical; sorted layout survives the rewrite") {
+    val dir = tmpDir("graft-lsh-sortcomp")
+    val (half1, half2) =
+      (corpus.where(col("doc_id") < 3), corpus.where(col("doc_id") >= 3))
+    LshIndex.build(half1, dir, shingleSize = 2)
+    LshIndex.append(half2, dir, shardId = "day-1")
+    val before = asSet(LshIndex.nearDuplicates(probe, dir, threshold = 0.3))
+    val sortedDir = tmpDir("graft-lsh-sortcomp-out")
+    LshIndex.compact(spark, dir, sortedDir, pointLayout = true,
+      sortedFiles = 2)
+    assert(asSet(LshIndex.nearDuplicates(probe, sortedDir,
+      threshold = 0.3)) === before)
+    assert(asSet(LshIndex.nearDuplicates(probe.where(col("doc_id") === 100L),
+        sortedDir, threshold = 0.3, pushBandFilter = true)) ===
+      before.filter(_._1 == 100L))
+  }
+
+  test("pointNearDuplicates: bit-identical to the batch path on every probe shape; point filters reach all three scans") {
+    val dir = tmpDir("graft-lsh-pnd")
+    LshIndex.build(corpus, dir, shingleSize = 2, pointLayout = true,
+      sortedFiles = 2)
+    val batch = asSet(LshIndex.nearDuplicates(probe, dir, threshold = 0.3))
+    // whole-batch probe (may or may not exceed the hash cap — either
+    // path must agree with the batch plan)
+    assert(asSet(LshIndex.pointNearDuplicates(probe, dir,
+      threshold = 0.3)) === batch)
+    // one-doc probes, incl. the no-match and the empty doc
+    for (id <- Seq(100L, 101L, 102L, 103L)) {
+      val one = probe.where(col("doc_id") === id)
+      assert(asSet(LshIndex.pointNearDuplicates(one, dir, threshold = 0.3)) ===
+        batch.filter(_._1 == id), s"point probe $id diverged")
+    }
+    // the point filters must reach the shingles AND members scans
+    val pnd = LshIndex.pointNearDuplicates(
+      probe.where(col("doc_id") === 100L), dir, threshold = 0.3)
+    val plan = pnd.queryExecution.executedPlan.toString
+    for (rel <- Seq("shingles", "members")) {
+      val scan = plan.linesIterator
+        .filter(l => l.contains("Scan parquet") && l.contains(rel))
+        .mkString("\n")
+      assert(scan.contains("PushedFilters: [In(rep") ||
+        scan.contains("In(rep"),
+        s"no pushed In(rep) on the $rel scan:\n$scan")
+    }
+    // hash-cap fallback (maxPushedBandHashes = 1): still identical
+    assert(asSet(LshIndex.pointNearDuplicates(probe, dir, threshold = 0.3,
+      maxPushedBandHashes = 1)) === batch)
+    // candidate-cap fallback: still identical
+    assert(asSet(LshIndex.pointNearDuplicates(probe, dir, threshold = 0.3,
+      maxCandidateReps = 1)) === batch)
+  }
 }

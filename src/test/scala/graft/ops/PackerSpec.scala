@@ -77,4 +77,39 @@ class PackerSpec extends SparkSpec {
         rows.init.foreach(r => assert(r.getAs[Long]("n_tokens") === 16L))
       }
   }
+
+  test("shuffleSequences: a deterministic permutation — dense positions, seed-keyed order, no sequence lost") {
+    val enc = (0L until 40L)
+      .map(i => (i, (0 until 7).map(j => (i * 7 + j).toInt), 7L))
+      .toDF("doc_id", "token_ids", "n_tokens")
+    val seqs = Packer.materializeTokenShards(enc, capacityTokens = 16,
+      numGroups = 4)
+    val shuffled = Packer.shuffleSequences(seqs, numShards = 3, seed = "s1")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("shard", "shard_pos", "pack_group", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = rows(shuffled)
+    // same multiset of sequences, none lost or duplicated
+    assert(out.map(t => (t._3, t._4)).sorted.toSeq ===
+      seqs.select("pack_group", "seq_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // positions dense 0..n-1 within every shard
+    out.groupBy(_._1).foreach { case (sh, ts) =>
+      assert(ts.map(_._2).sorted.toSeq === (0L until ts.length.toLong),
+        s"shard $sh positions not dense")
+    }
+    // deterministic: a second run is identical
+    assert(rows(Packer.shuffleSequences(seqs, numShards = 3,
+      seed = "s1")).sorted.toSeq === out.sorted.toSeq)
+    // a different seed is a different epoch order (arrangement moves)
+    val other = rows(Packer.shuffleSequences(seqs, numShards = 3, seed = "s2"))
+    assert(other.sorted.toSeq !== out.sorted.toSeq)
+    // and NOT the input order: within some shard, consecutive
+    // positions come from non-consecutive (pack_group, seq_id)
+    val monotone = out.groupBy(_._1).forall { case (_, ts) =>
+      val inOrder = ts.sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      inOrder == inOrder.sorted
+    }
+    assert(!monotone, "shuffle left every shard in pack order")
+  }
 }
