@@ -170,9 +170,15 @@ object LshIndex {
     * clauses is nanoseconds against the megabytes each skipped group
     * would have cost. */
   private def pushedIsin(c: Column, values: Seq[Any],
-                         chunk: Int = 10): Column =
+                         chunk: Int = 10): Column = {
+    // balanced OR tree: a left-assoc reduce over hundreds of chunks
+    // builds an expression chain as deep as the chunk count
+    def orTree(cs: Seq[Column]): Column =
+      if (cs.length == 1) cs.head
+      else orTree(cs.grouped(2).map(_.reduce(_ || _)).toSeq)
     if (values.isEmpty) lit(false)
-    else values.grouped(chunk).map(g => c.isin(g: _*)).reduce(_ || _)
+    else orTree(values.grouped(chunk).map(g => c.isin(g: _*)).toSeq)
+  }
 
   private def shinglesOf(repDocs: DataFrame, textCol: String, p: Params): DataFrame =
     repDocs.select(col("doc_id").as("rep"),
