@@ -48,8 +48,30 @@ object PqProbe {
       val (_, sRef) = wall(drain(
         ops.Pq.ivfPqTopKRefined(q, pqDir, k = 5, source = em, nprobe = 8,
           refine = 8)))
+      val (_, sPt) = wall(drain(
+        ops.Pq.ivfPqTopKRefinedPoint(q, pqDir, k = 5, source = em,
+          nprobe = 8, refine = 8)))
       println(f"serve round $round: ivf=$sIvf%.2fs ivfpq=$sPq%.2fs " +
-        f"ivfpq+refine=$sRef%.2fs")
+        f"ivfpq+refine=$sRef%.2fs ivfpq+refine-point=$sPt%.2fs")
+    }
+    // the REQUEST/RESPONSE shape: one query, collected to a literal
+    // relation (a serving caller has its vector in hand — deriving it
+    // from the corpus would cost a corpus scan, the LshServeProbe
+    // point lesson)
+    import spark.implicits._
+    val q1row = em.where(col("vec_id") === 0)
+      .select("vec_id", "embedding").collect()(0)
+    val q1 = Seq((q1row.getLong(0), q1row.getSeq[Float](1)))
+      .toDF("vec_id", "embedding")
+    for (round <- 1 to 3) {
+      val (_, b1) = wall(drain(
+        ops.Pq.ivfPqTopKRefined(q1, pqDir, k = 5, source = em, nprobe = 8,
+          refine = 8)))
+      val (_, p1) = wall(drain(
+        ops.Pq.ivfPqTopKRefinedPoint(q1, pqDir, k = 5, source = em,
+          nprobe = 8, refine = 8)))
+      println(f"one-query round $round: refine-batch=$b1%.2fs " +
+        f"refine-point=$p1%.2fs")
     }
   }
 

@@ -919,6 +919,17 @@ object SparkEntry {
           ivfPqResIndexFor(s, dir), k = 5, source = em,
           nprobe = 2, refine = 2)
       },
+      // q124 through the POINT-SERVING path: the ADC shortlist is
+      // collected (bounded) and the exact re-rank fetches ONLY those
+      // ids via a pushed In filter on the raw-vector scan — the
+      // request/response ANN shape (same results as the batch refine
+      // by construction; the oracle is q124's, verbatim)
+      "q127_ivfpq_point_refined" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        graft.ops.Pq.ivfPqTopKRefinedPoint(em.where(col("vec_id") < 20),
+          ivfPqResIndexFor(s, dir), k = 5, source = em,
+          nprobe = 2, refine = 2)
+      },
       // q122 under an OPQ rotation (faiss "OPQ8,IVF8,PQ8x4"-style):
       // codes and LUTs live in R·(v − centroid) space; the oracle
       // re-derives the full chain — routing, per-cell residual,

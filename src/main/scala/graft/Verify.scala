@@ -60,7 +60,11 @@ object Verify {
       ("q122_ivfpq_residual" -> SparkEntry.ivfPqResidualOracleSql(spark, sfDir)) +
       ("q124_ivfpq_res_refined" ->
         SparkEntry.ivfPqResidualRefinedOracleSql(spark, sfDir)) +
-      ("q125_ivfpq_opq" -> SparkEntry.ivfPqOpqOracleSql(spark, sfDir))
+      ("q125_ivfpq_opq" -> SparkEntry.ivfPqOpqOracleSql(spark, sfDir)) +
+      // q127 is q124 through the point-serving path — results are
+      // identical by construction, so the oracle SQL is q124's
+      ("q127_ivfpq_point_refined" ->
+        SparkEntry.ivfPqResidualRefinedOracleSql(spark, sfDir))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -161,24 +161,9 @@ object LshIndex {
   private val PointLayoutKeys =
     Map("bands" -> "band_hash", "shingles" -> "rep", "members" -> "rep")
 
-  /** An `IN (...)` predicate parquet can actually push at ANY value
-    * count: Spark converts an In to a parquet filter only up to
-    * `spark.sql.parquet.pushdown.inFilterThreshold` values (default
-    * 10; beyond it only a [min,max] range is pushed — vacuous for
-    * scattered keys), but an OR of ≤ threshold-sized Ins converts
-    * clause by clause. Row-group stat evaluation of a few dozen
-    * clauses is nanoseconds against the megabytes each skipped group
-    * would have cost. */
   private def pushedIsin(c: Column, values: Seq[Any],
-                         chunk: Int = 10): Column = {
-    // balanced OR tree: a left-assoc reduce over hundreds of chunks
-    // builds an expression chain as deep as the chunk count
-    def orTree(cs: Seq[Column]): Column =
-      if (cs.length == 1) cs.head
-      else orTree(cs.grouped(2).map(_.reduce(_ || _)).toSeq)
-    if (values.isEmpty) lit(false)
-    else orTree(values.grouped(chunk).map(g => c.isin(g: _*)).toSeq)
-  }
+                         chunk: Int = 10): Column =
+    Pushdown.pushedIsin(c, values, chunk)
 
   private def shinglesOf(repDocs: DataFrame, textCol: String, p: Params): DataFrame =
     repDocs.select(col("doc_id").as("rep"),

@@ -773,4 +773,45 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"))
     rerankExact(shortlist, queries, source, k, idCol, vecCol)
   }
+
+  /** The POINT-SERVING form of [[ivfPqTopKRefined]] — the vector twin
+    * of [[LshIndex.pointNearDuplicates]]: [[rerankExact]]'s vector
+    * fetch is an id equi-join whose PLAN is still a full `source`
+    * scan streamed through a broadcast join — right for batch serving
+    * (thousands of queries amortize the scan), wrong for a
+    * request/response probe where the shortlist is the whole working
+    * set. Here the ADC shortlist is COLLECTED (bounded: |queries| ·
+    * k·refine rows, capped by `maxFetchIds`) and the re-rank plan
+    * fetches ONLY those ids through a [[Pushdown.pushedIsin]] filter
+    * the parquet reader can act on — over an id-sorted vectors
+    * relation (ours are written in id order) the scan reads a few row
+    * groups instead of the corpus. Results are bit-identical to
+    * [[ivfPqTopKRefined]] (same exact-cosine arithmetic, same tie
+    * order — spec-asserted); shortlists beyond `maxFetchIds` fall
+    * back to the batch plan. */
+  def ivfPqTopKRefinedPoint(queries: DataFrame, dir: String, k: Int,
+                            source: DataFrame, nprobe: Int = 4,
+                            refine: Int = 4,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            excludeShards: Seq[String] = Nil,
+                            excludeSelf: Boolean = true,
+                            maxFetchIds: Int = 4096): DataFrame = {
+    require(refine > 0,
+      s"Pq.ivfPqTopKRefinedPoint: refine must be positive, got $refine")
+    val spark = queries.sparkSession
+    val shortRows = ivfPqTopKIndexed(queries, dir, k * refine, nprobe,
+      idCol, vecCol, excludeShards, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
+      .limit(maxFetchIds + 1).collect()
+    if (shortRows.length > maxFetchIds)
+      return ivfPqTopKRefined(queries, dir, k, source, nprobe, refine,
+        idCol, vecCol, excludeShards, excludeSelf)
+    import spark.implicits._
+    val shortlist = shortRows.map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.toDF("query_id", "neighbor_id")
+    val ids = shortRows.map(_.getLong(1)).distinct.toSeq
+    rerankExact(shortlist, queries,
+      source.where(Pushdown.pushedIsin(col(idCol), ids)), k, idCol, vecCol)
+  }
 }

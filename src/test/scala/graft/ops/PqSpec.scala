@@ -595,6 +595,34 @@ class PqSpec extends SparkSpec {
         "on the mixed-subspace fixture")
   }
 
+  test("point-refined serve: bit-identical to batch refine; pushed In(vec_id) reaches the source scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-point").toString
+    Pq.buildIvfPqIndex(em, dir, m = 8, ks = 8, nlist = 4, residual = true)
+    val q = em.where(col("vec_id") < 5)
+    def cosRows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    val batch = cosRows(Pq.ivfPqTopKRefined(q, dir, k = 3, source = em,
+      nprobe = 2, refine = 2))
+    val point = Pq.ivfPqTopKRefinedPoint(q, dir, k = 3, source = em,
+      nprobe = 2, refine = 2)
+    assert(cosRows(point) === batch)
+    // the re-rank vector fetch must be a POINT read: pushed In(vec_id)
+    // on the source scan, not a full-scan join
+    val srcScans = point.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("embeddings"))
+      .mkString("\n")
+    assert(srcScans.contains("In(vec_id"),
+      s"no pushed In(vec_id) on the source scan:\n$srcScans")
+    // over-cap shortlist: silent fallback to the batch plan, identical
+    assert(cosRows(Pq.ivfPqTopKRefinedPoint(q, dir, k = 3, source = em,
+      nprobe = 2, refine = 2, maxFetchIds = 3)) === batch)
+    // saturation through the point path is exact too
+    assert(cosRows(Pq.ivfPqTopKRefinedPoint(q, dir, k = 3, source = em,
+        nprobe = 4, refine = 200, maxFetchIds = 100000)) ===
+      cosRows(Similarity.bruteForceTopK(q, em, k = 3)))
+  }
+
   test("centroid table collect: by-name columns; sparse or renumbered cells refused") {
     import spark.implicits._
     val dense = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
