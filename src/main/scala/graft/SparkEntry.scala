@@ -970,6 +970,22 @@ object SparkEntry {
             col("pos").cast("long").as("pos"),
             col("token_id").cast("long").as("token_id"))
       },
+      // per-sequence document boundaries of the packed shards — what a
+      // trainer rebuilds its block-diagonal attention mask from
+      // (attention must not cross doc boundaries inside a packed
+      // sequence); spans exploded to rows for the oracle compare
+      "q128_doc_spans" -> q { (s, dir) =>
+        val enc = graft.ops.Checkpoints.truncator(s, None)(
+          LangModel.bpeEncode(t(s, dir, "documents"), nMerges = 4))
+        graft.ops.Packer.materializeTokenShards(enc, capacityTokens = 32,
+            numGroups = 8, docSpans = true)
+          .select(col("pack_group"), col("seq_id"),
+            explode(col("doc_spans")).as("sp"))
+          .select(col("pack_group"), col("seq_id"),
+            col("sp.doc_id").as("doc_id"),
+            col("sp.start").as("span_start"),
+            col("sp.end").as("span_end"))
+      },
       // the trainer-facing shard order: q123's materialized sequences
       // deterministically SHUFFLED into reader shards (salted-md5 key;
       // corpus order is crawl order — a sequential reader must not see
@@ -2570,6 +2586,30 @@ object SparkEntry {
         CAST(seq_id AS BIGINT) AS seq_id,
         CAST(pos AS BIGINT) AS pos, token_id
       FROM placed""",
+    // q128: q123's placement relation reduced to per-(sequence, doc)
+    // [min, max] position spans — the attention-boundary relation
+    "q128_doc_spans" -> s"""
+      WITH $DuckBpeTokenIdCtes,
+      dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+             FROM tokid GROUP BY doc_id),
+      pg AS (SELECT doc_id, n_tokens,
+          (md5_number_lower('pack|' || CAST(doc_id AS VARCHAR))
+             & 9223372036854775807) % 8 AS pack_group
+        FROM dc),
+      po AS (SELECT doc_id, pack_group,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY pack_group
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS bin_offset
+        FROM pg),
+      placed AS (
+        SELECT po.pack_group, (po.bin_offset + t.pos) // 32 AS seq_id,
+          (po.bin_offset + t.pos) % 32 AS pos, t.doc_id
+        FROM tokid t JOIN po USING (doc_id))
+      SELECT CAST(pack_group AS BIGINT) AS pack_group,
+        CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        CAST(min(pos) AS BIGINT) AS span_start,
+        CAST(max(pos) AS BIGINT) AS span_end
+      FROM placed GROUP BY 1, 2, 3""",
     // q126: q123's sequences shuffled into reader shards — shard =
     // salted-md5(seed|group|seq) mod 4, in-shard order ascending that
     // key (ties (pack_group, seq_id))

@@ -56,6 +56,12 @@ object Packer {
     * group's final sequence may be shorter than the capacity —
     * `dropRemainder = true` drops those (the training-shard
     * convention when partial sequences are not padded).
+    * `docSpans = true` additionally emits `doc_spans`
+    * (array<struct<doc_id, start, end>>, start-ascending, end
+    * INCLUSIVE): the per-sequence document boundaries a trainer
+    * rebuilds its block-diagonal attention mask from — packed
+    * sequences concatenate unrelated documents, and attention must
+    * not cross their boundaries.
     *
     * Scale shape: the doc→(group, offset) map is [[packTokenized]]
     * (one group-local sort per pack_group); placement is one token
@@ -70,7 +76,8 @@ object Packer {
     * not survive the differing prunes (the q121 lesson). */
   def materializeTokenShards(enc: DataFrame, capacityTokens: Int = 256,
                              numGroups: Int = 32, salt: String = "pack",
-                             dropRemainder: Boolean = false): DataFrame = {
+                             dropRemainder: Boolean = false,
+                             docSpans: Boolean = false): DataFrame = {
     val packed = packTokenized(enc.select(col("doc_id"), col("n_tokens")),
       capacityTokens, numGroups, salt)
     val toks = enc.select(col("doc_id"),
@@ -81,14 +88,30 @@ object Packer {
         expr(s"(bin_offset + tpos) div $capacityTokens").as("seq_id"),
         pmod(col("bin_offset") + col("tpos"), lit(capacityTokens.toLong))
           .as("pos_in_seq"),
-        col("token_id"))
+        col("token_id"), col("doc_id"))
     val seqs = placed.groupBy("pack_group", "seq_id")
       .agg(sort_array(collect_list(
-        struct(col("pos_in_seq"), col("token_id")))).as("tt"))
+        struct(col("pos_in_seq"), col("token_id"), col("doc_id")))).as("tt"))
       .select(col("pack_group"), col("seq_id"),
         expr("transform(tt, x -> x.token_id)").as("token_ids"),
-        size(col("tt")).cast("long").as("n_tokens"))
-    if (dropRemainder) seqs.where(col("n_tokens") === capacityTokens) else seqs
+        size(col("tt")).cast("long").as("n_tokens"),
+        // per-sequence document boundaries, start-ascending: the
+        // block-diagonal attention mask a trainer rebuilds from a
+        // concat-then-chunk shard (attention must not cross document
+        // boundaries inside a packed sequence). A doc's span within
+        // THIS sequence is its first/last position here — its tokens
+        // are consecutive by the placement arithmetic, end inclusive.
+        // tt is pos-sorted, so array_distinct's first-occurrence order
+        // IS start order; docs-per-sequence is bounded by the capacity
+        expr("""transform(array_distinct(transform(tt, x -> x.doc_id)),
+            d -> named_struct(
+              'doc_id', d,
+              'start', element_at(filter(tt, x -> x.doc_id = d), 1).pos_in_seq,
+              'end', element_at(filter(tt, x -> x.doc_id = d), -1).pos_in_seq))""")
+          .as("doc_spans"))
+    val withSpans = if (docSpans) seqs else seqs.drop("doc_spans")
+    if (dropRemainder) withSpans.where(col("n_tokens") === capacityTokens)
+    else withSpans
   }
 
   /** Deterministic pseudorandom shuffle of packed training sequences

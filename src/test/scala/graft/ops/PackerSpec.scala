@@ -78,6 +78,49 @@ class PackerSpec extends SparkSpec {
       }
   }
 
+  test("doc_spans: per-sequence document boundaries, hand-computed; straddles split across sequences") {
+    // same fixture as the straddle test: concatenated stream
+    //   10 11 12 20 | 21 30 31 32 | 33   at capacity 4, so
+    //   seq 0: doc 0 -> [0,2], doc 1 -> [3,3]
+    //   seq 1: doc 1 -> [0,0], doc 2 -> [1,3]
+    //   seq 2: doc 2 -> [0,0]
+    val enc = Seq(
+      (0L, Seq(10, 11, 12), 3L),
+      (1L, Seq(20, 21), 2L),
+      (2L, Seq(30, 31, 32, 33), 4L)
+    ).toDF("doc_id", "token_ids", "n_tokens")
+    val out = Packer.materializeTokenShards(enc, capacityTokens = 4,
+        numGroups = 1, docSpans = true)
+      .orderBy("seq_id").collect()
+      .map(r => r.getAs[Long]("seq_id") ->
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("doc_spans"))
+          .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))))
+    assert(out.toSeq === Seq(
+      0L -> Seq((0L, 0L, 2L), (1L, 3L, 3L)),
+      1L -> Seq((1L, 0L, 0L), (2L, 1L, 3L)),
+      2L -> Seq((2L, 0L, 0L))))
+    // spans tile each sequence exactly: starts ascend, consecutive
+    // spans abut, and the union covers [0, n_tokens)
+    val multi = (0L until 40L)
+      .map(i => (i, (0 until 7).map(j => (i * 7 + j).toInt), 7L))
+      .toDF("doc_id", "token_ids", "n_tokens")
+    Packer.materializeTokenShards(multi, capacityTokens = 16,
+        numGroups = 4, docSpans = true).collect().foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val spans = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("doc_spans"))
+        .map(s => (s.getLong(1), s.getLong(2)))
+      assert(spans.head._1 === 0L)
+      assert(spans.last._2 === n - 1)
+      spans.sliding(2).foreach {
+        case Seq((_, e), (s2, _)) => assert(s2 === e + 1)
+        case _ =>
+      }
+    }
+    // default output schema is unchanged (no doc_spans column)
+    assert(!Packer.materializeTokenShards(enc, capacityTokens = 4,
+      numGroups = 1).columns.contains("doc_spans"))
+  }
+
   test("shuffleSequences: a deterministic permutation — dense positions, seed-keyed order, no sequence lost") {
     val enc = (0L until 40L)
       .map(i => (i, (0 until 7).map(j => (i * 7 + j).toInt), 7L))
