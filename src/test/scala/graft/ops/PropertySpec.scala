@@ -218,4 +218,68 @@ class PropertySpec extends SparkSpec {
         (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got === expect)
   }
+
+  test("Rotate expression matches an in-memory matrix-vector product on random inputs") {
+    val rnd = new scala.util.Random(20260815L)
+    val d = 12
+    val rot = Array.fill(d, d)(rnd.nextDouble() * 2 - 1)
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), graft.functions.VectorExpressions.rotate(
+        col("embedding"), rot.map(_.toSeq).toSeq).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.foreach { case (id, v) =>
+      // the reference: ascending-d multiply-accumulate, float widened
+      // per element first — must be BIT-equal, not approximately
+      val expect = rot.map { row =>
+        var acc = 0.0; var i = 0
+        while (i < d) { acc += row(i) * v(i).toDouble; i += 1 }
+        acc
+      }.toSeq
+      assert(got(id) === expect, s"vec $id")
+    }
+  }
+
+  test("shuffleSequences is a permutation with dense in-shard positions on random inputs") {
+    val rnd = new scala.util.Random(20260816L)
+    val seqs = (0L until 60L)
+      .map(i => (rnd.nextLong(5), i, Seq(1, 2, 3), 3L))
+      .toDF("pack_group", "seq_id", "token_ids", "n_tokens")
+    for (shards <- Seq(1, 3, 7)) {
+      val out = Packer.shuffleSequences(seqs, numShards = shards, seed = "p")
+        .select("shard", "shard_pos", "pack_group", "seq_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.length === 60)
+      assert(out.map(t => (t._3, t._4)).toSet ===
+        seqs.select("pack_group", "seq_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      out.groupBy(_._1).foreach { case (sh, ts) =>
+        assert(0L <= sh && sh < shards)
+        assert(ts.map(_._2).sorted.toSeq === (0L until ts.length.toLong))
+      }
+    }
+  }
+
+  test("pointNearDuplicates equals nearDuplicates on random corpora and probes") {
+    val rnd = new scala.util.Random(20260817L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def doc() = Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      .mkString(" ")
+    val corpus = (0L until 30L).map(i => (i, doc())).toDF("doc_id", "text")
+    val probe = (100L until 110L).map(i => (i, doc())).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pnd-prop").toString
+    LshIndex.build(corpus, dir, shingleSize = 2, pointLayout = true,
+      sortedFiles = 2)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = asSet(LshIndex.nearDuplicates(probe, dir, threshold = 0.3))
+    assert(asSet(LshIndex.pointNearDuplicates(probe, dir,
+      threshold = 0.3)) === batch)
+    (100L until 110L).foreach { id =>
+      val one = probe.where(col("doc_id") === id)
+      assert(asSet(LshIndex.pointNearDuplicates(one, dir,
+        threshold = 0.3)) === batch.filter(_._1 == id), s"probe $id")
+    }
+  }
 }
