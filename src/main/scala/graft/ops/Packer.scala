@@ -149,6 +149,73 @@ object Packer {
       .drop("__skey")
   }
 
+  /** Persist the trainer-facing SHARD STORE — the artifact the whole
+    * curate → select → tokenize → pack → shuffle pipeline exists to
+    * produce, in the layout a reader fleet mounts:
+    *
+    *  - `dir/shards/shard=<n>/` — one directory per reader shard
+    *    (shard_pos, pack_group, seq_id, token_ids, n_tokens
+    *    [, doc_spans]), the [[shuffleSequences]] order;
+    *  - `dir/manifest` — (shard, n_sequences, n_tokens), derived by
+    *    READING BACK the written files, so the manifest can never
+    *    disagree with them (a manifest computed from the input plan
+    *    would silently mask a partial write);
+    *  - `dir/params` — (capacity_tokens, num_shards, seed, salt,
+    *    drop_remainder, doc_spans): the facts a reader must not have
+    *    to guess, validated by [[readTokenShardStore]] with the
+    *    [[graft.ops.LangModel.loadBpeModel]] refusal convention.
+    *
+    * Overwrite semantics: re-running a crashed write replaces it (the
+    * per-relation overwrite is the idempotent-replay contract every
+    * store here uses). `dropRemainder` defaults TRUE here — a
+    * persisted training shard is consumed by fixed-shape readers. */
+  def writeTokenShardStore(enc: DataFrame, dir: String,
+                           capacityTokens: Int = 256, numGroups: Int = 32,
+                           numShards: Int = 32, seed: String = "shuffle",
+                           salt: String = "pack",
+                           dropRemainder: Boolean = true,
+                           docSpans: Boolean = true): Unit = {
+    val spark = enc.sparkSession
+    val seqs = materializeTokenShards(enc, capacityTokens, numGroups, salt,
+      dropRemainder, docSpans)
+    shuffleSequences(seqs, numShards, seed)
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/shards")
+    // the hive partition column reads back as int — pin long so the
+    // manifest and reader schemas match shuffleSequences' output
+    spark.read.parquet(s"$dir/shards")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_sequences"),
+        sum("n_tokens").cast("long").as("n_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    import spark.implicits._
+    Seq((capacityTokens, numShards, seed, salt, dropRemainder, docSpans))
+      .toDF("capacity_tokens", "num_shards", "seed", "salt",
+        "drop_remainder", "doc_spans")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Open a [[writeTokenShardStore]] directory. `expectCapacity` /
+    * `expectShards` ≥ 0 refuse a store written with different sizing
+    * (a reader fleet wired for 4k-token sequences must not silently
+    * consume 2k ones). Returns the shards relation; one shard's rows
+    * ordered by shard_pos ARE its training order. */
+  def readTokenShardStore(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, expectCapacity: Int = -1,
+                          expectShards: Int = -1): DataFrame = {
+    val p = spark.read.parquet(s"$dir/params")
+      .select("capacity_tokens", "num_shards").head()
+    require(expectCapacity < 0 || p.getInt(0) == expectCapacity,
+      s"readTokenShardStore: store at $dir was written at " +
+        s"capacity ${p.getInt(0)}, caller expects $expectCapacity — " +
+        "refusing a mismatched shard store")
+    require(expectShards < 0 || p.getInt(1) == expectShards,
+      s"readTokenShardStore: store at $dir holds ${p.getInt(1)} shards, " +
+        s"caller expects $expectShards — refusing a mismatched shard store")
+    spark.read.parquet(s"$dir/shards")
+      .withColumn("shard", col("shard").cast("long"))
+  }
+
   private def packCounted(counts: DataFrame, capacityTokens: Int,
                           numGroups: Int, salt: String): DataFrame = {
     require(capacityTokens > 0 && numGroups > 0,

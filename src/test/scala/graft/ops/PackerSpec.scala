@@ -121,6 +121,52 @@ class PackerSpec extends SparkSpec {
       numGroups = 1).columns.contains("doc_spans"))
   }
 
+  test("token shard store: round-trips the shuffled sequences; manifest from read-back; params refusal") {
+    val enc = (0L until 40L)
+      .map(i => (i, (0 until 7).map(j => (i * 7 + j).toInt), 7L))
+      .toDF("doc_id", "token_ids", "n_tokens")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shardstore").toString
+    Packer.writeTokenShardStore(enc, dir, capacityTokens = 16,
+      numGroups = 4, numShards = 3, seed = "e0")
+    // read-back equals the in-memory pipeline, row for row
+    val expect = Packer.shuffleSequences(
+        Packer.materializeTokenShards(enc, capacityTokens = 16,
+          numGroups = 4, dropRemainder = true, docSpans = true),
+        numShards = 3, seed = "e0")
+      .select("shard", "shard_pos", "pack_group", "seq_id", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    def readRows() = Packer.readTokenShardStore(spark, dir)
+      .select("shard", "shard_pos", "pack_group", "seq_id", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(readRows() === expect)
+    // the manifest totals match the files it describes
+    val manifest = spark.read.parquet(s"$dir/manifest").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    expect.groupBy(_._1).foreach { case (sh, rows) =>
+      assert(manifest(sh) === ((rows.size.toLong, rows.toSeq.map(_._5).sum)),
+        s"manifest disagrees for shard $sh")
+    }
+    // every persisted sequence is exactly capacity (dropRemainder)
+    assert(readRows().forall(_._5 == 16L))
+    // replay: a second write is an overwrite, not an accretion
+    Packer.writeTokenShardStore(enc, dir, capacityTokens = 16,
+      numGroups = 4, numShards = 3, seed = "e0")
+    assert(readRows() === expect)
+    // sizing refusals
+    val e1 = intercept[IllegalArgumentException] {
+      Packer.readTokenShardStore(spark, dir, expectCapacity = 32)
+    }
+    assert(e1.getMessage.contains("refusing"))
+    val e2 = intercept[IllegalArgumentException] {
+      Packer.readTokenShardStore(spark, dir, expectShards = 8)
+    }
+    assert(e2.getMessage.contains("refusing"))
+    assert(Packer.readTokenShardStore(spark, dir, expectCapacity = 16,
+      expectShards = 3).count() === expect.size.toLong)
+  }
+
   test("shuffleSequences: a deterministic permutation — dense positions, seed-keyed order, no sequence lost") {
     val enc = (0L until 40L)
       .map(i => (i, (0 until 7).map(j => (i * 7 + j).toInt), 7L))
