@@ -46,6 +46,27 @@ saw):
 Exit 1 only on such CONCENTRATED movement: normalized ratio >
 threshold (default 1.3x), ratio/median > threshold, and > 0.2s
 absolute. New/removed queries are listed, never failed on.
+
+Harness-change awareness (the r13 lesson): round 13's Bench change
+(synchronous broadcast-block drop between queries) made every in-run
+probe inherit a CLEAN block manager where r12's inherited ~100 MB of
+residue -- the scan-probe timeline ratio (0.75x) measured the harness
+improvement, not host speed, while the mem-probe timeline read
+0.92-0.96x, and trusting the contaminated one manufactured a 1.27x
+suite-wide FAIL out of a 0.948 raw median on byte-untouched code.
+Two defenses, layered:
+  * The two IN-RUN probe families are independent host estimators;
+    when their timeline-median ratios disagree by >10%, NEITHER is a
+    trustworthy normalizer -- a suite-wide displacement is then
+    INCONCLUSIVE, never FAIL (concentrated single-query flags, which
+    are robust to +/-10% normalization, still fire).
+  * Bench stamps "bench_semantics" in its JSON (bumped whenever a
+    harness change alters what in-run probes inherit). Two stamped
+    files with different versions compare RAW-ONLY: ratios are
+    reported, suite verdicts are INCONCLUSIVE, nothing FAILs. A
+    stamped-vs-unstamped pair (files from before the stamp existed)
+    warns and falls through to the estimator-disagreement rule --
+    the r12/r13 boundary is pre-adjudicated in BASELINE.md.
 """
 import sys, json
 
@@ -137,15 +158,23 @@ def host_speed_ratio(base, cand, out):
     pairs = matched_pairs(base, cand, "probes")
     if len(pairs) < 3:
         return start, "start probe (<3 matched timeline positions)"
-    # a sustained hot stretch means the in-run probes measured a host
-    # WINDOW, not a steady host speed -- a partial window would absorb
-    # into the median and mis-normalize every query outside it; let
-    # the window diagnosis (probe_windows) adjudicate instead
+    # a sustained hot OR cold stretch means the in-run probes measured
+    # a host WINDOW (in the candidate or the base run respectively),
+    # not a steady host speed -- a partial window would absorb into
+    # the median and mis-normalize every query outside it; let the
+    # window diagnosis (probe_windows) adjudicate instead. The check
+    # is symmetric: two consecutive ratios well below 1 mean the BASE
+    # run sat in a window, an equally invalid steady-speed source.
     ratios = [c / b for _, b, c in pairs]
     if any(ratios[i] > 1.25 and ratios[i + 1] > 1.25
            for i in range(len(ratios) - 1)):
         return start, ("start probe (in-run timeline shows a hot "
                        "stretch -- not a steady host-speed source)")
+    if any(ratios[i] < 0.8 and ratios[i + 1] < 0.8
+           for i in range(len(ratios) - 1)):
+        return start, ("start probe (in-run timeline shows a sustained "
+                       "cold stretch -- the base run sat in a host "
+                       "window; not a steady host-speed source)")
     # ratio of MEDIANS (each run's own in-run probe median), not the
     # median of per-position ratios: individual positions wobble up to
     # 2x independently in each run, and the per-run median is the
@@ -161,6 +190,65 @@ def host_speed_ratio(base, cand, out):
             f"is one cold sample)")
     return tl, (f"in-run timeline medians ratio over {len(pairs)} "
                 f"matched positions")
+
+
+def family_median_ratio(base, cand, key):
+    """Timeline-median ratio for one probe family (no stretch guard:
+    for DISAGREEMENT detection the contaminated family's median is the
+    evidence -- host_speed_ratio applies its own guards before using a
+    family as a normalizer). None when <3 matched positions."""
+    pairs = matched_pairs(base, cand, key)
+    if len(pairs) < 3:
+        return None
+    return median([c for _, _, c in pairs]) / median([b for _, b, _ in pairs])
+
+
+def estimators_disagree(base, cand, out):
+    """True when the two IN-RUN probe families (scan-shaped and
+    memory-shaped) give host-speed estimates >10% apart -- the r13
+    signature of a harness change contaminating one family (the
+    broadcast-drop cleaned what the scan probe inherits; the mem
+    probe kept reading 0.92-0.96x while the scan read 0.75x). With
+    no agreed-on host speed, a suite-wide displacement cannot be
+    attributed to code: INCONCLUSIVE, never FAIL."""
+    quiet = lambda *a, **k: None
+    if not timelines_comparable(base, cand, quiet):
+        return False
+    scan = family_median_ratio(base, cand, "probes")
+    mem = family_median_ratio(base, cand, "mem_probes")
+    if scan is None or mem is None:
+        return False
+    if abs(scan / mem - 1) > 0.10:
+        out(f"in-run host estimators DISAGREE >10%: scan-probe timeline "
+            f"{scan:.3f}x vs mem-probe timeline {mem:.3f}x -- no "
+            f"trustworthy normalizer exists (one family is measuring a "
+            f"harness/state change, not the host)")
+        return True
+    return False
+
+
+def semantics_mismatch(base, cand, out):
+    """None = comparable. 'raw-only' = both files carry a
+    bench_semantics stamp and the stamps differ: the in-run probes of
+    the two runs inherited different harness state by construction,
+    so normalized comparison is invalid -- report raw ratios only,
+    suite verdicts INCONCLUSIVE. A stamped-vs-unstamped pair (one file
+    predates the stamp) warns and falls through to the
+    estimator-disagreement rule."""
+    sb, sc = base.get("bench_semantics"), cand.get("bench_semantics")
+    if sb == sc:
+        return None
+    if sb is not None and sc is not None:
+        out(f"bench_semantics differ (base={sb} cand={sc}) -- the two "
+            "runs' in-run probes inherited different harness state; "
+            "normalized comparison is invalid, reporting RAW ratios only")
+        return "raw-only"
+    out(f"WARNING: one file is missing a bench_semantics stamp "
+        f"(base={sb} cand={sc}) -- it predates the stamp; if the "
+        "harness changed between these runs the estimator-disagreement "
+        "rule adjudicates (the r12/r13 boundary is pre-adjudicated in "
+        "BASELINE.md)")
+    return "unstamped"
 
 
 def one_probe_family(base, cand, key, label, out):
@@ -216,7 +304,11 @@ def diff(base, cand, threshold, out=print):
     pb = float(base.get("probe_sec") or 1.0)
     pc = float(cand.get("probe_sec") or 1.0)
     bq, cq = base["queries"], cand["queries"]
-    h, src = host_speed_ratio(base, cand, out)
+    sem = semantics_mismatch(base, cand, out)
+    if sem == "raw-only":
+        h, src = 1.0, "RAW (bench_semantics differ -- no normalization)"
+    else:
+        h, src = host_speed_ratio(base, cand, out)
     out(f"start probes: base {pb:.3f}s  cand {pc:.3f}s  (ratio {pc / pb:.2f}x)")
     out(f"host speed ratio used: {h:.3f}x -- {src}")
     out(f"total: base {base.get('value', '?')}s  cand {cand.get('value', '?')}s")
@@ -252,6 +344,12 @@ def diff(base, cand, threshold, out=print):
             f"{alt[len(alt) // 2]:.2f}x -- printed for transparency, "
             f"not used)")
 
+    if sem == "raw-only" and (med > 1.10 or med < 1 / 1.10 or regressions):
+        out(f"\nINCONCLUSIVE: raw median {med:.2f}x across a "
+            "bench_semantics change -- normalized comparison is invalid "
+            "by construction; adjudicate against a same-semantics "
+            "baseline (BASELINE.md records the anchor lineage)")
+        return 0
     if med > 1.10 or med < 1 / 1.10:
         out(f"\nSuite-wide movement (median {med:.2f}x) -- per-query "
             "ratios are not evidence while the whole suite is displaced. "
@@ -264,6 +362,12 @@ def diff(base, cand, threshold, out=print):
         if win is None:
             out("INCONCLUSIVE: no alignable probe timeline in these files "
                 "-- adjudicate by re-running the bench in a second window")
+            return 0
+        if estimators_disagree(base, cand, out):
+            out("INCONCLUSIVE: the two in-run probe families disagree on "
+                "host speed -- a harness/state change contaminated one "
+                "estimator (the r13 signature); no FAIL can rest on "
+                "either. Re-anchor on a same-harness baseline or re-run.")
             return 0
         # timelines align and show NO host window: the displacement is
         # not environmental -- a shared-helper/config change moved the
@@ -292,6 +396,14 @@ def diff(base, cand, threshold, out=print):
         out("suite-wide SPEEDUP with a clean probe timeline -- no flags")
         return 0
     if regressions:
+        if estimators_disagree(base, cand, out):
+            out(f"\nINCONCLUSIVE: {len(regressions)} would-be concentrated "
+                f"flag(s) ({', '.join(q for _, q in regressions)}) while "
+                "the two in-run probe families disagree on host speed -- "
+                "a harness/state change re-priced what queries inherit "
+                "(the r13 broadcast-drop signature); adjudicate against a "
+                "same-harness baseline")
+            return 0
         out(f"\nFAIL: {len(regressions)} concentrated regression(s) "
             f"> {threshold}x normalized (and > {threshold}x vs the median):")
         for ratio, q in sorted(regressions, reverse=True):
@@ -303,7 +415,8 @@ def diff(base, cand, threshold, out=print):
 
 def selftest():
     """The r10 adjudication, as executable cases."""
-    def bench(times, probes=None, probe=1.0, mem_probes=None, seed=None):
+    def bench(times, probes=None, probe=1.0, mem_probes=None, seed=None,
+              semantics=None):
         d = {"value": sum(times.values()), "probe_sec": probe,
              "queries": dict(times)}
         if probes is not None:
@@ -312,6 +425,8 @@ def selftest():
             d["mem_probes"] = mem_probes
         if seed is not None:
             d["shuffle_seed"] = seed
+        if semantics is not None:
+            d["bench_semantics"] = semantics
         return d
 
     quiet = lambda *a, **k: None
@@ -474,7 +589,62 @@ def selftest():
     assert rc == 0, "displacement inside probe noise must stay inconclusive"
     assert any("probe noise band" in l for l in lines)
 
-    print("selftest OK (31 assertions)")
+    # 14. the r13 signature: the two IN-RUN families disagree >10% on
+    #     host speed (a harness change contaminated the scan family)
+    #     while the suite reads displaced under the contaminated
+    #     normalizer -- INCONCLUSIVE, never FAIL
+    scan85 = [[0, 0.85], [20, 0.85], [40, 0.85], [0, 0.85], [20, 0.85], [40, 0.85]]
+    lines = []
+    rc = diff(bench(qs, probes=flat, mem_probes=flat),
+              bench(dict(qs), probes=scan85, mem_probes=flat),
+              1.3, lines.append)
+    assert rc == 0, "estimator disagreement must not FAIL"
+    assert any("DISAGREE" in l for l in lines), \
+        "the disagreement must be surfaced"
+    assert any("in-run probe families disagree" in l for l in lines), \
+        "the INCONCLUSIVE verdict must name the disagreement"
+
+    # 15. a sustained COLD stretch (two consecutive matched ratios
+    #     < 0.8 -- the base run sat in a host window) is as invalid a
+    #     steady-speed source as a hot one: fall back to start probe
+    cold = [[0, 1.0], [20, 0.7], [40, 0.7], [0, 1.0], [20, 1.0], [40, 1.0]]
+    lines = []
+    diff(bench(qs, probes=flat), bench(dict(qs), probes=cold),
+         1.3, lines.append)
+    assert any("cold stretch" in l for l in lines), \
+        "cold timeline must not normalize"
+
+    # 16. bench_semantics: two stamped files with DIFFERENT versions
+    #     compare raw-only -- a suite displacement is INCONCLUSIVE,
+    #     never FAIL (the in-run probes inherited different harness
+    #     state by construction)
+    lines = []
+    rc = diff(bench(qs, probes=flat, semantics=2),
+              bench({q: t * 1.45 for q, t in qs.items()},
+                    probes=flat, semantics=3), 1.3, lines.append)
+    assert rc == 0, "cross-semantics displacement must stay inconclusive"
+    assert any("RAW ratios only" in l for l in lines)
+    assert any("bench_semantics change" in l for l in lines)
+    # ... and a concentrated raw regression across versions also stays
+    # report-only (no normalizer exists to attribute it)
+    reg2 = dict(qs); reg2["q7"] = 3.0
+    assert diff(bench(qs, probes=flat, semantics=2),
+                bench(reg2, probes=flat, semantics=3), 1.3, quiet) == 0, \
+        "cross-semantics concentrated movement must stay inconclusive"
+    # SAME stamps behave exactly like unstamped files: case 5's FAIL
+    assert diff(bench(qs, probes=flat, semantics=2),
+                bench({q: t * 1.45 for q, t in qs.items()},
+                      probes=flat, semantics=2), 1.3, quiet) == 1, \
+        "same-semantics suite-wide slowdown must still fail"
+    # stamped-vs-unstamped warns and falls through to the normal rules
+    lines = []
+    rc = diff(bench(qs, probes=flat),
+              bench({q: t * 1.45 for q, t in qs.items()},
+                    probes=flat, semantics=2), 1.3, lines.append)
+    assert rc == 1, "unstamped-vs-stamped must fall through to case 5"
+    assert any("missing a bench_semantics stamp" in l for l in lines)
+
+    print("selftest OK (41 assertions)")
     return 0
 
 

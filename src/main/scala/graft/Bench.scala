@@ -5,6 +5,18 @@ import org.apache.spark.sql.SparkSession
   * (a bare count() would let Catalyst prune projections). */
 object Bench {
 
+  /** Version of the bench HARNESS semantics — what state an in-run
+    * probe inherits from the preceding queries — stamped into both
+    * JSON lines so dev/benchdiff.py can refuse to normalize across a
+    * harness change. History: v1 = per-query cleanup relied on async
+    * ContextCleaner broadcast reaping (~100 MB of residue survived
+    * each pass; rounds ≤12); v2 = synchronous broadcast-block drop
+    * between queries (round 13+ — every probe and query runs on a
+    * clean block manager). Bump this whenever a Bench change alters
+    * what probes or queries inherit, NOT for suite composition
+    * changes (benchdiff handles added/removed queries itself). */
+  private[graft] val BenchSemantics = 2
+
   /** 2-dp rendering with trailing zeros stripped ("0.50"→"0.5",
     * "3.00"→"3") — still valid JSON numbers, lossless for benchdiff's
     * purposes (flags require > 0.2 s absolute movement, where 0.01 s
@@ -24,8 +36,8 @@ object Bench {
     * (position, occurrence), so a trimmed line still position-matches
     * an untrimmed one at the shared positions), and no "runs"/
     * "mem_probe_sec" fields (the latter is mem_probes[0]; both remain
-    * in the full line). Spec-pinned ≤ 1800 bytes at 140 queries
-    * (BenchLineSpec). */
+    * in the full line). Spec-pinned ≤ 1830 bytes at 140 queries
+    * (BenchLineSpec; the bench_semantics stamp costs 21 bytes). */
   private[graft] def shortLine(total: Double, probeSec: Double,
       probes: Seq[(Int, Double)], memProbes: Seq[(Int, Double)],
       shuffleSeed: Option[Long], timed: Seq[(String, Double)],
@@ -41,7 +53,7 @@ object Bench {
     // last path component only ("sf0.1"): the scale factor is the
     // information; the directory prefix is 15 bytes of budget
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","probe_sec":${fmt2(probeSec)},"probes":${trim(probes)},"mem_probes":${trim(memProbes)}$seedField,"queries":$qs,"failed":$fs,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","bench_semantics":$BenchSemantics,"probe_sec":${fmt2(probeSec)},"probes":${trim(probes)},"mem_probes":${trim(memProbes)}$seedField,"queries":$qs,"failed":$fs,"sf":"$sf"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -254,7 +266,7 @@ object Bench {
     val mpFull = memProbes.map { case (p, s) => s"[$p,$s]" }
       .mkString("[", ",", "]")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"probe_sec":$probeSec,"mem_probe_sec":$memProbeSec,"probes":$psFull,"mem_probes":$mpFull$seedField,"queries":$qsFull,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"bench_semantics":$BenchSemantics,"probe_sec":$probeSec,"mem_probe_sec":$memProbeSec,"probes":$psFull,"mem_probes":$mpFull$seedField,"queries":$qsFull,"failed":$fs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (jsonFull + "\n").getBytes("UTF-8"))

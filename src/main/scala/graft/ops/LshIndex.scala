@@ -342,8 +342,10 @@ object LshIndex {
     *     [[pushedIsin]]-pruned bands scan — row groups that cannot
     *     contain a probed hash are skipped entirely under a
     *     [[build]] `pointLayout = true` index;
-    *  2. with the candidate rep ids IN HAND (collected, capped by
-    *     `maxCandidateReps`), build the verification/expansion plan
+    *  2. with the candidate (probe-rep, index-rep) PAIRS in hand
+    *     (collected, capped by `maxCandidatePairs` — the cap counts
+    *     pairs, the unit the collect is bounded by, not distinct
+    *     index reps), build the verification/expansion plan
     *     with pushed `rep IN (...)` filters on the shingles and
     *     members scans — the same join shapes, the same
     *     [[graft.functions.TextExpressions.array_jaccard]] + 1e-4
@@ -353,7 +355,7 @@ object LshIndex {
     *
     * Falls back to [[nearDuplicates]] when the probe is not
     * point-shaped (more than `maxPushedBandHashes` distinct band
-    * hashes) or the candidate set exceeds `maxCandidateReps` (a
+    * hashes) or the candidate set exceeds `maxCandidatePairs` (a
     * pathological near-dup family — the batch plan is the right one
     * there). Works on any layout; the byte savings need
     * `pointLayout`. */
@@ -362,7 +364,7 @@ object LshIndex {
                           textCol: String = "text",
                           excludeShards: Seq[String] = Nil,
                           maxPushedBandHashes: Int = 64,
-                          maxCandidateReps: Int = 4096): DataFrame = {
+                          maxCandidatePairs: Int = 4096): DataFrame = {
     val spark = probe.sparkSession
     val root = Generations.root(spark, dir)
     val p = params(spark, dir)
@@ -389,8 +391,8 @@ object LshIndex {
         col("q.band_hash") === col("x.band_hash"))
       .select(col("q.rep").as("__rq"), col("x.rep").as("__rx"))
       .distinct()
-    val candRows = cand.limit(maxCandidateReps + 1).collect()
-    if (candRows.length > maxCandidateReps)
+    val candRows = cand.limit(maxCandidatePairs + 1).collect()
+    if (candRows.length > maxCandidatePairs)
       return nearDuplicates(probe, dir, threshold, textCol, excludeShards)
     if (candRows.isEmpty)
       return mProbe.select(col("doc_id"), col("doc_id").as("index_doc_id"),
@@ -478,7 +480,8 @@ object LshIndex {
     * distinct band hashes are collected (bounded by the probe's size —
     * a one-doc probe has numHashes/rowsPerBand of them) and pushed as
     * a `band_hash IN (...)` parquet filter on the index bands scan.
-    * Over a [[sortedBands]] layout the parquet reader then skips every
+    * Over a range-sorted bands layout ([[build]]'s
+    * `pointLayout = true`) the parquet reader then skips every
     * row group whose min/max cannot contain a probed hash — the scan
     * reads a few row groups instead of the corpus-sized relation. The
     * filter is implied by the join, so results are identical

@@ -39,15 +39,42 @@ object BlockResidue {
   /** Drop EVERY broadcast's blocks, synchronously. Only legal between
     * queries (no job may be mid-flight — a stage still reading one of
     * these broadcasts would lose it); Bench calls it after a query's
-    * action has returned and before the next starts. Idempotent. */
+    * action has returned and before the next starts. Idempotent.
+    *
+    * The safety invariant this relies on — no operator holds a
+    * broadcast handle across queries (every broadcast is a per-plan
+    * exchange of a finished query) — is enforced two ways rather than
+    * assumed: (a) the drop refuses to run while any job is active
+    * (the invariant's only failure mode that can corrupt a RESULT is
+    * a mid-flight stage losing its broadcast); (b) a failed
+    * removeBroadcast degrades to a stderr warning instead of aborting
+    * the pass — a future memoized/cached DataFrame re-used across
+    * queries would then surface as a logged re-broadcast, never a
+    * hard bench failure. */
   def dropAllBroadcastBlocks(sc: SparkContext): Int = {
+    // active jobs ⇒ a stage may be mid-read of one of these blocks;
+    // skip the drop entirely (this residue pass is best-effort)
+    if (sc.statusTracker.getActiveJobIds().nonEmpty) {
+      System.err.println("[BlockResidue] active job(s) present -- " +
+        "skipping the broadcast-block drop this round")
+      return 0
+    }
     val bm = sc.env.blockManager
     val ids = bm.getMatchingBlockIds {
       case _: BroadcastBlockId => true
       case _ => false
     }.collect { case b: BroadcastBlockId => b.broadcastId }.distinct
-    ids.foreach(id =>
-      bm.master.removeBroadcast(id, removeFromMaster = true, blocking = true))
-    ids.size
+    var dropped = 0
+    ids.foreach { id =>
+      try {
+        bm.master.removeBroadcast(id, removeFromMaster = true, blocking = true)
+        dropped += 1
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[BlockResidue] removeBroadcast($id) " +
+            s"failed (degrading to a warning): $e")
+      }
+    }
+    dropped
   }
 }

@@ -243,6 +243,6 @@ class LshIndexSpec extends SparkSpec {
       maxPushedBandHashes = 1)) === batch)
     // candidate-cap fallback: still identical
     assert(asSet(LshIndex.pointNearDuplicates(probe, dir, threshold = 0.3,
-      maxCandidateReps = 1)) === batch)
+      maxCandidatePairs = 1)) === batch)
   }
 }
