@@ -92,22 +92,37 @@ object Packer {
     val seqs = placed.groupBy("pack_group", "seq_id")
       .agg(sort_array(collect_list(
         struct(col("pos_in_seq"), col("token_id"), col("doc_id")))).as("tt"))
+      // per-sequence document boundaries, start-ascending: the
+      // block-diagonal attention mask a trainer rebuilds from a
+      // concat-then-chunk shard (attention must not cross document
+      // boundaries inside a packed sequence). tt is pos-sorted and a
+      // doc's tokens are consecutive by the placement arithmetic, so
+      // spans fall out of the doc-change BOUNDARIES: __si collects the
+      // 0-based indices where tt's doc_id differs from its
+      // predecessor (one O(1) element_at per position — the 1-based
+      // element_at(tt, i) IS the predecessor of 0-based i), and each
+      // span runs from its boundary to just before the next. O(n)
+      // total where the r13 per-doc filter() rescans were
+      // O(n · docs_per_seq) — the one quadratic expression the r13
+      // verdict flagged (capacity-bounded, but needlessly so).
+      .withColumn("__si", expr(
+        """filter(transform(tt, (x, i) ->
+             if(i = 0, i,
+                if(element_at(tt, i).doc_id != x.doc_id, i, -1))),
+           v -> v >= 0)"""))
       .select(col("pack_group"), col("seq_id"),
         expr("transform(tt, x -> x.token_id)").as("token_ids"),
         size(col("tt")).cast("long").as("n_tokens"),
-        // per-sequence document boundaries, start-ascending: the
-        // block-diagonal attention mask a trainer rebuilds from a
-        // concat-then-chunk shard (attention must not cross document
-        // boundaries inside a packed sequence). A doc's span within
-        // THIS sequence is its first/last position here — its tokens
-        // are consecutive by the placement arithmetic, end inclusive.
-        // tt is pos-sorted, so array_distinct's first-occurrence order
-        // IS start order; docs-per-sequence is bounded by the capacity
-        expr("""transform(array_distinct(transform(tt, x -> x.doc_id)),
-            d -> named_struct(
-              'doc_id', d,
-              'start', element_at(filter(tt, x -> x.doc_id = d), 1).pos_in_seq,
-              'end', element_at(filter(tt, x -> x.doc_id = d), -1).pos_in_seq))""")
+        // span k: starts at tt[si[k]] (element_at is 1-based: si[k] is
+        // the k-th 0-based boundary, so tt element si[k]+1); ends at
+        // the element just before the NEXT boundary — 1-based index
+        // si[k+1] — or at the sequence's last element. End inclusive.
+        expr("""transform(__si, (s, k) -> named_struct(
+              'doc_id', element_at(tt, s + 1).doc_id,
+              'start', element_at(tt, s + 1).pos_in_seq,
+              'end', element_at(tt,
+                if(k + 2 <= size(__si), element_at(__si, k + 2), size(tt))
+              ).pos_in_seq))""")
           .as("doc_spans"))
     val withSpans = if (docSpans) seqs else seqs.drop("doc_spans")
     if (dropRemainder) withSpans.where(col("n_tokens") === capacityTokens)
