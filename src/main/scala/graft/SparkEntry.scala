@@ -61,14 +61,19 @@ object SparkEntry {
 
   /** q122's memoized RESIDUAL (IVFADC) index — q118's twin with
     * `residual = true`, same pinned sizing so the oracle embeds the
-    * identically trained centroids and residual codebooks. */
+    * identically trained centroids and residual codebooks.
+    * `refineHalf = true` additionally stores packed-binary16 refine
+    * vectors beside the codes: q129 re-ranks from them, and q122/q124/
+    * q127 serving over the SAME index proves vec16 rides along for
+    * free (their ADC scans stay codes-only — PqSpec plan guard — and
+    * their oracles are unchanged because codes are unchanged). */
   private val ivfPqResIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfPqResIndexFor(s: SparkSession, dir: String): String =
     ivfPqResIndexDirs.computeIfAbsent(dir, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft-ivfpqres-index").toString
       graft.ops.Pq.buildIvfPqIndex(t(s, dir, "embeddings"), d,
-        m = 8, ks = 16, nlist = 8, residual = true)
+        m = 8, ks = 16, nlist = 8, residual = true, refineHalf = true)
       d
     })
 
@@ -929,6 +934,19 @@ object SparkEntry {
         graft.ops.Pq.ivfPqTopKRefinedPoint(em.where(col("vec_id") < 20),
           ivfPqResIndexFor(s, dir), k = 5, source = em,
           nprobe = 2, refine = 2)
+      },
+      // q124 re-ranked from the index's OWN stored binary16 refine
+      // vectors (the faiss IVFPQR trade) instead of the source
+      // relation: same ADC shortlist (same index, same codes), but the
+      // exact-cosine fetch decodes the packed halves — 2 bytes/dim
+      // served entirely from the index, ~2^-11 corpus-side rounding.
+      // The oracle re-derives the halves by RNE arithmetic (round_even
+      // at the half quantum — validated against numpy float16 on the
+      // full corpus) and re-ranks with the identical cosine chain
+      "q129_ivfpq_half_refined" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        graft.ops.Pq.ivfPqTopKRefinedHalf(em.where(col("vec_id") < 20),
+          ivfPqResIndexFor(s, dir), k = 5, nprobe = 2, refine = 2)
       },
       // q122 under an OPQ rotation (faiss "OPQ8,IVF8,PQ8x4"-style):
       // codes and LUTs live in R·(v − centroid) space; the oracle
@@ -1895,6 +1913,60 @@ object SparkEntry {
         FROM shortlist sl
         JOIN iv qv ON qv.vec_id = sl.query_id
         JOIN iv nv ON nv.vec_id = sl.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(sim, 4) AS cos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rnk FROM rer)
+      WHERE rnk <= 5"""
+
+  /** DuckDB rendering of IEEE binary16 RNE over a double that is
+    * exactly a float (our embeddings are FLOAT[], so no double→float
+    * pre-rounding is needed): snap to the half grid at quantum
+    * 2^(e−10) (e clamped at −14 — the subnormal grid) with banker's
+    * rounding. The exponent derives from floor(log2|x|) and is then
+    * SELF-CORRECTED against the exact pow(2, e) bounds, so a libm
+    * log2 landing on the wrong side of a binade boundary cannot skew
+    * the quantum. x/2^k, round_even, and the re-multiply are all
+    * exact in doubles, so the result is bit-identical to
+    * [[graft.functions.VectorExpressions.halfBits]]∘halfToDouble
+    * (validated element-for-element against numpy float16 on the full
+    * sf0.01 corpus plus tie/boundary/subnormal edges). Inlined
+    * repeatedly inside one list_transform lambda — DuckDB lambdas
+    * cannot bind intermediates; evaluation cost is immaterial at
+    * oracle scale. */
+  private val DuckHalfE0 =
+    "CAST(floor(log2(CASE WHEN x = 0 THEN 1 ELSE abs(x) END)) AS INT)"
+  private val DuckHalfSe =
+    s"""greatest(CASE WHEN pow(2.0, $DuckHalfE0) > abs(x) THEN $DuckHalfE0 - 1
+          WHEN pow(2.0, $DuckHalfE0 + 1) <= abs(x) THEN $DuckHalfE0 + 1
+          ELSE $DuckHalfE0 END, -14) - 10"""
+  private val DuckHalfLambda =
+    s"""x -> CASE WHEN x = 0 THEN CAST(0 AS DOUBLE)
+          ELSE round_even(x / pow(2.0, $DuckHalfSe), 0) * pow(2.0, $DuckHalfSe) END"""
+
+  /** q129 oracle: q124's refined residual chain, with the re-rank's
+    * NEIGHBOR vectors half-rounded ([[DuckHalfLambda]] over the corpus
+    * relation — the values [[graft.ops.Pq.ivfPqTopKRefinedHalf]]
+    * decodes from the index's packed vec16). The query side stays full
+    * precision (asymmetric refine), the shortlist stage is q124's
+    * verbatim (same codes). */
+  def ivfPqHalfRefinedOracleSql(spark: SparkSession, sfDir: String): String =
+    s"""
+      WITH ${ivfPqResidualChain(spark, sfDir)},
+      shortlist AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist, neighbor_id) AS rnk FROM adc)
+        WHERE rnk <= 10),
+      hv AS (SELECT vec_id, list_transform(e, $DuckHalfLambda) AS e FROM iv),
+      rer AS (
+        SELECT sl.query_id, sl.neighbor_id,
+          list_dot_product(qv.e, nv.e) /
+            (sqrt(list_dot_product(qv.e, qv.e)) *
+             sqrt(list_dot_product(nv.e, nv.e))) AS sim
+        FROM shortlist sl
+        JOIN iv qv ON qv.vec_id = sl.query_id
+        JOIN hv nv ON nv.vec_id = sl.neighbor_id)
       SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
         round(sim, 4) AS cos_sim
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id

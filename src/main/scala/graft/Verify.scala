@@ -64,7 +64,9 @@ object Verify {
       // q127 is q124 through the point-serving path — results are
       // identical by construction, so the oracle SQL is q124's
       ("q127_ivfpq_point_refined" ->
-        SparkEntry.ivfPqResidualRefinedOracleSql(spark, sfDir))
+        SparkEntry.ivfPqResidualRefinedOracleSql(spark, sfDir)) +
+      ("q129_ivfpq_half_refined" ->
+        SparkEntry.ivfPqHalfRefinedOracleSql(spark, sfDir))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

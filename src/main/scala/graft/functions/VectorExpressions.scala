@@ -443,6 +443,154 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** IEEE 754 binary16 bits of a float, round-to-nearest-even — the
+    * JDK 20 `Float.floatToFloat16` contract, implemented here because
+    * the build targets Java 17. Normal halves round on the 13 dropped
+    * mantissa bits (ties to even, carry may cross a binade — correct);
+    * values ≥ 2^16 (and binade-carry from [65520, 65536)) become
+    * ±Inf; sub-2^-14 values round into the subnormal-half grid
+    * (quantum 2^-24, RNE, underflow to signed zero); NaN canonicalizes
+    * to 0x7e00|sign. Validated element-for-element against numpy
+    * float16 on the full sf0.01 embeddings corpus plus the
+    * boundary/tie/subnormal edge set (Fp16 spec pins the edges). */
+  private[functions] def halfBits(f: Float): Short = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val v = bits & 0x7fffffff
+    if (v >= 0x47800000) { // ≥ 2^16: overflow → Inf; NaN stays NaN
+      if (v > 0x7f800000) (sign | 0x7e00).toShort
+      else (sign | 0x7c00).toShort
+    } else if (v >= 0x38800000) { // normal half range [2^-14, 65536)
+      val e = (v >>> 23) - 112
+      var half = sign | (e << 10) | ((v >>> 13) & 0x3ff)
+      val rem = v & 0x1fff
+      if (rem > 0x1000 || (rem == 0x1000 && (half & 1) == 1)) half += 1
+      half.toShort
+    } else { // subnormal half / underflow-to-zero range
+      val s = 126 - (v >>> 23)
+      if (v == 0 || s > 25) sign.toShort
+      else {
+        val mant = (v & 0x7fffff) | 0x800000
+        var m = mant >>> s
+        val hp = 1L << (s - 1)
+        val rem = mant & ((1L << s) - 1)
+        if (rem > hp || (rem == hp && (m & 1) == 1)) m += 1
+        // m may carry to 1024 = the smallest NORMAL half's encoding
+        // (exponent 1, mantissa 0) — exactly right bit-wise
+        (sign | m.toInt).toShort
+      }
+    }
+  }
+
+  /** Exact double value of binary16 bits — every half is exactly
+    * representable as a double, so decode is lossless: subnormals are
+    * m·2⁻²⁴ (both factors exact), normals (1 + m/1024)·2^(e−15)
+    * (sum ≤ 2 exact, power-of-two scale exact). */
+  private[functions] def halfToDouble(h: Short): Double = {
+    val bits = h & 0xffff
+    val neg = (bits & 0x8000) != 0
+    val e = (bits >>> 10) & 0x1f
+    val m = bits & 0x3ff
+    val mag =
+      if (e == 0) m * 5.9604644775390625e-8 // 2^-24
+      else if (e == 31) { if (m == 0) Double.PositiveInfinity else Double.NaN }
+      else (1.0 + m / 1024.0) * math.pow(2.0, e - 15)
+    if (neg) -mag else mag
+  }
+
+  /** array<float|double> → binary: each element RNE-rounded to IEEE
+    * binary16 ([[halfBits]]; double inputs first cast to float — one
+    * extra RNE, matching how a float-stored corpus would arrive) and
+    * packed little-endian, 2 bytes per element. The at-rest form of
+    * refine vectors in an IVF-PQ index ([[graft.ops.Pq
+    * .buildIvfPqIndex]] `refineHalf`): 2 bytes/dim where the source
+    * relation stores 4–8 — the refine stage's bytes story at 100 TB.
+    * Deterministic bit-for-bit (pure integer bit manipulation). */
+  case class Fp16Pack(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.types.BinaryType
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val isFloat = elemKind(child) == FloatType
+
+    /** Public so generated code runs the SAME loop as interpreted eval
+      * (the [[Rotate]] treatment). */
+    def pack(input: ArrayData): Array[Byte] = {
+      val n = input.numElements()
+      val out = new Array[Byte](2 * n)
+      var i = 0
+      while (i < n) {
+        val f = if (isFloat) input.getFloat(i) else input.getDouble(i).toFloat
+        val h = halfBits(f)
+        out(2 * i) = (h & 0xff).toByte
+        out(2 * i + 1) = ((h >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      pack(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val ref = ctx.addReferenceObj("fp16PackExpr", this, classOf[Fp16Pack].getName)
+        s"${ev.value} = $ref.pack($v);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** binary ([[Fp16Pack]] layout) → array<double>: lossless decode of
+    * the packed halves ([[halfToDouble]]). Decoded doubles are EXACT,
+    * so downstream cosine arithmetic is reproducible cross-engine —
+    * the DuckDB oracle derives the identical values by RNE arithmetic
+    * (round_even at the half quantum) instead of bit twiddling. */
+  case class Fp16Unpack(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.types.BinaryType
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"Fp16Unpack expects binary, got ${child.dataType}")
+
+    def unpack(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+      val n = b.length / 2
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val h = ((b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)).toShort
+        out(i) = halfToDouble(h)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      unpack(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val ref = ctx.addReferenceObj("fp16UnpackExpr", this, classOf[Fp16Unpack].getName)
+        s"${ev.value} = $ref.unpack($v);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def fp16_pack(vec: Column): Column =
+    ColumnBridge.column(Fp16Pack(ColumnBridge.expression(vec)))
+
+  def fp16_unpack(bytes: Column): Column =
+    ColumnBridge.column(Fp16Unpack(ColumnBridge.expression(bytes)))
+
   def rotate(vec: Column, rotation: Seq[Seq[Double]]): Column =
     ColumnBridge.column(Rotate(ColumnBridge.expression(vec), rotation))
 

@@ -342,7 +342,8 @@ object Pq {
                       nlist: Int = 0, maxIter: Int = 5, maxTrain: Int = 4096,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       corpusSize: Long = 0L, residual: Boolean = false,
-                      opq: Boolean = false): Unit = {
+                      opq: Boolean = false,
+                      refineHalf: Boolean = false): Unit = {
     val nl = if (nlist > 0) nlist
              else Similarity.ivfNlistFor(
                if (corpusSize > 0) corpusSize else corpus.count(),
@@ -369,8 +370,9 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     writeCodebooks(spark, cb, dir)
     rot.foreach(writeRotation(spark, _, dir))
-    writeParams(spark, dir, m, cb(0).length, residual, opq)
-    writeIvfPqShard(corpus, dir, cent, cb, "base", idCol, vecCol, residual, rot)
+    writeParams(spark, dir, m, cb(0).length, residual, opq, refineHalf)
+    writeIvfPqShard(corpus, dir, cent, cb, "base", idCol, vecCol, residual,
+      rot, refineHalf)
   }
 
   /** The residual-trained codebook cube [[buildIvfPqIndex]] trains
@@ -531,15 +533,18 @@ object Pq {
     }
   }
 
-  /** `dir/params` (m, ks, residual, opq): the sizing/mode facts a
-    * reader must not have to guess. Absent file = a pre-params build:
-    * raw encoding (the only mode that existed then); absent `opq`
-    * column = a pre-OPQ artifact (no rotation). */
+  /** `dir/params` (m, ks, residual, opq, refine_half): the sizing/mode
+    * facts a reader must not have to guess. Absent file = a pre-params
+    * build: raw encoding (the only mode that existed then); absent
+    * `opq`/`refine_half` column = a pre-that-feature artifact (no
+    * rotation / no stored refine vectors). */
   private def writeParams(spark: SparkSession, dir: String,
                           m: Int, ks: Int, residual: Boolean,
-                          opq: Boolean = false): Unit = {
+                          opq: Boolean = false,
+                          refineHalf: Boolean = false): Unit = {
     import spark.implicits._
-    Seq((m, ks, residual, opq)).toDF("m", "ks", "residual", "opq")
+    Seq((m, ks, residual, opq, refineHalf))
+      .toDF("m", "ks", "residual", "opq", "refine_half")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
@@ -569,6 +574,20 @@ object Pq {
         .head().getBoolean(0)
   }
 
+  /** Whether this index stores [[graft.functions.VectorExpressions
+    * .Fp16Pack]]ed refine vectors beside its codes. Absent params file
+    * or absent column = a pre-refine artifact: false. */
+  private[ops] def readRefineHalfFlag(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else {
+      val params = spark.read.parquet(s"$root/params")
+      params.columns.contains("refine_half") &&
+        params.select("refine_half").head().getBoolean(0)
+    }
+  }
+
   /** Append a shard to a [[buildIvfPqIndex]] directory under the frozen
     * centroids AND frozen codebooks — one scan-local NearestCell +
     * PqEncode pass, no retraining. Same required-shardId replay
@@ -586,7 +605,8 @@ object Pq {
     val root = Generations.root(spark, dir)
     val cent = collectCentroidTable(spark.read.parquet(s"$root/centroids"))
     writeIvfPqShard(shard, root, cent, readCodebooks(spark, root), shardId,
-      idCol, vecCol, readResidualFlag(spark, root), readRotation(spark, root))
+      idCol, vecCol, readResidualFlag(spark, root), readRotation(spark, root),
+      readRefineHalfFlag(spark, root))
   }
 
   /** One scan-local pass: cell = NearestCell(v); codes = PqEncode of
@@ -600,7 +620,8 @@ object Pq {
                               shardId: String,
                               idCol: String, vecCol: String,
                               residual: Boolean,
-                              rot: Option[Array[Array[Double]]] = None): Unit = {
+                              rot: Option[Array[Array[Double]]] = None,
+                              refineHalf: Boolean = false): Unit = {
     val centSeq = cent.map(_.toSeq).toSeq
     def cellOf(v: Column) =
       graft.functions.VectorExpressions.nearest_cell(v, centSeq)
@@ -612,9 +633,19 @@ object Pq {
     val encodeInput: Column = rot.map(rm =>
       graft.functions.VectorExpressions.rotate(base, rm.map(_.toSeq).toSeq))
       .getOrElse(base)
-    widthGuarded(vectors, vecCol, cb).select(col(idCol).as("neighbor_id"),
+    // refineHalf: the RAW vector rides beside the codes as packed
+    // binary16 (2 bytes/dim) — never the residual/rotated form (the
+    // refine stage re-ranks by exact cosine in the ORIGINAL space).
+    // Still one scan-local projection; serve-time column pruning keeps
+    // the ADC scan codes-only (spec-asserted), so the extra column
+    // costs bytes at rest, nothing per probe.
+    val cols = Seq(col(idCol).as("neighbor_id"),
         PqExpressions.pq_encode_bytes(encodeInput, asSeq(cb)).as("codes"),
-        cellOf(col(vecCol)).as("cell"))
+        cellOf(col(vecCol)).as("cell")) ++
+      (if (refineHalf)
+         Seq(graft.functions.VectorExpressions.fp16_pack(col(vecCol)).as("vec16"))
+       else Nil)
+    widthGuarded(vectors, vecCol, cb).select(cols: _*)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/corpus/shard=$shardId")
   }
@@ -712,9 +743,10 @@ object Pq {
                                vecCol: String = "embedding",
                                corpusSize: Long = 0L,
                                residual: Boolean = false,
-                               opq: Boolean = false): Unit = {
+                               opq: Boolean = false,
+                               refineHalf: Boolean = false): Unit = {
     buildIvfPqIndex(corpus, s"$dir/gen-0", m, ks, nlist, maxIter, maxTrain,
-      idCol, vecCol, corpusSize, residual, opq)
+      idCol, vecCol, corpusSize, residual, opq, refineHalf)
     Generations.setCurrent(corpus.sparkSession, dir, "gen-0")
   }
 
@@ -772,6 +804,54 @@ object Pq {
       idCol, vecCol, excludeShards, excludeSelf)
       .select(col("query_id"), col("neighbor_id"))
     rerankExact(shortlist, queries, source, k, idCol, vecCol)
+  }
+
+  /** [[ivfPqTopKRefined]] re-ranking from the index's OWN stored
+    * refine vectors instead of an external source relation — the
+    * faiss `IVFPQR`-shaped trade, built on a `refineHalf = true`
+    * index: [[buildIvfPqIndex]] packed each raw vector to IEEE
+    * binary16 beside its codes (2 bytes/dim), and the refine stage
+    * decodes EXACTLY those halves ([[graft.functions.VectorExpressions
+    * .Fp16Unpack]] is lossless) and re-ranks by exact cosine of
+    * (full-precision query, half-precision neighbor) — the standard
+    * asymmetric refine. Why it matters at 100 TB: [[ivfPqTopKRefined]]
+    * must reach back to the full-precision SOURCE relation (a second
+    * storage system at serving time); this path serves shortlist
+    * re-ranks entirely from the index at 2 bytes/dim, trading ~2⁻¹¹
+    * relative rounding on the corpus side — PqProbe measures the
+    * recall delta vs source-refine (≈0 on the synthetic fixtures; a
+    * half carries 11 significant bits, ADC codes carry 4).
+    * The ADC shortlist stage is byte-identical to
+    * [[ivfPqTopKRefined]]'s (same index, same codes — spec-asserted
+    * its scan stays codes-only: vec16 is pruned); only the fetch
+    * relation differs. Refuses an index built without
+    * `refineHalf = true`. Output (query_id, rnk, neighbor_id,
+    * cos_sim·1e-4-rounded). */
+  def ivfPqTopKRefinedHalf(queries: DataFrame, dir: String, k: Int,
+                           nprobe: Int = 4, refine: Int = 4,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           excludeShards: Seq[String] = Nil,
+                           excludeSelf: Boolean = true): DataFrame = {
+    require(refine > 0,
+      s"Pq.ivfPqTopKRefinedHalf: refine must be positive, got $refine")
+    val spark = queries.sparkSession
+    val root = Generations.root(spark, dir)
+    require(readRefineHalfFlag(spark, root),
+      s"Pq.ivfPqTopKRefinedHalf: index at $dir was built without " +
+        "refineHalf = true (no stored refine vectors) — rebuild with " +
+        "refineHalf, or re-rank from the source relation with " +
+        "ivfPqTopKRefined")
+    val shortlist = ivfPqTopKIndexed(queries, dir, k * refine, nprobe,
+      idCol, vecCol, excludeShards, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus0 = spark.read.parquet(s"$root/corpus")
+    val corpus =
+      if (excludeShards.isEmpty) corpus0
+      else corpus0.where(!col("shard").isin(excludeShards: _*))
+    val decoded = corpus.select(col("neighbor_id").as(idCol),
+      graft.functions.VectorExpressions.fp16_unpack(col("vec16")).as(vecCol))
+    rerankExact(shortlist, queries, decoded, k, idCol, vecCol)
   }
 
   /** The POINT-SERVING form of [[ivfPqTopKRefined]] — the vector twin

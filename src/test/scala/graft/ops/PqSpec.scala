@@ -239,6 +239,113 @@ class PqSpec extends SparkSpec {
         excludeShards = Seq("b7"))).nonEmpty)
   }
 
+  test("fp16 pack/unpack: numpy-pinned RNE edges; lossless decode; byte-determinism") {
+    import graft.functions.VectorExpressions.{fp16_pack, fp16_unpack}
+    // (float input → exact binary16 value), validated against numpy
+    // float16 (RNE): normals, ties, binade carry, max half,
+    // subnormals, and the 2^-25 round-to-even-zero tie
+    val cases: Seq[(Float, Double)] = Seq(
+      0.0f -> 0.0,
+      65504.0f -> 65504.0,
+      6.1e-5f -> 6.097555160522461e-5,
+      5.96e-8f -> 5.960464477539063e-8,
+      2.9802322387695312e-8f -> 0.0,
+      -0.1f -> -0.0999755859375,
+      0.1000061f -> 0.0999755859375,
+      2.0f -> 2.0,
+      1.9999999f -> 2.0,
+      -6.0e-5f -> -6.002187728881836e-5,
+      3.0517578125e-5f -> 3.0517578125e-5)
+    val df = cases.zipWithIndex.map { case ((f, _), i) => (i.toLong, Seq(f)) }
+      .toDF("id", "v")
+    val got = df.select(col("id"), fp16_unpack(fp16_pack(col("v"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).head).toMap
+    cases.zipWithIndex.foreach { case ((f, exp), i) =>
+      assert(got(i.toLong) === exp, s"half($f)")
+    }
+    // halves are FIXED POINTS of the rounding: re-packing a decoded
+    // vector reproduces the bytes exactly — the at-rest representation
+    // is deterministic and idempotent under round-trips
+    val once = em.select(col("vec_id"), fp16_pack(col("embedding")).as("b"))
+    val twice = once.select(col("vec_id"), col("b"),
+      fp16_pack(fp16_unpack(col("b"))).as("b2"))
+    assert(twice.where(col("b") =!= col("b2")).count() === 0)
+    // rounding bound on the real corpus: an 11-bit significand keeps
+    // |x − half(x)| ≤ 2⁻¹¹·|x| for normals, and ≤ 2⁻¹¹·2⁻¹⁴ absolute
+    // in the subnormal range — one uniform relative bound after
+    // clamping the denominator at the subnormal threshold
+    val maxRel = em
+      .withColumn("_h", fp16_unpack(fp16_pack(col("embedding"))))
+      .select(expr(
+        """aggregate(zip_with(embedding, _h, (x, h) ->
+             abs(x - h) / greatest(abs(cast(x as double)), 0.00006103515625)),
+           cast(0 as double), (a, e) -> greatest(a, e))""").as("m"))
+      .agg(max("m")).head().getDouble(0)
+    assert(maxRel <= 4.8828125e-4, s"fp16 relative error $maxRel beyond 2^-11")
+  }
+
+  test("half-refined serve: saturation equals brute force over the halved corpus; codes-only ADC; refusal") {
+    import graft.functions.VectorExpressions.{fp16_pack, fp16_unpack}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-half").toString
+    Pq.buildIvfPqIndex(em, dir, m = 8, ks = 8, nlist = 4,
+      residual = true, refineHalf = true)
+    val q = em.where(col("vec_id") < 5)
+    def cosRows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    // saturated probe: every cell probed, shortlist ⊇ corpus — the
+    // half-refined ranking must equal exact brute force over the
+    // HALF-ROUNDED corpus (full-precision queries: asymmetric refine)
+    val emHalved = em.select(col("vec_id"),
+      fp16_unpack(fp16_pack(col("embedding"))).as("embedding"))
+    val sat = Pq.ivfPqTopKRefinedHalf(q, dir, k = 3, nprobe = 4, refine = 200)
+    assert(cosRows(sat) === cosRows(Similarity.bruteForceTopK(q, emHalved, k = 3)))
+    // plan shape: the ADC shortlist scan stays codes-only (vec16 is
+    // PRUNED — storing refine vectors costs the probe nothing), the
+    // refine fetch reads vec16 and never codes; no encode/assign
+    val plan = Pq.ivfPqTopKRefinedHalf(q, dir, k = 3, nprobe = 2, refine = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("PqEncode") && !plan.contains("NearestCell"))
+    val corpusScans = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("corpus")).toSeq
+    assert(corpusScans.exists(l => l.contains("codes") && !l.contains("vec16")),
+      s"ADC scan must stay codes-only:\n${corpusScans.mkString("\n")}")
+    assert(corpusScans.exists(l => l.contains("vec16") && !l.contains("codes")),
+      s"refine fetch must read vec16 only:\n${corpusScans.mkString("\n")}")
+    // an index built WITHOUT stored refine vectors refuses loudly
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfpq-nohalf").toString
+    Pq.buildIvfPqIndex(em, dir2, m = 8, ks = 8, nlist = 4)
+    val e = intercept[IllegalArgumentException] {
+      Pq.ivfPqTopKRefinedHalf(q, dir2, k = 3)
+    }
+    assert(e.getMessage.contains("refineHalf"))
+  }
+
+  test("refine vectors survive append + versioned compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-halfv").toString
+    val base = em.where(col("vec_id") % 2 === 0)
+    val inc = em.where(col("vec_id") % 2 === 1)
+    Pq.buildIvfPqIndexVersioned(base, dir, m = 8, ks = 8, nlist = 4,
+      residual = true, refineHalf = true)
+    // append inherits the refine-half mode from params: appended rows
+    // carry vec16 and serve through the half re-rank
+    Pq.appendToIvfPqIndex(inc, dir, "inc-1")
+    val q = em.where(col("vec_id") < 5)
+    def cosRows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    val before = cosRows(Pq.ivfPqTopKRefinedHalf(q, dir, k = 3,
+      nprobe = 2, refine = 2))
+    // appended rows are reachable (odd ids can win shortlist slots)
+    assert(Pq.ivfPqTopKRefinedHalf(q, dir, k = 3, nprobe = 4, refine = 200)
+      .where(col("neighbor_id") % 2 === 1).count() > 0)
+    // compaction rewrites shard layout under frozen quantizers — the
+    // refine vectors travel with their rows; served results unchanged
+    Pq.compactIvfPqIndexInPlace(spark, dir)
+    assert(cosRows(Pq.ivfPqTopKRefinedHalf(q, dir, k = 3,
+      nprobe = 2, refine = 2)) === before)
+  }
+
   test("refined pq: saturated shortlist equals exact brute force; shortlist stage stays PQ") {
     val q = em.where(col("vec_id") < 5)
     // refine·k ≥ |corpus| ⇒ the shortlist is every candidate and the
