@@ -905,6 +905,16 @@ object SparkEntry {
         graft.ops.Pq.ivfPqTopKIndexed(em.where(col("vec_id") < 20),
           ivfPqIndexFor(s, dir), k = 5, nprobe = 2)
       },
+      // q118 through the two-phase POINT serve: routing collected
+      // (bounded |queries|·nprobe pairs), the ADC corpus scan entered
+      // through a pushed `cell IN (...)` instead of the broadcast-join
+      // full scan of the probed partitions — results identical by
+      // construction (shared ADC body; the oracle is q118's verbatim)
+      "q130_ivfpq_point_adc" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        graft.ops.Pq.ivfPqTopKPoint(em.where(col("vec_id") < 20),
+          ivfPqIndexFor(s, dir), k = 5, nprobe = 2)
+      },
       // q118 with residual (true-IVFADC) encoding: codes are the
       // displacement from each vector's cell centroid, the query LUT
       // is per probed cell over q − centroid — the oracle re-derives

@@ -66,7 +66,10 @@ object Verify {
       ("q127_ivfpq_point_refined" ->
         SparkEntry.ivfPqResidualRefinedOracleSql(spark, sfDir)) +
       ("q129_ivfpq_half_refined" ->
-        SparkEntry.ivfPqHalfRefinedOracleSql(spark, sfDir))
+        SparkEntry.ivfPqHalfRefinedOracleSql(spark, sfDir)) +
+      // q130 is q118 through the point-serving path — results are
+      // identical by construction, so the oracle SQL is q118's
+      ("q130_ivfpq_point_adc" -> SparkEntry.ivfPqOracleSql(spark, sfDir))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

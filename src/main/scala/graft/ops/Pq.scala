@@ -343,7 +343,9 @@ object Pq {
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       corpusSize: Long = 0L, residual: Boolean = false,
                       opq: Boolean = false,
-                      refineHalf: Boolean = false): Unit = {
+                      refineHalf: Boolean = false,
+                      pointLayout: Boolean = false,
+                      pointLayoutFiles: Int = 64): Unit = {
     val nl = if (nlist > 0) nlist
              else Similarity.ivfNlistFor(
                if (corpusSize > 0) corpusSize else corpus.count(),
@@ -370,9 +372,10 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     writeCodebooks(spark, cb, dir)
     rot.foreach(writeRotation(spark, _, dir))
-    writeParams(spark, dir, m, cb(0).length, residual, opq, refineHalf)
+    writeParams(spark, dir, m, cb(0).length, residual, opq, refineHalf,
+      pointLayout, pointLayoutFiles)
     writeIvfPqShard(corpus, dir, cent, cb, "base", idCol, vecCol, residual,
-      rot, refineHalf)
+      rot, refineHalf, if (pointLayout) pointLayoutFiles else 0)
   }
 
   /** The residual-trained codebook cube [[buildIvfPqIndex]] trains
@@ -541,10 +544,13 @@ object Pq {
   private def writeParams(spark: SparkSession, dir: String,
                           m: Int, ks: Int, residual: Boolean,
                           opq: Boolean = false,
-                          refineHalf: Boolean = false): Unit = {
+                          refineHalf: Boolean = false,
+                          pointLayout: Boolean = false,
+                          pointLayoutFiles: Int = 64): Unit = {
     import spark.implicits._
-    Seq((m, ks, residual, opq, refineHalf))
-      .toDF("m", "ks", "residual", "opq", "refine_half")
+    Seq((m, ks, residual, opq, refineHalf, pointLayout, pointLayoutFiles))
+      .toDF("m", "ks", "residual", "opq", "refine_half",
+        "point_layout", "point_layout_files")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
@@ -574,19 +580,34 @@ object Pq {
         .head().getBoolean(0)
   }
 
-  /** Whether this index stores [[graft.functions.VectorExpressions
-    * .Fp16Pack]]ed refine vectors beside its codes. Absent params file
-    * or absent column = a pre-refine artifact: false. */
-  private[ops] def readRefineHalfFlag(spark: SparkSession, root: String): Boolean = {
+  /** Read one optional boolean params column, false when the params
+    * file or the column predates the feature — the convention every
+    * mode flag here follows (a pre-feature artifact serves without the
+    * feature, never errors). */
+  private def readBoolParam(spark: SparkSession, root: String,
+                            colName: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$root/params")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) false
     else {
       val params = spark.read.parquet(s"$root/params")
-      params.columns.contains("refine_half") &&
-        params.select("refine_half").head().getBoolean(0)
+      params.columns.contains(colName) &&
+        params.select(colName).head().getBoolean(0)
     }
   }
+
+  /** Whether this index stores [[graft.functions.VectorExpressions
+    * .Fp16Pack]]ed refine vectors beside its codes. */
+  private[ops] def readRefineHalfFlag(spark: SparkSession, root: String): Boolean =
+    readBoolParam(spark, root, "refine_half")
+
+  /** Whether this index's corpus shards are cell-sorted bounded files
+    * (the point-serving layout) instead of `cell=<n>/` hive
+    * partitions; (flag, files-per-shard). */
+  private[ops] def readPointLayout(spark: SparkSession, root: String): (Boolean, Int) =
+    if (!readBoolParam(spark, root, "point_layout")) (false, 0)
+    else (true, spark.read.parquet(s"$root/params")
+      .select("point_layout_files").head().getInt(0))
 
   /** Append a shard to a [[buildIvfPqIndex]] directory under the frozen
     * centroids AND frozen codebooks — one scan-local NearestCell +
@@ -604,9 +625,10 @@ object Pq {
     val spark = shard.sparkSession
     val root = Generations.root(spark, dir)
     val cent = collectCentroidTable(spark.read.parquet(s"$root/centroids"))
+    val (pl, plFiles) = readPointLayout(spark, root)
     writeIvfPqShard(shard, root, cent, readCodebooks(spark, root), shardId,
       idCol, vecCol, readResidualFlag(spark, root), readRotation(spark, root),
-      readRefineHalfFlag(spark, root))
+      readRefineHalfFlag(spark, root), if (pl) plFiles else 0)
   }
 
   /** One scan-local pass: cell = NearestCell(v); codes = PqEncode of
@@ -621,7 +643,8 @@ object Pq {
                               idCol: String, vecCol: String,
                               residual: Boolean,
                               rot: Option[Array[Array[Double]]] = None,
-                              refineHalf: Boolean = false): Unit = {
+                              refineHalf: Boolean = false,
+                              pointLayoutFiles: Int = 0): Unit = {
     val centSeq = cent.map(_.toSeq).toSeq
     def cellOf(v: Column) =
       graft.functions.VectorExpressions.nearest_cell(v, centSeq)
@@ -645,9 +668,22 @@ object Pq {
       (if (refineHalf)
          Seq(graft.functions.VectorExpressions.fp16_pack(col(vecCol)).as("vec16"))
        else Nil)
-    widthGuarded(vectors, vecCol, cb).select(cols: _*)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/corpus/shard=$shardId")
+    val encoded = widthGuarded(vectors, vecCol, cb).select(cols: _*)
+    if (pointLayoutFiles > 0)
+      // the point-serving layout (the LshIndex pointLayout treatment):
+      // cell-SORTED rows in a BOUNDED file count with small row groups,
+      // NOT one directory per cell — at huge nlist the hive fan-out is
+      // nlist×shards tiny files, while here a pushed `cell IN (...)`
+      // skips row groups inside ≤ pointLayoutFiles files. `cell` stays
+      // a data column (the batch serve joins on it either way).
+      encoded.repartitionByRange(pointLayoutFiles, col("cell"))
+        .sortWithinPartitions("cell", "neighbor_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(s"$dir/corpus/shard=$shardId")
+    else
+      encoded.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/corpus/shard=$shardId")
   }
 
   /** Serve top-k ANN from a [[buildIvfPqIndex]] directory: probe the
@@ -666,6 +702,48 @@ object Pq {
     val spark = queries.sparkSession
     val root = Generations.root(spark, dir)
     val cb = readCodebooks(spark, root)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val corpus = shardFiltered(spark, root, excludeShards)
+    val q = widthGuarded(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", cb)
+    adcOverCells(spark, root, cb, centroids, q,
+      routedCells(q, centroids, nprobe), corpus, k, excludeSelf)
+  }
+
+  private def shardFiltered(spark: SparkSession, root: String,
+                            excludeShards: Seq[String]): DataFrame = {
+    val corpus0 = spark.read.parquet(s"$root/corpus")
+    if (excludeShards.isEmpty) corpus0
+    else corpus0.where(!col("shard").isin(excludeShards: _*))
+  }
+
+  /** IVF routing: each query's `nprobe` closest cells by cosine
+    * against the broadcast centroid relation, ties to the lowest cell
+    * — (query_id, qv, cell). */
+  private def routedCells(q: DataFrame, centroids: DataFrame,
+                          nprobe: Int): DataFrame = {
+    val wCell = Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))
+    q.crossJoin(broadcast(centroids))
+      .withColumn("dist", negate(Similarity.cosine(col("qv"), col("centroid"))))
+      .withColumn("cell_rnk", row_number().over(wCell))
+      .where(col("cell_rnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+  }
+
+  /** The post-routing ADC body shared by the batch and point serves:
+    * LUTs from the probed (query, cell) pairs, candidate join against
+    * the (possibly cell-pruned) corpus, bounded-heap rank. The two
+    * callers differ ONLY in where `probedCells` comes from (lazy plan
+    * vs collected literal relation) and whether `corpus` carries a
+    * pushed cell filter — arithmetic, tie order, and join shapes are
+    * this one body, which is what makes the point serve bit-identical
+    * to the batch serve (spec-asserted). */
+  private def adcOverCells(spark: SparkSession, root: String,
+                           cb: Array[Array[Array[Double]]],
+                           centroids: DataFrame, q: DataFrame,
+                           probedCells: DataFrame, corpus: DataFrame,
+                           k: Int, excludeSelf: Boolean): DataFrame = {
     val ks = cb(0).length
     val residual = readResidualFlag(spark, root)
     // OPQ: the LUT must measure in the SAME rotated space the codes
@@ -675,26 +753,12 @@ object Pq {
     def rotated(c: Column): Column = rotOpt.map(rm =>
       graft.functions.VectorExpressions.rotate(c, rm.map(_.toSeq).toSeq))
       .getOrElse(c)
-    val centroids = spark.read.parquet(s"$root/centroids")
-    val corpus0 = spark.read.parquet(s"$root/corpus")
-    val corpus =
-      if (excludeShards.isEmpty) corpus0
-      else corpus0.where(!col("shard").isin(excludeShards: _*))
-    val q = widthGuarded(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "qv", cb)
-    val wCell = Window.partitionBy("query_id").orderBy(asc("dist"), asc("cell"))
     // routing and LUTs broadcast SEPARATELY: the (query, cell) pairs
     // are nprobe tiny rows each, while the m·ks-double LUT rides its
     // own query-keyed relation — computed and shipped once per query,
     // not once per probed cell (at real sizing m·ks doubles is ~100s
     // of KB per query; duplicating it nprobe× in the routing
-    // broadcast was the expensive part)
-    val probedCells = q.crossJoin(broadcast(centroids))
-      .withColumn("dist", negate(Similarity.cosine(col("qv"), col("centroid"))))
-      .withColumn("cell_rnk", row_number().over(wCell))
-      .where(col("cell_rnk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    // broadcast was the expensive part).
     // raw mode: ONE m·ks LUT per query (the LUT key is query_id).
     // residual mode (IVFADC): the candidate codes are residuals
     // against THEIR cell's centroid, so the query side must measure
@@ -731,6 +795,60 @@ object Pq {
     rankAsc(scored, k)
   }
 
+  /** The POINT-SERVING form of [[ivfPqTopKIndexed]] — the last scan of
+    * the PQ family still reading corpus-shaped bytes per probe: the
+    * batch serve's candidate stage scans every probed cell's codes
+    * through a broadcast join (right when thousands of queries
+    * amortize it), but a request/response probe touches nprobe cells
+    * out of nlist, and under a [[buildIvfPqIndex]]
+    * `pointLayout = true` index (cell-sorted bounded files, 8 MB row
+    * groups — not the hive fan-out, which at huge nlist is
+    * nlist×shards tiny files) those cells are a ROW-GROUP RANGE a
+    * pushed filter can skip to. Two phases, driver-synchronized (the
+    * [[LshIndex.pointNearDuplicates]] trade):
+    *
+    *  1. run the routing plan (queries × broadcast centroids — no
+    *     corpus scan) and COLLECT the probed (query, cell) pairs,
+    *     bounded by `maxProbedPairs` (= |queries|·nprobe);
+    *  2. re-enter the SHARED ADC body ([[adcOverCells]]) with the
+    *     collected pairs as a literal relation and the corpus scan
+    *     filtered by a [[Pushdown.pushedIsin]] `cell IN (...)` the
+    *     parquet reader acts on.
+    *
+    * Results are bit-identical to [[ivfPqTopKIndexed]] (same routing
+    * rows by construction, same arithmetic body — spec-asserted);
+    * probes beyond `maxProbedPairs` fall back to the batch plan.
+    * Works on any layout (on the hive layout the pushed filter prunes
+    * `cell=<n>/` partitions instead of row groups). */
+  def ivfPqTopKPoint(queries: DataFrame, dir: String, k: Int,
+                     nprobe: Int = 4, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     excludeShards: Seq[String] = Nil,
+                     excludeSelf: Boolean = true,
+                     maxProbedPairs: Int = 1024): DataFrame = {
+    val spark = queries.sparkSession
+    val root = Generations.root(spark, dir)
+    val cb = readCodebooks(spark, root)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val q = widthGuarded(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", cb)
+    val routing = routedCells(q, centroids, nprobe).select("query_id", "cell")
+    val pairs = routing.limit(maxProbedPairs + 1).collect()
+    if (pairs.length > maxProbedPairs || pairs.isEmpty)
+      return ivfPqTopKIndexed(queries, dir, k, nprobe, idCol, vecCol,
+        excludeShards, excludeSelf)
+    val litRouting = spark.createDataFrame(
+      java.util.Arrays.asList(pairs: _*), routing.schema)
+    val probedCells = litRouting.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("qv"), col("cell"))
+    val cells = pairs.map(_.getInt(1): Any).distinct.toSeq
+    val corpus = shardFiltered(spark, root, excludeShards)
+      .where(Pushdown.pushedIsin(col("cell"), cells))
+    adcOverCells(spark, root, cb, centroids, q, probedCells, corpus, k,
+      excludeSelf)
+  }
+
   /** [[buildIvfPqIndex]] into the VERSIONED layout ([[Generations]]
     * protocol, the [[Similarity.buildIvfIndexVersioned]] twin):
     * relations under `dir/gen-0`, the CURRENT pointer naming it.
@@ -744,9 +862,12 @@ object Pq {
                                corpusSize: Long = 0L,
                                residual: Boolean = false,
                                opq: Boolean = false,
-                               refineHalf: Boolean = false): Unit = {
+                               refineHalf: Boolean = false,
+                               pointLayout: Boolean = false,
+                               pointLayoutFiles: Int = 64): Unit = {
     buildIvfPqIndex(corpus, s"$dir/gen-0", m, ks, nlist, maxIter, maxTrain,
-      idCol, vecCol, corpusSize, residual, opq, refineHalf)
+      idCol, vecCol, corpusSize, residual, opq, refineHalf,
+      pointLayout, pointLayoutFiles)
     Generations.setCurrent(corpus.sparkSession, dir, "gen-0")
   }
 
@@ -777,13 +898,23 @@ object Pq {
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/$next/$rel")
     }
     val all = spark.read.parquet(s"$root/corpus")
-    all.where(!col("shard").isin(keepShards: _*)).drop("shard")
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/$next/corpus/shard=base")
+    // the layout travels with the index: a point-layout index compacts
+    // back into cell-sorted bounded files, a hive index into cell=<n>/
+    val (pl, plFiles) = readPointLayout(spark, root)
+    def writeShardRows(df: DataFrame, path: String): Unit =
+      if (pl)
+        df.repartitionByRange(plFiles, col("cell"))
+          .sortWithinPartitions("cell", "neighbor_id")
+          .write.mode("overwrite")
+          .option("parquet.block.size", (8 * 1024 * 1024).toString)
+          .parquet(path)
+      else
+        df.write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeShardRows(all.where(!col("shard").isin(keepShards: _*)).drop("shard"),
+      s"$dir/$next/corpus/shard=base")
     keepShards.foreach { ks =>
-      all.where(col("shard") === ks).drop("shard")
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/$next/corpus/shard=$ks")
+      writeShardRows(all.where(col("shard") === ks).drop("shard"),
+        s"$dir/$next/corpus/shard=$ks")
     }
     Generations.setCurrent(spark, dir, next)
   }

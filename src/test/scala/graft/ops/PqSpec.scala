@@ -730,6 +730,44 @@ class PqSpec extends SparkSpec {
       cosRows(Similarity.bruteForceTopK(q, em, k = 3)))
   }
 
+  test("point ADC serve: bit-identical to batch on both layouts; pushed In(cell); fallback") {
+    val q = em.where(col("vec_id") < 5)
+    // hive-layout index (cell=<n>/ partitions): the pushed cell filter
+    // prunes partitions; results must equal the batch serve exactly
+    val dirHive = java.nio.file.Files.createTempDirectory("graft-ivfpq-pth").toString
+    Pq.buildIvfPqIndex(em, dirHive, m = 8, ks = 8, nlist = 4)
+    assert(rows(Pq.ivfPqTopKPoint(q, dirHive, k = 3, nprobe = 2)) ===
+      rows(Pq.ivfPqTopKIndexed(q, dirHive, k = 3, nprobe = 2)))
+    // point-layout index (cell-sorted bounded files), hardest mode
+    // combination: residual + opq — the literal routing must reproduce
+    // the per-(query, cell) residual LUTs bit-for-bit
+    val dirPt = java.nio.file.Files.createTempDirectory("graft-ivfpq-ptp").toString
+    Pq.buildIvfPqIndex(em, dirPt, m = 8, ks = 8, nlist = 4,
+      residual = true, opq = true, pointLayout = true, pointLayoutFiles = 8)
+    val batch = rows(Pq.ivfPqTopKIndexed(q, dirPt, k = 3, nprobe = 2))
+    assert(rows(Pq.ivfPqTopKPoint(q, dirPt, k = 3, nprobe = 2)) === batch)
+    // ... and the batch serve works identically over either layout
+    val hiveRes = java.nio.file.Files.createTempDirectory("graft-ivfpq-pthr").toString
+    Pq.buildIvfPqIndex(em, hiveRes, m = 8, ks = 8, nlist = 4,
+      residual = true, opq = true)
+    assert(rows(Pq.ivfPqTopKIndexed(q, hiveRes, k = 3, nprobe = 2)) === batch)
+    // bounded file count: ≤ pointLayoutFiles parquet files, no cell=
+    // directory fan-out
+    val shardDir = new java.io.File(s"$dirPt/corpus/shard=base")
+    val files = shardDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && files.length <= 8,
+      s"expected ≤8 cell-sorted files, found ${files.length}")
+    assert(!shardDir.listFiles().exists(_.getName.startsWith("cell=")))
+    // the cell filter REACHES the parquet reader (row-group skipping)
+    val plan = Pq.ivfPqTopKPoint(q, dirPt, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(cell"),
+      s"pushed cell filter missing from:\n${plan.take(2000)}")
+    // over-cap probes fall back to the batch plan, same results
+    assert(rows(Pq.ivfPqTopKPoint(q, dirPt, k = 3, nprobe = 2,
+      maxProbedPairs = 1)) === batch)
+  }
+
   test("centroid table collect: by-name columns; sparse or renumbered cells refused") {
     import spark.implicits._
     val dense = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
