@@ -165,6 +165,116 @@ object PqProbe {
     }
   }
 
+  /** `PqProbe half` — the fp16-refine accuracy/bytes matrix on the
+    * opqProbe fixtures: at equal nprobe and refine, how much of the
+    * source-refine recall does re-ranking from the index's OWN
+    * binary16 vectors keep (expected: all of it — a half carries 11
+    * significant bits where the ADC codes carry 4), and what do the
+    * stored refine vectors cost at rest vs the full-precision source
+    * relation. */
+  private def halfProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    def bytes(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    }
+    val uniform = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def clusteredRaw(i: Long): Array[Double] = {
+      val c = (i % 16).toInt
+      Array.tabulate(64) { d =>
+        val center = if (d / 4 == c) 1.0 else 0.0
+        center + 0.2 * math.sin(i * 13.0 + d * 7.0)
+      }
+    }
+    val clustered = (0L until 4096L)
+      .map(i => (i, clusteredRaw(i).map(_.toFloat))).toDF("vec_id", "embedding")
+    val mixed = (0L until 4096L).map { i =>
+      val x = clusteredRaw(i)
+      val y = Array.tabulate(64) { d =>
+        if (d < 32) (x(d) - x(d + 32)) / math.sqrt(2.0)
+        else (x(d - 32) + x(d)) / math.sqrt(2.0)
+      }
+      (i, y.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    for ((name, corpus) <- Seq(("uniform", uniform),
+                               ("clustered", clustered), ("mixed", mixed))) {
+      val q = corpus.where(col("vec_id") < 20)
+      val truth = Similarity.bruteForceTopK(q, corpus, k = 5)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"pqhalf-$name").toString
+      val dirNo = java.nio.file.Files
+        .createTempDirectory(s"pqnohalf-$name").toString
+      Pq.buildIvfPqIndex(corpus, dir, m = 8, ks = 16, nlist = 8,
+        residual = true, refineHalf = true)
+      Pq.buildIvfPqIndex(corpus, dirNo, m = 8, ks = 16, nlist = 8,
+        residual = true)
+      def recall(df: org.apache.spark.sql.DataFrame): Double =
+        Similarity.annRecall(truth, df)
+          .agg(avg("recall_ppm")).head().getDouble(0)
+      for (nprobe <- Seq(1, 2, 4)) {
+        val adc = recall(Pq.ivfPqTopKIndexed(q, dir, k = 5, nprobe = nprobe))
+        val src = recall(Pq.ivfPqTopKRefined(q, dir, k = 5, source = corpus,
+          nprobe = nprobe, refine = 4))
+        val half = recall(Pq.ivfPqTopKRefinedHalf(q, dir, k = 5,
+          nprobe = nprobe, refine = 4))
+        println(f"$name%-9s nprobe=$nprobe adc_ppm=$adc%.0f " +
+          f"refine_src_ppm=$src%.0f refine_half_ppm=$half%.0f")
+      }
+      println(f"$name%-9s bytes: corpus+vec16=${bytes(s"$dir/corpus")} " +
+        f"codes-only=${bytes(s"$dirNo/corpus")}")
+    }
+  }
+
+  /** `PqProbe point /tmp/graft-vecs1000000 [nlist]` — the two-phase
+    * point ADC serve vs the batch plan, one query in hand, on BOTH
+    * layouts at a nlist where cells are row-group-sized (the regime
+    * the r13 addendum-3 scoping note deferred: at nlist=8 a local scan
+    * of the whole corpus is ~0.3 s and nothing can win; at nlist ≥
+    * hundreds a point probe's nprobe cells are a sliver the pushed
+    * filter can skip to). */
+  private def pointProbe(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, nlist: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val em = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = em.count()
+    def wall[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def drain(df: DataFrame): Long = df.count()
+    val hiveDir = java.nio.file.Files.createTempDirectory("ptadc-hive").toString
+    val ptDir = java.nio.file.Files.createTempDirectory("ptadc-point").toString
+    val (_, tH) = wall(Pq.buildIvfPqIndex(em, hiveDir, m = 8, ks = 256,
+      nlist = nlist, corpusSize = n))
+    val (_, tP) = wall(Pq.buildIvfPqIndex(em, ptDir, m = 8, ks = 256,
+      nlist = nlist, corpusSize = n, pointLayout = true))
+    def fileCount(p: String): Int = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var c = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
+      c
+    }
+    println(f"n=$n nlist=$nlist build: hive=$tH%.1fs (files=${fileCount(s"$hiveDir/corpus")}) " +
+      f"point=$tP%.1fs (files=${fileCount(s"$ptDir/corpus")})")
+    val q1row = em.where(col("vec_id") === 0)
+      .select("vec_id", "embedding").collect()(0)
+    val q1 = Seq((q1row.getLong(0), q1row.getSeq[Float](1)))
+      .toDF("vec_id", "embedding")
+    for (round <- 1 to 3) {
+      val (_, bH) = wall(drain(Pq.ivfPqTopKIndexed(q1, hiveDir, k = 5, nprobe = 8)))
+      val (_, pH) = wall(drain(Pq.ivfPqTopKPoint(q1, hiveDir, k = 5, nprobe = 8)))
+      val (_, bP) = wall(drain(Pq.ivfPqTopKIndexed(q1, ptDir, k = 5, nprobe = 8)))
+      val (_, pP) = wall(drain(Pq.ivfPqTopKPoint(q1, ptDir, k = 5, nprobe = 8)))
+      println(f"1-query round $round: hive batch=$bH%.2fs point=$pH%.2fs | " +
+        f"pointLayout batch=$bP%.2fs point=$pP%.2fs")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("pqprobe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -176,6 +286,14 @@ object PqProbe {
     }
     if (args.headOption.contains("opq")) {
       opqProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("half")) {
+      halfProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("point")) {
+      pointProbe(spark, args(1),
+        args.lift(2).map(_.toInt).getOrElse(1024))
+      spark.stop(); return
     }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -93,6 +93,46 @@ object SparkEntry {
       d
     })
 
+  /** q131's memoized token shard STORE — built the way a real ingest
+    * runs: the BPE model trains ONCE on the full corpus (frozen
+    * tokenizer), the first 250 docs write as `batch=base`, the rest
+    * APPEND as batch `b1` continuing each pack group's stream from
+    * its carry — so the oracle-gated read-back exercises the
+    * append ≡ rebuild contract cross-engine (the DuckDB oracle derives
+    * the REBUILD over the whole corpus; the hash compare is the
+    * theorem). Sizing matches q126 (capacity 32, groups 8, shards 4,
+    * seed s42) so the oracle reuses its derivation. */
+  private val tokenShardStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def tokenShardStoreFor(s: SparkSession, dir: String): String =
+    tokenShardStoreDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-shardstore").toString
+      val docs = t(s, dir, "documents")
+      val model = LangModel.trainBpeModel(docs, nMerges = 4)
+      def enc(part: org.apache.spark.sql.DataFrame) =
+        graft.ops.Checkpoints.truncator(s, None)(
+          LangModel.bpeEncodeWithModel(part, model))
+      graft.ops.Packer.writeTokenShardStore(
+        enc(docs.where(col("doc_id") < 250)), d,
+        capacityTokens = 32, numGroups = 8, numShards = 4, seed = "s42")
+      graft.ops.Packer.appendToTokenShardStore(
+        enc(docs.where(col("doc_id") >= 250)), d, "b1")
+      d
+    })
+
+  /** q132's memoized EPOCH reshuffle of [[tokenShardStoreFor]]'s store
+    * under seed s43 — out-of-place, no re-tokenize; the oracle is the
+    * same rebuild derivation re-keyed. */
+  private val epochStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def epochStoreFor(s: SparkSession, dir: String): String =
+    epochStoreDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-epochstore").toString
+      graft.ops.Packer.reshuffleTokenShardStore(s,
+        tokenShardStoreFor(s, dir), d, newSeed = "s43")
+      d
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.tune(spark)
@@ -1025,6 +1065,25 @@ object SparkEntry {
         val seqs = graft.ops.Packer.materializeTokenShards(enc,
           capacityTokens = 32, numGroups = 8)
         graft.ops.Packer.shuffleSequences(seqs, numShards = 4, seed = "s42")
+          .select(col("shard"), col("shard_pos"), col("pack_group"),
+            col("seq_id"), col("n_tokens"))
+      },
+      // the PERSISTED shard store read back through the lifecycle:
+      // base write over half the corpus + a carry-continued APPEND of
+      // the other half — the read-back must equal the oracle's
+      // REBUILD over the whole corpus (append ≡ rebuild, here proven
+      // cross-engine); shard_pos is the reader-derived in-shard order
+      "q131_shard_store_append" -> q { (s, dir) =>
+        graft.ops.Packer.readTokenShardStore(s, tokenShardStoreFor(s, dir),
+            expectCapacity = 32, expectShards = 4)
+          .select(col("shard"), col("shard_pos"), col("pack_group"),
+            col("seq_id"), col("n_tokens"))
+      },
+      // the appended store RESHUFFLED into a new epoch (seed s43,
+      // out-of-place, no re-tokenize): contents identical, arrangement
+      // re-keyed — the oracle is the same rebuild under the new seed
+      "q132_shard_store_epoch" -> q { (s, dir) =>
+        graft.ops.Packer.readTokenShardStore(s, epochStoreFor(s, dir))
           .select(col("shard"), col("shard_pos"), col("pack_group"),
             col("seq_id"), col("n_tokens"))
       },
@@ -2094,6 +2153,42 @@ object SparkEntry {
         WHERE p.query_id <> a.vec_id)"""
   }
 
+  /** The q131/q132 oracle body: the q126 pack/shuffle derivation over
+    * the WHOLE corpus (the rebuild), restricted to capacity-full
+    * sequences and keyed under `seed` — the store read-back's ground
+    * truth. `fullseq`, not `full` (a DuckDB keyword). */
+  private def duckStoreRebuildSql(seed: String): String = s"""
+      WITH $DuckBpeTokenIdCtes,
+      dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+             FROM tokid GROUP BY doc_id),
+      pg AS (SELECT doc_id, n_tokens,
+          (md5_number_lower('pack|' || CAST(doc_id AS VARCHAR))
+             & 9223372036854775807) % 8 AS pack_group
+        FROM dc),
+      po AS (SELECT doc_id, pack_group,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY pack_group
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS bin_offset
+        FROM pg),
+      placed AS (
+        SELECT po.pack_group, (po.bin_offset + t.pos) // 32 AS seq_id
+        FROM tokid t JOIN po USING (doc_id)),
+      seqs AS (
+        SELECT pack_group, seq_id, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM placed GROUP BY pack_group, seq_id),
+      fullseq AS (SELECT * FROM seqs WHERE n_tokens = 32),
+      keyed AS (
+        SELECT *,
+          (md5_number_lower('$seed|' || CAST(pack_group AS VARCHAR) || '|' ||
+             CAST(seq_id AS VARCHAR)) & 9223372036854775807) AS skey
+        FROM fullseq)
+      SELECT CAST(skey % 4 AS BIGINT) AS shard,
+        CAST(row_number() OVER (PARTITION BY skey % 4
+          ORDER BY skey, pack_group, seq_id) - 1 AS BIGINT) AS shard_pos,
+        CAST(pack_group AS BIGINT) AS pack_group,
+        CAST(seq_id AS BIGINT) AS seq_id, n_tokens
+      FROM keyed"""
+
   // q29_ivf_ann, q62_semdedup, and q82_pca_project are intentionally
   // absent from this static map — their oracles embed data-dependent
   // trained constants, so Verify injects the generated SQL at dump time.
@@ -2692,6 +2787,15 @@ object SparkEntry {
         CAST(min(pos) AS BIGINT) AS span_start,
         CAST(max(pos) AS BIGINT) AS span_end
       FROM placed GROUP BY 1, 2, 3""",
+    // q131/q132: the persisted shard store's read-back re-derived as a
+    // REBUILD over the whole corpus — q126's chain restricted to FULL
+    // sequences (dropRemainder stores withhold partial tails into the
+    // carry) and keyed under the store's seed; shard_pos is the
+    // reader's ascending-(skey, group, seq) order. That this SQL
+    // hash-matches a store written as base + carry-continued APPEND is
+    // the append ≡ rebuild theorem, proven cross-engine.
+    "q131_shard_store_append" -> duckStoreRebuildSql("s42"),
+    "q132_shard_store_epoch" -> duckStoreRebuildSql("s43"),
     // q126: q123's sequences shuffled into reader shards — shard =
     // salted-md5(seed|group|seq) mod 4, in-shard order ascending that
     // key (ties (pack_group, seq_id))

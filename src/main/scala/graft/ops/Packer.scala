@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,7 +89,20 @@ object Packer {
         pmod(col("bin_offset") + col("tpos"), lit(capacityTokens.toLong))
           .as("pos_in_seq"),
         col("token_id"), col("doc_id"))
-    val seqs = placed.groupBy("pack_group", "seq_id")
+    val seqs = assembleSequences(placed)
+    val withSpans = if (docSpans) seqs else seqs.drop("doc_spans")
+    if (dropRemainder) withSpans.where(col("n_tokens") === capacityTokens)
+    else withSpans
+  }
+
+  /** (pack_group, seq_id, pos_in_seq, token_id, doc_id) placement rows
+    * → one row per sequence with token_ids, n_tokens, doc_spans —
+    * the assembly stage shared by [[materializeTokenShards]] and
+    * [[appendToTokenShardStore]] (the append path derives its
+    * placement from a carry origin instead of a fresh pack, then
+    * assembles identically — which is what makes append ≡ rebuild). */
+  private def assembleSequences(placed: DataFrame): DataFrame = {
+    placed.groupBy("pack_group", "seq_id")
       .agg(sort_array(collect_list(
         struct(col("pos_in_seq"), col("token_id"), col("doc_id")))).as("tt"))
       // per-sequence document boundaries, start-ascending: the
@@ -124,9 +137,6 @@ object Packer {
                 if(k + 2 <= size(__si), element_at(__si, k + 2), size(tt))
               ).pos_in_seq))""")
           .as("doc_spans"))
-    val withSpans = if (docSpans) seqs else seqs.drop("doc_spans")
-    if (dropRemainder) withSpans.where(col("n_tokens") === capacityTokens)
-    else withSpans
   }
 
   /** Deterministic pseudorandom shuffle of packed training sequences
@@ -152,38 +162,63 @@ object Packer {
   def shuffleSequences(seqs: DataFrame, numShards: Int = 32,
                        seed: String = "shuffle"): DataFrame = {
     require(numShards > 0, s"numShards ($numShards) must be positive")
-    val key = graft.functions.TextExpressions.md5_lower64(
-        concat(lit(seed), lit("|"), col("pack_group").cast("string"),
-          lit("|"), col("seq_id").cast("string")))
-      .bitwiseAND(lit(Long.MaxValue))
     val w = Window.partitionBy("shard")
       .orderBy(col("__skey"), col("pack_group"), col("seq_id"))
-    seqs.withColumn("__skey", key)
+    seqs.withColumn("__skey", shuffleKey(seed))
       .withColumn("shard", pmod(col("__skey"), lit(numShards.toLong)))
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
       .drop("__skey")
   }
 
+  /** The [[shuffleSequences]] key — salted-md5(seed | pack_group |
+    * seq_id), non-negative. Persisted as `skey` in the shard store so
+    * in-shard training order is a property of the ROWS (merge of any
+    * batch set by ascending key), not of one write's row_number. */
+  private def shuffleKey(seed: String): Column =
+    graft.functions.TextExpressions.md5_lower64(
+        concat(lit(seed), lit("|"), col("pack_group").cast("string"),
+          lit("|"), col("seq_id").cast("string")))
+      .bitwiseAND(lit(Long.MaxValue))
+
   /** Persist the trainer-facing SHARD STORE — the artifact the whole
     * curate → select → tokenize → pack → shuffle pipeline exists to
     * produce, in the layout a reader fleet mounts:
     *
-    *  - `dir/shards/shard=<n>/` — one directory per reader shard
-    *    (shard_pos, pack_group, seq_id, token_ids, n_tokens
-    *    [, doc_spans]), the [[shuffleSequences]] order;
+    *  - `dir/shards/batch=<id>/shard=<n>/` — one directory per
+    *    (ingest batch, reader shard): (skey, pack_group, seq_id,
+    *    token_ids, n_tokens[, doc_spans]). The initial write is
+    *    `batch=base`; [[appendToTokenShardStore]] adds sibling batch
+    *    directories without touching existing ones. In-shard training
+    *    order is ascending (skey, pack_group, seq_id) — a property of
+    *    the rows, so any batch set merges into one total order;
+    *    [[readTokenShardStore]] derives `shard_pos` from it.
+    *  - `dir/carry/batch=<id>` — per-pack-group CONTINUATION state
+    *    (pack_group, tail_seq_id, token_ids, doc_spans, max_doc_id):
+    *    the partial tail sequence `dropRemainder` withheld from the
+    *    shards plus the group's packing cursor, which is exactly what
+    *    an append needs to continue each group's token stream AS IF
+    *    the increment had been in the original corpus (append ≡
+    *    rebuild, spec-asserted). Written only for dropRemainder
+    *    stores; `doc_spans` ride the carry regardless of the store's
+    *    docSpans flag (the append must re-derive per-token doc ids).
     *  - `dir/manifest` — (shard, n_sequences, n_tokens), derived by
-    *    READING BACK the written files, so the manifest can never
-    *    disagree with them (a manifest computed from the input plan
-    *    would silently mask a partial write);
-    *  - `dir/params` — (capacity_tokens, num_shards, seed, salt,
-    *    drop_remainder, doc_spans): the facts a reader must not have
-    *    to guess, validated by [[readTokenShardStore]] with the
-    *    [[graft.ops.LangModel.loadBpeModel]] refusal convention.
+    *    READING BACK the written files across all batches, so the
+    *    manifest can never disagree with them (a manifest computed
+    *    from the input plan would silently mask a partial write);
+    *  - `dir/params` — (capacity_tokens, num_groups, num_shards,
+    *    seed, salt, drop_remainder, doc_spans): the facts a reader or
+    *    append must not have to guess, validated by
+    *    [[readTokenShardStore]] with the [[graft.ops.LangModel
+    *    .loadBpeModel]] refusal convention.
     *
     * Overwrite semantics: re-running a crashed write replaces it (the
     * per-relation overwrite is the idempotent-replay contract every
     * store here uses). `dropRemainder` defaults TRUE here — a
-    * persisted training shard is consumed by fixed-shape readers. */
+    * persisted training shard is consumed by fixed-shape readers.
+    * Cost shape: two passes over `enc` beyond [[materializeTokenShards]]'
+    * own two (the carry derivation re-aggregates the doc map and
+    * filters the tail sequences) — `enc` should be a staged/persisted
+    * relation, as documented on the operator. */
   def writeTokenShardStore(enc: DataFrame, dir: String,
                            capacityTokens: Int = 256, numGroups: Int = 32,
                            numShards: Int = 32, seed: String = "shuffle",
@@ -191,44 +226,279 @@ object Packer {
                            dropRemainder: Boolean = true,
                            docSpans: Boolean = true): Unit = {
     val spark = enc.sparkSession
-    val seqs = materializeTokenShards(enc, capacityTokens, numGroups, salt,
-      dropRemainder, docSpans)
-    shuffleSequences(seqs, numShards, seed)
+    val seqsAll = materializeTokenShards(enc, capacityTokens, numGroups, salt,
+      dropRemainder = false, docSpans = true)
+    val kept0 = if (dropRemainder)
+      seqsAll.where(col("n_tokens") === capacityTokens) else seqsAll
+    val kept = if (docSpans) kept0 else kept0.drop("doc_spans")
+    writeShardBatch(kept, dir, "base", seed, numShards)
+    if (dropRemainder)
+      writeCarry(
+        packTokenized(enc.select(col("doc_id"), col("n_tokens")),
+            capacityTokens, numGroups, salt)
+          .groupBy("pack_group")
+          .agg(max("doc_id").as("max_doc_id"),
+            sum("n_tokens").cast("long").as("total_tokens")),
+        seqsAll.where(col("n_tokens") < capacityTokens),
+        dir, "base", capacityTokens)
+    writeManifest(spark, dir)
+    import spark.implicits._
+    Seq((capacityTokens, numGroups, numShards, seed, salt, dropRemainder,
+        docSpans))
+      .toDF("capacity_tokens", "num_groups", "num_shards", "seed", "salt",
+        "drop_remainder", "doc_spans")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** One batch directory of [[writeTokenShardStore]]'s layout: the
+    * kept sequences keyed by [[shuffleKey]], sharded by key mod
+    * numShards. `skey` is PERSISTED (see the store scaladoc). */
+  private def writeShardBatch(seqs: DataFrame, dir: String, batchId: String,
+                              seed: String, numShards: Int): Unit =
+    seqs.withColumn("skey", shuffleKey(seed))
+      .withColumn("shard", pmod(col("skey"), lit(numShards.toLong)))
       .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$dir/shards")
-    // the hive partition column reads back as int — pin long so the
-    // manifest and reader schemas match shuffleSequences' output
+      .parquet(s"$dir/shards/batch=$batchId")
+
+  /** Carry = per-group (packing cursor, withheld partial tail): the
+    * cursor (tail_seq_id) derives from the group's TOTAL token count
+    * (totals = the doc-level map re-aggregated), the tail content from
+    * the partial sequences relation — a group whose stream ends
+    * exactly on a boundary carries empty arrays and the next fresh
+    * seq id. */
+  private def writeCarry(totals: DataFrame, tails: DataFrame, dir: String,
+                         batchId: String, capacityTokens: Int): Unit = {
+    val tokT = tails.schema("token_ids").dataType
+    val spanT = tails.schema("doc_spans").dataType
+    totals
+      .join(tails.select(col("pack_group"), col("token_ids"),
+        col("doc_spans")), Seq("pack_group"), "left")
+      .select(col("pack_group"),
+        expr(s"total_tokens div $capacityTokens").as("tail_seq_id"),
+        coalesce(col("token_ids"), array().cast(tokT)).as("token_ids"),
+        coalesce(col("doc_spans"), array().cast(spanT)).as("doc_spans"),
+        col("max_doc_id"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/carry/batch=$batchId")
+  }
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Unit =
     spark.read.parquet(s"$dir/shards")
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_sequences"),
         sum("n_tokens").cast("long").as("n_tokens"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
-    import spark.implicits._
-    Seq((capacityTokens, numShards, seed, salt, dropRemainder, docSpans))
-      .toDF("capacity_tokens", "num_shards", "seed", "salt",
-        "drop_remainder", "doc_spans")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
-  }
+
+  private def readStoreParams(spark: org.apache.spark.sql.SparkSession,
+                              dir: String) =
+    spark.read.parquet(s"$dir/params")
+      .select("capacity_tokens", "num_groups", "num_shards", "seed", "salt",
+        "drop_remainder", "doc_spans").head()
 
   /** Open a [[writeTokenShardStore]] directory. `expectCapacity` /
     * `expectShards` ≥ 0 refuse a store written with different sizing
     * (a reader fleet wired for 4k-token sequences must not silently
-    * consume 2k ones). Returns the shards relation; one shard's rows
-    * ordered by shard_pos ARE its training order. */
+    * consume 2k ones). Returns the shards relation across all batches
+    * with `shard_pos` DERIVED per shard by ascending (skey,
+    * pack_group, seq_id) — one shard's rows ordered by shard_pos ARE
+    * its training order, and the order is stable under append in the
+    * append ≡ rebuild sense (an appended store reads back exactly as
+    * if the combined corpus had been written once; mid-epoch positions
+    * shift where new keys interleave, which IS the rebuild order). */
   def readTokenShardStore(spark: org.apache.spark.sql.SparkSession,
                           dir: String, expectCapacity: Int = -1,
                           expectShards: Int = -1): DataFrame = {
-    val p = spark.read.parquet(s"$dir/params")
-      .select("capacity_tokens", "num_shards").head()
+    val p = readStoreParams(spark, dir)
     require(expectCapacity < 0 || p.getInt(0) == expectCapacity,
       s"readTokenShardStore: store at $dir was written at " +
         s"capacity ${p.getInt(0)}, caller expects $expectCapacity — " +
         "refusing a mismatched shard store")
-    require(expectShards < 0 || p.getInt(1) == expectShards,
-      s"readTokenShardStore: store at $dir holds ${p.getInt(1)} shards, " +
+    require(expectShards < 0 || p.getInt(2) == expectShards,
+      s"readTokenShardStore: store at $dir holds ${p.getInt(2)} shards, " +
         s"caller expects $expectShards — refusing a mismatched shard store")
+    val w = Window.partitionBy("shard")
+      .orderBy(col("skey"), col("pack_group"), col("seq_id"))
     spark.read.parquet(s"$dir/shards")
       .withColumn("shard", col("shard").cast("long"))
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
+  }
+
+  /** Append a corpus increment to a [[writeTokenShardStore]] directory
+    * WITHOUT rewriting existing shards — the store's Generations-style
+    * replay contract. Each pack group's token stream CONTINUES from
+    * its carry state (`dir/carry/batch=<prevBatch>`): the withheld
+    * partial tail is completed first, offsets and seq ids resume from
+    * the cursor, and the finished sequences land under
+    * `shards/batch=<batchId>` with the same seed-keyed skey a full
+    * rebuild would give them — so an appended store READS BACK
+    * IDENTICALLY to one written over the combined corpus
+    * (spec-asserted), because shard = key mod n and in-shard order is
+    * ascending key, both row properties.
+    *
+    * The contract requires increment doc ids to sort AFTER every
+    * existing doc in their group (the natural monotone-ingest case) —
+    * violated ids would change EXISTING sequences' content in a
+    * rebuild, which no append can reproduce; refused loudly. Only
+    * dropRemainder stores are appendable (a padded/partial store has
+    * its tails inside the shards — completing them would mean
+    * rewriting published files; refused). Replay: re-running the same
+    * (batchId, prevBatch) overwrites its own outputs and re-reads the
+    * still-present previous carry — idempotent. Chained appends pass
+    * the previous append's batchId as `prevBatch`. */
+  def appendToTokenShardStore(enc: DataFrame, dir: String, batchId: String,
+                              prevBatch: String = "base"): Unit = {
+    def validToken(s: String) = s.nonEmpty && s.head.isLetter &&
+      s.forall(c => c.isLetterOrDigit || c == '-' || c == '_')
+    require(validToken(batchId) && batchId != "base",
+      s"batchId '$batchId' must be a non-'base' letter-led [A-Za-z0-9_-]+ " +
+        "token (hive partition type inference must read it as a string)")
+    require(validToken(prevBatch),
+      s"prevBatch '$prevBatch' must be a letter-led [A-Za-z0-9_-]+ token")
+    require(batchId != prevBatch,
+      s"batchId and prevBatch are both '$batchId' — an append cannot " +
+        "continue from its own carry")
+    val spark = enc.sparkSession
+    val p = readStoreParams(spark, dir)
+    val capacity = p.getInt(0); val numGroups = p.getInt(1)
+    val numShards = p.getInt(2); val seed = p.getString(3)
+    val salt = p.getString(4)
+    require(p.getBoolean(5),
+      s"appendToTokenShardStore: store at $dir was written with " +
+        "dropRemainder = false — its partial tails live inside published " +
+        "shard files, and completing them would rewrite those files; " +
+        "only dropRemainder stores are appendable")
+    val docSpans = p.getBoolean(6)
+    val carryPath = new org.apache.hadoop.fs.Path(s"$dir/carry/batch=$prevBatch")
+    require(carryPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(carryPath),
+      s"appendToTokenShardStore: no carry state at $carryPath — " +
+        s"'$prevBatch' is not a written batch of this store")
+    val carry = spark.read.parquet(s"$dir/carry/batch=$prevBatch")
+    val grouped = enc.select(col("doc_id"), col("token_ids"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("pack_group",
+        pmod(graft.functions.TextExpressions.md5_lower64(
+            concat(lit(salt), lit("|"), col("doc_id").cast("string")))
+          .bitwiseAND(lit(Long.MaxValue)), lit(numGroups.toLong)))
+    // monotonicity refusal — append ≡ rebuild is only a theorem when
+    // every increment doc sorts after its group's existing docs
+    val viol = grouped
+      .join(carry.select(col("pack_group"), col("max_doc_id")),
+        Seq("pack_group"))
+      .where(col("doc_id") <= col("max_doc_id")).count()
+    require(viol == 0,
+      s"appendToTokenShardStore: $viol increment doc(s) sort at or below " +
+        "their pack group's existing max doc_id — a rebuild would " +
+        "re-pack EXISTING sequences around them, which an append cannot " +
+        "reproduce; ingest increments in ascending doc_id order")
+    // continuation origin per group: the carry cursor; groups new to
+    // the corpus start fresh at (seq 0, offset 0)
+    val origin = carry.select(col("pack_group"),
+      col("tail_seq_id"), col("token_ids").as("carry_tokens"),
+      col("doc_spans").as("carry_spans"),
+      size(col("token_ids")).cast("long").as("carry_len"))
+    val w = Window.partitionBy("pack_group").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = grouped
+      .withColumn("run", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .join(origin.select("pack_group", "tail_seq_id", "carry_len"),
+        Seq("pack_group"), "left")
+      .withColumn("base_seq", coalesce(col("tail_seq_id"), lit(0L)))
+      .withColumn("off", coalesce(col("carry_len"), lit(0L)) + col("run"))
+    // placement relative to the continued stream: global pos g of a
+    // doc token is off + tpos; its sequence is base_seq + g div cap
+    // (the carry tail occupies positions [0, carry_len) of base_seq)
+    val placedNew = offs
+      .select(col("pack_group"), col("base_seq"), col("off"), col("doc_id"),
+        posexplode(col("token_ids")).as(Seq("tpos", "token_id")))
+      .select(col("pack_group"),
+        (col("base_seq") + expr(s"(off + tpos) div $capacity")).as("seq_id"),
+        pmod(col("off") + col("tpos"), lit(capacity.toLong)).as("pos_in_seq"),
+        col("token_id"), col("doc_id"))
+    // the carried tail re-enters placement with its ORIGINAL doc ids
+    // (from its spans — a span covers the positions of one doc)
+    val placedCarry = origin.where(size(col("carry_tokens")) > 0)
+      .select(col("pack_group"), col("tail_seq_id"), col("carry_spans"),
+        posexplode(col("carry_tokens")).as(Seq("cpos", "token_id")))
+      .select(col("pack_group"), col("tail_seq_id").as("seq_id"),
+        col("cpos").cast("long").as("pos_in_seq"), col("token_id"),
+        expr("""element_at(filter(carry_spans,
+            s -> s.start <= cpos AND s.end >= cpos), 1).doc_id""")
+          .as("doc_id"))
+    val placed = placedNew
+      .select("pack_group", "seq_id", "pos_in_seq", "token_id", "doc_id")
+      .unionByName(placedCarry
+        .select("pack_group", "seq_id", "pos_in_seq", "token_id", "doc_id"))
+    val seqsAll = assembleSequences(placed)
+    val full0 = seqsAll.where(col("n_tokens") === capacity)
+    val full = if (docSpans) full0 else full0.drop("doc_spans")
+    writeShardBatch(full, dir, batchId, seed, numShards)
+    // new carry: touched groups advance their cursor by the combined
+    // (carry + increment) token count; untouched groups carry forward
+    val incTotals = grouped.groupBy("pack_group")
+      .agg(max("doc_id").as("inc_max"),
+        sum("n_tokens").cast("long").as("inc_tokens"))
+    val touched = incTotals
+      .join(origin.select("pack_group", "tail_seq_id", "carry_len"),
+        Seq("pack_group"), "left")
+      .select(col("pack_group"),
+        (coalesce(col("tail_seq_id"), lit(0L)) +
+          expr(s"((coalesce(carry_len, 0L) + inc_tokens) div $capacity)"))
+          .as("tail_seq_id"),
+        col("inc_max").as("max_doc_id"))
+    val tokT = seqsAll.schema("token_ids").dataType
+    val spanT = seqsAll.schema("doc_spans").dataType
+    val newTails = seqsAll.where(col("n_tokens") < capacity)
+      .select(col("pack_group"), col("token_ids"), col("doc_spans"))
+    val touchedCarry = touched
+      .join(newTails, Seq("pack_group"), "left")
+      .select(col("pack_group"), col("tail_seq_id"),
+        coalesce(col("token_ids"), array().cast(tokT)).as("token_ids"),
+        coalesce(col("doc_spans"), array().cast(spanT)).as("doc_spans"),
+        col("max_doc_id"))
+    val untouched = carry.join(incTotals.select("pack_group"),
+      Seq("pack_group"), "left_anti")
+    touchedCarry.unionByName(untouched)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/carry/batch=$batchId")
+    writeManifest(spark, dir)
+  }
+
+  /** A NEW EPOCH of an existing store without re-tokenizing: every
+    * sequence re-keyed under `newSeed` (one projection + one
+    * shard-keyed exchange — the cheap operation epoch reshuffles must
+    * be), written as a complete store at `outDir`. Out-of-place by
+    * design: epoch N keeps serving while N+1 materializes (a trainer
+    * prefetches the next epoch), and a crashed reshuffle replays by
+    * overwriting `outDir`. Accreted batches COMPACT into `batch=base`
+    * on the way (their identity was ingest provenance; the new epoch
+    * starts clean); the carry state copies verbatim — packing is
+    * seed-independent, so the reshuffled store remains appendable. */
+  def reshuffleTokenShardStore(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, outDir: String,
+                               newSeed: String): Unit = {
+    require(new java.io.File(outDir).getCanonicalPath !=
+        new java.io.File(dir).getCanonicalPath,
+      s"reshuffleTokenShardStore: outDir must differ from dir ($dir) — " +
+        "the reshuffle reads the store it would be overwriting")
+    val p = readStoreParams(spark, dir)
+    val seqs = spark.read.parquet(s"$dir/shards")
+      .drop("shard", "skey", "batch")
+    writeShardBatch(seqs, outDir, "base", newSeed, p.getInt(2))
+    val carrySrc = new org.apache.hadoop.fs.Path(s"$dir/carry")
+    if (carrySrc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(carrySrc))
+      spark.read.parquet(s"$dir/carry")
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$outDir/carry")
+    writeManifest(spark, outDir)
+    import spark.implicits._
+    Seq((p.getInt(0), p.getInt(1), p.getInt(2), newSeed, p.getString(4),
+        p.getBoolean(5), p.getBoolean(6)))
+      .toDF("capacity_tokens", "num_groups", "num_shards", "seed", "salt",
+        "drop_remainder", "doc_spans")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/params")
   }
 
   private def packCounted(counts: DataFrame, capacityTokens: Int,

@@ -167,6 +167,130 @@ class PackerSpec extends SparkSpec {
       expectShards = 3).count() === expect.size.toLong)
   }
 
+  /** Docs with varied lengths so group tails straddle boundaries:
+    * doc i carries (i % 9 + 3) tokens, ids unique per doc. */
+  private def lifecycleEnc(ids: Seq[Long]) = ids
+    .map(i => (i, (0 until (i % 9 + 3).toInt).map(j => (i * 100 + j).toInt),
+      (i % 9 + 3)))
+    .toDF("doc_id", "token_ids", "n_tokens")
+
+  /** Full read-back rows EXCLUDING batch (ingest provenance — the one
+    * column append ≡ rebuild legitimately differs on). */
+  private def storeRows(dir: String) =
+    Packer.readTokenShardStore(spark, dir)
+      .select("shard", "shard_pos", "skey", "pack_group", "seq_id",
+        "n_tokens", "token_ids", "doc_spans")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getSeq[Int](6).mkString(","),
+        r.getSeq[org.apache.spark.sql.Row](7)
+          .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))).mkString(";")))
+      .toSet
+
+  test("shard store append ≡ rebuild: continued packing, identical read-back, replay-idempotent") {
+    val all = (0L until 40L)
+    val dirApp = java.nio.file.Files.createTempDirectory("graft-ss-app").toString
+    val dirReb = java.nio.file.Files.createTempDirectory("graft-ss-reb").toString
+    // rebuild over the combined corpus = the ground truth
+    Packer.writeTokenShardStore(lifecycleEnc(all), dirReb,
+      capacityTokens = 16, numGroups = 4, numShards = 3, seed = "e0")
+    // base over the first 25 docs, then two chained monotone appends
+    Packer.writeTokenShardStore(lifecycleEnc(all.take(25)), dirApp,
+      capacityTokens = 16, numGroups = 4, numShards = 3, seed = "e0")
+    Packer.appendToTokenShardStore(lifecycleEnc(all.slice(25, 33)), dirApp, "b1")
+    Packer.appendToTokenShardStore(lifecycleEnc(all.drop(33)), dirApp, "b2",
+      prevBatch = "b1")
+    assert(storeRows(dirApp) === storeRows(dirReb),
+      "appended store must read back as if the combined corpus was written once")
+    // existing batch directories were NOT rewritten by the appends:
+    // base still holds exactly the full sequences of the first write
+    val baseSeqs = spark.read
+      .parquet(s"$dirApp/shards/batch=base").count()
+    val expectBase = Packer.materializeTokenShards(lifecycleEnc(all.take(25)),
+      capacityTokens = 16, numGroups = 4, dropRemainder = true).count()
+    assert(baseSeqs === expectBase)
+    // replay: re-running append b2 (same prevBatch) overwrites itself
+    Packer.appendToTokenShardStore(lifecycleEnc(all.drop(33)), dirApp, "b2",
+      prevBatch = "b1")
+    assert(storeRows(dirApp) === storeRows(dirReb))
+    // the manifest re-derived after append matches the files
+    val manifest = spark.read.parquet(s"$dirApp/manifest").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    storeRows(dirApp).groupBy(_._1).foreach { case (sh, rows) =>
+      assert(manifest(sh) === ((rows.size.toLong, rows.toSeq.map(_._6).sum)))
+    }
+  }
+
+  test("shard store append refusals: non-monotone ids, padded store, bad batch tokens") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss-ref").toString
+    Packer.writeTokenShardStore(lifecycleEnc(0L until 25L), dir,
+      capacityTokens = 16, numGroups = 4, numShards = 3, seed = "e0")
+    // an increment interleaving EXISTING doc ids would change already-
+    // published sequences in a rebuild — refused, with a count
+    val e1 = intercept[IllegalArgumentException] {
+      Packer.appendToTokenShardStore(lifecycleEnc(Seq(10L, 99L)), dir, "b1")
+    }
+    assert(e1.getMessage.contains("ascending doc_id"))
+    // batch token hygiene: 'base' reserved; must be letter-led (hive
+    // type inference must read the partition as a string)
+    for (bad <- Seq("base", "1x", "", "a b"))
+      intercept[IllegalArgumentException] {
+        Packer.appendToTokenShardStore(lifecycleEnc(Seq(99L)), dir, bad)
+      }
+    // unknown carry lineage
+    val e2 = intercept[IllegalArgumentException] {
+      Packer.appendToTokenShardStore(lifecycleEnc(Seq(99L)), dir, "b1",
+        prevBatch = "nope")
+    }
+    assert(e2.getMessage.contains("carry"))
+    // a padded (dropRemainder = false) store is not appendable
+    val dirPad = java.nio.file.Files.createTempDirectory("graft-ss-pad").toString
+    Packer.writeTokenShardStore(lifecycleEnc(0L until 25L), dirPad,
+      capacityTokens = 16, numGroups = 4, numShards = 3, seed = "e0",
+      dropRemainder = false)
+    val e3 = intercept[IllegalArgumentException] {
+      Packer.appendToTokenShardStore(lifecycleEnc(Seq(99L)), dirPad, "b1")
+    }
+    assert(e3.getMessage.contains("dropRemainder"))
+  }
+
+  test("shard store reshuffle: new epoch order, identical contents, still appendable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss-rs0").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ss-rs1").toString
+    Packer.writeTokenShardStore(lifecycleEnc(0L until 30L), dir,
+      capacityTokens = 16, numGroups = 4, numShards = 3, seed = "e0")
+    Packer.reshuffleTokenShardStore(spark, dir, out, newSeed = "e1")
+    def contents(d: String) = storeRows(d)
+      .map(t => (t._4, t._5, t._7, t._8)) // (group, seq, tokens, spans)
+    // same sequences, bit for bit — only the arrangement moved
+    assert(contents(out) === contents(dir))
+    assert(storeRows(out).map(t => (t._1, t._2, t._4, t._5)) !==
+      storeRows(dir).map(t => (t._1, t._2, t._4, t._5)),
+      "a new seed must produce a different epoch arrangement")
+    // deterministic: the same newSeed reproduces the epoch exactly
+    val out2 = java.nio.file.Files.createTempDirectory("graft-ss-rs2").toString
+    Packer.reshuffleTokenShardStore(spark, dir, out2, newSeed = "e1")
+    assert(storeRows(out2) === storeRows(out))
+    // the epoch equals a from-scratch write under the new seed (the
+    // reshuffle is a re-key, never a re-pack)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ss-rs3").toString
+    Packer.writeTokenShardStore(lifecycleEnc(0L until 30L), scratch,
+      capacityTokens = 16, numGroups = 4, numShards = 3, seed = "e1")
+    assert(storeRows(out) === storeRows(scratch))
+    // carry traveled: the reshuffled store accepts appends and still
+    // reads back as the rebuild over the combined corpus
+    Packer.appendToTokenShardStore(lifecycleEnc(30L until 40L), out, "b1")
+    val rebuild = java.nio.file.Files.createTempDirectory("graft-ss-rs4").toString
+    Packer.writeTokenShardStore(lifecycleEnc(0L until 40L), rebuild,
+      capacityTokens = 16, numGroups = 4, numShards = 3, seed = "e1")
+    assert(storeRows(out) === storeRows(rebuild))
+    // in-place refusal
+    val e = intercept[IllegalArgumentException] {
+      Packer.reshuffleTokenShardStore(spark, dir, dir, "e2")
+    }
+    assert(e.getMessage.contains("outDir"))
+  }
+
   test("shuffleSequences: a deterministic permutation — dense positions, seed-keyed order, no sequence lost") {
     val enc = (0L until 40L)
       .map(i => (i, (0 until 7).map(j => (i * 7 + j).toInt), 7L))
