@@ -47,6 +47,8 @@ object GraftExtensions {
       intArg(es(1), "shingleSize"))),
     "array_jaccard" -> (es => TextExpressions.ArrayJaccard(es(0), es(1))),
     "md5_lower64" -> (es => TextExpressions.Md5Lower64(es(0))),
+    "fp16_pack" -> (es => VectorExpressions.Fp16Pack(es(0))),
+    "fp16_unpack" -> (es => VectorExpressions.Fp16Unpack(es(0))),
     "rolling_hash_min" -> (es => TextExpressions.RollingHashMin(es(0),
       intArg(es(1), "window"))),
     // aggregate: top_k_by_score(score, id, k) → array<struct<rnk,

@@ -235,7 +235,8 @@ object PqProbe {
     * hundreds a point probe's nprobe cells are a sliver the pushed
     * filter can skip to). */
   private def pointProbe(spark: org.apache.spark.sql.SparkSession,
-                         dir: String, nlist: Int): Unit = {
+                         dir: String, nlist: Int, m: Int = 8,
+                         skipHive: Boolean = false): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
     val em = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -247,10 +248,6 @@ object PqProbe {
     def drain(df: DataFrame): Long = df.count()
     val hiveDir = java.nio.file.Files.createTempDirectory("ptadc-hive").toString
     val ptDir = java.nio.file.Files.createTempDirectory("ptadc-point").toString
-    val (_, tH) = wall(Pq.buildIvfPqIndex(em, hiveDir, m = 8, ks = 256,
-      nlist = nlist, corpusSize = n))
-    val (_, tP) = wall(Pq.buildIvfPqIndex(em, ptDir, m = 8, ks = 256,
-      nlist = nlist, corpusSize = n, pointLayout = true))
     def fileCount(p: String): Int = {
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)
@@ -259,7 +256,31 @@ object PqProbe {
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
       c
     }
-    println(f"n=$n nlist=$nlist build: hive=$tH%.1fs (files=${fileCount(s"$hiveDir/corpus")}) " +
+    def dirBytes(p: String): Long =
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    val (_, tH) = if (skipHive) ((), 0.0)
+      else wall(Pq.buildIvfPqIndex(em, hiveDir, m = m, ks = 256,
+        nlist = nlist, corpusSize = n))
+    val (_, tP) = wall(Pq.buildIvfPqIndex(em, ptDir, m = m, ks = 256,
+      nlist = nlist, corpusSize = n, pointLayout = true))
+    if (skipHive) {
+      println(f"n=$n nlist=$nlist m=$m build: point=$tP%.1fs " +
+        f"(files=${fileCount(s"$ptDir/corpus")}, " +
+        f"bytes=${dirBytes(s"$ptDir/corpus")})")
+      val q1row = em.where(col("vec_id") === 0)
+        .select("vec_id", "embedding").collect()(0)
+      val q1 = Seq((q1row.getLong(0), q1row.getSeq[Float](1)))
+        .toDF("vec_id", "embedding")
+      for (round <- 1 to 3) {
+        val (_, bP) = wall(drain(Pq.ivfPqTopKIndexed(q1, ptDir, k = 5, nprobe = 8)))
+        val (_, pP) = wall(drain(Pq.ivfPqTopKPoint(q1, ptDir, k = 5, nprobe = 8)))
+        println(f"1-query round $round: pointLayout batch=$bP%.2fs point=$pP%.2fs")
+      }
+      return
+    }
+    println(f"n=$n nlist=$nlist m=$m build: hive=$tH%.1fs (files=${fileCount(s"$hiveDir/corpus")}) " +
       f"point=$tP%.1fs (files=${fileCount(s"$ptDir/corpus")})")
     val q1row = em.where(col("vec_id") === 0)
       .select("vec_id", "embedding").collect()(0)
@@ -292,7 +313,9 @@ object PqProbe {
     }
     if (args.headOption.contains("point")) {
       pointProbe(spark, args(1),
-        args.lift(2).map(_.toInt).getOrElse(1024))
+        args.lift(2).map(_.toInt).getOrElse(1024),
+        args.lift(3).map(_.toInt).getOrElse(8),
+        skipHive = args.contains("skiphive"))
       spark.stop(); return
     }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

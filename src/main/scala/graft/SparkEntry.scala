@@ -764,6 +764,35 @@ object SparkEntry {
              ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
              LIMIT 10""")
       },
+      // the PACKING pipeline driven from the engine's SQL surface: the
+      // q54 bin arithmetic as plain spark.sql over the registered
+      // md5_lower64 native + window functions — a user who lives in
+      // SQL can run the pack step without the DataFrame API (the
+      // shard-store WRITES stay DataFrame-only by design: a persisted
+      // artifact with carry state is not a query result). Oracle =
+      // q54's, verbatim.
+      "q133_sql_pack" -> q { (s, dir) =>
+        graft.sql.GraftCatalog.sql(s, dir,
+          """WITH c AS (
+               SELECT doc_id,
+                 CAST(size(CASE WHEN length(trim(text)) = 0
+                                THEN CAST(array() AS array<string>)
+                                ELSE split(trim(text), '\\s+') END) AS BIGINT)
+                   AS n_tokens,
+                 pmod(md5_lower64(concat('pack', '|', CAST(doc_id AS STRING)))
+                   & 9223372036854775807, 8) AS pack_group
+               FROM documents),
+             o AS (
+               SELECT doc_id, pack_group, n_tokens,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY pack_group
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS BIGINT)) AS bin_offset
+               FROM c)
+             SELECT doc_id, pack_group, bin_offset DIV 256 AS bin_id,
+               n_tokens, bin_offset
+             FROM o""")
+      },
       // the native bounded-heap aggregate driven from the SQL surface:
       // top-3 orders by price per market segment
       "q41_topk_per_group" -> q { (s, dir) =>
@@ -1460,6 +1489,27 @@ object SparkEntry {
     s"""(CASE WHEN length(trim(text)) = 0 OR len($DuckTokens) < 2 THEN []::VARCHAR[]
         ELSE list_distinct(list_transform(range(1, len($DuckTokens)),
              i -> array_to_string(($DuckTokens)[i:i+1], ' '))) END)"""
+
+  /** The q54/q133 packing derivation (capacity 256, 8 hash groups) —
+    * one oracle text for both: q54 runs it through the DataFrame
+    * operator, q133 through the engine's own SQL surface. */
+  private val DuckPackSql = s"""
+      WITH g AS (
+        SELECT doc_id,
+          CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE $DuckTokens END) AS BIGINT) AS n_tokens,
+          (md5_number_lower('pack|' || CAST(doc_id AS VARCHAR))
+             & 9223372036854775807) % 8 AS pack_group
+        FROM documents),
+      o AS (
+        SELECT doc_id, pack_group, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY pack_group
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS bin_offset
+        FROM g)
+      SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group,
+        bin_offset // 256 AS bin_id, n_tokens, bin_offset
+      FROM o"""
 
   /** Shared CTE chain for the DSIR oracles (q116, q117): featurize
     * (unigrams + NON-distinct bigrams — counts, not shingle sets),
@@ -3593,23 +3643,11 @@ object SparkEntry {
          coalesce(CAST(b.max_bigram AS DOUBLE) / b.n_bigrams <= 0.07, true))
           AS repetition_pass
       FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id""",
-    "q54_sequence_packing" -> s"""
-      WITH g AS (
-        SELECT doc_id,
-          CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                        ELSE $DuckTokens END) AS BIGINT) AS n_tokens,
-          (md5_number_lower('pack|' || CAST(doc_id AS VARCHAR))
-             & 9223372036854775807) % 8 AS pack_group
-        FROM documents),
-      o AS (
-        SELECT doc_id, pack_group, n_tokens,
-          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY pack_group
-            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS BIGINT) AS bin_offset
-        FROM g)
-      SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group,
-        bin_offset // 256 AS bin_id, n_tokens, bin_offset
-      FROM o""",
+    "q54_sequence_packing" -> DuckPackSql,
+    // q133 is the SAME packing derivation driven from the engine's SQL
+    // surface (md5_lower64 + window functions in spark.sql) — the
+    // oracle is q54's verbatim: two SQL dialects, one relation
+    "q133_sql_pack" -> DuckPackSql,
     "q58_vocabulary" -> s"""
       WITH toks AS (
         SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]

@@ -13,6 +13,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](2).length === 2)
   }
 
+  test("fp16 pack/unpack callable from SQL; round-trip is the RNE grid") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT fp16_unpack(fp16_pack(array(CAST(0.1 AS FLOAT),
+                                            CAST(65504 AS FLOAT)))) AS h""").head()
+    assert(r.getSeq[Double](0) === Seq(0.0999755859375, 65504.0))
+  }
+
   test("text/hash expressions callable from SQL: shingles, jaccard, md5, rolling hash") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -261,6 +261,84 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fp16 pack/unpack equals an arithmetic RNE reference on random floats") {
+    import graft.functions.VectorExpressions.{fp16_pack, fp16_unpack}
+    // independent reference: pure-arithmetic round-to-nearest-even at
+    // the half quantum (Math.rint IS banker's rounding; getExponent is
+    // exact) — the same derivation the DuckDB oracle runs, sharing no
+    // code with the expressions' bit manipulation
+    def refHalf(f: Float): Double = {
+      val x = f.toDouble
+      if (x == 0.0) x
+      else {
+        val e = math.max(Math.getExponent(x), -14)
+        val step = math.pow(2.0, e - 10)
+        Math.rint(x / step) * step
+      }
+    }
+    val rnd = new scala.util.Random(20260818L)
+    // magnitudes spanning normals, the subnormal-half range, and the
+    // underflow-to-zero region; exact powers of two and ties included
+    val floats: Seq[Float] =
+      Seq.fill(400)((rnd.nextDouble() * 2 - 1) *
+          math.pow(2.0, rnd.nextInt(40) - 28)).map(_.toFloat) ++
+        Seq(0.0f, -0.0f, 1.0f, -1.0f, 2.0f, 0.5f, 65504.0f,
+          6.103515625e-5f, 3.0517578125e-5f, 2.9802322e-8f)
+    val got = floats.zipWithIndex.map { case (f, i) => (i.toLong, Seq(f)) }
+      .toDF("id", "v")
+      .select(col("id"), fp16_unpack(fp16_pack(col("v"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).head).toMap
+    floats.zipWithIndex.foreach { case (f, i) =>
+      assert(got(i.toLong) === refHalf(f), s"half($f)")
+    }
+  }
+
+  test("ivfPqTopKPoint equals ivfPqTopKIndexed on random corpora, both layouts") {
+    val rnd = new scala.util.Random(20260819L)
+    val corpus = (0L until 200L)
+      .map(i => (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    for (pl <- Seq(false, true)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-ptadc-prop-$pl").toString
+      Pq.buildIvfPqIndex(corpus, dir, m = 4, ks = 8, nlist = 4,
+        residual = true, pointLayout = pl, pointLayoutFiles = 2)
+      val batch = rows(Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 2))
+      assert(rows(Pq.ivfPqTopKPoint(q, dir, k = 3, nprobe = 2)) === batch,
+        s"pointLayout=$pl")
+    }
+  }
+
+  test("shard-store append equals rebuild on random corpora and split points") {
+    val rnd = new scala.util.Random(20260820L)
+    def enc(ids: Seq[Long]) = ids
+      .map(i => (i, (0 until 2 + (i % 7).toInt).map(j => (i * 50 + j).toInt),
+        (2 + (i % 7))))
+      .toDF("doc_id", "token_ids", "n_tokens")
+    def readRows(d: String) = Packer.readTokenShardStore(spark, d)
+      .select("shard", "shard_pos", "skey", "pack_group", "seq_id",
+        "n_tokens", "token_ids")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getSeq[Int](6).mkString(","))).toSet
+    for (_ <- 1 to 3) {
+      val n = 20L + rnd.nextInt(20)
+      val split = 5L + rnd.nextInt(n.toInt - 10)
+      val dA = java.nio.file.Files.createTempDirectory("graft-ssp-a").toString
+      val dR = java.nio.file.Files.createTempDirectory("graft-ssp-r").toString
+      Packer.writeTokenShardStore(enc(0L until split), dA,
+        capacityTokens = 8, numGroups = 3, numShards = 2, seed = "p")
+      Packer.appendToTokenShardStore(enc(split until n), dA, "inc")
+      Packer.writeTokenShardStore(enc(0L until n), dR,
+        capacityTokens = 8, numGroups = 3, numShards = 2, seed = "p")
+      assert(readRows(dA) === readRows(dR), s"n=$n split=$split")
+    }
+  }
+
   test("pointNearDuplicates equals nearDuplicates on random corpora and probes") {
     val rnd = new scala.util.Random(20260817L)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
