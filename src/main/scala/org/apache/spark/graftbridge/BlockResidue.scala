@@ -52,11 +52,20 @@ object BlockResidue {
     * queries would then surface as a logged re-broadcast, never a
     * hard bench failure. */
   def dropAllBroadcastBlocks(sc: SparkContext): Int = {
-    // active jobs ⇒ a stage may be mid-read of one of these blocks;
-    // skip the drop entirely (this residue pass is best-effort)
+    // active jobs ⇒ a stage may be mid-read of one of these blocks.
+    // statusTracker is LISTENER-BUS async: a job whose action already
+    // returned can linger "active" for a few ms until the bus drains
+    // (measured: 11 of 133 between-query calls saw one) — so WAIT for
+    // the tracker to read idle before concluding anything, and only
+    // skip if something is genuinely still running after the grace
+    // window (a caller violating the between-queries contract).
+    var waited = 0
+    while (sc.statusTracker.getActiveJobIds().nonEmpty && waited < 500) {
+      Thread.sleep(10); waited += 10
+    }
     if (sc.statusTracker.getActiveJobIds().nonEmpty) {
-      System.err.println("[BlockResidue] active job(s) present -- " +
-        "skipping the broadcast-block drop this round")
+      System.err.println("[BlockResidue] active job(s) still running " +
+        s"after ${waited}ms -- skipping the broadcast-block drop this round")
       return 0
     }
     val bm = sc.env.blockManager
