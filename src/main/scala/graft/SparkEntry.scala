@@ -984,6 +984,22 @@ object SparkEntry {
         graft.ops.Pq.ivfPqTopKPoint(em.where(col("vec_id") < 20),
           ivfPqIndexFor(s, dir), k = 5, nprobe = 2)
       },
+      // DISTRIBUTED whole-corpus k-means: the trainer that removes the
+      // driver-sample cap on nlist (at 100 TB the router wants
+      // nlist ~ sqrt(n) trained on everything, not 4096 rows). Two
+      // iterations here; the oracle re-derives BOTH end-to-end from
+      // the parquet — possible only because each update is one
+      // rounding + order-independent integer sums, the determinism
+      // the operator is designed around
+      "q134_kmeans_distributed" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        val cent = Similarity.trainCentroidsDistributed(em, nlist = 8,
+          maxIter = 2)
+        import s.implicits._
+        cent.zipWithIndex.flatMap { case (c, i) =>
+          c.zipWithIndex.map { case (v, d) => (i.toLong, d.toLong, v) }
+        }.toSeq.toDF("cell", "d", "val")
+      },
       // q118 with residual (true-IVFADC) encoding: codes are the
       // displacement from each vector's cell centroid, the query LUT
       // is per probed cell over q − centroid — the oracle re-derives
@@ -2203,6 +2219,61 @@ object SparkEntry {
         WHERE p.query_id <> a.vec_id)"""
   }
 
+  /** q134 oracle: the DISTRIBUTED k-means chain re-derived end-to-end
+    * in DuckDB — init = lowest-nlist ids, per-iteration cosine-argmax
+    * assignment (list_dot_product is the same ascending fold as
+    * NearestCell's loops), per-cell element-wise INTEGER-micro sums
+    * (the determinism design: one rounding, then order-independent
+    * BIGINT sums), update = (sum/count)/1e6 in exactly the trainer's
+    * association, empty cells keeping their centroid. No trained
+    * constants are embedded — the SQL re-derives everything from the
+    * parquet, which is the point: the trainer is deterministic enough
+    * to be recomputed bit-for-bit by a different engine. */
+  private def duckKmeansSql(nlist: Int, iters: Int): String = {
+    def cos(e: String, c: String) =
+      s"""CASE WHEN sqrt(list_dot_product($c, $c)) = 0
+               OR sqrt(list_dot_product($e, $e)) = 0 THEN 0.0
+          ELSE list_dot_product($e, $c) /
+               (sqrt(list_dot_product($c, $c)) * sqrt(list_dot_product($e, $e)))
+          END"""
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+             FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $nlist))"""
+    for (i <- 1 to iters) {
+      val prev = s"c${i - 1}"
+      sb ++= s""",
+      a$i AS (
+        SELECT vec_id, e, cell FROM (
+          SELECT v.vec_id, v.e, $prev.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY (${cos("v.e", s"$prev.c")}) DESC, $prev.cell) AS rn
+          FROM v CROSS JOIN $prev) WHERE rn = 1),
+      s$i AS (
+        SELECT cell, d, CAST(sum(m) AS BIGINT) AS s FROM (
+          SELECT cell,
+            unnest(list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT))) AS m,
+            generate_subscripts(e, 1) AS d
+          FROM a$i)
+        GROUP BY cell, d),
+      n$i AS (SELECT cell, count(*) AS cnt FROM a$i GROUP BY cell),
+      c$i AS (
+        SELECT cell, list(val ORDER BY d) AS c FROM (
+          SELECT s$i.cell, s$i.d,
+            (CAST(s$i.s AS DOUBLE) / n$i.cnt) / 1000000.0 AS val
+          FROM s$i JOIN n$i USING (cell)) GROUP BY cell
+        UNION ALL
+        SELECT $prev.cell, $prev.c
+        FROM $prev LEFT JOIN n$i USING (cell) WHERE n$i.cnt IS NULL)"""
+    }
+    sb ++= s"""
+      SELECT CAST(cell AS BIGINT) AS cell, CAST(d - 1 AS BIGINT) AS d, val
+      FROM (SELECT cell, unnest(c) AS val, generate_subscripts(c, 1) AS d
+            FROM c$iters)"""
+    sb.toString
+  }
+
   /** The q131/q132 oracle body: the q126 pack/shuffle derivation over
     * the WHOLE corpus (the rebuild), restricted to capacity-full
     * sequences and keyed under `seed` — the store read-back's ground
@@ -2846,6 +2917,9 @@ object SparkEntry {
     // the append ≡ rebuild theorem, proven cross-engine.
     "q131_shard_store_append" -> duckStoreRebuildSql("s42"),
     "q132_shard_store_epoch" -> duckStoreRebuildSql("s43"),
+    // q134: distributed whole-corpus k-means (2 iterations, nlist=8) —
+    // no embedded constants; the oracle recomputes the trainer
+    "q134_kmeans_distributed" -> duckKmeansSql(nlist = 8, iters = 2),
     // q126: q123's sequences shuffled into reader shards — shard =
     // salted-md5(seed|group|seq) mod 4, in-shard order ascending that
     // key (ties (pack_group, seq_id))

@@ -345,15 +345,23 @@ object Pq {
                       opq: Boolean = false,
                       refineHalf: Boolean = false,
                       pointLayout: Boolean = false,
-                      pointLayoutFiles: Int = 64): Unit = {
-    val nl = if (nlist > 0) nlist
-             else Similarity.ivfNlistFor(
-               if (corpusSize > 0) corpusSize else corpus.count(),
-               maxTrain = maxTrain)
+                      pointLayoutFiles: Int = 64,
+                      trainedCent: Option[Array[Array[Double]]] = None): Unit = {
     // ONE sampling job feeds both trainers — the router and the
-    // codebooks use the identical deterministic sample anyway
+    // codebooks use the identical deterministic sample anyway.
+    // trainedCent: a pre-trained router (e.g. [[Similarity
+    // .trainCentroidsDistributed]] at nlist beyond the sample cap) —
+    // the codebooks still train on the bounded sample (they quantize
+    // d/m-dim subspaces; the sample covers that), only the cell
+    // geometry comes from outside.
     val sample = Similarity.collectTrainSample(corpus, maxTrain, idCol, vecCol)
-    val cent = Similarity.trainedCentroidsFromSample(sample, nl, maxIter)
+    val cent = trainedCent.getOrElse {
+      val nl = if (nlist > 0) nlist
+               else Similarity.ivfNlistFor(
+                 if (corpusSize > 0) corpusSize else corpus.count(),
+                 maxTrain = maxTrain)
+      Similarity.trainedCentroidsFromSample(sample, nl, maxIter)
+    }
     // residual mode trains the codebooks on the sample's residuals —
     // assignment uses the SAME cosine-argmax arithmetic as the
     // distributed NearestCell, so a sample vector's training residual

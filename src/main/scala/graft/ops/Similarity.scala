@@ -425,6 +425,68 @@ object Similarity {
     trainedCentroidsFromSample(
       collectTrainSample(corpus, maxTrain, idCol, vecCol), nlist, maxIter)
 
+  /** DISTRIBUTED Lloyd's over the WHOLE corpus — the trainer that
+    * removes the driver-sample cap on nlist: [[trainedCentroids]]
+    * trains on ≤ maxTrain collected rows, so nlist ≤ 4096 and cluster
+    * quality is the sample's; at 100 TB an IVF index wants
+    * nlist ~ √n ≈ 10⁵, trained on everything. Per iteration: one
+    * corpus scan assigning via the codegen'd broadcast-centroid
+    * [[graft.functions.VectorExpressions.NearestCell]] (the SAME
+    * cosine-argmax arithmetic as every serve/build path), one
+    * cell-keyed exchange of per-cell ELEMENT-WISE INTEGER sums, one
+    * nlist-row collect (bounded: nlist·dim longs — the output's own
+    * size, which must broadcast anyway).
+    *
+    * Determinism is the design constraint a naive distributed Lloyd's
+    * violates: floating-point partial sums arrive in partition order,
+    * which is not stable, so double-summed centroids differ run to
+    * run and no oracle can re-derive them. Here each component is
+    * rounded ONCE to integer micros
+    * (`CAST(round(x·1e6) AS BIGINT)` — the engine's standard
+    * one-rounding-then-integer-sums trick) and summed with the
+    * order-independent [[graft.functions.AggExpressions
+    * .VectorSumLong]]; the update is
+    * `(sum.toDouble / count) / 1e6` in exactly that association, so
+    * centroids are BIT-IDENTICAL across runs, partitionings, and
+    * engines (oracle q134 re-derives two full iterations in DuckDB).
+    * The ~1e-6 component quantization is noise against k-means'
+    * own convergence tolerance. Init = the lowest `nlist` ids (the
+    * driver trainer's rule, unbounded); empty cells keep their
+    * centroid. Feed the result to [[buildIvfIndex]] /
+    * [[Pq.buildIvfPqIndex]] via their `trainedCent` hook. */
+  def trainCentroidsDistributed(corpus: DataFrame, nlist: Int,
+                                maxIter: Int = 5,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): Array[Array[Double]] = {
+    require(nlist > 0, s"nlist ($nlist) must be positive")
+    var cent = collectTrainSample(corpus, nlist, idCol, vecCol)
+    require(cent.nonEmpty, "trainCentroidsDistributed: empty corpus")
+    val micros = expr(
+      s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000.0) as bigint))")
+    var iter = 0
+    while (iter < maxIter) {
+      val centSeq = cent.map(_.toSeq).toSeq
+      val rows = corpus
+        .select(graft.functions.VectorExpressions
+            .nearest_cell(col(vecCol), centSeq).as("cell"),
+          micros.as("m"))
+        .groupBy("cell")
+        .agg(graft.functions.AggExpressions.vector_sum_long(col("m")).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val upd = cent.map(_.clone)
+      rows.foreach { r =>
+        val cell = r.getInt(0)
+        val s = r.getSeq[Long](1)
+        val cnt = r.getLong(2)
+        upd(cell) = s.map(v => (v.toDouble / cnt) / 1e6).toArray
+      }
+      cent = upd
+      iter += 1
+    }
+    cent
+  }
+
   /** The deterministic bounded training sample every driver-side
     * trainer here uses: the lowest `maxTrain` ids, one TakeOrdered
     * pass. Exposed package-private so a build that trains BOTH an IVF
@@ -477,11 +539,17 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 0,
                     maxIter: Int = 5, maxTrain: Int = 4096,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    corpusSize: Long = 0L): Unit = {
-    val nl = if (nlist > 0) nlist
-             else ivfNlistFor(if (corpusSize > 0) corpusSize else corpus.count(),
-               maxTrain = maxTrain)
-    val cent = trainedCentroids(corpus, nl, maxIter, maxTrain, idCol, vecCol)
+                    corpusSize: Long = 0L,
+                    trainedCent: Option[Array[Array[Double]]] = None): Unit = {
+    // trainedCent: pre-trained centroids (e.g.
+    // [[trainCentroidsDistributed]] at nlist beyond the sample cap) —
+    // the build then skips its own training and just assigns/persists
+    val cent = trainedCent.getOrElse {
+      val nl = if (nlist > 0) nlist
+               else ivfNlistFor(if (corpusSize > 0) corpusSize else corpus.count(),
+                 maxTrain = maxTrain)
+      trainedCentroids(corpus, nl, maxIter, maxTrain, idCol, vecCol)
+    }
     val spark = corpus.sparkSession
     import spark.implicits._
     cent.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq

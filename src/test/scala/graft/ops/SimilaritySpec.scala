@@ -191,6 +191,65 @@ class SimilaritySpec extends SparkSpec {
     assert(self.contains((7L, 7L)))
   }
 
+  test("distributed k-means: matches a driver reference; partition-invariant; feeds the builders") {
+    val rnd = new scala.util.Random(20260821L)
+    val n = 300
+    val dim = 8
+    val data = (0L until n.toLong)
+      .map(i => (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val corpus = data.toDF("vec_id", "embedding")
+    val got = Similarity.trainCentroidsDistributed(corpus, nlist = 6,
+      maxIter = 3)
+    // driver reference: the SAME integer-micro update over collected
+    // data — assignment via the shared nearestCell arithmetic, one
+    // rounding per component, Long sums, (sum/count)/1e6
+    var ref: Array[Array[Double]] =
+      data.take(6).map(_._2.map(_.toDouble)).toArray
+    for (_ <- 0 until 3) {
+      val norms = ref.map(c => math.sqrt(c.map(x => x * x).sum))
+      val sums = Array.ofDim[Long](ref.length, dim)
+      val cnts = new Array[Long](ref.length)
+      data.foreach { case (_, v) =>
+        val c = Similarity.nearestCell(ref, norms, v.map(_.toDouble))
+        for (d <- 0 until dim)
+          sums(c)(d) += math.round(v(d).toDouble * 1000000.0)
+        cnts(c) += 1
+      }
+      ref = ref.indices.map { i =>
+        if (cnts(i) == 0) ref(i)
+        else sums(i).map(s => (s.toDouble / cnts(i)) / 1e6)
+      }.toArray
+    }
+    assert(got.length === 6)
+    got.zip(ref).zipWithIndex.foreach { case ((g, r), i) =>
+      assert(g.toSeq === r.toSeq, s"centroid $i")
+    }
+    // determinism under repartitioning: integer sums are
+    // order-independent BY CONSTRUCTION — verify it anyway
+    val repart = Similarity.trainCentroidsDistributed(
+      corpus.repartition(7), nlist = 6, maxIter = 3)
+    assert(repart.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+    // nlist beyond the driver-sample cap is the operator's reason to
+    // exist: train more cells than maxTrain would ever allow relative
+    // to corpus size (here: more than half the corpus as centers)
+    assert(Similarity.trainCentroidsDistributed(corpus, nlist = 200,
+      maxIter = 1).length === 200)
+    // the builder hook: an index built from these centroids persists
+    // them verbatim and serves (full probe == brute force)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans-ivf").toString
+    Similarity.buildIvfIndex(corpus, dir, trainedCent = Some(got))
+    val persisted = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq)
+    assert(persisted.toSeq === got.map(_.toSeq).toSeq)
+    val q = corpus.where(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Similarity.ivfTopKIndexed(q, dir, k = 3, nprobe = 6)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"))) ===
+      rows(Similarity.bruteForceTopK(q, corpus, k = 3)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"))))
+  }
+
   test("pca: recovers the dominant direction; projections are centered") {
     // points on the (1,1) diagonal with slight orthogonal noise: the top
     // component must be ~(0.707, 0.707) with positive sign canon
