@@ -312,9 +312,11 @@ object PqProbe {
       halfProbe(spark); spark.stop(); return
     }
     if (args.headOption.contains("point")) {
-      pointProbe(spark, args(1),
-        args.lift(2).map(_.toInt).getOrElse(1024),
-        args.lift(3).map(_.toInt).getOrElse(8),
+      // "skiphive" is a flag, not a positional — strip it first
+      val pos = args.filterNot(_ == "skiphive")
+      pointProbe(spark, pos(1),
+        pos.lift(2).map(_.toInt).getOrElse(1024),
+        pos.lift(3).map(_.toInt).getOrElse(8),
         skipHive = args.contains("skiphive"))
       spark.stop(); return
     }

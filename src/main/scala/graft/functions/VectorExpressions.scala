@@ -512,6 +512,18 @@ object VectorExpressions {
     override def dataType: DataType = BinaryType
     override def nullIntolerant: Boolean = true
 
+    // analysis-time refusal (the Fp16Unpack convention): a wrong-typed
+    // SQL call must fail in the analyzer, not as an elemKind throw
+    // from inside a running task
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"Fp16Pack expects array<float|double>, got $other")
+      }
+
     @transient private lazy val isFloat = elemKind(child) == FloatType
 
     /** Public so generated code runs the SAME loop as interpreted eval

@@ -201,10 +201,20 @@ object Packer {
     *    rebuild, spec-asserted). Written only for dropRemainder
     *    stores; `doc_spans` ride the carry regardless of the store's
     *    docSpans flag (the append must re-derive per-token doc ids).
-    *  - `dir/manifest` — (shard, n_sequences, n_tokens), derived by
-    *    READING BACK the written files across all batches, so the
-    *    manifest can never disagree with them (a manifest computed
-    *    from the input plan would silently mask a partial write);
+    *    `dir/carry/CURRENT` names the lineage TIP (each batch dir's
+    *    `_PREV` marker records its origin): appends may continue only
+    *    from the tip — a stale carry's tail was already completed by
+    *    a later batch, and re-placing it would emit duplicate
+    *    sequences (refused loudly; replays are recognized by their
+    *    `_PREV`).
+    *  - `dir/manifest/batch=<id>` — (shard, n_sequences, n_tokens)
+    *    PER BATCH, each derived by READING BACK that batch's own
+    *    files, so the manifest can never disagree with them (a
+    *    manifest computed from the input plan would silently mask a
+    *    partial write); per-batch derivation keeps an append's
+    *    manifest cost O(batch), not O(store history) — a streaming
+    *    sink appends every micro-batch. Store totals = the relation
+    *    summed over batches;
     *  - `dir/params` — (capacity_tokens, num_groups, num_shards,
     *    seed, salt, drop_remainder, doc_spans): the facts a reader or
     *    append must not have to guess, validated by
@@ -232,7 +242,7 @@ object Packer {
       seqsAll.where(col("n_tokens") === capacityTokens) else seqsAll
     val kept = if (docSpans) kept0 else kept0.drop("doc_spans")
     writeShardBatch(kept, dir, "base", seed, numShards)
-    if (dropRemainder)
+    if (dropRemainder) {
       writeCarry(
         packTokenized(enc.select(col("doc_id"), col("n_tokens")),
             capacityTokens, numGroups, salt)
@@ -241,7 +251,12 @@ object Packer {
             sum("n_tokens").cast("long").as("total_tokens")),
         seqsAll.where(col("n_tokens") < capacityTokens),
         dir, "base", capacityTokens)
-    writeManifest(spark, dir)
+      // the carry lineage TIP — appends must continue from here, and
+      // only from here (a stale carry's tail was already completed by
+      // a later batch; re-placing it would corrupt the store)
+      writeText(spark, s"$dir/carry/CURRENT", "base")
+    }
+    writeBatchManifest(spark, dir, "base")
     import spark.implicits._
     Seq((capacityTokens, numGroups, numShards, seed, salt, dropRemainder,
         docSpans))
@@ -282,19 +297,81 @@ object Packer {
       .parquet(s"$dir/carry/batch=$batchId")
   }
 
-  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Unit =
-    spark.read.parquet(s"$dir/shards")
-      .groupBy(col("shard").cast("long").as("shard"))
-      .agg(count(lit(1)).as("n_sequences"),
-        sum("n_tokens").cast("long").as("n_tokens"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+  /** Per-BATCH manifest (`manifest/batch=<id>`: shard, n_sequences,
+    * n_tokens), derived by reading back that batch's own files — the
+    * read-back property per batch, at O(batch) cost per append (a
+    * whole-store re-aggregation per streaming micro-batch would grow
+    * linearly with store history). Store totals = the manifest
+    * relation summed over batches. An empty batch writes an empty
+    * (schema-bearing) manifest so the relation stays readable. */
+  private def writeBatchManifest(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, batchId: String): Unit = {
+    import spark.implicits._
+    val path = s"$dir/shards/batch=$batchId"
+    val agg =
+      if (!hasParquetFiles(spark, path))
+        Seq.empty[(Long, Long, Long)].toDF("shard", "n_sequences", "n_tokens")
+      else
+        spark.read.parquet(path)
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_sequences"),
+            sum("n_tokens").cast("long").as("n_tokens"))
+    agg.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/manifest/batch=$batchId")
+  }
+
+  private def hasParquetFiles(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    false
+  }
+
+  /** Tiny text-file write/read (tmp + rename, the [[Generations]]
+    * CURRENT convention) for the carry lineage pointer. */
+  private def writeText(spark: org.apache.spark.sql.SparkSession,
+                        path: String, content: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent, s".${dst.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      sys.error(s"Packer: pointer swap rename failed for $path")
+  }
+
+  private def readText(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, "UTF-8").trim)
+    }
+  }
 
   private def readStoreParams(spark: org.apache.spark.sql.SparkSession,
-                              dir: String) =
-    spark.read.parquet(s"$dir/params")
-      .select("capacity_tokens", "num_groups", "num_shards", "seed", "salt",
+                              dir: String) = {
+    val pdf = spark.read.parquet(s"$dir/params")
+    // loud format refusal, not an unresolved-column AnalysisException:
+    // a store written by the pre-lifecycle format (no num_groups in
+    // params, no skey/batch in shards, no carry) cannot be read or
+    // appended by this code — rebuild it
+    require(pdf.columns.contains("num_groups"),
+      s"token shard store at $dir predates the lifecycle format " +
+        "(params lack num_groups; shards lack skey/batch; no carry) — " +
+        "rebuild it with writeTokenShardStore")
+    pdf.select("capacity_tokens", "num_groups", "num_shards", "seed", "salt",
         "drop_remainder", "doc_spans").head()
+  }
 
   /** Open a [[writeTokenShardStore]] directory. `expectCapacity` /
     * `expectShards` ≥ 0 refuse a store written with different sizing
@@ -374,6 +451,26 @@ object Packer {
         .exists(carryPath),
       s"appendToTokenShardStore: no carry state at $carryPath — " +
         s"'$prevBatch' is not a written batch of this store")
+    // lineage guard: an append may continue ONLY from the tip. A carry
+    // that a later batch already continued from holds a tail that was
+    // COMPLETED by that batch — re-placing it would emit the same
+    // (pack_group, seq_id) twice and the read-back would equal no
+    // rebuild. Replays (batchId == tip) must reuse their original
+    // prevBatch (recorded in the batch's _PREV marker).
+    readText(spark, s"$dir/carry/CURRENT").foreach { tip =>
+      if (batchId == tip) {
+        val storedPrev = readText(spark, s"$dir/carry/batch=$batchId/_PREV")
+        require(storedPrev.forall(_ == prevBatch),
+          s"appendToTokenShardStore: replaying batch '$batchId' with " +
+            s"prevBatch '$prevBatch', but it was originally written from " +
+            s"'${storedPrev.getOrElse("?")}' — a replay must reuse its " +
+            "own lineage")
+      } else require(prevBatch == tip,
+        s"appendToTokenShardStore: prevBatch '$prevBatch' is not the " +
+          s"store's lineage tip ('$tip') — appending from a stale carry " +
+          "would re-place a tail a later batch already completed, " +
+          "corrupting the store")
+    }
     val carry = spark.read.parquet(s"$dir/carry/batch=$prevBatch")
     val grouped = enc.select(col("doc_id"), col("token_ids"),
         col("n_tokens").cast("long").as("n_tokens"))
@@ -462,7 +559,13 @@ object Packer {
     touchedCarry.unionByName(untouched)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/carry/batch=$batchId")
-    writeManifest(spark, dir)
+    // lineage markers LAST (the Generations pointer-after-data rule):
+    // _PREV records this batch's origin for the replay guard, then the
+    // tip advances — a crash before this point leaves the old tip
+    // valid and the partial batch replayable
+    writeText(spark, s"$dir/carry/batch=$batchId/_PREV", prevBatch)
+    writeText(spark, s"$dir/carry/CURRENT", batchId)
+    writeBatchManifest(spark, dir, batchId)
   }
 
   /** A NEW EPOCH of an existing store without re-tokenizing: every
@@ -486,13 +589,23 @@ object Packer {
     val seqs = spark.read.parquet(s"$dir/shards")
       .drop("shard", "skey", "batch")
     writeShardBatch(seqs, outDir, "base", newSeed, p.getInt(2))
+    // the carry travels — but ONLY the lineage TIP: the shards just
+    // compacted into batch=base, so the tip's carry IS base's; copying
+    // historical carries would leave stale tails that a default
+    // prevBatch="base" append on the new store would re-place (the
+    // exact corruption the lineage guard exists to refuse)
     val carrySrc = new org.apache.hadoop.fs.Path(s"$dir/carry")
     if (carrySrc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(carrySrc))
-      spark.read.parquet(s"$dir/carry")
-        .write.mode("overwrite").partitionBy("batch")
-        .parquet(s"$outDir/carry")
-    writeManifest(spark, outDir)
+        .exists(carrySrc)) {
+      val tip = readText(spark, s"$dir/carry/CURRENT").getOrElse(
+        sys.error(s"reshuffleTokenShardStore: carry at $dir has no " +
+          "CURRENT pointer — not a writeTokenShardStore artifact"))
+      spark.read.parquet(s"$dir/carry/batch=$tip")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/carry/batch=base")
+      writeText(spark, s"$outDir/carry/CURRENT", "base")
+    }
+    writeBatchManifest(spark, outDir, "base")
     import spark.implicits._
     Seq((p.getInt(0), p.getInt(1), p.getInt(2), newSeed, p.getString(4),
         p.getBoolean(5), p.getBoolean(6)))

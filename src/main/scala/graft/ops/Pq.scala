@@ -284,11 +284,22 @@ object Pq {
     * the fetch is index-lookup-shaped, not scan-shaped). */
   private def rerankExact(shortlist: DataFrame, queries: DataFrame,
                           corpus: DataFrame, k: Int,
-                          idCol: String, vecCol: String): DataFrame = {
+                          idCol: String, vecCol: String): DataFrame =
+    rerankFetched(
+      shortlist.join(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id")),
+      queries, k, idCol, vecCol)
+
+  /** The scoring tail of the refine stage over already-fetched
+    * (query_id, neighbor_id, cv) rows — shared by [[rerankExact]] and
+    * the stored-refine path (which defers its fp16 decode to AFTER
+    * the shortlist join, so it lands here with cv in hand). */
+  private def rerankFetched(pairs: DataFrame, queries: DataFrame, k: Int,
+                            idCol: String, vecCol: String): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = shortlist.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+    val scored = pairs.join(q, Seq("query_id"))
       .withColumn("score", Similarity.cosine(col("qv"), col("cv")))
     scored.groupBy("query_id")
       .agg(graft.functions.AggExpressions.top_k_by_score(
@@ -676,23 +687,31 @@ object Pq {
       (if (refineHalf)
          Seq(graft.functions.VectorExpressions.fp16_pack(col(vecCol)).as("vec16"))
        else Nil)
-    val encoded = widthGuarded(vectors, vecCol, cb).select(cols: _*)
+    writeShardRows(widthGuarded(vectors, vecCol, cb).select(cols: _*),
+      s"$dir/corpus/shard=$shardId", pointLayoutFiles)
+  }
+
+  /** The ONE corpus-shard writer (build, append, and compaction all
+    * land here, so the two layouts cannot drift). `pointLayoutFiles`
+    * > 0 = the point-serving layout (the LshIndex pointLayout
+    * treatment): cell-SORTED rows in a BOUNDED file count with 8 MB
+    * row groups, NOT one directory per cell — at huge nlist the hive
+    * fan-out is nlist×shards tiny files (measured 32,768 files /
+    * 17× serve wall at nlist=1024, SCALE.md r14 addendum 2), while
+    * here a pushed `cell IN (...)` skips row groups inside
+    * ≤ pointLayoutFiles files; `cell` stays a data column (the batch
+    * serve joins on it either way). 0 = `cell=<n>/` hive partitions
+    * (partition pruning serves the point filter instead). */
+  private def writeShardRows(rows: DataFrame, path: String,
+                             pointLayoutFiles: Int): Unit =
     if (pointLayoutFiles > 0)
-      // the point-serving layout (the LshIndex pointLayout treatment):
-      // cell-SORTED rows in a BOUNDED file count with small row groups,
-      // NOT one directory per cell — at huge nlist the hive fan-out is
-      // nlist×shards tiny files, while here a pushed `cell IN (...)`
-      // skips row groups inside ≤ pointLayoutFiles files. `cell` stays
-      // a data column (the batch serve joins on it either way).
-      encoded.repartitionByRange(pointLayoutFiles, col("cell"))
+      rows.repartitionByRange(pointLayoutFiles, col("cell"))
         .sortWithinPartitions("cell", "neighbor_id")
         .write.mode("overwrite")
         .option("parquet.block.size", (8 * 1024 * 1024).toString)
-        .parquet(s"$dir/corpus/shard=$shardId")
+        .parquet(path)
     else
-      encoded.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/corpus/shard=$shardId")
-  }
+      rows.write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Serve top-k ANN from a [[buildIvfPqIndex]] directory: probe the
     * `nprobe` closest cells against the persisted IVF centroids, then
@@ -908,21 +927,14 @@ object Pq {
     val all = spark.read.parquet(s"$root/corpus")
     // the layout travels with the index: a point-layout index compacts
     // back into cell-sorted bounded files, a hive index into cell=<n>/
+    // — the shared writeShardRows keeps the two recipes from drifting
     val (pl, plFiles) = readPointLayout(spark, root)
-    def writeShardRows(df: DataFrame, path: String): Unit =
-      if (pl)
-        df.repartitionByRange(plFiles, col("cell"))
-          .sortWithinPartitions("cell", "neighbor_id")
-          .write.mode("overwrite")
-          .option("parquet.block.size", (8 * 1024 * 1024).toString)
-          .parquet(path)
-      else
-        df.write.mode("overwrite").partitionBy("cell").parquet(path)
+    val files = if (pl) plFiles else 0
     writeShardRows(all.where(!col("shard").isin(keepShards: _*)).drop("shard"),
-      s"$dir/$next/corpus/shard=base")
+      s"$dir/$next/corpus/shard=base", files)
     keepShards.foreach { ks =>
       writeShardRows(all.where(col("shard") === ks).drop("shard"),
-        s"$dir/$next/corpus/shard=$ks")
+        s"$dir/$next/corpus/shard=$ks", files)
     }
     Generations.setCurrent(spark, dir, next)
   }
@@ -984,13 +996,15 @@ object Pq {
     val shortlist = ivfPqTopKIndexed(queries, dir, k * refine, nprobe,
       idCol, vecCol, excludeShards, excludeSelf)
       .select(col("query_id"), col("neighbor_id"))
-    val corpus0 = spark.read.parquet(s"$root/corpus")
-    val corpus =
-      if (excludeShards.isEmpty) corpus0
-      else corpus0.where(!col("shard").isin(excludeShards: _*))
-    val decoded = corpus.select(col("neighbor_id").as(idCol),
-      graft.functions.VectorExpressions.fp16_unpack(col("vec16")).as(vecCol))
-    rerankExact(shortlist, queries, decoded, k, idCol, vecCol)
+    // join FIRST, decode AFTER: the fp16 unpack must run on the
+    // shortlist-sized matched rows, not under the join on every corpus
+    // row (a projection below the join evaluates per streamed row)
+    val fetched = shortlist
+      .join(shardFiltered(spark, root, excludeShards)
+        .select(col("neighbor_id"), col("vec16")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorExpressions.fp16_unpack(col("vec16")).as("cv"))
+    rerankFetched(fetched, queries, k, idCol, vecCol)
   }
 
   /** The POINT-SERVING form of [[ivfPqTopKRefined]] — the vector twin

@@ -55,7 +55,13 @@ object TokenShardIngest {
     // loaded per batch (bounded: nMerges rows) — a long-lived stream
     // must not pin a driver-side model across a model-artifact rebuild
     val model = LangModel.loadBpeModel(spark, modelDir)
-    val enc = LangModel.bpeEncodeWithModel(batch, model, textCol = textCol)
+    // STAGE the encode: the append runs 3+ actions over it (the
+    // monotonicity count, the shard write, the carry write) and an
+    // unstaged lineage would re-tokenize the batch per action — the
+    // materializeTokenShards staging contract, enforced here because
+    // a streaming sink pays it every micro-batch
+    val enc = graft.ops.Checkpoints.truncator(spark, None)(
+      LangModel.bpeEncodeWithModel(batch, model, textCol = textCol))
     Packer.appendToTokenShardStore(enc, storeDir, batchId = s"b$id",
       prevBatch = if (id == 0) "base" else s"b${id - 1}")
   }

@@ -79,7 +79,12 @@ object BlockResidue {
         bm.master.removeBroadcast(id, removeFromMaster = true, blocking = true)
         dropped += 1
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an InterruptedException (bench shutdown mid
+        // blocking RPC) must propagate with the interrupt flag intact,
+        // and VM errors must never degrade to a warning
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[BlockResidue] removeBroadcast($id) " +
             s"failed (degrading to a warning): $e")
       }

@@ -213,12 +213,29 @@ class PackerSpec extends SparkSpec {
     Packer.appendToTokenShardStore(lifecycleEnc(all.drop(33)), dirApp, "b2",
       prevBatch = "b1")
     assert(storeRows(dirApp) === storeRows(dirReb))
-    // the manifest re-derived after append matches the files
-    val manifest = spark.read.parquet(s"$dirApp/manifest").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the PER-BATCH manifests (each derived from its own batch's
+    // files — O(batch) per append) sum to the files' totals
+    val manifest = spark.read.parquet(s"$dirApp/manifest")
+      .groupBy("shard")
+      .agg(sum("n_sequences").as("n"), sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     storeRows(dirApp).groupBy(_._1).foreach { case (sh, rows) =>
       assert(manifest(sh) === ((rows.size.toLong, rows.toSeq.map(_._6).sum)))
     }
+    // the lineage guard: appending from a carry that b2 already
+    // continued from would re-place b2's completed tail — refused
+    val eStale = intercept[IllegalArgumentException] {
+      Packer.appendToTokenShardStore(lifecycleEnc(Seq(99L)), dirApp, "b3",
+        prevBatch = "base")
+    }
+    assert(eStale.getMessage.contains("lineage tip"))
+    // ... and a "replay" of the tip under a DIFFERENT lineage is not a
+    // replay — refused by the batch's _PREV record
+    val eReplay = intercept[IllegalArgumentException] {
+      Packer.appendToTokenShardStore(lifecycleEnc(all.drop(33)), dirApp, "b2",
+        prevBatch = "base")
+    }
+    assert(eReplay.getMessage.contains("originally written from"))
   }
 
   test("shard store append refusals: non-monotone ids, padded store, bad batch tokens") {
@@ -257,8 +274,14 @@ class PackerSpec extends SparkSpec {
   test("shard store reshuffle: new epoch order, identical contents, still appendable") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ss-rs0").toString
     val out = java.nio.file.Files.createTempDirectory("graft-ss-rs1").toString
-    Packer.writeTokenShardStore(lifecycleEnc(0L until 30L), dir,
+    // MULTI-batch source: the reshuffle must compact the batches AND
+    // carry forward only the lineage TIP's carry (copying historical
+    // carries verbatim would let a default prevBatch="base" append on
+    // the new store resume from a stale tail — the corruption the
+    // lineage guard exists for)
+    Packer.writeTokenShardStore(lifecycleEnc(0L until 25L), dir,
       capacityTokens = 16, numGroups = 4, numShards = 3, seed = "e0")
+    Packer.appendToTokenShardStore(lifecycleEnc(25L until 30L), dir, "b1")
     Packer.reshuffleTokenShardStore(spark, dir, out, newSeed = "e1")
     def contents(d: String) = storeRows(d)
       .map(t => (t._4, t._5, t._7, t._8)) // (group, seq, tokens, spans)
