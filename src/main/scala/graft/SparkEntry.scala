@@ -1132,6 +1132,20 @@ object SparkEntry {
           .select(col("shard"), col("shard_pos"), col("pack_group"),
             col("seq_id"), col("n_tokens"))
       },
+      // the MIXTURE epoch across two stores (the q131 appended store
+      // and its q132 reshuffle — same sequence population, distinct
+      // store identities): each store's sequences keep independently
+      // at its weight, the kept union re-shuffles into one epoch
+      // order — "40%/100% of corpus A/B per epoch" at store
+      // granularity, deterministic, provenance-tagged
+      "q135_shard_store_mix" -> q { (s, dir) =>
+        graft.ops.Packer.readTokenShardStoreMix(s,
+            Seq(tokenShardStoreFor(s, dir) -> 600000L,
+              epochStoreFor(s, dir) -> 300000L),
+            numShards = 4, seed = "m1")
+          .select("store", "shard", "shard_pos", "pack_group", "seq_id",
+            "n_tokens")
+      },
       // the end-to-end tokenized-shard pipeline: curate (dedup chain +
       // quality gate) → DSIR-select the top half per source against
       // the curated-English target → tokenize the selection under a
@@ -2278,8 +2292,10 @@ object SparkEntry {
     * the WHOLE corpus (the rebuild), restricted to capacity-full
     * sequences and keyed under `seed` — the store read-back's ground
     * truth. `fullseq`, not `full` (a DuckDB keyword). */
-  private def duckStoreRebuildSql(seed: String): String = s"""
-      WITH $DuckBpeTokenIdCtes,
+  /** The shared rebuild chain of the store oracles, ending in
+    * `fullseq(pack_group, seq_id, n_tokens)` — the capacity-full
+    * sequences of the whole-corpus pack (q131/q132/q135). */
+  private def duckFullSeqCtes: String = s"""$DuckBpeTokenIdCtes,
       dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
              FROM tokid GROUP BY doc_id),
       pg AS (SELECT doc_id, n_tokens,
@@ -2297,7 +2313,10 @@ object SparkEntry {
       seqs AS (
         SELECT pack_group, seq_id, CAST(count(*) AS BIGINT) AS n_tokens
         FROM placed GROUP BY pack_group, seq_id),
-      fullseq AS (SELECT * FROM seqs WHERE n_tokens = 32),
+      fullseq AS (SELECT * FROM seqs WHERE n_tokens = 32)"""
+
+  private def duckStoreRebuildSql(seed: String): String = s"""
+      WITH $duckFullSeqCtes,
       keyed AS (
         SELECT *,
           (md5_number_lower('$seed|' || CAST(pack_group AS VARCHAR) || '|' ||
@@ -2309,6 +2328,38 @@ object SparkEntry {
         CAST(pack_group AS BIGINT) AS pack_group,
         CAST(seq_id AS BIGINT) AS seq_id, n_tokens
       FROM keyed"""
+
+  /** q135 oracle: the mixture read — both input stores hold the SAME
+    * sequence population (the appended store and its epoch reshuffle;
+    * a store's seed shapes arrangement, not contents, and the mix
+    * re-keys anyway), so both sides of the union draw from `fullseq`
+    * under per-store keep rates, then shuffle under the mix key. */
+  private def duckStoreMixSql(weights: Seq[Long], numShards: Int,
+                              seed: String): String = {
+    val branches = weights.zipWithIndex.map { case (w, i) =>
+      s"""SELECT $i AS store, pack_group, seq_id, n_tokens FROM fullseq
+          WHERE (md5_number_lower('$seed|mix|$i|' ||
+              CAST(pack_group AS VARCHAR) || '|' ||
+              CAST(seq_id AS VARCHAR)) & 9223372036854775807)
+            % 1000000 < $w"""
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH $duckFullSeqCtes,
+      u AS ($branches),
+      keyed AS (
+        SELECT *,
+          (md5_number_lower('$seed|' || CAST(store AS VARCHAR) || '|' ||
+             CAST(pack_group AS VARCHAR) || '|' ||
+             CAST(seq_id AS VARCHAR)) & 9223372036854775807) AS k
+        FROM u)
+      SELECT CAST(store AS BIGINT) AS store,
+        CAST(k % $numShards AS BIGINT) AS shard,
+        CAST(row_number() OVER (PARTITION BY k % $numShards
+          ORDER BY k, store, pack_group, seq_id) - 1 AS BIGINT) AS shard_pos,
+        CAST(pack_group AS BIGINT) AS pack_group,
+        CAST(seq_id AS BIGINT) AS seq_id, n_tokens
+      FROM keyed"""
+  }
 
   // q29_ivf_ann, q62_semdedup, and q82_pca_project are intentionally
   // absent from this static map — their oracles embed data-dependent
@@ -2920,6 +2971,9 @@ object SparkEntry {
     // q134: distributed whole-corpus k-means (2 iterations, nlist=8) —
     // no embedded constants; the oracle recomputes the trainer
     "q134_kmeans_distributed" -> duckKmeansSql(nlist = 8, iters = 2),
+    // q135: temperature-weighted mixture across two shard stores
+    "q135_shard_store_mix" ->
+      duckStoreMixSql(Seq(600000L, 300000L), numShards = 4, seed = "m1"),
     // q126: q123's sequences shuffled into reader shards — shard =
     // salted-md5(seed|group|seq) mod 4, in-shard order ascending that
     // key (ties (pack_group, seq_id))

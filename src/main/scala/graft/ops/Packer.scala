@@ -401,6 +401,71 @@ object Packer {
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** Deterministic MIXTURE read across several shard stores — the
+    * data-mixing step at store granularity ("one epoch = 40% of
+    * corpus A, 100% of corpus B"), where [[graft.ops.Mixer]] and the
+    * q84 temperature arithmetic mix at document level: each store's
+    * sequences keep independently at `weightPpm` (a salted-md5 draw
+    * keyed by (seed, store index, pack_group, seq_id) — the
+    * [[Sampling]] arithmetic, so the draw is a property of the
+    * sequence, reproducible on any engine), and the kept union
+    * re-shuffles into ONE epoch order (the [[shuffleSequences]] key
+    * extended with the store index, so two stores' same-named
+    * sequences decorrelate). Output = (store, shard, shard_pos,
+    * pack_group, seq_id, token_ids, n_tokens) — `store` is the input
+    * index, the provenance a curriculum/debug pass needs.
+    *
+    * weightPpm ∈ [0, 1_000_000] is a KEEP rate; oversampling a corpus
+    * (>1 epoch per mixture epoch) is the epoch lever —
+    * [[reshuffleTokenShardStore]] under a new seed gives another full
+    * pass, and a fractional extra pass is this function at the
+    * fractional weight. All stores must share the sequence capacity
+    * (fixed-shape readers; refused otherwise). Scale shape: one
+    * metadata-cheap union of store reads, one hash filter, one
+    * shard-keyed exchange — never a token-level pass. */
+  def readTokenShardStoreMix(spark: org.apache.spark.sql.SparkSession,
+                             stores: Seq[(String, Long)],
+                             numShards: Int = 32,
+                             seed: String = "mix"): DataFrame = {
+    require(stores.nonEmpty, "readTokenShardStoreMix: no stores")
+    require(numShards > 0, s"numShards ($numShards) must be positive")
+    stores.foreach { case (_, w) =>
+      require(w >= 0 && w <= 1000000L,
+        s"weightPpm $w outside [0, 1000000] — oversampling is an epoch " +
+          "(reshuffle) concern, not a keep-rate")
+    }
+    val caps = stores.map { case (d, _) => readStoreParams(spark, d).getInt(0) }
+    require(caps.distinct.size == 1,
+      s"readTokenShardStoreMix: stores have different sequence " +
+        s"capacities ${caps.mkString(", ")} — a fixed-shape reader " +
+        "cannot consume a mixed-capacity epoch")
+    val kept = stores.zipWithIndex.map { case ((d, w), i) =>
+      val draw = pmod(graft.functions.TextExpressions.md5_lower64(
+          concat(lit(seed), lit("|mix|"), lit(i.toString), lit("|"),
+            col("pack_group").cast("string"), lit("|"),
+            col("seq_id").cast("string")))
+        .bitwiseAND(lit(Long.MaxValue)), lit(1000000L))
+      spark.read.parquet(s"$d/shards")
+        .select(col("pack_group"), col("seq_id"), col("token_ids"),
+          col("n_tokens"))
+        .where(draw < w)
+        .withColumn("store", lit(i.toLong))
+    }.reduce(_ unionByName _)
+    val key = graft.functions.TextExpressions.md5_lower64(
+        concat(lit(seed), lit("|"), col("store").cast("string"), lit("|"),
+          col("pack_group").cast("string"), lit("|"),
+          col("seq_id").cast("string")))
+      .bitwiseAND(lit(Long.MaxValue))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("__k"), col("store"), col("pack_group"), col("seq_id"))
+    kept.withColumn("__k", key)
+      .withColumn("shard", pmod(col("__k"), lit(numShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
+      .drop("__k")
+      .select("store", "shard", "shard_pos", "pack_group", "seq_id",
+        "token_ids", "n_tokens")
+  }
+
   /** Append a corpus increment to a [[writeTokenShardStore]] directory
     * WITHOUT rewriting existing shards — the store's Generations-style
     * replay contract. Each pack group's token stream CONTINUES from

@@ -314,6 +314,53 @@ class PackerSpec extends SparkSpec {
     assert(e.getMessage.contains("outDir"))
   }
 
+  test("shard store mixture: per-store keep rates, one epoch order, refusals") {
+    val dA = java.nio.file.Files.createTempDirectory("graft-ss-mx-a").toString
+    val dB = java.nio.file.Files.createTempDirectory("graft-ss-mx-b").toString
+    Packer.writeTokenShardStore(lifecycleEnc(0L until 30L), dA,
+      capacityTokens = 16, numGroups = 4, numShards = 3, seed = "e0")
+    Packer.writeTokenShardStore(lifecycleEnc(30L until 60L), dB,
+      capacityTokens = 16, numGroups = 4, numShards = 3, seed = "e0")
+    val nA = Packer.readTokenShardStore(spark, dA).count()
+    val nB = Packer.readTokenShardStore(spark, dB).count()
+    def mix(wa: Long, wb: Long) = Packer.readTokenShardStoreMix(spark,
+      Seq(dA -> wa, dB -> wb), numShards = 3, seed = "m")
+    // boundary weights: 1M keeps everything, 0 keeps nothing
+    assert(mix(1000000L, 0L).where(col("store") === 1).count() === 0)
+    assert(mix(1000000L, 1000000L).count() === nA + nB)
+    // a fractional weight keeps a strict, deterministic subset
+    val half = mix(500000L, 1000000L)
+    val keptA = half.where(col("store") === 0).count()
+    assert(keptA > 0 && keptA < nA, s"keep rate degenerate: $keptA of $nA")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("store", "shard", "shard_pos", "pack_group", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(rows(mix(500000L, 1000000L)) === rows(half))
+    // positions dense 0..n-1 within every shard (one total epoch order)
+    rows(half).groupBy(_._2).foreach { case (sh, ts) =>
+      assert(ts.map(_._3).toSeq.sorted === (0L until ts.size.toLong),
+        s"shard $sh positions not dense")
+    }
+    // kept store-0 rows are a subset of store A's sequences
+    val aSeqs = Packer.readTokenShardStore(spark, dA)
+      .select("pack_group", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(half).filter(_._1 == 0).map(t => (t._4, t._5)).subsetOf(aSeqs))
+    // refusals: mixed capacities; out-of-range weight
+    val dC = java.nio.file.Files.createTempDirectory("graft-ss-mx-c").toString
+    Packer.writeTokenShardStore(lifecycleEnc(0L until 10L), dC,
+      capacityTokens = 8, numGroups = 2, numShards = 2, seed = "e0")
+    val e1 = intercept[IllegalArgumentException] {
+      Packer.readTokenShardStoreMix(spark, Seq(dA -> 500000L, dC -> 500000L))
+    }
+    assert(e1.getMessage.contains("capacities"))
+    val e2 = intercept[IllegalArgumentException] {
+      Packer.readTokenShardStoreMix(spark, Seq(dA -> 1000001L))
+    }
+    assert(e2.getMessage.contains("keep-rate"))
+  }
+
   test("shuffleSequences: a deterministic permutation — dense positions, seed-keyed order, no sequence lost") {
     val enc = (0L until 40L)
       .map(i => (i, (0 until 7).map(j => (i * 7 + j).toInt), 7L))
