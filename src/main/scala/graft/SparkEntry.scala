@@ -1146,6 +1146,36 @@ object SparkEntry {
           .select("store", "shard", "shard_pos", "pack_group", "seq_id",
             "n_tokens")
       },
+      // the OVERSAMPLED mixture: store 0 at 2.4 epochs per mixture
+      // epoch (two full replica passes + a 0.4 fractional pass, each
+      // pass re-keyed so replicas scatter), store 1 at 0.5 — the
+      // ">1 epoch of the rare high-value corpus" replication lever
+      "q136_shard_store_oversample" -> q { (s, dir) =>
+        graft.ops.Packer.readTokenShardStoreMix(s,
+            Seq(tokenShardStoreFor(s, dir) -> 2400000L,
+              epochStoreFor(s, dir) -> 500000L),
+            numShards = 4, seed = "m2")
+          .select("store", "pass", "shard", "shard_pos", "pack_group",
+            "seq_id", "n_tokens")
+      },
+      // reader-side attention inputs over the stored doc_spans:
+      // cu_seqlens (flash-attention varlen cumulative boundaries) and
+      // position_ids (within-document positions — packed sequences
+      // restart at every doc start). Both arrays exploded to labeled
+      // rows so the oracle proves every element cross-engine.
+      "q137_attention_inputs" -> q { (s, dir) =>
+        val ai = graft.ops.Packer.attentionInputs(
+          graft.ops.Packer.readTokenShardStore(s, tokenShardStoreFor(s, dir)))
+        val pos = ai.select(col("pack_group"), col("seq_id"),
+            posexplode(col("position_ids")).as(Seq("idx", "value")))
+          .withColumn("kind", lit("pos"))
+        val cu = ai.select(col("pack_group"), col("seq_id"),
+            posexplode(col("cu_seqlens")).as(Seq("idx", "value")))
+          .withColumn("kind", lit("cu"))
+        pos.unionByName(cu)
+          .select(col("kind"), col("pack_group"), col("seq_id"),
+            col("idx").cast("long").as("idx"), col("value"))
+      },
       // the end-to-end tokenized-shard pipeline: curate (dedup chain +
       // quality gate) → DSIR-select the top half per source against
       // the curated-English target → tokenize the selection under a
@@ -2361,6 +2391,49 @@ object SparkEntry {
       FROM keyed"""
   }
 
+  /** q136 oracle: [[duckStoreMixSql]] generalized to oversampled
+    * weights — one union branch per (store, pass), full passes
+    * unfiltered, the last pass kept at `w mod 1M`; pass 0's draw and
+    * epoch-key salts are the q135 originals (the compat contract the
+    * Scala side keeps), later passes insert the pass index. */
+  private def duckStoreMixOversampleSql(weights: Seq[Long], numShards: Int,
+                                        seed: String): String = {
+    val branches = weights.zipWithIndex.flatMap { case (w, i) =>
+      val passes = math.max(1L, (w + 999999L) / 1000000L).toInt
+      (0 until passes).map { r =>
+        val keep = math.min(1000000L, w - r * 1000000L)
+        val drawSalt = if (r == 0) s"$seed|mix|$i|" else s"$seed|mix|$i|$r|"
+        val where =
+          if (keep >= 1000000L) ""
+          else s"""WHERE (md5_number_lower('$drawSalt' ||
+              CAST(pack_group AS VARCHAR) || '|' ||
+              CAST(seq_id AS VARCHAR)) & 9223372036854775807)
+            % 1000000 < $keep"""
+        s"""SELECT $i AS store, $r AS pass, pack_group, seq_id, n_tokens
+            FROM fullseq $where"""
+      }
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH $duckFullSeqCtes,
+      u AS ($branches),
+      keyed AS (
+        SELECT *,
+          (md5_number_lower('$seed|' || CAST(store AS VARCHAR) || '|' ||
+             CASE WHEN pass = 0 THEN ''
+                  ELSE CAST(pass AS VARCHAR) || '|' END ||
+             CAST(pack_group AS VARCHAR) || '|' ||
+             CAST(seq_id AS VARCHAR)) & 9223372036854775807) AS k
+        FROM u)
+      SELECT CAST(store AS BIGINT) AS store, CAST(pass AS BIGINT) AS pass,
+        CAST(k % $numShards AS BIGINT) AS shard,
+        CAST(row_number() OVER (PARTITION BY k % $numShards
+          ORDER BY k, store, pass, pack_group, seq_id) - 1 AS BIGINT)
+          AS shard_pos,
+        CAST(pack_group AS BIGINT) AS pack_group,
+        CAST(seq_id AS BIGINT) AS seq_id, n_tokens
+      FROM keyed"""
+  }
+
   // q29_ivf_ann, q62_semdedup, and q82_pca_project are intentionally
   // absent from this static map — their oracles embed data-dependent
   // trained constants, so Verify injects the generated SQL at dump time.
@@ -2974,6 +3047,53 @@ object SparkEntry {
     // q135: temperature-weighted mixture across two shard stores
     "q135_shard_store_mix" ->
       duckStoreMixSql(Seq(600000L, 300000L), numShards = 4, seed = "m1"),
+    // q136: the oversampled mixture (2.4 epochs of store 0 + 0.5 of
+    // store 1) — replica passes re-derived branch by branch
+    "q136_shard_store_oversample" ->
+      duckStoreMixOversampleSql(Seq(2400000L, 500000L), numShards = 4,
+        seed = "m2"),
+    // q137: attention inputs re-derived element-for-element from the
+    // q128 placement relation restricted to the store's full
+    // sequences — position_id = pos − its doc's min pos; cu_seqlens =
+    // the ordered span starts plus the capacity terminator
+    "q137_attention_inputs" -> s"""
+      WITH $DuckBpeTokenIdCtes,
+      dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+             FROM tokid GROUP BY doc_id),
+      pg AS (SELECT doc_id, n_tokens,
+          (md5_number_lower('pack|' || CAST(doc_id AS VARCHAR))
+             & 9223372036854775807) % 8 AS pack_group
+        FROM dc),
+      po AS (SELECT doc_id, pack_group,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY pack_group
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS bin_offset
+        FROM pg),
+      placed AS (
+        SELECT po.pack_group, (po.bin_offset + t.pos) // 32 AS seq_id,
+          (po.bin_offset + t.pos) % 32 AS pos, t.doc_id
+        FROM tokid t JOIN po USING (doc_id)),
+      seqn AS (SELECT pack_group, seq_id, count(*) AS n
+               FROM placed GROUP BY 1, 2),
+      f AS (SELECT p.* FROM placed p JOIN seqn USING (pack_group, seq_id)
+            WHERE n = 32),
+      spans AS (SELECT pack_group, seq_id, doc_id,
+                  CAST(min(pos) AS BIGINT) AS s
+                FROM f GROUP BY 1, 2, 3)
+      SELECT 'pos' AS kind, CAST(pack_group AS BIGINT) AS pack_group,
+        CAST(seq_id AS BIGINT) AS seq_id, CAST(pos AS BIGINT) AS idx,
+        CAST(pos - min(pos) OVER (PARTITION BY pack_group, seq_id, doc_id)
+          AS BIGINT) AS value
+      FROM f
+      UNION ALL
+      SELECT 'cu', CAST(pack_group AS BIGINT), CAST(seq_id AS BIGINT),
+        CAST(row_number() OVER (PARTITION BY pack_group, seq_id
+          ORDER BY s) - 1 AS BIGINT), s
+      FROM spans
+      UNION ALL
+      SELECT 'cu', CAST(pack_group AS BIGINT), CAST(seq_id AS BIGINT),
+        CAST(count(*) AS BIGINT), CAST(32 AS BIGINT)
+      FROM spans GROUP BY pack_group, seq_id""",
     // q126: q123's sequences shuffled into reader shards — shard =
     // salted-md5(seed|group|seq) mod 4, in-shard order ascending that
     // key (ties (pack_group, seq_id))

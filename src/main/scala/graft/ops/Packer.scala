@@ -401,6 +401,36 @@ object Packer {
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** Reader-side attention inputs over a [[readTokenShardStore]] (or
+    * [[materializeTokenShards]](docSpans = true)) relation: appends
+    * the two arrays a varlen-attention trainer feeds beside
+    * token_ids — `cu_seqlens`, the cumulative document boundaries in
+    * the flash-attention varlen convention (k docs → k+1 entries,
+    * cu(0) = 0, cu(k) = n_tokens, doc j = tokens [cu(j), cu(j+1))),
+    * and `position_ids`, each token's position within its OWN
+    * document (packed sequences concatenate unrelated documents;
+    * absolute positions would leak phantom context across the
+    * boundary, so rotary/absolute embeddings restart at every doc
+    * start). Both are pure array arithmetic over the compact
+    * doc_spans — no token-level join, no shuffle: the spans tile each
+    * sequence start-ascending (a [[materializeTokenShards]]
+    * invariant), so the spans' starts plus n_tokens ARE the
+    * cumulative boundaries and the flattened per-span 0-based ranges
+    * ARE the per-token positions. */
+  def attentionInputs(shards: DataFrame): DataFrame = {
+    require(shards.columns.contains("doc_spans"),
+      "attentionInputs: input has no doc_spans column — the store was " +
+        "written with docSpans = false; attention inputs need the " +
+        "per-sequence document boundaries")
+    shards
+      .withColumn("cu_seqlens",
+        concat(expr("transform(doc_spans, s -> s.start)"),
+          array(col("n_tokens"))))
+      .withColumn("position_ids",
+        expr("flatten(transform(doc_spans, s -> " +
+          "sequence(CAST(0 AS BIGINT), s.end - s.start)))"))
+  }
+
   /** Deterministic MIXTURE read across several shard stores — the
     * data-mixing step at store granularity ("one epoch = 40% of
     * corpus A, 100% of corpus B"), where [[graft.ops.Mixer]] and the
@@ -411,18 +441,25 @@ object Packer {
     * sequence, reproducible on any engine), and the kept union
     * re-shuffles into ONE epoch order (the [[shuffleSequences]] key
     * extended with the store index, so two stores' same-named
-    * sequences decorrelate). Output = (store, shard, shard_pos,
+    * sequences decorrelate). Output = (store, pass, shard, shard_pos,
     * pack_group, seq_id, token_ids, n_tokens) — `store` is the input
-    * index, the provenance a curriculum/debug pass needs.
+    * index and `pass` the replica index (0 unless oversampled), the
+    * provenance a curriculum/debug pass needs.
     *
-    * weightPpm ∈ [0, 1_000_000] is a KEEP rate; oversampling a corpus
-    * (>1 epoch per mixture epoch) is the epoch lever —
-    * [[reshuffleTokenShardStore]] under a new seed gives another full
-    * pass, and a fractional extra pass is this function at the
-    * fractional weight. All stores must share the sequence capacity
-    * (fixed-shape readers; refused otherwise). Scale shape: one
-    * metadata-cheap union of store reads, one hash filter, one
-    * shard-keyed exchange — never a token-level pass. */
+    * weightPpm ≤ 1_000_000 is a KEEP rate; weightPpm ABOVE 1_000_000
+    * OVERSAMPLES the store — "2.4 epochs of the rare corpus per
+    * mixture epoch", the replication lever every real pretraining
+    * mixture needs for high-value sources: ⌈w/1M⌉ passes, each full
+    * except the last (kept at `w mod 1M`), each pass's sequences
+    * re-keyed independently (the pass index salts the epoch key) so
+    * replicas scatter across the epoch instead of clustering. The
+    * output `pass` column is the replica provenance. Weights above
+    * 100 full passes are refused as a sizing bug. All stores must
+    * share the sequence capacity (fixed-shape readers; refused
+    * otherwise). Scale shape: one metadata-cheap union of store reads
+    * (an oversampled store is read once per pass — passes are
+    * metadata-cheap scans of the same files, never a token rewrite),
+    * one hash filter, one shard-keyed exchange. */
   def readTokenShardStoreMix(spark: org.apache.spark.sql.SparkSession,
                              stores: Seq[(String, Long)],
                              numShards: Int = 32,
@@ -430,39 +467,56 @@ object Packer {
     require(stores.nonEmpty, "readTokenShardStoreMix: no stores")
     require(numShards > 0, s"numShards ($numShards) must be positive")
     stores.foreach { case (_, w) =>
-      require(w >= 0 && w <= 1000000L,
-        s"weightPpm $w outside [0, 1000000] — oversampling is an epoch " +
-          "(reshuffle) concern, not a keep-rate")
+      require(w >= 0 && w <= 100000000L,
+        s"weightPpm $w outside [0, 100000000] — more than 100 full " +
+          "passes of one store per mixture epoch is almost surely a " +
+          "sizing bug, refusing")
     }
     val caps = stores.map { case (d, _) => readStoreParams(spark, d).getInt(0) }
     require(caps.distinct.size == 1,
       s"readTokenShardStoreMix: stores have different sequence " +
         s"capacities ${caps.mkString(", ")} — a fixed-shape reader " +
         "cannot consume a mixed-capacity epoch")
-    val kept = stores.zipWithIndex.map { case ((d, w), i) =>
-      val draw = pmod(graft.functions.TextExpressions.md5_lower64(
-          concat(lit(seed), lit("|mix|"), lit(i.toString), lit("|"),
-            col("pack_group").cast("string"), lit("|"),
-            col("seq_id").cast("string")))
-        .bitwiseAND(lit(Long.MaxValue)), lit(1000000L))
-      spark.read.parquet(s"$d/shards")
-        .select(col("pack_group"), col("seq_id"), col("token_ids"),
-          col("n_tokens"))
-        .where(draw < w)
-        .withColumn("store", lit(i.toLong))
+    val kept = stores.zipWithIndex.flatMap { case ((d, w), i) =>
+      val passes = math.max(1L, (w + 999999L) / 1000000L).toInt
+      (0 until passes).map { r =>
+        val keepPpm = math.min(1000000L, w - r * 1000000L)
+        // pass 0's draw salt is the original (pre-oversampling) one,
+        // so ≤1M-ppm mixtures are byte-identical to what they always
+        // produced; later passes salt the draw with the pass index
+        val drawSalt = if (r == 0) s"|mix|$i|" else s"|mix|$i|$r|"
+        val base = spark.read.parquet(s"$d/shards")
+          .select(col("pack_group"), col("seq_id"), col("token_ids"),
+            col("n_tokens"))
+        val filtered =
+          if (keepPpm >= 1000000L) base // a full pass draws nothing
+          else base.where(pmod(graft.functions.TextExpressions.md5_lower64(
+              concat(lit(seed), lit(drawSalt),
+                col("pack_group").cast("string"), lit("|"),
+                col("seq_id").cast("string")))
+            .bitwiseAND(lit(Long.MaxValue)), lit(1000000L)) < keepPpm)
+        filtered.withColumn("store", lit(i.toLong))
+          .withColumn("pass", lit(r.toLong))
+      }
     }.reduce(_ unionByName _)
+    // epoch key: pass 0 keeps the original salt (compat); pass r > 0
+    // inserts the pass index so replicas of one sequence land at
+    // independent epoch positions (never adjacent by construction)
     val key = graft.functions.TextExpressions.md5_lower64(
-        concat(lit(seed), lit("|"), col("store").cast("string"), lit("|"),
+        concat(lit(seed), lit("|"), col("store").cast("string"),
+          when(col("pass") === 0L, lit("|"))
+            .otherwise(concat(lit("|"), col("pass").cast("string"), lit("|"))),
           col("pack_group").cast("string"), lit("|"),
           col("seq_id").cast("string")))
       .bitwiseAND(lit(Long.MaxValue))
     val w = Window.partitionBy("shard")
-      .orderBy(col("__k"), col("store"), col("pack_group"), col("seq_id"))
+      .orderBy(col("__k"), col("store"), col("pass"), col("pack_group"),
+        col("seq_id"))
     kept.withColumn("__k", key)
       .withColumn("shard", pmod(col("__k"), lit(numShards.toLong)))
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
       .drop("__k")
-      .select("store", "shard", "shard_pos", "pack_group", "seq_id",
+      .select("store", "pass", "shard", "shard_pos", "pack_group", "seq_id",
         "token_ids", "n_tokens")
   }
 

@@ -356,9 +356,79 @@ class PackerSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("capacities"))
     val e2 = intercept[IllegalArgumentException] {
-      Packer.readTokenShardStoreMix(spark, Seq(dA -> 1000001L))
+      Packer.readTokenShardStoreMix(spark, Seq(dA -> 100000001L))
     }
-    assert(e2.getMessage.contains("keep-rate"))
+    assert(e2.getMessage.contains("sizing bug"))
+
+    // ---- oversampling: weight > 1M replicates full passes ----
+    def omix(wa: Long) = Packer.readTokenShardStoreMix(spark,
+      Seq(dA -> wa, dB -> 500000L), numShards = 3, seed = "m")
+    // exactly 2 full passes: every store-A sequence appears twice
+    val two = omix(2000000L)
+    assert(two.where(col("store") === 0).count() === 2 * nA)
+    assert(two.where(col("store") === 0).select("pass").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L))
+    // 2.4 passes: 2 full + a strict fractional third
+    val frac = omix(2400000L)
+    val p2 = frac.where(col("store") === 0 && col("pass") === 2).count()
+    assert(p2 > 0 && p2 < nA, s"fractional pass degenerate: $p2 of $nA")
+    assert(frac.where(col("store") === 0 && col("pass") < 2).count() === 2 * nA)
+    // replicas decorrelate: pass 0 and pass 1 order the same sequences
+    // differently (the pass index salts the epoch key)
+    def epochOrder(p: Long) = two.where(col("store") === 0 && col("pass") === p)
+      .orderBy("shard", "shard_pos")
+      .select("pack_group", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(epochOrder(0L).toSet === epochOrder(1L).toSet)
+    assert(epochOrder(0L) !== epochOrder(1L),
+      "replica passes must land at independent epoch positions")
+    // ≤1M weights unchanged by the oversampling extension: pass is
+    // all-zero and the (store, shard, shard_pos) placement matches the
+    // pre-extension arrangement asserted above
+    assert(half.where(col("pass") =!= 0L).count() === 0)
+    // positions stay dense with replicas present (one total epoch order)
+    val byShard = two.select("shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    byShard.foreach { case (sh, ts) =>
+      assert(ts.map(_._2).sorted.toSeq === (0L until ts.size.toLong),
+        s"shard $sh positions not dense under oversampling")
+    }
+    // deterministic
+    assert(frac.collect().map(_.toString).sorted.toSeq ===
+      omix(2400000L).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("attention inputs: cu_seqlens and position_ids from doc_spans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss-ai").toString
+    Packer.writeTokenShardStore(lifecycleEnc(0L until 30L), dir,
+      capacityTokens = 16, numGroups = 4, numShards = 3, seed = "e0")
+    val ai = Packer.attentionInputs(Packer.readTokenShardStore(spark, dir))
+      .select("n_tokens", "doc_spans", "cu_seqlens", "position_ids")
+      .collect()
+    assert(ai.nonEmpty)
+    ai.foreach { r =>
+      val n = r.getLong(0)
+      val spans = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getLong(1), s.getLong(2))) // (start, end incl.)
+      val cu = r.getSeq[Long](2)
+      val pos = r.getSeq[Long](3)
+      // cu_seqlens = span starts + terminator; 0-led, strictly
+      // increasing, n_tokens-terminated — the varlen convention
+      assert(cu === spans.map(_._1) :+ n)
+      assert(cu.head === 0L && cu.last === n)
+      assert(cu.sliding(2).forall(w => w(0) < w(1)))
+      // position_ids: one per token, restarting 0,1,2,… at every doc
+      assert(pos.size === n)
+      assert(pos === spans.flatMap { case (s, e) => 0L to (e - s) })
+      cu.dropRight(1).foreach(b => assert(pos(b.toInt) === 0L,
+        s"position must restart at boundary $b"))
+    }
+    // refusal: a spans-less relation cannot produce attention inputs
+    val e = intercept[IllegalArgumentException] {
+      Packer.attentionInputs(
+        Packer.readTokenShardStore(spark, dir).drop("doc_spans"))
+    }
+    assert(e.getMessage.contains("doc_spans"))
   }
 
   test("shuffleSequences: a deterministic permutation — dense positions, seed-keyed order, no sequence lost") {
