@@ -296,11 +296,110 @@ object PqProbe {
     }
   }
 
+  /** `PqProbe imi /tmp/graft-vecs1000000` — the huge-nlist assignment
+    * question (NOTES_r14: "at nlist ~ 10⁵ consider a coarse-quantizer
+    * tree (IMI) if the scan shows up; record the measurement first").
+    * Flat coarse quantization costs O(nlist·d) per corpus row; the
+    * inverted multi-index (Babenko & Lempitsky, CVPR'12) splits the
+    * vector into two halves with √nlist centroids each — the same K²
+    * cell count at O(√nlist·d) per row. This probe times the corpus
+    * ASSIGNMENT SCAN (the build-time cost every index over a 100 TB
+    * corpus pays once per row) flat vs IMI-shaped at growing nlist.
+    * Centroid VALUES don't change the FLOPs, so the probe slices
+    * corpus vectors as centroids; each config runs twice, both walls
+    * printed (second run is the warm number). */
+  private def imiProbe(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit = {
+    import graft.functions.VectorExpressions.nearest_cell
+    val em = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = em.count() // also warms the page cache for run 1
+    val d = em.select(size(col("embedding"))).head().getInt(0)
+    val h = d / 2
+    val pool = em.orderBy("vec_id").limit(16384).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    def wall(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    println(s"corpus n=$n d=$d")
+    for (k <- Seq(16, 32, 64, 128)) {
+      val nlist = k * k
+      val flat = em.select(nearest_cell(col("embedding"),
+        pool.take(nlist)).as("cell"))
+      val c1 = pool.take(k).map(_.take(h))
+      val c2 = pool.take(k).map(_.drop(h))
+      val imi = em.select(
+        (nearest_cell(expr(s"slice(embedding, 1, $h)"), c1).cast("long") * k +
+         nearest_cell(expr(s"slice(embedding, ${h + 1}, ${d - h})"), c2))
+          .as("cell"))
+      def drain(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum("cell")).head().getLong(0)
+      val f1 = wall(drain(flat)); val f2 = wall(drain(flat))
+      val i1 = wall(drain(imi)); val i2 = wall(drain(imi))
+      println(f"nlist=$nlist%6d (K=$k%3d): flat=$f1%6.2f/$f2%6.2f s  " +
+        f"imi=$i1%5.2f/$i2%5.2f s  speedup=${f2 / i2}%5.1fx")
+    }
+    // ---- index-level economics: flat IVF vs IMI at EQUAL cell count
+    // (1024), then IMI alone where flat is impractical (16384). Build
+    // wall includes training + assignment + write; file counts show
+    // the layout story (flat partitionBy fans out tasks×cells files,
+    // IMI's cell-keyed repartition bounds at one per cell). Recall@5
+    // at equal probed-cell FRACTION. ----
+    import graft.ops.Similarity
+    def files(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var c = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
+      c
+    }
+    val q = em.where(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(q, em, k = 5)
+      .localCheckpoint()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.annRecall(truth, approx)
+        .agg(avg("recall_ppm")).head().getDouble(0)
+    val flatDir = java.nio.file.Files.createTempDirectory("imi-flat").toString
+    val tFlatB = wall { Similarity.buildIvfIndex(em, flatDir, nlist = 1024); 0L }
+    println(f"flat nlist=1024: build=$tFlatB%.1f s files=${files(s"$flatDir/corpus")}")
+    val imiDir = java.nio.file.Files.createTempDirectory("imi-imi").toString
+    val tImiB = wall { Similarity.buildImiIndex(em, imiDir, kPerHalf = 32); 0L }
+    println(f"imi  K=32 (1024 cells): build=$tImiB%.1f s files=${files(s"$imiDir/corpus")}")
+    for (np <- Seq(8, 32)) {
+      val (rF, tF) = {
+        val t0 = System.nanoTime()
+        val r = recall(Similarity.ivfTopKIndexed(q, flatDir, k = 5, nprobe = np))
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (rI, tI) = {
+        val t0 = System.nanoTime()
+        val r = recall(Similarity.imiTopKIndexed(q, imiDir, k = 5, nprobe = np))
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"  nprobe=$np%3d: flat recall_ppm=$rF%.0f serve=$tF%.2f s   " +
+        f"imi recall_ppm=$rI%.0f serve=$tI%.2f s")
+    }
+    val imi128 = java.nio.file.Files.createTempDirectory("imi-128").toString
+    val tB128 = wall { Similarity.buildImiIndex(em, imi128, kPerHalf = 128); 0L }
+    println(f"imi  K=128 (16384 cells): build=$tB128%.1f s " +
+      f"files=${files(s"$imi128/corpus")} (flat at this nlist: assignment " +
+      "alone ~42 s + 500k-file fan-out — not built)")
+    for (np <- Seq(128)) { // same probed fraction as nprobe=8 at 1024
+      val t0 = System.nanoTime()
+      val r = recall(Similarity.imiTopKIndexed(q, imi128, k = 5, nprobe = np))
+      println(f"  nprobe=$np: imi recall_ppm=$r%.0f " +
+        f"serve=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("pqprobe")
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("scale")) {
       scaleProbe(spark, args(1)); spark.stop(); return
+    }
+    if (args.headOption.contains("imi")) {
+      imiProbe(spark, args(1)); spark.stop(); return
     }
     if (args.headOption.contains("residual")) {
       residualProbe(spark); spark.stop(); return

