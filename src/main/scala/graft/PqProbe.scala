@@ -392,6 +392,46 @@ object PqProbe {
     }
   }
 
+  /** `PqProbe imipq /tmp/graft-vecs1000000` — the Multi-D-ADC build
+    * question: with the LAYOUT held equal (both builds pointLayout,
+    * 64 cell-sorted files — so the hive fan-out is out of the
+    * picture), how much of the PQ-index build does the coarse routing
+    * cost at 4096 cells, and what does IMI routing do to it? Serve +
+    * recall at equal probed fraction completes the picture. */
+  private def imiPqProbe(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Unit = {
+    import graft.ops.{Pq, Similarity}
+    val em = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = em.count()
+    println(s"corpus n=$n")
+    def wall(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val q = em.where(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(q, em, k = 5).localCheckpoint()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.annRecall(truth, approx)
+        .agg(avg("recall_ppm")).head().getDouble(0)
+    val fdir = java.nio.file.Files.createTempDirectory("imipq-flat").toString
+    val tF = wall(Pq.buildIvfPqIndex(em, fdir, m = 8, ks = 256, nlist = 4096,
+      pointLayout = true))
+    println(f"flat  IVF-PQ nlist=4096 (pointLayout): build=$tF%.1f s")
+    val idir = java.nio.file.Files.createTempDirectory("imipq-imi").toString
+    val tI = wall(Pq.buildImiPqIndex(em, idir, m = 8, ks = 256, kPerHalf = 64,
+      pointLayout = true))
+    println(f"imi   IVF-PQ K=64 (4096 cells, pointLayout): build=$tI%.1f s")
+    for (np <- Seq(32, 128)) {
+      val t0 = System.nanoTime()
+      val rF = recall(Pq.ivfPqTopKIndexed(q, fdir, k = 5, nprobe = np))
+      val tFS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val rI = recall(Pq.imiPqTopK(q, idir, k = 5, nprobe = np))
+      val tIS = (System.nanoTime() - t1) / 1e9
+      println(f"  nprobe=$np%3d: flat recall_ppm=$rF%.0f serve=$tFS%.2f s   " +
+        f"imi recall_ppm=$rI%.0f serve=$tIS%.2f s")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("pqprobe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -400,6 +440,9 @@ object PqProbe {
     }
     if (args.headOption.contains("imi")) {
       imiProbe(spark, args(1)); spark.stop(); return
+    }
+    if (args.headOption.contains("imipq")) {
+      imiPqProbe(spark, args(1)); spark.stop(); return
     }
     if (args.headOption.contains("residual")) {
       residualProbe(spark); spark.stop(); return

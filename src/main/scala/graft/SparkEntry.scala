@@ -105,6 +105,19 @@ object SparkEntry {
       d
     })
 
+  /** q139's memoized Multi-D-ADC index — IMI routing (kPerHalf = 4)
+    * over PQ codes (m = 8, ks = 16); the oracle embeds the
+    * identically trained half-centroid sets and codebook cube. */
+  private val imiPqIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def imiPqIndexFor(s: SparkSession, dir: String): String =
+    imiPqIndexDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-imipq-index").toString
+      graft.ops.Pq.buildImiPqIndex(t(s, dir, "embeddings"), d,
+        m = 8, ks = 16, kPerHalf = 4)
+      d
+    })
+
   /** q131's memoized token shard STORE — built the way a real ingest
     * runs: the BPE model trains ONCE on the full corpus (frozen
     * tokenizer), the first 250 docs write as `batch=base`, the rest
@@ -839,6 +852,14 @@ object SparkEntry {
         Similarity.imiTopKIndexed(
           t(s, dir, "embeddings").where(col("vec_id") < 20),
           imiIndexFor(s, dir), k = 5, nprobe = 4)
+      },
+      // Multi-D-ADC: IMI product routing over PQ codes — the q138
+      // routing economics on the q118 bytes-at-rest (m-byte codes,
+      // candidate scan codes-only, shared ADC body)
+      "q139_imi_pq_ann" -> q { (s, dir) =>
+        graft.ops.Pq.imiPqTopK(
+          t(s, dir, "embeddings").where(col("vec_id") < 20),
+          imiPqIndexFor(s, dir), k = 5, nprobe = 4)
       },
       "q30_asof_join" -> q { (s, dir) =>
         import graft.ops.AsOf
@@ -1927,6 +1948,59 @@ object SparkEntry {
         round(sim, 4) AS cos_sim
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
+      WHERE rnk <= 5"""
+  }
+
+  /** q139 oracle (Multi-D-ADC): the q118 ADC chain with the q138 IMI
+    * routing — corpus cells = the product of the per-half argmaxes,
+    * query routing = per-half top-np then top-nprobe pairs by summed
+    * half-cosines, ADC over the probed cells' codes against the
+    * trained-codebook LUTs. All constants (half-centroid sets,
+    * codebook cube) embed as the identical Scala-printed doubles. */
+  def imiPqOracleSql(spark: SparkSession, sfDir: String): String = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (c1, c2) = graft.ops.Similarity.trainedImiCentroids(emb, kPerHalf = 4)
+    val cb = graft.ops.Pq.trainCodebooks(emb, m = 8, ks = 16)
+    val kk = c1.length
+    val h = c1.head.length
+    val np = math.min(4, kk)
+    val m = cb.length
+    val adcJoins = (1 until m).map { s =>
+      s"JOIN ql l$s ON l$s.query_id = l0.query_id AND l$s.s = $s AND l$s.j = n.c$s"
+    }.mkString("\n        ")
+    val adcSum = (0 until m).map(s => s"l$s.dist").mkString(" + ")
+    s"""
+      WITH ${duckPqCtes(cb)},
+      ${duckCellAssignCtes(c1, "a")},
+      ${duckCellAssignCtes(c2, "b", off = h)},
+      assigned AS (
+        SELECT a.vec_id AS neighbor_id, a.cell * $kk + b.cell AS cell
+        FROM acells a JOIN bcells b ON a.vec_id = b.vec_id),
+      t1 AS (SELECT vec_id AS query_id, cell AS h1, cos AS s1 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cell) AS rn
+          FROM acellcos WHERE vec_id < 20) WHERE rn <= $np),
+      t2 AS (SELECT vec_id AS query_id, cell AS h2, cos AS s2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cell) AS rn
+          FROM bcellcos WHERE vec_id < 20) WHERE rn <= $np),
+      probed AS (SELECT query_id, cell FROM (
+          SELECT t1.query_id, t1.h1 * $kk + t2.h2 AS cell,
+            row_number() OVER (PARTITION BY t1.query_id
+              ORDER BY (t1.s1 + t2.s2) DESC, t1.h1 * $kk + t2.h2) AS rn
+          FROM t1 JOIN t2 ON t1.query_id = t2.query_id) WHERE rn <= 4),
+      adc AS (
+        SELECT p.query_id, a.neighbor_id, $adcSum AS adist
+        FROM probed p
+        JOIN assigned a USING (cell)
+        JOIN n ON n.neighbor_id = a.neighbor_id
+        JOIN ql l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = n.c0
+        $adcJoins
+        WHERE p.query_id <> a.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(adist, 4) AS adc_dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS rnk FROM adc)
       WHERE rnk <= 5"""
   }
 

@@ -881,6 +881,92 @@ object Pq {
     * relations under `dir/gen-0`, the CURRENT pointer naming it.
     * Required for [[compactIvfPqIndexInPlace]]; every read/append
     * above serves either layout via [[Generations.root]]. */
+  /** Build a Multi-D-ADC index (Babenko & Lempitsky CVPR'12 §5):
+    * [[buildIvfPqIndex]]'s bytes-at-rest — m-byte PQ codes, never a
+    * float — routed by [[Similarity.buildImiIndex]]'s PRODUCT coarse
+    * quantizer instead of the flat one. kPerHalf² cells at
+    * O(kPerHalf·d) assignment per corpus row; the 121×-measured
+    * routing-wall fix (SCALE.md r14 addendum 3) applied to the code
+    * family, which is where a 100 TB corpus actually serves from.
+    * Layout: `centroids_h1`/`_h2` + `codebooks` + `params` +
+    * `corpus/shard=base` with cell = c1·kPerHalf + c2; the hive write
+    * repartitions by cell (one file per cell — kPerHalf² dirs where
+    * flat nlist was dozens); `pointLayout = true` writes cell-sorted
+    * bounded files instead (the addendum-2 treatment, the right form
+    * past kPerHalf ~ 128). Codes quantize the RAW space: residual/OPQ
+    * under a product router (origin = concat(c1(a), c2(b))) is the
+    * recorded next step, not built — raw ADC is the paper's §5 system
+    * and the accuracy levers (residual, OPQ, fp16 refine) remain
+    * available on the flat-routed family. */
+  def buildImiPqIndex(corpus: DataFrame, dir: String, m: Int, ks: Int = 16,
+                      kPerHalf: Int = 16, maxIter: Int = 5,
+                      maxTrain: Int = 4096,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      pointLayout: Boolean = false,
+                      pointLayoutFiles: Int = 64): Unit = {
+    val sample = Similarity.collectTrainSample(corpus, maxTrain, idCol, vecCol)
+    val d = sample.head.length
+    require(d >= 2, s"IMI needs dim >= 2 to split, got $d")
+    val h = d / 2
+    val c1 = Similarity.trainedCentroidsFromSample(
+      sample.map(_.take(h)), kPerHalf, maxIter)
+    val c2 = Similarity.trainedCentroidsFromSample(
+      sample.map(_.drop(h)), kPerHalf, maxIter)
+    require(c1.length == c2.length,
+      s"IMI half-centroid sets must be equal-sized, got ${c1.length} " +
+        s"and ${c2.length}")
+    val kk = c1.length
+    val cb = trainCodebooksFromSample(sample, m, ks, maxIter)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def writeHalf(c: Array[Array[Double]], p: String): Unit =
+      c.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$p")
+    writeHalf(c1, "centroids_h1")
+    writeHalf(c2, "centroids_h2")
+    writeCodebooks(spark, cb, dir)
+    writeParams(spark, dir, m, cb(0).length, residual = false, opq = false,
+      refineHalf = false, pointLayout = pointLayout,
+      pointLayoutFiles = pointLayoutFiles)
+    val cell =
+      graft.functions.VectorExpressions.nearest_cell(
+          expr(s"slice($vecCol, 1, $h)"), c1.map(_.toSeq).toSeq) * kk +
+        graft.functions.VectorExpressions.nearest_cell(
+          expr(s"slice($vecCol, ${h + 1}, ${d - h})"), c2.map(_.toSeq).toSeq)
+    val rows = widthGuarded(corpus, vecCol, cb).select(
+      col(idCol).as("neighbor_id"),
+      PqExpressions.pq_encode_bytes(col(vecCol), asSeq(cb)).as("codes"),
+      cell.as("cell"))
+    writeShardRows(
+      if (pointLayout) rows else rows.repartition(col("cell")),
+      s"$dir/corpus/shard=base",
+      if (pointLayout) pointLayoutFiles else 0)
+  }
+
+  /** Serve top-k ANN from a [[buildImiPqIndex]] directory: the
+    * [[Similarity.imiRoutedCells]] per-half routing (2·kPerHalf
+    * broadcast rows per query, lossless pair pruning) feeding the
+    * SHARED post-routing ADC body ([[adcOverCells]] — the same LUT
+    * arithmetic, candidate join, and tie order as
+    * [[ivfPqTopKIndexed]], so the only difference between the flat
+    * and product families is WHICH cells route; the candidate scan
+    * stays codes-only either way). */
+  def imiPqTopK(queries: DataFrame, dir: String, k: Int,
+                nprobe: Int = 4, idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = readCodebooks(spark, dir)
+    val c1 = spark.read.parquet(s"$dir/centroids_h1")
+    val c2 = spark.read.parquet(s"$dir/centroids_h2")
+    val q = widthGuarded(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "qv", cb)
+    val probed = Similarity.imiRoutedCells(q, c1, c2, nprobe)
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    adcOverCells(spark, dir, cb, c1, q, probed, corpus, k, excludeSelf)
+  }
+
   def buildIvfPqIndexVersioned(corpus: DataFrame, dir: String, m: Int,
                                ks: Int = 16, nlist: Int = 0,
                                maxIter: Int = 5, maxTrain: Int = 4096,

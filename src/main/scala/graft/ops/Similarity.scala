@@ -762,11 +762,29 @@ object Similarity {
     val spark = queries.sparkSession
     val c1 = spark.read.parquet(s"$dir/centroids_h1")
     val c2 = spark.read.parquet(s"$dir/centroids_h2")
+    val assigned = spark.read.parquet(s"$dir/corpus")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probed = imiRoutedCells(q, c1, c2, nprobe)
+    val joined = assigned.join(broadcast(probed), Seq("cell"))
+    val scored =
+      (if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+       else joined)
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
+  /** The IMI routing stage shared by [[imiTopKIndexed]] and
+    * [[graft.ops.Pq.imiPqTopK]]: per-half top-min(nprobe, kPerHalf)
+    * half-cells by cosine on the slice, then the ≤ nprobe² combined
+    * pairs ranked by summed half-cosines, top nprobe kept — lossless
+    * (the dominance argument on [[imiTopKIndexed]]). Returns
+    * (query_id, qv, cell). One shared body so the two serves route
+    * bit-identically. */
+  private[ops] def imiRoutedCells(q: DataFrame, c1: DataFrame,
+                                  c2: DataFrame, nprobe: Int): DataFrame = {
     val kk = c1.count().toInt
     val h = c1.select(size(col("centroid"))).head().getInt(0)
     val h2 = c2.select(size(col("centroid"))).head().getInt(0)
-    val assigned = spark.read.parquet(s"$dir/corpus")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val np = math.min(nprobe, kk)
     val w = Window.partitionBy("query_id")
     val top1 = q.crossJoin(broadcast(
@@ -781,18 +799,12 @@ object Similarity {
       .withColumn("rn", row_number().over(w.orderBy(asc("d2"), asc("c2"))))
       .where(col("rn") <= np)
       .select("query_id", "c2", "d2")
-    val probed = top1.join(top2, Seq("query_id"))
+    top1.join(top2, Seq("query_id"))
       .withColumn("cell", col("c1") * kk + col("c2"))
       .withColumn("rn", row_number().over(
         w.orderBy((col("d1") + col("d2")).asc, col("cell").asc)))
       .where(col("rn") <= nprobe)
       .select("query_id", "qv", "cell")
-    val joined = assigned.join(broadcast(probed), Seq("cell"))
-    val scored =
-      (if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
-       else joined)
-      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
-    rankTopK(scored, k)
   }
 
   private def writeIvfShard(vectors: DataFrame, dir: String,

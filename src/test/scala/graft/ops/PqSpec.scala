@@ -785,4 +785,49 @@ class PqSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("densely"))
   }
+
+  test("imi-pq (Multi-D-ADC): full probe equals flat pq topK; codes-only scan; layouts agree") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-imipq").toString
+    Pq.buildImiPqIndex(em, dir, m = 8, ks = 8, kPerHalf = 3)
+    val q = em.where(col("vec_id") < 5)
+    // nprobe = kPerHalf² probes every product cell: the candidate set
+    // is the whole corpus, so ranking must equal the flat PQ scan
+    // bit-for-bit (same bounded sample → identical codebooks)
+    val served = Pq.imiPqTopK(q, dir, k = 3, nprobe = 9)
+    assert(rows(served) === rows(Pq.topK(q, em, k = 3, m = 8, ks = 8)))
+    // stored cells are the PRODUCT of the per-half assignments
+    val (c1, c2) = Similarity.trainedImiCentroids(em, kPerHalf = 3)
+    val kk = c1.length
+    val h = c1.head.length
+    val viaExpr = em.select(col("vec_id"),
+        (graft.functions.VectorExpressions.nearest_cell(
+            expr(s"slice(embedding, 1, $h)"), c1.map(_.toSeq).toSeq) * kk +
+          graft.functions.VectorExpressions.nearest_cell(
+            expr(s"slice(embedding, ${h + 1}, $h)"),
+            c2.map(_.toSeq).toSeq)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val stored = spark.read.parquet(s"$dir/corpus")
+      .select("neighbor_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored === viaExpr)
+    // serve never re-encodes or re-assigns; the candidate scan reads
+    // code bytes + the cell partition column, never a float vector
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("PqEncode") && !plan.contains("NearestCell"))
+    val corpusScan = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("corpus"))
+      .mkString("\n")
+    assert(corpusScan.contains("neighbor_id") && corpusScan.contains("codes"))
+    assert(!corpusScan.contains("embedding"))
+    // restricted probe: deterministic
+    val approx = Pq.imiPqTopK(q, dir, k = 3, nprobe = 2)
+    assert(rows(approx) === rows(Pq.imiPqTopK(q, dir, k = 3, nprobe = 2)))
+    // the pointLayout build (cell-sorted bounded files) serves
+    // identically to the hive build at every nprobe
+    val pdir = java.nio.file.Files.createTempDirectory("graft-imipq-pl").toString
+    Pq.buildImiPqIndex(em, pdir, m = 8, ks = 8, kPerHalf = 3,
+      pointLayout = true, pointLayoutFiles = 8)
+    assert(rows(Pq.imiPqTopK(q, pdir, k = 3, nprobe = 9)) === rows(served))
+    assert(rows(Pq.imiPqTopK(q, pdir, k = 3, nprobe = 2)) === rows(approx))
+  }
 }
