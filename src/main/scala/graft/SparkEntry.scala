@@ -861,6 +861,21 @@ object SparkEntry {
           t(s, dir, "embeddings").where(col("vec_id") < 20),
           imiPqIndexFor(s, dir), k = 5, nprobe = 4)
       },
+      // the two-phase point serve on the product family: collected
+      // routing pairs re-enter the shared ADC body with a pushed
+      // cell-In — results identical to q139 by construction
+      "q140_imi_pq_point" -> q { (s, dir) =>
+        graft.ops.Pq.imiPqTopKPoint(
+          t(s, dir, "embeddings").where(col("vec_id") < 20),
+          imiPqIndexFor(s, dir), k = 5, nprobe = 4)
+      },
+      // thresholded near-dup serve against the IMI index — the
+      // semantic-ingest-dedup history primitive on the product router
+      "q141_imi_neardup" -> q { (s, dir) =>
+        Similarity.imiNearDuplicates(
+          t(s, dir, "embeddings").where(col("vec_id") < 20),
+          imiIndexFor(s, dir), threshold = 0.4, nprobe = 4)
+      },
       "q30_asof_join" -> q { (s, dir) =>
         import graft.ops.AsOf
         val ev = Events.withTsNanos(t(s, dir, "events"))
@@ -2002,6 +2017,47 @@ object SparkEntry {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY adist, neighbor_id) AS rnk FROM adc)
       WHERE rnk <= 5"""
+  }
+
+  /** q141 oracle: the q138 routing chain ending in thresholded exact
+    * pairs instead of top-k — probe × probed-cell corpus rows with
+    * cosine >= 0.4, the [[graft.ops.Similarity.imiNearDuplicates]]
+    * contract (unrounded threshold compare, 1e-4-rounded output, q38's
+    * proven pattern). */
+  def imiNearDupOracleSql(spark: SparkSession, sfDir: String): String = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (c1, c2) = graft.ops.Similarity.trainedImiCentroids(emb, kPerHalf = 4)
+    val kk = c1.length
+    val h = c1.head.length
+    val np = math.min(4, kk)
+    s"""
+      WITH ${duckCellAssignCtes(c1, "a")},
+      ${duckCellAssignCtes(c2, "b", off = h)},
+      assigned AS (
+        SELECT a.vec_id AS neighbor_id, a.e AS cv,
+               a.cell * $kk + b.cell AS cell
+        FROM acells a JOIN bcells b ON a.vec_id = b.vec_id),
+      t1 AS (SELECT vec_id AS query_id, e AS qv, cell AS h1, cos AS s1 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cell) AS rn
+          FROM acellcos WHERE vec_id < 20) WHERE rn <= $np),
+      t2 AS (SELECT vec_id AS query_id, cell AS h2, cos AS s2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cell) AS rn
+          FROM bcellcos WHERE vec_id < 20) WHERE rn <= $np),
+      probed AS (SELECT query_id, qv, cell FROM (
+          SELECT t1.query_id, t1.qv, t1.h1 * $kk + t2.h2 AS cell,
+            row_number() OVER (PARTITION BY t1.query_id
+              ORDER BY (t1.s1 + t2.s2) DESC, t1.h1 * $kk + t2.h2) AS rn
+          FROM t1 JOIN t2 ON t1.query_id = t2.query_id) WHERE rn <= 4)
+      SELECT query_id AS vec_id, neighbor_id AS index_vec_id,
+        round(sim, 4) AS cos_sim
+      FROM (
+        SELECT query_id, neighbor_id,
+          list_dot_product(qv, cv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        FROM probed p JOIN assigned a USING (cell))
+      WHERE sim >= 0.4"""
   }
 
   /** q62 oracle, generated like q29's: same trained centroids as

@@ -71,7 +71,11 @@ object Verify {
       // identical by construction, so the oracle SQL is q118's
       ("q130_ivfpq_point_adc" -> SparkEntry.ivfPqOracleSql(spark, sfDir)) +
       ("q138_imi_ann" -> SparkEntry.imiOracleSql(spark, sfDir)) +
-      ("q139_imi_pq_ann" -> SparkEntry.imiPqOracleSql(spark, sfDir))
+      ("q139_imi_pq_ann" -> SparkEntry.imiPqOracleSql(spark, sfDir)) +
+      // q140 is q139 through the point-serving path — results are
+      // identical by construction, so the oracle SQL is q139's
+      ("q140_imi_pq_point" -> SparkEntry.imiPqOracleSql(spark, sfDir)) +
+      ("q141_imi_neardup" -> SparkEntry.imiNearDupOracleSql(spark, sfDir))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -967,6 +967,41 @@ object Pq {
     adcOverCells(spark, dir, cb, c1, q, probed, corpus, k, excludeSelf)
   }
 
+  /** The POINT-SERVING form of [[imiPqTopK]] — [[ivfPqTopKPoint]]'s
+    * two-phase protocol on the product family: run the per-half
+    * routing (2·kPerHalf broadcast rows — no corpus scan), COLLECT
+    * the bounded probed (query, cell) pairs, re-enter the SHARED ADC
+    * body with a pushed `cell IN (...)` the parquet reader acts on
+    * (row-group skipping under `pointLayout`, partition pruning under
+    * hive). Bit-identical to [[imiPqTopK]] (same routing rows, same
+    * arithmetic body — spec-asserted); probes beyond `maxProbedPairs`
+    * fall back to the batch plan. */
+  def imiPqTopKPoint(queries: DataFrame, dir: String, k: Int,
+                     nprobe: Int = 4, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     excludeSelf: Boolean = true,
+                     maxProbedPairs: Int = 1024): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = readCodebooks(spark, dir)
+    val c1 = spark.read.parquet(s"$dir/centroids_h1")
+    val c2 = spark.read.parquet(s"$dir/centroids_h2")
+    val q = widthGuarded(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "qv", cb)
+    val routing = Similarity.imiRoutedCells(q, c1, c2, nprobe)
+      .select("query_id", "cell")
+    val pairs = routing.limit(maxProbedPairs + 1).collect()
+    if (pairs.length > maxProbedPairs || pairs.isEmpty)
+      return imiPqTopK(queries, dir, k, nprobe, idCol, vecCol, excludeSelf)
+    val litRouting = spark.createDataFrame(
+      java.util.Arrays.asList(pairs: _*), routing.schema)
+    val probedCells = litRouting.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("qv"), col("cell"))
+    val cells = pairs.map(_.getInt(1): Any).distinct.toSeq
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .where(Pushdown.pushedIsin(col("cell"), cells))
+    adcOverCells(spark, dir, cb, c1, q, probedCells, corpus, k, excludeSelf)
+  }
+
   def buildIvfPqIndexVersioned(corpus: DataFrame, dir: String, m: Int,
                                ks: Int = 16, nlist: Int = 0,
                                maxIter: Int = 5, maxTrain: Int = 4096,

@@ -691,7 +691,9 @@ object Similarity {
                     maxIter: Int = 5, maxTrain: Int = 4096,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     trainedCent: Option[(Array[Array[Double]],
-                      Array[Array[Double]])] = None): Unit = {
+                      Array[Array[Double]])] = None,
+                    pointLayout: Boolean = false,
+                    pointLayoutFiles: Int = 64): Unit = {
     val (c1, c2) = trainedCent.getOrElse(
       trainedImiCentroids(corpus, kPerHalf, maxIter, maxTrain, idCol, vecCol))
     require(c1.nonEmpty && c2.nonEmpty && c1.length == c2.length,
@@ -705,8 +707,14 @@ object Similarity {
     c2.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids_h2")
+    // the layout is a property of the STORE (appends must match it —
+    // a mixed corpus dir would read cell as a partition column in one
+    // shard and a data column in another), so it persists in params
+    Seq(Tuple1(if (pointLayout) pointLayoutFiles else 0))
+      .toDF("point_layout_files")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
     writeImiShard(corpus, dir, c1.map(_.toSeq).toSeq, c2.map(_.toSeq).toSeq,
-      "base", idCol, vecCol)
+      "base", idCol, vecCol, if (pointLayout) pointLayoutFiles else 0)
   }
 
   /** Append a vector shard to a [[buildImiIndex]] directory — the
@@ -724,25 +732,77 @@ object Similarity {
     val spark = shard.sparkSession
     def half(p: String) = spark.read.parquet(s"$dir/$p")
       .orderBy("cell").collect().map(_.getSeq[Double](1))
+    // the shard must land in the store's layout (persisted at build;
+    // pre-params indexes are hive by construction)
+    val plfPath = new org.apache.hadoop.fs.Path(s"$dir/params")
+    val plf =
+      if (plfPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(plfPath))
+        spark.read.parquet(s"$dir/params")
+          .select("point_layout_files").head().getInt(0)
+      else 0
     writeImiShard(shard, dir, half("centroids_h1").toSeq,
-      half("centroids_h2").toSeq, shardId, idCol, vecCol)
+      half("centroids_h2").toSeq, shardId, idCol, vecCol, plf)
   }
 
   private def writeImiShard(vectors: DataFrame, dir: String,
                             c1: Seq[Seq[Double]], c2: Seq[Seq[Double]],
                             shardId: String, idCol: String,
-                            vecCol: String): Unit = {
+                            vecCol: String, pointLayoutFiles: Int): Unit = {
     val kk = c1.length
     val h = c1.head.length
     val d = h + c2.head.length
-    vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        (VectorExpressions.nearest_cell(
-            expr(s"slice($vecCol, 1, $h)"), c1) * kk +
-          VectorExpressions.nearest_cell(
-            expr(s"slice($vecCol, ${h + 1}, ${d - h})"), c2)).as("cell"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/corpus/shard=$shardId")
+    val rows = vectors.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      (VectorExpressions.nearest_cell(
+          expr(s"slice($vecCol, 1, $h)"), c1) * kk +
+        VectorExpressions.nearest_cell(
+          expr(s"slice($vecCol, ${h + 1}, ${d - h})"), c2)).as("cell"))
+    val path = s"$dir/corpus/shard=$shardId"
+    // pointLayoutFiles > 0 = cell-sorted rows in a BOUNDED file count
+    // (the Pq.writeShardRows treatment — the layout for kPerHalf²
+    // past ~16k cells, where even one-file-per-cell is a file-count
+    // wall); 0 = cell=<n>/ hive partitions, one file per cell via the
+    // cell-keyed repartition
+    if (pointLayoutFiles > 0)
+      rows.repartitionByRange(pointLayoutFiles, col("cell"))
+        .sortWithinPartitions("cell", "neighbor_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(path)
+    else
+      rows.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Embedding near-duplicates of a probe batch against a
+    * [[buildImiIndex]] directory — [[cosineNearDuplicatesIndexed]]
+    * with the product router: every (probe, index) pair with cosine
+    * >= `threshold`, searched in the probe's `nprobe` IMI-routed
+    * cells ([[imiRoutedCells]], the q138 routing). Same output
+    * contract ((vec_id, index_vec_id, cos_sim·1e-4-rounded)), same
+    * recall caveats (a near-dup in an unprobed cell is missed;
+    * nprobe = kPerHalf² is exact, spec-asserted), same id-space
+    * semantics (collisions are NOT filtered — see the flat sibling's
+    * scaladoc), same `excludeShards` ingest-replay filter. */
+  def imiNearDuplicates(probe: DataFrame, dir: String, threshold: Double,
+                        nprobe: Int = 4, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        excludeShards: Seq[String] = Nil): DataFrame = {
+    val spark = probe.sparkSession
+    val c1 = spark.read.parquet(s"$dir/centroids_h1")
+    val c2 = spark.read.parquet(s"$dir/centroids_h2")
+    val assigned0 = spark.read.parquet(s"$dir/corpus")
+    val assigned =
+      if (excludeShards.isEmpty) assigned0
+      else assigned0.where(!col("shard").isin(excludeShards: _*))
+    val q = probe.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    assigned.join(broadcast(imiRoutedCells(q, c1, c2, nprobe)), Seq("cell"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .where(col("cos_sim") >= threshold)
+      .select(col("query_id").as(idCol),
+        col("neighbor_id").as("index_vec_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
   }
 
   /** Serve top-k ANN from a [[buildImiIndex]] directory. Routing is

@@ -830,4 +830,30 @@ class PqSpec extends SparkSpec {
     assert(rows(Pq.imiPqTopK(q, pdir, k = 3, nprobe = 9)) === rows(served))
     assert(rows(Pq.imiPqTopK(q, pdir, k = 3, nprobe = 2)) === rows(approx))
   }
+
+  test("imi-pq point serve: bit-identical to batch on both layouts; pushed In(cell); fallback") {
+    val q = em.where(col("vec_id") < 5)
+    val dirHive = java.nio.file.Files.createTempDirectory("graft-imipq-pth").toString
+    Pq.buildImiPqIndex(em, dirHive, m = 8, ks = 8, kPerHalf = 3)
+    assert(rows(Pq.imiPqTopKPoint(q, dirHive, k = 3, nprobe = 2)) ===
+      rows(Pq.imiPqTopK(q, dirHive, k = 3, nprobe = 2)))
+    val dirPt = java.nio.file.Files.createTempDirectory("graft-imipq-ptp").toString
+    Pq.buildImiPqIndex(em, dirPt, m = 8, ks = 8, kPerHalf = 3,
+      pointLayout = true, pointLayoutFiles = 8)
+    val batch = rows(Pq.imiPqTopK(q, dirPt, k = 3, nprobe = 2))
+    assert(rows(Pq.imiPqTopKPoint(q, dirPt, k = 3, nprobe = 2)) === batch)
+    // bounded file count, no cell= fan-out on the point layout
+    val shardDir = new java.io.File(s"$dirPt/corpus/shard=base")
+    val files = shardDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && files.length <= 8)
+    assert(!shardDir.listFiles().exists(_.getName.startsWith("cell=")))
+    // the cell filter REACHES the parquet reader
+    val plan = Pq.imiPqTopKPoint(q, dirPt, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(cell"),
+      s"pushed cell filter missing from:\n${plan.take(2000)}")
+    // over-cap probes fall back to the batch plan, same results
+    assert(rows(Pq.imiPqTopKPoint(q, dirPt, k = 3, nprobe = 2,
+      maxProbedPairs = 1)) === batch)
+  }
 }

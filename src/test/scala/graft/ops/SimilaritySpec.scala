@@ -771,4 +771,52 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("base"))
   }
+
+  test("imi near-duplicates + point layout: full probe exact; layouts agree; append matches layout") {
+    val em2 = (0L until 96L).map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 11.0 + d * 5.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-imi-nd").toString
+    Similarity.buildImiIndex(em2, dir, kPerHalf = 3)
+    val probe = em2.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // full probe (nprobe = kPerHalf²) = the brute-force thresholded
+    // pair listing, self pairs included (the family's id-space rule)
+    val brute = probe
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(em2.select(col("vec_id").as("index_vec_id"),
+        col("embedding").as("cv")))
+      .withColumn("c", Similarity.cosine(col("qv"), col("cv")))
+      .where(col("c") >= 0.3)
+      .select(col("query_id").as("vec_id"), col("index_vec_id"),
+        round(col("c"), 4).as("cos_sim"))
+    assert(pairs(Similarity.imiNearDuplicates(probe, dir, 0.3, nprobe = 9))
+      === pairs(brute))
+    // restricted probe: deterministic subset
+    val nd = Similarity.imiNearDuplicates(probe, dir, 0.3, nprobe = 2)
+    assert(pairs(nd).subsetOf(pairs(brute)))
+    assert(pairs(Similarity.imiNearDuplicates(probe, dir, 0.3, nprobe = 2))
+      === pairs(nd))
+    // pointLayout store: bounded cell-sorted files, appends land in
+    // the SAME layout (persisted in params), serves stay exact
+    val pdir = java.nio.file.Files.createTempDirectory("graft-imi-pl").toString
+    Similarity.buildImiIndex(em2.where(col("vec_id") < 64), pdir,
+      kPerHalf = 3, pointLayout = true, pointLayoutFiles = 4)
+    Similarity.appendToImiIndex(em2.where(col("vec_id") >= 64), pdir, "day-1")
+    Seq("base", "day-1").foreach { s =>
+      val sd = new java.io.File(s"$pdir/corpus/shard=$s")
+      assert(!sd.listFiles().exists(_.getName.startsWith("cell=")),
+        s"shard $s must not hive-partition under pointLayout")
+      assert(sd.listFiles().count(_.getName.endsWith(".parquet")) <= 4)
+    }
+    assert(pairs(Similarity.imiNearDuplicates(probe, pdir, 0.3, nprobe = 9))
+      === pairs(brute))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    val q = em2.where(col("vec_id") < 4)
+    assert(rows(Similarity.imiTopKIndexed(q, pdir, k = 3, nprobe = 9)) ===
+      rows(Similarity.imiTopKIndexed(q, dir, k = 3, nprobe = 9)))
+  }
 }
