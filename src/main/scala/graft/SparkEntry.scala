@@ -118,6 +118,19 @@ object SparkEntry {
       d
     })
 
+  /** q142's memoized RESIDUAL Multi-D-ADC index — q139's twin with
+    * `residual = true`: codes assigned in the decomposed per-half
+    * residual space, LUTs from the same decomposed origin. */
+  private val imiPqResIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def imiPqResIndexFor(s: SparkSession, dir: String): String =
+    imiPqResIndexDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-imipqres-index").toString
+      graft.ops.Pq.buildImiPqIndex(t(s, dir, "embeddings"), d,
+        m = 8, ks = 16, kPerHalf = 4, residual = true)
+      d
+    })
+
   /** q131's memoized token shard STORE — built the way a real ingest
     * runs: the BPE model trains ONCE on the full corpus (frozen
     * tokenizer), the first 250 docs write as `batch=base`, the rest
@@ -875,6 +888,15 @@ object SparkEntry {
         Similarity.imiNearDuplicates(
           t(s, dir, "embeddings").where(col("vec_id") < 20),
           imiIndexFor(s, dir), threshold = 0.4, nprobe = 4)
+      },
+      // residual Multi-D-ADC (IVFADC under the product router):
+      // residuals decompose per half — v − concat(c1(a), c2(b)) =
+      // (v1−c1(a); v2−c2(b)) — so neither encode nor serve ever
+      // materializes the kPerHalf² product centroid table
+      "q142_imi_pq_residual" -> q { (s, dir) =>
+        graft.ops.Pq.imiPqTopK(
+          t(s, dir, "embeddings").where(col("vec_id") < 20),
+          imiPqResIndexFor(s, dir), k = 5, nprobe = 4)
       },
       "q30_asof_join" -> q { (s, dir) =>
         import graft.ops.AsOf
@@ -2012,6 +2034,115 @@ object SparkEntry {
         JOIN ql l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = n.c0
         $adcJoins
         WHERE p.query_id <> a.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(adist, 4) AS adc_dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS rnk FROM adc)
+      WHERE rnk <= 5"""
+  }
+
+  /** q142 oracle (residual Multi-D-ADC): the q122 residual chain under
+    * the product router — corpus cells and residuals decompose per
+    * half (v − concat(c1(a), c2(b)) = (v1 − c1(a); v2 − c2(b)) —
+    * element-wise, so the concat of per-half subtractions the Spark
+    * side computes is bit-identical to the full-vector subtraction
+    * against the concatenated centroid this SQL writes out), codebooks
+    * residual-trained, per-(query, probed-cell) LUTs from the same
+    * decomposed origin. The kPerHalf² product centroid table exists
+    * ONLY here as literals (kPerHalf = 4 → 16 rows) — the engine side
+    * never materializes it. MATERIALIZED hints as in the q122 chain
+    * (ql is referenced m times; DuckDB's default inlining replicates
+    * the whole residual expression tree per copy). */
+  def imiPqResidualOracleSql(spark: SparkSession, sfDir: String): String = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (c1, c2) = graft.ops.Similarity.trainedImiCentroids(emb, kPerHalf = 4)
+    val cb = graft.ops.Pq.trainedImiResidualCodebooks(emb, c1, c2,
+      m = 8, ks = 16)
+    val kk = c1.length
+    val h = c1.head.length
+    val dim = h + c2.head.length
+    val np = math.min(4, kk)
+    val m = cb.length; val ds = cb(0)(0).length
+    val ccValues = (for (a <- c1.indices; b <- c2.indices) yield {
+      val cc = c1(a) ++ c2(b)
+      s"(${a * kk + b}, CAST(${cc.mkString("[", ", ", "]")} AS DOUBLE[]))"
+    }).mkString(",\n          ")
+    val cbValues = cb.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) =>
+        s"($s, $j, CAST(${c.mkString("[", ", ", "]")} AS DOUBLE[]))"
+      }
+    }.mkString(",\n          ")
+    val subList = (1 to dim).map(d => s"pc.e[$d]-cc.c[$d]")
+      .mkString("[", ", ", "]")
+    val qSubList = (1 to dim).map(d => s"q.e[$d]-cc.c[$d]")
+      .mkString("[", ", ", "]")
+    val distExpr = (0 until ds).map { d =>
+      s"(e[cb.s*$ds+${d + 1}]-c[${d + 1}])*(e[cb.s*$ds+${d + 1}]-c[${d + 1}])"
+    }.mkString("\n            + ")
+    val codeCols = (0 until m)
+      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s").mkString(", ")
+    val adcJoins = (1 until m).map { s =>
+      s"JOIN ql l$s ON l$s.query_id = l0.query_id AND l$s.cell = p.cell " +
+        s"AND l$s.s = $s AND l$s.j = n.c$s"
+    }.mkString("\n        ")
+    val adcSum = (0 until m).map(s => s"l$s.dist").mkString(" + ")
+    s"""
+      WITH ${duckCellAssignCtes(c1, "a")
+        .replace("acells AS (", "acells AS MATERIALIZED (")},
+      ${duckCellAssignCtes(c2, "b", off = h)
+        .replace("bcells AS (", "bcells AS MATERIALIZED (")},
+      pcells AS MATERIALIZED (
+        SELECT a.vec_id, a.e, a.cell * $kk + b.cell AS cell
+        FROM acells a JOIN bcells b ON a.vec_id = b.vec_id),
+      cc AS (SELECT * FROM (VALUES
+          $ccValues) AS t(cell, c)),
+      cb AS (SELECT * FROM (VALUES
+          $cbValues) AS t(s, j, c)),
+      rv AS (
+        SELECT pc.vec_id, $subList AS e
+        FROM pcells pc JOIN cc ON pc.cell = cc.cell),
+      t1 AS (SELECT vec_id AS query_id, cell AS h1, cos AS s1 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cell) AS rn
+          FROM acellcos WHERE vec_id < 20) WHERE rn <= $np),
+      t2 AS (SELECT vec_id AS query_id, cell AS h2, cos AS s2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cell) AS rn
+          FROM bcellcos WHERE vec_id < 20) WHERE rn <= $np),
+      probed AS MATERIALIZED (SELECT query_id, cell FROM (
+          SELECT t1.query_id, t1.h1 * $kk + t2.h2 AS cell,
+            row_number() OVER (PARTITION BY t1.query_id
+              ORDER BY (t1.s1 + t2.s2) DESC, t1.h1 * $kk + t2.h2) AS rn
+          FROM t1 JOIN t2 ON t1.query_id = t2.query_id) WHERE rn <= 4),
+      qr AS (
+        SELECT p.query_id, p.cell, $qSubList AS e
+        FROM probed p
+        JOIN av q ON q.vec_id = p.query_id
+        JOIN cc ON cc.cell = p.cell),
+      sub AS (
+        SELECT rv.vec_id, cb.s, cb.j,
+          $distExpr AS dist
+        FROM rv CROSS JOIN cb),
+      codes AS (
+        SELECT vec_id, s, j AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY dist, j) AS rn
+          FROM sub) WHERE rn = 1),
+      n AS MATERIALIZED (SELECT vec_id AS neighbor_id, $codeCols
+            FROM codes GROUP BY vec_id),
+      ql AS MATERIALIZED (
+        SELECT qr.query_id, qr.cell, cb.s, cb.j,
+          $distExpr AS dist
+        FROM qr CROSS JOIN cb),
+      adc AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, $adcSum AS adist
+        FROM probed p
+        JOIN pcells a USING (cell)
+        JOIN n ON n.neighbor_id = a.vec_id
+        JOIN ql l0 ON l0.query_id = p.query_id AND l0.cell = p.cell
+          AND l0.s = 0 AND l0.j = n.c0
+        $adcJoins
+        WHERE p.query_id <> a.vec_id)
       SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
         round(adist, 4) AS adc_dist
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id

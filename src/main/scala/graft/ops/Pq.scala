@@ -770,7 +770,14 @@ object Pq {
                            cb: Array[Array[Array[Double]]],
                            centroids: DataFrame, q: DataFrame,
                            probedCells: DataFrame, corpus: DataFrame,
-                           k: Int, excludeSelf: Boolean): DataFrame = {
+                           k: Int, excludeSelf: Boolean,
+                           residualOrigin: Option[Column] = None): DataFrame = {
+    // residualOrigin: how residual mode derives q − centroid(cell)
+    // over the (qv, cell) columns. Default = index the collected flat
+    // centroid table by cell. The IMI callers pass the DECOMPOSED form
+    // (concat of per-half CellResiduals over the two kPerHalf-row
+    // tables) — a product router's full table is kPerHalf² rows, which
+    // must never be collected. Ignored in raw mode.
     val ks = cb(0).length
     val residual = readResidualFlag(spark, root)
     // OPQ: the LUT must measure in the SAME rotated space the codes
@@ -795,12 +802,13 @@ object Pq {
     // scan cost is unchanged
     val (luts, lutKeys) =
       if (residual) {
-        val centArr = collectCentroidTable(centroids).map(_.toSeq).toSeq
+        val origin = residualOrigin.getOrElse {
+          val centArr = collectCentroidTable(centroids).map(_.toSeq).toSeq
+          graft.functions.VectorExpressions.cell_residual(
+            col("qv"), col("cell"), centArr)
+        }
         (probedCells.select(col("query_id"), col("cell"),
-          PqExpressions.pq_lut(
-            rotated(graft.functions.VectorExpressions.cell_residual(
-              col("qv"), col("cell"), centArr)),
-            asSeq(cb)).as("lut")),
+          PqExpressions.pq_lut(rotated(origin), asSeq(cb)).as("lut")),
           Seq("query_id", "cell"))
       } else
         (q.select(col("query_id"),
@@ -902,6 +910,7 @@ object Pq {
                       kPerHalf: Int = 16, maxIter: Int = 5,
                       maxTrain: Int = 4096,
                       idCol: String = "vec_id", vecCol: String = "embedding",
+                      residual: Boolean = false,
                       pointLayout: Boolean = false,
                       pointLayoutFiles: Int = 64): Unit = {
     val sample = Similarity.collectTrainSample(corpus, maxTrain, idCol, vecCol)
@@ -916,7 +925,13 @@ object Pq {
       s"IMI half-centroid sets must be equal-sized, got ${c1.length} " +
         s"and ${c2.length}")
     val kk = c1.length
-    val cb = trainCodebooksFromSample(sample, m, ks, maxIter)
+    // residual (IVFADC under the product router): the codebooks train
+    // on sample residuals against the PRODUCT centroid — which
+    // decomposes, v − concat(c1(a), c2(b)) = (v1 − c1(a); v2 − c2(b)),
+    // so neither training nor the encode ever materializes a kPerHalf²
+    // centroid table
+    val cbTrain = if (residual) residualsOfImi(sample, c1, c2) else sample
+    val cb = trainCodebooksFromSample(cbTrain, m, ks, maxIter)
     val spark = corpus.sparkSession
     import spark.implicits._
     def writeHalf(c: Array[Array[Double]], p: String): Unit =
@@ -926,23 +941,66 @@ object Pq {
     writeHalf(c1, "centroids_h1")
     writeHalf(c2, "centroids_h2")
     writeCodebooks(spark, cb, dir)
-    writeParams(spark, dir, m, cb(0).length, residual = false, opq = false,
-      refineHalf = false, pointLayout = pointLayout,
+    writeParams(spark, dir, m, cb(0).length, residual = residual,
+      opq = false, refineHalf = false, pointLayout = pointLayout,
       pointLayoutFiles = pointLayoutFiles)
-    val cell =
-      graft.functions.VectorExpressions.nearest_cell(
-          expr(s"slice($vecCol, 1, $h)"), c1.map(_.toSeq).toSeq) * kk +
-        graft.functions.VectorExpressions.nearest_cell(
-          expr(s"slice($vecCol, ${h + 1}, ${d - h})"), c2.map(_.toSeq).toSeq)
+    val c1seq = c1.map(_.toSeq).toSeq
+    val c2seq = c2.map(_.toSeq).toSeq
+    val cell1 = graft.functions.VectorExpressions.nearest_cell(
+      expr(s"slice($vecCol, 1, $h)"), c1seq)
+    val cell2 = graft.functions.VectorExpressions.nearest_cell(
+      expr(s"slice($vecCol, ${h + 1}, ${d - h})"), c2seq)
+    val encodeInput: Column =
+      if (residual) concat(
+        graft.functions.VectorExpressions.cell_residual(
+          expr(s"slice($vecCol, 1, $h)"), cell1, c1seq),
+        graft.functions.VectorExpressions.cell_residual(
+          expr(s"slice($vecCol, ${h + 1}, ${d - h})"), cell2, c2seq))
+      else col(vecCol)
     val rows = widthGuarded(corpus, vecCol, cb).select(
       col(idCol).as("neighbor_id"),
-      PqExpressions.pq_encode_bytes(col(vecCol), asSeq(cb)).as("codes"),
-      cell.as("cell"))
+      PqExpressions.pq_encode_bytes(encodeInput, asSeq(cb)).as("codes"),
+      (cell1 * kk + cell2).as("cell"))
     writeShardRows(
       if (pointLayout) rows else rows.repartition(col("cell")),
       s"$dir/corpus/shard=base",
       if (pointLayout) pointLayoutFiles else 0)
   }
+
+  /** Sample residuals under the PRODUCT router, driver-side — the
+    * IMI twin of [[residualsOf]]: per-half cosine-argmax assignment
+    * (the same [[Similarity.nearestCell]] arithmetic the distributed
+    * encode runs on each slice), per-component subtraction against
+    * the matched half-centroid. */
+  private def residualsOfImi(sample: Array[Array[Double]],
+                             c1: Array[Array[Double]],
+                             c2: Array[Array[Double]]): Array[Array[Double]] = {
+    val h = c1(0).length
+    val n1 = c1.map(c => math.sqrt(c.map(x => x * x).sum))
+    val n2 = c2.map(c => math.sqrt(c.map(x => x * x).sum))
+    sample.map { v =>
+      val ca = c1(Similarity.nearestCell(c1, n1, v.take(h)))
+      val cbv = c2(Similarity.nearestCell(c2, n2, v.drop(h)))
+      Array.tabulate(v.length)(d =>
+        if (d < h) v(d) - ca(d) else v(d) - cbv(d - h))
+    }
+  }
+
+  /** The residual-trained codebook cube [[buildImiPqIndex]] trains
+    * with `residual = true` — exposed for Verify-time oracle
+    * generation (the [[trainedResidualCodebooks]] convention). */
+  private[graft] def trainedImiResidualCodebooks(corpus: DataFrame,
+                                                 c1: Array[Array[Double]],
+                                                 c2: Array[Array[Double]],
+                                                 m: Int, ks: Int = 16,
+                                                 maxIter: Int = 5,
+                                                 maxTrain: Int = 4096,
+                                                 idCol: String = "vec_id",
+                                                 vecCol: String = "embedding"): Array[Array[Array[Double]]] =
+    trainCodebooksFromSample(
+      residualsOfImi(
+        Similarity.collectTrainSample(corpus, maxTrain, idCol, vecCol),
+        c1, c2), m, ks, maxIter)
 
   /** Serve top-k ANN from a [[buildImiPqIndex]] directory: the
     * [[Similarity.imiRoutedCells]] per-half routing (2·kPerHalf
@@ -964,7 +1022,31 @@ object Pq {
       col(vecCol).as("qv")), "qv", cb)
     val probed = Similarity.imiRoutedCells(q, c1, c2, nprobe)
     val corpus = spark.read.parquet(s"$dir/corpus")
-    adcOverCells(spark, dir, cb, c1, q, probed, corpus, k, excludeSelf)
+    adcOverCells(spark, dir, cb, c1, q, probed, corpus, k, excludeSelf,
+      residualOrigin = imiResidualOrigin(spark, dir, c1, c2))
+  }
+
+  /** The decomposed LUT origin of a residual [[buildImiPqIndex]]
+    * serve: q − centroid(cell) = concat(q1 − c1(cell div K),
+    * q2 − c2(cell mod K)) over the two kPerHalf-row half tables —
+    * never the kPerHalf²-row product table. None when the index is
+    * raw (adcOverCells ignores the origin there anyway). */
+  private def imiResidualOrigin(spark: SparkSession, dir: String,
+                                c1: DataFrame,
+                                c2: DataFrame): Option[Column] = {
+    if (!readResidualFlag(spark, dir)) return None
+    val c1seq = collectCentroidTable(c1).map(_.toSeq).toSeq
+    val c2seq = collectCentroidTable(c2).map(_.toSeq).toSeq
+    val kk = c1seq.length
+    val h = c1seq.head.length
+    val h2 = c2seq.head.length
+    Some(concat(
+      graft.functions.VectorExpressions.cell_residual(
+        expr(s"slice(qv, 1, $h)"),
+        expr(s"CAST(cell div $kk AS INT)"), c1seq),
+      graft.functions.VectorExpressions.cell_residual(
+        expr(s"slice(qv, ${h + 1}, $h2)"),
+        expr(s"CAST(cell % $kk AS INT)"), c2seq)))
   }
 
   /** The POINT-SERVING form of [[imiPqTopK]] — [[ivfPqTopKPoint]]'s
@@ -999,7 +1081,8 @@ object Pq {
     val cells = pairs.map(_.getInt(1): Any).distinct.toSeq
     val corpus = spark.read.parquet(s"$dir/corpus")
       .where(Pushdown.pushedIsin(col("cell"), cells))
-    adcOverCells(spark, dir, cb, c1, q, probedCells, corpus, k, excludeSelf)
+    adcOverCells(spark, dir, cb, c1, q, probedCells, corpus, k, excludeSelf,
+      residualOrigin = imiResidualOrigin(spark, dir, c1, c2))
   }
 
   def buildIvfPqIndexVersioned(corpus: DataFrame, dir: String, m: Int,

@@ -856,4 +856,37 @@ class PqSpec extends SparkSpec {
     assert(rows(Pq.imiPqTopKPoint(q, dirPt, k = 3, nprobe = 2,
       maxProbedPairs = 1)) === batch)
   }
+
+  test("imi-pq residual (decomposed IVFADC): point ≡ batch; codes-only scan; residual codes differ") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-imipq-res").toString
+    Pq.buildImiPqIndex(em, dir, m = 8, ks = 8, kPerHalf = 3, residual = true)
+    val q = em.where(col("vec_id") < 5)
+    val batch = rows(Pq.imiPqTopK(q, dir, k = 3, nprobe = 2))
+    // the decomposed per-half LUT origin flows identically through the
+    // batch and point paths (shared adcOverCells body)
+    assert(rows(Pq.imiPqTopKPoint(q, dir, k = 3, nprobe = 2)) === batch)
+    assert(rows(Pq.imiPqTopK(q, dir, k = 3, nprobe = 2)) === batch)
+    // candidate scan stays codes-only; no re-encode/re-assign in serve
+    val plan = Pq.imiPqTopK(q, dir, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("PqEncode") && !plan.contains("NearestCell"))
+    val corpusScan = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("corpus"))
+      .mkString("\n")
+    assert(corpusScan.contains("codes") && !corpusScan.contains("embedding"))
+    // residual encoding measures from the per-half centroid origin —
+    // the stored codes must differ from the raw build's (same sample,
+    // same kPerHalf, different quantized space)
+    val rawDir = java.nio.file.Files.createTempDirectory("graft-imipq-raw").toString
+    Pq.buildImiPqIndex(em, rawDir, m = 8, ks = 8, kPerHalf = 3)
+    def codes(d: String) = spark.read.parquet(s"$d/corpus")
+      .select("neighbor_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(codes(dir) !== codes(rawDir))
+    // cells are routing, not encoding: identical across the two modes
+    def cells(d: String) = spark.read.parquet(s"$d/corpus")
+      .select("neighbor_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(dir) === cells(rawDir))
+  }
 }
