@@ -131,6 +131,19 @@ object SparkEntry {
       d
     })
 
+  /** q143's memoized OPQ + RESIDUAL Multi-D-ADC index — q142's twin
+    * with `opq = true`: codes assigned in the rotated decomposed
+    * residual space. */
+  private val imiPqOpqIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def imiPqOpqIndexFor(s: SparkSession, dir: String): String =
+    imiPqOpqIndexDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-imipqopq-index").toString
+      graft.ops.Pq.buildImiPqIndex(t(s, dir, "embeddings"), d,
+        m = 8, ks = 16, kPerHalf = 4, residual = true, opq = true)
+      d
+    })
+
   /** q131's memoized token shard STORE — built the way a real ingest
     * runs: the BPE model trains ONCE on the full corpus (frozen
     * tokenizer), the first 250 docs write as `batch=base`, the rest
@@ -897,6 +910,15 @@ object SparkEntry {
         graft.ops.Pq.imiPqTopK(
           t(s, dir, "embeddings").where(col("vec_id") < 20),
           imiPqResIndexFor(s, dir), k = 5, nprobe = 4)
+      },
+      // OPQ + residual Multi-D-ADC: the rotation trains on the
+      // decomposed product residuals and slots between the origin and
+      // the LUT exactly as in the flat family — the full accuracy
+      // stack (product routing + residual + learned rotation)
+      "q143_imi_pq_opq" -> q { (s, dir) =>
+        graft.ops.Pq.imiPqTopK(
+          t(s, dir, "embeddings").where(col("vec_id") < 20),
+          imiPqOpqIndexFor(s, dir), k = 5, nprobe = 4)
       },
       "q30_asof_join" -> q { (s, dir) =>
         import graft.ops.AsOf
@@ -2053,11 +2075,29 @@ object SparkEntry {
     * never materializes it. MATERIALIZED hints as in the q122 chain
     * (ql is referenced m times; DuckDB's default inlining replicates
     * the whole residual expression tree per copy). */
-  def imiPqResidualOracleSql(spark: SparkSession, sfDir: String): String = {
+  def imiPqResidualOracleSql(spark: SparkSession, sfDir: String): String =
+    imiPqResidualOracle(spark, sfDir, opq = false)
+
+  /** q143 oracle: the q142 chain with the OPQ rotation layer — corpus
+    * codes derive from R·(v − concat-centroid), query LUTs from the
+    * rotated decomposed origin; each rotated component is a literal
+    * left-assoc multiply-accumulate chain (the q125 treatment under
+    * the product router). */
+  def imiPqOpqResidualOracleSql(spark: SparkSession, sfDir: String): String =
+    imiPqResidualOracle(spark, sfDir, opq = true)
+
+  private def imiPqResidualOracle(spark: SparkSession, sfDir: String,
+                                  opq: Boolean): String = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val (c1, c2) = graft.ops.Similarity.trainedImiCentroids(emb, kPerHalf = 4)
-    val cb = graft.ops.Pq.trainedImiResidualCodebooks(emb, c1, c2,
-      m = 8, ks = 16)
+    val (rotOpt, cb) =
+      if (opq) {
+        val (r, c) = graft.ops.Pq.trainedImiOpqResidual(emb, c1, c2,
+          m = 8, ks = 16)
+        (Some(r), c)
+      } else
+        (None, graft.ops.Pq.trainedImiResidualCodebooks(emb, c1, c2,
+          m = 8, ks = 16))
     val kk = c1.length
     val h = c1.head.length
     val dim = h + c2.head.length
@@ -2086,6 +2126,24 @@ object SparkEntry {
         s"AND l$s.s = $s AND l$s.j = n.c$s"
     }.mkString("\n        ")
     val adcSum = (0 until m).map(s => s"l$s.dist").mkString(" + ")
+    // the rotation layer (opq): each output component is one literal
+    // left-assoc multiply-accumulate chain over the source's residual
+    // components — the q125 rotList treatment; the rotated sources
+    // materialize because each residual component is referenced dim×
+    def rotList(src: String, rot: Array[Array[Double]]): String =
+      rot.map(row => row.zipWithIndex
+        .map { case (w, d) => s"$w*$src.e[${d + 1}]" }
+        .mkString("(", " + ", ")")).mkString("[", ", ", "]")
+    val mat = if (opq) "MATERIALIZED " else ""
+    val rotCtes = rotOpt.map { rot =>
+      s""",
+      rrv AS MATERIALIZED (
+        SELECT vec_id, ${rotList("rv", rot)} AS e FROM rv),
+      qrr AS MATERIALIZED (
+        SELECT query_id, cell, ${rotList("qr", rot)} AS e FROM qr)"""
+    }.getOrElse("")
+    val corpusSrc = if (opq) "rrv" else "rv"
+    val querySrc = if (opq) "qrr" else "qr"
     s"""
       WITH ${duckCellAssignCtes(c1, "a")
         .replace("acells AS (", "acells AS MATERIALIZED (")},
@@ -2098,7 +2156,7 @@ object SparkEntry {
           $ccValues) AS t(cell, c)),
       cb AS (SELECT * FROM (VALUES
           $cbValues) AS t(s, j, c)),
-      rv AS (
+      rv AS $mat(
         SELECT pc.vec_id, $subList AS e
         FROM pcells pc JOIN cc ON pc.cell = cc.cell),
       t1 AS (SELECT vec_id AS query_id, cell AS h1, cos AS s1 FROM (
@@ -2114,15 +2172,15 @@ object SparkEntry {
             row_number() OVER (PARTITION BY t1.query_id
               ORDER BY (t1.s1 + t2.s2) DESC, t1.h1 * $kk + t2.h2) AS rn
           FROM t1 JOIN t2 ON t1.query_id = t2.query_id) WHERE rn <= 4),
-      qr AS (
+      qr AS $mat(
         SELECT p.query_id, p.cell, $qSubList AS e
         FROM probed p
         JOIN av q ON q.vec_id = p.query_id
-        JOIN cc ON cc.cell = p.cell),
+        JOIN cc ON cc.cell = p.cell)$rotCtes,
       sub AS (
-        SELECT rv.vec_id, cb.s, cb.j,
+        SELECT $corpusSrc.vec_id, cb.s, cb.j,
           $distExpr AS dist
-        FROM rv CROSS JOIN cb),
+        FROM $corpusSrc CROSS JOIN cb),
       codes AS (
         SELECT vec_id, s, j AS code FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id, s
@@ -2131,9 +2189,9 @@ object SparkEntry {
       n AS MATERIALIZED (SELECT vec_id AS neighbor_id, $codeCols
             FROM codes GROUP BY vec_id),
       ql AS MATERIALIZED (
-        SELECT qr.query_id, qr.cell, cb.s, cb.j,
+        SELECT $querySrc.query_id, $querySrc.cell, cb.s, cb.j,
           $distExpr AS dist
-        FROM qr CROSS JOIN cb),
+        FROM $querySrc CROSS JOIN cb),
       adc AS (
         SELECT p.query_id, a.vec_id AS neighbor_id, $adcSum AS adist
         FROM probed p

@@ -77,7 +77,9 @@ object Verify {
       ("q140_imi_pq_point" -> SparkEntry.imiPqOracleSql(spark, sfDir)) +
       ("q141_imi_neardup" -> SparkEntry.imiNearDupOracleSql(spark, sfDir)) +
       ("q142_imi_pq_residual" ->
-        SparkEntry.imiPqResidualOracleSql(spark, sfDir))
+        SparkEntry.imiPqResidualOracleSql(spark, sfDir)) +
+      ("q143_imi_pq_opq" ->
+        SparkEntry.imiPqOpqResidualOracleSql(spark, sfDir))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -911,6 +911,7 @@ object Pq {
                       maxTrain: Int = 4096,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       residual: Boolean = false,
+                      opq: Boolean = false,
                       pointLayout: Boolean = false,
                       pointLayoutFiles: Int = 64): Unit = {
     val sample = Similarity.collectTrainSample(corpus, maxTrain, idCol, vecCol)
@@ -929,9 +930,14 @@ object Pq {
     // on sample residuals against the PRODUCT centroid — which
     // decomposes, v − concat(c1(a), c2(b)) = (v1 − c1(a); v2 − c2(b)),
     // so neither training nor the encode ever materializes a kPerHalf²
-    // centroid table
+    // centroid table. opq additionally trains a rotation OF that space
+    // (raw or residual — the flat family's composition verbatim);
+    // serving needs no IMI-specific work, adcOverCells rotates the
+    // (possibly decomposed) LUT origin from the persisted rotation.
     val cbTrain = if (residual) residualsOfImi(sample, c1, c2) else sample
-    val cb = trainCodebooksFromSample(cbTrain, m, ks, maxIter)
+    val (rot, cb) =
+      if (opq) { val (r, c) = trainOpq(cbTrain, m, ks, maxIter); (Some(r), c) }
+      else (None, trainCodebooksFromSample(cbTrain, m, ks, maxIter))
     val spark = corpus.sparkSession
     import spark.implicits._
     def writeHalf(c: Array[Array[Double]], p: String): Unit =
@@ -941,8 +947,9 @@ object Pq {
     writeHalf(c1, "centroids_h1")
     writeHalf(c2, "centroids_h2")
     writeCodebooks(spark, cb, dir)
+    rot.foreach(writeRotation(spark, _, dir))
     writeParams(spark, dir, m, cb(0).length, residual = residual,
-      opq = false, refineHalf = false, pointLayout = pointLayout,
+      opq = opq, refineHalf = false, pointLayout = pointLayout,
       pointLayoutFiles = pointLayoutFiles)
     val c1seq = c1.map(_.toSeq).toSeq
     val c2seq = c2.map(_.toSeq).toSeq
@@ -950,13 +957,16 @@ object Pq {
       expr(s"slice($vecCol, 1, $h)"), c1seq)
     val cell2 = graft.functions.VectorExpressions.nearest_cell(
       expr(s"slice($vecCol, ${h + 1}, ${d - h})"), c2seq)
-    val encodeInput: Column =
+    val base: Column =
       if (residual) concat(
         graft.functions.VectorExpressions.cell_residual(
           expr(s"slice($vecCol, 1, $h)"), cell1, c1seq),
         graft.functions.VectorExpressions.cell_residual(
           expr(s"slice($vecCol, ${h + 1}, ${d - h})"), cell2, c2seq))
       else col(vecCol)
+    val encodeInput: Column = rot.map(rm =>
+      graft.functions.VectorExpressions.rotate(base, rm.map(_.toSeq).toSeq))
+      .getOrElse(base)
     val rows = widthGuarded(corpus, vecCol, cb).select(
       col(idCol).as("neighbor_id"),
       PqExpressions.pq_encode_bytes(encodeInput, asSeq(cb)).as("codes"),
@@ -985,6 +995,23 @@ object Pq {
         if (d < h) v(d) - ca(d) else v(d) - cbv(d - h))
     }
   }
+
+  /** The (rotation, codebooks) pair [[buildImiPqIndex]] trains with
+    * `residual = true, opq = true` — exposed for Verify-time oracle
+    * generation (the [[trainedOpqResidual]] convention). */
+  private[graft] def trainedImiOpqResidual(corpus: DataFrame,
+                                           c1: Array[Array[Double]],
+                                           c2: Array[Array[Double]],
+                                           m: Int, ks: Int = 16,
+                                           maxIter: Int = 5,
+                                           maxTrain: Int = 4096,
+                                           idCol: String = "vec_id",
+                                           vecCol: String = "embedding")
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    trainOpq(
+      residualsOfImi(
+        Similarity.collectTrainSample(corpus, maxTrain, idCol, vecCol),
+        c1, c2), m, ks, maxIter)
 
   /** The residual-trained codebook cube [[buildImiPqIndex]] trains
     * with `residual = true` — exposed for Verify-time oracle

@@ -888,5 +888,18 @@ class PqSpec extends SparkSpec {
       .select("neighbor_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(cells(dir) === cells(rawDir))
+
+    // ---- opq layer on top: rotation persists, codes move again,
+    // routing still identical, point ≡ batch through the rotated
+    // decomposed origin ----
+    val opqDir = java.nio.file.Files.createTempDirectory("graft-imipq-opq").toString
+    Pq.buildImiPqIndex(em, opqDir, m = 8, ks = 8, kPerHalf = 3,
+      residual = true, opq = true)
+    assert(new java.io.File(s"$opqDir/rotation").exists())
+    assert(codes(opqDir) !== codes(dir))
+    assert(cells(opqDir) === cells(dir))
+    val ob = rows(Pq.imiPqTopK(q, opqDir, k = 3, nprobe = 2))
+    assert(rows(Pq.imiPqTopKPoint(q, opqDir, k = 3, nprobe = 2)) === ob)
+    assert(rows(Pq.imiPqTopK(q, opqDir, k = 3, nprobe = 2)) === ob)
   }
 }
