@@ -951,6 +951,49 @@ object Pq {
     writeParams(spark, dir, m, cb(0).length, residual = residual,
       opq = opq, refineHalf = false, pointLayout = pointLayout,
       pointLayoutFiles = pointLayoutFiles)
+    writeImiPqShard(corpus, dir, c1, c2, cb, "base", idCol, vecCol,
+      residual, rot, if (pointLayout) pointLayoutFiles else 0)
+  }
+
+  /** Append a shard to a [[buildImiPqIndex]] directory under the
+    * frozen half-centroid sets AND frozen codebooks (and rotation, if
+    * any) — [[appendToIvfPqIndex]]'s contract on the product family.
+    * THE streaming-ingest case for IMI: each appended row pays
+    * O(kPerHalf·d) routing instead of O(kPerHalf²·d), which at a
+    * continuous-ingest cadence is the difference between the encode
+    * being a projection and being the pipeline's hot loop. */
+  def appendToImiPqIndex(shard: DataFrame, dir: String, shardId: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    require(shardId.nonEmpty && shardId != "base" &&
+      shardId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"shardId '$shardId' must be a non-'base' [A-Za-z0-9_-]+ token")
+    val spark = shard.sparkSession
+    def half(p: String) =
+      collectCentroidTable(spark.read.parquet(s"$dir/$p"))
+    val (pl, plFiles) = readPointLayout(spark, dir)
+    writeImiPqShard(shard, dir, half("centroids_h1"), half("centroids_h2"),
+      readCodebooks(spark, dir), shardId, idCol, vecCol,
+      readResidualFlag(spark, dir), readRotation(spark, dir),
+      if (pl) plFiles else 0)
+  }
+
+  /** The ONE IMI-PQ corpus-shard writer (build and append land here,
+    * so the two paths cannot drift): product cell from the two
+    * half-space NearestCells, codes from the (optionally decomposed
+    * residual, optionally rotated) encode input — a single scan-local
+    * projection either way. */
+  private def writeImiPqShard(vectors: DataFrame, dir: String,
+                              c1: Array[Array[Double]],
+                              c2: Array[Array[Double]],
+                              cb: Array[Array[Array[Double]]],
+                              shardId: String, idCol: String,
+                              vecCol: String, residual: Boolean,
+                              rot: Option[Array[Array[Double]]],
+                              pointLayoutFiles: Int): Unit = {
+    val kk = c1.length
+    val h = c1(0).length
+    val d = h + c2(0).length
     val c1seq = c1.map(_.toSeq).toSeq
     val c2seq = c2.map(_.toSeq).toSeq
     val cell1 = graft.functions.VectorExpressions.nearest_cell(
@@ -967,14 +1010,13 @@ object Pq {
     val encodeInput: Column = rot.map(rm =>
       graft.functions.VectorExpressions.rotate(base, rm.map(_.toSeq).toSeq))
       .getOrElse(base)
-    val rows = widthGuarded(corpus, vecCol, cb).select(
+    val rows = widthGuarded(vectors, vecCol, cb).select(
       col(idCol).as("neighbor_id"),
       PqExpressions.pq_encode_bytes(encodeInput, asSeq(cb)).as("codes"),
       (cell1 * kk + cell2).as("cell"))
     writeShardRows(
-      if (pointLayout) rows else rows.repartition(col("cell")),
-      s"$dir/corpus/shard=base",
-      if (pointLayout) pointLayoutFiles else 0)
+      if (pointLayoutFiles > 0) rows else rows.repartition(col("cell")),
+      s"$dir/corpus/shard=$shardId", pointLayoutFiles)
   }
 
   /** Sample residuals under the PRODUCT router, driver-side — the
@@ -1040,6 +1082,7 @@ object Pq {
   def imiPqTopK(queries: DataFrame, dir: String, k: Int,
                 nprobe: Int = 4, idCol: String = "vec_id",
                 vecCol: String = "embedding",
+                excludeShards: Seq[String] = Nil,
                 excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     val cb = readCodebooks(spark, dir)
@@ -1048,7 +1091,7 @@ object Pq {
     val q = widthGuarded(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")), "qv", cb)
     val probed = Similarity.imiRoutedCells(q, c1, c2, nprobe)
-    val corpus = spark.read.parquet(s"$dir/corpus")
+    val corpus = shardFiltered(spark, dir, excludeShards)
     adcOverCells(spark, dir, cb, c1, q, probed, corpus, k, excludeSelf,
       residualOrigin = imiResidualOrigin(spark, dir, c1, c2))
   }
@@ -1088,6 +1131,7 @@ object Pq {
   def imiPqTopKPoint(queries: DataFrame, dir: String, k: Int,
                      nprobe: Int = 4, idCol: String = "vec_id",
                      vecCol: String = "embedding",
+                     excludeShards: Seq[String] = Nil,
                      excludeSelf: Boolean = true,
                      maxProbedPairs: Int = 1024): DataFrame = {
     val spark = queries.sparkSession
@@ -1100,13 +1144,14 @@ object Pq {
       .select("query_id", "cell")
     val pairs = routing.limit(maxProbedPairs + 1).collect()
     if (pairs.length > maxProbedPairs || pairs.isEmpty)
-      return imiPqTopK(queries, dir, k, nprobe, idCol, vecCol, excludeSelf)
+      return imiPqTopK(queries, dir, k, nprobe, idCol, vecCol,
+        excludeShards, excludeSelf)
     val litRouting = spark.createDataFrame(
       java.util.Arrays.asList(pairs: _*), routing.schema)
     val probedCells = litRouting.join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("qv"), col("cell"))
     val cells = pairs.map(_.getInt(1): Any).distinct.toSeq
-    val corpus = spark.read.parquet(s"$dir/corpus")
+    val corpus = shardFiltered(spark, dir, excludeShards)
       .where(Pushdown.pushedIsin(col("cell"), cells))
     adcOverCells(spark, dir, cb, c1, q, probedCells, corpus, k, excludeSelf,
       residualOrigin = imiResidualOrigin(spark, dir, c1, c2))

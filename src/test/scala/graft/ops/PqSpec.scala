@@ -902,4 +902,54 @@ class PqSpec extends SparkSpec {
     assert(rows(Pq.imiPqTopKPoint(q, opqDir, k = 3, nprobe = 2)) === ob)
     assert(rows(Pq.imiPqTopK(q, opqDir, k = 3, nprobe = 2)) === ob)
   }
+
+  test("imi-pq append: frozen quantizers; full-probe union equals frozen flat ranking; replay; excludeShards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-imipq-app").toString
+    val (base, shard) =
+      (em.where(col("vec_id") < 400), em.where(col("vec_id") >= 400))
+    Pq.buildImiPqIndex(base, dir, m = 8, ks = 8, kPerHalf = 3)
+    Pq.appendToImiPqIndex(shard, dir, shardId = "day-1")
+    val q = em.where(col("vec_id") < 5)
+    val got = Pq.imiPqTopK(q, dir, k = 3, nprobe = 9)
+    // appended vectors compete: a full probe over the union must equal
+    // a from-scratch flat ranking under the SAME (base-trained) cube
+    val cb = Pq.readCodebooks(spark, dir)
+    val ks = cb(0).length
+    val lut = broadcast(q.select(col("vec_id").as("query_id"),
+      PqExpressions.pq_lut(col("embedding"),
+        cb.map(_.map(_.toSeq).toSeq).toSeq).as("lut")))
+    val flat = Pq.encode(em, cb)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(lut, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        negate(PqExpressions.pq_adc(col("lut"), col("codes"), ks)))
+      .groupBy("query_id")
+      .agg(graft.functions.AggExpressions.top_k_by_score(
+        col("score"), col("neighbor_id").cast("long"), 3).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("nb"))
+      .select(col("query_id"), col("nb.rnk").as("rnk"),
+        col("nb.id").as("neighbor_id"),
+        round(negate(col("nb.score")), 4).as("adc_dist"))
+    assert(rows(got) === rows(flat))
+    // replay replaces, never duplicates
+    Pq.appendToImiPqIndex(shard, dir, shardId = "day-1")
+    assert(rows(Pq.imiPqTopK(q, dir, k = 3, nprobe = 9)) === rows(got))
+    // excluding the shard restores a base-only candidate set
+    val baseIds = base.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(Pq.imiPqTopK(q, dir, k = 3, nprobe = 9,
+        excludeShards = Seq("day-1")).collect()
+      .map(_.getAs[Long]("neighbor_id")).forall(baseIds.contains))
+    // residual append: the decomposed encode runs under the frozen
+    // half-centroids too; point ≡ batch over the appended union
+    val rdir = java.nio.file.Files.createTempDirectory("graft-imipq-rapp").toString
+    Pq.buildImiPqIndex(base, rdir, m = 8, ks = 8, kPerHalf = 3,
+      residual = true)
+    Pq.appendToImiPqIndex(shard, rdir, shardId = "day-1")
+    val rb = rows(Pq.imiPqTopK(q, rdir, k = 3, nprobe = 9))
+    assert(rows(Pq.imiPqTopKPoint(q, rdir, k = 3, nprobe = 9)) === rb)
+    val shardIds = shard.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(Pq.imiPqTopK(q, rdir, k = 400, nprobe = 9).collect()
+      .map(_.getAs[Long]("neighbor_id")).exists(shardIds.contains),
+      "appended vectors must be servable")
+  }
 }
