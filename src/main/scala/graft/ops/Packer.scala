@@ -407,11 +407,16 @@ object Packer {
     * token_ids — `cu_seqlens`, the cumulative document boundaries in
     * the flash-attention varlen convention (k docs → k+1 entries,
     * cu(0) = 0, cu(k) = n_tokens, doc j = tokens [cu(j), cu(j+1))),
-    * and `position_ids`, each token's position within its OWN
-    * document (packed sequences concatenate unrelated documents;
-    * absolute positions would leak phantom context across the
-    * boundary, so rotary/absolute embeddings restart at every doc
-    * start). Both are pure array arithmetic over the compact
+    * and `position_ids`, each token's position within its own
+    * PER-SEQUENCE DOC SPAN (packed sequences concatenate unrelated
+    * documents; absolute positions would leak phantom context across
+    * the boundary, so rotary/absolute embeddings restart at every doc
+    * start). Precisely: positions restart at each stored span, so a
+    * document split across packed sequences has its continuation
+    * chunk restart at 0 — consistent with cu_seqlens, which makes
+    * each chunk its own attention segment (r14 advice: spans, not
+    * whole documents, are the attention unit). Both are pure array
+    * arithmetic over the compact
     * doc_spans — no token-level join, no shuffle: the spans tile each
     * sequence start-ascending (a [[materializeTokenShards]]
     * invariant), so the spans' starts plus n_tokens ARE the

@@ -730,8 +730,13 @@ object Similarity {
       shardId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"shardId '$shardId' must be a non-'base' [A-Za-z0-9_-]+ token")
     val spark = shard.sparkSession
-    def half(p: String) = spark.read.parquet(s"$dir/$p")
-      .orderBy("cell").collect().map(_.getSeq[Double](1))
+    // read through the dense-numbering check (r14 advice): writeImiShard
+    // indexes these arrays BY cell id, so a sparse or renumbered
+    // centroid relation must refuse loudly, not assign against the
+    // wrong centroids — the same guard appendToImiPqIndex already gets
+    // via Pq.collectCentroidTable
+    def half(p: String): Array[Seq[Double]] =
+      Pq.collectCentroidTable(spark.read.parquet(s"$dir/$p")).map(_.toSeq)
     // the shard must land in the store's layout (persisted at build;
     // pre-params indexes are hive by construction)
     val plfPath = new org.apache.hadoop.fs.Path(s"$dir/params")
@@ -813,7 +818,14 @@ object Similarity {
     * because a pair outside some half's top-nprobe is dominated by
     * nprobe strictly-better pairs sharing its other half (strictly by
     * the (dist, cell) tie order), so it can never make the global
-    * top-nprobe. Probed cells then score exactly, [[ivfTopKIndexed]]'s
+    * top-nprobe. One floating-point caveat (r14 advice): the dominance
+    * is strict on the REAL sums; if fl(s1(a')+s2(b)) rounds equal to
+    * fl(s1(a)+s2(b)) despite s1(a') > s1(a), the cell-asc tiebreak can
+    * rank the pruned pair above its dominator, so the pruning is
+    * almost-surely (not provably) identical to all-pairs routing on
+    * adversarial inputs. The DuckDB oracles prune with the identical
+    * rounded sums, so cross-engine verification is unaffected either
+    * way. Probed cells then score exactly, [[ivfTopKIndexed]]'s
     * tail verbatim: same cosine, same (cos_sim desc, id) ranks. */
   def imiTopKIndexed(queries: DataFrame, dir: String, k: Int,
                      nprobe: Int = 4, idCol: String = "vec_id",
