@@ -310,6 +310,13 @@ def diff(base, cand, threshold, out=print):
     else:
         h, src = host_speed_ratio(base, cand, out)
     out(f"start probes: base {pb:.3f}s  cand {pc:.3f}s  (ratio {pc / pb:.2f}x)")
+    # r15: graft.Bench self-labels a hot/cold window against the record
+    # lineage median -- surface the stamp loudly if either side carries it
+    for name, rec in (("base", base), ("cand", cand)):
+        ws = rec.get("window_suspect")
+        if ws:
+            out(f"WINDOW-SUSPECT ({name}): run self-labeled displaced "
+                f"{ws} vs its record-lineage median -- treat as suspect")
     out(f"host speed ratio used: {h:.3f}x -- {src}")
     out(f"total: base {base.get('value', '?')}s  cand {cand.get('value', '?')}s")
     rows = []

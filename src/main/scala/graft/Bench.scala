@@ -41,7 +41,8 @@ object Bench {
   private[graft] def shortLine(total: Double, probeSec: Double,
       probes: Seq[(Int, Double)], memProbes: Seq[(Int, Double)],
       shuffleSeed: Option[Long], timed: Seq[(String, Double)],
-      failed: Seq[String], sfDir: String, nQueries: Int): String = {
+      failed: Seq[String], sfDir: String, nQueries: Int,
+      windowField: String = ""): String = {
     def trim(ps: Seq[(Int, Double)]) =
       ps.filter { case (p, _) => p == 0 || p == nQueries }
         .map { case (p, s) => s"[$p,${fmt2(s)}]" }.mkString("[", ",", "]")
@@ -53,7 +54,76 @@ object Bench {
     // last path component only ("sf0.1"): the scale factor is the
     // information; the directory prefix is 15 bytes of budget
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","bench_semantics":$BenchSemantics,"probe_sec":${fmt2(probeSec)},"probes":${trim(probes)},"mem_probes":${trim(memProbes)}$seedField,"queries":$qs,"failed":$fs,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","bench_semantics":$BenchSemantics,"probe_sec":${fmt2(probeSec)},"probes":${trim(probes)},"mem_probes":${trim(memProbes)}$seedField$windowField,"queries":$qs,"failed":$fs,"sf":"$sf"}"""
+  }
+
+  /** Self-defense against host windows (r15 verdict #2): the shipped
+    * BENCH_r14.json carried start probe 1.9 vs the 0.76–0.86 of every
+    * clean reading and entered the lineage as a silent regression until
+    * benchdiff ruled it INCONCLUSIVE after the fact. Here the run
+    * labels ITSELF: compare this run's start probes against the
+    * probe lineage of prior records and stamp
+    * `"window_suspect":[scanRatio(,memRatio)]` into both JSON lines
+    * (plus a loud stderr line) when EITHER family reads > 1.5× its
+    * reference. Reference = the MEDIAN of the prior records' start
+    * probes (median, not latest: the latest record may itself be the
+    * hot artifact — r14 was — and a hot reference would mask a hot
+    * run), restricted to records whose sf tail matches this run's
+    * (probe time scales with the data). Only inflation fires: hot
+    * hosts AND cold page caches both INFLATE probes (the r14 discarded
+    * first run read 6–9×); a faster-than-reference run is just a prior
+    * record that should have labeled itself. Records parse by regex
+    * from raw file text, so both the driver's wrapper format (bench
+    * line inside a "tail" field) and a raw full line work. */
+  private[graft] def windowStamp(probeSec: Double, memProbeSec: Double,
+      sfTail: String, prevTexts: Seq[String]): (String, Option[String]) = {
+    val probeRe = """"probe_sec":([0-9.eE+-]+)""".r
+    val memRe = """"mem_probes":\[\[0,([0-9.eE+-]+)""".r
+    val sfRe = """"sf":"([^"]+)"""".r
+    def median(xs: Seq[Double]): Option[Double] =
+      if (xs.isEmpty) None
+      else Some(xs.sorted.apply((xs.size - 1) / 2))
+    val matching = prevTexts.filter(t => sfRe.findFirstMatchIn(t)
+      .exists(_.group(1).split('/').filter(_.nonEmpty).last == sfTail))
+    val refScan = median(matching.flatMap(t =>
+      probeRe.findFirstMatchIn(t).map(_.group(1).toDouble)).filter(_ > 0))
+    val refMem = median(matching.flatMap(t =>
+      memRe.findFirstMatchIn(t).map(_.group(1).toDouble)).filter(_ > 0))
+    val rScan = refScan.map(probeSec / _)
+    val rMem = refMem.map(memProbeSec / _)
+    if (rScan.exists(_ > 1.5) || rMem.exists(_ > 1.5)) {
+      val ratios = (rScan.toSeq ++ rMem.toSeq).map(fmt2).mkString(",")
+      (s""","window_suspect":[$ratios]""",
+        Some(s"[bench] WINDOW-SUSPECT: start probes displaced vs the " +
+          s"record lineage (scan ${rScan.map(fmt2).getOrElse("n/a")}x of " +
+          s"median ${refScan.map(fmt2).getOrElse("n/a")}" +
+          rMem.map(r => s"; mem ${fmt2(r)}x of median ${fmt2(refMem.get)}")
+            .getOrElse("") +
+          ") -- this run likely sits in a hot/cold host window; " +
+          "do not record it without a re-run"))
+    } else ("", None)
+  }
+
+  /** Prior bench records for [[windowStamp]]: an explicit `--prev
+    * <path>` arg or SPARK_GRAFT_BENCH_PREV pins ONE reference file;
+    * otherwise every BENCH_r*.json in the working directory (where the
+    * driver runs) joins the median. Unreadable files are skipped — the
+    * stamp is advisory and must never fail the bench. */
+  private[graft] def prevRecordTexts(args: Array[String]): Seq[String] = {
+    def readAll(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8"))
+      catch { case _: Throwable => None }
+    val pinned = args.sliding(2).collectFirst {
+      case Array("--prev", p) => p
+    }.orElse(sys.env.get("SPARK_GRAFT_BENCH_PREV"))
+    pinned match {
+      case Some(p) => readAll(p).toSeq
+      case None =>
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName).toSeq.flatMap(f => readAll(f.getPath))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -128,6 +198,12 @@ object Bench {
     }
     val probeSec = timedProbe()
     val memProbeSec = timedMemProbe()
+    // self-label a hot/cold host window NOW (stderr) and in both JSON
+    // lines (window_suspect) — see windowStamp
+    val sfTail = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val (windowField, windowWarn) =
+      windowStamp(probeSec, memProbeSec, sfTail, prevRecordTexts(args))
+    windowWarn.foreach(System.err.println)
     // All interleaved probes of the whole run as (query-index, sec):
     // a single start-of-run probe is blind to a host window opening
     // mid-suite (the r10 phantom-regression adjudication) — probes run
@@ -257,7 +333,7 @@ object Bench {
     // budget doc); the full-name, full-precision record — including
     // the complete mid-pass probe timelines — goes to a file
     val json = shortLine(total, probeSec, probes.toSeq, memProbes.toSeq,
-      shuffleSeed, timed, failed, sfDir, ordered.size)
+      shuffleSeed, timed, failed, sfDir, ordered.size, windowField)
     val seedField = shuffleSeed.map(s => s""","shuffle_seed":$s""").getOrElse("")
     val qsFull = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -266,7 +342,7 @@ object Bench {
     val mpFull = memProbes.map { case (p, s) => s"[$p,$s]" }
       .mkString("[", ",", "]")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"bench_semantics":$BenchSemantics,"probe_sec":$probeSec,"mem_probe_sec":$memProbeSec,"probes":$psFull,"mem_probes":$mpFull$seedField,"queries":$qsFull,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"bench_semantics":$BenchSemantics,"probe_sec":$probeSec,"mem_probe_sec":$memProbeSec,"probes":$psFull,"mem_probes":$mpFull$seedField$windowField,"queries":$qsFull,"failed":$fs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (jsonFull + "\n").getBytes("UTF-8"))

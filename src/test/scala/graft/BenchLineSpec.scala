@@ -22,10 +22,13 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.shortLine(total = 107.77, probeSec = 0.86,
       probes = sched, memProbes = sched.map { case (p, s) => (p, s * 2) },
       shuffleSeed = None, timed = timed, failed = Nil,
-      sfDir = "/root/testdata/sf0.1", nQueries = n)
-    // hard driver window is 2000 bytes; pin with >=170 bytes of margin
-    // (r14: +21 bytes for the bench_semantics stamp moved the pin)
-    assert(line.length <= 1830, s"short line is ${line.length} bytes")
+      sfDir = "/root/testdata/sf0.1", nQueries = n,
+      // budget-pin the worst case: the window stamp fired (r15)
+      windowField = ""","window_suspect":[1.92,1.67]""")
+    // hard driver window is 2000 bytes; pin with >=140 bytes of margin
+    // (r14: +21 bytes for bench_semantics; r15: +31 for window_suspect)
+    assert(line.length <= 1860, s"short line is ${line.length} bytes")
+    assert(line.contains(""","window_suspect":[1.92,1.67],"""))
     assert(line.startsWith("{\"metric\":\"total\""), "driver parses head-anchored")
     assert(line.contains("\"queries\":{\"q1\":7.77,"), "qNN truncation")
     // probes trimmed to pass starts/ends only: initial + 2×(start, end)
@@ -41,6 +44,48 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.shortLine(1.0, 0.9, Seq(0 -> 0.9), Seq(0 -> 1.8),
       Some(42L), Seq("q1_x" -> 1.0), Nil, "/tmp/sf", 1)
     assert(line.contains("\"shuffle_seed\":42"))
+  }
+
+  // --- windowStamp (r15): the run labels its own host window ---
+
+  // a driver-wrapper-shaped record: the bench line rides in a "tail"
+  private def rec(probe: Double, mem: Double, sf: String = "sf0.1") =
+    s"""{"n": 9, "rc": 0, "tail": "...\\n{\\"metric\\":\\"total\\"""" +
+      s""","probe_sec":$probe,"probes":[[0,$probe],[140,0.7]]""" +
+      s""","mem_probes":[[0,$mem],[140,1.4]],"sf":"$sf"}"""
+
+  test("windowStamp fires on a hot start probe vs the record median") {
+    // lineage includes a hot artifact (1.9) — the median shrugs it off
+    val prevs = Seq(rec(0.86, 1.7), rec(0.93, 1.8), rec(0.92, 1.75),
+      rec(1.9, 3.8), rec(0.85, 1.7))
+    // clean run: no stamp
+    val (f0, w0) = Bench.windowStamp(0.88, 1.72, "sf0.1", prevs)
+    assert(f0 === "" && w0.isEmpty)
+    // hot run: both families displaced -> stamp + loud stderr line
+    val (f1, w1) = Bench.windowStamp(1.9, 3.9, "sf0.1", prevs)
+    assert(f1.startsWith(""","window_suspect":["""), f1)
+    assert(w1.exists(_.contains("WINDOW-SUSPECT")))
+    // one displaced family is enough (cold page cache shows scan-first)
+    val (f2, _) = Bench.windowStamp(2.2, 1.7, "sf0.1", prevs)
+    assert(f2.nonEmpty)
+    // faster-than-median never fires (the hot PRIOR should have labeled
+    // itself; symmetric firing would stamp every clean run after it)
+    val (f3, _) = Bench.windowStamp(0.5, 1.0, "sf0.1", prevs)
+    assert(f3 === "")
+  }
+
+  test("windowStamp compares same-sf records only and degrades to silence") {
+    // a dev-loop sf0.01 run must not compare against sf0.1 records
+    val (f, w) = Bench.windowStamp(9.9, 9.9, "sf0.01",
+      Seq(rec(0.86, 1.7), rec(0.93, 1.8)))
+    assert(f === "" && w.isEmpty)
+    // no records at all -> silence, never a crash
+    val (f2, _) = Bench.windowStamp(9.9, 9.9, "sf0.1", Nil)
+    assert(f2 === "")
+    // full-path sf tails (pre-r13 records) still match
+    val (f3, _) = Bench.windowStamp(2.0, 1.7, "sf0.1",
+      Seq(rec(0.86, 1.7, sf = "/root/testdata/sf0.1")))
+    assert(f3.nonEmpty)
   }
 
   test("fmt2 strips trailing zeros losslessly") {
