@@ -77,9 +77,14 @@ object Bench {
     * line inside a "tail" field) and a raw full line work. */
   private[graft] def windowStamp(probeSec: Double, memProbeSec: Double,
       sfTail: String, prevTexts: Seq[String]): (String, Option[String]) = {
-    val probeRe = """"probe_sec":([0-9.eE+-]+)""".r
-    val memRe = """"mem_probes":\[\[0,([0-9.eE+-]+)""".r
-    val sfRe = """"sf":"([^"]+)"""".r
+    // the driver's wrapper format escapes the bench line's quotes
+    // inside its "tail" string field (\"probe_sec\":1.9), so every
+    // key-quote is optionally backslash-preceded — without this the
+    // stamp silently never fires against driver-written records (the
+    // r15 cold-window run read probe 5.5 unstamped; that was this bug)
+    val probeRe = """"probe_sec\\?":([0-9.eE+-]+)""".r
+    val memRe = """"mem_probes\\?":\[\[0,([0-9.eE+-]+)""".r
+    val sfRe = """"sf\\?":\\?"([^"\\]+)""".r
     def median(xs: Seq[Double]): Option[Double] =
       if (xs.isEmpty) None
       else Some(xs.sorted.apply((xs.size - 1) / 2))

@@ -74,7 +74,59 @@ object BpeProbe {
     merges.toSeq
   }
 
+  /** `dev/run.sh graft.BpeProbe schedule [nWords] [nMerges] [window]`
+    * — the production-vocabulary question (r15 verdict #5): the
+    * trainer is oracle-verified to 128 merges, but a real tokenizer
+    * runs 32k–100k; what does a long schedule COST on the incremental
+    * distributed path, and is the per-merge price constant (the
+    * constant-jobs-per-merge claim) or does it drift as the symbol
+    * inventory grows? Runs an above-cutoff vocabulary through
+    * `nMerges` distributed-incremental merges, printing wall + Spark
+    * job count per `window`-merge window — the curve is the deliverable
+    * (flat s/merge ⇒ the 32k wall is merges × s/merge, a scheduling
+    * fact, and merge-batching is the lever if that wall matters). */
+  private def scheduleProbe(spark: SparkSession, nWords: Long,
+                            nMerges: Int, window: Int): Unit = {
+    val docs = synthVocabDocs(spark, nWords)
+    docs.cache().count()
+    val tracker = spark.sparkContext.statusTracker
+    var lastT = System.nanoTime()
+    var lastJobs = tracker.getJobIdsForGroup(null).length
+    println(s"vocab=$nWords merges=$nMerges window=$window")
+    var done = 0
+    while (done < nMerges) {
+      val step = math.min(window, nMerges - done)
+      // restartDir carries the loop state across windows: each window
+      // RESUMES the schedule (the trainer's own restart contract), so
+      // the probe measures windows of one continuous schedule, not
+      // nWindows independent schedules
+      // restartEvery = window: commit once per window (resume points
+      // at the boundaries the probe resumes at), so the curve reads
+      // merge cost, not per-merge checkpoint churn
+      val _ = LangModel.bpeLoop(docs, done + step, "text", None, 0L,
+        restartDir = Some("/tmp/bpe-schedule-probe"),
+        restartEvery = window)
+      done += step
+      val now = System.nanoTime()
+      val jobs = tracker.getJobIdsForGroup(null).length
+      println(f"merges ${done - step}%6d..$done%6d: " +
+        f"${(now - lastT) / 1e9}%7.1f s  " +
+        f"${(now - lastT) / 1e9 / step}%6.3f s/merge  " +
+        f"jobs=${jobs - lastJobs}%6d (${(jobs - lastJobs).toDouble / step}%5.1f/merge)")
+      lastT = now; lastJobs = jobs
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("schedule")) {
+      val spark = GraftSession.local("bpe-schedule")
+      spark.sparkContext.setLogLevel("ERROR")
+      scheduleProbe(spark,
+        args.lift(1).map(_.toLong).getOrElse(2500000L),
+        args.lift(2).map(_.toInt).getOrElse(2048),
+        args.lift(3).map(_.toInt).getOrElse(256))
+      spark.stop(); return
+    }
     val nWords = args.headOption.map(_.toLong).getOrElse(200000L)
     val nMerges = args.drop(1).headOption.map(_.toInt).getOrElse(32)
     val spark = GraftSession.local("bpe-probe")

@@ -278,6 +278,18 @@ object PqProbe {
         val (_, pP) = wall(drain(Pq.ivfPqTopKPoint(q1, ptDir, k = 5, nprobe = 8)))
         println(f"1-query round $round: pointLayout batch=$bP%.2fs point=$pP%.2fs")
       }
+      // the product-router siblings at the same cell count (q140's
+      // serve pair) — kPerHalf = √nlist, pointLayout both
+      val kph = math.max(2, math.round(math.sqrt(nlist.toDouble)).toInt)
+      val imiDir = java.nio.file.Files.createTempDirectory("ptadc-imipq").toString
+      val (_, tI) = wall(Pq.buildImiPqIndex(em, imiDir, m = m, ks = 256,
+        kPerHalf = kph, pointLayout = true))
+      println(f"imipq K=$kph (${kph * kph} cells) build: point=$tI%.1fs")
+      for (round <- 1 to 3) {
+        val (_, bI) = wall(drain(Pq.imiPqTopK(q1, imiDir, k = 5, nprobe = 8)))
+        val (_, pI) = wall(drain(Pq.imiPqTopKPoint(q1, imiDir, k = 5, nprobe = 8)))
+        println(f"1-query round $round: imipq batch=$bI%.2fs point=$pI%.2fs")
+      }
       return
     }
     println(f"n=$n nlist=$nlist m=$m build: hive=$tH%.1fs (files=${fileCount(s"$hiveDir/corpus")}) " +
@@ -392,6 +404,66 @@ object PqProbe {
     }
   }
 
+  /** `PqProbe kmeans /tmp/graft-vecs1000000` — the r15 #1 measurement:
+    * the distributed TRAINER wall, flat vs per-half (product), at the
+    * huge-nlist regime the whole-corpus trainer exists for. Two
+    * questions: (1) per-iteration corpus-scan cost at equal cell
+    * count — flat trainCentroidsDistributed pays O(nlist·d)/row where
+    * trainImiCentroidsDistributed pays O(2·√nlist·d/2)/row, so the
+    * gap should match the r14 assignment-scan matrix (~121× at
+    * nlist=16,384); (2) the recall consequence — corpus-trained
+    * halves vs the bounded 4096-row sample-trained halves at
+    * kPerHalf=128, where per-cell sample support is ~0.25 rows and
+    * sample quality is what degrades first (SCALE.md r14 addendum 3
+    * showed √nlist centroids train BETTER from the same sample; this
+    * measures what whole-corpus training buys on top). */
+  private def kmeansProbe(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit = {
+    import graft.ops.Similarity
+    val em = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = em.count() // warms the page cache
+    println(s"corpus n=$n")
+    def wall(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // (1) one-iteration trainer wall at equal cell count
+    for (k <- Seq(64, 128)) {
+      val tImi = wall(Similarity.trainImiCentroidsDistributed(
+        em, kPerHalf = k, maxIter = 1))
+      println(f"kPerHalf=$k%4d (${k * k}%6d cells): imi-trainer 1 iter = $tImi%6.2f s")
+    }
+    val tFlat = wall(Similarity.trainCentroidsDistributed(
+      em, nlist = 16384, maxIter = 1))
+    println(f"flat nlist=16384: flat-trainer 1 iter = $tFlat%6.2f s")
+    // (2) recall: sample-trained vs corpus-trained halves, kPerHalf=128
+    val q = em.where(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(q, em, k = 5).localCheckpoint()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.annRecall(truth, approx)
+        .agg(avg("recall_ppm")).head().getDouble(0)
+    val sampleDir = java.nio.file.Files.createTempDirectory("km-sample").toString
+    val tS = wall(Similarity.buildImiIndex(em, sampleDir, kPerHalf = 128))
+    val tTrain = {
+      val t0 = System.nanoTime()
+      val cent = Similarity.trainImiCentroidsDistributed(em, kPerHalf = 128,
+        maxIter = 5)
+      val t = (System.nanoTime() - t0) / 1e9
+      val corpusDir = java.nio.file.Files.createTempDirectory("km-corpus").toString
+      val tC = wall(Similarity.buildImiIndex(em, corpusDir, kPerHalf = 128,
+        trainedCent = Some(cent)))
+      println(f"build: sample-trained=$tS%.1f s  corpus-trained: " +
+        f"train(5 iter)=$t%.1f s + build=$tC%.1f s")
+      for (np <- Seq(8, 32, 128)) {
+        val rS = recall(Similarity.imiTopKIndexed(q, sampleDir, k = 5, nprobe = np))
+        val rC = recall(Similarity.imiTopKIndexed(q, corpusDir, k = 5, nprobe = np))
+        println(f"  nprobe=$np%3d: sample-trained recall_ppm=$rS%.0f  " +
+          f"corpus-trained recall_ppm=$rC%.0f")
+      }
+      t
+    }
+    val _ = tTrain
+  }
+
   /** `PqProbe imipq /tmp/graft-vecs1000000` — the Multi-D-ADC build
     * question: with the LAYOUT held equal (both builds pointLayout,
     * 64 cell-sorted files — so the hive fan-out is out of the
@@ -443,6 +515,9 @@ object PqProbe {
     }
     if (args.headOption.contains("imipq")) {
       imiPqProbe(spark, args(1)); spark.stop(); return
+    }
+    if (args.headOption.contains("kmeans")) {
+      kmeansProbe(spark, args(1)); spark.stop(); return
     }
     if (args.headOption.contains("residual")) {
       residualProbe(spark); spark.stop(); return

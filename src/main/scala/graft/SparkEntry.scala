@@ -1101,6 +1101,52 @@ object SparkEntry {
           c.zipWithIndex.map { case (v, d) => (i.toLong, d.toLong, v) }
         }.toSeq.toDF("cell", "d", "val")
       },
+      // DISTRIBUTED per-half (product) k-means: q134's trainer without
+      // its flat-assignment wall — the two half-space centroid sets of
+      // an IMI router trained over the WHOLE corpus at O(kPerHalf*d)
+      // per row (vs the flat O(nlist*d) = O(kPerHalf^2*d) at equal
+      // cell count), both halves advancing from ONE scan per
+      // iteration. Same determinism design, so the oracle re-derives
+      // BOTH trainings end-to-end with no embedded constants
+      "q144_imi_kmeans_distributed" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        val (c1, c2) = Similarity.trainImiCentroidsDistributed(em,
+          kPerHalf = 4, maxIter = 2)
+        import s.implicits._
+        def rows(half: Long, cs: Array[Array[Double]]) =
+          cs.zipWithIndex.flatMap { case (c, i) =>
+            c.zipWithIndex.map { case (v, d) => (half, i.toLong, d.toLong, v) }
+          }
+        (rows(0L, c1) ++ rows(1L, c2)).toSeq.toDF("half", "cell", "d", "val")
+      },
+      // HTML → main-text extraction (the first stage of a raw-crawl
+      // pipeline): each document PLANTED into a full HTML page —
+      // scripts/styles/comments, nav/heading/list boilerplate,
+      // entities — then extracted back; the oracle re-derives the
+      // identical regex/replace/line-filter chain in DuckDB over the
+      // same planted markup
+      "q145_html_extract" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        graft.ops.Extract.extract(
+          docs.select(col("doc_id"), plantedHtml.as("html")))
+      },
+      // the extraction stage COMPOSED in front of the full curation
+      // chain (exact dedup → MinHash LSH near-dup → quality gate):
+      // proof the crawl stage slots into the existing pipeline — the
+      // oracle is the q39 chain over the extracted relation
+      "q146_extract_curate" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        // the curation chain references text many times (fingerprint,
+        // 8 minhashes, shingle verify, quality stats) — materialize
+        // the extracted relation ONCE or the 12-step regex chain
+        // re-runs per reference (the q121 truncator lesson; measured
+        // 10.2 → ~2.5 s at sf0.1). At 100 TB this is the persisted
+        // extracted-corpus table between crawl and curation stages.
+        val extracted = graft.ops.Checkpoints.truncator(s, None)(
+          docs.select(col("doc_id"),
+            graft.ops.Extract.mainText(plantedHtml).as("text")))
+        graft.ops.Curation.curate(extracted)
+      },
       // q118 with residual (true-IVFADC) encoding: codes are the
       // displacement from each vector's cell centroid, the query LUT
       // is per probed cell over q − centroid — the oracle re-derives
@@ -1821,11 +1867,72 @@ object SparkEntry {
   private val DuckFingerprint =
     """md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')))"""
 
+  /** The q145/q146 planted page: each document's text wrapped in a
+    * full HTML page with everything the extractor must handle —
+    * script (with `<` and `&` inside code), style, a comment,
+    * short-line nav/heading/list boilerplate, and entities whose
+    * decode order matters. Fragments are SINGLE-SOURCED: the Spark
+    * concat and the DuckDB `||` chain interpolate the same four
+    * constants (no single quotes in them, so they embed in SQL
+    * literals verbatim). */
+  private val HtmlPre = "<html><head><title>Doc "
+  private val HtmlMid1 = "</title><style type=\"text/css\">body { margin: 0; " +
+    "font-size: 12px; }</style><script type=\"text/javascript\">if (a < b) " +
+    "{ alert(\"x&y\"); }</script></head><body><!-- header boilerplate -->" +
+    "<div class=\"nav\">Home</div><h1>Doc "
+  private val HtmlMid2 = "</h1><p>"
+  private val HtmlPost = "</p><ul><li>About</li><li>Contact</li></ul>" +
+    "<footer>Served by Example&nbsp;&amp;&nbsp;Sons &#39;est&#39; 2026 " +
+    "&lt;footer&gt;</footer></body></html>"
+
+  /** The planted page as a Spark column over `doc_id`/`text`. */
+  private def plantedHtml: org.apache.spark.sql.Column =
+    concat(lit(HtmlPre), col("doc_id").cast("string"), lit(HtmlMid1),
+      col("doc_id").cast("string"), lit(HtmlMid2), col("text"), lit(HtmlPost))
+
+  /** The planted page as a DuckDB expression over the same columns. */
+  private val DuckPlantedHtml =
+    s"'$HtmlPre' || CAST(doc_id AS VARCHAR) || '$HtmlMid1' || " +
+      s"CAST(doc_id AS VARCHAR) || '$HtmlMid2' || text || '$HtmlPost'"
+
+  /** [[graft.ops.Extract.mainText]] mirrored in DuckDB over `htmlExpr`
+    * — the same pattern constants interpolated (they contain no single
+    * quotes), regexp_replace with the 'g' flag where Spark's replaces
+    * globally by default, plain replace() for the entity tokens
+    * (regex-metacharacter-free by construction), and the line filter
+    * as list_transform/list_filter over a chr(10) split. */
+  private def duckExtractExpr(htmlExpr: String): String = {
+    import graft.ops.Extract._
+    val s1 = s"regexp_replace($htmlExpr, '$ScriptPat', '', 'g')"
+    val s2 = s"regexp_replace($s1, '$StylePat', '', 'g')"
+    val s3 = s"regexp_replace($s2, '$CommentPat', '', 'g')"
+    val s4 = s"regexp_replace($s3, '$BlockTagPat', chr(10), 'g')"
+    val s5 = s"regexp_replace($s4, '$TagPat', '', 'g')"
+    val s6 = Entities.foldLeft(s5) { case (e, (ent, rep)) =>
+      val r = if (rep == "'") "''" else rep
+      s"replace($e, '$ent', '$r')"
+    }
+    val s7 = s"regexp_replace($s6, '[ \\t\\r]+', ' ', 'g')"
+    s"""array_to_string(
+        list_filter(list_transform(string_split($s7, chr(10)), x -> trim(x)),
+          x -> length(x) > 0 AND len(string_split(x, ' ')) >= 3
+            AND regexp_matches(x, '[A-Za-z]')), chr(10))"""
+  }
+
   private lazy val DuckCuratedSql = s"""
-      WITH keep AS (
-        SELECT min(doc_id) AS doc_id FROM documents GROUP BY $DuckFingerprint),
+      WITH ${duckCuratedCtes("documents")}
+      SELECT doc_id, n_chars, n_tokens, quality_score, lang_pred
+      FROM scored WHERE quality_score >= 0.7"""
+
+  /** The q39 curation chain's CTE list over a parameterized corpus
+    * relation `src(doc_id, text)` — factored so the q146 composed
+    * oracle runs the IDENTICAL chain over the extracted relation (one
+    * generator for the load-bearing dedup/quality arithmetic, never a
+    * hand-copied variant — the duckDsirCtes rule). */
+  private def duckCuratedCtes(src: String): String = s"""keep AS (
+        SELECT min(doc_id) AS doc_id FROM $src GROUP BY $DuckFingerprint),
       sh AS (SELECT d.doc_id, $DuckShingles AS shingles
-             FROM documents d JOIN keep USING (doc_id)),
+             FROM $src d JOIN keep USING (doc_id)),
       sigs AS (
         SELECT doc_id,
           ${(0 until 8).map(duckMh).mkString(", ")}
@@ -1857,7 +1964,7 @@ object SparkEntry {
         SELECT d.doc_id, d.text,
           CASE WHEN length(trim(d.text)) = 0 THEN []::VARCHAR[]
                ELSE regexp_split_to_array(trim(d.text), '\\s+') END AS toks
-        FROM documents d JOIN surviving s ON d.doc_id = s.doc_id),
+        FROM $src d JOIN surviving s ON d.doc_id = s.doc_id),
       stats AS (
         SELECT doc_id, text, toks,
           len(toks) AS n_toks,
@@ -1882,9 +1989,7 @@ object SparkEntry {
             WHEN s_es > 0 AND s_es >= greatest(s_en, s_fr, s_es, s_de) THEN 'es'
             WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_de) THEN 'de'
             ELSE 'und' END AS lang_pred
-        FROM stats)
-      SELECT doc_id, n_chars, n_tokens, quality_score, lang_pred
-      FROM scored WHERE quality_score >= 0.7"""
+        FROM stats)"""
 
   /** q29 oracle, generated at Verify-dump time (it depends on the data):
     * trains the SAME centroids ivfTopK trains — deterministic lowest-id
@@ -2667,7 +2772,20 @@ object SparkEntry {
     * constants are embedded — the SQL re-derives everything from the
     * parquet, which is the point: the trainer is deterministic enough
     * to be recomputed bit-for-bit by a different engine. */
-  private def duckKmeansSql(nlist: Int, iters: Int): String = {
+  private def duckKmeansSql(nlist: Int, iters: Int): String = s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)${duckKmeansChain("", nlist, iters)}
+      SELECT CAST(cell AS BIGINT) AS cell, CAST(d - 1 AS BIGINT) AS d, val
+      FROM (SELECT cell, unnest(c) AS val, generate_subscripts(c, 1) AS d
+            FROM c$iters)"""
+
+  /** The q134 training chain as prefixed CTEs over a caller-defined
+    * source `{p}v(vec_id, e)` — factored out so the q144 per-half
+    * oracle runs TWO independent chains (one per half-space) in one
+    * statement, each re-deriving init + every iteration from the
+    * parquet exactly like q134 (same assignment tie order, same
+    * integer-micro sums, same empty-cell carry). Emits
+    * `{p}c0 … {p}c{iters}`. */
+  private def duckKmeansChain(p: String, nlist: Int, iters: Int): String = {
     def cos(e: String, c: String) =
       s"""CASE WHEN sqrt(list_dot_product($c, $c)) = 0
                OR sqrt(list_dot_product($e, $e)) = 0 THEN 0.0
@@ -2675,42 +2793,59 @@ object SparkEntry {
                (sqrt(list_dot_product($c, $c)) * sqrt(list_dot_product($e, $e)))
           END"""
     val sb = new StringBuilder
-    sb ++= s"""
-      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
-             FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $nlist))"""
+    sb ++= s""",
+      ${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+             FROM (SELECT vec_id, e FROM ${p}v ORDER BY vec_id LIMIT $nlist))"""
     for (i <- 1 to iters) {
-      val prev = s"c${i - 1}"
+      val prev = s"${p}c${i - 1}"
       sb ++= s""",
-      a$i AS (
+      ${p}a$i AS (
         SELECT vec_id, e, cell FROM (
-          SELECT v.vec_id, v.e, $prev.cell,
-            row_number() OVER (PARTITION BY v.vec_id
-              ORDER BY (${cos("v.e", s"$prev.c")}) DESC, $prev.cell) AS rn
-          FROM v CROSS JOIN $prev) WHERE rn = 1),
-      s$i AS (
+          SELECT vv.vec_id, vv.e, $prev.cell,
+            row_number() OVER (PARTITION BY vv.vec_id
+              ORDER BY (${cos("vv.e", s"$prev.c")}) DESC, $prev.cell) AS rn
+          FROM ${p}v vv CROSS JOIN $prev) WHERE rn = 1),
+      ${p}s$i AS (
         SELECT cell, d, CAST(sum(m) AS BIGINT) AS s FROM (
           SELECT cell,
             unnest(list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT))) AS m,
             generate_subscripts(e, 1) AS d
-          FROM a$i)
+          FROM ${p}a$i)
         GROUP BY cell, d),
-      n$i AS (SELECT cell, count(*) AS cnt FROM a$i GROUP BY cell),
-      c$i AS (
+      ${p}n$i AS (SELECT cell, count(*) AS cnt FROM ${p}a$i GROUP BY cell),
+      ${p}c$i AS (
         SELECT cell, list(val ORDER BY d) AS c FROM (
-          SELECT s$i.cell, s$i.d,
-            (CAST(s$i.s AS DOUBLE) / n$i.cnt) / 1000000.0 AS val
-          FROM s$i JOIN n$i USING (cell)) GROUP BY cell
+          SELECT ${p}s$i.cell, ${p}s$i.d,
+            (CAST(${p}s$i.s AS DOUBLE) / ${p}n$i.cnt) / 1000000.0 AS val
+          FROM ${p}s$i JOIN ${p}n$i USING (cell)) GROUP BY cell
         UNION ALL
         SELECT $prev.cell, $prev.c
-        FROM $prev LEFT JOIN n$i USING (cell) WHERE n$i.cnt IS NULL)"""
+        FROM $prev LEFT JOIN ${p}n$i USING (cell) WHERE ${p}n$i.cnt IS NULL)"""
     }
-    sb ++= s"""
-      SELECT CAST(cell AS BIGINT) AS cell, CAST(d - 1 AS BIGINT) AS d, val
-      FROM (SELECT cell, unnest(c) AS val, generate_subscripts(c, 1) AS d
-            FROM c$iters)"""
     sb.toString
   }
+
+  /** q144 oracle: BOTH half-space trainings of the distributed
+    * product k-means re-derived end-to-end in DuckDB — two q134
+    * chains, one per half slice, with NO embedded constants (the
+    * fused one-scan-per-iteration Spark implementation is pure
+    * optimization over exactly this per-half recurrence, which is the
+    * theorem the hash compare proves). Dim-agnostic: the half split
+    * is len(e) // 2, derived in SQL like the engine derives it from
+    * the first row. */
+  private def duckImiKmeansSql(kPerHalf: Int, iters: Int): String = s"""
+      WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      av AS (SELECT vec_id, list_slice(e, 1, len(e) // 2) AS e FROM v0),
+      bv AS (SELECT vec_id, list_slice(e, len(e) // 2 + 1, len(e)) AS e FROM v0)${duckKmeansChain("a", kPerHalf, iters)}${duckKmeansChain("b", kPerHalf, iters)}
+      SELECT CAST(0 AS BIGINT) AS half, CAST(cell AS BIGINT) AS cell,
+        CAST(d - 1 AS BIGINT) AS d, val
+      FROM (SELECT cell, unnest(c) AS val, generate_subscripts(c, 1) AS d
+            FROM ac$iters)
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS half, CAST(cell AS BIGINT) AS cell,
+        CAST(d - 1 AS BIGINT) AS d, val
+      FROM (SELECT cell, unnest(c) AS val, generate_subscripts(c, 1) AS d
+            FROM bc$iters)"""
 
   /** The q131/q132 oracle body: the q126 pack/shuffle derivation over
     * the WHOLE corpus (the rebuild), restricted to capacity-full
@@ -3438,6 +3573,26 @@ object SparkEntry {
     // q134: distributed whole-corpus k-means (2 iterations, nlist=8) —
     // no embedded constants; the oracle recomputes the trainer
     "q134_kmeans_distributed" -> duckKmeansSql(nlist = 8, iters = 2),
+    // q144: the per-half (product) distributed trainer — two q134
+    // chains, one per half slice, union'd under a half label
+    "q144_imi_kmeans_distributed" -> duckImiKmeansSql(kPerHalf = 4, iters = 2),
+    // q145: HTML → main-text extraction over the planted pages
+    "q145_html_extract" -> s"""
+      SELECT doc_id, mt AS main_text,
+        CASE WHEN length(mt) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(len(string_split(mt, chr(10))) AS BIGINT) END AS n_lines,
+        CAST(length(mt) AS BIGINT) AS n_chars
+      FROM (SELECT doc_id, ${duckExtractExpr(DuckPlantedHtml)} AS mt
+            FROM documents)""",
+    // q146: extraction composed in front of the q39 curation chain —
+    // the SAME curated-CTE generator over the extracted relation
+    "q146_extract_curate" -> s"""
+      WITH extracted AS (
+        SELECT doc_id, ${duckExtractExpr(DuckPlantedHtml)} AS text
+        FROM documents),
+      ${duckCuratedCtes("extracted")}
+      SELECT doc_id, n_chars, n_tokens, quality_score, lang_pred
+      FROM scored WHERE quality_score >= 0.7""",
     // q135: temperature-weighted mixture across two shard stores
     "q135_shard_store_mix" ->
       duckStoreMixSql(Seq(600000L, 300000L), numShards = 4, seed = "m1"),

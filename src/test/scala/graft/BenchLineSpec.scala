@@ -49,9 +49,18 @@ class BenchLineSpec extends AnyFunSuite {
   // --- windowStamp (r15): the run labels its own host window ---
 
   // a driver-wrapper-shaped record: the bench line rides in a "tail"
+  // string field with ESCAPED quotes — the REAL BENCH_r*.json format
+  // (\"probe_sec\":1.9). The r15 fixture originally used unescaped
+  // keys inside the tail, which is why the regex bug (stamp never
+  // firing against driver records) survived its own spec.
   private def rec(probe: Double, mem: Double, sf: String = "sf0.1") =
-    s"""{"n": 9, "rc": 0, "tail": "...\\n{\\"metric\\":\\"total\\"""" +
-      s""","probe_sec":$probe,"probes":[[0,$probe],[140,0.7]]""" +
+    s"""{"n": 9, "rc": 0, "sf": 0.1, "tail": "...\\n{\\"metric\\":\\"total\\"""" +
+      s""",\\"probe_sec\\":$probe,\\"probes\\":[[0,$probe],[140,0.7]]""" +
+      s""",\\"mem_probes\\":[[0,$mem],[140,1.4]],\\"sf\\":\\"$sf\\"}"}"""
+
+  // a raw bench line (the builder's own un-wrapped records)
+  private def rawRec(probe: Double, mem: Double, sf: String = "sf0.1") =
+    s"""{"metric":"total","probe_sec":$probe,"probes":[[0,$probe],[140,0.7]]""" +
       s""","mem_probes":[[0,$mem],[140,1.4]],"sf":"$sf"}"""
 
   test("windowStamp fires on a hot start probe vs the record median") {
@@ -86,6 +95,14 @@ class BenchLineSpec extends AnyFunSuite {
     val (f3, _) = Bench.windowStamp(2.0, 1.7, "sf0.1",
       Seq(rec(0.86, 1.7, sf = "/root/testdata/sf0.1")))
     assert(f3.nonEmpty)
+    // raw (un-wrapped) bench lines parse too — a --prev pin on the
+    // builder's own record file
+    val (f4, _) = Bench.windowStamp(2.0, 1.7, "sf0.1",
+      Seq(rawRec(0.86, 1.7), rawRec(0.9, 1.8)))
+    assert(f4.nonEmpty)
+    val (f5, _) = Bench.windowStamp(0.88, 1.72, "sf0.1",
+      Seq(rawRec(0.86, 1.7), rawRec(0.9, 1.8)))
+    assert(f5 === "")
   }
 
   test("fmt2 strips trailing zeros losslessly") {

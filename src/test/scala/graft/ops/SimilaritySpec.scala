@@ -250,6 +250,56 @@ class SimilaritySpec extends SparkSpec {
         .select(col("query_id"), col("rnk"), col("neighbor_id"))))
   }
 
+  test("distributed per-half k-means: fused scan == flat trainer per half; partition-invariant; feeds the IMI builder") {
+    val rnd = new scala.util.Random(20260816L)
+    val n = 240
+    val dim = 8
+    val data = (0L until n.toLong)
+      .map(i => (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val corpus = data.toDF("vec_id", "embedding")
+    val (c1, c2) = Similarity.trainImiCentroidsDistributed(corpus,
+      kPerHalf = 5, maxIter = 3)
+    // the fused one-scan-per-iteration design is PURE OPTIMIZATION:
+    // bit-identical to the flat distributed trainer run on each
+    // half-sliced corpus separately (same init rule, same assignment
+    // arithmetic, same integer-micro update)
+    val h = dim / 2
+    val half1 = corpus.select(col("vec_id"),
+      expr(s"slice(embedding, 1, $h)").as("embedding"))
+    val half2 = corpus.select(col("vec_id"),
+      expr(s"slice(embedding, ${h + 1}, ${dim - h})").as("embedding"))
+    val f1 = Similarity.trainCentroidsDistributed(half1, nlist = 5, maxIter = 3)
+    val f2 = Similarity.trainCentroidsDistributed(half2, nlist = 5, maxIter = 3)
+    assert(c1.map(_.toSeq).toSeq === f1.map(_.toSeq).toSeq)
+    assert(c2.map(_.toSeq).toSeq === f2.map(_.toSeq).toSeq)
+    // determinism under repartitioning: integer-micro sums are
+    // order-independent by construction — verify it anyway
+    val repart = Similarity.trainImiCentroidsDistributed(
+      corpus.repartition(7), kPerHalf = 5, maxIter = 3)
+    assert(repart._1.map(_.toSeq).toSeq === c1.map(_.toSeq).toSeq)
+    assert(repart._2.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    // kPerHalf beyond the driver-sample regime is the operator's
+    // reason to exist (kPerHalf^2 = 22,500 product cells here — far
+    // past what a 4096-row sample could train per-cell)
+    assert(Similarity.trainImiCentroidsDistributed(corpus, kPerHalf = 150,
+      maxIter = 1)._1.length === 150)
+    // the builder hook: an IMI index built from these halves persists
+    // them verbatim and serves exactly (full probe == brute force)
+    val dir = java.nio.file.Files.createTempDirectory("graft-imi-kmeans").toString
+    Similarity.buildImiIndex(corpus, dir, kPerHalf = 5,
+      trainedCent = Some((c1, c2)))
+    def persisted(p: String) = spark.read.parquet(s"$dir/$p")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    assert(persisted("centroids_h1") === c1.map(_.toSeq).toSeq)
+    assert(persisted("centroids_h2") === c2.map(_.toSeq).toSeq)
+    val q = corpus.where(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(rows(Similarity.imiTopKIndexed(q, dir, k = 3, nprobe = 25)) ===
+      rows(Similarity.bruteForceTopK(q, corpus, k = 3)))
+  }
+
   test("pca: recovers the dominant direction; projections are centered") {
     // points on the (1,1) diagonal with slight orthogonal noise: the top
     // component must be ~(0.707, 0.707) with positive sign canon
