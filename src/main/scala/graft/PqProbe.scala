@@ -464,6 +464,41 @@ object PqProbe {
     val _ = tTrain
   }
 
+  /** `PqProbe imiappend <vecsDir> [kPerHalf] [shardRows]` — IMI append
+    * THROUGHPUT at large corpus scale (r15 verdict #6): build the
+    * exact IMI index over the corpus minus the last `shardRows` ids,
+    * then append those rows as one frozen-centroid shard. The append
+    * is the streaming-ingest hot loop — each appended row pays the
+    * O(kPerHalf·d) per-half assignment plus its share of the
+    * cell-keyed exchange — so the number that matters is rows/s, and
+    * the claim under test is that it is INDEPENDENT of the base
+    * index's size (the append never touches existing shards). */
+  private def imiAppendProbe(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, kPerHalf: Int,
+                             shardRows: Long): Unit = {
+    import graft.ops.Similarity
+    val em = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = em.count()
+    val cut = n - shardRows
+    def wall(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val idx = java.nio.file.Files.createTempDirectory("imi-append").toString
+    val tB = wall(Similarity.buildImiIndex(em.where(col("vec_id") < cut),
+      idx, kPerHalf = kPerHalf))
+    println(f"base build: n=${cut} kPerHalf=$kPerHalf " +
+      f"(${kPerHalf * kPerHalf} cells) wall=$tB%.1f s " +
+      f"(${cut / tB}%.0f rows/s)")
+    val tA = wall(Similarity.appendToImiIndex(
+      em.where(col("vec_id") >= cut), idx, "b1"))
+    println(f"append: rows=$shardRows wall=$tA%.1f s " +
+      f"(${shardRows / tA}%.0f rows/s)")
+    // replay (same shard id) must cost the same, not accumulate
+    val tR = wall(Similarity.appendToImiIndex(
+      em.where(col("vec_id") >= cut), idx, "b1"))
+    println(f"replay: wall=$tR%.1f s")
+  }
+
   /** `PqProbe imipq /tmp/graft-vecs1000000` — the Multi-D-ADC build
     * question: with the LAYOUT held equal (both builds pointLayout,
     * 64 cell-sorted files — so the hive fan-out is out of the
@@ -518,6 +553,12 @@ object PqProbe {
     }
     if (args.headOption.contains("kmeans")) {
       kmeansProbe(spark, args(1)); spark.stop(); return
+    }
+    if (args.headOption.contains("imiappend")) {
+      imiAppendProbe(spark, args(1),
+        args.lift(2).map(_.toInt).getOrElse(64),
+        args.lift(3).map(_.toLong).getOrElse(1000000L))
+      spark.stop(); return
     }
     if (args.headOption.contains("residual")) {
       residualProbe(spark); spark.stop(); return

@@ -105,6 +105,27 @@ object SparkEntry {
       d
     })
 
+  /** q147's memoized CORPUS-TRAINED IMI index — the q144 distributed
+    * per-half trainer feeding [[graft.ops.Similarity.buildImiIndex]]
+    * through `trainedCent`: the serving artifact whose quantizer saw
+    * every corpus row (SCALE.md r15 addendum 1 measured +14 to +23
+    * recall points over the sample-trained halves at kPerHalf=128).
+    * Nothing about it is sample-derived, which is what lets q147's
+    * oracle re-derive the ENTIRE chain — training, assignment,
+    * routing, re-rank — in DuckDB with no embedded constants. */
+  private val imiCtIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def imiCtIndexFor(s: SparkSession, dir: String): String =
+    imiCtIndexDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-imict-index").toString
+      val em = t(s, dir, "embeddings")
+      val cent = graft.ops.Similarity.trainImiCentroidsDistributed(em,
+        kPerHalf = 4, maxIter = 2)
+      graft.ops.Similarity.buildImiIndex(em, d, kPerHalf = 4,
+        trainedCent = Some(cent))
+      d
+    })
+
   /** q139's memoized Multi-D-ADC index — IMI routing (kPerHalf = 4)
     * over PQ codes (m = 8, ks = 16); the oracle embeds the
     * identically trained half-centroid sets and codebook cube. */
@@ -1118,6 +1139,17 @@ object SparkEntry {
             c.zipWithIndex.map { case (v, d) => (half, i.toLong, d.toLong, v) }
           }
         (rows(0L, c1) ++ rows(1L, c2)).toSeq.toDF("half", "cell", "d", "val")
+      },
+      // the q144 trainer FEEDING the q138 serve — an IMI index whose
+      // half-quantizers were trained on the whole corpus by the
+      // distributed trainer, then served. The oracle re-derives
+      // training + corpus assignment + routing + exact re-rank
+      // end-to-end from the parquet: the first SERVED-artifact oracle
+      // here with zero embedded constants
+      "q147_imi_corpus_trained_ann" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        Similarity.imiTopKIndexed(em.where(col("vec_id") < 20),
+          imiCtIndexFor(s, dir), k = 5, nprobe = 4)
       },
       // HTML → main-text extraction (the first stage of a raw-crawl
       // pipeline): each document PLANTED into a full HTML page —
@@ -2847,6 +2879,67 @@ object SparkEntry {
       FROM (SELECT cell, unnest(c) AS val, generate_subscripts(c, 1) AS d
             FROM bc$iters)"""
 
+  /** q147 oracle: the corpus-trained IMI chain with NO embedded
+    * constants — the q144 per-half training chains produce the final
+    * half-centroid tables (`ac2`/`bc2`), and everything downstream
+    * derives from them IN SQL: per-half corpus assignment (argmax
+    * cosine, ties to the lower cell — NearestCell's fold order),
+    * product cells, per-half top-np query routing, top-nprobe pairs
+    * by summed half-cosines ((s1+s2) DESC ≡ the engine's negated-sum
+    * ASC; IEEE negation is exact), exact cosine re-rank over probed
+    * cells. q138's oracle proved the serve chain against EMBEDDED
+    * literals; this one proves the whole train→build→serve
+    * composition cross-engine. */
+  private def duckImiCorpusTrainedSql(kPerHalf: Int, iters: Int,
+                                      nprobe: Int, k: Int): String = {
+    def cos(e: String, c: String) =
+      s"""CASE WHEN sqrt(list_dot_product($c, $c)) = 0
+               OR sqrt(list_dot_product($e, $e)) = 0 THEN 0.0
+          ELSE list_dot_product($e, $c) /
+               (sqrt(list_dot_product($c, $c)) * sqrt(list_dot_product($e, $e)))
+          END"""
+    val np = math.min(nprobe, kPerHalf)
+    def asg(p: String) = s"""
+      ${p}asg AS (SELECT vec_id, cell FROM (
+          SELECT vv.vec_id, cc.cell,
+            row_number() OVER (PARTITION BY vv.vec_id
+              ORDER BY (${cos("vv.e", "cc.c")}) DESC, cc.cell) AS rn
+          FROM ${p}v vv CROSS JOIN ${p}c$iters cc) WHERE rn = 1)"""
+    def route(p: String, h: String, sCol: String) = s"""
+      ${p}t AS (SELECT vec_id AS query_id, cell AS $h, s AS $sCol FROM (
+          SELECT vv.vec_id, cc.cell, (${cos("vv.e", "cc.c")}) AS s,
+            row_number() OVER (PARTITION BY vv.vec_id
+              ORDER BY (${cos("vv.e", "cc.c")}) DESC, cc.cell) AS rn
+          FROM ${p}v vv CROSS JOIN ${p}c$iters cc
+          WHERE vv.vec_id < 20)
+        WHERE rn <= $np)"""
+    s"""
+      WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      av AS (SELECT vec_id, list_slice(e, 1, len(e) // 2) AS e FROM v0),
+      bv AS (SELECT vec_id, list_slice(e, len(e) // 2 + 1, len(e)) AS e FROM v0)${duckKmeansChain("a", kPerHalf, iters)}${duckKmeansChain("b", kPerHalf, iters)},${asg("a")},${asg("b")},
+      assigned AS (
+        SELECT v0.vec_id AS neighbor_id, v0.e AS cv,
+          aasg.cell * $kPerHalf + basg.cell AS cell
+        FROM v0 JOIN aasg USING (vec_id) JOIN basg USING (vec_id)),${route("a", "h1", "s1")},${route("b", "h2", "s2")},
+      probed AS (SELECT query_id, cell FROM (
+          SELECT at.query_id, at.h1 * $kPerHalf + bt.h2 AS cell,
+            row_number() OVER (PARTITION BY at.query_id
+              ORDER BY (at.s1 + bt.s2) DESC, at.h1 * $kPerHalf + bt.h2) AS rn
+          FROM at JOIN bt ON at.query_id = bt.query_id) WHERE rn <= $nprobe),
+      qs AS (SELECT vec_id AS query_id, e AS qv FROM v0 WHERE vec_id < 20),
+      scored AS (
+        SELECT p.query_id, a.neighbor_id,
+          list_dot_product(q.qv, a.cv) /
+            (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.cv, a.cv))) AS sim
+        FROM probed p JOIN qs q USING (query_id) JOIN assigned a USING (cell)
+        WHERE p.query_id <> a.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(sim, 4) AS cos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
+      WHERE rnk <= $k"""
+  }
+
   /** The q131/q132 oracle body: the q126 pack/shuffle derivation over
     * the WHOLE corpus (the rebuild), restricted to capacity-full
     * sequences and keyed under `seed` — the store read-back's ground
@@ -3576,6 +3669,9 @@ object SparkEntry {
     // q144: the per-half (product) distributed trainer — two q134
     // chains, one per half slice, union'd under a half label
     "q144_imi_kmeans_distributed" -> duckImiKmeansSql(kPerHalf = 4, iters = 2),
+    // q147: the corpus-trained IMI serve, zero embedded constants
+    "q147_imi_corpus_trained_ann" ->
+      duckImiCorpusTrainedSql(kPerHalf = 4, iters = 2, nprobe = 4, k = 5),
     // q145: HTML → main-text extraction over the planted pages
     "q145_html_extract" -> s"""
       SELECT doc_id, mt AS main_text,
