@@ -913,18 +913,32 @@ object Pq {
                       residual: Boolean = false,
                       opq: Boolean = false,
                       pointLayout: Boolean = false,
-                      pointLayoutFiles: Int = 64): Unit = {
+                      pointLayoutFiles: Int = 64,
+                      trainedCent: Option[(Array[Array[Double]],
+                        Array[Array[Double]])] = None): Unit = {
+    // trainedCent: pre-trained half-centroid sets (e.g.
+    // [[Similarity.trainImiCentroidsDistributed]] — whole-corpus
+    // routing quality at kPerHalf beyond what the bounded sample can
+    // train; SCALE r15 addendum 1). The PQ codebooks still train on
+    // the bounded sample: they quantize a d/m-dim SUBSPACE each, a
+    // far easier estimation problem than kPerHalf² routing cells, and
+    // their training must stay a driver-side collect (ks·m rows of
+    // k-means over sample residuals, not a corpus-wide job per stage).
     val sample = Similarity.collectTrainSample(corpus, maxTrain, idCol, vecCol)
     val d = sample.head.length
     require(d >= 2, s"IMI needs dim >= 2 to split, got $d")
     val h = d / 2
-    val c1 = Similarity.trainedCentroidsFromSample(
-      sample.map(_.take(h)), kPerHalf, maxIter)
-    val c2 = Similarity.trainedCentroidsFromSample(
-      sample.map(_.drop(h)), kPerHalf, maxIter)
-    require(c1.length == c2.length,
-      s"IMI half-centroid sets must be equal-sized, got ${c1.length} " +
-        s"and ${c2.length}")
+    val (c1, c2) = trainedCent.getOrElse(
+      (Similarity.trainedCentroidsFromSample(
+          sample.map(_.take(h)), kPerHalf, maxIter),
+        Similarity.trainedCentroidsFromSample(
+          sample.map(_.drop(h)), kPerHalf, maxIter)))
+    require(c1.nonEmpty && c1.length == c2.length,
+      s"IMI half-centroid sets must be non-empty and equal-sized, " +
+        s"got ${c1.length} and ${c2.length}")
+    require(c1.head.length == h && c2.head.length == d - h,
+      s"trainedCent half dims (${c1.head.length}, ${c2.head.length}) " +
+        s"do not match the corpus split ($h, ${d - h})")
     val kk = c1.length
     // residual (IVFADC under the product router): the codebooks train
     // on sample residuals against the PRODUCT centroid — which

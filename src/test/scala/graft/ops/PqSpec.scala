@@ -829,6 +829,27 @@ class PqSpec extends SparkSpec {
       pointLayout = true, pointLayoutFiles = 8)
     assert(rows(Pq.imiPqTopK(q, pdir, k = 3, nprobe = 9)) === rows(served))
     assert(rows(Pq.imiPqTopK(q, pdir, k = 3, nprobe = 2)) === rows(approx))
+    // the trainedCent hook (r15): corpus-trained halves persist
+    // verbatim and route; raw-mode codes are routing-independent, so
+    // the full probe still equals the flat PQ scan bit-for-bit
+    val tc = Similarity.trainImiCentroidsDistributed(em, kPerHalf = 3,
+      maxIter = 2)
+    val tdir = java.nio.file.Files.createTempDirectory("graft-imipq-tc").toString
+    Pq.buildImiPqIndex(em, tdir, m = 8, ks = 8, kPerHalf = 3,
+      trainedCent = Some(tc))
+    def persisted(p: String) = spark.read.parquet(s"$tdir/$p")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    assert(persisted("centroids_h1") === tc._1.map(_.toSeq).toSeq)
+    assert(persisted("centroids_h2") === tc._2.map(_.toSeq).toSeq)
+    assert(rows(Pq.imiPqTopK(q, tdir, k = 3, nprobe = 9)) ===
+      rows(Pq.topK(q, em, k = 3, m = 8, ks = 8)))
+    // mismatched half dims refuse loudly
+    val bad = (tc._1.map(_.take(1)), tc._2)
+    val err = intercept[IllegalArgumentException] {
+      Pq.buildImiPqIndex(em, tdir, m = 8, ks = 8, kPerHalf = 3,
+        trainedCent = Some(bad))
+    }
+    assert(err.getMessage.contains("do not match the corpus split"))
   }
 
   test("imi-pq point serve: bit-identical to batch on both layouts; pushed In(cell); fallback") {
