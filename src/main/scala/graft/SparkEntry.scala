@@ -126,6 +126,25 @@ object SparkEntry {
       d
     })
 
+  /** q148's memoized CORPUS-TRAINED Multi-D-ADC index — the
+    * distributed per-half trainer feeding [[graft.ops.Pq
+    * .buildImiPqIndex]] through its r15 `trainedCent` hook: routing
+    * cells from the whole corpus, PQ codebooks from the bounded
+    * sample (each quantizes a d/m-dim subspace — the estimation
+    * problem the sample IS sized for). */
+  private val imiPqCtIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def imiPqCtIndexFor(s: SparkSession, dir: String): String =
+    imiPqCtIndexDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-imipqct-index").toString
+      val em = t(s, dir, "embeddings")
+      val cent = graft.ops.Similarity.trainImiCentroidsDistributed(em,
+        kPerHalf = 4, maxIter = 2)
+      graft.ops.Pq.buildImiPqIndex(em, d, m = 8, ks = 16, kPerHalf = 4,
+        trainedCent = Some(cent))
+      d
+    })
+
   /** q139's memoized Multi-D-ADC index — IMI routing (kPerHalf = 4)
     * over PQ codes (m = 8, ks = 16); the oracle embeds the
     * identically trained half-centroid sets and codebook cube. */
@@ -1150,6 +1169,15 @@ object SparkEntry {
         val em = t(s, dir, "embeddings")
         Similarity.imiTopKIndexed(em.where(col("vec_id") < 20),
           imiCtIndexFor(s, dir), k = 5, nprobe = 4)
+      },
+      // q147's PQ-family sibling: the distributed trainer feeding
+      // buildImiPqIndex via trainedCent — routing derived in the
+      // oracle (the q144 chains), only the sample-trained codebook
+      // cube embeds as literals
+      "q148_imi_pq_corpus_trained" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        graft.ops.Pq.imiPqTopK(em.where(col("vec_id") < 20),
+          imiPqCtIndexFor(s, dir), k = 5, nprobe = 4)
       },
       // HTML → main-text extraction (the first stage of a raw-crawl
       // pipeline): each document PLANTED into a full HTML page —
@@ -2890,42 +2918,60 @@ object SparkEntry {
     * cells. q138's oracle proved the serve chain against EMBEDDED
     * literals; this one proves the whole train→build→serve
     * composition cross-engine. */
-  private def duckImiCorpusTrainedSql(kPerHalf: Int, iters: Int,
-                                      nprobe: Int, k: Int): String = {
-    def cos(e: String, c: String) =
-      s"""CASE WHEN sqrt(list_dot_product($c, $c)) = 0
-               OR sqrt(list_dot_product($e, $e)) = 0 THEN 0.0
-          ELSE list_dot_product($e, $c) /
-               (sqrt(list_dot_product($c, $c)) * sqrt(list_dot_product($e, $e)))
-          END"""
+  private def duckCosExpr(e: String, c: String) =
+    s"""CASE WHEN sqrt(list_dot_product($c, $c)) = 0
+             OR sqrt(list_dot_product($e, $e)) = 0 THEN 0.0
+        ELSE list_dot_product($e, $c) /
+             (sqrt(list_dot_product($c, $c)) * sqrt(list_dot_product($e, $e)))
+        END"""
+
+  /** The derived-centroid CTE kit shared by q147/q148: corpus halves
+    * (`v0/av/bv` + both training chains), per-half corpus assignment
+    * against the DERIVED final centroid tables (argmax cosine, ties
+    * to the lower cell — NearestCell's fold), per-half query routing
+    * (top-np cells), and the top-nprobe product-pair cut. One
+    * generator for the derived routing arithmetic, never a copy. */
+  private def duckDerivedImiCtes(kPerHalf: Int, iters: Int,
+                                 nprobe: Int): String = {
     val np = math.min(nprobe, kPerHalf)
+    // the final centroid tables MATERIALIZE: each is referenced by the
+    // assignment AND the routing CTEs, and an inlined reference
+    // re-evaluates the whole iterative training chain per use —
+    // DuckDB's CTE inlining makes the q148 oracle effectively hang
+    // without this (the q129 `AS MATERIALIZED` lesson)
     def asg(p: String) = s"""
-      ${p}asg AS (SELECT vec_id, cell FROM (
+      ${p}cf AS MATERIALIZED (SELECT cell, c FROM ${p}c$iters),
+      ${p}asg AS MATERIALIZED (SELECT vec_id, cell FROM (
           SELECT vv.vec_id, cc.cell,
             row_number() OVER (PARTITION BY vv.vec_id
-              ORDER BY (${cos("vv.e", "cc.c")}) DESC, cc.cell) AS rn
-          FROM ${p}v vv CROSS JOIN ${p}c$iters cc) WHERE rn = 1)"""
+              ORDER BY (${duckCosExpr("vv.e", "cc.c")}) DESC, cc.cell) AS rn
+          FROM ${p}v vv CROSS JOIN ${p}cf cc) WHERE rn = 1)"""
     def route(p: String, h: String, sCol: String) = s"""
       ${p}t AS (SELECT vec_id AS query_id, cell AS $h, s AS $sCol FROM (
-          SELECT vv.vec_id, cc.cell, (${cos("vv.e", "cc.c")}) AS s,
+          SELECT vv.vec_id, cc.cell, (${duckCosExpr("vv.e", "cc.c")}) AS s,
             row_number() OVER (PARTITION BY vv.vec_id
-              ORDER BY (${cos("vv.e", "cc.c")}) DESC, cc.cell) AS rn
-          FROM ${p}v vv CROSS JOIN ${p}c$iters cc
+              ORDER BY (${duckCosExpr("vv.e", "cc.c")}) DESC, cc.cell) AS rn
+          FROM ${p}v vv CROSS JOIN ${p}cf cc
           WHERE vv.vec_id < 20)
         WHERE rn <= $np)"""
-    s"""
-      WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      av AS (SELECT vec_id, list_slice(e, 1, len(e) // 2) AS e FROM v0),
-      bv AS (SELECT vec_id, list_slice(e, len(e) // 2 + 1, len(e)) AS e FROM v0)${duckKmeansChain("a", kPerHalf, iters)}${duckKmeansChain("b", kPerHalf, iters)},${asg("a")},${asg("b")},
-      assigned AS (
-        SELECT v0.vec_id AS neighbor_id, v0.e AS cv,
-          aasg.cell * $kPerHalf + basg.cell AS cell
-        FROM v0 JOIN aasg USING (vec_id) JOIN basg USING (vec_id)),${route("a", "h1", "s1")},${route("b", "h2", "s2")},
+    s"""v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      av AS MATERIALIZED (SELECT vec_id, list_slice(e, 1, len(e) // 2) AS e FROM v0),
+      bv AS MATERIALIZED (SELECT vec_id, list_slice(e, len(e) // 2 + 1, len(e)) AS e FROM v0)${duckKmeansChain("a", kPerHalf, iters)}${duckKmeansChain("b", kPerHalf, iters)},${asg("a")},${asg("b")},${route("a", "h1", "s1")},${route("b", "h2", "s2")},
       probed AS (SELECT query_id, cell FROM (
           SELECT at.query_id, at.h1 * $kPerHalf + bt.h2 AS cell,
             row_number() OVER (PARTITION BY at.query_id
               ORDER BY (at.s1 + bt.s2) DESC, at.h1 * $kPerHalf + bt.h2) AS rn
-          FROM at JOIN bt ON at.query_id = bt.query_id) WHERE rn <= $nprobe),
+          FROM at JOIN bt ON at.query_id = bt.query_id) WHERE rn <= $nprobe)"""
+  }
+
+  private def duckImiCorpusTrainedSql(kPerHalf: Int, iters: Int,
+                                      nprobe: Int, k: Int): String = {
+    s"""
+      WITH ${duckDerivedImiCtes(kPerHalf, iters, nprobe)},
+      assigned AS (
+        SELECT v0.vec_id AS neighbor_id, v0.e AS cv,
+          aasg.cell * $kPerHalf + basg.cell AS cell
+        FROM v0 JOIN aasg USING (vec_id) JOIN basg USING (vec_id)),
       qs AS (SELECT vec_id AS query_id, e AS qv FROM v0 WHERE vec_id < 20),
       scored AS (
         SELECT p.query_id, a.neighbor_id,
@@ -2938,6 +2984,45 @@ object SparkEntry {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY sim DESC, neighbor_id) AS rnk FROM scored)
       WHERE rnk <= $k"""
+  }
+
+  /** q148 oracle (corpus-trained Multi-D-ADC): the q139 ADC chain with
+    * the ROUTING DERIVED in SQL — the q144 training chains produce the
+    * half-centroid tables, corpus assignment and query routing derive
+    * from them (the q147 kit), and only the PQ codebook cube embeds as
+    * literals (it IS sample-trained on the engine side by design — a
+    * d/m-dim subspace quantizer estimates fine from the bounded
+    * sample; routing cells are what need the whole corpus). Generated
+    * at Verify time for the codebook constants. */
+  def imiPqCorpusTrainedOracleSql(spark: SparkSession, sfDir: String): String = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = graft.ops.Pq.trainCodebooks(emb, m = 8, ks = 16)
+    val kPerHalf = 4
+    val m = cb.length
+    val adcJoins = (1 until m).map { s =>
+      s"JOIN ql l$s ON l$s.query_id = l0.query_id AND l$s.s = $s AND l$s.j = n.c$s"
+    }.mkString("\n        ")
+    val adcSum = (0 until m).map(s => s"l$s.dist").mkString(" + ")
+    s"""
+      WITH ${duckPqCtes(cb)},
+      ${duckDerivedImiCtes(kPerHalf, iters = 2, nprobe = 4)},
+      assigned AS (
+        SELECT aasg.vec_id AS neighbor_id,
+          aasg.cell * $kPerHalf + basg.cell AS cell
+        FROM aasg JOIN basg USING (vec_id)),
+      adc AS (
+        SELECT p.query_id, a.neighbor_id, $adcSum AS adist
+        FROM probed p
+        JOIN assigned a USING (cell)
+        JOIN n ON n.neighbor_id = a.neighbor_id
+        JOIN ql l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = n.c0
+        $adcJoins
+        WHERE p.query_id <> a.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        round(adist, 4) AS adc_dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS rnk FROM adc)
+      WHERE rnk <= 5"""
   }
 
   /** The q131/q132 oracle body: the q126 pack/shuffle derivation over

@@ -79,7 +79,11 @@ object Verify {
       ("q142_imi_pq_residual" ->
         SparkEntry.imiPqResidualOracleSql(spark, sfDir)) +
       ("q143_imi_pq_opq" ->
-        SparkEntry.imiPqOpqResidualOracleSql(spark, sfDir))
+        SparkEntry.imiPqOpqResidualOracleSql(spark, sfDir)) +
+      // q148: routing fully derived in SQL (the q144 chains); only the
+      // sample-trained codebook cube embeds — generated here for it
+      ("q148_imi_pq_corpus_trained" ->
+        SparkEntry.imiPqCorpusTrainedOracleSql(spark, sfDir))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
