@@ -145,6 +145,18 @@ object SparkEntry {
       d
     })
 
+  /** q149's memoized WET fixture: the documents table written as a
+    * WET file set once per sf dir — the crawl-format round-trip's
+    * input side. */
+  private val wetFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wetFixtureFor(s: SparkSession, dir: String): String =
+    wetFixtureDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-wet").toString
+      graft.ops.Warc.writeWet(t(s, dir, "documents"), s"$d/wet")
+      s"$d/wet"
+    })
+
   /** q139's memoized Multi-D-ADC index — IMI routing (kPerHalf = 4)
     * over PQ codes (m = 8, ks = 16); the oracle embeds the
     * identically trained half-centroid sets and codebook cube. */
@@ -1178,6 +1190,18 @@ object SparkEntry {
         val em = t(s, dir, "embeddings")
         graft.ops.Pq.imiPqTopK(em.where(col("vec_id") < 20),
           imiPqCtIndexFor(s, dir), k = 5, nprobe = 4)
+      },
+      // WET crawl-format round-trip: the documents table written as a
+      // WET file set (one conversion record per doc + a warcinfo
+      // header record), read back through the splittable
+      // lineSep-framed reader — the file format a real Common-Crawl
+      // pipeline starts from. The oracle derives the expected records
+      // from the documents table directly (the planting is exactly
+      // invertible), so the hash compare proves the parse
+      "q149_wet_roundtrip" -> q { (s, dir) =>
+        graft.ops.Warc.readWet(s, wetFixtureFor(s, dir))
+          .where(col("wtype") === "conversion")
+          .select(col("uri"), col("warc_date"), col("payload"))
       },
       // HTML → main-text extraction (the first stage of a raw-crawl
       // pipeline): each document PLANTED into a full HTML page —
@@ -3757,6 +3781,15 @@ object SparkEntry {
     // q147: the corpus-trained IMI serve, zero embedded constants
     "q147_imi_corpus_trained_ann" ->
       duckImiCorpusTrainedSql(kPerHalf = 4, iters = 2, nprobe = 4, k = 5),
+    // q149: the WET round-trip — expected records derived straight
+    // from documents (writeWet's headers are deterministic; the
+    // reader strips the record's trailing newline padding, mirrored
+    // here as rtrim of the planted trailing chr(10))
+    "q149_wet_roundtrip" -> """
+      SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        '2026-08-16T00:00:00Z' AS warc_date,
+        rtrim(text, chr(10)) AS payload
+      FROM documents""",
     // q145: HTML → main-text extraction over the planted pages
     "q145_html_extract" -> s"""
       SELECT doc_id, mt AS main_text,

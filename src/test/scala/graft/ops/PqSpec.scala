@@ -850,6 +850,21 @@ class PqSpec extends SparkSpec {
         trainedCent = Some(bad))
     }
     assert(err.getMessage.contains("do not match the corpus split"))
+    // the hook composes with the full accuracy stack: residual + OPQ
+    // codebooks train on residuals against the PROVIDED product
+    // centroids, and the two-phase point serve stays bit-identical to
+    // batch on the corpus-trained index
+    val rdir = java.nio.file.Files.createTempDirectory("graft-imipq-tcres").toString
+    Pq.buildImiPqIndex(em, rdir, m = 8, ks = 8, kPerHalf = 3,
+      trainedCent = Some(tc), residual = true, opq = true,
+      pointLayout = true, pointLayoutFiles = 8)
+    assert(spark.read.parquet(s"$rdir/centroids_h1")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+      === tc._1.map(_.toSeq).toSeq)
+    val batchR = Pq.imiPqTopK(q, rdir, k = 3, nprobe = 2)
+    assert(rows(Pq.imiPqTopKPoint(q, rdir, k = 3, nprobe = 2)) ===
+      rows(batchR))
+    assert(rows(batchR) === rows(Pq.imiPqTopK(q, rdir, k = 3, nprobe = 2)))
   }
 
   test("imi-pq point serve: bit-identical to batch on both layouts; pushed In(cell); fallback") {
