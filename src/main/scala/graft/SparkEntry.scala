@@ -157,6 +157,20 @@ object SparkEntry {
       s"$d/wet"
     })
 
+  /** q150's memoized fixture: the q145 planted HTML pages as the WET
+    * records' payloads — a raw-crawl segment whose pages need real
+    * extraction. */
+  private val wetHtmlFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wetHtmlFixtureFor(s: SparkSession, dir: String): String =
+    wetHtmlFixtureDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-wet-html").toString
+      graft.ops.Warc.writeWet(
+        t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("text")),
+        s"$d/wet")
+      s"$d/wet"
+    })
+
   /** q139's memoized Multi-D-ADC index — IMI routing (kPerHalf = 4)
     * over PQ codes (m = 8, ks = 16); the oracle embeds the
     * identically trained half-centroid sets and codebook cube. */
@@ -1202,6 +1216,20 @@ object SparkEntry {
         graft.ops.Warc.readWet(s, wetFixtureFor(s, dir))
           .where(col("wtype") === "conversion")
           .select(col("uri"), col("warc_date"), col("payload"))
+      },
+      // the FULL crawl front-end in one chain: raw pages (the q145
+      // planted HTML) land in a WET-framed file set, the splittable
+      // reader parses records, and extraction recovers main text —
+      // file → records → text, the first three stages a Common-Crawl
+      // user runs, composed. Oracle = the q145 extraction chain over
+      // the same planted pages (the WET round-trip is identity on
+      // payloads; extraction's line filter is invariant to the
+      // record-padding newlines)
+      "q150_wet_extract" -> q { (s, dir) =>
+        graft.ops.Warc.readWet(s, wetHtmlFixtureFor(s, dir))
+          .where(col("wtype") === "conversion")
+          .select(col("uri"),
+            graft.ops.Extract.mainText(col("payload")).as("main_text"))
       },
       // HTML → main-text extraction (the first stage of a raw-crawl
       // pipeline): each document PLANTED into a full HTML page —
@@ -3789,6 +3817,12 @@ object SparkEntry {
       SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
         '2026-08-16T00:00:00Z' AS warc_date,
         rtrim(text, chr(10)) AS payload
+      FROM documents""",
+    // q150: WET file → records → extraction, composed — the q145
+    // chain over the same planted pages, plus the record URI
+    "q150_wet_extract" -> s"""
+      SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        ${duckExtractExpr(DuckPlantedHtml)} AS main_text
       FROM documents""",
     // q145: HTML → main-text extraction over the planted pages
     "q145_html_extract" -> s"""
