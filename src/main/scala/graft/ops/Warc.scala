@@ -37,7 +37,11 @@ object Warc {
 
   /** Read a WET file set into one row per record. `wtype` is the
     * WARC-Type header (`warcinfo`, `conversion`, …); fragment rows
-    * (see framing contract) carry empty `wtype`/`uri`. */
+    * (see framing contract) carry empty `wtype`/`uri`. Gzipped
+    * segments (`.wet.gz`, the Common-Crawl shape) decompress
+    * transparently via the text source's codec inference — each gzip
+    * file is ONE split, so parallelism is per-file, which matches the
+    * crawl's many-small-segments layout (spec-asserted). */
   def readWet(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("lineSep", Marker).text(path)
     // per-file preamble before the first marker is an empty split

@@ -48,6 +48,25 @@ class WarcSpec extends SparkSpec {
     assert(rows2.count(_.getString(0) === "") === 1)
   }
 
+  test("readWet: gzipped segments parse transparently (.wet.gz, the Common-Crawl shape)") {
+    // real Common-Crawl WET segments ship as .wet.gz; Spark's text
+    // source decompresses gzip by codec inference from the extension.
+    // Scale note (scaladoc'd): a gzip file is ONE split — parallelism
+    // is per-file, which matches the crawl's many-segments layout.
+    val dir = Files.createTempDirectory("graft-wet-gz").toString
+    val content =
+      "WARC/1.0\nWARC-Type: conversion\n" +
+        "WARC-Target-URI: http://gz.example/a\n" +
+        "WARC-Date: 2026-08-16T02:00:00Z\n\ngz payload text here\n"
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(Paths.get(dir, "seg.wet.gz")))
+    out.write(content.getBytes("UTF-8")); out.close()
+    val got = Warc.readWet(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3)))
+    assert(got.toSeq === Seq(
+      ("conversion", "http://gz.example/a", "gz payload text here")))
+  }
+
   test("writeWet -> readWet round-trips a corpus exactly") {
     val docs = Seq(
       (0L, "alpha beta gamma"),
