@@ -1995,7 +1995,7 @@ object SparkEntry {
   private val HtmlMid2 = "</h1><p>"
   private val HtmlPost = "</p><ul><li>About</li><li>Contact</li></ul>" +
     "<footer>Served by Example&nbsp;&amp;&nbsp;Sons &#39;est&#39; 2026 " +
-    "&lt;footer&gt;</footer></body></html>"
+    "&lt;footer&gt; B&#97;y &#8217;curly&#8217; &amp;#66;</footer></body></html>"
 
   /** The planted page as a Spark column over `doc_id`/`text`. */
   private def plantedHtml: org.apache.spark.sql.Column =
@@ -2020,10 +2020,26 @@ object SparkEntry {
     val s3 = s"regexp_replace($s2, '$CommentPat', '', 'g')"
     val s4 = s"regexp_replace($s3, '$BlockTagPat', chr(10), 'g')"
     val s5 = s"regexp_replace($s4, '$TagPat', '', 'g')"
-    val s6 = Entities.foldLeft(s5) { case (e, (ent, rep)) =>
+    // named entities minus &amp;, then the generic decimal decode (the
+    // engine's decodeNumericEntities: split on '&#', decode printable-
+    // ASCII codes where Spark char and DuckDB chr agree, restore the
+    // marker otherwise), then &amp; LAST — same bracketing as the
+    // engine so &amp;#39; stays the literal "&#39;"
+    val named = Entities.dropRight(1).foldLeft(s5) { case (e, (ent, rep)) =>
       val r = if (rep == "'") "''" else rep
       s"replace($e, '$ent', '$r')"
     }
+    def segCase = s"""CASE WHEN regexp_matches(seg, '^[0-9]{1,7};')
+          AND CAST(regexp_extract(seg, '^([0-9]{1,7});', 1) AS INT)
+            BETWEEN 32 AND 126
+        THEN chr(CAST(regexp_extract(seg, '^([0-9]{1,7});', 1) AS INT))
+          || regexp_replace(seg, '^[0-9]{1,7};', '')
+        ELSE '&#' || seg END"""
+    val numeric = s"""(list_extract(string_split($named, '&#'), 1) ||
+      array_to_string(list_transform(string_split($named, '&#')[2:],
+        seg -> $segCase), ''))"""
+    val (ampEnt, ampRep) = Entities.last
+    val s6 = s"replace($numeric, '$ampEnt', '$ampRep')"
     val s7 = s"regexp_replace($s6, '[ \\t\\r]+', ' ', 'g')"
     s"""array_to_string(
         list_filter(list_transform(string_split($s7, chr(10)), x -> trim(x)),

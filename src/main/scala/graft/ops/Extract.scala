@@ -66,10 +66,14 @@ object Extract {
     val noTags = regexp_replace(blocks, TagPat, "")
     // entity tokens contain no regex metacharacters, so regexp_replace
     // here IS a plain global replace — the oracle mirrors it with
-    // DuckDB's replace()
-    val decoded = Entities.foldLeft(noTags) { case (c, (ent, rep)) =>
+    // DuckDB's replace(). Named entities and &amp; (last) bracket the
+    // numeric decode: &amp;#39; must yield the LITERAL "&#39;", so the
+    // numeric pass runs before the &amp; pass, same as the named ones.
+    val named = Entities.dropRight(1).foldLeft(noTags) { case (c, (ent, rep)) =>
       regexp_replace(c, ent, rep)
     }
+    val numeric = decodeNumericEntities(named)
+    val decoded = regexp_replace(numeric, Entities.last._1, Entities.last._2)
     // collapse horizontal whitespace so the word count below is a
     // plain single-space split in both engines
     val norm = regexp_replace(decoded, "[ \\t\\r]+", " ")
@@ -78,6 +82,29 @@ object Extract {
         size(split(l, " ")) >= minWords &&
         l.rlike("[A-Za-z]"))
     array_join(kept, "\n")
+  }
+
+  /** Generic decimal entity decode (`&#NNN;`) for the PRINTABLE-ASCII
+    * range [32, 126] — the range where Spark's `char` (ASCII, mod-256
+    * above) and DuckDB's `chr` (code-point) agree, so the decode is
+    * cross-engine exact; out-of-range and malformed forms stay
+    * literal. No regexp-replace-with-callback exists in either
+    * engine, so the mechanism is split-on-`&#` → per-segment CASE
+    * (decode the leading `NNN;` or restore the split marker) →
+    * ordered reassembly — still one scan-local expression. */
+  private[ops] def decodeNumericEntities(c: Column): Column = {
+    def decodeSeg(s: Column): Column = {
+      val code = regexp_extract(s, "^([0-9]{1,7});", 1).cast("int")
+      when(s.rlike("^[0-9]{1,7};") && code.between(32, 126),
+        concat(call_function("char", code),
+          regexp_replace(s, "^[0-9]{1,7};", "")))
+        .otherwise(concat(lit("&#"), s))
+    }
+    val p = split(c, "&#")
+    concat(element_at(p, 1),
+      array_join(
+        transform(slice(p, lit(2), greatest(size(p) - 1, lit(0))),
+          s => decodeSeg(s)), ""))
   }
 
   /** Per-document extraction over a raw-markup corpus: the main text

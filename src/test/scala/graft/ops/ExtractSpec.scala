@@ -39,6 +39,20 @@ class ExtractSpec extends SparkSpec {
     assert(two === "compare with b and c")
   }
 
+  test("decimal entities decode in the printable-ASCII range; others stay literal; &amp;# stays escaped") {
+    val got = extractOne("<p>B&#97;y &#65;rea &#32;gap and &#8217;curly&#8217; plus &#999999; forms</p>")
+    // 97='a', 65='A', 32=space; 8217 (unicode quote) and 999999 are out
+    // of the cross-engine-exact range and stay literal
+    assert(got === "Bay Area gap and &#8217;curly&#8217; plus &#999999; forms")
+    // &amp;#66; is the LITERAL "&#66;" — the numeric pass runs before
+    // the &amp; pass, so escaped entities never double-decode
+    assert(extractOne("<p>keep &amp;#66; literal here</p>")
+      === "keep &#66; literal here")
+    // malformed forms restore the marker verbatim
+    assert(extractOne("<p>dangling &# marker and &#x41; hex stay put</p>")
+      === "dangling &# marker and &#x41; hex stay put")
+  }
+
   test("block tags split lines; short boilerplate lines are cut; prose survives") {
     val got = extractOne(
       "<body><div class=\"nav\">Home</div><h1>Big Title</h1>" +
