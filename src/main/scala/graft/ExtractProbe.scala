@@ -18,7 +18,8 @@ object ExtractProbe {
     // ~1 KB markup-heavy paragraph, repeated kb times per page
     val para = "<div class=\"row\"><p>The quick brown fox jumps over the " +
       "lazy dog near the river bank &amp; waits for the evening train " +
-      "to pass. </p><span>inline</span><script>track(1 < 2);</script>" +
+      "to pass &#8212; it&#39;s late. </p><span>inline</span>" +
+      "<script>track(1 < 2);</script>" +
       "<!-- ad slot --><ul><li>Nav</li></ul>" +
       ("<p>" + ("lorem ipsum dolor sit amet consectetur " * 4) + "</p>")
     val pages = spark.range(n).selectExpr(

@@ -100,11 +100,17 @@ object Extract {
           regexp_replace(s, "^[0-9]{1,7};", "")))
         .otherwise(concat(lit("&#"), s))
     }
-    val p = split(c, "&#")
-    concat(element_at(p, 1),
-      array_join(
-        transform(slice(p, lit(2), greatest(size(p) - 1, lit(0))),
-          s => decodeSeg(s)), ""))
+    // single-reference form: `c` (the whole upstream regex chain)
+    // appears EXACTLY ONCE. Higher-order functions run interpreted,
+    // where repeated references re-evaluate their subtree (no
+    // codegen subexpression elimination) — an element_at + slice +
+    // guard formulation referenced the 12-pass chain 4× and read 4×
+    // on q145. The index-0 element is the pre-marker prefix and
+    // passes through verbatim; a marker-free text is a 1-element
+    // array and reassembles to itself.
+    array_join(
+      transform(split(c, "&#"),
+        (s, i) => when(i === 0, s).otherwise(decodeSeg(s))), "")
   }
 
   /** Per-document extraction over a raw-markup corpus: the main text
