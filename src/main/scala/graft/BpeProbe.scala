@@ -92,6 +92,11 @@ object BpeProbe {
     val tracker = spark.sparkContext.statusTracker
     var lastT = System.nanoTime()
     var lastJobs = tracker.getJobIdsForGroup(null).length
+    // per-run restart dir (the PqProbe convention): a FIXED dir would
+    // make a second probe run on the same host resume the previous
+    // run's committed merge schedule and silently skew the curve
+    val restartDir = java.nio.file.Files
+      .createTempDirectory("bpe-schedule-probe").toString
     println(s"vocab=$nWords merges=$nMerges window=$window")
     var done = 0
     while (done < nMerges) {
@@ -104,7 +109,7 @@ object BpeProbe {
       // at the boundaries the probe resumes at), so the curve reads
       // merge cost, not per-merge checkpoint churn
       val _ = LangModel.bpeLoop(docs, done + step, "text", None, 0L,
-        restartDir = Some("/tmp/bpe-schedule-probe"),
+        restartDir = Some(restartDir),
         restartEvery = window)
       done += step
       val now = System.nanoTime()

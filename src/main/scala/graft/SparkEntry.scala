@@ -171,6 +171,43 @@ object SparkEntry {
       s"$d/wet"
     })
 
+  /** q151's memoized fixture: the q145 planted HTML pages as the
+    * BODIES of raw WARC `response` records (HTTP status line + headers
+    * + blank line + markup) — a from-scratch crawl segment, one stage
+    * earlier than the q150 WET form. */
+  private val warcRespFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcRespFixtureFor(s: SparkSession, dir: String): String =
+    warcRespFixtureDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-warc-resp").toString
+      graft.ops.Warc.writeWarcResponses(
+        t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("html")),
+        s"$d/warc")
+      s"$d/warc"
+    })
+
+  /** Injected payload tail for the q152 framing-audit fixture: docs
+    * with `doc_id % 7 == 0` get the WET record marker PLANTED inside
+    * their payload, so the framing contract's failure mode (the
+    * fragment row) actually fires and the audit relation counts it.
+    * The oracle re-derives the expected counts from the documents
+    * table, which relies on the fixture texts being otherwise
+    * marker-free (the same q149 invariant). */
+  private val FragTail = "INJECTED FRAGMENT TAIL"
+  private val wetFragFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wetFragFixtureFor(s: SparkSession, dir: String): String =
+    wetFragFixtureDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-wet-frag").toString
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit("\n" + graft.ops.Warc.Marker + "\n" + FragTail)))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Warc.writeWet(planted, s"$d/wet")
+      s"$d/wet"
+    })
+
   /** q139's memoized Multi-D-ADC index — IMI routing (kPerHalf = 4)
     * over PQ codes (m = 8, ks = 16); the oracle embeds the
     * identically trained half-centroid sets and codebook cube. */
@@ -1231,6 +1268,28 @@ object SparkEntry {
           .select(col("uri"),
             graft.ops.Extract.mainText(col("payload")).as("main_text"))
       },
+      // the from-scratch crawl start: raw WARC response records (HTTP
+      // status line + headers + blank line + HTML body), split at the
+      // SECOND blank line by the reader, body fed to extraction — one
+      // stage earlier than q150's WET form. Oracle = the q145 chain
+      // plus the deterministic HTTP columns the fixture writer plants
+      "q151_warc_responses" -> q { (s, dir) =>
+        graft.ops.Warc.readWarcResponses(s, warcRespFixtureFor(s, dir))
+          .select(col("uri"), col("http_status"), col("content_type"),
+            graft.ops.Extract.mainText(col("body")).as("main_text"))
+      },
+      // the framing contract made operational: a fixture with the WET
+      // marker PLANTED inside payloads (doc_id % 7 == 0) audited by
+      // Warc.wetAudit — fragment count and severed chars, the relation
+      // callers gate a segment set on before consuming it. Summed over
+      // files (the fixture is one file; src_file paths are
+      // nondeterministic temp dirs, so the oracle compares totals)
+      "q152_wet_fragment_audit" -> q { (s, dir) =>
+        graft.ops.Warc.wetAudit(s, wetFragFixtureFor(s, dir))
+          .agg(sum("n_records").cast("long").as("n_records"),
+            sum("n_fragments").cast("long").as("n_fragments"),
+            sum("fragment_chars").cast("long").as("fragment_chars"))
+      },
       // HTML → main-text extraction (the first stage of a raw-crawl
       // pipeline): each document PLANTED into a full HTML page —
       // scripts/styles/comments, nav/heading/list boilerplate,
@@ -1995,7 +2054,15 @@ object SparkEntry {
   private val HtmlMid2 = "</h1><p>"
   private val HtmlPost = "</p><ul><li>About</li><li>Contact</li></ul>" +
     "<footer>Served by Example&nbsp;&amp;&nbsp;Sons &#39;est&#39; 2026 " +
-    "&lt;footer&gt; B&#97;y &#8217;curly&#8217; &amp;#66;</footer></body></html>"
+    "&lt;footer&gt; B&#97;y &#8217;curly&#8217; &amp;#66; " +
+    // r16 entity-surface extension: hex + high code points + the named
+    // set + every stay-literal class (surrogate, beyond-Unicode, DEL,
+    // malformed hex, unknown name) — each decode class the expression
+    // and the oracle must agree on, planted in every page
+    "&#x27;hex&#x27; caf&eacute; &mdash; r&#xE9;sum&#233; dash&ndash;ed " +
+    "&ldquo;q&rdquo; &copy;2026 &Eacute;tat 3&frac12;&deg; " +
+    "bad: &#xD800; &#1114112; &#x; &unknown; &#127; end" +
+    "</footer></body></html>"
 
   /** The planted page as a Spark column over `doc_id`/`text`. */
   private def plantedHtml: org.apache.spark.sql.Column =
@@ -2010,35 +2077,43 @@ object SparkEntry {
   /** [[graft.ops.Extract.mainText]] mirrored in DuckDB over `htmlExpr`
     * — the same pattern constants interpolated (they contain no single
     * quotes), regexp_replace with the 'g' flag where Spark's replaces
-    * globally by default, plain replace() for the entity tokens
-    * (regex-metacharacter-free by construction), and the line filter
-    * as list_transform/list_filter over a chr(10) split. */
+    * globally by default, and the line filter as
+    * list_transform/list_filter over a chr(10) split. The entity
+    * stage mirrors [[graft.functions.EntityExpressions]]'s three-pass
+    * contract: named replaces generated from the SAME `Named` Seq,
+    * then the numeric split-on-`&#` reassembly (decimal AND hex forms,
+    * full valid-code-point range — `validCodePoint`'s exact constants,
+    * with DuckDB's code-point-native chr() behind the lazy CASE
+    * guard), then `&amp;` LAST. */
   private def duckExtractExpr(htmlExpr: String): String = {
     import graft.ops.Extract._
+    import graft.functions.EntityExpressions.HtmlEntities
     val s1 = s"regexp_replace($htmlExpr, '$ScriptPat', '', 'g')"
     val s2 = s"regexp_replace($s1, '$StylePat', '', 'g')"
     val s3 = s"regexp_replace($s2, '$CommentPat', '', 'g')"
     val s4 = s"regexp_replace($s3, '$BlockTagPat', chr(10), 'g')"
     val s5 = s"regexp_replace($s4, '$TagPat', '', 'g')"
-    // named entities minus &amp;, then the generic decimal decode (the
-    // engine's decodeNumericEntities: split on '&#', decode printable-
-    // ASCII codes where Spark char and DuckDB chr agree, restore the
-    // marker otherwise), then &amp; LAST — same bracketing as the
-    // engine so &amp;#39; stays the literal "&#39;"
-    val named = Entities.dropRight(1).foldLeft(s5) { case (e, (ent, rep)) =>
-      val r = if (rep == "'") "''" else rep
-      s"replace($e, '$ent', '$r')"
+    val named = HtmlEntities.Named.foldLeft(s5) { case (e, (name, rep)) =>
+      val r = rep.replace("'", "''")
+      s"replace($e, '&$name;', '$r')"
     }
-    def segCase = s"""CASE WHEN regexp_matches(seg, '^[0-9]{1,7};')
-          AND CAST(regexp_extract(seg, '^([0-9]{1,7});', 1) AS INT)
-            BETWEEN 32 AND 126
-        THEN chr(CAST(regexp_extract(seg, '^([0-9]{1,7});', 1) AS INT))
-          || regexp_replace(seg, '^[0-9]{1,7};', '')
+    // HtmlEntities.validCodePoint over a bound code expression
+    def valid(code: String) =
+      s"""($code BETWEEN 32 AND 126 OR ($code BETWEEN 160 AND 1114111
+          AND NOT $code BETWEEN 55296 AND 57343))"""
+    val dec = "CAST(regexp_extract(seg, '^([0-9]{1,7});', 1) AS INT)"
+    val hex =
+      "CAST('0x' || regexp_extract(seg, '^[xX]([0-9a-fA-F]{1,6});', 1) AS INT)"
+    def segCase = s"""CASE
+        WHEN regexp_matches(seg, '^[0-9]{1,7};') AND ${valid(dec)}
+        THEN chr($dec) || regexp_replace(seg, '^[0-9]{1,7};', '')
+        WHEN regexp_matches(seg, '^[xX][0-9a-fA-F]{1,6};') AND ${valid(hex)}
+        THEN chr($hex) || regexp_replace(seg, '^[xX][0-9a-fA-F]{1,6};', '')
         ELSE '&#' || seg END"""
     val numeric = s"""(list_extract(string_split($named, '&#'), 1) ||
       array_to_string(list_transform(string_split($named, '&#')[2:],
         seg -> $segCase), ''))"""
-    val (ampEnt, ampRep) = Entities.last
+    val (ampEnt, ampRep) = HtmlEntities.Amp
     val s6 = s"replace($numeric, '$ampEnt', '$ampRep')"
     val s7 = s"regexp_replace($s6, '[ \\t\\r]+', ' ', 'g')"
     s"""array_to_string(
@@ -3827,18 +3902,43 @@ object SparkEntry {
       duckImiCorpusTrainedSql(kPerHalf = 4, iters = 2, nprobe = 4, k = 5),
     // q149: the WET round-trip — expected records derived straight
     // from documents (writeWet's headers are deterministic; the
-    // reader strips the record's trailing newline padding, mirrored
-    // here as rtrim of the planted trailing chr(10))
+    // reader CRLF-normalizes then strips the record's trailing
+    // newline padding — BOTH mirrored here, so a fixture text that
+    // ever grows \r\n sequences keeps the hashes aligned instead of
+    // silently diverging on CR)
     "q149_wet_roundtrip" -> """
       SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
         '2026-08-16T00:00:00Z' AS warc_date,
-        rtrim(text, chr(10)) AS payload
+        rtrim(replace(text, chr(13) || chr(10), chr(10)), chr(10)) AS payload
       FROM documents""",
     // q150: WET file → records → extraction, composed — the q145
     // chain over the same planted pages, plus the record URI
     "q150_wet_extract" -> s"""
       SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
         ${duckExtractExpr(DuckPlantedHtml)} AS main_text
+      FROM documents""",
+    // q151: raw WARC response records — the q145 extraction chain over
+    // the planted bodies plus the deterministic HTTP columns the
+    // fixture writer emits (status 200, the fixed Content-Type)
+    "q151_warc_responses" -> s"""
+      SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        CAST(200 AS INT) AS http_status,
+        'text/html; charset=UTF-8' AS content_type,
+        ${duckExtractExpr(DuckPlantedHtml)} AS main_text
+      FROM documents""",
+    // q152: the framing audit re-derived from documents. Pieces per
+    // single-file fixture: 1 warcinfo + one conversion record per doc
+    // + one fragment per planted doc (doc_id % 7 = 0). A fragment's
+    // chars = leading newline + the injected tail + the record's
+    // trailing newline + the text sink's row separator (= len + 3);
+    // relies on the fixture texts being otherwise marker-free (the
+    // q149 invariant).
+    "q152_wet_fragment_audit" -> s"""
+      SELECT CAST(1 + count(*)
+          + count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_records,
+        CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_fragments,
+        CAST(count(*) FILTER (WHERE doc_id % 7 = 0)
+          * (length('$FragTail') + 3) AS BIGINT) AS fragment_chars
       FROM documents""",
     // q145: HTML → main-text extraction over the planted pages
     "q145_html_extract" -> s"""

@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *     br`) with a newline — the document's visual line structure is
   *     what the boilerplate heuristic sees,
   *  4. strip every remaining (inline) tag,
-  *  5. decode the common entities (`&nbsp; &lt; &gt; &quot; &#39;
-  *     &apos;`, and `&amp;` LAST so `&amp;lt;` correctly yields the
-  *     literal `&lt;`),
+  *  5. decode HTML entities — the full named set plus decimal and hex
+  *     numeric references across the Unicode range (see
+  *     [[graft.functions.EntityExpressions]]), with `&amp;` LAST so
+  *     `&amp;lt;` correctly yields the literal `&lt;`,
   *  6. line-level boilerplate cut: split on newlines, trim, keep lines
   *     with ≥ `minWords` space-separated tokens and at least one
   *     letter (nav crumbs, button labels, and bare headings go; prose
@@ -51,29 +52,21 @@ object Extract {
     "(?i)</?(?:blockquote|section|article|header|footer|table|form|nav|div|pre|ul|ol|li|tr|td|th|br|p|h[1-6])(\\s[^>]*)?/?>"
   val TagPat = "<[^>]*>"
 
-  /** Decode order is load-bearing: `&amp;` last (see scaladoc). */
-  val Entities: Seq[(String, String)] = Seq(
-    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
-
   /** The extracted main text of an HTML column — the full stage chain
-    * as one scan-local expression. */
+    * as one scan-local expression. Entity decode (stage 5) is the
+    * native [[graft.functions.EntityExpressions.DecodeHtmlEntities]]
+    * scan: full named + decimal + hex decode across the Unicode range
+    * (r16; the pre-r16 composed-column form was 9 passes restricted to
+    * printable ASCII), with `&amp;` last so `&amp;lt;` stays the
+    * literal `&lt;` — the decode-order contract the oracle mirrors. */
   def mainText(html: Column, minWords: Int = 3): Column = {
     val noScript = regexp_replace(html, ScriptPat, "")
     val noStyle = regexp_replace(noScript, StylePat, "")
     val noComment = regexp_replace(noStyle, CommentPat, "")
     val blocks = regexp_replace(noComment, BlockTagPat, "\n")
     val noTags = regexp_replace(blocks, TagPat, "")
-    // entity tokens contain no regex metacharacters, so regexp_replace
-    // here IS a plain global replace — the oracle mirrors it with
-    // DuckDB's replace(). Named entities and &amp; (last) bracket the
-    // numeric decode: &amp;#39; must yield the LITERAL "&#39;", so the
-    // numeric pass runs before the &amp; pass, same as the named ones.
-    val named = Entities.dropRight(1).foldLeft(noTags) { case (c, (ent, rep)) =>
-      regexp_replace(c, ent, rep)
-    }
-    val numeric = decodeNumericEntities(named)
-    val decoded = regexp_replace(numeric, Entities.last._1, Entities.last._2)
+    val decoded = graft.functions.EntityExpressions
+      .decode_html_entities(noTags)
     // collapse horizontal whitespace so the word count below is a
     // plain single-space split in both engines
     val norm = regexp_replace(decoded, "[ \\t\\r]+", " ")
@@ -82,35 +75,6 @@ object Extract {
         size(split(l, " ")) >= minWords &&
         l.rlike("[A-Za-z]"))
     array_join(kept, "\n")
-  }
-
-  /** Generic decimal entity decode (`&#NNN;`) for the PRINTABLE-ASCII
-    * range [32, 126] — the range where Spark's `char` (ASCII, mod-256
-    * above) and DuckDB's `chr` (code-point) agree, so the decode is
-    * cross-engine exact; out-of-range and malformed forms stay
-    * literal. No regexp-replace-with-callback exists in either
-    * engine, so the mechanism is split-on-`&#` → per-segment CASE
-    * (decode the leading `NNN;` or restore the split marker) →
-    * ordered reassembly — still one scan-local expression. */
-  private[ops] def decodeNumericEntities(c: Column): Column = {
-    def decodeSeg(s: Column): Column = {
-      val code = regexp_extract(s, "^([0-9]{1,7});", 1).cast("int")
-      when(s.rlike("^[0-9]{1,7};") && code.between(32, 126),
-        concat(call_function("char", code),
-          regexp_replace(s, "^[0-9]{1,7};", "")))
-        .otherwise(concat(lit("&#"), s))
-    }
-    // single-reference form: `c` (the whole upstream regex chain)
-    // appears EXACTLY ONCE. Higher-order functions run interpreted,
-    // where repeated references re-evaluate their subtree (no
-    // codegen subexpression elimination) — an element_at + slice +
-    // guard formulation referenced the 12-pass chain 4× and read 4×
-    // on q145. The index-0 element is the pre-marker prefix and
-    // passes through verbatim; a marker-free text is a 1-element
-    // array and reassembles to itself.
-    array_join(
-      transform(split(c, "&#"),
-        (s, i) => when(i === 0, s).otherwise(decodeSeg(s))), "")
   }
 
   /** Per-document extraction over a raw-markup corpus: the main text

@@ -530,6 +530,7 @@ object Similarity {
       : (Array[Array[Double]], Array[Array[Double]]) = {
     require(kPerHalf > 0, s"kPerHalf ($kPerHalf) must be positive")
     val init = collectTrainSample(corpus, kPerHalf, idCol, vecCol)
+    require(init.nonEmpty, "trainImiCentroidsDistributed: empty corpus")
     val d = init.head.length
     require(d >= 2, s"IMI needs dim >= 2 to split, got $d")
     val h = d / 2

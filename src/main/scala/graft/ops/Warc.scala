@@ -60,23 +60,149 @@ object Warc {
           .otherwise(lit("")).as("payload"))
   }
 
+  /** Read raw WARC `response` records — the format a from-scratch
+    * crawl actually starts at, one step EARLIER than WET: each record
+    * is WARC headers + blank line + an HTTP response (status line +
+    * HTTP headers + blank line + body, usually HTML). Same splittable
+    * `lineSep` framing and framing contract as [[readWet]]; the
+    * payload splits once more at the SECOND blank line into the HTTP
+    * header block and the body. Non-`response` records (warcinfo,
+    * request, metadata — and framing fragments, which have no header
+    * block) are filtered here; audit them via [[wetAudit]], which
+    * reads the same framing without the type filter.
+    *
+    * Columns: `uri`, `warc_date`, `http_status` (int, null when the
+    * status line is absent/malformed), `content_type` (the HTTP
+    * Content-Type header, case-insensitive match, '' when absent),
+    * `body` (CRLF-normalized, record padding stripped — feed it to
+    * [[graft.ops.Extract.mainText]]). */
+  def readWarcResponses(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("lineSep", Marker).text(path)
+    val recs = raw.where(length(trim(col("value"))) > 0)
+      .select(regexp_replace(col("value"), "\r\n", "\n").as("v"))
+    val parts = recs
+      .withColumn("warc_hdr", substring_index(col("v"), "\n\n", 1))
+      .withColumn("rest",
+        when(instr(col("v"), "\n\n") > 0,
+          col("v").substr(instr(col("v"), "\n\n") + lit(2), length(col("v"))))
+          .otherwise(lit("")))
+      .withColumn("http_hdr", substring_index(col("rest"), "\n\n", 1))
+      .withColumn("body",
+        when(instr(col("rest"), "\n\n") > 0,
+          regexp_replace(
+            col("rest").substr(instr(col("rest"), "\n\n") + lit(2),
+              length(col("rest"))),
+            "\n+$", ""))
+          .otherwise(lit("")))
+    parts
+      .where(regexp_extract(col("warc_hdr"),
+        "(?m)^WARC-Type:\\s*(\\S+)", 1) === "response")
+      .select(
+        regexp_extract(col("warc_hdr"),
+          "(?m)^WARC-Target-URI:\\s*(\\S+)", 1).as("uri"),
+        regexp_extract(col("warc_hdr"),
+          "(?m)^WARC-Date:\\s*(\\S+)", 1).as("warc_date"),
+        regexp_extract(col("http_hdr"),
+          "^HTTP/[0-9.]+\\s+([0-9]{3})", 1).cast("int").as("http_status"),
+        regexp_extract(col("http_hdr"),
+          "(?mi)^content-type:\\s*([^\\n]+)", 1).as("content_type"),
+        col("body"))
+  }
+
+  /** Per-file audit relation for the marker-occurrence framing
+    * contract (scaladoc above): fragments — payload pieces split off
+    * by an in-payload marker — surface as rows with NO header block,
+    * and this relation makes that contract operational: callers gate
+    * a segment file set on `n_fragments = 0` (or a rate threshold)
+    * BEFORE the pipeline consumes it, instead of discovering empty-
+    * `wtype` rows downstream. One row per file:
+    * `(src_file, n_records, n_fragments, fragment_chars)` where
+    * `n_records` counts every surfaced piece (warcinfo + records +
+    * fragments) and `fragment_chars` is the total character count of
+    * fragment pieces — the payload volume the framing severed. */
+  def wetAudit(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("lineSep", Marker).text(path)
+      .select(input_file_name().as("src_file"), col("value"))
+    val recs = raw.where(length(trim(col("value"))) > 0)
+      .select(col("src_file"),
+        regexp_replace(col("value"), "\r\n", "\n").as("v"))
+    val wtype = regexp_extract(substring_index(col("v"), "\n\n", 1),
+      "(?m)^WARC-Type:\\s*(\\S+)", 1)
+    recs
+      .select(col("src_file"), (wtype === "").as("is_fragment"),
+        length(col("v")).cast("long").as("chars"))
+      .groupBy("src_file")
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("is_fragment"), 1L).otherwise(0L)).as("n_fragments"),
+        sum(when(col("is_fragment"), col("chars")).otherwise(0L))
+          .as("fragment_chars"))
+  }
+
   /** Write a corpus as a WET file set — the round-trip twin of
     * [[readWet]] (and the q149 fixture writer): one `conversion`
     * record per document plus a leading `warcinfo` record per file.
-    * Deterministic headers so the round-trip is exactly invertible. */
+    * Deterministic headers so the round-trip is exactly invertible.
+    *
+    * Scale contract: `singleFile = true` (the default, and what the
+    * memoized q149/q150 fixtures use) coalesces to ONE task and ONE
+    * output file — a fixture/export-a-sample path, NOT the 100 TB
+    * export path. For a real export set `singleFile = false`: each
+    * input partition writes its own WET file with its own leading
+    * `warcinfo` record (the Common-Crawl many-segments layout), so
+    * the write parallelizes like any text sink and the per-file
+    * `warcinfo` preamble keeps every file independently [[readWet]]-
+    * parseable. Empty partitions emit nothing (no warcinfo-only
+    * files). */
   def writeWet(docs: DataFrame, path: String,
                uriPrefix: String = "http://example.com/doc/",
-               idCol: String = "doc_id", textCol: String = "text"): Unit = {
+               idCol: String = "doc_id", textCol: String = "text",
+               singleFile: Boolean = true): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val info = Seq(s"$Marker\nWARC-Type: warcinfo\n\nsoftware: graft\n")
-      .toDF("value")
+    val infoRec = s"$Marker\nWARC-Type: warcinfo\n\nsoftware: graft\n"
     val recs = docs.select(concat(
       lit(s"$Marker\nWARC-Type: conversion\nWARC-Target-URI: $uriPrefix"),
       col(idCol).cast("string"),
       lit("\nWARC-Date: 2026-08-16T00:00:00Z\n\n"),
       col(textCol), lit("\n")).as("value"))
-    info.unionByName(recs).coalesce(1)
-      .write.mode("overwrite").text(path)
+    val out =
+      if (singleFile)
+        Seq(infoRec).toDF("value").unionByName(recs).coalesce(1)
+      else
+        recs.as[String].mapPartitions { it =>
+          if (it.hasNext) Iterator(infoRec) ++ it else Iterator.empty
+        }.toDF("value")
+    out.write.mode("overwrite").text(path)
+  }
+
+  /** Write a corpus as raw WARC `response` records — [[writeWet]]'s
+    * sibling one stage earlier in the crawl: each document's markup
+    * becomes the body of a deterministic HTTP 200 response (status
+    * line + Content-Type + blank line + body), so
+    * [[readWarcResponses]] → [[graft.ops.Extract.mainText]] exercises
+    * the real from-scratch chain. Same `singleFile` contract as
+    * [[writeWet]]. */
+  def writeWarcResponses(docs: DataFrame, path: String,
+                         uriPrefix: String = "http://example.com/doc/",
+                         idCol: String = "doc_id", htmlCol: String = "html",
+                         singleFile: Boolean = true): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val infoRec = s"$Marker\nWARC-Type: warcinfo\n\nsoftware: graft\n"
+    val recs = docs.select(concat(
+      lit(s"$Marker\nWARC-Type: response\nWARC-Target-URI: $uriPrefix"),
+      col(idCol).cast("string"),
+      lit("\nWARC-Date: 2026-08-16T00:00:00Z\n\n" +
+        "HTTP/1.1 200 OK\nContent-Type: text/html; charset=UTF-8\n" +
+        "Server: graft-fixture\n\n"),
+      col(htmlCol), lit("\n")).as("value"))
+    val out =
+      if (singleFile)
+        Seq(infoRec).toDF("value").unionByName(recs).coalesce(1)
+      else
+        recs.as[String].mapPartitions { it =>
+          if (it.hasNext) Iterator(infoRec) ++ it else Iterator.empty
+        }.toDF("value")
+    out.write.mode("overwrite").text(path)
   }
 }

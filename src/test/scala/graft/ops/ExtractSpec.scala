@@ -39,18 +39,39 @@ class ExtractSpec extends SparkSpec {
     assert(two === "compare with b and c")
   }
 
-  test("decimal entities decode in the printable-ASCII range; others stay literal; &amp;# stays escaped") {
-    val got = extractOne("<p>B&#97;y &#65;rea &#32;gap and &#8217;curly&#8217; plus &#999999; forms</p>")
-    // 97='a', 65='A', 32=space; 8217 (unicode quote) and 999999 are out
-    // of the cross-engine-exact range and stay literal
-    assert(got === "Bay Area gap and &#8217;curly&#8217; plus &#999999; forms")
+  test("numeric entities decode across the Unicode range (decimal + hex); invalid classes stay literal") {
+    val got = extractOne("<p>B&#97;y &#65;rea &#32;gap and &#8217;curly&#8217; " +
+      "hex &#x27;q&#X27; then r&#xE9;sum&#233; forms</p>")
+    // 97='a', 65='A', 32=space; 8217=’ (the curly apostrophe that
+    // saturates real crawl text — the r16 range extension), hex 0x27='
+    // (either x case), 0xE9/233=é
+    assert(got === "Bay Area gap and ’curly’ hex 'q' then résumé forms")
+    // stay-literal classes: DEL/C1 controls, surrogates, beyond-Unicode
+    // values, malformed hex, over-long digit runs
+    assert(extractOne(
+      "<p>bad forms &#127; &#xD800; &#1114112; &#x; &#12345678; stay put</p>")
+      === "bad forms &#127; &#xD800; &#1114112; &#x; &#12345678; stay put")
     // &amp;#66; is the LITERAL "&#66;" — the numeric pass runs before
     // the &amp; pass, so escaped entities never double-decode
     assert(extractOne("<p>keep &amp;#66; literal here</p>")
       === "keep &#66; literal here")
     // malformed forms restore the marker verbatim
-    assert(extractOne("<p>dangling &# marker and &#x41; hex stay put</p>")
-      === "dangling &# marker and &#x41; hex stay put")
+    assert(extractOne("<p>dangling &# marker left behind here</p>")
+      === "dangling &# marker left behind here")
+    // the pass-order contract: a numeric decode that juxtaposes
+    // "&" + "amp;" resolves through the FINAL amp pass (both engines)
+    assert(extractOne("<p>edge &#38;amp; case here</p>")
+      === "edge & case here")
+  }
+
+  test("named entities: extended set decodes; unknown names stay literal; names are case-sensitive") {
+    assert(extractOne("<p>caf&eacute; &mdash; &Eacute;tat &copy;2026 3&frac12;&deg; ok</p>")
+      === "café — État ©2026 3½° ok")
+    assert(extractOne("<p>stay &unknown; and &EACUTE; literal here</p>")
+      === "stay &unknown; and &EACUTE; literal here")
+    // &amp;eacute; is the literal "&eacute;" (amp decodes LAST)
+    assert(extractOne("<p>escaped &amp;eacute; stays entity text</p>")
+      === "escaped &eacute; stays entity text")
   }
 
   test("block tags split lines; short boilerplate lines are cut; prose survives") {

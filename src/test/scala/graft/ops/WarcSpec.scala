@@ -86,4 +86,105 @@ class WarcSpec extends SparkSpec {
     assert(Warc.readWet(spark, s"$dir/wet")
       .where(col("wtype") === "warcinfo").count() === 1)
   }
+
+  test("writeWet singleFile=false: per-partition files, each with its own warcinfo, identical corpus back") {
+    val docs = spark.range(0, 40).selectExpr("id AS doc_id",
+      "concat('doc text number ', id) AS text").repartition(4)
+    val dir = Files.createTempDirectory("graft-wet-multi").toString
+    Warc.writeWet(docs, s"$dir/wet", singleFile = false)
+    val files = new java.io.File(s"$dir/wet").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(files.length === 4)
+    val back = Warc.readWet(spark, s"$dir/wet")
+    // one warcinfo per (non-empty) file — every file independently parseable
+    assert(back.where(col("wtype") === "warcinfo").count() === 4)
+    val texts = back.where(col("wtype") === "conversion")
+      .select("payload").collect().map(_.getString(0)).toSet
+    assert(texts === (0L until 40L).map(i => s"doc text number $i").toSet)
+    // empty partitions emit no warcinfo-only files: 2 docs across 8
+    // partitions → at most 2 non-empty files, each with one warcinfo
+    val dir2 = Files.createTempDirectory("graft-wet-empty").toString
+    Warc.writeWet(docs.where(col("doc_id") < 2).repartition(8), s"$dir2/wet",
+      singleFile = false)
+    val back2 = Warc.readWet(spark, s"$dir2/wet")
+    assert(back2.where(col("wtype") === "conversion").count() === 2)
+    val nonEmptyFiles = new java.io.File(s"$dir2/wet").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length() > 0)
+    assert(back2.where(col("wtype") === "warcinfo").count() === nonEmptyFiles)
+    assert(nonEmptyFiles <= 2)
+  }
+
+  test("readWarcResponses: HTTP header split at the second blank line; status/content-type parse; non-responses filtered") {
+    val dir = Files.createTempDirectory("graft-warc-resp-spec").toString
+    val warc =
+      "WARC/1.0\nWARC-Type: warcinfo\n\nsoftware: graft\n\n" +
+        "WARC/1.0\nWARC-Type: response\n" +
+        "WARC-Target-URI: http://a.example/page\n" +
+        "WARC-Date: 2026-08-16T00:00:00Z\n\n" +
+        "HTTP/1.1 200 OK\ncontent-type: text/html; charset=UTF-8\n" +
+        "Server: test\n\n" +
+        "<html><body><p>body with a blank\n\nline inside it</p></body></html>\n\n" +
+        // a request record (filtered), CRLF dialect
+        "WARC/1.0\r\nWARC-Type: request\r\n" +
+        "WARC-Target-URI: http://a.example/page\r\n\r\n" +
+        "GET /page HTTP/1.1\r\nHost: a.example\r\n\r\n" +
+        // a response with a missing/malformed status line
+        "WARC/1.0\nWARC-Type: response\n" +
+        "WARC-Target-URI: http://b.example/broken\n" +
+        "WARC-Date: 2026-08-16T01:00:00Z\n\n" +
+        "not a status line\n\nbroken body text\n"
+    writeFile(dir, "seg.warc", warc)
+    val got = Warc.readWarcResponses(spark, dir).orderBy("uri").collect()
+    assert(got.length === 2)
+    val a = got(0)
+    assert(a.getString(0) === "http://a.example/page")
+    assert(a.getInt(2) === 200)
+    assert(a.getString(3) === "text/html; charset=UTF-8")
+    // the body keeps ITS OWN blank lines — the split is at the second
+    // blank line only
+    assert(a.getString(4) ===
+      "<html><body><p>body with a blank\n\nline inside it</p></body></html>")
+    val b = got(1)
+    assert(b.getString(0) === "http://b.example/broken")
+    assert(b.isNullAt(2)) // malformed status line → null, surfaced not guessed
+    assert(b.getString(4) === "broken body text")
+  }
+
+  test("writeWarcResponses -> readWarcResponses -> extract composes the from-scratch chain") {
+    val docs = Seq(
+      (0L, "<html><body><p>first document body prose here</p></body></html>"),
+      (1L, "<html><body><p>second document body prose here</p></body></html>"))
+      .toDF("doc_id", "html")
+    val dir = Files.createTempDirectory("graft-warc-resp-rt").toString
+    Warc.writeWarcResponses(docs, s"$dir/warc")
+    val got = Warc.readWarcResponses(spark, s"$dir/warc")
+      .select(col("uri"), col("http_status"),
+        Extract.mainText(col("body")).as("t"))
+      .orderBy("uri").collect()
+    assert(got.map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq === Seq(
+      ("http://example.com/doc/0", 200, "first document body prose here"),
+      ("http://example.com/doc/1", 200, "second document body prose here")))
+  }
+
+  test("wetAudit: planted in-payload markers surface as counted fragments; clean sets audit zero") {
+    val docs = Seq(
+      (0L, "clean document text"),
+      (1L, "payload that mentions WARC/1.0\nsevered tail after the marker"),
+      (2L, "another clean one")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-wet-audit").toString
+    Warc.writeWet(docs, s"$dir/wet")
+    val audit = Warc.wetAudit(spark, s"$dir/wet").collect()
+    assert(audit.length === 1)
+    val r = audit(0)
+    // 1 warcinfo + 3 conversion + 1 fragment
+    assert(r.getLong(1) === 5L)
+    assert(r.getLong(2) === 1L)
+    // the severed piece: "\nsevered tail after the marker" + record \n + row \n
+    assert(r.getLong(3) === ("\nsevered tail after the marker".length + 2).toLong)
+    // a marker-free corpus audits clean
+    val dir2 = Files.createTempDirectory("graft-wet-audit-clean").toString
+    Warc.writeWet(docs.where(col("doc_id") =!= 1), s"$dir2/wet")
+    val r2 = Warc.wetAudit(spark, s"$dir2/wet").collect()(0)
+    assert(r2.getLong(2) === 0L && r2.getLong(3) === 0L)
+  }
 }
