@@ -1290,6 +1290,22 @@ object SparkEntry {
             sum("n_fragments").cast("long").as("n_fragments"),
             sum("fragment_chars").cast("long").as("fragment_chars"))
       },
+      // the FLAGSHIP raw-crawl-to-clean-corpus chain, all stages
+      // composed: WET segment → records → HTML extraction → segment
+      // (paragraph/boilerplate) dedup → exact dedup → LSH near-dup →
+      // quality gate → corpus-trained bigram-LM perplexity bucketed
+      // head/middle/tail. Every stage is an individually-verified
+      // operator (q145/q150, q60, q39, q119); this verifies the
+      // COMPOSITION, mirrored stage for stage in DuckDB CTEs from the
+      // same factored generators
+      "q153_ccnet_pipeline" -> q { (s, dir) =>
+        val pages = graft.ops.Warc.readWet(s, wetHtmlFixtureFor(s, dir))
+          .where(col("wtype") === "conversion")
+          .select(regexp_extract(col("uri"), "([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+            col("payload").as("html"))
+        graft.ops.Curation.crawlCurate(pages)
+      },
       // HTML → main-text extraction (the first stage of a raw-crawl
       // pipeline): each document PLANTED into a full HTML page —
       // scripts/styles/comments, nav/heading/list boilerplate,
@@ -2203,6 +2219,93 @@ object SparkEntry {
     * bit-identical doubles the native NearestCell / CosineSimilarity
     * loops produce; the final re-rank score is rounded to 4 decimals
     * like every other similarity oracle. */
+  /** [[graft.ops.Dedup.segmentDedup]]'s chain over a parameterized
+    * corpus relation `src(doc_id, text)`, ending in
+    * `sd_out(doc_id, clean_text, kept_segments, removed_segments)` —
+    * factored (the duckDsirCtes rule: one generator for the
+    * load-bearing arithmetic) so the q60 oracle and the q153 composed
+    * chain run the IDENTICAL segmentation. `sd_`-prefixed CTE names
+    * coexist with the curated/bigram generators in one WITH. */
+  private def duckSegDedupCtes(src: String): String = s"""sd_w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
+      sd_seg AS (
+        SELECT doc_id,
+          unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS seg_pos,
+          unnest(list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+            i -> array_to_string(ws[CAST(i * 10 + 1 AS INT) : CAST(i * 10 + 10 AS INT)], ' '))) AS segment
+        FROM sd_w),
+      sd_common AS (
+        SELECT segment FROM (
+          SELECT segment, count(DISTINCT doc_id) AS df FROM sd_seg GROUP BY 1)
+        WHERE df >= 2),
+      sd_flagged AS (
+        SELECT s.doc_id, s.seg_pos, s.segment, (c.segment IS NOT NULL) AS dup
+        FROM sd_seg s LEFT JOIN sd_common c ON s.segment = c.segment),
+      sd_out AS (
+        SELECT doc_id,
+          coalesce(string_agg(segment, ' ' ORDER BY seg_pos) FILTER (WHERE NOT dup), '') AS clean_text,
+          CAST(count(*) FILTER (WHERE NOT dup) AS BIGINT) AS kept_segments,
+          CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS removed_segments
+        FROM sd_flagged GROUP BY doc_id)"""
+
+  /** [[graft.ops.LangModel.bigramInterpolatedScore]] (λ = 0.7) over a
+    * parameterized corpus relation `src(doc_id, text)`, ending in
+    * `bp_score(doc_id, n_bigrams, avg_nlp_micros)` — the q119 chain
+    * factored for composition (same single-generator rule). */
+  private def duckBigramPplCtes(src: String): String = s"""bp_toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE $DuckTokens END AS ts
+        FROM $src),
+      bp_db AS (
+        SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS g
+              FROM bp_toks WHERE len(ts) >= 2)),
+      bp_bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                FROM bp_db GROUP BY 1, 2),
+      bp_ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1l FROM bp_bc GROUP BY 1),
+      bp_uni AS (SELECT u AS w2, CAST(count(*) AS BIGINT) AS c1r
+                 FROM (SELECT unnest(ts) AS u FROM bp_toks) GROUP BY 1),
+      bp_tot AS (SELECT CAST(coalesce(sum(c1r), 0) AS BIGINT) AS t FROM bp_uni),
+      bp_pn AS (
+        SELECT w1, w2,
+          CAST(round(ln(${0.7} * (CAST(c2 AS DOUBLE) / c1l)
+            + ${1.0 - 0.7} * (CAST(c1r AS DOUBLE) / t)) * -1e6) AS BIGINT)
+            AS nlp_micros
+        FROM bp_bc JOIN bp_ctx USING (w1) JOIN bp_uni USING (w2) CROSS JOIN bp_tot),
+      bp_sc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+          CAST(sum(nlp_micros) AS BIGINT) AS sm
+        FROM bp_db JOIN bp_pn USING (w1, w2) GROUP BY 1),
+      bp_score AS (
+        SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+          CAST(sm // nullif(nb, 0) AS BIGINT) AS avg_nlp_micros
+        FROM $src d LEFT JOIN bp_sc USING (doc_id))"""
+
+  /** [[graft.ops.LangModel.perplexityBuckets]] over a scored relation
+    * `scoreRel(doc_id, …, avg_nlp_micros)`, ending in
+    * `pb_bucket(doc_id, avg_nlp_micros, ppl_bucket)`: tercile cutoff
+    * ranks ceil(i·N/3) located on the distinct-score running count —
+    * exact integer arithmetic end to end, the engine's scale-honest
+    * order-statistic mirrored. */
+  private def duckPplBucketCtes(scoreRel: String): String = s"""pb_hist AS (
+        SELECT avg_nlp_micros AS v, CAST(count(*) AS BIGINT) AS c
+        FROM $scoreRel WHERE avg_nlp_micros IS NOT NULL GROUP BY 1),
+      pb_cum AS (
+        SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM pb_hist),
+      pb_tot AS (SELECT CAST(count(*) AS BIGINT) AS n
+                 FROM $scoreRel WHERE avg_nlp_micros IS NOT NULL),
+      pb_cuts AS (
+        SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS cut1,
+               min(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS cut2
+        FROM pb_cum CROSS JOIN pb_tot),
+      pb_bucket AS (
+        SELECT doc_id, avg_nlp_micros,
+          CASE WHEN avg_nlp_micros IS NULL THEN 'na'
+               WHEN avg_nlp_micros <= cut1 THEN 'head'
+               WHEN avg_nlp_micros <= cut2 THEN 'middle'
+               ELSE 'tail' END AS ppl_bucket
+        FROM $scoreRel CROSS JOIN pb_cuts)"""
+
   /** Shared CTE block for centroid-based oracles (q29, q62): cosine of
     * every vector against every trained centroid, then argmax cell
     * assignment — component sums written left-associated so the doubles
@@ -3940,6 +4043,27 @@ object SparkEntry {
         CAST(count(*) FILTER (WHERE doc_id % 7 = 0)
           * (length('$FragTail') + 3) AS BIGINT) AS fragment_chars
       FROM documents""",
+    // q153: the flagship composed chain — extraction, segment dedup,
+    // curation, and perplexity bucketing all from the SAME factored
+    // generators their standalone oracles use (q145/q60/q39/q119).
+    // `extracted` and `cleaned` are MATERIALIZED (the q148 CTE-inlining
+    // lesson): each feeds several downstream chains, and inlining
+    // re-runs the whole extraction per reference.
+    "q153_ccnet_pipeline" -> s"""
+      WITH extracted AS MATERIALIZED (
+        SELECT doc_id, ${duckExtractExpr(DuckPlantedHtml)} AS text
+        FROM documents),
+      ${duckSegDedupCtes("extracted")},
+      cleaned AS MATERIALIZED (
+        SELECT doc_id, clean_text AS text FROM sd_out
+        WHERE length(clean_text) > 0),
+      ${duckCuratedCtes("cleaned")},
+      ${duckBigramPplCtes("cleaned")},
+      ${duckPplBucketCtes("bp_score")}
+      SELECT s.doc_id, s.n_tokens, s.quality_score, s.lang_pred,
+        b.avg_nlp_micros, b.ppl_bucket
+      FROM scored s LEFT JOIN pb_bucket b USING (doc_id)
+      WHERE s.quality_score >= 0.7""",
     // q145: HTML → main-text extraction over the planted pages
     "q145_html_extract" -> s"""
       SELECT doc_id, mt AS main_text,
@@ -4403,34 +4527,11 @@ object SparkEntry {
     // interpolate as the SAME Scala-computed doubles (1.0−0.7 prints
     // 0.30000000000000004; embedding a hand-written 0.3 would be a
     // different constant), per-bigram micro-nats rounded once
+    // q119: the factored bigram-perplexity generator over documents
+    // (the same CTE chain composes into q153)
     "q119_bigram_perplexity" -> s"""
-      WITH toks AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-               ELSE $DuckTokens END AS ts
-        FROM documents),
-      db AS (
-        SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2
-        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS g
-              FROM toks WHERE len(ts) >= 2)),
-      bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
-             FROM db GROUP BY 1, 2),
-      ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1l FROM bc GROUP BY 1),
-      uni AS (SELECT u AS w2, CAST(count(*) AS BIGINT) AS c1r
-              FROM (SELECT unnest(ts) AS u FROM toks) GROUP BY 1),
-      tot AS (SELECT CAST(coalesce(sum(c1r), 0) AS BIGINT) AS t FROM uni),
-      pn AS (
-        SELECT w1, w2,
-          CAST(round(ln(${0.7} * (CAST(c2 AS DOUBLE) / c1l)
-            + ${1.0 - 0.7} * (CAST(c1r AS DOUBLE) / t)) * -1e6) AS BIGINT)
-            AS nlp_micros
-        FROM bc JOIN ctx USING (w1) JOIN uni USING (w2) CROSS JOIN tot),
-      sc AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
-          CAST(sum(nlp_micros) AS BIGINT) AS sm
-        FROM db JOIN pn USING (w1, w2) GROUP BY 1)
-      SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
-        CAST(sm // nullif(nb, 0) AS BIGINT) AS avg_nlp_micros
-      FROM documents d LEFT JOIN sc USING (doc_id)""",
+      WITH ${duckBigramPplCtes("documents")}
+      SELECT doc_id, n_bigrams, avg_nlp_micros FROM bp_score""",
     "q66_bigram_lm" -> s"""
       WITH toks AS (
         SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -5005,26 +5106,12 @@ object SparkEntry {
           // CAST(sum(tf) AS BIGINT) AS avg_nlp_micros
       FROM tf JOIN cnts USING (tok) CROSS JOIN tot
       GROUP BY doc_id""",
-    "q60_segment_dedup" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         seg AS (
-           SELECT doc_id,
-             unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS seg_pos,
-             unnest(list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
-               i -> array_to_string(ws[CAST(i * 10 + 1 AS INT) : CAST(i * 10 + 10 AS INT)], ' '))) AS segment
-           FROM w),
-         common AS (
-           SELECT segment FROM (
-             SELECT segment, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1)
-           WHERE df >= 2),
-         flagged AS (
-           SELECT s.doc_id, s.seg_pos, s.segment, (c.segment IS NOT NULL) AS dup
-           FROM seg s LEFT JOIN common c ON s.segment = c.segment)
-         SELECT doc_id,
-           coalesce(string_agg(segment, ' ' ORDER BY seg_pos) FILTER (WHERE NOT dup), '') AS clean_text,
-           CAST(count(*) FILTER (WHERE NOT dup) AS BIGINT) AS kept_segments,
-           CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS removed_segments
-         FROM flagged GROUP BY doc_id""",
+    // q60: the factored segment-dedup generator over documents (the
+    // same CTE chain composes into q153)
+    "q60_segment_dedup" -> s"""
+      WITH ${duckSegDedupCtes("documents")}
+      SELECT doc_id, clean_text, kept_segments, removed_segments
+      FROM sd_out""",
     "q22_cosine_neardup_baseline" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings WHERE vec_id < 500)

@@ -51,6 +51,46 @@ object Curation {
       .select("doc_id", "n_chars", "n_tokens", "quality_score", "lang_pred")
   }
 
+  /** The full CCNet-shaped raw-crawl-to-clean-corpus chain, composed
+    * from the individually-verified operators (q153 verifies the
+    * composition itself):
+    *
+    *   markup → [[Extract.mainText]] → paragraph/segment dedup
+    *   ([[Dedup.segmentDedup]] — shared boilerplate like footers and
+    *   nav text occurs across pages and is cut here) → [[curate]]
+    *   (exact dedup → LSH near-dup → quality gate) → corpus-trained
+    *   bigram-LM perplexity ([[LangModel.bigramInterpolatedScore]])
+    *   bucketed head/middle/tail ([[LangModel.perplexityBuckets]]).
+    *
+    * The LM trains on and buckets the POST-segment-dedup corpus (the
+    * CCNet order: buckets are assigned to everything, the quality gate
+    * then picks survivors), so the bucket join back to the curated set
+    * always matches; docs without bigrams carry bucket `na`.
+    *
+    * Intermediates are structurally materialized (the q121/q146
+    * ReuseExchange lesson): `extracted` feeds the segment pass twice
+    * and `cleaned` feeds curation AND the LM — at 100 TB these are the
+    * persisted stage tables between crawl and curation. Output:
+    * (idCol, n_tokens, quality_score, lang_pred, avg_nlp_micros,
+    * ppl_bucket). */
+  def crawlCurate(pages: DataFrame, idCol: String = "doc_id",
+                  htmlCol: String = "html", params: Params = Params(),
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val ck = Checkpoints.truncator(pages.sparkSession, checkpointDir)
+    val extracted = ck(pages.select(col(idCol),
+      Extract.mainText(col(htmlCol)).as("text")))
+    val cleaned = ck(Dedup.segmentDedup(extracted, idCol = idCol)
+      .where(length(col("clean_text")) > 0)
+      .select(col(idCol), col("clean_text").as("text")))
+    val curated = curate(cleaned, params)
+    val buckets = LangModel.perplexityBuckets(
+      LangModel.bigramInterpolatedScore(cleaned, idCol = idCol),
+      idCol = idCol)
+    curated.join(buckets, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("quality_score"),
+        col("lang_pred"), col("avg_nlp_micros"), col("ppl_bucket"))
+  }
+
   /** Split-leakage audit: near-duplicate pairs whose endpoints land in
     * DIFFERENT train/val/test splits — the eval-hygiene check that a
     * hash split alone cannot give you (membership is per-document, but

@@ -353,6 +353,50 @@ object LangModel {
         expr("sum_micros div nullif(n_bigrams, 0)").as("avg_nlp_micros"))
   }
 
+  /** CCNet-style head/middle/tail perplexity bucketing over a scored
+    * relation (e.g. [[bigramInterpolatedScore]]'s output): the corpus
+    * splits into terciles of the score distribution — `head` = the
+    * lowest-perplexity (most in-distribution) third, `tail` the
+    * highest, ties sharing a score value sharing a bucket (the CCNet
+    * rule: buckets are VALUE thresholds, not row counts, so equal
+    * scores never straddle a boundary).
+    *
+    * Scale shape — deliberately NOT `ntile` over a global window (a
+    * single-partition sort of the whole corpus): the cutoffs are two
+    * order statistics computed on the DISTINCT-score histogram.
+    * Scores are integer micro-nats, so the histogram groupBy is exact
+    * and its cardinality is bounded by the score resolution (≪ docs —
+    * the vocabulary-relation treatment); the running-count window
+    * runs over that bounded relation only, and the cutoffs broadcast
+    * back as a 1-row cross join. Three shuffles of bounded width,
+    * zero corpus-wide sorts. Cutoff rank k_i = ceil(i·N/3) in exact
+    * integer arithmetic; cutoff_i = the smallest score whose running
+    * count reaches k_i.
+    *
+    * Null scores (docs with no bigrams) keep their row with bucket
+    * `na` — surfaced, never dropped. Output: (idCol, scoreCol,
+    * ppl_bucket). */
+  def perplexityBuckets(scored: DataFrame, idCol: String = "doc_id",
+                        scoreCol: String = "avg_nlp_micros"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pop = scored.where(col(scoreCol).isNotNull)
+    val hist = pop.groupBy(col(scoreCol)).agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col(scoreCol),
+      sum("cnt").over(Window.orderBy(col(scoreCol))).as("cum"))
+    val tot = pop.agg(count(lit(1)).as("n"))
+    val cuts = cum.crossJoin(tot).agg(
+      min(when(col("cum") >= expr("(n + 2) div 3"), col(scoreCol)))
+        .as("cut1"),
+      min(when(col("cum") >= expr("(2 * n + 2) div 3"), col(scoreCol)))
+        .as("cut2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col(scoreCol),
+        when(col(scoreCol).isNull, lit("na"))
+          .when(col(scoreCol) <= col("cut1"), lit("head"))
+          .when(col(scoreCol) <= col("cut2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Corpus-trained multinomial Naive Bayes over a bounded feature
     * vocabulary — the "model-based filter" representative: train on the
     * corpus's own labels (here: source), score every document, emit the

@@ -475,6 +475,41 @@ class LangModelSpec extends SparkSpec {
     assert(got(12L) === ((2L, 2L, None)))
   }
 
+  test("perplexityBuckets: value-threshold terciles; ties share a bucket; null scores surface as na") {
+    import org.apache.spark.sql.functions.col
+    // 9 scored docs, distinct scores 10..90 → cutoffs at ranks
+    // ceil(9/3)=3 (value 30) and ceil(18/3)=6 (value 60)
+    val scored = (1L to 9L).map(i => (i, Some(i * 10L)))
+      .:+((10L, Option.empty[Long]))
+      .toDF("doc_id", "avg_nlp_micros")
+    val got = LangModel.perplexityBuckets(scored)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1L to 3L).forall(got(_) == "head"))
+    assert((4L to 6L).forall(got(_) == "middle"))
+    assert((7L to 9L).forall(got(_) == "tail"))
+    assert(got(10L) === "na")
+    // ties share a bucket (value thresholds, not row counts): six docs
+    // at score 5 and three at 99 → the 5s are ALL head (cut1 = 5 at
+    // cum 6 ≥ 3), and because that one value already reaches the
+    // second rank too (cum 6 ≥ 6 ⇒ cut2 = 5), middle is EMPTY and the
+    // 99s are tail — a mass-dominant value never straddles a boundary
+    val tied = ((1L to 6L).map((_, 5L)) ++ (7L to 9L).map((_, 99L)))
+      .toDF("doc_id", "avg_nlp_micros")
+    val got2 = LangModel.perplexityBuckets(tied)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1L to 6L).forall(got2(_) == "head"))
+    assert((7L to 9L).forall(got2(_) == "tail"))
+    // all-null population: everything na, no crash on empty histogram
+    val nulls = Seq((1L, Option.empty[Long])).toDF("doc_id", "avg_nlp_micros")
+    assert(LangModel.perplexityBuckets(nulls)
+      .collect().map(_.getString(2)).toSeq === Seq("na"))
+    // the plan contains no global row-level sort: the only window runs
+    // over the distinct-score histogram
+    val plan = LangModel.perplexityBuckets(scored.where(col("doc_id") < 5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"))
+  }
+
   test("crossUnigramScore collapsed eval is output-identical to direct") {
     import spark.implicits._
     val train = Seq((1L, "a a b c d"), (2L, "a b")).toDF("doc_id", "text")
