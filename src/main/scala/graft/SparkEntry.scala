@@ -1178,6 +1178,19 @@ object SparkEntry {
         graft.ops.Pq.ivfPqTopKIndexed(em.where(col("vec_id") < 20),
           ivfPqIndexFor(s, dir), k = 5, nprobe = 2)
       },
+      // FILTERED ANN serving (the RAG shape: top-k WHERE label = …):
+      // the metadata predicate resolves to an allowed-id relation and
+      // gates the codes-only candidate scan BEFORE ranking
+      // (pre-filter semantics — all k results satisfy it; recall
+      // within the filtered set rides nprobe). Same q118 index; the
+      // oracle is the q118 chain with the candidate CTE gated on the
+      // identical predicate
+      "q154_filtered_ann" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        graft.ops.Pq.ivfPqTopKIndexed(em.where(col("vec_id") < 20),
+          ivfPqIndexFor(s, dir), k = 5, nprobe = 2,
+          filter = Some(em.where(col("label") === 7).select(col("vec_id"))))
+      },
       // q118 through the two-phase POINT serve: routing collected
       // (bounded |queries|·nprobe pairs), the ADC corpus scan entered
       // through a pushed `cell IN (...)` instead of the broadcast-join
@@ -2807,7 +2820,19 @@ object SparkEntry {
     * mechanism), candidates restricted to each query's nprobe=2
     * closest cells. Each neighbor lives in exactly one cell, so the
     * probed join yields each (query, neighbor) pair at most once. */
-  def ivfPqOracleSql(spark: SparkSession, sfDir: String): String = {
+  def ivfPqOracleSql(spark: SparkSession, sfDir: String): String =
+    ivfPqOracleSqlImpl(spark, sfDir, candidateFilter = None)
+
+  /** q154: the q118 chain with the candidate scan GATED on the allowed
+    * ids (pre-filter semantics, exactly where the engine semi-joins —
+    * before ranking), the metadata predicate the engine resolves from
+    * the embeddings label column. */
+  def ivfPqFilteredOracleSql(spark: SparkSession, sfDir: String): String =
+    ivfPqOracleSqlImpl(spark, sfDir, candidateFilter =
+      Some("a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 7)"))
+
+  private def ivfPqOracleSqlImpl(spark: SparkSession, sfDir: String,
+                                 candidateFilter: Option[String]): String = {
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cent = graft.ops.Similarity.trainedCentroids(em, nlist = 8)
     val cb = graft.ops.Pq.trainCodebooks(em, m = 8, ks = 16)
@@ -2831,7 +2856,8 @@ object SparkEntry {
         JOIN n ON n.neighbor_id = a.vec_id
         JOIN ql l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = n.c0
         $adcJoins
-        WHERE p.query_id <> a.vec_id)
+        WHERE p.query_id <> a.vec_id
+          ${candidateFilter.map(f => s"AND $f").getOrElse("")})
       SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
         round(adist, 4) AS adc_dist
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id

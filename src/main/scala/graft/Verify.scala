@@ -57,6 +57,7 @@ object Verify {
       ("q114_pq_ann" -> SparkEntry.pqOracleSql(spark, sfDir)) +
       ("q115_pq_refine" -> SparkEntry.pqRefineOracleSql(spark, sfDir)) +
       ("q118_ivfpq_probe" -> SparkEntry.ivfPqOracleSql(spark, sfDir)) +
+      ("q154_filtered_ann" -> SparkEntry.ivfPqFilteredOracleSql(spark, sfDir)) +
       ("q122_ivfpq_residual" -> SparkEntry.ivfPqResidualOracleSql(spark, sfDir)) +
       ("q124_ivfpq_res_refined" ->
         SparkEntry.ivfPqResidualRefinedOracleSql(spark, sfDir)) +

@@ -721,11 +721,24 @@ object Pq {
     * (neighbor_id, codes) and the plan has no NearestCell/PqEncode.
     * `excludeShards` is the ingest-replay filter ([[Similarity
     * .cosineNearDuplicatesIndexed]]'s contract). */
+  /** `filter`: optional allowed-id relation (first column = candidate
+    * ids) for FILTERED serving — the RAG shape `top-k WHERE lang = …`.
+    * Semantics are PRE-FILTER: the predicate gates the candidate scan
+    * BEFORE ranking, so all k results satisfy it and recall within the
+    * filtered set is governed by nprobe exactly as unfiltered recall
+    * is (a post-filter — predicate applied to an unfiltered top-k —
+    * returns fewer than k rows whenever the filter is selective; that
+    * variant is just `.join(filter, "semi")` on this method's default
+    * output, so only pre-filter needs engine support). The filter
+    * joins the CELL-PRUNED codes-only candidates as a semi-join —
+    * at a selective predicate AQE broadcasts the id side; the scan
+    * stays partition-pruned and codes-only either way. */
   def ivfPqTopKIndexed(queries: DataFrame, dir: String, k: Int,
                        nprobe: Int = 4, idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        excludeShards: Seq[String] = Nil,
-                       excludeSelf: Boolean = true): DataFrame = {
+                       excludeSelf: Boolean = true,
+                       filter: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     val root = Generations.root(spark, dir)
     val cb = readCodebooks(spark, root)
@@ -735,7 +748,8 @@ object Pq {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "qv", cb)
     adcOverCells(spark, root, cb, centroids, q,
-      routedCells(q, centroids, nprobe), corpus, k, excludeSelf)
+      routedCells(q, centroids, nprobe), corpus, k, excludeSelf,
+      filterIds = filter)
   }
 
   private def shardFiltered(spark: SparkSession, root: String,
@@ -771,7 +785,8 @@ object Pq {
                            centroids: DataFrame, q: DataFrame,
                            probedCells: DataFrame, corpus: DataFrame,
                            k: Int, excludeSelf: Boolean,
-                           residualOrigin: Option[Column] = None): DataFrame = {
+                           residualOrigin: Option[Column] = None,
+                           filterIds: Option[DataFrame] = None): DataFrame = {
     // residualOrigin: how residual mode derives q − centroid(cell)
     // over the (qv, cell) columns. Default = index the collected flat
     // centroid table by cell. The IMI callers pass the DECOMPOSED form
@@ -819,7 +834,16 @@ object Pq {
     // live in a DIFFERENT namespace than the index (the enrichment
     // shape) — an id collision there is not a self pair, and dropping
     // it would silently hide a true neighbor
-    val joined = corpus.select(col("neighbor_id"), col("codes"), col("cell"))
+    val candidates = corpus.select(col("neighbor_id"), col("codes"), col("cell"))
+    // pre-filter (see ivfPqTopKIndexed): gate the codes-only candidate
+    // relation on the allowed-id set BEFORE routing/ranking — a
+    // semi-join, so filter duplicates can never duplicate candidates
+    val gated = filterIds.map { f =>
+      candidates.join(
+        f.select(col(f.columns.head).as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+    }.getOrElse(candidates)
+    val joined = gated
       .join(broadcast(probedCells.select("query_id", "cell")), Seq("cell"))
     val scored =
       (if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))

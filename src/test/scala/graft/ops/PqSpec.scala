@@ -153,6 +153,44 @@ class PqSpec extends SparkSpec {
     assert(!corpusScan.contains("cv") && !corpusScan.contains("embedding"))
   }
 
+  test("filtered ivf-pq serve: pre-filter gates candidates before ranking; codes-only scan unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-filt").toString
+    Pq.buildIvfPqIndex(em, dir, m = 8, ks = 8, nlist = 4)
+    val q = em.where(col("vec_id") < 5)
+    val allowed = em.where(col("label") === 7).select(col("vec_id"))
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val served = Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 4,
+      filter = Some(allowed))
+    val got = rows(served)
+    // every result satisfies the predicate, and pre-filter FILLS k
+    // (with nprobe = nlist every allowed candidate is probed) — the
+    // defining property a post-filter of an unfiltered top-k lacks
+    assert(got.forall { case (_, _, nb, _) => allowedIds.contains(nb) })
+    assert(served.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 3L))
+    // pre-filter ≡ rank the SAME index's unfiltered candidates over
+    // the allowed set only: take an unfiltered full-probe serve wide
+    // enough to hold every candidate, keep allowed neighbors, re-rank
+    val base = rows(Pq.ivfPqTopKIndexed(q, dir, k = 600, nprobe = 4))
+    val want = base.toSeq.filter(t => allowedIds.contains(t._3))
+      .groupBy(_._1).flatMap { case (qid, ts) =>
+        ts.sortBy(t => (t._4, t._3)).take(3).zipWithIndex
+          .map { case (t, i) => (qid, (i + 1).toLong, t._3, t._4) }
+      }.toSet
+    assert(got === want)
+    // post-filtering the unfiltered top-3 under-fills whenever the
+    // filter is selective — confirm the distinction is real here
+    val post = rows(Pq.ivfPqTopKIndexed(q, dir, k = 3, nprobe = 4))
+      .filter(t => allowedIds.contains(t._3))
+    assert(post.size < got.size)
+    // the candidate scan stays codes-only with the filter applied
+    val plan = served.queryExecution.executedPlan.toString
+    val corpusScan = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("corpus"))
+      .mkString("\n")
+    assert(corpusScan.contains("codes") && !corpusScan.contains("embedding"))
+  }
+
   test("ivf-pq restricted probe: candidates only from probed cells; recall floor vs exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-probe").toString
     Pq.buildIvfPqIndex(em, dir, m = 8, ks = 16, nlist = 8)
