@@ -1319,6 +1319,14 @@ object SparkEntry {
             col("payload").as("html"))
         graft.ops.Curation.crawlCurate(pages)
       },
+      // the streaming crawl front end's per-batch computation, run as
+      // its batch-backfill form over the whole fixture (the stream IS
+      // this per micro-batch — CrawlIngestSpec proves stream ≡ twin;
+      // this row proves the twin against an independent oracle, so the
+      // streaming path is transitively oracle-checked)
+      "q155_crawl_ingest_backfill" -> q { (s, dir) =>
+        graft.streaming.CrawlIngest.batchTwin(s, wetHtmlFixtureFor(s, dir))
+      },
       // HTML → main-text extraction (the first stage of a raw-crawl
       // pipeline): each document PLANTED into a full HTML page —
       // scripts/styles/comments, nav/heading/list boilerplate,
@@ -2027,12 +2035,20 @@ object SparkEntry {
     * TextStats.statsFor) over `table` — q15 verbatim; q57 reuses it as
     * the stats subquery under its per-language quantile gate. */
   private def oracleSqlTextStats(table: String): String = s"""
-      WITH base AS (
+      WITH ${duckTextStatsCtes(table)}
+      SELECT * FROM ts_out"""
+
+  /** [[graft.ops.TextStats.statsFor]] over a parameterized corpus
+    * relation `src(doc_id, text)`, ending in `ts_out(doc_id, n_chars,
+    * n_tokens, …, quality_score, lang_pred, fingerprint)` — factored
+    * (the duckDsirCtes rule) so q15's oracle and the q155 composed
+    * backfill chain run the IDENTICAL scoring. */
+  private def duckTextStatsCtes(src: String): String = s"""ts_base AS (
         SELECT doc_id, text,
           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                ELSE $DuckTokens END AS toks
-        FROM $table),
-      stats AS (
+        FROM $src),
+      ts_stats AS (
         SELECT doc_id, text, toks,
           len(toks) AS n_toks,
           len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stops,
@@ -2041,7 +2057,8 @@ object SparkEntry {
           len(list_filter(toks, x -> x IN ('le','la','et','est'))) AS s_fr,
           len(list_filter(toks, x -> x IN ('el','la','y','es'))) AS s_es,
           len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de
-        FROM base)
+        FROM ts_base),
+      ts_out AS (
       SELECT doc_id,
         CAST(length(text) AS BIGINT) AS n_chars,
         CAST(n_toks AS BIGINT) AS n_tokens,
@@ -2061,7 +2078,7 @@ object SparkEntry {
             WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_de) THEN 'de'
             ELSE 'und' END AS lang_pred,
         md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\\[-`{-~]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
-      FROM stats"""
+      FROM ts_stats)"""
 
   /** Normalized-content md5 (shared by q15/q16/q28/q39 oracles). */
   private val DuckFingerprint =
@@ -4090,6 +4107,21 @@ object SparkEntry {
         b.avg_nlp_micros, b.ppl_bucket
       FROM scored s LEFT JOIN pb_bucket b USING (doc_id)
       WHERE s.quality_score >= 0.7""",
+    // q155: the streaming front end's batch twin — extraction over the
+    // WET payloads (identity on the planted pages), the q15 stats
+    // generator over the extracted relation, the quality gate, text
+    // joined back. doc_id here is the record URI (the stream's natural
+    // key)
+    "q155_crawl_ingest_backfill" -> s"""
+      WITH extracted AS MATERIALIZED (
+        SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+          ${duckExtractExpr(DuckPlantedHtml)} AS text
+        FROM documents),
+      pages AS (SELECT doc_id, text FROM extracted WHERE length(text) > 0),
+      ${duckTextStatsCtes("pages")}
+      SELECT p.doc_id, p.text, t.n_tokens, t.quality_score, t.lang_pred
+      FROM ts_out t JOIN pages p USING (doc_id)
+      WHERE t.quality_score >= 0.7""",
     // q145: HTML → main-text extraction over the planted pages
     "q145_html_extract" -> s"""
       SELECT doc_id, mt AS main_text,

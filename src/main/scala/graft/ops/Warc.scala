@@ -42,8 +42,26 @@ object Warc {
     * transparently via the text source's codec inference — each gzip
     * file is ONE split, so parallelism is per-file, which matches the
     * crawl's many-small-segments layout (spec-asserted). */
-  def readWet(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("lineSep", Marker).text(path)
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    parseWetRecords(spark.read.option("lineSep", Marker).text(path))
+
+  /** Streaming twin of [[readWet]]: the same lineSep framing and the
+    * SAME record projection over Structured Streaming's file source —
+    * a crawl delivers segment files continuously, and this is the
+    * arrival side of that pipeline (new files are discovered per
+    * micro-batch; records within a file parse exactly as the batch
+    * reader parses them, single-sourced via [[parseWetRecords]]).
+    * Compose with [[graft.ops.Extract.mainText]] and a quality gate
+    * for the full streaming front end (CrawlIngestSpec drives it
+    * against the batch twin). */
+  def readWetStream(spark: SparkSession, path: String): DataFrame =
+    parseWetRecords(spark.readStream.option("lineSep", Marker).text(path))
+
+  /** The record projection shared by the batch and streaming readers:
+    * CRLF-normalize, drop per-file preamble splits, parse the header
+    * fields, cut the payload at the first blank line. ONE definition
+    * so batch and stream can never diverge. */
+  private def parseWetRecords(raw: DataFrame): DataFrame = {
     // per-file preamble before the first marker is an empty split
     val recs = raw.where(length(trim(col("value"))) > 0)
       .select(regexp_replace(col("value"), "\r\n", "\n").as("v"))
