@@ -375,7 +375,13 @@ object LangModel {
     *
     * Null scores (docs with no bigrams) keep their row with bucket
     * `na` — surfaced, never dropped. Output: (idCol, scoreCol,
-    * ppl_bucket). */
+    * ppl_bucket).
+    *
+    * `scored` is referenced THREE times (histogram, population count,
+    * bucket projection) — pass a materialized relation (a table scan
+    * or a [[graft.ops.Checkpoints.truncator]] output, as
+    * [[graft.ops.Curation.crawlCurate]] does) when the scoring chain
+    * upstream is expensive, or it re-runs per reference. */
   def perplexityBuckets(scored: DataFrame, idCol: String = "doc_id",
                         scoreCol: String = "avg_nlp_micros"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
