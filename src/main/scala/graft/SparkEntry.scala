@@ -1327,6 +1327,20 @@ object SparkEntry {
       "q155_crawl_ingest_backfill" -> q { (s, dir) =>
         graft.streaming.CrawlIngest.batchTwin(s, wetHtmlFixtureFor(s, dir))
       },
+      // per-LANGUAGE perplexity buckets — CCNet's actual rule (a
+      // Wikipedia-trained LM's absolute perplexity isn't comparable
+      // across languages, so the terciles are per-language): the same
+      // order-statistic machinery partitioned by lang_pred. scored is
+      // materialized (the perplexityBuckets contract)
+      "q156_ppl_buckets_by_lang" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val scored = graft.ops.Checkpoints.truncator(s, None)(
+          LangModel.bigramInterpolatedScore(docs)
+            .join(TextStats.statsFor(docs).select("doc_id", "lang_pred"),
+              "doc_id"))
+        LangModel.perplexityBuckets(scored,
+          partitionCols = Seq("lang_pred"))
+      },
       // HTML → main-text extraction (the first stage of a raw-crawl
       // pipeline): each document PLANTED into a full HTML page —
       // scripts/styles/comments, nav/heading/list boilerplate,
@@ -2317,24 +2331,47 @@ object SparkEntry {
     * ranks ceil(i·N/3) located on the distinct-score running count —
     * exact integer arithmetic end to end, the engine's scale-honest
     * order-statistic mirrored. */
-  private def duckPplBucketCtes(scoreRel: String): String = s"""pb_hist AS (
-        SELECT avg_nlp_micros AS v, CAST(count(*) AS BIGINT) AS c
-        FROM $scoreRel WHERE avg_nlp_micros IS NOT NULL GROUP BY 1),
+  private def duckPplBucketCtes(scoreRel: String,
+                                partitionCols: Seq[String] = Nil): String = {
+    val p = partitionCols.mkString(", ")
+    val pComma = if (partitionCols.isEmpty) "" else s"$p, "
+    val histKeys = (partitionCols.indices.map(i => s"${i + 1}") :+
+      s"${partitionCols.size + 1}").mkString(", ")
+    val cumPart =
+      if (partitionCols.isEmpty) "" else s"PARTITION BY $p "
+    val totSel =
+      if (partitionCols.isEmpty) "" else s"$p, "
+    val totGroup =
+      if (partitionCols.isEmpty) "" else s"GROUP BY $p"
+    val cutsJoin =
+      if (partitionCols.isEmpty) "CROSS JOIN pb_tot"
+      else s"JOIN pb_tot USING ($p)"
+    val cutsGroup =
+      if (partitionCols.isEmpty) "" else s"GROUP BY $p"
+    val bucketJoin =
+      if (partitionCols.isEmpty) "CROSS JOIN pb_cuts"
+      else s"LEFT JOIN pb_cuts USING ($p)"
+    s"""pb_hist AS (
+        SELECT ${pComma}avg_nlp_micros AS v, CAST(count(*) AS BIGINT) AS c
+        FROM $scoreRel WHERE avg_nlp_micros IS NOT NULL GROUP BY $histKeys),
       pb_cum AS (
-        SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM pb_hist),
-      pb_tot AS (SELECT CAST(count(*) AS BIGINT) AS n
-                 FROM $scoreRel WHERE avg_nlp_micros IS NOT NULL),
+        SELECT ${pComma}v,
+          CAST(sum(c) OVER (${cumPart}ORDER BY v) AS BIGINT) AS cum
+        FROM pb_hist),
+      pb_tot AS (SELECT ${totSel}CAST(count(*) AS BIGINT) AS n
+                 FROM $scoreRel WHERE avg_nlp_micros IS NOT NULL $totGroup),
       pb_cuts AS (
-        SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS cut1,
+        SELECT ${pComma}min(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS cut1,
                min(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS cut2
-        FROM pb_cum CROSS JOIN pb_tot),
+        FROM pb_cum $cutsJoin $cutsGroup),
       pb_bucket AS (
-        SELECT doc_id, avg_nlp_micros,
+        SELECT doc_id, ${pComma}avg_nlp_micros,
           CASE WHEN avg_nlp_micros IS NULL THEN 'na'
                WHEN avg_nlp_micros <= cut1 THEN 'head'
                WHEN avg_nlp_micros <= cut2 THEN 'middle'
                ELSE 'tail' END AS ppl_bucket
-        FROM $scoreRel CROSS JOIN pb_cuts)"""
+        FROM $scoreRel $bucketJoin)"""
+  }
 
   /** Shared CTE block for centroid-based oracles (q29, q62): cosine of
     * every vector against every trained centroid, then argmax cell
@@ -4122,6 +4159,17 @@ object SparkEntry {
       SELECT p.doc_id, p.text, t.n_tokens, t.quality_score, t.lang_pred
       FROM ts_out t JOIN pages p USING (doc_id)
       WHERE t.quality_score >= 0.7""",
+    // q156: per-language perplexity buckets — the bp/ts generators
+    // joined, the bucket generator PARTITIONED by lang_pred
+    "q156_ppl_buckets_by_lang" -> s"""
+      WITH ${duckBigramPplCtes("documents")},
+      ${duckTextStatsCtes("documents")},
+      langscored AS (
+        SELECT s.doc_id, s.avg_nlp_micros, t.lang_pred
+        FROM bp_score s JOIN ts_out t USING (doc_id)),
+      ${duckPplBucketCtes("langscored", Seq("lang_pred"))}
+      SELECT doc_id, lang_pred, avg_nlp_micros, ppl_bucket
+      FROM pb_bucket""",
     // q145: HTML → main-text extraction over the planted pages
     "q145_html_extract" -> s"""
       SELECT doc_id, mt AS main_text,

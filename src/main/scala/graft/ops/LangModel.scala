@@ -374,8 +374,14 @@ object LangModel {
     * count reaches k_i.
     *
     * Null scores (docs with no bigrams) keep their row with bucket
-    * `na` — surfaced, never dropped. Output: (idCol, scoreCol,
-    * ppl_bucket).
+    * `na` — surfaced, never dropped. Output: (idCol, partitionCols…,
+    * scoreCol, ppl_bucket).
+    *
+    * `partitionCols`: compute cutoffs PER GROUP — CCNet's actual rule
+    * is per-LANGUAGE terciles (a Wikipedia-trained LM's absolute
+    * perplexity isn't comparable across languages), so pass
+    * `Seq("lang_pred")` with a language column on `scored` (q156).
+    * Empty (the default) = one corpus-wide cutoff pair.
     *
     * `scored` is referenced THREE times (histogram, population count,
     * bucket projection) — pass a materialized relation (a table scan
@@ -383,24 +389,44 @@ object LangModel {
     * [[graft.ops.Curation.crawlCurate]] does) when the scoring chain
     * upstream is expensive, or it re-runs per reference. */
   def perplexityBuckets(scored: DataFrame, idCol: String = "doc_id",
-                        scoreCol: String = "avg_nlp_micros"): DataFrame = {
+                        scoreCol: String = "avg_nlp_micros",
+                        partitionCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val pCols = partitionCols.map(col)
     val pop = scored.where(col(scoreCol).isNotNull)
-    val hist = pop.groupBy(col(scoreCol)).agg(count(lit(1)).as("cnt"))
-    val cum = hist.select(col(scoreCol),
-      sum("cnt").over(Window.orderBy(col(scoreCol))).as("cum"))
-    val tot = pop.agg(count(lit(1)).as("n"))
-    val cuts = cum.crossJoin(tot).agg(
+    val hist = pop.groupBy(pCols :+ col(scoreCol): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w =
+      if (partitionCols.isEmpty) Window.orderBy(col(scoreCol))
+      else Window.partitionBy(pCols: _*).orderBy(col(scoreCol))
+    val cum = hist.select(
+      pCols :+ col(scoreCol) :+ sum("cnt").over(w).as("cum"): _*)
+    val tot =
+      if (partitionCols.isEmpty) pop.agg(count(lit(1)).as("n"))
+      else pop.groupBy(pCols: _*).agg(count(lit(1)).as("n"))
+    val joined =
+      if (partitionCols.isEmpty) cum.crossJoin(tot)
+      else cum.join(tot, partitionCols)
+    // groupBy() with no keys is the global aggregate — one code path
+    // for both the corpus-wide and the per-partition (CCNet's
+    // per-LANGUAGE) cutoffs
+    val cuts = joined.groupBy(pCols: _*).agg(
       min(when(col("cum") >= expr("(n + 2) div 3"), col(scoreCol)))
         .as("cut1"),
       min(when(col("cum") >= expr("(2 * n + 2) div 3"), col(scoreCol)))
         .as("cut2"))
-    scored.crossJoin(broadcast(cuts))
-      .select(col(idCol), col(scoreCol),
+    val withCuts =
+      if (partitionCols.isEmpty) scored.crossJoin(broadcast(cuts))
+      // left join: a row with a non-null score always finds its
+      // partition's cuts (it contributed to them); null-score rows
+      // take the 'na' branch before the cut columns are read
+      else scored.join(broadcast(cuts), partitionCols, "left")
+    withCuts.select(
+      col(idCol) +: pCols :+ col(scoreCol) :+
         when(col(scoreCol).isNull, lit("na"))
           .when(col(scoreCol) <= col("cut1"), lit("head"))
           .when(col(scoreCol) <= col("cut2"), lit("middle"))
-          .otherwise(lit("tail")).as("ppl_bucket"))
+          .otherwise(lit("tail")).as("ppl_bucket"): _*)
   }
 
   /** Corpus-trained multinomial Naive Bayes over a bounded feature

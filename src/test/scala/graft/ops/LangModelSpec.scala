@@ -508,6 +508,18 @@ class LangModelSpec extends SparkSpec {
     val plan = LangModel.perplexityBuckets(scored.where(col("doc_id") < 5))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ntile"))
+    // per-partition cutoffs (the CCNet per-language rule): two groups
+    // with disjoint score ranges each split into their OWN terciles —
+    // globally the 'b' group would be all tail
+    val grouped = ((1L to 9L).map(i => (i, "a", i * 10L)) ++
+      (11L to 19L).map(i => (i, "b", 1000L + i * 10L)))
+      .toDF("doc_id", "lang", "avg_nlp_micros")
+    val gb = LangModel.perplexityBuckets(grouped,
+      partitionCols = Seq("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert((1L to 3L).forall(gb(_) == "head") &&
+      (17L to 19L).forall(gb(_) == "tail"))
+    assert((11L to 13L).forall(gb(_) == "head"))
   }
 
   test("crossUnigramScore collapsed eval is output-identical to direct") {
