@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AggExpressions, TextExpressions, VectorExpressions}
+import graft.functions.{AggExpressions, EntityExpressions, TextExpressions, VectorExpressions}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so the `spark.sql` surface can call them
@@ -51,6 +51,10 @@ object GraftExtensions {
     "fp16_unpack" -> (es => VectorExpressions.Fp16Unpack(es(0))),
     "rolling_hash_min" -> (es => TextExpressions.RollingHashMin(es(0),
       intArg(es(1), "window"))),
+    // full HTML entity decode (named + decimal + hex, amp last) —
+    // SELECT decode_html_entities(html) ...
+    "decode_html_entities" -> (es =>
+      EntityExpressions.DecodeHtmlEntities(es(0))),
     // aggregate: top_k_by_score(score, id, k) → array<struct<rnk,
     // neighbor_id, cos_sim>> ranked (score desc, id asc)
     "top_k_by_score" -> (es => AggExpressions.TopKByScore(es(0), es(1),

@@ -1341,6 +1341,30 @@ object SparkEntry {
         LangModel.perplexityBuckets(scored,
           partitionCols = Seq("lang_pred"))
       },
+      // q153 entered from the RAW-WARC front: response records
+      // (HTTP-status/content-type gated, the real crawl rule) → body →
+      // the same composed curation. Fixture plants the same pages, so
+      // the oracle is the SAME generator — proof the two crawl entry
+      // formats converge to one corpus
+      "q157_warc_crawl_curate" -> q { (s, dir) =>
+        val pages = graft.ops.Warc
+          .readWarcResponses(s, warcRespFixtureFor(s, dir))
+          .where(col("http_status") === 200 &&
+            col("content_type").startsWith("text/html"))
+          .select(regexp_extract(col("uri"), "([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+            col("body").as("html"))
+        graft.ops.Curation.crawlCurate(pages)
+      },
+      // the flagship with CCNet's PER-LANGUAGE perplexity buckets
+      "q158_crawl_curate_by_lang" -> q { (s, dir) =>
+        val pages = graft.ops.Warc.readWet(s, wetHtmlFixtureFor(s, dir))
+          .where(col("wtype") === "conversion")
+          .select(regexp_extract(col("uri"), "([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+            col("payload").as("html"))
+        graft.ops.Curation.crawlCurate(pages, perLanguageBuckets = true)
+      },
       // HTML → main-text extraction (the first stage of a raw-crawl
       // pipeline): each document PLANTED into a full HTML page —
       // scripts/styles/comments, nav/heading/list boilerplate,
@@ -2324,6 +2348,38 @@ object SparkEntry {
         SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
           CAST(sm // nullif(nb, 0) AS BIGINT) AS avg_nlp_micros
         FROM $src d LEFT JOIN bp_sc USING (doc_id))"""
+
+  /** The q153/q157/q158 composed-chain oracle: extraction, segment
+    * dedup, curation, bigram LM, and bucket generators composed —
+    * `extracted`/`cleaned` MATERIALIZED (the q148 CTE-inlining lesson:
+    * each feeds several downstream chains, and inlining re-runs the
+    * whole extraction per reference). `perLanguage` switches the
+    * bucket generator to per-lang_pred cutoffs over the stats-joined
+    * scores (the engine's `crawlCurate(perLanguageBuckets = true)`). */
+  private def duckCrawlCurateSql(perLanguage: Boolean): String = {
+    val bucketCtes =
+      if (!perLanguage) duckPplBucketCtes("bp_score")
+      else s"""${duckTextStatsCtes("cleaned")},
+        blang AS (
+          SELECT s.doc_id, s.avg_nlp_micros, t.lang_pred
+          FROM bp_score s JOIN ts_out t USING (doc_id)),
+        ${duckPplBucketCtes("blang", Seq("lang_pred"))}"""
+    s"""
+      WITH extracted AS MATERIALIZED (
+        SELECT doc_id, ${duckExtractExpr(DuckPlantedHtml)} AS text
+        FROM documents),
+      ${duckSegDedupCtes("extracted")},
+      cleaned AS MATERIALIZED (
+        SELECT doc_id, clean_text AS text FROM sd_out
+        WHERE length(clean_text) > 0),
+      ${duckCuratedCtes("cleaned")},
+      ${duckBigramPplCtes("cleaned")},
+      $bucketCtes
+      SELECT s.doc_id, s.n_tokens, s.quality_score, s.lang_pred,
+        b.avg_nlp_micros, b.ppl_bucket
+      FROM scored s LEFT JOIN pb_bucket b USING (doc_id)
+      WHERE s.quality_score >= 0.7"""
+  }
 
   /** [[graft.ops.LangModel.perplexityBuckets]] over a scored relation
     * `scoreRel(doc_id, …, avg_nlp_micros)`, ending in
@@ -4126,24 +4182,15 @@ object SparkEntry {
     // q153: the flagship composed chain — extraction, segment dedup,
     // curation, and perplexity bucketing all from the SAME factored
     // generators their standalone oracles use (q145/q60/q39/q119).
-    // `extracted` and `cleaned` are MATERIALIZED (the q148 CTE-inlining
-    // lesson): each feeds several downstream chains, and inlining
-    // re-runs the whole extraction per reference.
-    "q153_ccnet_pipeline" -> s"""
-      WITH extracted AS MATERIALIZED (
-        SELECT doc_id, ${duckExtractExpr(DuckPlantedHtml)} AS text
-        FROM documents),
-      ${duckSegDedupCtes("extracted")},
-      cleaned AS MATERIALIZED (
-        SELECT doc_id, clean_text AS text FROM sd_out
-        WHERE length(clean_text) > 0),
-      ${duckCuratedCtes("cleaned")},
-      ${duckBigramPplCtes("cleaned")},
-      ${duckPplBucketCtes("bp_score")}
-      SELECT s.doc_id, s.n_tokens, s.quality_score, s.lang_pred,
-        b.avg_nlp_micros, b.ppl_bucket
-      FROM scored s LEFT JOIN pb_bucket b USING (doc_id)
-      WHERE s.quality_score >= 0.7""",
+    "q153_ccnet_pipeline" -> duckCrawlCurateSql(perLanguage = false),
+    // q157: the identical composition entered from the RAW-WARC front
+    // (response records → body). The fixture writer plants the same
+    // pages and the reader's body parse is identity on them, so the
+    // oracle IS the q153 oracle — one generator, by construction
+    "q157_warc_crawl_curate" -> duckCrawlCurateSql(perLanguage = false),
+    // q158: the composition with CCNet's PER-LANGUAGE buckets — the
+    // partitioned bucket generator over the lang-joined scores
+    "q158_crawl_curate_by_lang" -> duckCrawlCurateSql(perLanguage = true),
     // q155: the streaming front end's batch twin — extraction over the
     // WET payloads (identity on the planted pages), the q15 stats
     // generator over the extracted relation, the quality gate, text

@@ -73,9 +73,15 @@ object Curation {
     * persisted stage tables between crawl and curation. Output:
     * (idCol, n_tokens, quality_score, lang_pred, avg_nlp_micros,
     * ppl_bucket). */
+  /** `perLanguageBuckets`: bucket by PER-LANGUAGE terciles (CCNet's
+    * actual rule — LM perplexity isn't comparable across languages)
+    * instead of one corpus-wide cutoff pair; the language label is the
+    * stats pass's lang_pred over the cleaned corpus, the same signal
+    * the quality gate reads. */
   def crawlCurate(pages: DataFrame, idCol: String = "doc_id",
                   htmlCol: String = "html", params: Params = Params(),
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  perLanguageBuckets: Boolean = false): DataFrame = {
     val ck = Checkpoints.truncator(pages.sparkSession, checkpointDir)
     val extracted = ck(pages.select(col(idCol),
       Extract.mainText(col(htmlCol)).as("text")))
@@ -88,7 +94,16 @@ object Curation {
     // materialize it or the whole bigram-LM chain re-runs per
     // reference (the q121 lesson; measured 13.4 → ~7 s at sf0.1)
     val scored = ck(LangModel.bigramInterpolatedScore(cleaned, idCol = idCol))
-    val buckets = LangModel.perplexityBuckets(scored, idCol = idCol)
+    val buckets =
+      if (!perLanguageBuckets)
+        LangModel.perplexityBuckets(scored, idCol = idCol)
+      else {
+        val lang = TextStats.statsFor(cleaned)
+          .select(col(idCol), col("lang_pred"))
+        LangModel.perplexityBuckets(ck(scored.join(lang, Seq(idCol))),
+          idCol = idCol, partitionCols = Seq("lang_pred"))
+          .drop("lang_pred") // curated carries the same label
+      }
     curated.join(buckets, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"), col("quality_score"),
         col("lang_pred"), col("avg_nlp_micros"), col("ppl_bucket"))

@@ -13,6 +13,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](2).length === 2)
   }
 
+  test("decode_html_entities callable from SQL; pass order holds") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT decode_html_entities(
+           'caf&eacute; &#8217;x&#8217; &#x27;y&#x27; &amp;lt; &unknown;') AS t""")
+      .head().getString(0)
+    assert(r === "café ’x’ 'y' &lt; &unknown;")
+  }
+
   test("fp16 pack/unpack callable from SQL; round-trip is the RNE grid") {
     GraftExtensions.register(spark)
     val r = spark.sql(
