@@ -990,6 +990,14 @@ object SparkEntry {
           t(s, dir, "embeddings").where(col("vec_id") < 20),
           imiPqIndexFor(s, dir), k = 5, nprobe = 4)
       },
+      // filtered serving on the product-router family: the q154
+      // pre-filter semi-join against q139's candidates
+      "q159_imi_filtered_ann" -> q { (s, dir) =>
+        val em = t(s, dir, "embeddings")
+        graft.ops.Pq.imiPqTopK(em.where(col("vec_id") < 20),
+          imiPqIndexFor(s, dir), k = 5, nprobe = 4,
+          filter = Some(em.where(col("label") === 7).select(col("vec_id"))))
+      },
       // the two-phase point serve on the product family: collected
       // routing pairs re-enter the shared ADC body with a pushed
       // cell-In — results identical to q139 by construction
@@ -2550,7 +2558,18 @@ object SparkEntry {
     * half-cosines, ADC over the probed cells' codes against the
     * trained-codebook LUTs. All constants (half-centroid sets,
     * codebook cube) embed as the identical Scala-printed doubles. */
-  def imiPqOracleSql(spark: SparkSession, sfDir: String): String = {
+  def imiPqOracleSql(spark: SparkSession, sfDir: String): String =
+    imiPqOracleSqlImpl(spark, sfDir, candidateFilter = None)
+
+  /** q159: the q139 chain with the candidate scan GATED on the allowed
+    * ids — the q154 pre-filter semantics on the product-router family
+    * (same predicate, same pre-ranking semi-join site). */
+  def imiPqFilteredOracleSql(spark: SparkSession, sfDir: String): String =
+    imiPqOracleSqlImpl(spark, sfDir, candidateFilter =
+      Some("a.neighbor_id IN (SELECT vec_id FROM embeddings WHERE label = 7)"))
+
+  private def imiPqOracleSqlImpl(spark: SparkSession, sfDir: String,
+                                 candidateFilter: Option[String]): String = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val (c1, c2) = graft.ops.Similarity.trainedImiCentroids(emb, kPerHalf = 4)
     val cb = graft.ops.Pq.trainCodebooks(emb, m = 8, ks = 16)
@@ -2589,7 +2608,8 @@ object SparkEntry {
         JOIN n ON n.neighbor_id = a.neighbor_id
         JOIN ql l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.j = n.c0
         $adcJoins
-        WHERE p.query_id <> a.neighbor_id)
+        WHERE p.query_id <> a.neighbor_id
+          ${candidateFilter.map(f => s"AND $f").getOrElse("")})
       SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
         round(adist, 4) AS adc_dist
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id

@@ -76,6 +76,7 @@ object Verify {
       // q140 is q139 through the point-serving path — results are
       // identical by construction, so the oracle SQL is q139's
       ("q140_imi_pq_point" -> SparkEntry.imiPqOracleSql(spark, sfDir)) +
+      ("q159_imi_filtered_ann" -> SparkEntry.imiPqFilteredOracleSql(spark, sfDir)) +
       ("q141_imi_neardup" -> SparkEntry.imiNearDupOracleSql(spark, sfDir)) +
       ("q142_imi_pq_residual" ->
         SparkEntry.imiPqResidualOracleSql(spark, sfDir)) +

@@ -1117,11 +1117,16 @@ object Pq {
     * [[ivfPqTopKIndexed]], so the only difference between the flat
     * and product families is WHICH cells route; the candidate scan
     * stays codes-only either way). */
+  /** `filter`: allowed-id relation for filtered serving — the q154
+    * pre-filter contract ([[ivfPqTopKIndexed]]) on the product-router
+    * family: the semi-join gates the cell-pruned codes-only
+    * candidates BEFORE ranking. */
   def imiPqTopK(queries: DataFrame, dir: String, k: Int,
                 nprobe: Int = 4, idCol: String = "vec_id",
                 vecCol: String = "embedding",
                 excludeShards: Seq[String] = Nil,
-                excludeSelf: Boolean = true): DataFrame = {
+                excludeSelf: Boolean = true,
+                filter: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     val cb = readCodebooks(spark, dir)
     val c1 = spark.read.parquet(s"$dir/centroids_h1")
@@ -1131,7 +1136,8 @@ object Pq {
     val probed = Similarity.imiRoutedCells(q, c1, c2, nprobe)
     val corpus = shardFiltered(spark, dir, excludeShards)
     adcOverCells(spark, dir, cb, c1, q, probed, corpus, k, excludeSelf,
-      residualOrigin = imiResidualOrigin(spark, dir, c1, c2))
+      residualOrigin = imiResidualOrigin(spark, dir, c1, c2),
+      filterIds = filter)
   }
 
   /** The decomposed LUT origin of a residual [[buildImiPqIndex]]
