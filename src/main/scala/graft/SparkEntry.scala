@@ -208,6 +208,24 @@ object SparkEntry {
       s"$d/wet"
     })
 
+  /** q160's memoized fixture: the q152 planted-marker corpus written
+    * WITH Content-Length headers ([[graft.ops.Warc.writeWetExact]]) —
+    * the same adversarial payloads that fragment under marker framing,
+    * framed exactly. */
+  private val wetExactFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wetExactFixtureFor(s: SparkSession, dir: String): String =
+    wetExactFixtureDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-wet-exact").toString
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit("\n" + graft.ops.Warc.Marker + "\n" + FragTail)))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Warc.writeWetExact(planted, s"$d/wet")
+      s"$d/wet"
+    })
+
   /** q139's memoized Multi-D-ADC index — IMI routing (kPerHalf = 4)
     * over PQ codes (m = 8, ks = 16); the oracle embeds the
     * identically trained half-centroid sets and codebook cube. */
@@ -1310,6 +1328,16 @@ object SparkEntry {
           .agg(sum("n_records").cast("long").as("n_records"),
             sum("n_fragments").cast("long").as("n_fragments"),
             sum("fragment_chars").cast("long").as("fragment_chars"))
+      },
+      // byte-exact Content-Length framing (the custom splittable
+      // InputFormat): the SAME planted-marker corpus that q152 audits
+      // as fragmented under marker framing round-trips VERBATIM here —
+      // the oracle derives every payload (including the embedded
+      // marker) straight from documents
+      "q160_wet_exact_framing" -> q { (s, dir) =>
+        graft.ops.Warc.readWetExact(s, wetExactFixtureFor(s, dir))
+          .where(col("wtype") === "conversion")
+          .select(col("uri"), col("payload"))
       },
       // the FLAGSHIP raw-crawl-to-clean-corpus chain, all stages
       // composed: WET segment → records → HTML extraction → segment
@@ -4237,6 +4265,15 @@ object SparkEntry {
       ${duckPplBucketCtes("langscored", Seq("lang_pred"))}
       SELECT doc_id, lang_pred, avg_nlp_micros, ppl_bucket
       FROM pb_bucket""",
+    // q160: byte-exact Content-Length framing — every payload verbatim
+    // from documents, INCLUDING the planted in-payload marker that
+    // fragments under the q152 marker framing
+    "q160_wet_exact_framing" -> s"""
+      SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        CASE WHEN doc_id % 7 = 0
+             THEN text || chr(10) || 'WARC/1.0' || chr(10) || '$FragTail'
+             ELSE text END AS payload
+      FROM documents""",
     // q145: HTML → main-text extraction over the planted pages
     "q145_html_extract" -> s"""
       SELECT doc_id, mt AS main_text,

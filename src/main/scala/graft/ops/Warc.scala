@@ -127,6 +127,69 @@ object Warc {
         col("body"))
   }
 
+  /** Byte-EXACT WET reader over the Content-Length-honoring
+    * splittable [[graft.io.WarcInputFormat]] — the ISO-28500 framing
+    * the marker-based [[readWet]] approximates. The difference is the
+    * framing contract: a payload that CONTAINS the record marker
+    * fragments under [[readWet]] (surfaced rows, counted by
+    * [[wetAudit]]) but round-trips VERBATIM here, because the reader
+    * skips exactly Content-Length payload bytes (q160 proves it on
+    * the planted-marker fixture that q152 audits as fragmented).
+    * Payload bytes are verbatim — no CRLF normalization, no trailing
+    * padding strip: exactness is the point. Splittable on
+    * uncompressed files (resync validates a full header block before
+    * believing a marker, so payload bytes that merely look like one
+    * are skipped); gzip segments are per-file splits as everywhere
+    * else. Requires Content-Length headers (the WARC spec makes them
+    * mandatory; [[writeWetExact]] writes them). */
+  def readWetExact(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        path, classOf[graft.io.WarcInputFormat],
+        classOf[LongWritable], classOf[Text],
+        spark.sparkContext.hadoopConfiguration)
+      .map { case (_, t) => t.toString }
+    import spark.implicits._
+    val recs = rdd.toDF("v")
+    val header = substring_index(col("v"), "\n\n", 1)
+    recs.select(
+      regexp_extract(header, "(?m)^WARC-Type:\\s*(\\S+)", 1).as("wtype"),
+      regexp_extract(header, "(?m)^WARC-Target-URI:\\s*(\\S+)", 1).as("uri"),
+      regexp_extract(header, "(?m)^WARC-Date:\\s*(\\S+)", 1).as("warc_date"),
+      when(instr(col("v"), "\n\n") > 0,
+        col("v").substr(instr(col("v"), "\n\n") + lit(2), length(col("v"))))
+        .otherwise(lit("")).as("payload"))
+  }
+
+  /** [[writeWet]]'s spec-exact twin: records carry Content-Length
+    * (UTF-8 octet length of the payload), so [[readWetExact]] can
+    * frame them byte-exactly — payloads may contain ANYTHING,
+    * including the record marker. Same `singleFile` contract. */
+  def writeWetExact(docs: DataFrame, path: String,
+                    uriPrefix: String = "http://example.com/doc/",
+                    idCol: String = "doc_id", textCol: String = "text",
+                    singleFile: Boolean = true): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val infoBody = "software: graft"
+    val infoRec = s"$Marker\nWARC-Type: warcinfo\n" +
+      s"Content-Length: ${infoBody.getBytes("UTF-8").length}\n\n$infoBody\n"
+    val recs = docs.select(concat(
+      lit(s"$Marker\nWARC-Type: conversion\nWARC-Target-URI: $uriPrefix"),
+      col(idCol).cast("string"),
+      lit("\nWARC-Date: 2026-08-16T00:00:00Z\nContent-Length: "),
+      octet_length(col(textCol)).cast("string"),
+      lit("\n\n"), col(textCol)).as("value"))
+    val out =
+      if (singleFile)
+        Seq(infoRec).toDF("value").unionByName(recs).coalesce(1)
+      else
+        recs.as[String].mapPartitions { it =>
+          if (it.hasNext) Iterator(infoRec) ++ it else Iterator.empty
+        }.toDF("value")
+    out.write.mode("overwrite").text(path)
+  }
+
   /** Per-file audit relation for the marker-occurrence framing
     * contract (scaladoc above): fragments — payload pieces split off
     * by an in-payload marker — surface as rows with NO header block,

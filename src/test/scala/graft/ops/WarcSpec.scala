@@ -166,6 +166,63 @@ class WarcSpec extends SparkSpec {
       ("http://example.com/doc/1", 200, "second document body prose here")))
   }
 
+  test("readWetExact: Content-Length framing returns marker-bearing payloads verbatim; splits resync correctly") {
+    val docs = (0L until 200L).map { i =>
+      val body =
+        if (i % 5 == 0)
+          // adversarial payloads: a bare marker line, and a FAKE
+          // header block without Content-Length — both must ride
+          // inside the payload untouched (resync validation skips the
+          // fake: no Content-Length header)
+          s"doc $i first line\nWARC/1.0\nWARC-Type: fake\n\nnot a record\nWARC/1.0\ntail of $i"
+        else s"plain document number $i\nwith a second line"
+      (i, body)
+    }.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-wet-exact-spec").toString
+    Warc.writeWetExact(docs, s"$dir/wet")
+    def readAll(maxSplit: Option[Long]) = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val prev = conf.get("mapreduce.input.fileinputformat.split.maxsize")
+      maxSplit.foreach(m =>
+        conf.setLong("mapreduce.input.fileinputformat.split.maxsize", m))
+      try Warc.readWetExact(spark, s"$dir/wet")
+        .where(col("wtype") === "conversion")
+        .select("uri", "payload").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      finally {
+        if (prev == null)
+          conf.unset("mapreduce.input.fileinputformat.split.maxsize")
+        else conf.set("mapreduce.input.fileinputformat.split.maxsize", prev)
+      }
+    }
+    val want = docs.collect()
+      .map(r => (s"http://example.com/doc/${r.getLong(0)}", r.getString(1)))
+      .toSet
+    // single split: everything verbatim, embedded markers included
+    assert(readAll(None) === want)
+    // 4 KB max splits: dozens of splits, most starting mid-record or
+    // mid-payload — resync + the [start, end) ownership rule must
+    // yield EXACTLY the same record set, no duplicates, no losses
+    assert(readAll(Some(4096L)) === want)
+    // a gzipped exact segment reads sequentially (single split)
+    val dir2 = Files.createTempDirectory("graft-wet-exact-gz").toString
+    val raw = new java.io.File(s"$dir/wet").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dir2, "seg.warc.gz")))
+    out.write(java.nio.file.Files.readAllBytes(raw.toPath)); out.close()
+    val gz = Warc.readWetExact(spark, dir2)
+      .where(col("wtype") === "conversion")
+      .select("uri", "payload").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gz === want)
+    // the CONTRAST with marker framing, on the same bytes: readWet
+    // fragments every embedded-marker payload (surfaced, not silent)
+    val fragged = Warc.readWet(spark, s"$dir/wet")
+    assert(fragged.where(col("wtype") === "").count() > 0)
+  }
+
   test("wetAudit: planted in-payload markers surface as counted fragments; clean sets audit zero") {
     val docs = Seq(
       (0L, "clean document text"),
