@@ -51,6 +51,22 @@ object ExtractProbe {
     val audit = ops.Warc.wetAudit(spark, s"$dir/wet")
       .agg(sum("n_records"), sum("n_fragments")).head()
     println(s"audit: records=${audit.getLong(0)} fragments=${audit.getLong(1)}")
+    // the byte-exact Content-Length reader on the same corpus — its
+    // per-record header parse + payload copy vs the lineSep framing
+    val twx = wall(ops.Warc.writeWetExact(
+      pages.repartition(files), s"$dir/wetx", singleFile = false))
+    val bytesX = new java.io.File(s"$dir/wetx").listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    println(f"exact write: ${bytesX / 1e6}%.0f MB in $twx%.1f s" +
+      f" = ${bytesX / 1e6 / twx}%.1f MB/s")
+    for (round <- 1 to 3) {
+      val t = wall(ops.Warc.readWetExact(spark, s"$dir/wetx")
+        .where(col("wtype") === "conversion")
+        .select(ops.Extract.mainText(col("payload")).as("t"))
+        .select(sum(length(col("t")))).head().getLong(0))
+      println(f"exact read+extract round $round: ${bytesX / 1e6}%.0f MB" +
+        f" in $t%.1f s = ${bytesX / 1e6 / t}%.1f MB/s")
+    }
   }
 
   /** `dev/run.sh graft.ExtractProbe entities [n]` — entity-density

@@ -135,12 +135,20 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
       throw new IOException(s"WARC payload too large for one record: $n")
     val out = new Array[Byte](n.toInt)
     var i = 0
-    while (i < n) {
-      val b = readByte()
-      if (b < 0) throw new EOFException(
-        s"EOF inside a Content-Length payload ($i of $n bytes) at pos $pos")
-      out(i) = b.toByte
-      i += 1
+    // bulk-copy from the buffer (payloads are the volume; a per-byte
+    // loop here halves the reader's throughput)
+    while (i < out.length) {
+      if (bufOff >= bufLen) {
+        bufLen = stream.read(buf)
+        bufOff = 0
+        if (bufLen <= 0) throw new EOFException(
+          s"EOF inside a Content-Length payload ($i of $n bytes) at pos $pos")
+      }
+      val take = math.min(out.length - i, bufLen - bufOff)
+      System.arraycopy(buf, bufOff, out, i, take)
+      bufOff += take
+      i += take
+      pos += take
     }
     out
   }
