@@ -360,4 +360,68 @@ class PropertySpec extends SparkSpec {
         threshold = 0.3)) === batch.filter(_._1 == id), s"probe $id")
     }
   }
+
+  test("entity decode properties: identity off entities; exact round-trip on every valid code point class") {
+    import graft.functions.EntityExpressions.HtmlEntities
+    val rnd = new scala.util.Random(16)
+    // identity on entity-free text (no '&')
+    val plain = Seq.fill(50)(Seq.fill(1 + rnd.nextInt(30))(
+      ('a' + rnd.nextInt(26)).toChar).mkString).map(s => s"$s <x> #39; y;")
+    plain.foreach(s => assert(HtmlEntities.decode(s) eq s)) // no-alloc path
+    // decimal and hex forms of the SAME code point agree, across the
+    // valid classes; invalid classes stay literal — both forms
+    val valid = Seq(32, 65, 126, 160, 233, 0x2019, 0xFFFD, 0x10FFFF) ++
+      Seq.fill(200)(rnd.nextInt(0x110000)).filter(HtmlEntities.validCodePoint)
+    valid.foreach { c =>
+      val want = new String(Character.toChars(c))
+      assert(HtmlEntities.decode(s"x&#$c;y") === s"x${want}y", s"dec $c")
+      assert(HtmlEntities.decode(f"x&#x$c%x;y") === s"x${want}y", s"hex $c")
+      assert(HtmlEntities.decode(f"x&#X$c%X;y") === s"x${want}y", s"HEX $c")
+    }
+    val invalid = Seq(0, 31, 127, 159, 0xD800, 0xDFFF, 0x110000, 9999999)
+    invalid.foreach { c =>
+      assert(HtmlEntities.decode(s"x&#$c;y") === s"x&#$c;y", s"dec $c")
+      assert(HtmlEntities.decode(f"x&#x$c%x;y") === f"x&#x$c%x;y", s"hex $c")
+    }
+    // every named entity decodes standalone AND survives the amp escape
+    HtmlEntities.Named.foreach { case (name, rep) =>
+      assert(HtmlEntities.decode(s"a &$name; b") === s"a $rep b", name)
+      assert(HtmlEntities.decode(s"a &amp;$name; b") === s"a &$name; b",
+        s"escaped $name")
+    }
+    // the equivalence claim the scaladoc argues, tested head-on:
+    // the one-scan decode equals an INDEPENDENT implementation of the
+    // multi-pass oracle formulation (sequential named replaces →
+    // split-on-&# restore-or-decode → &amp; last) on randomized
+    // adversarial strings built from entity fragments
+    def referenceDecode(s: String): String = {
+      var t = s
+      HtmlEntities.Named.foreach { case (n, r) => t = t.replace(s"&$n;", r) }
+      val decRe = "^([0-9]{1,7});".r
+      val hexRe = "^[xX]([0-9a-fA-F]{1,6});".r
+      val parts = t.split("&#", -1)
+      val sb = new StringBuilder(parts(0))
+      parts.drop(1).foreach { seg =>
+        val dec = decRe.findFirstMatchIn(seg)
+          .map(m => (m.group(1).toLong, m.end))
+        val hex = hexRe.findFirstMatchIn(seg)
+          .map(m => (java.lang.Long.parseLong(m.group(1), 16), m.end))
+        dec.orElse(hex) match {
+          case Some((c, e)) if c <= 0x10FFFF &&
+              HtmlEntities.validCodePoint(c.toInt) =>
+            sb.appendAll(Character.toChars(c.toInt)).append(seg.substring(e))
+          case _ => sb.append("&#").append(seg)
+        }
+      }
+      sb.toString.replace("&amp;", "&")
+    }
+    val atoms = Seq("&", "#", ";", "x", "27", "8217", "amp", "lt", "eacute",
+      "plain", " ", "&#", "&amp;", "&#x27;", "&#xD800;", "&#38;", "9",
+      "&unknown;", "&#999999999;", "Eacute")
+    (1 to 500).foreach { _ =>
+      val s = Seq.fill(1 + rnd.nextInt(12))(atoms(rnd.nextInt(atoms.size)))
+        .mkString
+      assert(HtmlEntities.decode(s) === referenceDecode(s), s"input '$s'")
+    }
+  }
 }
