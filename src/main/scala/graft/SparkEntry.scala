@@ -1329,6 +1329,30 @@ object SparkEntry {
             sum("n_fragments").cast("long").as("n_fragments"),
             sum("fragment_chars").cast("long").as("fragment_chars"))
       },
+      // the URL stage a crawl runs BEFORE reading any content (CCNet
+      // dedups by URL across dumps, RefinedWeb caps pages per domain):
+      // planted URLs exercise every normalization rule — mixed-case
+      // scheme/host, userinfo, default port, fragment — plus genuine
+      // cross-dump duplicates (doc_id % 5 re-fetches the previous
+      // page). The oracle derives the expected normalized forms
+      // ANALYTICALLY from the generative arithmetic and mirrors the
+      // q55 cap rank, so the engine's normalizer is checked against an
+      // independent derivation, not itself
+      "q161_url_front" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val pageId = when(col("doc_id") % 5 === 0 && col("doc_id") > 0,
+          col("doc_id") - 1).otherwise(col("doc_id"))
+        val url = concat(
+          lit("HTTPS://"),
+          when(col("doc_id") % 11 === 0, lit("crawler@")).otherwise(lit("")),
+          lit("www.Site"), pageId % 17, lit(".Example.com"),
+          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/P/"), pageId,
+          when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
+        graft.ops.Urls.urlFront(docs.select(col("doc_id"), url.as("url")),
+            "url", maxPerDomain = 15)
+          .select("doc_id", "domain", "url_norm")
+      },
       // byte-exact Content-Length framing (the custom splittable
       // InputFormat): the SAME planted-marker corpus that q152 audits
       // as fragmented under marker framing round-trips VERBATIM here —
@@ -4265,6 +4289,28 @@ object SparkEntry {
       ${duckPplBucketCtes("langscored", Seq("lang_pred"))}
       SELECT doc_id, lang_pred, avg_nlp_micros, ppl_bucket
       FROM pb_bucket""",
+    // q161: the URL front — expected normalized URL and domain derived
+    // analytically (userinfo/port/fragment/case all normalize away;
+    // the path keeps case), URL dedup = min doc_id per page, cap = the
+    // q55 rank arithmetic per derived domain
+    "q161_url_front" -> """
+      WITH u AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 AND doc_id > 0 THEN doc_id - 1
+               ELSE doc_id END AS pid
+        FROM documents),
+      d AS (SELECT min(doc_id) AS doc_id, pid FROM u GROUP BY pid),
+      k AS (
+        SELECT doc_id,
+          'site' || CAST(pid % 17 AS VARCHAR) || '.example.com' AS domain,
+          'https://www.site' || CAST(pid % 17 AS VARCHAR) ||
+            '.example.com/P/' || CAST(pid AS VARCHAR) AS url_norm
+        FROM d)
+      SELECT doc_id, domain, url_norm FROM (
+        SELECT *, row_number() OVER (PARTITION BY domain
+          ORDER BY (md5_number_lower('cap|' || CAST(doc_id AS VARCHAR))
+                    & 9223372036854775807) % 1000000, doc_id) AS rn
+        FROM k) WHERE rn <= 15""",
     // q160: byte-exact Content-Length framing — every payload verbatim
     // from documents, INCLUDING the planted in-payload marker that
     // fragments under the q152 marker framing
