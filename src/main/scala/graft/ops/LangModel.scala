@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
+  /** Coarse-bucket width for [[perplexityBuckets]]'s two-phase order
+    * statistics: the distinct-score histogram coarsens into
+    * `score div 2^16` buckets, so the phase-1 running-count window sees
+    * ≤ domain/2^16 rows (hundreds for micro-nat scores) and every
+    * phase-2 boundary-bucket partition holds ≤ 2^16 distinct values. */
+  private[ops] val PplCoarseBucket: Long = 1L << 16
+
   /** Output: (doc_id, n_tokens, avg_nlp_micros) — avg_nlp_micros is the
     * mean per-token negative log-probability in micro-nats (floor of the
     * exact integer ratio). Empty documents have no tokens and are absent,
@@ -363,15 +370,26 @@ object LangModel {
     *
     * Scale shape — deliberately NOT `ntile` over a global window (a
     * single-partition sort of the whole corpus): the cutoffs are two
-    * order statistics computed on the DISTINCT-score histogram.
-    * Scores are integer micro-nats, so the histogram groupBy is exact
-    * and its cardinality is bounded by the score resolution (≪ docs —
-    * the vocabulary-relation treatment); the running-count window
-    * runs over that bounded relation only, and the cutoffs broadcast
-    * back as a 1-row cross join. Three shuffles of bounded width,
-    * zero corpus-wide sorts. Cutoff rank k_i = ceil(i·N/3) in exact
-    * integer arithmetic; cutoff_i = the smallest score whose running
-    * count reaches k_i.
+    * order statistics, resolved in TWO PHASES so no window ever runs
+    * over more rows than a bounded constant. Scores are integer
+    * micro-nats, so the distinct-score histogram groupBy is exact and
+    * its cardinality is bounded by the score resolution — but "bounded
+    * by the domain" can still mean tens of millions of distinct
+    * values, and a running-count window over that histogram would
+    * serialize into one task. Instead: (1) the histogram coarsens into
+    * `score div 2^16` buckets (≤ domain/2^16 rows — hundreds for
+    * micro-nat scores), the running count over THAT locates each
+    * cutoff's boundary bucket and the row count before it; (2) the
+    * exact cutoff resolves inside the boundary buckets only, with a
+    * window PARTITIONED by bucket (≤ 2^16 distinct values per
+    * partition, parallel across groups). Cutoff rank k_i = ceil(i·N/3)
+    * in exact integer arithmetic; cutoff_i = the smallest score whose
+    * running count reaches k_i — decomposed as (rows before the
+    * boundary bucket) + (running count within it), identical by the
+    * monotonicity of the bucket map. The cutoffs broadcast back as a
+    * 1-row (or per-group) join. The only partition-less window in the
+    * global mode runs over the COARSE relation (PplBucketsSpec guards
+    * the plan); zero corpus-wide sorts.
     *
     * Null scores (docs with no bigrams) keep their row with bucket
     * `na` — surfaced, never dropped. Output: (idCol, partitionCols…,
@@ -383,9 +401,10 @@ object LangModel {
     * `Seq("lang_pred")` with a language column on `scored` (q156).
     * Empty (the default) = one corpus-wide cutoff pair.
     *
-    * `scored` is referenced THREE times (histogram, population count,
-    * bucket projection) — pass a materialized relation (a table scan
-    * or a [[graft.ops.Checkpoints.truncator]] output, as
+    * `scored` is referenced THREE times (histogram twice — coarse pass
+    * and boundary-bucket resolution — plus the bucket projection) —
+    * pass a materialized relation (a table scan or a
+    * [[graft.ops.Checkpoints.truncator]] output, as
     * [[graft.ops.Curation.crawlCurate]] does) when the scoring chain
     * upstream is expensive, or it re-runs per reference. */
   def perplexityBuckets(scored: DataFrame, idCol: String = "doc_id",
@@ -393,27 +412,61 @@ object LangModel {
                         partitionCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pCols = partitionCols.map(col)
-    val pop = scored.where(col(scoreCol).isNotNull)
-    val hist = pop.groupBy(pCols :+ col(scoreCol): _*)
+    val global = partitionCols.isEmpty
+    val sc = col(scoreCol)
+    val pop = scored.where(sc.isNotNull)
+    // distinct-score histogram, tagged with its coarse bucket; `div`
+    // truncates toward zero, which is monotone non-decreasing — all
+    // the decomposition below needs
+    val hist = pop.groupBy(pCols :+ sc: _*)
       .agg(count(lit(1)).as("cnt"))
-    val w =
-      if (partitionCols.isEmpty) Window.orderBy(col(scoreCol))
-      else Window.partitionBy(pCols: _*).orderBy(col(scoreCol))
-    val cum = hist.select(
-      pCols :+ col(scoreCol) :+ sum("cnt").over(w).as("cum"): _*)
-    val tot =
-      if (partitionCols.isEmpty) pop.agg(count(lit(1)).as("n"))
-      else pop.groupBy(pCols: _*).agg(count(lit(1)).as("n"))
-    val joined =
-      if (partitionCols.isEmpty) cum.crossJoin(tot)
-      else cum.join(tot, partitionCols)
-    // groupBy() with no keys is the global aggregate — one code path
-    // for both the corpus-wide and the per-partition (CCNet's
-    // per-LANGUAGE) cutoffs
-    val cuts = joined.groupBy(pCols: _*).agg(
-      min(when(col("cum") >= expr("(n + 2) div 3"), col(scoreCol)))
+      .withColumn("cb", expr(s"`$scoreCol` div $PplCoarseBucket"))
+    // phase 1: coarse histogram (≤ domain/2^16 rows per group); the
+    // running count over it is the one window allowed to be
+    // partition-less in the global mode, BECAUSE its input is coarse
+    val coarse = hist.groupBy(pCols :+ col("cb"): _*)
+      .agg(sum("cnt").as("ccnt"))
+    val wCum =
+      if (global) Window.orderBy(col("cb"))
+      else Window.partitionBy(pCols: _*).orderBy(col("cb"))
+    val wAll =
+      if (global) Window.partitionBy()
+      else Window.partitionBy(pCols: _*)
+    // n from the same bounded relation (full-frame window — no extra
+    // corpus scan for a population count)
+    val coarseCum = coarse.select(
+      pCols ++ Seq(col("cb"), col("ccnt"),
+        sum("ccnt").over(wCum).as("ccum"),
+        sum("ccnt").over(wAll).as("n")): _*)
+    // per cutoff: the FIRST coarse bucket whose running count reaches
+    // the rank, plus the row count before it (ccum − ccnt). groupBy()
+    // with no keys is the global aggregate — one code path for both
+    // the corpus-wide and the per-partition (CCNet's per-LANGUAGE)
+    // cutoffs
+    val bounds = coarseCum.groupBy(pCols: _*).agg(
+      min(when(col("ccum") >= expr("(n + 2) div 3"),
+        struct(col("cb").as("cb"),
+          (col("ccum") - col("ccnt")).as("pre")))).as("b1"),
+      min(when(col("ccum") >= expr("(2 * n + 2) div 3"),
+        struct(col("cb").as("cb"),
+          (col("ccum") - col("ccnt")).as("pre")))).as("b2"),
+      min(col("n")).as("n"))
+    // phase 2: exact resolution inside the boundary buckets only —
+    // the window partitions by (group, bucket), so every partition
+    // holds ≤ 2^16 distinct score values, parallel across groups
+    val withBounds =
+      if (global) hist.crossJoin(broadcast(bounds))
+      else hist.join(broadcast(bounds), partitionCols)
+    val cand = withBounds
+      .where(col("cb") === col("b1.cb") || col("cb") === col("b2.cb"))
+    val wIn = Window.partitionBy(pCols :+ col("cb"): _*).orderBy(sc)
+    val resolved = cand.withColumn("wcum", sum("cnt").over(wIn))
+    val cuts = resolved.groupBy(pCols: _*).agg(
+      min(when(col("cb") === col("b1.cb") &&
+        col("b1.pre") + col("wcum") >= expr("(n + 2) div 3"), sc))
         .as("cut1"),
-      min(when(col("cum") >= expr("(2 * n + 2) div 3"), col(scoreCol)))
+      min(when(col("cb") === col("b2.cb") &&
+        col("b2.pre") + col("wcum") >= expr("(2 * n + 2) div 3"), sc))
         .as("cut2"))
     val withCuts =
       if (partitionCols.isEmpty) scored.crossJoin(broadcast(cuts))

@@ -237,6 +237,59 @@ class PlanRegressionSpec extends SparkSpec {
     seen.toSeq
   }
 
+  test("perplexityBuckets: no partition-less window over the full histogram") {
+    // the r16 verdict's one perf-weak item: the tercile cutoffs must
+    // never run a running-count window over the raw distinct-score
+    // histogram (bounded by the score DOMAIN — up to tens of millions
+    // of rows in one task). Phase 1 coarsens to `score div 2^16`
+    // buckets first; the exact resolution partitions by bucket. Guard:
+    // every partition-less WindowExec in the global-mode plan must sit
+    // above an aggregate grouped by the coarse-bucket column `cb` — a
+    // future edit that windows the raw histogram (or the corpus)
+    // fails here.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scored = graft.ops.LangModel.bigramInterpolatedScore(docs)
+      .localCheckpoint(true)
+    val df = graft.ops.LangModel.perplexityBuckets(scored)
+    df.collect()
+    def groupsByCoarseBucket(p: SparkPlan): Boolean = {
+      var found = false
+      def walk(q: SparkPlan): Unit = q match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
+        case ag: BaseAggregateExec =>
+          if (ag.groupingExpressions.exists(_.name == "cb")) found = true
+          ag.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(p); found
+    }
+    var partitionless = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case w: WindowExec =>
+        if (w.partitionSpec.isEmpty) {
+          partitionless += 1
+          assert(groupsByCoarseBucket(w.child),
+            "partition-less window whose input is NOT the coarse-bucket " +
+              s"histogram:\n${w.toString}")
+        }
+        w.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    // the coarse running-count window IS partition-less in global mode
+    // (over ≤ domain/2^16 rows) — its presence proves the guard walked
+    // the right plan
+    assert(partitionless >= 1,
+      "expected the coarse cumulative window in the global-mode plan")
+  }
+
   test("corpus-side-broadcast top-k is bit-identical to the query-side form") {
     // the q81 contract: flipping the build side changes the physical
     // plan only — scores, ranks, and tie-breaks are unchanged
