@@ -1332,12 +1332,15 @@ object SparkEntry {
       // the URL stage a crawl runs BEFORE reading any content (CCNet
       // dedups by URL across dumps, RefinedWeb caps pages per domain):
       // planted URLs exercise every normalization rule — mixed-case
-      // scheme/host, userinfo, default port, fragment — plus genuine
-      // cross-dump duplicates (doc_id % 5 re-fetches the previous
-      // page). The oracle derives the expected normalized forms
-      // ANALYTICALLY from the generative arithmetic and mirrors the
-      // q55 cap rank, so the engine's normalizer is checked against an
-      // independent derivation, not itself
+      // scheme/host, userinfo, default port (dropped), NON-default
+      // port `:80` under https (KEPT — port elision is
+      // scheme-relative), fragment — plus genuine cross-dump
+      // duplicates (doc_id % 5 re-fetches the previous page; the
+      // kept-port branch keys on the PAGE id so a re-fetch builds the
+      // identical normalized URL). The oracle derives the expected
+      // normalized forms ANALYTICALLY from the generative arithmetic
+      // and mirrors the q55 cap rank, so the engine's normalizer is
+      // checked against an independent derivation, not itself
       "q161_url_front" -> q { (s, dir) =>
         val docs = t(s, dir, "documents")
         val pageId = when(col("doc_id") % 5 === 0 && col("doc_id") > 0,
@@ -1346,7 +1349,9 @@ object SparkEntry {
           lit("HTTPS://"),
           when(col("doc_id") % 11 === 0, lit("crawler@")).otherwise(lit("")),
           lit("www.Site"), pageId % 17, lit(".Example.com"),
-          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+          when(pageId % 13 === 5, lit(":80"))
+            .otherwise(when(col("doc_id") % 3 === 0, lit(":443"))
+              .otherwise(lit(""))),
           lit("/P/"), pageId,
           when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
         graft.ops.Urls.urlFront(docs.select(col("doc_id"), url.as("url")),
@@ -4290,9 +4295,10 @@ object SparkEntry {
       SELECT doc_id, lang_pred, avg_nlp_micros, ppl_bucket
       FROM pb_bucket""",
     // q161: the URL front — expected normalized URL and domain derived
-    // analytically (userinfo/port/fragment/case all normalize away;
-    // the path keeps case), URL dedup = min doc_id per page, cap = the
-    // q55 rank arithmetic per derived domain
+    // analytically (userinfo/default-port/fragment/case all normalize
+    // away; the NON-default ':80' under https is KEPT — elision is
+    // scheme-relative; the path keeps case), URL dedup = min doc_id
+    // per page, cap = the q55 rank arithmetic per derived domain
     "q161_url_front" -> """
       WITH u AS (
         SELECT doc_id,
@@ -4304,7 +4310,9 @@ object SparkEntry {
         SELECT doc_id,
           'site' || CAST(pid % 17 AS VARCHAR) || '.example.com' AS domain,
           'https://www.site' || CAST(pid % 17 AS VARCHAR) ||
-            '.example.com/P/' || CAST(pid AS VARCHAR) AS url_norm
+            '.example.com' ||
+            CASE WHEN pid % 13 = 5 THEN ':80' ELSE '' END ||
+            '/P/' || CAST(pid AS VARCHAR) AS url_norm
         FROM d)
       SELECT doc_id, domain, url_norm FROM (
         SELECT *, row_number() OVER (PARTITION BY domain

@@ -153,8 +153,26 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
     out
   }
 
+  /** Un-read the last byte delivered by [[readByte]] — it is always
+    * still in the buffer (a refill resets bufOff to 0 and delivery
+    * advances it to ≥ 1), so this never touches the stream: no
+    * re-seek, no buffer discard. (The per-record seekTo this replaces
+    * re-fetched each 64 KB buffer region up to ~64× for ~1 KB records
+    * on a remote filesystem — pure read amplification.) */
+  private def rewindOne(): Unit = {
+    require(bufOff > 0, "rewindOne with no byte in the buffer")
+    bufOff -= 1
+    pos -= 1
+  }
+
   /** Read one \n-terminated line (CR stripped); null at EOF before any
-    * byte; capped at MaxHeaderBytes. */
+    * byte; capped at MaxHeaderBytes. Bytes decode as Latin-1 — a
+    * byte↔char bijection — so [[emit]]'s Latin-1 re-encode returns the
+    * EXACT header bytes; the assembled record is then decoded once as
+    * UTF-8 by the consumer (Text.toString), recovering non-ASCII
+    * header values (a UTF-8 WARC-Target-URI is legal per ISO-28500)
+    * instead of mojibake'ing them through a per-byte char cast. All
+    * parsing below compares ASCII only, which Latin-1 preserves. */
   private def readLine(): String = {
     val sb = new java.lang.StringBuilder(80)
     var b = readByte()
@@ -171,8 +189,8 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
   }
 
   private def isVersionLine(s: String): Boolean =
-    s != null && s.startsWith("WARC/") &&
-      s.drop(5).nonEmpty && s.drop(5).forall(c => c.isDigit || c == '.')
+    s != null && s.startsWith("WARC/") && s.drop(5).nonEmpty &&
+      s.drop(5).forall(c => (c >= '0' && c <= '9') || c == '.')
 
   /** Parse version line + header block at the CURRENT position; null
     * when the bytes here are not a well-formed record head. */
@@ -194,7 +212,13 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
         return null
       if (name.equalsIgnoreCase("Content-Length")) {
         val v = line.substring(colon + 1).trim
-        if (!v.nonEmpty || !v.forall(_.isDigit)) return null
+        // ASCII digits only (Character.isDigit accepts Unicode digits
+        // that Long parsing rejects) and ≤ 18 of them (no Long
+        // overflow): in the resync path a crash here would kill the
+        // task on adversarial payload bytes instead of rejecting the
+        // candidate and moving on
+        if (v.isEmpty || v.length > 18 ||
+            !v.forall(c => c >= '0' && c <= '9')) return null
         contentLength = v.toLong
       }
       if (sb.length > 0) sb.append('\n')
@@ -249,15 +273,13 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
     var b = readByte()
     while (b == '\n' || b == '\r') { recStart = pos; b = readByte() }
     if (b < 0) { done = true; return false }
-    if (seekable) seekTo(recStart)
-    else if (b >= 0) {
-      // sequential mode cannot seek back one byte; rebuild the line
-      // by noting the byte we consumed must be 'W' of the version line
-      if (b != 'W')
-        throw new IOException(
-          s"malformed WARC stream: expected record head at pos ${pos - 1}")
-      return emitSequential()
-    }
+    // un-read the record head's first byte IN the buffer (no re-seek:
+    // the per-record seekTo here re-fetched each 64 KB buffer region
+    // up to ~64× for ~1 KB records on a remote filesystem) — and with
+    // the rewind, the sequential (compressed) mode parses through the
+    // same tryParseHeader as the seekable one: one parser, one set of
+    // header caps, one refuse-loudly contract
+    rewindOne()
     if (recStart >= end) { done = true; return false }
     val header = tryParseHeader()
     if (header == null)
@@ -269,37 +291,13 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
     true
   }
 
-  /** Sequential (compressed) emit: the leading 'W' was consumed; parse
-    * `ARC/x.y` + headers from here. */
-  private def emitSequential(): Boolean = {
-    val rest = readLine() // "ARC/1.0"
-    if (rest == null || !isVersionLine("W" + rest))
-      throw new IOException(s"malformed WARC version line at pos $pos")
-    val recStart = pos
-    // inline header parse (cannot rewind to reuse tryParseHeader)
-    val sb = new java.lang.StringBuilder(256)
-    var contentLength = -1L
-    var line = readLine()
-    while (line != null && line.nonEmpty) {
-      val colon = line.indexOf(':')
-      if (colon <= 0)
-        throw new IOException(s"malformed WARC header line at pos $pos")
-      if (line.substring(0, colon).equalsIgnoreCase("Content-Length"))
-        contentLength = line.substring(colon + 1).trim.toLong
-      if (sb.length > 0) sb.append('\n')
-      sb.append(line)
-      line = readLine()
-    }
-    if (line == null || contentLength < 0)
-      throw new IOException(s"WARC record without Content-Length at pos $pos")
-    emit(recStart, Header(sb.toString, contentLength))
-    true
-  }
-
   private def emit(recStart: Long, header: Header): Unit = {
     val payload = readFully(header.contentLength)
     key.set(recStart)
-    val head = (header.text + "\n\n").getBytes("UTF-8")
+    // Latin-1 re-encode returns the EXACT header bytes readLine
+    // decoded (see readLine) — the consumer decodes the assembled
+    // record as UTF-8 once, so non-ASCII header values survive
+    val head = (header.text + "\n\n").getBytes("ISO-8859-1")
     val full = new Array[Byte](head.length + payload.length)
     System.arraycopy(head, 0, full, 0, head.length)
     System.arraycopy(payload, 0, full, head.length, payload.length)

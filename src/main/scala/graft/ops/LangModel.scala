@@ -388,8 +388,8 @@ object LangModel {
     * boundary bucket) + (running count within it), identical by the
     * monotonicity of the bucket map. The cutoffs broadcast back as a
     * 1-row (or per-group) join. The only partition-less window in the
-    * global mode runs over the COARSE relation (PplBucketsSpec guards
-    * the plan); zero corpus-wide sorts.
+    * global mode runs over the COARSE relation (PlanRegressionSpec
+    * guards the plan); zero corpus-wide sorts.
     *
     * Null scores (docs with no bigrams) keep their row with bucket
     * `na` — surfaced, never dropped. Output: (idCol, partitionCols…,

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *  1. drop the fragment (`#…` never reaches the server),
   *  2. lowercase the scheme and authority (case-insensitive by spec;
   *     path/query stay case-SENSITIVE),
-  *  3. drop userinfo (`user@`) and the default `:80`/`:443` ports,
+  *  3. drop userinfo (`user@`) and the SCHEME'S default port — `:80`
+  *     under `http`, `:443` under `https` only (RFC 3986 default-port
+  *     elision is scheme-relative: `https://a.com:80` is a distinct
+  *     origin and stays verbatim),
   *  4. drop a trailing `/` on a bare-host URL (`http://a.com/` ≡
   *     `http://a.com`).
   * The registrable-domain label additionally strips a leading `www.`.
@@ -31,9 +34,14 @@ object Urls {
     val schemeAuth = regexp_extract(noFrag,
       "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?]*)", 1)
     val rest = noFrag.substr(length(schemeAuth) + 1, length(noFrag))
+    // scheme-conditional default-port elision: :80 only under http,
+    // :443 only under https — any other (scheme, port) pair is a
+    // distinct origin and must not merge under the dedup key
     val canonAuth = regexp_replace(
-      regexp_replace(lower(schemeAuth), "://[^/@]*@", "://"),
-      ":(80|443)$", "")
+      regexp_replace(
+        regexp_replace(lower(schemeAuth), "://[^/@]*@", "://"),
+        "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
     when(schemeAuth === "", noFrag) // not a hierarchical URL: verbatim
       .otherwise(concat(canonAuth,
         when(rest === "/", lit("")).otherwise(rest)))

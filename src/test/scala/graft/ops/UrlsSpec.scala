@@ -20,9 +20,13 @@ class UrlsSpec extends SparkSpec {
       "https://www.ex.com/Path?Q=Mixed")
     // userinfo dropped
     assert(norm("http://user:pw@a.com/p") === "http://a.com/p")
-    // default ports dropped; a real port kept
+    // default ports dropped — SCHEME-relatively: :80 only under http,
+    // :443 only under https; the cross pairs are distinct origins and
+    // stay verbatim (merging them would over-merge the dedup key)
     assert(norm("http://a.com:80/p") === "http://a.com/p")
     assert(norm("https://a.com:443/p") === "https://a.com/p")
+    assert(norm("https://a.com:80/p") === "https://a.com:80/p")
+    assert(norm("http://a.com:443/p") === "http://a.com:443/p")
     assert(norm("http://a.com:8080/p") === "http://a.com:8080/p")
     // bare-host trailing slash dropped; a real path keeps its slash
     assert(norm("http://a.com/") === "http://a.com")

@@ -223,6 +223,58 @@ class WarcSpec extends SparkSpec {
     assert(fragged.where(col("wtype") === "").count() > 0)
   }
 
+  test("readWetExact: resync rejects fake headers with overflowing or Unicode-digit Content-Length instead of crashing") {
+    // a payload embedding a COMPLETE header block is the documented
+    // resync false-positive limit — but a block whose Content-Length
+    // is >18 digits (Long overflow) or Unicode digits (isDigit-true,
+    // toLong-false) must fail VALIDATION and move the scan on, not
+    // kill the task with NumberFormatException
+    val docs = (0L until 60L).map { i =>
+      val body = i % 3 match {
+        case 0 => s"doc $i\nWARC/1.0\nWARC-Type: fake\n" +
+          "Content-Length: 99999999999999999999999\n\nnot a record, doc " + i
+        case 1 => s"doc $i\nWARC/1.0\nWARC-Type: fake\n" +
+          "Content-Length: ٧٨٩\n\nnot a record either, doc " + i
+        case _ => s"plain document $i\nsecond line"
+      }
+      (i, body)
+    }.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-wet-exact-adv").toString
+    Warc.writeWetExact(docs, s"$dir/wet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prev = conf.get("mapreduce.input.fileinputformat.split.maxsize")
+    conf.setLong("mapreduce.input.fileinputformat.split.maxsize", 2048L)
+    try {
+      val got = Warc.readWetExact(spark, s"$dir/wet")
+        .where(col("wtype") === "conversion")
+        .select("uri", "payload").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val want = docs.collect()
+        .map(r => (s"http://example.com/doc/${r.getLong(0)}", r.getString(1)))
+        .toSet
+      assert(got === want)
+    } finally {
+      if (prev == null)
+        conf.unset("mapreduce.input.fileinputformat.split.maxsize")
+      else conf.set("mapreduce.input.fileinputformat.split.maxsize", prev)
+    }
+  }
+
+  test("readWetExact: non-ASCII header values round-trip byte-exactly (UTF-8 WARC-Target-URI)") {
+    // ISO-28500 allows UTF-8 header values; the reader accumulates
+    // header bytes as Latin-1 and re-encodes Latin-1 (a byte-identity
+    // round trip), so the record's one UTF-8 decode recovers them
+    val docs = Seq((7L, "payload text")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-wet-exact-utf8").toString
+    Warc.writeWetExact(docs, s"$dir/wet",
+      uriPrefix = "http://exämple.com/döc/")
+    val got = Warc.readWetExact(spark, s"$dir/wet")
+      .where(col("wtype") === "conversion")
+      .select("uri", "payload").collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("http://exämple.com/döc/7", "payload text")))
+  }
+
   test("wetAudit: planted in-payload markers surface as counted fragments; clean sets audit zero") {
     val docs = Seq(
       (0L, "clean document text"),
