@@ -1358,6 +1358,52 @@ object SparkEntry {
             "url", maxPerDomain = 15)
           .select("doc_id", "domain", "url_norm")
       },
+      // the URL front with a PLANTED blocklist composed in (RefinedWeb
+      // gates on domain blocklists before any content is read): the
+      // q161 URL builder, with the site3/site8 host families blocked —
+      // the oracle excludes them analytically (pid % 17 ∉ {3, 8}), so
+      // the gate is checked against an independent derivation. Blocked
+      // rows must also not consume cap slots (gate runs FIRST)
+      "q162_url_blocklist" -> q { (s, dir) =>
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pageId = when(col("doc_id") % 5 === 0 && col("doc_id") > 0,
+          col("doc_id") - 1).otherwise(col("doc_id"))
+        val url = concat(
+          lit("HTTPS://"),
+          when(col("doc_id") % 11 === 0, lit("crawler@")).otherwise(lit("")),
+          lit("www.Site"), pageId % 17, lit(".Example.com"),
+          when(pageId % 13 === 5, lit(":80"))
+            .otherwise(when(col("doc_id") % 3 === 0, lit(":443"))
+              .otherwise(lit(""))),
+          lit("/P/"), pageId,
+          when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
+        val blocked = Seq("site3.example.com", "site8.example.com")
+          .toDF("domain")
+        graft.ops.Urls.urlFront(docs.select(col("doc_id"), url.as("url")),
+            "url", maxPerDomain = 15, blocklist = Some(blocked))
+          .select("doc_id", "domain", "url_norm")
+      },
+      // per-REGISTRABLE-domain caps (RefinedWeb's actual budget rule —
+      // blog.corp.com and www.corp.com share one cap; a subdomain farm
+      // cannot dodge it by fanning out hosts): subdomain families
+      // planted across a multi-label eTLD (.co.uk) and a plain one
+      // (.com); the oracle derives the registrable label analytically
+      // from the generative arithmetic and caps per THAT
+      "q163_url_registrable_cap" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val sub = when(col("doc_id") % 4 === 0, lit("www."))
+          .when(col("doc_id") % 4 === 1, lit("blog."))
+          .when(col("doc_id") % 4 === 2, lit("shop."))
+          .otherwise(lit(""))
+        val tld = when(col("doc_id") % 2 === 0, lit(".co.uk"))
+          .otherwise(lit(".com"))
+        val url = concat(lit("http://"), sub, lit("corp"),
+          col("doc_id") % 7, tld, lit("/page/"), col("doc_id"))
+        graft.ops.Urls.urlFront(docs.select(col("doc_id"), url.as("url")),
+            "url", maxPerDomain = 20, capPerRegistrable = true)
+          .select("doc_id", "registrable_domain", "domain", "url_norm")
+      },
       // byte-exact Content-Length framing (the custom splittable
       // InputFormat): the SAME planted-marker corpus that q152 audits
       // as fragmented under marker framing round-trips VERBATIM here —
@@ -4319,6 +4365,60 @@ object SparkEntry {
           ORDER BY (md5_number_lower('cap|' || CAST(doc_id AS VARCHAR))
                     & 9223372036854775807) % 1000000, doc_id) AS rn
         FROM k) WHERE rn <= 15""",
+    // q162: the q161 front with the planted blocklist — site3/site8
+    // excluded ANALYTICALLY (pid % 17 ∉ {3, 8}); everything else is
+    // the q161 derivation verbatim, cap slots computed AFTER the gate
+    "q162_url_blocklist" -> """
+      WITH u AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 AND doc_id > 0 THEN doc_id - 1
+               ELSE doc_id END AS pid
+        FROM documents),
+      d AS (SELECT min(doc_id) AS doc_id, pid FROM u
+            WHERE pid % 17 NOT IN (3, 8) GROUP BY pid),
+      k AS (
+        SELECT doc_id,
+          'site' || CAST(pid % 17 AS VARCHAR) || '.example.com' AS domain,
+          'https://www.site' || CAST(pid % 17 AS VARCHAR) ||
+            '.example.com' ||
+            CASE WHEN pid % 13 = 5 THEN ':80' ELSE '' END ||
+            '/P/' || CAST(pid AS VARCHAR) AS url_norm
+        FROM d)
+      SELECT doc_id, domain, url_norm FROM (
+        SELECT *, row_number() OVER (PARTITION BY domain
+          ORDER BY (md5_number_lower('cap|' || CAST(doc_id AS VARCHAR))
+                    & 9223372036854775807) % 1000000, doc_id) AS rn
+        FROM k) WHERE rn <= 15""",
+    // q163: per-registrable caps — the registrable label, the
+    // www-stripped host label, and the normalized URL all derived
+    // analytically from the subdomain-family arithmetic; the cap rank
+    // partitions by the REGISTRABLE label
+    "q163_url_registrable_cap" -> """
+      WITH k AS (
+        SELECT doc_id,
+          'corp' || CAST(doc_id % 7 AS VARCHAR) ||
+            CASE WHEN doc_id % 2 = 0 THEN '.co.uk' ELSE '.com' END
+            AS registrable_domain,
+          CASE WHEN doc_id % 4 = 1 THEN 'blog.'
+               WHEN doc_id % 4 = 2 THEN 'shop.'
+               ELSE '' END ||
+            'corp' || CAST(doc_id % 7 AS VARCHAR) ||
+            CASE WHEN doc_id % 2 = 0 THEN '.co.uk' ELSE '.com' END
+            AS domain,
+          'http://' ||
+            CASE WHEN doc_id % 4 = 0 THEN 'www.'
+                 WHEN doc_id % 4 = 1 THEN 'blog.'
+                 WHEN doc_id % 4 = 2 THEN 'shop.'
+                 ELSE '' END ||
+            'corp' || CAST(doc_id % 7 AS VARCHAR) ||
+            CASE WHEN doc_id % 2 = 0 THEN '.co.uk' ELSE '.com' END ||
+            '/page/' || CAST(doc_id AS VARCHAR) AS url_norm
+        FROM documents)
+      SELECT doc_id, registrable_domain, domain, url_norm FROM (
+        SELECT *, row_number() OVER (PARTITION BY registrable_domain
+          ORDER BY (md5_number_lower('cap|' || CAST(doc_id AS VARCHAR))
+                    & 9223372036854775807) % 1000000, doc_id) AS rn
+        FROM k) WHERE rn <= 20""",
     // q160: byte-exact Content-Length framing — every payload verbatim
     // from documents, INCLUDING the planted in-payload marker that
     // fragments under the q152 marker framing

@@ -55,6 +55,72 @@ object Urls {
         "^[a-z][a-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1),
       "^www\\.", "")
 
+  /** Bounded embedded public-suffix SUBSET for [[registrableDomain]]:
+    * the multi-label effective TLDs that actually dominate crawls. The
+    * full Mozilla Public Suffix List is ~10k rules with wildcards and
+    * exceptions — a lookup-table problem, not an operator problem; the
+    * DOCUMENTED CONTRACT here is: a host whose last two labels are in
+    * this set registers at three labels, every other host at two.
+    * Swap in the full PSL as a broadcast relation if fidelity beyond
+    * this subset matters to a deployment. */
+  private[ops] val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "co.nz", "org.nz", "net.nz", "govt.nz",
+    "com.br", "org.br", "net.br", "gov.br",
+    "co.in", "org.in", "net.in", "gov.in", "ac.in",
+    "com.cn", "org.cn", "net.cn", "gov.cn", "edu.cn",
+    "co.za", "org.za", "co.kr", "or.kr", "co.th", "co.id",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "com.my", "com.pl", "com.ua", "com.vn", "com.ph", "com.eg")
+
+  /** The REGISTRABLE domain (eTLD+1): `blog.example.com` and
+    * `www.example.com` both register as `example.com`;
+    * `a.b.site.co.uk` registers as `site.co.uk` (multi-label suffixes
+    * per [[MultiLabelSuffixes]] — a documented bounded subset of the
+    * PSL). RefinedWeb's per-domain caps budget at THIS granularity, so
+    * a subdomain farm cannot dodge its cap by fanning out hosts. A
+    * 1- or 2-label host (localhost, example.com, or `co.uk` itself)
+    * registers as itself. Scan-local: split + two lookups, no join. */
+  def registrableDomain(url: Column): Column = {
+    val host = regexp_extract(lower(url),
+      "^[a-z][a-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".",
+      element_at(parts, -2), element_at(parts, -1))
+    // CASE is lazy: element_at(-2)/(-3) only evaluate once n admits them
+    when(n <= 2, host)
+      .when(last2.isin(MultiLabelSuffixes: _*),
+        concat_ws(".", element_at(parts, -3),
+          element_at(parts, -2), element_at(parts, -1)))
+      .otherwise(last2)
+  }
+
+  /** Domain blocklist gate — the RefinedWeb pre-content filter: drop
+    * every row whose HOST (www-stripped, the [[domain]] label) OR
+    * whose REGISTRABLE domain appears in `blocked` (one column,
+    * `domain`, lowercase entries). Real blocklists (UT1) mix both
+    * granularities: `casino-spam.com` blocks the whole family,
+    * `ads.example.com` blocks one host — two equi-keyed anti-joins
+    * against the same list, NOT one disjunctive join (an OR condition
+    * degrades to a nested-loop). Runs BEFORE the URL-dedup exchange so
+    * blocked rows never shuffle.
+    *
+    * Scale: UT1-sized blocklists (~4M domains) are tens of MB — a
+    * broadcast anti-join by default; pass `broadcastList = false`
+    * above executor-memory comfort and both gates become shuffled
+    * anti-joins keyed on the domain labels. */
+  def blocklistFilter(df: DataFrame, urlCol: String, blocked: DataFrame,
+                      broadcastList: Boolean = true): DataFrame = {
+    val list = blocked.select(lower(col("domain")).as("__blk"))
+    val side = if (broadcastList) broadcast(list) else list
+    df.join(side, domain(col(urlCol)) === col("__blk"), "left_anti")
+      .join(side, registrableDomain(col(urlCol)) === col("__blk"),
+        "left_anti")
+  }
+
   /** URL-level dedup: one row per normalized URL, the minimum id kept
     * (the CCNet cross-dump rule — the same page fetched twice is the
     * same page). One exchange keyed on the normalized url. */
@@ -65,16 +131,38 @@ object Urls {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** The composed URL front: normalize → URL dedup → domain label →
-    * deterministic per-domain cap ([[Sampling.capPerKey]] — the
-    * RefinedWeb "at most N pages per domain" knob, stable-hash draw so
-    * no crawl-order bias survives). Output: the kept rows plus
-    * `url_norm` and `domain`. */
+  /** The composed URL front: blocklist gate (when given) → normalize →
+    * URL dedup → domain label → deterministic per-domain cap
+    * ([[Sampling.capPerKey]] — the RefinedWeb "at most N pages per
+    * domain" knob, stable-hash draw so no crawl-order bias survives).
+    * Output: the kept rows plus `url_norm` and `domain`.
+    *
+    * `blocklist`: optional one-column (`domain`) registrable-domain
+    * blocklist, applied FIRST — blocked rows never reach the dedup
+    * exchange and never consume cap slots ([[blocklistFilter]]).
+    * `capPerRegistrable`: cap at the eTLD+1 granularity
+    * ([[registrableDomain]], RefinedWeb's actual budget — subdomain
+    * farms share one cap) instead of per host; adds a
+    * `registrable_domain` column to the output. */
   def urlFront(df: DataFrame, urlCol: String, idCol: String = "doc_id",
-               maxPerDomain: Int = 1000, salt: String = "cap"): DataFrame = {
-    val deduped = urlDedup(df, urlCol, idCol)
+               maxPerDomain: Int = 1000, salt: String = "cap",
+               blocklist: Option[DataFrame] = None,
+               blocklistBroadcast: Boolean = true,
+               capPerRegistrable: Boolean = false): DataFrame = {
+    val gated = blocklist match {
+      case Some(b) => blocklistFilter(df, urlCol, b, blocklistBroadcast)
+      case None => df
+    }
+    val deduped = urlDedup(gated, urlCol, idCol)
       .withColumn("url_norm", normalize(col(urlCol)))
       .withColumn("domain", domain(col(urlCol)))
-    Sampling.capPerKey(deduped, col("domain"), col(idCol), maxPerDomain, salt)
+    if (capPerRegistrable) {
+      val withReg = deduped.withColumn("registrable_domain",
+        registrableDomain(col(urlCol)))
+      Sampling.capPerKey(withReg, col("registrable_domain"), col(idCol),
+        maxPerDomain, salt)
+    } else
+      Sampling.capPerKey(deduped, col("domain"), col(idCol),
+        maxPerDomain, salt)
   }
 }

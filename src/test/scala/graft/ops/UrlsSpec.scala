@@ -44,6 +44,54 @@ class UrlsSpec extends SparkSpec {
     assert(dom("http://plain.io") === "plain.io")
   }
 
+  private def reg(u: String): String =
+    Seq(u).toDF("u").select(Urls.registrableDomain(col("u"))).head().getString(0)
+
+  test("registrableDomain: eTLD+1 under the bounded multi-label suffix subset") {
+    assert(reg("http://www.example.com/p") === "example.com")
+    assert(reg("https://blog.shop.example.com/x") === "example.com")
+    assert(reg("http://a.b.site.co.uk/") === "site.co.uk")
+    assert(reg("http://site.co.uk") === "site.co.uk")
+    // the suffix itself (2 labels) registers as itself
+    assert(reg("http://co.uk") === "co.uk")
+    assert(reg("http://localhost:8080/x") === "localhost")
+    // case/userinfo/port stripped before the label split
+    assert(reg("HTTP://User@WWW.Site.COM.AU:80/p#f") === "site.com.au")
+    // a multi-label string NOT in the subset registers at two labels
+    assert(reg("http://www.site.co.zz/") === "co.zz")
+  }
+
+  test("blocklistFilter drops host and registrable families; urlFront caps per registrable domain") {
+    val df = Seq(
+      (1L, "http://www.bad.com/a"),
+      (2L, "http://tracker.bad.com/b"),   // registrable-level block
+      (3L, "http://good.com/a"),
+      (4L, "http://blog.good.co.uk/x"),
+      (5L, "http://www.good.co.uk/y"),
+      (6L, "http://shop.good.co.uk/z"),
+      (7L, "http://ads.good.com/t")       // host-level block only
+    ).toDF("doc_id", "url")
+    val blocked = Seq("bad.com", "ads.good.com").toDF("domain")
+    val kept = Urls.blocklistFilter(df, "url", blocked)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // bad.com kills 1 (host match after www-strip) and 2 (registrable);
+    // ads.good.com kills 7 at host level but NOT good.com itself
+    assert(kept === Set(3L, 4L, 5L, 6L))
+    // the shuffled anti-join form is decision-identical
+    val kept2 = Urls.blocklistFilter(df, "url", blocked,
+      broadcastList = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 === kept)
+    // per-registrable cap: the three good.co.uk HOSTS share ONE budget
+    val front = Urls.urlFront(df, "url", maxPerDomain = 2,
+      blocklist = Some(blocked), capPerRegistrable = true)
+    val regs = front.select("registrable_domain").collect()
+      .map(_.getString(0))
+    assert(regs.count(_ == "good.co.uk") === 2)
+    assert(regs.count(_ == "good.com") === 1)
+    assert(!regs.contains("bad.com"))
+  }
+
   test("urlDedup keeps the minimum id per NORMALIZED url; urlFront caps per domain deterministically") {
     val df = Seq(
       (1L, "http://a.com/p"),
