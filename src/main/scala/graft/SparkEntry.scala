@@ -226,6 +226,43 @@ object SparkEntry {
       s"$d/wet"
     })
 
+  /** q164's memoized fixture: the q151 planted pages written as
+    * Content-Length-framed WARC `response` records
+    * ([[graft.ops.Warc.writeWarcResponsesExact]]), with the record
+    * marker planted INSIDE the HTML body of `doc_id % 7 == 0` — the
+    * bodies that fragment under marker framing round-trip verbatim
+    * through the exact reader. */
+  private val warcRespExactFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcRespExactFixtureFor(s: SparkSession, dir: String): String =
+    warcRespExactFixtureDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-warc-resp-exact")
+        .toString
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(plantedHtml,
+            lit("\n" + graft.ops.Warc.Marker + "\n" + FragTail)))
+          .otherwise(plantedHtml).as("html"))
+      graft.ops.Warc.writeWarcResponsesExact(planted, s"$d/warc")
+      s"$d/warc"
+    })
+
+  /** q157's memoized fixture: the q151 planted pages (marker-free) as
+    * Content-Length-framed `response` records, so the raw-WARC entry
+    * of the composed chain rides the byte-exact framing end to end
+    * (the marker-framed [[warcRespFixtureFor]] stays q151's input). */
+  private val warcRespExactCleanFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcRespExactCleanFixtureFor(s: SparkSession, dir: String): String =
+    warcRespExactCleanFixtureDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-warc-resp-exact-clean").toString
+      graft.ops.Warc.writeWarcResponsesExact(
+        t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("html")),
+        s"$d/warc")
+      s"$d/warc"
+    })
+
   /** q139's memoized Multi-D-ADC index — IMI routing (kPerHalf = 4)
     * over PQ codes (m = 8, ks = 16); the oracle embeds the
     * identically trained half-centroid sets and codebook cube. */
@@ -1414,6 +1451,18 @@ object SparkEntry {
           .where(col("wtype") === "conversion")
           .select(col("uri"), col("payload"))
       },
+      // raw-WARC response records through the SAME byte-exact framing
+      // (q151's reader rides the marker contract; this one rides
+      // io.WarcInputFormat): HTML bodies with the record marker
+      // PLANTED inside (doc_id % 7) come back verbatim, HTTP status
+      // and content-type parsed off the message head — the oracle
+      // derives every body (marker included) straight from documents
+      "q164_warc_responses_exact" -> q { (s, dir) =>
+        graft.ops.Warc.readWarcResponsesExact(s,
+            warcRespExactFixtureFor(s, dir))
+          .select(col("uri"), col("http_status"), col("content_type"),
+            col("body"))
+      },
       // the FLAGSHIP raw-crawl-to-clean-corpus chain, all stages
       // composed: WET segment → records → HTML extraction → segment
       // (paragraph/boilerplate) dedup → exact dedup → LSH near-dup →
@@ -1454,12 +1503,13 @@ object SparkEntry {
       },
       // q153 entered from the RAW-WARC front: response records
       // (HTTP-status/content-type gated, the real crawl rule) → body →
-      // the same composed curation. Fixture plants the same pages, so
-      // the oracle is the SAME generator — proof the two crawl entry
-      // formats converge to one corpus
+      // the same composed curation, over the BYTE-EXACT Content-Length
+      // framing (io.WarcInputFormat) end to end. Fixture plants the
+      // same pages, so the oracle is the SAME generator — proof the
+      // two crawl entry formats converge to one corpus
       "q157_warc_crawl_curate" -> q { (s, dir) =>
         val pages = graft.ops.Warc
-          .readWarcResponses(s, warcRespFixtureFor(s, dir))
+          .readWarcResponsesExact(s, warcRespExactCleanFixtureFor(s, dir))
           .where(col("http_status") === 200 &&
             col("content_type").startsWith("text/html"))
           .select(regexp_extract(col("uri"), "([0-9]+)$", 1)
@@ -4427,6 +4477,18 @@ object SparkEntry {
         CASE WHEN doc_id % 7 = 0
              THEN text || chr(10) || 'WARC/1.0' || chr(10) || '$FragTail'
              ELSE text END AS payload
+      FROM documents""",
+    // q164: exact-framed response records — status/content-type are
+    // the deterministic fixture constants, the body is the planted
+    // page (PLUS the embedded marker for doc_id % 7) verbatim
+    "q164_warc_responses_exact" -> s"""
+      SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        200 AS http_status,
+        'text/html; charset=UTF-8' AS content_type,
+        CASE WHEN doc_id % 7 = 0
+             THEN $DuckPlantedHtml || chr(10) || 'WARC/1.0' ||
+               chr(10) || '$FragTail'
+             ELSE $DuckPlantedHtml END AS body
       FROM documents""",
     // q145: HTML → main-text extraction over the planted pages
     "q145_html_extract" -> s"""

@@ -143,14 +143,7 @@ object Warc {
     * else. Requires Content-Length headers (the WARC spec makes them
     * mandatory; [[writeWetExact]] writes them). */
   def readWetExact(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.hadoop.io.{LongWritable, Text}
-    val rdd = spark.sparkContext.newAPIHadoopFile(
-        path, classOf[graft.io.WarcInputFormat],
-        classOf[LongWritable], classOf[Text],
-        spark.sparkContext.hadoopConfiguration)
-      .map { case (_, t) => t.toString }
-    import spark.implicits._
-    val recs = rdd.toDF("v")
+    val recs = readExactRecords(spark, path)
     val header = substring_index(col("v"), "\n\n", 1)
     recs.select(
       regexp_extract(header, "(?m)^WARC-Type:\\s*(\\S+)", 1).as("wtype"),
@@ -161,6 +154,74 @@ object Warc {
         .otherwise(lit("")).as("payload"))
   }
 
+  /** One row (`v`) per Content-Length-framed record: the WARC header
+    * block (CRs stripped, no blank lines) + `\n\n` + the VERBATIM
+    * payload — [[graft.io.WarcInputFormat]]'s emitted shape, shared by
+    * [[readWetExact]] and [[readWarcResponsesExact]]. The first `\n\n`
+    * in `v` is therefore always the header/payload boundary, whatever
+    * the payload contains. */
+  private def readExactRecords(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        path, classOf[graft.io.WarcInputFormat],
+        classOf[LongWritable], classOf[Text],
+        spark.sparkContext.hadoopConfiguration)
+      .map { case (_, t) => t.toString }
+    import spark.implicits._
+    rdd.toDF("v")
+  }
+
+  /** [[readWarcResponses]]'s byte-EXACT twin over the Content-Length
+    * framing ([[graft.io.WarcInputFormat]]) — the raw-WARC entry point
+    * with the same exactness contract as [[readWetExact]]: an HTTP
+    * body may contain ANYTHING, including the record marker that
+    * fragments under the lineSep framing (q164 proves it on
+    * marker-bearing bodies), and comes back VERBATIM — no CRLF
+    * normalization, no padding strip. The HTTP message splits at its
+    * FIRST blank line (real HTTP uses CRLF; a fixture may use LF — the
+    * EARLIER of `\r\n\r\n` and `\n\n` wins) into the status/header
+    * block and the body. Columns as [[readWarcResponses]]:
+    * (uri, warc_date, http_status, content_type, body). */
+  def readWarcResponsesExact(spark: SparkSession, path: String): DataFrame = {
+    val recs = readExactRecords(spark, path)
+    val warcHdr = substring_index(col("v"), "\n\n", 1)
+    val payload = when(instr(col("v"), "\n\n") > 0,
+      col("v").substr(instr(col("v"), "\n\n") + lit(2), length(col("v"))))
+      .otherwise(lit(""))
+    val parts = recs
+      .where(regexp_extract(warcHdr,
+        "(?m)^WARC-Type:\\s*(\\S+)", 1) === "response")
+      .select(
+        regexp_extract(warcHdr,
+          "(?m)^WARC-Target-URI:\\s*(\\S+)", 1).as("uri"),
+        regexp_extract(warcHdr,
+          "(?m)^WARC-Date:\\s*(\\S+)", 1).as("warc_date"),
+        payload.as("p"))
+      .withColumn("pCrlf", instr(col("p"), "\r\n\r\n"))
+      .withColumn("pLf", instr(col("p"), "\n\n"))
+      // the EARLIER separator wins (an LF blank line inside a CRLF
+      // body — or vice versa — must not steal the split)
+      .withColumn("crlfFirst",
+        col("pCrlf") > 0 && (col("pLf") === 0 || col("pCrlf") < col("pLf")))
+      .withColumn("sepAt",
+        when(col("crlfFirst"), col("pCrlf")).otherwise(col("pLf")))
+      .withColumn("sepLen",
+        when(col("crlfFirst"), lit(4)).otherwise(lit(2)))
+    parts.select(
+      col("uri"), col("warc_date"),
+      regexp_extract(
+        when(col("sepAt") > 0, col("p").substr(lit(1), col("sepAt") - 1))
+          .otherwise(col("p")),
+        "^HTTP/[0-9.]+\\s+([0-9]{3})", 1).cast("int").as("http_status"),
+      regexp_extract(
+        when(col("sepAt") > 0, col("p").substr(lit(1), col("sepAt") - 1))
+          .otherwise(col("p")),
+        "(?mi)^content-type:\\s*([^\\r\\n]+)", 1).as("content_type"),
+      when(col("sepAt") > 0,
+        col("p").substr(col("sepAt") + col("sepLen"), length(col("p"))))
+        .otherwise(lit("")).as("body"))
+  }
+
   /** [[writeWet]]'s spec-exact twin: records carry Content-Length
     * (UTF-8 octet length of the payload), so [[readWetExact]] can
     * frame them byte-exactly — payloads may contain ANYTHING,
@@ -169,8 +230,6 @@ object Warc {
                     uriPrefix: String = "http://example.com/doc/",
                     idCol: String = "doc_id", textCol: String = "text",
                     singleFile: Boolean = true): Unit = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val infoBody = "software: graft"
     val infoRec = s"$Marker\nWARC-Type: warcinfo\n" +
       s"Content-Length: ${infoBody.getBytes("UTF-8").length}\n\n$infoBody\n"
@@ -180,6 +239,44 @@ object Warc {
       lit("\nWARC-Date: 2026-08-16T00:00:00Z\nContent-Length: "),
       octet_length(col(textCol)).cast("string"),
       lit("\n\n"), col(textCol)).as("value"))
+    writeRecords(recs, infoRec, path, singleFile)
+  }
+
+  /** [[writeWarcResponses]]'s spec-exact twin (and [[writeWetExact]]'s
+    * response-record sibling): each record's Content-Length is the
+    * UTF-8 octet length of the WHOLE HTTP message (status line +
+    * headers + blank line + body), so [[readWarcResponsesExact]]
+    * frames it byte-exactly — bodies may contain ANYTHING, including
+    * the record marker. Same `singleFile` contract. */
+  def writeWarcResponsesExact(docs: DataFrame, path: String,
+                              uriPrefix: String = "http://example.com/doc/",
+                              idCol: String = "doc_id",
+                              htmlCol: String = "html",
+                              singleFile: Boolean = true): Unit = {
+    val infoBody = "software: graft"
+    val infoRec = s"$Marker\nWARC-Type: warcinfo\n" +
+      s"Content-Length: ${infoBody.getBytes("UTF-8").length}\n\n$infoBody\n"
+    val httpHead = "HTTP/1.1 200 OK\nContent-Type: text/html; " +
+      "charset=UTF-8\nServer: graft-fixture\n\n"
+    val recs = docs.select(concat(
+      lit(s"$Marker\nWARC-Type: response\nWARC-Target-URI: $uriPrefix"),
+      col(idCol).cast("string"),
+      lit("\nWARC-Date: 2026-08-16T00:00:00Z\nContent-Length: "),
+      (octet_length(col(htmlCol))
+        + lit(httpHead.getBytes("UTF-8").length)).cast("string"),
+      lit("\n\n" + httpHead), col(htmlCol)).as("value"))
+    writeRecords(recs, infoRec, path, singleFile)
+  }
+
+  /** The shared record-sink tail: `singleFile = true` (fixtures)
+    * coalesces to one task and one file; `false` (the real export
+    * path) writes one file per input partition, each with its own
+    * leading `infoRec` so every file is independently parseable, empty
+    * partitions emitting nothing. */
+  private def writeRecords(recs: DataFrame, infoRec: String, path: String,
+                           singleFile: Boolean): Unit = {
+    val spark = recs.sparkSession
+    import spark.implicits._
     val out =
       if (singleFile)
         Seq(infoRec).toDF("value").unionByName(recs).coalesce(1)
@@ -238,22 +335,13 @@ object Warc {
                uriPrefix: String = "http://example.com/doc/",
                idCol: String = "doc_id", textCol: String = "text",
                singleFile: Boolean = true): Unit = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val infoRec = s"$Marker\nWARC-Type: warcinfo\n\nsoftware: graft\n"
     val recs = docs.select(concat(
       lit(s"$Marker\nWARC-Type: conversion\nWARC-Target-URI: $uriPrefix"),
       col(idCol).cast("string"),
       lit("\nWARC-Date: 2026-08-16T00:00:00Z\n\n"),
       col(textCol), lit("\n")).as("value"))
-    val out =
-      if (singleFile)
-        Seq(infoRec).toDF("value").unionByName(recs).coalesce(1)
-      else
-        recs.as[String].mapPartitions { it =>
-          if (it.hasNext) Iterator(infoRec) ++ it else Iterator.empty
-        }.toDF("value")
-    out.write.mode("overwrite").text(path)
+    writeRecords(recs, infoRec, path, singleFile)
   }
 
   /** Write a corpus as raw WARC `response` records — [[writeWet]]'s
@@ -267,8 +355,6 @@ object Warc {
                          uriPrefix: String = "http://example.com/doc/",
                          idCol: String = "doc_id", htmlCol: String = "html",
                          singleFile: Boolean = true): Unit = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val infoRec = s"$Marker\nWARC-Type: warcinfo\n\nsoftware: graft\n"
     val recs = docs.select(concat(
       lit(s"$Marker\nWARC-Type: response\nWARC-Target-URI: $uriPrefix"),
@@ -277,13 +363,6 @@ object Warc {
         "HTTP/1.1 200 OK\nContent-Type: text/html; charset=UTF-8\n" +
         "Server: graft-fixture\n\n"),
       col(htmlCol), lit("\n")).as("value"))
-    val out =
-      if (singleFile)
-        Seq(infoRec).toDF("value").unionByName(recs).coalesce(1)
-      else
-        recs.as[String].mapPartitions { it =>
-          if (it.hasNext) Iterator(infoRec) ++ it else Iterator.empty
-        }.toDF("value")
-    out.write.mode("overwrite").text(path)
+    writeRecords(recs, infoRec, path, singleFile)
   }
 }

@@ -223,6 +223,41 @@ class WarcSpec extends SparkSpec {
     assert(fragged.where(col("wtype") === "").count() > 0)
   }
 
+  test("readWarcResponsesExact: Content-Length framing; CRLF and LF HTTP dialects; marker-bearing bodies verbatim") {
+    // round-trip through the write twin: bodies carry the record
+    // marker AND an LF blank line — fragmentation bait under marker
+    // framing, verbatim here
+    val docs = Seq(
+      (0L, "<p>first</p>\nWARC/1.0\nWARC-Type: fake\n\nafter a blank line"),
+      (1L, "<p>plain</p>")).toDF("doc_id", "html")
+    val dir = Files.createTempDirectory("graft-warc-resp-exact").toString
+    Warc.writeWarcResponsesExact(docs, s"$dir/warc")
+    val got = Warc.readWarcResponsesExact(spark, s"$dir/warc")
+      .orderBy("uri").collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getString(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      ("http://example.com/doc/0", 200, "text/html; charset=UTF-8",
+        "<p>first</p>\nWARC/1.0\nWARC-Type: fake\n\nafter a blank line"),
+      ("http://example.com/doc/1", 200, "text/html; charset=UTF-8",
+        "<p>plain</p>")))
+    // a handwritten CRLF record (real HTTP dialect): the \r\n\r\n
+    // separator wins over a LATER \n\n inside the body; header values
+    // come back CR-free; the body keeps its own bytes
+    val dir2 = Files.createTempDirectory("graft-warc-resp-crlf").toString
+    val http = "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n" +
+      "\r\nbody line\n\nwith an LF blank line"
+    val rec = s"WARC/1.0\nWARC-Type: response\n" +
+      s"WARC-Target-URI: http://c.example/z\n" +
+      s"Content-Length: ${http.getBytes("UTF-8").length}\n\n$http\n"
+    writeFile(dir2, "seg.warc", rec)
+    val crlf = Warc.readWarcResponsesExact(spark, dir2).collect()
+    assert(crlf.length === 1)
+    assert(crlf(0).getString(0) === "http://c.example/z")
+    assert(crlf(0).getInt(2) === 404)
+    assert(crlf(0).getString(3) === "text/plain")
+    assert(crlf(0).getString(4) === "body line\n\nwith an LF blank line")
+  }
+
   test("readWetExact: resync rejects fake headers with overflowing or Unicode-digit Content-Length instead of crashing") {
     // a payload embedding a COMPLETE header block is the documented
     // resync false-positive limit — but a block whose Content-Length
