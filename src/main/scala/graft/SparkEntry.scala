@@ -171,6 +171,21 @@ object SparkEntry {
       s"$d/wet"
     })
 
+  /** q165's memoized fixture: the q150 planted-HTML WET corpus written
+    * WITH Content-Length headers — the exact-framing ingest front's
+    * input. */
+  private val wetHtmlExactFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wetHtmlExactFixtureFor(s: SparkSession, dir: String): String =
+    wetHtmlExactFixtureDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-wet-html-exact").toString
+      graft.ops.Warc.writeWetExact(
+        t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("text")),
+        s"$d/wet")
+      s"$d/wet"
+    })
+
   /** q151's memoized fixture: the q145 planted HTML pages as the
     * BODIES of raw WARC `response` records (HTTP status line + headers
     * + blank line + markup) — a from-scratch crawl segment, one stage
@@ -1487,6 +1502,15 @@ object SparkEntry {
       "q155_crawl_ingest_backfill" -> q { (s, dir) =>
         graft.streaming.CrawlIngest.batchTwin(s, wetHtmlFixtureFor(s, dir))
       },
+      // the BYTE-EXACT streaming front end's per-batch computation as
+      // its batch-backfill form (extractStreamExact's twin —
+      // CrawlIngestSpec proves the binaryFile-source stream ≡ this
+      // twin on marker-bearing and gzipped segments): same planted
+      // pages under Content-Length framing, same oracle as q155
+      "q165_crawl_ingest_exact" -> q { (s, dir) =>
+        graft.streaming.CrawlIngest.batchTwinExact(s,
+          wetHtmlExactFixtureFor(s, dir))
+      },
       // per-LANGUAGE perplexity buckets — CCNet's actual rule (a
       // Wikipedia-trained LM's absolute perplexity isn't comparable
       // across languages, so the terciles are per-language): the same
@@ -2313,6 +2337,22 @@ object SparkEntry {
   private def plantedHtml: org.apache.spark.sql.Column =
     concat(lit(HtmlPre), col("doc_id").cast("string"), lit(HtmlMid1),
       col("doc_id").cast("string"), lit(HtmlMid2), col("text"), lit(HtmlPost))
+
+  /** The crawl-ingest twin oracle (q155 lineSep / q165 exact — one
+    * generator, both fronts): extraction over the WET payloads
+    * (identity on the planted pages), the q15 stats generator over
+    * the extracted relation, the quality gate, text joined back.
+    * doc_id is the record URI (the stream's natural key). */
+  private lazy val duckCrawlIngestSql = s"""
+      WITH extracted AS MATERIALIZED (
+        SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
+          ${duckExtractExpr(DuckPlantedHtml)} AS text
+        FROM documents),
+      pages AS (SELECT doc_id, text FROM extracted WHERE length(text) > 0),
+      ${duckTextStatsCtes("pages")}
+      SELECT p.doc_id, p.text, t.n_tokens, t.quality_score, t.lang_pred
+      FROM ts_out t JOIN pages p USING (doc_id)
+      WHERE t.quality_score >= 0.7"""
 
   /** The planted page as a DuckDB expression over the same columns. */
   private val DuckPlantedHtml =
@@ -4369,16 +4409,13 @@ object SparkEntry {
     // generator over the extracted relation, the quality gate, text
     // joined back. doc_id here is the record URI (the stream's natural
     // key)
-    "q155_crawl_ingest_backfill" -> s"""
-      WITH extracted AS MATERIALIZED (
-        SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS doc_id,
-          ${duckExtractExpr(DuckPlantedHtml)} AS text
-        FROM documents),
-      pages AS (SELECT doc_id, text FROM extracted WHERE length(text) > 0),
-      ${duckTextStatsCtes("pages")}
-      SELECT p.doc_id, p.text, t.n_tokens, t.quality_score, t.lang_pred
-      FROM ts_out t JOIN pages p USING (doc_id)
-      WHERE t.quality_score >= 0.7""",
+    "q155_crawl_ingest_backfill" -> duckCrawlIngestSql,
+    // q165: the EXACT-framing front end's batch twin — the identical
+    // computation over Content-Length-framed segments (payload parse
+    // is identity on the planted pages), so the oracle IS the q155
+    // oracle; CrawlIngestSpec proves exact stream ≡ this twin, so the
+    // byte-exact streaming path is transitively oracle-checked
+    "q165_crawl_ingest_exact" -> duckCrawlIngestSql,
     // q156: per-language perplexity buckets — the bp/ts generators
     // joined, the bucket generator PARTITIONED by lang_pred
     "q156_ppl_buckets_by_lang" -> s"""

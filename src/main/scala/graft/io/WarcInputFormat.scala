@@ -80,6 +80,22 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
   private val value = new Text()
   private var done = false
 
+  /** Standalone SEQUENTIAL initialization over an already-open byte
+    * stream — the streaming exact reader's entry
+    * ([[graft.ops.Warc.readWetExactStream]] feeds each whole segment
+    * file through here): the identical parser, caps, and
+    * refuse-loudly contract as the compressed (non-seekable) file
+    * path, so batch and streaming framing are single-sourced. The
+    * caller owns the stream's lifecycle (close() also closes it). */
+  def initializeSequential(in: InputStream): Unit = {
+    stream = in
+    seekable = false
+    start = 0L
+    end = Long.MaxValue
+    pos = 0L
+    fileLen = 0L
+  }
+
   override def initialize(genericSplit: InputSplit,
                           context: TaskAttemptContext): Unit = {
     val split = genericSplit.asInstanceOf[FileSplit]

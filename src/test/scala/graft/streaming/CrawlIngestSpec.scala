@@ -79,4 +79,55 @@ class CrawlIngestSpec extends SparkSpec {
       uriPrefix = "http://crawl.example/p/")
     assert(CrawlIngest.batchTwin(spark, s"$gateRoot/*").count() === 0)
   }
+
+  test("exact-framing stream equals its batch twin on marker-bearing segments, arrivals and gzip included") {
+    // payloads that EMBED the record marker — they fragment under the
+    // lineSep framing, so only the byte-exact front ingests them
+    // whole; the page body keeps enough prose to pass the gate
+    def advPage(i: Long): String =
+      page(i) + (if (i % 2 == 0) s"\n${Warc.Marker}\nsevered tail bait\n" else "")
+    val segRoot = Files.createTempDirectory("crawlx-segs").toString
+    val sink = Files.createTempDirectory("crawlx-sink").toString
+    val ckpt = Files.createTempDirectory("crawlx-ckpt").toString
+    def writeExactSegment(ids: Range): Unit =
+      Warc.writeWetExact(
+        ids.map(i => (i.toLong, advPage(i.toLong))).toDF("doc_id", "text"),
+        s"$segRoot/seg-${ids.head}", uriPrefix = "http://crawl.example/p/")
+    writeExactSegment(0 until 6)
+    val glob = s"$segRoot/*"
+    def runAvailable(): Unit = {
+      val q = CrawlIngest.extractStreamExact(spark, glob, sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(600000), "stream did not finish")
+    }
+    runAvailable()
+    val after1 = spark.read.parquet(sink).drop("batch")
+    val twin1 = CrawlIngest.batchTwinExact(spark, glob)
+    assert(after1.orderBy("doc_id").collect().map(_.toSeq).toSeq ===
+      twin1.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    assert(after1.count() === 6)
+    // a gzipped segment arrives (the Common-Crawl shape) — the stream
+    // decompresses by extension and parses through the same reader
+    val gzDir = new java.io.File(s"$segRoot/seg-gz"); gzDir.mkdirs()
+    val docs2 = (6 until 10).map(i => (i.toLong, advPage(i.toLong)))
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("crawlx-tmp").toString
+    Warc.writeWetExact(docs2, s"$tmp/w", uriPrefix = "http://crawl.example/p/")
+    val rawSeg = new java.io.File(s"$tmp/w").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(java.nio.file.Paths.get(gzDir.toString, "seg.warc.gz")))
+    out.write(Files.readAllBytes(rawSeg.toPath)); out.close()
+    runAvailable()
+    val after2 = spark.read.parquet(sink).drop("batch")
+    val twin2 = CrawlIngest.batchTwinExact(spark, glob)
+    assert(after2.orderBy("doc_id").collect().map(_.toSeq).toSeq ===
+      twin2.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    assert(after2.count() === 10)
+    // the marker-bearing tails really are inside the ingested text's
+    // source payloads: the lineSep twin on the same files would
+    // fragment (counted), the exact twin never does
+    assert(Warc.readWet(spark, glob).where(col("wtype") === "").count() > 0)
+  }
 }
