@@ -278,6 +278,30 @@ object SparkEntry {
       s"$d/warc"
     })
 
+  /** q166/q167's memoized fixtures: the crawl's OUTBOUND half (one
+    * deterministic GET request record per document) and the per-fetch
+    * metadata sidecar, both Content-Length-framed. */
+  private val warcReqFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcReqFixtureFor(s: SparkSession, dir: String): String =
+    warcReqFixtureDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-warc-req")
+        .toString
+      graft.ops.Warc.writeWarcRequests(
+        t(s, dir, "documents").select("doc_id"), s"$d/warc")
+      s"$d/warc"
+    })
+  private val warcMetaFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcMetaFixtureFor(s: SparkSession, dir: String): String =
+    warcMetaFixtureDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-warc-meta")
+        .toString
+      graft.ops.Warc.writeWarcMetadata(
+        t(s, dir, "documents").select("doc_id"), s"$d/warc")
+      s"$d/warc"
+    })
+
   /** q139's memoized Multi-D-ADC index — IMI routing (kPerHalf = 4)
     * over PQ codes (m = 8, ks = 16); the oracle embeds the
     * identically trained half-centroid sets and codebook cube. */
@@ -1510,6 +1534,23 @@ object SparkEntry {
       "q165_crawl_ingest_exact" -> q { (s, dir) =>
         graft.streaming.CrawlIngest.batchTwinExact(s,
           wetHtmlExactFixtureFor(s, dir))
+      },
+      // the crawl's OUTBOUND half: WARC `request` records (ISO-28500
+      // pairs every response with its request) — request line parsed
+      // into method/target/protocol, header block and body surfaced;
+      // the oracle derives every column from the fixture's generative
+      // arithmetic
+      "q166_warc_requests" -> q { (s, dir) =>
+        graft.ops.Warc.readWarcRequests(s, warcReqFixtureFor(s, dir))
+          .select("uri", "http_method", "target", "protocol",
+            "http_headers", "body")
+      },
+      // the per-fetch metadata sidecar: WARC `metadata` records
+      // exploded to one (uri, key, value) row per pair — the
+      // SQL-friendly shape the rest of the engine joins on
+      "q167_warc_metadata" -> q { (s, dir) =>
+        graft.ops.Warc.readWarcMetadata(s, warcMetaFixtureFor(s, dir))
+          .select("uri", "key", "value")
       },
       // per-LANGUAGE perplexity buckets — CCNet's actual rule (a
       // Wikipedia-trained LM's absolute perplexity isn't comparable
@@ -4527,6 +4568,26 @@ object SparkEntry {
                chr(10) || '$FragTail'
              ELSE $DuckPlantedHtml END AS body
       FROM documents""",
+    // q166: request records — every column from the fixture arithmetic
+    "q166_warc_requests" -> """
+      SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        'GET' AS http_method,
+        '/doc/' || CAST(doc_id AS VARCHAR) AS target,
+        'HTTP/1.1' AS protocol,
+        'Host: example.com' || chr(10) || 'User-Agent: graft-crawler'
+          AS http_headers,
+        '' AS body
+      FROM documents""",
+    // q167: metadata sidecar — the three deterministic pairs per doc
+    "q167_warc_metadata" -> """
+      SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        k AS key, v AS value
+      FROM documents, (VALUES ('fetchTimeMs'), ('charset'),
+        ('languages-cld2')) AS t(k),
+      LATERAL (SELECT CASE k
+          WHEN 'fetchTimeMs' THEN CAST(doc_id % 1000 AS VARCHAR)
+          WHEN 'charset' THEN 'UTF-8'
+          ELSE 'en' END AS v)""",
     // q145: HTML → main-text extraction over the planted pages
     "q145_html_extract" -> s"""
       SELECT doc_id, mt AS main_text,

@@ -194,6 +194,116 @@ object Warc {
     exactRecordProjection(recs)
   }
 
+  /** Raw-WARC `request` records over the byte-exact framing — the
+    * crawl's OUTBOUND half (ISO-28500 pairs each response with the
+    * request that elicited it; `WARC-Concurrent-To` links them):
+    * the payload is an HTTP request message whose REQUEST LINE is
+    * `method target protocol`, parsed here into columns; the header
+    * block after it stays available to the caller via the verbatim
+    * message in `http_headers` (everything after the request line up
+    * to the blank line). Bodies are rare on crawl requests and are
+    * surfaced verbatim when present. Columns: (uri, warc_date,
+    * http_method, target, protocol, http_headers, body). */
+  def readWarcRequests(spark: SparkSession, path: String): DataFrame = {
+    val parts = httpMessageParts(spark, path, "request")
+    parts.select(
+      col("uri"), col("warc_date"),
+      regexp_extract(col("head"),
+        "^([A-Z]+)\\s+\\S+\\s+HTTP/[0-9.]+", 1).as("http_method"),
+      regexp_extract(col("head"),
+        "^[A-Z]+\\s+(\\S+)\\s+HTTP/[0-9.]+", 1).as("target"),
+      regexp_extract(col("head"),
+        "^[A-Z]+\\s+\\S+\\s+(HTTP/[0-9.]+)", 1).as("protocol"),
+      when(instr(col("head"), "\n") > 0,
+        regexp_replace(
+          col("head").substr(instr(col("head"), "\n") + lit(1),
+            length(col("head"))),
+          "\r", ""))
+        .otherwise(lit("")).as("http_headers"),
+      when(col("sepAt") > 0,
+        col("p").substr(col("sepAt") + col("sepLen"), length(col("p"))))
+        .otherwise(lit("")).as("body"))
+  }
+
+  /** Raw-WARC `metadata` records over the byte-exact framing — the
+    * per-fetch sidecar (Common Crawl records fetch timing, detected
+    * charset/language here): the payload is `key: value` lines,
+    * EXPLODED to one row per pair (the SQL-friendly shape — a map
+    * column would defeat pushdown and the oracle compare). Lines
+    * without a colon are surfaced with a null key and the raw line as
+    * the value — refuse-or-surface, never silently dropped. Columns:
+    * (uri, warc_date, key, value). */
+  def readWarcMetadata(spark: SparkSession, path: String): DataFrame = {
+    val recs = readExactRecords(spark, path)
+    val warcHdr = substring_index(col("v"), "\n\n", 1)
+    val payload = when(instr(col("v"), "\n\n") > 0,
+      col("v").substr(instr(col("v"), "\n\n") + lit(2), length(col("v"))))
+      .otherwise(lit(""))
+    recs
+      .where(regexp_extract(warcHdr,
+        "(?m)^WARC-Type:\\s*(\\S+)", 1) === "metadata")
+      .select(
+        regexp_extract(warcHdr,
+          "(?m)^WARC-Target-URI:\\s*(\\S+)", 1).as("uri"),
+        regexp_extract(warcHdr,
+          "(?m)^WARC-Date:\\s*(\\S+)", 1).as("warc_date"),
+        explode(split(regexp_replace(payload, "\r", ""), "\n")).as("line"))
+      .where(length(trim(col("line"))) > 0)
+      .select(col("uri"), col("warc_date"),
+        when(instr(col("line"), ":") > 0,
+          trim(substring_index(col("line"), ":", 1)))
+          .otherwise(lit(null).cast("string")).as("key"),
+        when(instr(col("line"), ":") > 0,
+          ltrim(col("line").substr(instr(col("line"), ":") + lit(1),
+            length(col("line")))))
+          .otherwise(col("line")).as("value"))
+  }
+
+  /** Fixture twin for [[readWarcRequests]]: one deterministic GET per
+    * document (target = the URI's path), Content-Length-framed. */
+  def writeWarcRequests(docs: DataFrame, path: String,
+                        uriPrefix: String = "http://example.com/doc/",
+                        idCol: String = "doc_id",
+                        singleFile: Boolean = true): Unit = {
+    val infoBody = "software: graft"
+    val infoRec = s"$Marker\nWARC-Type: warcinfo\n" +
+      s"Content-Length: ${infoBody.getBytes("UTF-8").length}\n\n$infoBody\n"
+    val host = uriPrefix.replaceFirst("^[a-z]+://", "")
+      .takeWhile(_ != '/')
+    val pathPrefix = uriPrefix.replaceFirst("^[a-z]+://[^/]*", "")
+    val msg = concat(
+      lit(s"GET $pathPrefix"), col(idCol).cast("string"),
+      lit(s" HTTP/1.1\nHost: $host\nUser-Agent: graft-crawler\n\n"))
+    val recs = docs.select(concat(
+      lit(s"$Marker\nWARC-Type: request\nWARC-Target-URI: $uriPrefix"),
+      col(idCol).cast("string"),
+      lit("\nWARC-Date: 2026-08-16T00:00:00Z\nContent-Length: "),
+      octet_length(msg).cast("string"),
+      lit("\n\n"), msg).as("value"))
+    writeRecords(recs, infoRec, path, singleFile)
+  }
+
+  /** Fixture twin for [[readWarcMetadata]]: deterministic per-fetch
+    * key/value pairs, Content-Length-framed. */
+  def writeWarcMetadata(docs: DataFrame, path: String,
+                        uriPrefix: String = "http://example.com/doc/",
+                        idCol: String = "doc_id",
+                        singleFile: Boolean = true): Unit = {
+    val infoBody = "software: graft"
+    val infoRec = s"$Marker\nWARC-Type: warcinfo\n" +
+      s"Content-Length: ${infoBody.getBytes("UTF-8").length}\n\n$infoBody\n"
+    val msg = concat(
+      lit("fetchTimeMs: "), (col(idCol) % 1000).cast("string"),
+      lit("\ncharset: UTF-8\nlanguages-cld2: en"))
+    val recs = docs.select(concat(
+      lit(s"$Marker\nWARC-Type: metadata\nWARC-Target-URI: $uriPrefix"),
+      col(idCol).cast("string"),
+      lit("\nWARC-Date: 2026-08-16T00:00:00Z\nContent-Length: "),
+      octet_length(msg).cast("string"),
+      lit("\n\n"), msg).as("value"))
+    writeRecords(recs, infoRec, path, singleFile)
+  }
+
   /** The exact readers' shared projection over the emitted record
     * shape (header block + `\n\n` + verbatim payload). */
   private def exactRecordProjection(recs: DataFrame): DataFrame = {
@@ -236,14 +346,34 @@ object Warc {
     * block and the body. Columns as [[readWarcResponses]]:
     * (uri, warc_date, http_status, content_type, body). */
   def readWarcResponsesExact(spark: SparkSession, path: String): DataFrame = {
+    val parts = httpMessageParts(spark, path, "response")
+    parts.select(
+      col("uri"), col("warc_date"),
+      regexp_extract(col("head"),
+        "^HTTP/[0-9.]+\\s+([0-9]{3})", 1).cast("int").as("http_status"),
+      regexp_extract(col("head"),
+        "(?mi)^content-type:\\s*([^\\r\\n]+)", 1).as("content_type"),
+      when(col("sepAt") > 0,
+        col("p").substr(col("sepAt") + col("sepLen"), length(col("p"))))
+        .otherwise(lit("")).as("body"))
+  }
+
+  /** The wtype-filtered exact records with the HTTP message split
+    * located — (uri, warc_date, p, sepAt, sepLen, head), shared by
+    * the response and request projections. `head` is the message up
+    * to its first blank line; the EARLIER of the CRLF and LF
+    * separators wins (an LF blank line inside a CRLF body — or vice
+    * versa — must not steal the split). */
+  private def httpMessageParts(spark: SparkSession, path: String,
+                               wtype: String): DataFrame = {
     val recs = readExactRecords(spark, path)
     val warcHdr = substring_index(col("v"), "\n\n", 1)
     val payload = when(instr(col("v"), "\n\n") > 0,
       col("v").substr(instr(col("v"), "\n\n") + lit(2), length(col("v"))))
       .otherwise(lit(""))
-    val parts = recs
+    recs
       .where(regexp_extract(warcHdr,
-        "(?m)^WARC-Type:\\s*(\\S+)", 1) === "response")
+        "(?m)^WARC-Type:\\s*(\\S+)", 1) === wtype)
       .select(
         regexp_extract(warcHdr,
           "(?m)^WARC-Target-URI:\\s*(\\S+)", 1).as("uri"),
@@ -252,27 +382,15 @@ object Warc {
         payload.as("p"))
       .withColumn("pCrlf", instr(col("p"), "\r\n\r\n"))
       .withColumn("pLf", instr(col("p"), "\n\n"))
-      // the EARLIER separator wins (an LF blank line inside a CRLF
-      // body — or vice versa — must not steal the split)
       .withColumn("crlfFirst",
         col("pCrlf") > 0 && (col("pLf") === 0 || col("pCrlf") < col("pLf")))
       .withColumn("sepAt",
         when(col("crlfFirst"), col("pCrlf")).otherwise(col("pLf")))
       .withColumn("sepLen",
         when(col("crlfFirst"), lit(4)).otherwise(lit(2)))
-    parts.select(
-      col("uri"), col("warc_date"),
-      regexp_extract(
+      .withColumn("head",
         when(col("sepAt") > 0, col("p").substr(lit(1), col("sepAt") - 1))
-          .otherwise(col("p")),
-        "^HTTP/[0-9.]+\\s+([0-9]{3})", 1).cast("int").as("http_status"),
-      regexp_extract(
-        when(col("sepAt") > 0, col("p").substr(lit(1), col("sepAt") - 1))
-          .otherwise(col("p")),
-        "(?mi)^content-type:\\s*([^\\r\\n]+)", 1).as("content_type"),
-      when(col("sepAt") > 0,
-        col("p").substr(col("sepAt") + col("sepLen"), length(col("p"))))
-        .otherwise(lit("")).as("body"))
+          .otherwise(col("p")))
   }
 
   /** [[writeWet]]'s spec-exact twin: records carry Content-Length

@@ -310,6 +310,58 @@ class WarcSpec extends SparkSpec {
       Seq(("http://exämple.com/döc/7", "payload text")))
   }
 
+  test("readWarcRequests / readWarcMetadata: outbound half and per-fetch sidecar parse; malformed metadata lines surface") {
+    val docs = Seq((3L, "x"), (14L, "y")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-warc-req").toString
+    Warc.writeWarcRequests(docs, s"$dir/req",
+      uriPrefix = "http://crawl.example/p/")
+    val req = Warc.readWarcRequests(spark, s"$dir/req")
+      .orderBy("uri").collect()
+    assert(req.map(r => (r.getString(0), r.getString(2), r.getString(3),
+      r.getString(4))).toSeq === Seq(
+      ("http://crawl.example/p/14", "GET", "/p/14", "HTTP/1.1"),
+      ("http://crawl.example/p/3", "GET", "/p/3", "HTTP/1.1")))
+    assert(req.forall(_.getString(5)
+      .contains("Host: crawl.example")))
+    assert(req.forall(_.getString(6) === "")) // GETs carry no body
+    // a handwritten CRLF request with a body (POST)
+    val dir2 = Files.createTempDirectory("graft-warc-req2").toString
+    val http = "POST /submit HTTP/1.0\r\nHost: h.example\r\n\r\npayload=1"
+    writeFile(dir2, "seg.warc",
+      s"WARC/1.0\nWARC-Type: request\nWARC-Target-URI: http://h.example/submit\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\n\n$http\n")
+    val post = Warc.readWarcRequests(spark, dir2).collect()(0)
+    assert(post.getString(2) === "POST" && post.getString(3) === "/submit" &&
+      post.getString(4) === "HTTP/1.0" && post.getString(6) === "payload=1")
+    assert(post.getString(5) === "Host: h.example")
+    // metadata: exploded key/value pairs; a colon-free line surfaces
+    // with a null key instead of vanishing
+    val dir3 = Files.createTempDirectory("graft-warc-meta").toString
+    Warc.writeWarcMetadata(docs, s"$dir3/meta",
+      uriPrefix = "http://crawl.example/p/")
+    val meta = Warc.readWarcMetadata(spark, s"$dir3/meta")
+      .orderBy("uri", "key").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3)))
+    assert(meta.toSeq === Seq(
+      ("http://crawl.example/p/14", "charset", "UTF-8"),
+      ("http://crawl.example/p/14", "fetchTimeMs", "14"),
+      ("http://crawl.example/p/14", "languages-cld2", "en"),
+      ("http://crawl.example/p/3", "charset", "UTF-8"),
+      ("http://crawl.example/p/3", "fetchTimeMs", "3"),
+      ("http://crawl.example/p/3", "languages-cld2", "en")))
+    val dir4 = Files.createTempDirectory("graft-warc-meta2").toString
+    val m = "goodKey: v\nmalformed line without colon"
+    writeFile(dir4, "seg.warc",
+      s"WARC/1.0\nWARC-Type: metadata\nWARC-Target-URI: http://h.example/x\n" +
+        s"Content-Length: ${m.getBytes("UTF-8").length}\n\n$m\n")
+    val bad = Warc.readWarcMetadata(spark, dir4)
+      .orderBy("value").collect()
+      .map(r => (Option(r.getString(2)), r.getString(3)))
+    assert(bad.toSeq === Seq(
+      (None, "malformed line without colon"),
+      (Some("goodKey"), "v")))
+  }
+
   test("wetAudit: planted in-payload markers surface as counted fragments; clean sets audit zero") {
     val docs = Seq(
       (0L, "clean document text"),
