@@ -1552,6 +1552,25 @@ object SparkEntry {
         graft.ops.Warc.readWarcMetadata(s, warcMetaFixtureFor(s, dir))
           .select("uri", "key", "value")
       },
+      // the host link graph off crawled pages (anchor hrefs → target
+      // domains → weighted host→host edges; self-links dropped,
+      // mixed-case and www. forms canonicalized): planted anchors with
+      // residue arithmetic, edges derived ANALYTICALLY in the oracle —
+      // the extract+domain chain checked against an independent
+      // derivation
+      "q168_link_graph" -> q { (s, dir) =>
+        graft.ops.Graph.hostLinkEdges(linkPages(t(s, dir, "documents")))
+          .select(col("src").as("src_domain"), col("dst").as("dst_domain"),
+            col("n_links"))
+      },
+      // the crawl-frontier prioritizer composed end to end: pages →
+      // link extraction → host graph → integer-micro PageRank (the
+      // CommonCrawl-style host ranking) — the oracle unrolls all 5
+      // iterations in the COMPLETION form (zero-in-degree hosts keep
+      // their damped base rank, exactly the engine's completion join)
+      "q169_host_rank" -> q { (s, dir) =>
+        graft.ops.Graph.hostRank(linkPages(t(s, dir, "documents")))
+      },
       // per-LANGUAGE perplexity buckets — CCNet's actual rule (a
       // Wikipedia-trained LM's absolute perplexity isn't comparable
       // across languages, so the terciles are per-language): the same
@@ -2373,6 +2392,25 @@ object SparkEntry {
     "&ldquo;q&rdquo; &copy;2026 &Eacute;tat 3&frac12;&deg; " +
     "bad: &#xD800; &#1114112; &#x; &unknown; &#127; end" +
     "</footer></body></html>"
+
+  /** q168/q169's fixture pages: each document becomes a page on host
+    * `host(doc_id % 9).example.org` carrying two anchors — one
+    * mixed-case to host `(doc_id + 1) % 9`, one `www.`-prefixed to
+    * host `(2·doc_id + 3) % 9` (a self-link when doc_id ≡ 6 mod 9 —
+    * exercising the self-loop drop). Residue arithmetic keeps the
+    * expected edge set analytically derivable. */
+  private def linkPages(docs: DataFrame): DataFrame = {
+    val src = concat(lit("host"), col("doc_id") % 9, lit(".example.org"))
+    val html = concat(
+      lit("<html><body><p>page "), col("doc_id"),
+      lit("</p><a class=\"x\" href=\"http://Host"), (col("doc_id") + 1) % 9,
+      lit(".Example.org/a/"), col("doc_id"),
+      lit("\">n</a><A HREF=\"https://www.host"),
+      (col("doc_id") * 2 + 3) % 9,
+      lit(".example.org/b?x="), col("doc_id"),
+      lit("#f\">m</A></body></html>"))
+    docs.select(src.as("src_domain"), html.as("html"))
+  }
 
   /** The planted page as a Spark column over `doc_id`/`text`. */
   private def plantedHtml: org.apache.spark.sql.Column =
@@ -4588,6 +4626,51 @@ object SparkEntry {
           WHEN 'fetchTimeMs' THEN CAST(doc_id % 1000 AS VARCHAR)
           WHEN 'charset' THEN 'UTF-8'
           ELSE 'en' END AS v)""",
+    // q168: host link graph — both anchor families derived from the
+    // residue arithmetic; the self-link family drops its s ≡ 6 row
+    "q168_link_graph" -> """
+      WITH d AS (SELECT doc_id, doc_id % 9 AS s FROM documents),
+      e AS (
+        SELECT 'host' || CAST(s AS VARCHAR) || '.example.org' AS src_domain,
+          'host' || CAST((s + 1) % 9 AS VARCHAR) || '.example.org'
+            AS dst_domain
+        FROM d
+        UNION ALL
+        SELECT 'host' || CAST(s AS VARCHAR) || '.example.org',
+          'host' || CAST((2 * doc_id + 3) % 9 AS VARCHAR) || '.example.org'
+        FROM d WHERE (2 * doc_id + 3) % 9 <> s)
+      SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
+      FROM e GROUP BY src_domain, dst_domain""",
+    // q169: crawl-frontier host PageRank — 5 iterations unrolled in
+    // the COMPLETION form over the distinct residue edges (a node
+    // with no in-edges keeps its damped base rank each round, the
+    // engine's completion join; no dangling nodes by construction —
+    // every residue has out-edges)
+    "q169_host_rank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (SELECT n.node,
+              CAST(150000 + (coalesce(c.in_sum, 0) * 85) // 100 AS BIGINT)
+                AS rank
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node, sum(r.rank // e.outdeg) AS in_sum
+              FROM e JOIN r${i - 1} r ON e.src = r.node
+              GROUP BY e.dst) c USING (node))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH d AS (SELECT DISTINCT doc_id % 9 AS s FROM documents),
+      pairs AS (
+        SELECT s AS src, (s + 1) % 9 AS dst FROM d
+        UNION
+        SELECT s, (2 * s + 3) % 9 FROM d WHERE (2 * s + 3) % 9 <> s),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+              FROM pairs GROUP BY src),
+      e AS (SELECT p.src, p.dst, g.outdeg FROM pairs p JOIN deg g USING (src)),
+      nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      $iters
+      SELECT 'host' || CAST(node AS VARCHAR) || '.example.org' AS domain,
+        rank AS rank_micro FROM r5"""
+    },
     // q145: HTML → main-text extraction over the planted pages
     "q145_html_extract" -> s"""
       SELECT doc_id, mt AS main_text,

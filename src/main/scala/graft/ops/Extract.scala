@@ -77,6 +77,18 @@ object Extract {
     array_join(kept, "\n")
   }
 
+  /** href targets of anchor tags — the OTHER thing a crawl reads off a
+    * page besides its text: outbound links are the frontier's
+    * discovery signal and the edges of the host graph a
+    * PageRank-style prioritizer runs on ([[Graph.hostRank]]).
+    * Documented subset (the oracle-portable regex core): double-quoted
+    * `href` attributes on `<a …>` tags, case-insensitive, no
+    * lookaround (RE2-portable); single-quoted and bare attribute forms
+    * are a pattern extension, not a design change. Scan-local. */
+  def links(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1))
+
   /** Per-document extraction over a raw-markup corpus: the main text
     * plus the shape signals a crawl pipeline filters on next (a page
     * whose markup stripped to nothing is itself a quality verdict). */

@@ -235,4 +235,34 @@ object Graph {
     pageRank(coPurchaseEdges(lineitem, checkpointDir), iters, checkpointDir,
       edgesMaterialized = true)
       .select(col("node").as("part_id"), col("rank_micro"))
+
+  /** Host-level link graph from crawled pages — the crawl frontier's
+    * edge relation: each page's anchor hrefs ([[Extract.links]])
+    * resolve to their target domain ([[Urls.domain]] — lowercased,
+    * `www.` stripped), self-links and non-hierarchical hrefs drop,
+    * parallel links aggregate to a weighted (src, dst, n_links) row.
+    * Scan-local until the one (src, dst)-keyed aggregate exchange —
+    * at 100 TB this is extraction-speed plus a host-pair-sized
+    * shuffle (hosts ≪ pages). */
+  def hostLinkEdges(pages: DataFrame, srcDomainCol: String = "src_domain",
+                    htmlCol: String = "html"): DataFrame =
+    pages
+      .select(col(srcDomainCol).as("src"),
+        explode(Extract.links(col(htmlCol))).as("href"))
+      .select(col("src"), Urls.domain(col("href")).as("dst"))
+      .where(col("dst") =!= "" && col("dst") =!= col("src"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_links"))
+
+  /** Crawl-frontier host ranking — the CommonCrawl-style prioritizer
+    * composed end to end: pages → [[hostLinkEdges]] → DISTINCT
+    * host→host edges → [[pageRank]] (the classic unweighted form;
+    * `n_links` stays available from [[hostLinkEdges]] for weighted
+    * variants). Output: (domain, rank_micro), the same integer-micro
+    * determinism contract as [[partRank]]. */
+  def hostRank(pages: DataFrame, srcDomainCol: String = "src_domain",
+               htmlCol: String = "html", iters: Int = 5,
+               checkpointDir: Option[String] = None): DataFrame =
+    pageRank(hostLinkEdges(pages, srcDomainCol, htmlCol)
+        .select("src", "dst"), iters, checkpointDir)
+      .select(col("node").as("domain"), col("rank_micro"))
 }

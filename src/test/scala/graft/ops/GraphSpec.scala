@@ -76,6 +76,36 @@ class GraphSpec extends SparkSpec {
     assert(ranked.where($"rank_micro" < 150000L).count() === 0) // damping floor
   }
 
+  test("hostLinkEdges: href extraction, domain canonicalization, self-loop drop, parallel-link counts") {
+    import org.apache.spark.sql.functions.col
+    val pages = Seq(
+      // two parallel links to b.com (one www/mixed-case), one self-link
+      // (dropped), one single-quoted href (outside the documented
+      // subset — not extracted), one non-URL href (empty domain,
+      // dropped)
+      ("a.com", """<p>x</p><a href="http://b.com/1">1</a>""" +
+        """<A HREF="https://WWW.B.com/2#f">2</A>""" +
+        """<a href="http://a.com/self">s</a>""" +
+        """<a href='http://c.com/sq'>sq</a>""" +
+        """<a href="not a url">n</a>"""),
+      ("b.com", """<a class="z" href="http://a.com/back">b</a>""")
+    ).toDF("src_domain", "html")
+    val got = Graph.hostLinkEdges(pages).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(("a.com", "b.com") -> 2L, ("b.com", "a.com") -> 1L))
+    // hostRank completes over the node universe: a host with no
+    // in-links keeps its damped base rank and never drops out
+    val pages2 = Seq(
+      ("only-out.com", """<a href="http://hub.com/x">h</a>"""),
+      ("hub.com", """<a href="http://only-out.com/y">o</a>""" +
+        """<a href="http://sink-less.com/z">s</a>"""))
+      .toDF("src_domain", "html")
+    val ranks = Graph.hostRank(pages2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet === Set("only-out.com", "hub.com", "sink-less.com"))
+    assert(ranks.values.forall(_ >= 150000L))
+  }
+
   test("partRank with a reliable checkpoint dir is bit-equal to local") {
     // the dir threads through BOTH the co-purchase pair materialization
     // and the PageRank loop (r8) — the cluster fault-tolerance path must
