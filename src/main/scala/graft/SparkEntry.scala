@@ -1571,6 +1571,40 @@ object SparkEntry {
       "q169_host_rank" -> q { (s, dir) =>
         graft.ops.Graph.hostRank(linkPages(t(s, dir, "documents")))
       },
+      // the exact-framing monitoring twin of q152's fragment audit:
+      // exact framing cannot fragment, so the gate relation is the
+      // per-file INVENTORY (record counts by type + payload volume) —
+      // run over the q160 planted-marker fixture and re-derived from
+      // documents (marker tails included in the payload volume). One
+      // fixture file → totals compared, as q152
+      "q170_warc_inventory" -> q { (s, dir) =>
+        graft.ops.Warc.warcInventory(s, wetExactFixtureFor(s, dir))
+          .agg(sum("n_records").cast("long").as("n_records"),
+            sum("n_conversion").cast("long").as("n_conversion"),
+            sum("n_response").cast("long").as("n_response"),
+            sum("n_other").cast("long").as("n_other"),
+            sum("payload_chars").cast("long").as("payload_chars"))
+      },
+      // registrable domains from a caller-supplied suffix RELATION
+      // (the full-PSL scale path — broadcast join, not the embedded
+      // subset): the planted suffix 'web.zz' exists ONLY in the
+      // relation, so a hit proves the join decided, not the built-in
+      // list; the oracle derives every label analytically
+      "q171_registrable_psl" -> q { (s, dir) =>
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val sub = when(col("doc_id") % 3 === 0, lit("www."))
+          .when(col("doc_id") % 3 === 1, lit("deep.blog."))
+          .otherwise(lit(""))
+        val tld = when(col("doc_id") % 2 === 0, lit(".web.zz"))
+          .otherwise(lit(".com"))
+        val url = concat(lit("http://"), sub, lit("corp"),
+          col("doc_id") % 7, tld, lit("/page/"), col("doc_id"))
+        val sfx = Seq("web.zz", "co.uk").toDF("suffix")
+        graft.ops.Urls.withRegistrableDomain(
+            docs.select(col("doc_id"), url.as("url")), "url", sfx)
+          .select("doc_id", "registrable_domain")
+      },
       // per-LANGUAGE perplexity buckets — CCNet's actual rule (a
       // Wikipedia-trained LM's absolute perplexity isn't comparable
       // across languages, so the terciles are per-language): the same
@@ -4626,6 +4660,29 @@ object SparkEntry {
           WHEN 'fetchTimeMs' THEN CAST(doc_id % 1000 AS VARCHAR)
           WHEN 'charset' THEN 'UTF-8'
           ELSE 'en' END AS v)""",
+    // q170: the exact-segment inventory — counts and payload volume
+    // (marker tails included) straight from documents, plus the one
+    // warcinfo record the fixture writer leads with
+    "q170_warc_inventory" -> s"""
+      SELECT CAST(count(*) + 1 AS BIGINT) AS n_records,
+        CAST(count(*) AS BIGINT) AS n_conversion,
+        CAST(0 AS BIGINT) AS n_response,
+        CAST(1 AS BIGINT) AS n_other,
+        CAST(sum(length(CASE WHEN doc_id % 7 = 0
+            THEN text || chr(10) || 'WARC/1.0' || chr(10) || '$FragTail'
+            ELSE text END)) + length('software: graft') AS BIGINT)
+          AS payload_chars
+      FROM documents""",
+    // q171: relation-driven registrable labels — every subdomain depth
+    // (0/1/2 labels) collapses onto corpN + the tld family, derived
+    // analytically; 'web.zz' resolves at three labels ONLY because the
+    // relation says so
+    "q171_registrable_psl" -> """
+      SELECT doc_id,
+        'corp' || CAST(doc_id % 7 AS VARCHAR) ||
+          CASE WHEN doc_id % 2 = 0 THEN '.web.zz' ELSE '.com' END
+          AS registrable_domain
+      FROM documents""",
     // q168: host link graph — both anchor families derived from the
     // residue arithmetic; the self-link family drops its s ≡ 6 row
     "q168_link_graph" -> """

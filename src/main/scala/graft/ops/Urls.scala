@@ -47,13 +47,14 @@ object Urls {
         when(rest === "/", lit("")).otherwise(rest)))
   }
 
+  /** Host extraction core (lowercased authority, userinfo/port/path
+    * stripped) shared by every domain label here. */
+  private val HostRe = "^[a-z][a-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
   /** The domain label (host, lowercased, `www.` stripped) — the cap /
     * blocklist key. */
   def domain(url: Column): Column =
-    regexp_replace(
-      regexp_extract(lower(url),
-        "^[a-z][a-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1),
-      "^www\\.", "")
+    regexp_replace(regexp_extract(lower(url), HostRe, 1), "^www\\.", "")
 
   /** Bounded embedded public-suffix SUBSET for [[registrableDomain]]:
     * the multi-label effective TLDs that actually dominate crawls. The
@@ -84,8 +85,7 @@ object Urls {
     * 1- or 2-label host (localhost, example.com, or `co.uk` itself)
     * registers as itself. Scan-local: split + two lookups, no join. */
   def registrableDomain(url: Column): Column = {
-    val host = regexp_extract(lower(url),
-      "^[a-z][a-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+    val host = regexp_extract(lower(url), HostRe, 1)
     val parts = split(host, "\\.")
     val n = size(parts)
     val last2 = concat_ws(".",
@@ -96,6 +96,37 @@ object Urls {
         concat_ws(".", element_at(parts, -3),
           element_at(parts, -2), element_at(parts, -1)))
       .otherwise(last2)
+  }
+
+  /** [[registrableDomain]] with a caller-supplied suffix RELATION —
+    * the scaladoc's "swap in the full PSL" path made real: `suffixes`
+    * is one column (`suffix`) of multi-label public suffixes (the
+    * full Mozilla list is ~10k rows — broadcast-sized by
+    * construction; pass [[MultiLabelSuffixes]] as a relation and this
+    * is exactly the embedded-subset rule, spec-asserted). Adds
+    * `outCol` to `df`: a host whose last two labels are in the
+    * relation registers at three labels, every other multi-label host
+    * at two, 1-/2-label hosts as themselves. One broadcast left join
+    * on the last-two-label key — scan-local at any corpus size. */
+  def withRegistrableDomain(df: DataFrame, urlCol: String,
+                            suffixes: DataFrame,
+                            outCol: String = "registrable_domain"): DataFrame = {
+    val sfx = broadcast(suffixes.select(lower(col("suffix")).as("__sfx")))
+    df
+      .withColumn("__host", regexp_extract(lower(col(urlCol)), HostRe, 1))
+      .withColumn("__parts", split(col("__host"), "\\."))
+      .withColumn("__n", size(col("__parts")))
+      .withColumn("__l2", when(col("__n") >= 2, concat_ws(".",
+        element_at(col("__parts"), -2), element_at(col("__parts"), -1))))
+      .join(sfx, col("__l2") === col("__sfx"), "left")
+      .withColumn(outCol,
+        when(col("__n") <= 2, col("__host"))
+          .when(col("__sfx").isNotNull, concat_ws(".",
+            element_at(col("__parts"), -3),
+            element_at(col("__parts"), -2),
+            element_at(col("__parts"), -1)))
+          .otherwise(col("__l2")))
+      .drop("__host", "__parts", "__n", "__l2", "__sfx")
   }
 
   /** Domain blocklist gate — the RefinedWeb pre-content filter: drop

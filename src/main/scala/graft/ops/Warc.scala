@@ -324,14 +324,58 @@ object Warc {
     * in `v` is therefore always the header/payload boundary, whatever
     * the payload contains. */
   private def readExactRecords(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    exactRecordsWithFile(spark, path).map(_._2).toDF("v")
+  }
+
+  /** (src_file, record) pairs off the exact reader — the split's path
+    * recovered via mapPartitionsWithInputSplit (the RDD-level
+    * equivalent of `input_file_name()`, which only exists for
+    * DataSource scans). */
+  private def exactRecordsWithFile(spark: SparkSession,
+                                   path: String): org.apache.spark.rdd.RDD[(String, String)] = {
     import org.apache.hadoop.io.{LongWritable, Text}
-    val rdd = spark.sparkContext.newAPIHadoopFile(
+    import org.apache.hadoop.mapreduce.lib.input.FileSplit
+    spark.sparkContext.newAPIHadoopFile(
         path, classOf[graft.io.WarcInputFormat],
         classOf[LongWritable], classOf[Text],
         spark.sparkContext.hadoopConfiguration)
-      .map { case (_, t) => t.toString }
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { (split, it) =>
+        val file = split.asInstanceOf[FileSplit].getPath.toString
+        it.map { case (_, t) => (file, t.toString) }
+      }
+  }
+
+  /** [[wetAudit]]'s byte-exact sibling — the monitoring relation for a
+    * Content-Length-framed segment set: exact framing cannot fragment
+    * (that is its point), so the audit here is the INVENTORY a crawl
+    * gate watches instead — per file: total records, per-record-type
+    * counts (conversion/response/other), and total payload characters.
+    * A file whose counts drift from the manifest (or a type showing up
+    * where none should) gates the set before the pipeline consumes it.
+    * One scan + one file-keyed aggregate exchange.
+    * Output: (src_file, n_records, n_conversion, n_response, n_other,
+    * payload_chars). */
+  def warcInventory(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    rdd.toDF("v")
+    val recs = exactRecordsWithFile(spark, path).toDF("src_file", "v")
+    val header = substring_index(col("v"), "\n\n", 1)
+    val wtype = regexp_extract(header, "(?m)^WARC-Type:\\s*(\\S+)", 1)
+    val payloadLen = when(instr(col("v"), "\n\n") > 0,
+      length(col("v")) - instr(col("v"), "\n\n") - lit(1))
+      .otherwise(lit(0L)).cast("long")
+    recs
+      .select(col("src_file"), wtype.as("wtype"), payloadLen.as("plen"))
+      .groupBy("src_file")
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("wtype") === "conversion", 1L).otherwise(0L))
+          .as("n_conversion"),
+        sum(when(col("wtype") === "response", 1L).otherwise(0L))
+          .as("n_response"),
+        sum(when(col("wtype") === "conversion" ||
+          col("wtype") === "response", 0L).otherwise(1L)).as("n_other"),
+        sum(col("plen")).as("payload_chars"))
   }
 
   /** [[readWarcResponses]]'s byte-EXACT twin over the Content-Length

@@ -61,6 +61,33 @@ class UrlsSpec extends SparkSpec {
     assert(reg("http://www.site.co.zz/") === "co.zz")
   }
 
+  test("withRegistrableDomain: suffix relation decides; embedded-subset parity") {
+    val df = Seq(
+      (1L, "http://www.example.com/p"),
+      (2L, "http://a.b.site.co.uk/"),
+      (3L, "http://deep.corp.web.zz/x"), // suffix only in the relation
+      (4L, "http://plain.zz/y"),
+      (5L, "http://localhost/z")
+    ).toDF("doc_id", "url")
+    // a relation with a suffix the embedded subset does NOT know
+    val sfx = Seq("co.uk", "web.zz").toDF("suffix")
+    val got = Urls.withRegistrableDomain(df, "url", sfx)
+      .select("doc_id", "registrable_domain").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "example.com", 2L -> "site.co.uk",
+      3L -> "corp.web.zz", 4L -> "plain.zz", 5L -> "localhost"))
+    // parity: the embedded subset AS a relation reproduces the column
+    // form exactly
+    val subsetRel = Urls.MultiLabelSuffixes.toDF("suffix")
+    val viaRel = Urls.withRegistrableDomain(df, "url", subsetRel)
+      .select("doc_id", "registrable_domain").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaCol = df.select(col("doc_id"),
+        Urls.registrableDomain(col("url")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaRel === viaCol)
+  }
+
   test("blocklistFilter drops host and registrable families; urlFront caps per registrable domain") {
     val df = Seq(
       (1L, "http://www.bad.com/a"),
