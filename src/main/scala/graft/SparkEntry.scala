@@ -302,6 +302,19 @@ object SparkEntry {
       s"$d/warc"
     })
 
+  /** q172's memoized URL index: dump 1's URLs indexed once per sf
+    * dir ([[graft.ops.UrlIndex.build]] — idempotent overwrite). */
+  private val urlIndexFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def urlIndexFixtureFor(s: SparkSession, dir: String,
+                                 dump1: DataFrame): String =
+    urlIndexFixtureDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-url-index")
+        .toString
+      graft.ops.UrlIndex.build(dump1, d, "dump1")
+      d
+    })
+
   /** q139's memoized Multi-D-ADC index — IMI routing (kPerHalf = 4)
     * over PQ codes (m = 8, ks = 16); the oracle embeds the
     * identically trained half-centroid sets and codebook cube. */
@@ -1590,6 +1603,29 @@ object SparkEntry {
       // subset): the planted suffix 'web.zz' exists ONLY in the
       // relation, so a hit proves the join decided, not the built-in
       // list; the oracle derives every label analytically
+      // the cross-dump URL index (CCNet's dump-over-dump rule): dump 1
+      // (doc_id % 3 == 0, page key doc_id % 29 — coprime to 3, so the
+      // index covers pages 0..28 exactly) builds the index with
+      // UPPERCASE surface forms; dump 2 probes pages doc_id % 47 with
+      // lowercase + fragment forms — the cross-dump match only happens
+      // through the NORMALIZED key, and pages 29..46 survive at the
+      // min batch id, all derived analytically
+      "q172_url_index_crossdump" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val p1 = col("doc_id") % 29
+        val p2 = col("doc_id") % 47
+        val d1 = docs.where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            concat(lit("HTTP://Site"), p1, lit(".Example.com/P/"), p1)
+              .as("url"))
+        val d2 = docs.where(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"),
+            concat(lit("http://site"), p2, lit(".example.com/P/"), p2,
+              lit("#f")).as("url"))
+        val idxDir = urlIndexFixtureFor(s, dir, d1)
+        graft.ops.UrlIndex.dedupAgainst(d2, idxDir)
+          .select("doc_id", "url_norm")
+      },
       "q171_registrable_psl" -> q { (s, dir) =>
         import s.implicits._
         val docs = t(s, dir, "documents")
@@ -4673,6 +4709,19 @@ object SparkEntry {
             ELSE text END)) + length('software: graft') AS BIGINT)
           AS payload_chars
       FROM documents""",
+    // q172: the cross-dump verdict re-derived from the page-key
+    // arithmetic alone — unseen pages, min id within the batch
+    "q172_url_index_crossdump" -> """
+      WITH d1 AS (SELECT DISTINCT doc_id % 29 AS p FROM documents
+                  WHERE doc_id % 3 = 0),
+      d2 AS (SELECT doc_id, doc_id % 47 AS p FROM documents
+             WHERE doc_id % 3 <> 0),
+      k AS (SELECT doc_id, p, min(doc_id) OVER (PARTITION BY p) AS mn
+            FROM d2 WHERE p NOT IN (SELECT p FROM d1))
+      SELECT doc_id,
+        'http://site' || CAST(p AS VARCHAR) || '.example.com/P/' ||
+          CAST(p AS VARCHAR) AS url_norm
+      FROM k WHERE doc_id = mn""",
     // q171: relation-driven registrable labels — every subdomain depth
     // (0/1/2 labels) collapses onto corpN + the tld family, derived
     // analytically; 'web.zz' resolves at three labels ONLY because the
