@@ -1584,6 +1584,14 @@ object SparkEntry {
       "q169_host_rank" -> q { (s, dir) =>
         graft.ops.Graph.hostRank(linkPages(t(s, dir, "documents")))
       },
+      // the weighted refinement: link MULTIPLICITY as the vote weight
+      // (per-edge ⌊rank·w/W⌋ in the overflow-safe exact decomposition)
+      // — the oracle re-derives edge weights from the residue counts
+      // and unrolls the weighted iterations in the same decomposed
+      // integer arithmetic
+      "q173_weighted_host_rank" -> q { (s, dir) =>
+        graft.ops.Graph.weightedHostRank(linkPages(t(s, dir, "documents")))
+      },
       // the exact-framing monitoring twin of q152's fragment audit:
       // exact framing cannot fragment, so the gate relation is the
       // per-file INVENTORY (record counts by type + payload volume) —
@@ -4732,6 +4740,41 @@ object SparkEntry {
           CASE WHEN doc_id % 2 = 0 THEN '.web.zz' ELSE '.com' END
           AS registrable_domain
       FROM documents""",
+    // q173: weighted host PageRank — edge weights from the residue
+    // counts (the s ≡ 7 family collision doubles its edge's weight),
+    // contributions in the decomposed w·⌊rank/W⌋ + ⌊(rank mod W)·w/W⌋
+    // arithmetic, 5 iterations unrolled in completion form
+    "q173_weighted_host_rank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (SELECT n.node,
+              CAST(150000 + (coalesce(c.in_sum, 0) * 85) // 100 AS BIGINT)
+                AS rank
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node,
+                sum(e.w * (r.rank // e.wsum)
+                  + (e.w * (r.rank % e.wsum)) // e.wsum) AS in_sum
+              FROM e JOIN r${i - 1} r ON e.src = r.node
+              GROUP BY e.dst) c USING (node))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH d AS (SELECT doc_id % 9 AS s, CAST(count(*) AS BIGINT) AS c
+                 FROM documents GROUP BY doc_id % 9),
+      eraw AS (
+        SELECT s AS src, (s + 1) % 9 AS dst, c AS w FROM d
+        UNION ALL
+        SELECT s, (2 * s + 3) % 9, c FROM d WHERE (2 * s + 3) % 9 <> s),
+      e0 AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+             FROM eraw GROUP BY src, dst),
+      ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+             FROM e0 GROUP BY src),
+      e AS (SELECT e0.src, e0.dst, e0.w, ws.wsum
+            FROM e0 JOIN ws USING (src)),
+      nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      $iters
+      SELECT 'host' || CAST(node AS VARCHAR) || '.example.org' AS domain,
+        rank AS rank_micro FROM r5"""
+    },
     // q168: host link graph — both anchor families derived from the
     // residue arithmetic; the self-link family drops its s ≡ 6 row
     "q168_link_graph" -> """

@@ -71,14 +71,24 @@ object Graph {
                restartEvery: Int = 1): DataFrame = {
     require(restartEvery >= 1, s"restartEvery $restartEvery must be >= 1")
     val ck = Checkpoints.truncator(edges0.sparkSession, checkpointDir)
+    // WEIGHTED mode rides a `w` column on the edge relation (see
+    // [[weightedHostRank]]); the unweighted loop scan stays two
+    // columns wide — the weight only widens it when it exists
+    val edgeCols =
+      if (edges0.columns.contains("w")) Seq("src", "dst", "w")
+      else Seq("src", "dst")
     val edges =
-      if (edgesMaterialized) edges0.select("src", "dst")
-      else ck(edges0.select("src", "dst"))
+      if (edgesMaterialized) edges0.select(edgeCols.map(col): _*)
+      else ck(edges0.select(edgeCols.map(col): _*))
     // node-sized (≤ |nodes| rows): rides the broadcast side every round
     // — annotating the EDGE relation with outdeg instead costs a second
     // full edge materialization plus a 50% wider loop scan (measured
-    // ~25% of the whole query at 10×)
-    val outdeg = ck(edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    // ~25% of the whole query at 10×). In weighted mode `outdeg` is
+    // the src's TOTAL outgoing weight (the vote denominator).
+    val outdeg = ck(
+      if (edgeCols.contains("w"))
+        edges.groupBy("src").agg(sum("w").cast("long").as("outdeg"))
+      else edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
     // node universe: src ∪ dst — tiny next to edges, reused every round
     // (init, the completion join, the dangling gate), so checkpointed
     val nodes = ck(edges.select(col("src").as("node"))
@@ -167,15 +177,38 @@ object Graph {
   private[graft] def iterate(edges: DataFrame, outdeg: DataFrame,
                              nodes: DataFrame,
                              ranks: DataFrame, share: Long): DataFrame = {
+    val weighted = edges.columns.contains("w")
     // key the contribution on ranks("node") (== outdeg("src") by the
     // join), NOT outdeg("src"): outdeg derives from the same checkpoint
     // as `edges`, so its src attribute would be ambiguous in the edge
     // join below
-    val perSrc = ranks.join(broadcast(outdeg), ranks("node") === outdeg("src"))
-      .select(ranks("node").as("src"), expr("rank div outdeg").as("c"))
-    val contrib = edges.join(broadcast(perSrc), Seq("src"))
-      .groupBy(col("dst").as("node"))
-      .agg(sum("c").as("in_sum"))
+    val joined = ranks.join(broadcast(outdeg),
+      ranks("node") === outdeg("src"))
+    val contrib =
+      if (!weighted) {
+        val perSrc = joined
+          .select(ranks("node").as("src"), expr("rank div outdeg").as("c"))
+        edges.join(broadcast(perSrc), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum("c").as("in_sum"))
+      } else {
+        // weighted vote: contribution of src to dst =
+        // ⌊rank·w / W⌋, decomposed as w·⌊rank/W⌋ + ⌊(rank mod W)·w / W⌋
+        // — the EXACT identity (rank = q·W + r) that never overflows a
+        // long: rank·w can exceed 2^63 at web scale (rank is bounded by
+        // total graph mass), but q·w ≤ rank and r·w ≤ W·w stay small.
+        // Each edge term is floor-divided BEFORE summation — the same
+        // order-free determinism contract as the unweighted form, and
+        // w = 1 reduces to it value-for-value (spec-asserted).
+        val perSrc = joined
+          .select(ranks("node").as("src"),
+            expr("rank div outdeg").as("q"),
+            expr("rank % outdeg").as("r"),
+            col("outdeg").as("wsum"))
+        edges.join(broadcast(perSrc), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("w * q + (w * r) div wsum")).as("in_sum"))
+      }
     // completion join: zero-in-degree and dangling nodes keep a rank
     // row (contrib only covers nodes with in-edges). contrib is
     // ≤ |nodes| rows post-aggregate — broadcastable by construction.
@@ -264,5 +297,20 @@ object Graph {
                checkpointDir: Option[String] = None): DataFrame =
     pageRank(hostLinkEdges(pages, srcDomainCol, htmlCol)
         .select("src", "dst"), iters, checkpointDir)
+      .select(col("node").as("domain"), col("rank_micro"))
+
+  /** [[hostRank]] with link MULTIPLICITY as the vote weight (a host
+    * linking another 100 times endorses it more than once — the
+    * weighted-PageRank refinement real crawl rankers apply): each
+    * src's rank splits across its out-links proportionally to
+    * `n_links`, in the overflow-safe exact integer decomposition
+    * documented at the iterate() site. Output: (domain, rank_micro). */
+  def weightedHostRank(pages: DataFrame,
+                       srcDomainCol: String = "src_domain",
+                       htmlCol: String = "html", iters: Int = 5,
+                       checkpointDir: Option[String] = None): DataFrame =
+    pageRank(hostLinkEdges(pages, srcDomainCol, htmlCol)
+        .select(col("src"), col("dst"), col("n_links").as("w")),
+      iters, checkpointDir)
       .select(col("node").as("domain"), col("rank_micro"))
 }

@@ -106,6 +106,35 @@ class GraphSpec extends SparkSpec {
     assert(ranks.values.forall(_ >= 150000L))
   }
 
+  test("weighted PageRank: w = 1 is bit-identical to unweighted; multiplicity shifts rank mass") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val plain = Graph.pageRank(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unit = Graph.pageRank(edges.withColumn("w", lit(1L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unit === plain)
+    // a hub endorsing `a` 100× and `b` once: unweighted splits evenly,
+    // weighted routes ~99% of the hub's vote to `a`
+    val pages = Seq(
+      ("hub.com", (1 to 100).map(i =>
+        s"""<a href="http://a.com/$i">x</a>""").mkString +
+        """<a href="http://b.com/1">y</a>"""),
+      ("a.com", """<a href="http://hub.com/h">h</a>"""),
+      ("b.com", """<a href="http://hub.com/h">h</a>"""))
+      .toDF("src_domain", "html")
+    val uw = Graph.hostRank(pages)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Graph.weightedHostRank(pages)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uw("a.com") === uw("b.com")) // unweighted can't see the 100×
+    assert(w("a.com") > w("b.com"))
+    assert(w.keySet === uw.keySet)
+    // weight mass is conserved into the same damped floor
+    assert(w.values.forall(_ >= 150000L))
+  }
+
   test("partRank with a reliable checkpoint dir is bit-equal to local") {
     // the dir threads through BOTH the co-purchase pair materialization
     // and the PageRank loop (r8) — the cluster fault-tolerance path must
