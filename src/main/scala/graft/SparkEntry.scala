@@ -1592,6 +1592,22 @@ object SparkEntry {
       "q173_weighted_host_rank" -> q { (s, dir) =>
         graft.ops.Graph.weightedHostRank(linkPages(t(s, dir, "documents")))
       },
+      // anchor TEXT extraction — the label the web gives a target page
+      // (the classic link-analysis relevance signal): inner markup
+      // stripped, entities decoded, whitespace collapsed, href/text
+      // pairs positionally aligned; every column derived analytically
+      "q174_anchor_text" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val p = col("doc_id") % 13
+        val html = concat(
+          lit("<html><body><a href=\"http://t"), p,
+          lit(".example.com/x\">Read &amp; visit <b>site "), p,
+          lit("</b> now</a><p>filler</p><A CLASS=\"z\" HREF=\"https://u"),
+          p, lit(".example.org/y\"> plain  label </A></body></html>"))
+        graft.ops.Extract.anchors(
+            docs.select(col("doc_id"), html.as("html")), srcCol = "doc_id")
+          .select(col("doc_id"), col("href"), col("anchor_text"))
+      },
       // the exact-framing monitoring twin of q152's fragment audit:
       // exact framing cannot fragment, so the gate relation is the
       // per-file INVENTORY (record counts by type + payload volume) —
@@ -4775,6 +4791,21 @@ object SparkEntry {
       SELECT 'host' || CAST(node AS VARCHAR) || '.example.org' AS domain,
         rank AS rank_micro FROM r5"""
     },
+    // q174: anchor text — both anchors' href and cleaned label derived
+    // from the residue arithmetic (entity decoded, markup stripped,
+    // whitespace collapsed)
+    "q174_anchor_text" -> """
+      SELECT doc_id,
+        'http://t' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/x'
+          AS href,
+        'Read & visit site ' || CAST(doc_id % 13 AS VARCHAR) || ' now'
+          AS anchor_text
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+        'https://u' || CAST(doc_id % 13 AS VARCHAR) || '.example.org/y',
+        'plain label'
+      FROM documents""",
     // q168: host link graph — both anchor families derived from the
     // residue arithmetic; the self-link family drops its s ≡ 6 row
     "q168_link_graph" -> """

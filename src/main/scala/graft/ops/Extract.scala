@@ -89,6 +89,36 @@ object Extract {
     regexp_extract_all(html,
       lit("(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1))
 
+  /** One row per anchor element: (srcCol, href, anchor_text) — the
+    * LABEL the web gives a target page, the classic relevance /
+    * quality signal (anchor text describes the target better than the
+    * target's own boilerplate; search and crawl rankers have weighted
+    * it since the first link-analysis papers). Same documented subset
+    * as [[links]] (double-quoted `href`, case-insensitive, no nested
+    * anchors); the inner markup is tag-stripped, entity-decoded (the
+    * [[mainText]] decode contract — after tag-strip, exactly once),
+    * and whitespace-collapsed. Scan-local: two aligned
+    * `regexp_extract_all` passes over the same pattern (groups 1 and
+    * 2) + one positional explode. */
+  def anchors(pages: DataFrame, srcCol: String = "src_domain",
+              htmlCol: String = "html"): DataFrame = {
+    val pat = "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>([\\s\\S]*?)</a>"
+    val clean = (raw: Column) => trim(regexp_replace(
+      graft.functions.EntityExpressions.decode_html_entities(
+        regexp_replace(raw, "<[^>]*>", " ")),
+      "\\s+", " "))
+    pages
+      .withColumn("__hrefs",
+        regexp_extract_all(col(htmlCol), lit(pat), lit(1)))
+      .withColumn("__texts",
+        regexp_extract_all(col(htmlCol), lit(pat), lit(2)))
+      .select(col(srcCol), col("__texts"),
+        posexplode(col("__hrefs")).as(Seq("__i", "href")))
+      .select(col(srcCol), col("href"),
+        clean(element_at(col("__texts"), col("__i") + 1))
+          .as("anchor_text"))
+  }
+
   /** Per-document extraction over a raw-markup corpus: the main text
     * plus the shape signals a crawl pipeline filters on next (a page
     * whose markup stripped to nothing is itself a quality verdict). */

@@ -136,4 +136,32 @@ class ExtractSpec extends SparkSpec {
     val plan = Extract.extract(df).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"extract() must not shuffle:\n$plan")
   }
+
+  test("anchors: href/text pairs aligned; inner markup stripped, entities decoded, whitespace collapsed") {
+    val df = Seq(
+      (1L, """<p>x</p><a href="http://a.com/1">Read &amp; visit <b>site one</b>  now</a>""" +
+        """<A CLASS="z" HREF="http://b.com/2"> plain  label </A>"""),
+      (2L, "<p>no anchors here</p>"),
+      (3L, """<a href="http://c.com/3"><img src="i.png"></a>""") // markup-only label
+    ).toDF("doc_id", "html")
+    val got = Extract.anchors(df, srcCol = "doc_id")
+      .orderBy("doc_id", "href").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (1L, "http://a.com/1", "Read & visit site one now"),
+      (1L, "http://b.com/2", "plain label"),
+      (3L, "http://c.com/3", "")))
+    // pair alignment survives an anchor COUNT > 1 with differing text
+    // lengths — href i always carries text i, never a neighbor's
+    val many = Seq((9L, (1 to 5).map(i =>
+      s"""<a href="http://h.com/$i">label $i</a>""").mkString))
+      .toDF("doc_id", "html")
+    val pairs = Extract.anchors(many, srcCol = "doc_id")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert((1 to 5).forall(i => pairs(s"http://h.com/$i") == s"label $i"))
+    // scan-local
+    val plan = Extract.anchors(df, srcCol = "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"anchors() must not shuffle:\n$plan")
+  }
 }

@@ -362,6 +362,55 @@ class WarcSpec extends SparkSpec {
       (Some("goodKey"), "v")))
   }
 
+  test("readWetExact: seeded fuzz — adversarial payloads round-trip verbatim at many split sizes") {
+    // random concatenations of the resync-hostile pieces: bare
+    // markers, fake header blocks WITHOUT a valid Content-Length
+    // (missing, overflowing, non-ASCII digits), CRLF runs, non-ASCII
+    // text. Deliberately EXCLUDED: a complete well-formed record with
+    // a valid Content-Length — a split landing inside such a payload
+    // syncs onto it by design (the documented false-positive limit of
+    // any splittable WARC reader); everything else must fail resync
+    // validation and round-trip exactly.
+    val rnd = new scala.util.Random(20260817L)
+    val pieces = Seq(
+      "plain text ", "\n", "\r\n", "WARC/1.0\n", "WARC/",
+      "WARC/1.0\nWARC-Type: fake\n\nno length here\n",
+      "WARC/1.0\nX: y\nContent-Length: 99999999999999999999999\n\n",
+      "WARC/1.0\nX: y\nContent-Length: ١٢٣\n\n",
+      "Content-Length: 12\n", "é中文 ", "<b>html</b>", "  ")
+    val docs = (0L until 120L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, (1 to n).map(_ => pieces(rnd.nextInt(pieces.length))).mkString)
+    }.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-wet-exact-fuzz").toString
+    Warc.writeWetExact(docs, s"$dir/wet")
+    val want = docs.collect()
+      .map(r => (s"http://example.com/doc/${r.getLong(0)}", r.getString(1)))
+      .toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prev = conf.get("mapreduce.input.fileinputformat.split.maxsize")
+    try {
+      for (maxSplit <- Seq(None, Some(512L), Some(1777L), Some(4096L),
+          Some(16384L))) {
+        maxSplit match {
+          case Some(m) => conf.setLong(
+            "mapreduce.input.fileinputformat.split.maxsize", m)
+          case None => conf.unset(
+            "mapreduce.input.fileinputformat.split.maxsize")
+        }
+        val got = Warc.readWetExact(spark, s"$dir/wet")
+          .where(col("wtype") === "conversion")
+          .select("uri", "payload").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        assert(got === want, s"mismatch at maxsize=$maxSplit")
+      }
+    } finally {
+      if (prev == null)
+        conf.unset("mapreduce.input.fileinputformat.split.maxsize")
+      else conf.set("mapreduce.input.fileinputformat.split.maxsize", prev)
+    }
+  }
+
   test("wetAudit: planted in-payload markers surface as counted fragments; clean sets audit zero") {
     val docs = Seq(
       (0L, "clean document text"),
