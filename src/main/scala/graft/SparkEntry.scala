@@ -1592,6 +1592,59 @@ object SparkEntry {
       "q173_weighted_host_rank" -> q { (s, dir) =>
         graft.ops.Graph.weightedHostRank(linkPages(t(s, dir, "documents")))
       },
+      // robots.txt parsing (RFC 9309 subset): planted per-domain
+      // robots files — wildcard group + an every-other-domain
+      // agent-specific group, consecutive-UA sharing, comments, an
+      // empty (allow-all) Disallow — parsed for agent 'graftbot';
+      // rules derived analytically
+      "q175_robots_rules" -> q { (s, dir) =>
+        val domains = t(s, dir, "documents")
+          .select((col("doc_id") % 7).as("d")).distinct()
+        val txt = concat(
+          lit("# planted robots\nUser-agent: *\nDisallow: /p"), col("d"),
+          lit("\nDisallow:\n"),
+          when(col("d") % 2 === 0,
+            concat(lit("User-agent: graftbot\nUser-agent: otherbot\n" +
+              "Disallow: /g"), col("d"), lit("\n")))
+            .otherwise(lit("")))
+        graft.ops.Robots.disallowRules(
+            domains.select(
+              concat(lit("site"), col("d"), lit(".example.com"))
+                .as("domain"),
+              txt.as("robots_txt")),
+            agent = "graftbot")
+          .select("domain", "path_prefix")
+      },
+      // the politeness gate composed: planted URLs against the q175
+      // rules — /p<d> paths always blocked, /g<d> paths blocked only
+      // where the agent group exists (even domains), the rest kept;
+      // the verdict derived analytically
+      "q176_robots_gate" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val d = col("doc_id") % 7
+        val url = concat(lit("http://site"), d, lit(".example.com"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("/p"), d, lit("/deep")))
+            .when(col("doc_id") % 5 === 1, concat(lit("/g"), d, lit("x")))
+            .otherwise(concat(lit("/ok/"), col("doc_id"))))
+        val domains = docs.select(d.as("d")).distinct()
+        val txt = concat(
+          lit("# planted robots\nUser-agent: *\nDisallow: /p"), col("d"),
+          lit("\nDisallow:\n"),
+          when(col("d") % 2 === 0,
+            concat(lit("User-agent: graftbot\nUser-agent: otherbot\n" +
+              "Disallow: /g"), col("d"), lit("\n")))
+            .otherwise(lit("")))
+        val rules = graft.ops.Robots.disallowRules(
+          domains.select(
+            concat(lit("site"), col("d"), lit(".example.com"))
+              .as("domain"),
+            txt.as("robots_txt")),
+          agent = "graftbot")
+        graft.ops.Robots.robotsGate(
+            docs.select(col("doc_id"), url.as("url")), rules)
+          .select("doc_id", "url")
+      },
       // anchor TEXT extraction — the label the web gives a target page
       // (the classic link-analysis relevance signal): inner markup
       // stripped, entities decoded, whitespace collapsed, href/text
@@ -4791,6 +4844,33 @@ object SparkEntry {
       SELECT 'host' || CAST(node AS VARCHAR) || '.example.org' AS domain,
         rank AS rank_micro FROM r5"""
     },
+    // q175: the parsed rule set — wildcard rules for every domain,
+    // agent-group rules where the group exists (even d); the empty
+    // Disallow emits nothing
+    "q175_robots_rules" -> """
+      WITH d AS (SELECT DISTINCT doc_id % 7 AS d FROM documents)
+      SELECT 'site' || CAST(d AS VARCHAR) || '.example.com' AS domain,
+        '/p' || CAST(d AS VARCHAR) AS path_prefix
+      FROM d
+      UNION ALL
+      SELECT 'site' || CAST(d AS VARCHAR) || '.example.com',
+        '/g' || CAST(d AS VARCHAR)
+      FROM d WHERE d % 2 = 0""",
+    // q176: the gate verdict — /p paths always blocked, /g paths
+    // blocked on even domains (where the graftbot group exists),
+    // everything else kept
+    "q176_robots_gate" -> """
+      SELECT doc_id, url FROM (
+        SELECT doc_id,
+          'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+            CASE WHEN doc_id % 5 = 0
+                 THEN '/p' || CAST(doc_id % 7 AS VARCHAR) || '/deep'
+                 WHEN doc_id % 5 = 1
+                 THEN '/g' || CAST(doc_id % 7 AS VARCHAR) || 'x'
+                 ELSE '/ok/' || CAST(doc_id AS VARCHAR) END AS url
+        FROM documents)
+      WHERE NOT (doc_id % 5 = 0
+        OR (doc_id % 5 = 1 AND (doc_id % 7) % 2 = 0))""",
     // q174: anchor text — both anchors' href and cleaned label derived
     // from the residue arithmetic (entity decoded, markup stripped,
     // whitespace collapsed)
