@@ -1592,6 +1592,34 @@ object SparkEntry {
       "q173_weighted_host_rank" -> q { (s, dir) =>
         graft.ops.Graph.weightedHostRank(linkPages(t(s, dir, "documents")))
       },
+      // the COMPLETE pre-fetch stage composed into one scheduler
+      // relation: blocklist (hosts 2 and 5) → robots (/a/ paths) →
+      // URL dedup → per-domain cap AND politeness fetch slot in one
+      // window → host-rank priority joined from the REAL q169
+      // PageRank over the link fixture — every stage's verdict
+      // derived analytically, the rank by the shared unrolled
+      // generator
+      "q177_crawl_frontier" -> q { (s, dir) =>
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val h = col("doc_id") % 9
+        val url = concat(lit("http://host"), h, lit(".example.org"),
+          when(col("doc_id") % 4 === 0, lit("/a/")).otherwise(lit("/b/")),
+          col("doc_id"))
+        val urls = docs.select(col("doc_id"), url.as("url"))
+        val rules = graft.ops.Robots.disallowRules(
+          docs.select(h.as("hh")).distinct().select(
+            concat(lit("host"), col("hh"), lit(".example.org"))
+              .as("domain"),
+            lit("User-agent: *\nDisallow: /a/\n").as("robots_txt")))
+        val blocked = Seq("host2.example.org", "host5.example.org")
+          .toDF("domain")
+        val ranks = graft.ops.Graph.hostRank(linkPages(docs))
+        graft.ops.Urls.crawlFrontier(urls, rules, blocked, ranks,
+            maxPerDomain = 30)
+          .select("doc_id", "url_norm", "domain", "rank_micro",
+            "fetch_slot")
+      },
       // robots.txt parsing (RFC 9309 subset): planted per-domain
       // robots files — wildcard group + an every-other-domain
       // agent-specific group, consecutive-UA sharing, comments, an
@@ -2563,6 +2591,32 @@ object SparkEntry {
   private def plantedHtml: org.apache.spark.sql.Column =
     concat(lit(HtmlPre), col("doc_id").cast("string"), lit(HtmlMid1),
       col("doc_id").cast("string"), lit(HtmlMid2), col("text"), lit(HtmlPost))
+
+  /** q169/q177 oracle core: the distinct residue host edges (the
+    * [[linkPages]] arithmetic) + 5 completion-form PageRank
+    * iterations; exposes `r5(node, rank)`. */
+  private lazy val DuckHostRankCtes: String = {
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (SELECT n.node,
+            CAST(150000 + (coalesce(c.in_sum, 0) * 85) // 100 AS BIGINT)
+              AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank // e.outdeg) AS in_sum
+            FROM e JOIN r${i - 1} r ON e.src = r.node
+            GROUP BY e.dst) c USING (node))"""
+    }.mkString(",\n      ")
+    s"""hd AS (SELECT DISTINCT doc_id % 9 AS s FROM documents),
+      pairs AS (
+        SELECT s AS src, (s + 1) % 9 AS dst FROM hd
+        UNION
+        SELECT s, (2 * s + 3) % 9 FROM hd WHERE (2 * s + 3) % 9 <> s),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+              FROM pairs GROUP BY src),
+      e AS (SELECT p.src, p.dst, g.outdeg FROM pairs p JOIN deg g USING (src)),
+      nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      $iters"""
+  }
 
   /** The crawl-ingest twin oracle (q155 lineSep / q165 exact — one
     * generator, both fronts): extraction over the WET payloads
@@ -4844,6 +4898,29 @@ object SparkEntry {
       SELECT 'host' || CAST(node AS VARCHAR) || '.example.org' AS domain,
         rank AS rank_micro FROM r5"""
     },
+    // q177: the frontier — robots and blocklist verdicts analytic,
+    // cap/slot by the q55 rank arithmetic, priority from the SHARED
+    // host-rank generator
+    "q177_crawl_frontier" -> s"""
+      WITH $DuckHostRankCtes,
+      kept AS (
+        SELECT doc_id, doc_id % 9 AS h FROM documents
+        WHERE doc_id % 4 <> 0 AND doc_id % 9 NOT IN (2, 5)),
+      slotted AS (
+        SELECT doc_id, h,
+          row_number() OVER (PARTITION BY h
+            ORDER BY (md5_number_lower('cap|' || CAST(doc_id AS VARCHAR))
+                      & 9223372036854775807) % 1000000, doc_id)
+            AS fetch_slot
+        FROM kept)
+      SELECT s.doc_id,
+        'http://host' || CAST(s.h AS VARCHAR) || '.example.org/b/' ||
+          CAST(s.doc_id AS VARCHAR) AS url_norm,
+        'host' || CAST(s.h AS VARCHAR) || '.example.org' AS domain,
+        r.rank AS rank_micro,
+        s.fetch_slot
+      FROM slotted s JOIN r5 r ON r.node = s.h
+      WHERE s.fetch_slot <= 30""",
     // q175: the parsed rule set — wildcard rules for every domain,
     // agent-group rules where the group exists (even d); the empty
     // Disallow emits nothing
@@ -4905,32 +4982,11 @@ object SparkEntry {
     // the COMPLETION form over the distinct residue edges (a node
     // with no in-edges keeps its damped base rank each round, the
     // engine's completion join; no dangling nodes by construction —
-    // every residue has out-edges)
-    "q169_host_rank" -> {
-      val iters = (1 to 5).map { i =>
-        s"""r$i AS (SELECT n.node,
-              CAST(150000 + (coalesce(c.in_sum, 0) * 85) // 100 AS BIGINT)
-                AS rank
-            FROM nodes n LEFT JOIN (
-              SELECT e.dst AS node, sum(r.rank // e.outdeg) AS in_sum
-              FROM e JOIN r${i - 1} r ON e.src = r.node
-              GROUP BY e.dst) c USING (node))"""
-      }.mkString(",\n      ")
-      s"""
-      WITH d AS (SELECT DISTINCT doc_id % 9 AS s FROM documents),
-      pairs AS (
-        SELECT s AS src, (s + 1) % 9 AS dst FROM d
-        UNION
-        SELECT s, (2 * s + 3) % 9 FROM d WHERE (2 * s + 3) % 9 <> s),
-      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
-              FROM pairs GROUP BY src),
-      e AS (SELECT p.src, p.dst, g.outdeg FROM pairs p JOIN deg g USING (src)),
-      nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
-      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
-      $iters
+    // every residue has out-edges). The CTE core is shared with q177.
+    "q169_host_rank" -> s"""
+      WITH $DuckHostRankCtes
       SELECT 'host' || CAST(node AS VARCHAR) || '.example.org' AS domain,
-        rank AS rank_micro FROM r5"""
-    },
+        rank AS rank_micro FROM r5""",
     // q145: HTML → main-text extraction over the planted pages
     "q145_html_extract" -> s"""
       SELECT doc_id, mt AS main_text,

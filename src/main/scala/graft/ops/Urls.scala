@@ -196,4 +196,48 @@ object Urls {
       Sampling.capPerKey(deduped, col("domain"), col(idCol),
         maxPerDomain, salt)
   }
+
+  /** The COMPLETE pre-fetch stage composed into one scheduler
+    * relation — everything a crawl decides BEFORE a byte is fetched,
+    * each piece the individually-verified operator:
+    *
+    *   [[blocklistFilter]] (host + registrable) →
+    *   [[graft.ops.Robots.robotsGate]] (politeness) →
+    *   [[urlDedup]] (cross-surface-form collapse, min id) →
+    *   per-domain cap AND politeness sequence in ONE window
+    *   (`fetch_slot` = the deterministic stable-hash rank inside the
+    *   domain — slot k is the domain's k-th fetch, so a scheduler
+    *   honoring crawl-delay walks slots in order; rows past
+    *   `maxPerDomain` drop, the cap and the sequence being the same
+    *   ordering by construction) →
+    *   host PRIORITY joined from a rank relation (domain, rank_micro —
+    *   [[graft.ops.Graph.hostRank]]'s output shape; hosts absent from
+    *   the link graph read rank 0, scheduled last).
+    *
+    * Output: input columns + url_norm, domain, rank_micro, fetch_slot.
+    * Scale shape: two broadcast anti-joins + one rules anti-join +
+    * one url-keyed exchange (dedup) + one domain-keyed window + one
+    * domain-keyed (broadcastable — hosts ≪ pages) rank join. */
+  def crawlFrontier(df: DataFrame, rules: DataFrame, blocklist: DataFrame,
+                    hostRanks: DataFrame, urlCol: String = "url",
+                    idCol: String = "doc_id", maxPerDomain: Int = 1000,
+                    salt: String = "cap",
+                    blocklistBroadcast: Boolean = true): DataFrame = {
+    val gated = Robots.robotsGate(
+      blocklistFilter(df, urlCol, blocklist, blocklistBroadcast),
+      rules, urlCol)
+    val deduped = urlDedup(gated, urlCol, idCol)
+      .withColumn("url_norm", normalize(col(urlCol)))
+      .withColumn("domain", domain(col(urlCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(Sampling.hashBucket(col(idCol), salt), col(idCol))
+    deduped
+      .withColumn("fetch_slot", row_number().over(w))
+      .where(col("fetch_slot") <= maxPerDomain)
+      .join(broadcast(hostRanks.select(col("domain"),
+        col("rank_micro").as("__rank"))), Seq("domain"), "left")
+      .withColumn("rank_micro", coalesce(col("__rank"), lit(0L)))
+      .drop("__rank")
+  }
 }

@@ -119,6 +119,31 @@ class UrlsSpec extends SparkSpec {
     assert(!regs.contains("bad.com"))
   }
 
+  test("crawlFrontier: gates compose, slots sequence per domain, rankless hosts read priority 0") {
+    val urls = Seq(
+      (1L, "http://a.com/x/1"), (2L, "http://a.com/x/2"),
+      (3L, "http://a.com/x/3"),
+      (4L, "http://a.com/private/4"),     // robots-blocked
+      (5L, "http://bad.com/x/5"),         // blocklisted
+      (6L, "http://norank.com/x/6")       // absent from the rank relation
+    ).toDF("doc_id", "url")
+    val rules = Seq(("a.com", "/private")).toDF("domain", "path_prefix")
+    val blocked = Seq("bad.com").toDF("domain")
+    val ranks = Seq(("a.com", 777000L)).toDF("domain", "rank_micro")
+    val out = Urls.crawlFrontier(urls, rules, blocked, ranks,
+        maxPerDomain = 2)
+      .select("doc_id", "domain", "rank_micro", "fetch_slot").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // a.com: 2 of {1,2,3} survive the cap with slots 1..2; norank.com
+    // keeps its row at priority 0, slot 1
+    val byDomain = out.groupBy(_._2)
+    assert(byDomain("a.com").map(_._4).sorted.toSeq === Seq(1, 2))
+    assert(byDomain("a.com").forall(_._3 == 777000L))
+    assert(byDomain("norank.com").toSeq.map(t => (t._3, t._4)) ===
+      Seq((0L, 1)))
+    assert(!out.exists(r => r._1 == 4L || r._1 == 5L))
+  }
+
   test("urlDedup keeps the minimum id per NORMALIZED url; urlFront caps per domain deterministically") {
     val df = Seq(
       (1L, "http://a.com/p"),
