@@ -1620,6 +1620,26 @@ object SparkEntry {
           .select("doc_id", "url_norm", "domain", "rank_micro",
             "fetch_slot")
       },
+      // sitemap.xml parsing (the DISCOVERY side of the pre-fetch
+      // stage): planted urlsets — mixed tag case, padded values, an
+      // XML-entity-bearing loc, a loc-less entry (dropped) — every
+      // emitted row derived analytically
+      "q178_sitemap_urls" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val d = col("doc_id") % 6
+        val xml = concat(
+          lit("<?xml version=\"1.0\"?><urlset><url><loc> http://s"), d,
+          lit(".example.com/page/"), col("doc_id"),
+          lit(" </loc><lastmod>2026-08-0"), col("doc_id") % 9 + 1,
+          lit("</lastmod></url><URL><LOC>http://s"), d,
+          lit(".example.com/alt/"), col("doc_id"),
+          lit("?a=1&amp;b=2</LOC></URL>" +
+            "<url><lastmod>loc-less, dropped</lastmod></url></urlset>"))
+        graft.ops.Sitemaps.sitemapUrls(
+            docs.select(col("doc_id"), xml.as("sitemap_xml")),
+            keyCols = Seq("doc_id"))
+          .select("doc_id", "loc", "lastmod")
+      },
       // robots.txt parsing (RFC 9309 subset): planted per-domain
       // robots files — wildcard group + an every-other-domain
       // agent-specific group, consecutive-UA sharing, comments, an
@@ -4921,6 +4941,20 @@ object SparkEntry {
         s.fetch_slot
       FROM slotted s JOIN r5 r ON r.node = s.h
       WHERE s.fetch_slot <= 30""",
+    // q178: sitemap entries — both per-doc urls analytic (the padded
+    // loc trims, the XML entity decodes, the loc-less entry vanishes)
+    "q178_sitemap_urls" -> """
+      SELECT doc_id,
+        'http://s' || CAST(doc_id % 6 AS VARCHAR) || '.example.com/page/'
+          || CAST(doc_id AS VARCHAR) AS loc,
+        '2026-08-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+        'http://s' || CAST(doc_id % 6 AS VARCHAR) || '.example.com/alt/'
+          || CAST(doc_id AS VARCHAR) || '?a=1&b=2',
+        ''
+      FROM documents""",
     // q175: the parsed rule set — wildcard rules for every domain,
     // agent-group rules where the group exists (even d); the empty
     // Disallow emits nothing
