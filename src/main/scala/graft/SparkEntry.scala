@@ -302,13 +302,14 @@ object SparkEntry {
       s"$d/warc"
     })
 
-  /** q172's memoized URL index: dump 1's URLs indexed once per sf
-    * dir ([[graft.ops.UrlIndex.build]] — idempotent overwrite). */
+  /** q172/q179's memoized URL indexes: a named dump-1 URL set indexed
+    * once per (sf dir, name) ([[graft.ops.UrlIndex.build]] —
+    * idempotent overwrite). */
   private val urlIndexFixtureDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def urlIndexFixtureFor(s: SparkSession, dir: String,
-                                 dump1: DataFrame): String =
-    urlIndexFixtureDirs.computeIfAbsent(dir, _ => {
+                                 name: String, dump1: DataFrame): String =
+    urlIndexFixtureDirs.computeIfAbsent(s"$dir#$name", _ => {
       val d = java.nio.file.Files.createTempDirectory("graft-url-index")
         .toString
       graft.ops.UrlIndex.build(dump1, d, "dump1")
@@ -1747,8 +1748,32 @@ object SparkEntry {
           .select(col("doc_id"),
             concat(lit("http://site"), p2, lit(".example.com/P/"), p2,
               lit("#f")).as("url"))
-        val idxDir = urlIndexFixtureFor(s, dir, d1)
+        val idxDir = urlIndexFixtureFor(s, dir, "crossdump", d1)
         graft.ops.UrlIndex.dedupAgainst(d2, idxDir)
+          .select("doc_id", "url_norm")
+      },
+      // the DISCOVERY front composed: sitemap urlsets yield candidate
+      // URLs, the cross-dump index (pages 0..28 seen, with
+      // surface-form case differences) gates them — fresh pages
+      // 29..36 survive at the min discovering doc; everything
+      // analytic, the index match through NORMALIZATION only
+      "q179_discovery_front" -> q { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val k = col("doc_id") % 37
+        val xml = concat(lit("<urlset><url><loc> http://m"), k % 5,
+          lit(".example.com/p/"), k, lit(" </loc></url></urlset>"))
+        val sitemaps = docs.where(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), xml.as("sitemap_xml"))
+        val kSeen = col("doc_id") % 29
+        val seen = docs.where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            concat(lit("HTTP://M"), kSeen % 5, lit(".Example.com/p/"),
+              kSeen).as("url"))
+        val idxDir = urlIndexFixtureFor(s, dir, "discovery", seen)
+        graft.ops.UrlIndex.dedupAgainst(
+            graft.ops.Sitemaps.sitemapUrls(sitemaps,
+              keyCols = Seq("doc_id")),
+            idxDir, urlCol = "loc")
           .select("doc_id", "url_norm")
       },
       "q171_registrable_psl" -> q { (s, dir) =>
@@ -4871,6 +4896,19 @@ object SparkEntry {
             FROM d2 WHERE p NOT IN (SELECT p FROM d1))
       SELECT doc_id,
         'http://site' || CAST(p AS VARCHAR) || '.example.com/P/' ||
+          CAST(p AS VARCHAR) AS url_norm
+      FROM k WHERE doc_id = mn""",
+    // q179: the discovery verdict — fresh page keys at the min
+    // discovering doc, host labels from the shared residue arithmetic
+    "q179_discovery_front" -> """
+      WITH seen AS (SELECT DISTINCT doc_id % 29 AS p FROM documents
+                    WHERE doc_id % 3 = 0),
+      disc AS (SELECT doc_id, doc_id % 37 AS p FROM documents
+               WHERE doc_id % 3 <> 0),
+      k AS (SELECT doc_id, p, min(doc_id) OVER (PARTITION BY p) AS mn
+            FROM disc WHERE p NOT IN (SELECT p FROM seen))
+      SELECT doc_id,
+        'http://m' || CAST(p % 5 AS VARCHAR) || '.example.com/p/' ||
           CAST(p AS VARCHAR) AS url_norm
       FROM k WHERE doc_id = mn""",
     // q171: relation-driven registrable labels — every subdomain depth
