@@ -35,6 +35,62 @@ object CapProbe {
     val spark = GraftSession.local("cap-probe")
     def vecs(n: Long) = spark.read.parquet(s"/tmp/graft-vecs$n/embeddings.parquet")
     args.headOption.getOrElse("semdedup") match {
+      case "viral" =>
+        // the r17 verdict's weak item, measured: a planted viral domain
+        // (`viralRows` URLs in ONE domain) over a long tail of small
+        // domains; capPerKeyNaive serializes the viral domain through
+        // one task's sort, the two-phase capPerKey splits it across
+        // 1024 hash buckets. Reports wall time and the MAX single-task
+        // duration/row-count of each run (the boundedness claim).
+        // the naive form's reduce-side concentration is cap × mapTasks
+        // rows in ONE task (the map-side partial WindowGroupLimit keeps
+        // `cap` viral rows per map task; every survivor hashes to the
+        // SAME reduce task) — so the probe models a large cluster's map
+        // fan-in with `inputParts` input partitions. The two-phase form
+        // spreads the viral domain over 1024 hash buckets and lets AQE
+        // balance by bytes.
+        val viralRows = if (args.length > 1) args(1).toLong else 20000000L
+        val tailDomains = if (args.length > 2) args(2).toLong else 100000L
+        val inputParts = if (args.length > 3) args(3).toInt else 512
+        val cap = 1000
+        val viral = spark.range(viralRows)
+          .selectExpr("id", "'viral.example.org' AS domain")
+        val smalls = spark.range(tailDomains * 5)
+          .selectExpr(s"id + ${viralRows}L AS id",
+            s"concat('host', id % $tailDomains, '.example.org') AS domain")
+        val urls = viral.union(smalls)
+          .repartition(inputParts).localCheckpoint(true)
+        val sc = spark.sparkContext
+        @volatile var maxTaskMs = 0L
+        @volatile var maxTaskRows = 0L
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            if (t.taskInfo != null && t.taskMetrics != null) {
+              maxTaskMs = math.max(maxTaskMs, t.taskInfo.duration)
+              maxTaskRows = math.max(maxTaskRows,
+                t.taskMetrics.shuffleReadMetrics.recordsRead)
+            }
+          }
+        }
+        sc.addSparkListener(listener)
+        for ((name, fn) <- Seq(
+            "naive" -> (() => graft.ops.Sampling.capPerKeyNaive(
+              urls, org.apache.spark.sql.functions.col("domain"),
+              org.apache.spark.sql.functions.col("id"), cap)),
+            "two-phase" -> (() => graft.ops.Sampling.capPerKey(
+              urls, org.apache.spark.sql.functions.col("domain"),
+              org.apache.spark.sql.functions.col("id"), cap)))) {
+          maxTaskMs = 0L; maxTaskRows = 0L
+          sc.setJobDescription(s"capPerKey viral: $name")
+          val (cnt, w) = time {
+            fn().write.format("noop").mode("overwrite").save()
+          }
+          Thread.sleep(500) // let the listener bus drain task-end events
+          println(f"viral $name viralRows=$viralRows tail=$tailDomains " +
+            f"wall=$w%.1fs maxTaskMs=$maxTaskMs maxTaskShuffleRows=$maxTaskRows")
+          val _ = cnt
+        }
+        sc.removeSparkListener(listener)
       case "semdedup" =>
         val sizes = if (args.length > 1) args.drop(1).map(_.toLong) else Array(65536L, 262144L)
         for (n <- sizes; mt <- Seq(4096, 16384)) {

@@ -21,13 +21,17 @@ import org.apache.spark.sql.functions._
   * and global-cum = cum_before + within-bucket cum, so ONE keep
   * predicate covers interior and boundary buckets alike.
   *
-  * Plan shape: one corpus scan, one exchange. An explicit
-  * repartition on (source, bucket) lets the bucket-totals aggregation
-  * and the row window consume the SAME exchange (ReuseExchange — the
-  * q18 co-partitioning trick; the first cut's union-of-two-branches
-  * formulation scanned the corpus 4×). The bounds relation
-  * (#sources × 1024) broadcasts back onto it. The result is
-  * bit-identical to the naive window — a spec asserts it.
+  * Plan shape: one corpus scan and tokenize, one row-level exchange.
+  * The tokenized (id, source, n_tokens, priority, bucket) projection —
+  * text already dropped — is structurally materialized once
+  * ([[Checkpoints]]), because its two consumers (bucket totals, row
+  * window) otherwise each re-derive it from the scan: Catalyst pushes
+  * column pruning below the shared repartition, so the branches'
+  * exchanges stop being identical and ReuseExchange cannot unify them
+  * (measured r18: two full scans, the corpus tokenized twice — the
+  * pre-r18 doc's ReuseExchange claim did not survive pruning). The
+  * bounds relation (#sources × 1024) broadcasts back onto it. The
+  * result is bit-identical to the naive window — a spec asserts it.
   */
 object Mixer {
 
@@ -48,11 +52,13 @@ object Mixer {
   def tokenBudgetMix(docs: DataFrame, budget: Long,
                      idCol: String = "doc_id", sourceCol: String = "source",
                      textCol: String = "text"): DataFrame = {
-    // the explicit repartition IS the design: it satisfies both the
-    // aggregation and the window below, so one exchange serves both
-    // (ReuseExchange) and the corpus is scanned once
-    val base = withPriority(docs, idCol, sourceCol, textCol)
-      .withColumn("bucket", shiftright(col("priority"), BucketShift).cast("int"))
+    // materialized ONCE (narrow: text is already dropped) — both the
+    // bucket-totals aggregation and the row window read these blocks,
+    // so the corpus is scanned and tokenized exactly once (see the
+    // object doc: ReuseExchange does not survive column pruning)
+    val ck = Checkpoints.truncator(docs.sparkSession, None)
+    val base = ck(withPriority(docs, idCol, sourceCol, textCol)
+      .withColumn("bucket", shiftright(col("priority"), BucketShift).cast("int")))
       .repartition(col(sourceCol), col("bucket"))
     val byBucket = Window.partitionBy(sourceCol).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -78,7 +78,17 @@ object UrlIndex {
     val withNorm = df.withColumn("url_norm", Urls.normalize(col(urlCol)))
     val unseen = withNorm.join(idx.select("url_norm"),
       Seq("url_norm"), "left_anti")
-    val keep = unseen.groupBy("url_norm").agg(min(col(idCol)).as(idCol))
-    unseen.join(keep, Seq("url_norm", idCol), "left_semi")
+    // within-batch min-id collapse as ONE window over the anti-join
+    // output (r17 verdict #2: the previous groupBy(min) + left_semi
+    // formulation referenced `unseen` twice, re-executing the
+    // normalize + anti-join subtree per reference unless ReuseExchange
+    // happened to fire). rank() = 1 keeps every row tied at the
+    // minimum id — exactly the semi-join's semantics — and the per-key
+    // sort is bounded by a URL's within-batch duplicate count (URL
+    // keys are near-unique; no viral-key exposure).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url_norm")).orderBy(col(idCol))
+    unseen.withColumn("__rk", rank().over(w))
+      .where(col("__rk") === 1).drop("__rk")
   }
 }

@@ -184,9 +184,15 @@ object Urls {
       case Some(b) => blocklistFilter(df, urlCol, b, blocklistBroadcast)
       case None => df
     }
-    val deduped = urlDedup(gated, urlCol, idCol)
+    // materialized ONCE: the two-phase cap reads its input twice (the
+    // coarse count pass + the row pass — [[Sampling.capPerKey]]), and
+    // re-deriving the dedup join per pass would double the gate's cost
+    // (the r7/r8 structural-materialization rule; same contract as
+    // [[graft.ops.Curation.crawlCurate]]'s stage tables)
+    val ck = Checkpoints.truncator(df.sparkSession, None)
+    val deduped = ck(urlDedup(gated, urlCol, idCol)
       .withColumn("url_norm", normalize(col(urlCol)))
-      .withColumn("domain", domain(col(urlCol)))
+      .withColumn("domain", domain(col(urlCol))))
     if (capPerRegistrable) {
       val withReg = deduped.withColumn("registrable_domain",
         registrableDomain(col(urlCol)))
@@ -216,8 +222,11 @@ object Urls {
     *
     * Output: input columns + url_norm, domain, rank_micro, fetch_slot.
     * Scale shape: two broadcast anti-joins + one rules anti-join +
-    * one url-keyed exchange (dedup) + one domain-keyed window + one
-    * domain-keyed (broadcastable — hosts ≪ pages) rank join. */
+    * one url-keyed exchange (dedup) + one (domain, hash-bucket)-keyed
+    * exchange serving both phases of the cap's two-phase order
+    * statistics ([[Sampling.cappedByKey]] — no task ever sorts more
+    * than ~1/1024 of the hottest domain) + one domain-keyed
+    * (broadcastable — hosts ≪ pages) rank join. */
   def crawlFrontier(df: DataFrame, rules: DataFrame, blocklist: DataFrame,
                     hostRanks: DataFrame, urlCol: String = "url",
                     idCol: String = "doc_id", maxPerDomain: Int = 1000,
@@ -226,15 +235,20 @@ object Urls {
     val gated = Robots.robotsGate(
       blocklistFilter(df, urlCol, blocklist, blocklistBroadcast),
       rules, urlCol)
-    val deduped = urlDedup(gated, urlCol, idCol)
+    // materialized ONCE — the two-phase cap's two passes would
+    // otherwise each re-run the blocklist→robots→dedup subtree (the
+    // r7/r8 structural-materialization rule)
+    val ck = Checkpoints.truncator(df.sparkSession, None)
+    val deduped = ck(urlDedup(gated, urlCol, idCol)
       .withColumn("url_norm", normalize(col(urlCol)))
-      .withColumn("domain", domain(col(urlCol)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("domain"))
-      .orderBy(Sampling.hashBucket(col(idCol), salt), col(idCol))
-    deduped
-      .withColumn("fetch_slot", row_number().over(w))
-      .where(col("fetch_slot") <= maxPerDomain)
+      .withColumn("domain", domain(col(urlCol))))
+    // cap + politeness sequence via the two-phase per-key order
+    // statistics of [[Sampling.cappedByKey]] (the r17 verdict's weak
+    // item: the previous single per-domain window serialized a viral
+    // domain through one task's sort). fetch_slot is the same exact
+    // per-domain rank the naive window produced.
+    Sampling.cappedByKey(deduped, col("domain"), col(idCol),
+        maxPerDomain, salt, slotCol = "fetch_slot")
       .join(broadcast(hostRanks.select(col("domain"),
         col("rank_micro").as("__rank"))), Seq("domain"), "left")
       .withColumn("rank_micro", coalesce(col("__rank"), lit(0L)))

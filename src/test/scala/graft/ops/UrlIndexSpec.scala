@@ -42,4 +42,25 @@ class UrlIndexSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet ===
       Set(20L, 21L))
   }
+
+  test("dedupAgainst executes the normalize + anti-join subtree exactly once") {
+    // r17 verdict #2: the groupBy(min) + left_semi formulation
+    // referenced the anti-join output twice — one anti-join execution
+    // per dump is the contract (at one-scan-per-dump economics the
+    // re-execution doubled the gate's corpus cost). Guard: exactly one
+    // anti join and one index scan in the executed plan.
+    val dir = Files.createTempDirectory("graft-url-index-plan").toString
+    UrlIndex.build(Seq((1L, "http://a.com/p")).toDF("doc_id", "url"),
+      dir, "dump1")
+    val dump2 = Seq((10L, "http://a.com/p"), (11L, "http://c.com/r"),
+      (12L, "http://c.com/r")).toDF("doc_id", "url")
+    val fresh = UrlIndex.dedupAgainst(dump2, dir)
+    fresh.write.format("noop").mode("overwrite").save()
+    val plan = fresh.queryExecution.executedPlan.toString
+    val antiJoins = "LeftAnti".r.findAllIn(plan).size
+    assert(antiJoins == 1, s"expected 1 anti join, got $antiJoins:\n$plan")
+    val idxScans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("url-index"))
+    assert(idxScans == 1, s"expected 1 index scan, got $idxScans:\n$plan")
+  }
 }
