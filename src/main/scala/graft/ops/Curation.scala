@@ -85,24 +85,49 @@ object Curation {
     val ck = Checkpoints.truncator(pages.sparkSession, checkpointDir)
     val extracted = ck(pages.select(col(idCol),
       Extract.mainText(col(htmlCol)).as("text")))
-    val cleaned = ck(Dedup.segmentDedup(extracted, idCol = idCol)
+    val cleaned = ck(Dedup.segmentDedup(extracted, idCol = idCol,
+        checkpointDir = checkpointDir)
       .where(length(col("clean_text")) > 0)
       .select(col(idCol), col("clean_text").as("text")))
-    val curated = curate(cleaned, params)
     // the scored relation feeds perplexityBuckets THREE ways (the
     // histogram, the population count, the bucket projection) —
     // materialize it or the whole bigram-LM chain re-runs per
     // reference (the q121 lesson; measured 13.4 → ~7 s at sf0.1)
     val scored = ck(LangModel.bigramInterpolatedScore(cleaned, idCol = idCol))
-    val buckets =
+    val (curated, buckets) =
       if (!perLanguageBuckets)
-        LangModel.perplexityBuckets(scored, idCol = idCol)
+        (curate(cleaned, params),
+          LangModel.perplexityBuckets(scored, idCol = idCol))
       else {
-        val lang = TextStats.statsFor(cleaned)
-          .select(col(idCol), col("lang_pred"))
-        LangModel.perplexityBuckets(ck(scored.join(lang, Seq(idCol))),
-          idCol = idCol, partitionCols = Seq("lang_pred"))
-          .drop("lang_pred") // curated carries the same label
+        // per-language mode reads per-doc stats TWICE — the language
+        // label for bucketing (over the whole cleaned corpus) and the
+        // quality gate (over the dedup survivors). The survivors are a
+        // subset, and statsFor is a pure per-row projection, so ONE
+        // stats pass over `cleaned` serves both (r18: the curate()
+        // route ran a second full tokenize/fingerprint stats pass):
+        // the gate becomes a semi-join of the materialized stats
+        // against the surviving ids — row-identical to statsFor over
+        // the surviving rows themselves.
+        val stats = ck(TextStats.statsFor(cleaned).select(col(idCol),
+          col("n_chars"), col("n_tokens"), col("quality_score"),
+          col("lang_pred")))
+        val keepers = Dedup.exactDedupedCorpus(cleaned)
+        val losers = Dedup.nearDuplicates(keepers,
+            numHashes = params.numHashes, rowsPerBand = params.rowsPerBand,
+            shingleSize = params.shingleSize,
+            threshold = params.jaccardThreshold)
+          .select(col("doc_b").as(idCol)).distinct()
+        val survivingIds = keepers.select(col(idCol))
+          .join(losers, Seq(idCol), "left_anti")
+        val curatedStats = stats
+          .join(survivingIds, Seq(idCol), "left_semi")
+          .where(col("quality_score") >= params.minQuality)
+          .select(idCol, "n_chars", "n_tokens", "quality_score", "lang_pred")
+        val lang = stats.select(col(idCol), col("lang_pred"))
+        (curatedStats,
+          LangModel.perplexityBuckets(ck(scored.join(lang, Seq(idCol))),
+            idCol = idCol, partitionCols = Seq("lang_pred"))
+            .drop("lang_pred")) // curated carries the same label
       }
     curated.join(buckets, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"), col("quality_score"),

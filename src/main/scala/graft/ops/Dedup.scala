@@ -826,16 +826,39 @@ object Dedup {
     * minDocFreq for boilerplate-only removal if you want a broadcastable
     * right side). Reassembly is one shuffle keyed on doc_id with the
     * boilerplate flag folded into the aggregate (collect_list skips the
-    * NULLed-out duplicate rows), so no second pass over the corpus. */
+    * NULLed-out duplicate rows), so no second pass over the corpus.
+    *
+    * The exploded segment relation feeds BOTH the doc-frequency
+    * aggregate and the flag join — it is structurally materialized
+    * once (the spanDedup `pt` treatment; r18: the un-materialized form
+    * re-ran the split/slice/posexplode chain over the whole corpus per
+    * reference, 2 scans + 2 Generates in the q60 plan). At the default
+    * `minDocFreq = 2` the doc-frequency test "appears in ≥ 2 distinct
+    * documents" collapses to min(doc) ≠ max(doc) on ONE map-side
+    * combined aggregate — no (h, doc) distinct pre-pass, one exchange
+    * instead of two (null ids are counted separately so the fast path
+    * stays exactly the distinct-count semantics: DataFrame.distinct
+    * treats all-null keys as one value). */
   def segmentDedup(docs: DataFrame, minDocFreq: Int = 2,
                    wordsPerSegment: Int = 10, delim: Option[String] = None,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val seg = segments(docs, wordsPerSegment, delim, idCol, textCol)
-      .withColumn("h", xxhash64(col("segment")))
-    val common = seg.select(col("h"), col(idCol)).distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .where(col("df") >= minDocFreq)
-      .select(col("h"), lit(true).as("dup"))
+                   idCol: String = "doc_id", textCol: String = "text",
+                   checkpointDir: Option[String] = None): DataFrame = {
+    val seg = Checkpoints.truncator(docs.sparkSession, checkpointDir)(
+      segments(docs, wordsPerSegment, delim, idCol, textCol)
+        .withColumn("h", xxhash64(col("segment"))))
+    val common =
+      if (minDocFreq == 2)
+        seg.groupBy("h")
+          .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"),
+            count(when(col(idCol).isNull, 1)).as("__nn"))
+          .where(col("__mn") =!= col("__mx") ||
+            (col("__nn") > 0 && col("__mn").isNotNull))
+          .select(col("h"), lit(true).as("dup"))
+      else
+        seg.select(col("h"), col(idCol)).distinct()
+          .groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") >= minDocFreq)
+          .select(col("h"), lit(true).as("dup"))
     seg.join(common, Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(

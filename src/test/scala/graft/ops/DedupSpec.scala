@@ -421,6 +421,53 @@ class DedupSpec extends SparkSpec {
     assert(row(10).getAs[Long]("removed_segments") === 1L)
   }
 
+  test("segmentDedup fast doc-frequency path: null ids, null-only groups, and " +
+    "within-doc repeats keep the distinct-count semantics; explode runs once") {
+    // the r18 fast path replaces distinct(h, id) + count >= 2 with one
+    // min/max aggregate — these rows pin exactly the cases where the
+    // two could diverge (DataFrame.distinct treats all-null ids as ONE
+    // value; min/max skip nulls)
+    val corpus = Seq(
+      (java.lang.Long.valueOf(0L), "s1 s1 s1 s2 s2 s2"),  // within-doc repeat? no: segs [s1 s1 s1][s2 s2 s2]
+      (java.lang.Long.valueOf(1L), "r r r r r r"),        // segs [r r r][r r r]: repeat within ONE doc only
+      (null.asInstanceOf[java.lang.Long], "s1 s1 s1 x y z"), // shares [s1 s1 s1] with doc 0 → df 2
+      (null.asInstanceOf[java.lang.Long], "n n n a b c"),  // null-id pair below
+      (null.asInstanceOf[java.lang.Long], "n n n d e f")   // [n n n] in two null-id rows = ONE distinct id
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, minDocFreq = 2, wordsPerSegment = 3)
+    // within-doc-only repeat survives (df counts DISTINCT docs)
+    val r1 = out.where(col("doc_id") === 1L).head()
+    assert(r1.getAs[String]("clean_text") === "r r r r r r")
+    // cross-doc (real id + null id) segment is cut from both
+    assert(out.where(col("doc_id") === 0L).head()
+      .getAs[String]("clean_text") === "s2 s2 s2")
+    // two null-id rows count as one distinct id: [n n n] survives, and
+    // the null-id group aggregates to ONE output row (groupBy null key)
+    val nullRows = out.where(col("doc_id").isNull)
+      .collect().map(_.getAs[String]("clean_text"))
+    assert(nullRows.length === 1)
+    assert(nullRows.head.contains("n n n"))
+    assert(!nullRows.head.contains("s1"))
+    // both consumers read the materialized segment relation: the
+    // executed plan holds ZERO Generate nodes (the explode ran once,
+    // inside the construction-time checkpoint)
+    val gens = out.queryExecution.executedPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.isEmpty, s"segment explode re-executed: $gens")
+    // the fast path serves ONLY minDocFreq = 2: on a corpus with a df=2
+    // segment, threshold 3 (general branch) must keep what threshold 2
+    // cuts (guards against the fast path hijacking the general branch)
+    val two = Seq((0L, "c c c u u u"), (1L, "c c c v v v"))
+      .toDF("doc_id", "text")
+    val cut2 = Dedup.segmentDedup(two, minDocFreq = 2, wordsPerSegment = 3)
+      .where(col("doc_id") === 0L).head().getAs[String]("clean_text")
+    val cut3 = Dedup.segmentDedup(two, minDocFreq = 3, wordsPerSegment = 3)
+      .where(col("doc_id") === 0L).head().getAs[String]("clean_text")
+    assert(cut2 === "u u u")
+    assert(cut3 === "c c c u u u")
+  }
+
   test("fuzzyNamePairs: blocking gates comparisons, threshold gates pairs") {
     val df = Seq("red bolt", "ted bolt", "red bolt", "green bolt", "red gear")
       .toDF("name")
