@@ -1274,7 +1274,7 @@ object SparkEntry {
       // per-doc integer-micros log-ratio sums (order-independent)
       "q116_dsir_weights" -> q { (s, dir) =>
         val docs = t(s, dir, "documents")
-        graft.ops.Dsir.logWeights(docs, docs.where(col("lang") === "en"),
+        graft.ops.Dsir.logWeightsWithin(docs, col("lang") === "en",
           buckets = 1024)
       },
       // the selection step over those weights: top 25% per source by
@@ -1282,8 +1282,8 @@ object SparkEntry {
       // is deterministic and every stratum keeps exactly its quota
       "q117_dsir_select" -> q { (s, dir) =>
         val docs = t(s, dir, "documents")
-        graft.ops.Dsir.selectTopFraction(docs,
-          docs.where(col("lang") === "en"), fractionPpm = 250000L)
+        graft.ops.Dsir.selectTopFractionWithin(docs,
+          col("lang") === "en", fractionPpm = 250000L)
       },
       // the IVF-PQ SERVING path under the oracle gate: probe a
       // persisted index (memoized per process — q118 pays only the
@@ -2053,8 +2053,8 @@ object SparkEntry {
         val pool = graft.ops.Checkpoints.truncator(s, None)(
           docs.select("doc_id", "text", "source")
             .join(curated.select("doc_id", "lang_pred"), Seq("doc_id")))
-        val selected = graft.ops.Dsir.selectTopFraction(pool,
-          pool.where(col("lang_pred") === "en"), fractionPpm = 500000L)
+        val selected = graft.ops.Dsir.selectTopFractionWithin(pool,
+          col("lang_pred") === "en", fractionPpm = 500000L)
         val model = LangModel.trainBpeModel(docs, nMerges = 4)
         // the selected corpus is read twice inside bpeEncodeWithModel
         // (vocabulary segmentation + the word explode) — stage it so

@@ -71,21 +71,54 @@ object Dsir {
     * (empty text) score (0, 0) rather than dropping out. */
   def logWeights(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
                  idCol: String = "doc_id", textCol: String = "text",
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None): DataFrame =
+    logWeightsImpl(raw, Right(target), buckets, idCol, textCol, checkpointDir)
+
+  /** [[logWeights]] for the in-pool target case — the target corpus is
+    * the subset of `raw` satisfying `targetPred` (the common "select
+    * raw data that looks like my high-quality slice" call: q116/q117/
+    * q121 all pass `raw.where(pred)` as the target). The predicate
+    * evaluates INSIDE the raw featurize pass as a per-document flag, so
+    * the target bucket model folds from the same materialized per-doc
+    * feature relation the raw model folds from — zero extra corpus
+    * featurize pass (r18; the two-frame form re-tokenized and re-hashed
+    * every target document). Weights are identical to
+    * `logWeights(raw, raw.where(targetPred), …)` by construction: the
+    * flag is constant per document, so the flagged rows are exactly the
+    * target documents' features. */
+  def logWeightsWithin(raw: DataFrame, targetPred: Column,
+                       buckets: Int = 1024, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       checkpointDir: Option[String] = None): DataFrame =
+    logWeightsImpl(raw, Left(targetPred), buckets, idCol, textCol,
+      checkpointDir)
+
+  private def logWeightsImpl(raw: DataFrame,
+                             target: Either[Column, DataFrame],
+                             buckets: Int, idCol: String, textCol: String,
+                             checkpointDir: Option[String]): DataFrame = {
     require(buckets > 0, s"Dsir.logWeights: buckets must be positive, got $buckets")
     // the raw pool featurizes ONCE: the per-doc (id, bucket, k)
     // relation is structurally materialized (ReuseExchange does not
     // survive the differing prunes — the q119 lesson) and the raw
-    // bucket model FOLDS it; only the target corpus gets its own
-    // featurize pass
+    // bucket model FOLDS it; an in-pool target (Left) rides the same
+    // pass as a per-doc flag, an external target corpus (Right) gets
+    // its own featurize pass
     val ck = Checkpoints.truncator(raw.sparkSession, checkpointDir)
+    val tgtFlag = target.left.toOption
+      .map(p => coalesce(p, lit(false))).getOrElse(lit(false))
     val docFeats = ck(raw
-      .select(col(idCol), explode_outer(featureArray(col(textCol))).as("f"))
-      .select(col(idCol), bucketOf(col("f"), buckets))
-      .groupBy(col(idCol), col("bucket"))
+      .select(col(idCol), tgtFlag.as("__tgt"),
+        explode_outer(featureArray(col(textCol))).as("f"))
+      .select(col(idCol), col("__tgt"), bucketOf(col("f"), buckets))
+      .groupBy(col(idCol), col("__tgt"), col("bucket"))
       .agg(count(lit(1)).cast("long").as("k")))
-    val tc = bucketCounts(target, buckets, textCol)
-      .withColumnRenamed("cnt", "tcnt")
+    val tc = (target match {
+      case Right(t) => bucketCounts(t, buckets, textCol)
+      case Left(_) => docFeats
+        .where(col("__tgt") && col("bucket").isNotNull)
+        .groupBy("bucket").agg(sum("k").cast("long").as("cnt"))
+    }).withColumnRenamed("cnt", "tcnt")
     val rc = docFeats.where(col("bucket").isNotNull)
       .groupBy("bucket").agg(sum("k").cast("long").as("rcnt"))
     val counts = tc.join(rc, Seq("bucket"), "full_outer")
@@ -136,10 +169,28 @@ object Dsir {
   def selectTopFraction(raw: DataFrame, target: DataFrame,
                         fractionPpm: Long, stratumCol: String = "source",
                         buckets: Int = 1024, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text"): DataFrame =
+    selectTopFractionImpl(raw, Right(target), fractionPpm, stratumCol,
+      buckets, idCol, textCol)
+
+  /** [[selectTopFraction]] with an in-pool target predicate — see
+    * [[logWeightsWithin]] for why this saves the target featurize
+    * pass. Results ≡ `selectTopFraction(raw, raw.where(pred), …)`. */
+  def selectTopFractionWithin(raw: DataFrame, targetPred: Column,
+                              fractionPpm: Long, stratumCol: String = "source",
+                              buckets: Int = 1024, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame =
+    selectTopFractionImpl(raw, Left(targetPred), fractionPpm, stratumCol,
+      buckets, idCol, textCol)
+
+  private def selectTopFractionImpl(raw: DataFrame,
+                                    target: Either[Column, DataFrame],
+                                    fractionPpm: Long, stratumCol: String,
+                                    buckets: Int, idCol: String,
+                                    textCol: String): DataFrame = {
     require(fractionPpm >= 0 && fractionPpm <= 1000000L,
       s"Dsir.selectTopFraction: fractionPpm $fractionPpm out of [0, 1e6]")
-    val w = logWeights(raw, target, buckets, idCol, textCol)
+    val w = logWeightsImpl(raw, target, buckets, idCol, textCol, None)
       .join(raw.select(col(idCol), col(stratumCol)), Seq(idCol))
     // quotas from the RAW relation: logWeights emits exactly one row
     // per raw doc, so the per-stratum counts are identical — counting

@@ -78,6 +78,37 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("logWeightsWithin / selectTopFractionWithin: in-pool predicate ≡ the " +
+    "two-frame form (incl. null predicate rows), zero target featurize scan") {
+    // null lang rows exercise the coalesce(pred, false) flag: a null
+    // predicate must behave exactly like where()'s null-drops-row rule
+    val tiny = Seq(
+      (1L, "alpha beta alpha", "en", "a"),
+      (2L, "beta beta gamma", "fr", "a"),
+      (3L, "alpha gamma", null.asInstanceOf[String], "b"),
+      (4L, "", "en", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val twoFrame = Dsir.logWeights(tiny, tiny.where(col("lang") === "en"))
+      .collect().map(_.toSeq).toSet
+    val within = Dsir.logWeightsWithin(tiny, col("lang") === "en")
+    assert(within.collect().map(_.toSeq).toSet === twoFrame)
+    val selTwo = Dsir.selectTopFraction(docs,
+        docs.where(col("lang") === "en"), fractionPpm = 250000L)
+      .collect().map(_.toSeq).toSet
+    val selWithin = Dsir.selectTopFractionWithin(docs,
+        col("lang") === "en", fractionPpm = 250000L)
+      .collect().map(_.toSeq).toSet
+    assert(selWithin === selTwo)
+    // the within form folds the target model from the one materialized
+    // feature relation: its plan reads NO second text featurize (no
+    // Generate/explode anywhere — the only explode ran inside the
+    // construction-time checkpoint)
+    val gens = within.queryExecution.executedPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.isEmpty, s"target featurize re-executed: $gens")
+  }
+
   test("model joins stay broadcast: no shuffle on the bucket-delta side") {
     val w = Dsir.logWeights(docs, docs.where(col("lang") === "en"))
     val plan = w.queryExecution.executedPlan.toString
