@@ -26,18 +26,21 @@ object GraphProbe {
       val outdeg = timed("ck(outdeg)") {
         edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
       }
-      val nodes = timed("ck(nodes)") {
-        edges.select(col("src").as("node"))
-          .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+      val nodesDeg = timed("ck(nodesDeg)") {
+        val nodes0 = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        nodes0.join(outdeg, nodes0("node") === outdeg("src"), "left")
+          .select(col("node"), col("outdeg")).localCheckpoint(true)
       }
       timed("dangling isEmpty") {
-        val d = nodes.join(outdeg, nodes("node") === outdeg("src"), "left_anti")
+        val d = nodesDeg.where(col("outdeg").isNull)
         println(s"  (dangling empty: ${d.isEmpty})")
       }
-      var ranks: DataFrame = nodes.select(col("node"), lit(1000000L).as("rank"))
+      var ranks: DataFrame = nodesDeg
+        .select(col("node"), col("outdeg"), lit(1000000L).as("rank"))
       var keep: List[DataFrame] = Nil
       for (i <- 1 to 5) {
-        ranks = graft.ops.Graph.iterate(edges, outdeg, nodes, ranks, 0L).persist()
+        ranks = graft.ops.Graph.iterate(edges, nodesDeg, ranks, 0L).persist()
         keep = ranks :: keep
         keep.drop(2).foreach(_.unpersist(blocking = false))
         keep = keep.take(2)
@@ -53,9 +56,9 @@ object GraphProbe {
       // ranks ⋈ outdeg is node-sized, so if this is small relative to
       // a round (consume loop / 5), a persisted broadcast variable
       // cannot buy anything
-      timed("one round's broadcast build (node join + collect)") {
-        val n = ranks.join(broadcast(outdeg), ranks("node") === outdeg("src"))
-          .select(ranks("node"), expr("rank div outdeg").as("c"))
+      timed("one round's broadcast build (carrier projection + collect)") {
+        val n = ranks.where(col("outdeg").isNotNull)
+          .select(col("node"), expr("rank div outdeg").as("c"))
           .collect().length
         println(s"  (build side rows: $n)")
       }

@@ -32,18 +32,22 @@ object Graph {
     *
     * Scale shape: the raw edges are checkpointed ONCE (outdeg and the
     * node universe derive from them); each iteration is one
-    * broadcast-hash join edges ⋈ (ranks ⋈ outdeg) on src — the
-    * node-sized build side carries BOTH the rank and the out-degree, so
-    * the edge relation is never annotated, materialized, or shuffled
-    * (an explicit degree-annotated edge checkpoint measured ~25% of the
-    * whole query at 10×). The `broadcast()` hint is REQUIRED: a
-    * checkpointed DataFrame is a LogicalRDD with unknown size stats, so
-    * Catalyst would otherwise fall back to shuffling the full edge
-    * relation every round. The join is followed by one
-    * partial-aggregated exchange on dst (≤ |nodes| rows per partition
-    * after map-side combine). The loop carrier (ranks, |nodes| rows) is
-    * lazily persisted per round with a two-carrier retention window
-    * (see the loop) — never eagerly materialized mid-loop.
+    * broadcast-hash join edges ⋈ perSrc on src, where perSrc is a bare
+    * PROJECTION of the loop carrier — the carrier carries (node,
+    * outdeg, rank), so the per-round ranks ⋈ outdeg join and its
+    * node-sized outdeg broadcast build are gone (r18; outdeg is a loop
+    * constant — re-joining it every round re-did identical work
+    * `iters` times). The edge relation is never annotated,
+    * materialized, or shuffled (an explicit degree-annotated edge
+    * checkpoint measured ~25% of the whole query at 10×). The
+    * `broadcast()` hint is REQUIRED: a checkpointed DataFrame is a
+    * LogicalRDD with unknown size stats, so Catalyst would otherwise
+    * fall back to shuffling the full edge relation every round. The
+    * join is followed by one partial-aggregated exchange on dst
+    * (≤ |nodes| rows per partition after map-side combine). The loop
+    * carrier (|nodes| rows) is lazily persisted per round with a
+    * two-carrier retention window (see the loop) — never eagerly
+    * materialized mid-loop.
     *
     * `checkpointDir`: see [[Checkpoints]] — pass an HDFS/S3 dir on a
     * real cluster so a lost executor at round k replays from the
@@ -89,15 +93,23 @@ object Graph {
       if (edgeCols.contains("w"))
         edges.groupBy("src").agg(sum("w").cast("long").as("outdeg"))
       else edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
-    // node universe: src ∪ dst — tiny next to edges, reused every round
-    // (init, the completion join, the dangling gate), so checkpointed
-    val nodes = ck(edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct())
-    val dangling = nodes.join(outdeg, nodes("node") === outdeg("src"), "left_anti")
-      .select("node")
+    // node universe annotated with outdeg (null = dangling), src ∪ dst —
+    // tiny next to edges, reused every round as BOTH the completion-join
+    // base and the per-source contribution's denominator: the carrier
+    // CARRIES outdeg (r18), so each round builds two broadcasts (perSrc,
+    // contrib) instead of three (outdeg, perSrc, contrib) and skips a
+    // node-sized ranks ⋈ outdeg join — outdeg is a loop constant, joining
+    // it back in every round re-did the same work `iters` times.
+    val nodesDeg = {
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      ck(nodes.join(outdeg, nodes("node") === outdeg("src"), "left")
+        .select(col("node"), col("outdeg")))
+    }
+    val dangling = nodesDeg.where(col("outdeg").isNull).select("node")
     val danglingExists = !dangling.isEmpty
     val danglingB = if (danglingExists) ck(dangling) else dangling
-    val nNodes = if (danglingExists) nodes.count() else 0L
+    val nNodes = if (danglingExists) nodesDeg.count() else 0L
 
     // Loop carrier: per-round LAZY persist, never a mid-loop eager cut.
     // The persist guarantees each round's edges-join executes AT MOST
@@ -123,10 +135,15 @@ object Graph {
     // atMost = iters: a rerun with fewer iterations than the dir holds
     // must resume at-or-below its own target (cumulative snapshots), so
     // the output stays that of a fresh iters-round run
+    // the restart artifact stays (node, rank) — outdeg is re-attached
+    // from the static relation on resume (one node-sized join, once)
     val resumed = restartDir.flatMap(
       Restart.latest(edges0.sparkSession, _, atMost = iters))
-    var ranks = resumed.map(_._2)
-      .getOrElse(nodes.select(col("node"), lit(1000000L).as("rank")))
+    var ranks = resumed
+      .map(r => nodesDeg.join(r._2, Seq("node"))
+        .select(col("node"), col("outdeg"), col("rank")))
+      .getOrElse(nodesDeg.select(col("node"), col("outdeg"),
+        lit(1000000L).as("rank")))
     val startRound = resumed.map(_._1).getOrElse(0)
     var keep: List[DataFrame] = Nil
     for (i <- startRound + 1 to iters) {
@@ -139,7 +156,7 @@ object Graph {
             .agg(coalesce(sum("rank"), lit(0L))).head().getLong(0)
           d / nNodes
         }
-      ranks = iterate(edges, outdeg, nodes, ranks, share).persist()
+      ranks = iterate(edges, nodesDeg, ranks, share).persist()
       keep = ranks :: keep
       keep.drop(2).foreach(_.unpersist(blocking = false))
       keep = keep.take(2)
@@ -148,7 +165,8 @@ object Graph {
       // so the next round's broadcast reuses the cached carrier — one
       // extra action per committed round, no recompute. `restartEvery`
       // thins the cadence (≤ restartEvery-1 rounds replay on resume)
-      if (i % restartEvery == 0) restartDir.foreach(Restart.save(ranks, _, i))
+      if (i % restartEvery == 0)
+        restartDir.foreach(Restart.save(ranks.select("node", "rank"), _, i))
     }
     // ownership handoff: cut the final carrier into standalone
     // materialized blocks, then release every loop persist. Without
@@ -164,30 +182,25 @@ object Graph {
     out
   }
 
-  /** One PageRank round: fold outdeg into the node-sized ranks relation
-    * (per-source contribution `rank div outdeg`, a broadcast join of
-    * two ≤|nodes|-row inputs), broadcast-join THAT into the bare
-    * (src, dst) edges, aggregate contributions on dst, complete over
-    * the node universe, damp. Exposed (package-private) so the
-    * plan-regression spec can assert the executed shape —
-    * BroadcastHashJoin on the contribution side, never a SortMergeJoin
-    * of the edge relation — which is exactly what the loop executes.
-    * Dangling nodes drop out of the inner outdeg join, exactly as they
-    * never appear as an edge src; their mass arrives via `share`. */
-  private[graft] def iterate(edges: DataFrame, outdeg: DataFrame,
-                             nodes: DataFrame,
+  /** One PageRank round over the outdeg-carrying carrier: the
+    * per-source contribution `rank div outdeg` is a PROJECTION of the
+    * carrier (outdeg rides it — no per-round ranks ⋈ outdeg join, no
+    * per-round outdeg broadcast build), broadcast-joined into the bare
+    * (src, dst) edges, contributions aggregated on dst, completed over
+    * the outdeg-annotated node universe, damped. Exposed
+    * (package-private) so the plan-regression spec can assert the
+    * executed shape — BroadcastHashJoin on the contribution side, never
+    * a SortMergeJoin of the edge relation — which is exactly what the
+    * loop executes. Dangling nodes filter out of perSrc on their null
+    * outdeg, exactly as they never appear as an edge src; their mass
+    * arrives via `share`. */
+  private[graft] def iterate(edges: DataFrame, nodesDeg: DataFrame,
                              ranks: DataFrame, share: Long): DataFrame = {
     val weighted = edges.columns.contains("w")
-    // key the contribution on ranks("node") (== outdeg("src") by the
-    // join), NOT outdeg("src"): outdeg derives from the same checkpoint
-    // as `edges`, so its src attribute would be ambiguous in the edge
-    // join below
-    val joined = ranks.join(broadcast(outdeg),
-      ranks("node") === outdeg("src"))
     val contrib =
       if (!weighted) {
-        val perSrc = joined
-          .select(ranks("node").as("src"), expr("rank div outdeg").as("c"))
+        val perSrc = ranks.where(col("outdeg").isNotNull)
+          .select(col("node").as("src"), expr("rank div outdeg").as("c"))
         edges.join(broadcast(perSrc), Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(sum("c").as("in_sum"))
@@ -200,8 +213,8 @@ object Graph {
         // Each edge term is floor-divided BEFORE summation — the same
         // order-free determinism contract as the unweighted form, and
         // w = 1 reduces to it value-for-value (spec-asserted).
-        val perSrc = joined
-          .select(ranks("node").as("src"),
+        val perSrc = ranks.where(col("outdeg").isNotNull)
+          .select(col("node").as("src"),
             expr("rank div outdeg").as("q"),
             expr("rank % outdeg").as("r"),
             col("outdeg").as("wsum"))
@@ -212,8 +225,9 @@ object Graph {
     // completion join: zero-in-degree and dangling nodes keep a rank
     // row (contrib only covers nodes with in-edges). contrib is
     // ≤ |nodes| rows post-aggregate — broadcastable by construction.
-    nodes.join(broadcast(contrib), Seq("node"), "left")
-      .select(col("node"),
+    // The result is the next carrier, outdeg riding along.
+    nodesDeg.join(broadcast(contrib), Seq("node"), "left")
+      .select(col("node"), col("outdeg"),
         (lit(150000L) +
           expr(s"((coalesce(in_sum, 0L) + ${share}L) * 85) div 100")).as("rank"))
   }

@@ -34,10 +34,14 @@ class PlanRegressionSpec extends SparkSpec {
     val raw = (und ++ und.map(_.swap)).toDF("src", "dst").localCheckpoint(true)
     val outdeg = raw.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
-    val nodes = raw.select(col("src").as("node")).distinct().localCheckpoint(true)
-    val ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+    val nodes0 = raw.select(col("src").as("node")).distinct()
+    val nodesDeg = nodes0
+      .join(outdeg, nodes0("node") === outdeg("src"), "left")
+      .select(col("node"), col("outdeg")).localCheckpoint(true)
+    val ranks = nodesDeg
+      .select(col("node"), col("outdeg"), lit(1000000L).as("rank"))
       .localCheckpoint(true)
-    val plan = executedPlan(Graph.iterate(raw, outdeg, nodes, ranks, 0L))
+    val plan = executedPlan(Graph.iterate(raw, nodesDeg, ranks, 0L))
     assert(!plan.contains("SortMergeJoin"),
       s"ranks join degraded to a shuffle join:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), plan)
