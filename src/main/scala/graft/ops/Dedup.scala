@@ -308,24 +308,37 @@ object Dedup {
   private[ops] def tokenStreamCollapse(docs: DataFrame, textCol: String,
                                        checkpointDir: Option[String] = None,
                                        materialize: Boolean = true)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     // digest relation materialized once (the SetSimilarity lesson:
     // relying on ReuseExchange to dedupe the two identical repartition
     // subtrees is planner-mood-dependent under AQE full-suite state) —
-    // (doc_id, 16-byte digest) rows, one corpus text pass for both the
-    // group aggregate and the member join
+    // (doc_id, 16-byte digest, token count) rows, one corpus text pass
+    // for both the group aggregate and the member join. __nt rides the
+    // same pass (tokenization shared with the digest by codegen
+    // subexpression elimination, +8 bytes/row) so downstream
+    // ELIGIBILITY questions ("can this stream shingle?") answer from
+    // the id-sized relation instead of re-scanning and re-hashing the
+    // corpus — pre-r18 the member gate in [[collapsedRepPairs]] paid a
+    // full text scan + minhash evaluation PER REFERENCE (4 of the 8
+    // parquet scans in the q102 plan).
     val keyedPlan = docs
-      .select(col("doc_id"), tokenStreamKey(col(textCol)).as("__tk"))
+      .select(col("doc_id"), tokenStreamKey(col(textCol)).as("__tk"),
+        size(TextStats.tokens(col(textCol))).as("__nt"))
     val keyed =
       if (materialize)
         Checkpoints.truncator(docs.sparkSession, checkpointDir)(
           keyedPlan.repartition(col("__tk")))
       else keyedPlan
-    val reps = keyed.groupBy("__tk").agg(min("doc_id").as("__rep"))
-    val members = keyed.join(reps, "__tk").select(col("doc_id"), col("__rep"))
+    // __nt is constant within a group (same token stream); max() over
+    // the group picks it while ignoring the null of a null-text row
+    // grouped with empty-text rows (both tokenize to the empty stream)
+    val reps = keyed.groupBy("__tk")
+      .agg(min("doc_id").as("__rep"), max("__nt").as("__nt"))
+    val members = keyed.join(reps.select("__tk", "__rep"), "__tk")
+      .select(col("doc_id"), col("__rep"))
     val repDocs = docs.join(reps.select(col("__rep").as("doc_id")),
       Seq("doc_id"), "left_semi")
-    (members, repDocs)
+    (members, repDocs, reps.select(col("__rep"), col("__nt")))
   }
 
   /** The collapse + rep-level LSH shared by [[nearDuplicates]] and
@@ -333,22 +346,28 @@ object Dedup {
     * verified rep pairs `(doc_a, doc_b, jaccard)`).
     *
     * Eligibility (≥1 shingle, non-null signature) is a property of the
-    * token stream, so gating groups by their rep's presence in the
-    * signature relation reproduces the raw pipeline's per-doc filter.
-    * Members are repartitioned on the rep id, which both expansion
-    * joins and the intra self-join reuse. */
+    * token stream — a stream shingles iff its token count reaches the
+    * shingle size, exactly [[graft.functions.TextExpressions.ShingleMinHash]]'s
+    * null condition — so the gate joins the collapse's id-sized
+    * (rep, token count) relation. Pre-r18 it joined the signature
+    * relation's ids instead, which re-ran the corpus text scan and the
+    * full minhash expression once per member reference (the intra
+    * self-join and both cross-expansion joins: 4 scans in the q102
+    * plan, none needed). Members are repartitioned on the rep id,
+    * which both expansion joins and the intra self-join reuse. */
   private def collapsedRepPairs(docs: DataFrame, textCol: String,
                                 numHashes: Int, rowsPerBand: Int,
                                 shingleSize: Int, threshold: Double,
                                 checkpointDir: Option[String])
       : (DataFrame, DataFrame) = {
-    val (members, repDocs) = tokenStreamCollapse(docs, textCol, checkpointDir)
+    val (members, repDocs, repNt) =
+      tokenStreamCollapse(docs, textCol, checkpointDir)
     val sigs = minHashSignatures(repDocs, textCol, numHashes, shingleSize)
     val repPairs = jaccardVerify(repDocs,
       candidatePairs(lshBands(sigs, numHashes, rowsPerBand)),
       textCol, shingleSize, threshold)
     val m = members
-      .join(sigs.select(col("doc_id").as("__rep")), "__rep")
+      .join(repNt.where(col("__nt") >= shingleSize).select("__rep"), "__rep")
       .repartition(col("__rep"))
     (m, repPairs)
   }
@@ -446,9 +465,9 @@ object Dedup {
       return jaccardVerifyAcross(corpus, bench, cand, "doc_id", "bench_doc_id",
         textCol, shingleSize, threshold)
     }
-    val (membersC, repC) = tokenStreamCollapse(corpus, textCol, checkpointDir,
+    val (membersC, repC, _) = tokenStreamCollapse(corpus, textCol, checkpointDir,
       materialize = !tinyC)
-    val (membersB, repB) = tokenStreamCollapse(bench, textCol, checkpointDir,
+    val (membersB, repB, _) = tokenStreamCollapse(bench, textCol, checkpointDir,
       materialize = !tinyB)
     val bandsC = lshBands(minHashSignatures(repC, textCol, numHashes, shingleSize),
       numHashes, rowsPerBand)

@@ -172,9 +172,11 @@ object LshIndex {
 
   /** Shard-local exact collapse — [[Dedup.tokenStreamCollapse]] with
     * the usual tiny-side materialization gate. */
-  private def collapsed(docs: DataFrame, textCol: String): (DataFrame, DataFrame) =
-    Dedup.tokenStreamCollapse(docs, textCol,
+  private def collapsed(docs: DataFrame, textCol: String): (DataFrame, DataFrame) = {
+    val (members, repDocs, _) = Dedup.tokenStreamCollapse(docs, textCol,
       materialize = !Dedup.tinyByEstimate(docs))
+    (members, repDocs)
+  }
 
   private def writeShard(docs: DataFrame, dir: String, textCol: String,
                          p: Params, shardId: String,

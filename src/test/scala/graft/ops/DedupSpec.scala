@@ -106,12 +106,20 @@ class DedupSpec extends SparkSpec {
   test("tokenStreamCollapse tiny escape: non-materialized path is output-identical; estimate gate") {
     // the materialize=false shape duplicates the scan instead of
     // betting on ReuseExchange — output must be identical either way
-    val (mT, rT) = Dedup.tokenStreamCollapse(docs, "text", materialize = true)
-    val (mF, rF) = Dedup.tokenStreamCollapse(docs, "text", materialize = false)
+    val (mT, rT, ntT) = Dedup.tokenStreamCollapse(docs, "text", materialize = true)
+    val (mF, rF, ntF) = Dedup.tokenStreamCollapse(docs, "text", materialize = false)
     assert(mT.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
       mF.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     assert(rT.select("doc_id").collect().map(_.getLong(0)).toSet ===
       rF.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // the eligibility relation (rep, token count) matches both ways,
+    // and the count agrees with a direct per-rep tokenization
+    val ntSet = ntT.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(ntSet === ntF.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    val direct = rT.select(col("doc_id"),
+        size(graft.ops.TextStats.tokens(col("text"))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(ntSet === direct)
     // the gate follows the planner's broadcast standard: a local tiny
     // relation qualifies; with broadcasts disabled nothing does
     assert(Dedup.tinyByEstimate(docs))
