@@ -64,26 +64,36 @@ object Packer {
     * not cross their boundaries.
     *
     * Scale shape: the doc→(group, offset) map is [[packTokenized]]
-    * (one group-local sort per pack_group); placement is one token
-    * explode joined against that doc-level map on doc_id (shuffle
-    * keyed by doc id — never a global sort), and assembly is one
+    * (one group-local sort per pack_group); placement joins the
+    * doc-level map against the UNEXPLODED token arrays on doc_id and
+    * explodes AFTER the join (r18; guide §3.3 "explode before a join
+    * multiplies the shuffle" — when the doc map outgrows broadcast,
+    * a shuffled doc_id join moves each token array once instead of
+    * one ~24-byte row per token; local plans broadcast the map either
+    * way, so the bench price is zero). Assembly is one
     * (pack_group, seq_id)-keyed aggregation whose groups are bounded
-    * by the capacity. numGroups is the parallelism knob, as
-    * documented on the object. `enc` is read TWICE (placement + the
-    * doc→bin map): a persisted table pays two column-pruned scans; an
-    * inline derivation (e.g. a fresh [[graft.ops.LangModel.bpeEncode]]
-    * chain) should be staged by the caller first — ReuseExchange does
-    * not survive the differing prunes (the q121 lesson). */
+    * by the capacity — per-token rows by measurement: a slice-based
+    * assembly (array slices concatenated per sequence) shuffled ~5×
+    * fewer bytes but ran 30-40% slower at sf0.1 AND 10× — interpreted
+    * ordering over struct-with-array elements and non-codegen
+    * higher-order lambdas cost more than the bytes saved on
+    * memory-speed local shuffle. numGroups is the parallelism knob,
+    * as documented on the object. `enc` is read TWICE (placement +
+    * the doc→bin map): a persisted table pays two column-pruned
+    * scans; an inline derivation (e.g. a fresh
+    * [[graft.ops.LangModel.bpeEncode]] chain) should be staged by the
+    * caller first — ReuseExchange does not survive the differing
+    * prunes (the q121 lesson). */
   def materializeTokenShards(enc: DataFrame, capacityTokens: Int = 256,
                              numGroups: Int = 32, salt: String = "pack",
                              dropRemainder: Boolean = false,
                              docSpans: Boolean = false): DataFrame = {
     val packed = packTokenized(enc.select(col("doc_id"), col("n_tokens")),
       capacityTokens, numGroups, salt)
-    val toks = enc.select(col("doc_id"),
-      posexplode(col("token_ids")).as(Seq("tpos", "token_id")))
-    val placed = toks
+    val placed = enc.select(col("doc_id"), col("token_ids"))
       .join(packed.select("doc_id", "pack_group", "bin_offset"), Seq("doc_id"))
+      .select(col("doc_id"), col("pack_group"), col("bin_offset"),
+        posexplode(col("token_ids")).as(Seq("tpos", "token_id")))
       .select(col("pack_group"),
         expr(s"(bin_offset + tpos) div $capacityTokens").as("seq_id"),
         pmod(col("bin_offset") + col("tpos"), lit(capacityTokens.toLong))
