@@ -22,12 +22,24 @@ object Curation {
 
   /** Curated corpus: per-document stats for survivors of both dedup
     * stages with quality_score ≥ minQuality. */
-  def curate(docs: DataFrame, params: Params = Params()): DataFrame =
+  def curate(docs: DataFrame, params: Params = Params()): DataFrame = {
     // LSH runs on the exact-dedup survivors only: any near-dup pair
     // involving a dropped exact-duplicate is represented by its keeper
     // (identical content ⇒ identical shingles), so the loser set over
     // keepers is the same — without re-hashing the duplicates.
-    nearDupAndQuality(Dedup.exactDedupedCorpus(docs), params)
+    //
+    // The keeper ID set is materialized ONCE (r18): the keeper relation
+    // is referenced ~6× downstream (the LSH collapse, both candidate
+    // sides, both verify sides, the surviving anti-join) and an inline
+    // exactDedupedCorpus re-ran the corpus fingerprint md5 and its
+    // aggregate per reference — 10 text scans in the q39 plan, each
+    // with the full fingerprint subtree. Ids are checkpoint-sized;
+    // each downstream reference now pays a plain column-pruned text
+    // scan gated by a hash semi-join, no re-hash.
+    val keepIds = Checkpoints.truncator(docs.sparkSession, None)(
+      Dedup.exactDuplicates(docs).select(col("keep_doc_id").as("doc_id")))
+    nearDupAndQuality(docs.join(keepIds, Seq("doc_id"), "left_semi"), params)
+  }
 
   /** Stages 2-3 of [[curate]] — LSH near-dup removal, then the quality
     * gate — for a corpus that is ALREADY exact-deduped. Factored out so
@@ -111,7 +123,11 @@ object Curation {
         val stats = ck(TextStats.statsFor(cleaned).select(col(idCol),
           col("n_chars"), col("n_tokens"), col("quality_score"),
           col("lang_pred")))
-        val keepers = Dedup.exactDedupedCorpus(cleaned)
+        // keeper IDs materialized once, as in curate() (the keeper
+        // relation is referenced by the LSH chain and the anti-join)
+        val keepIds = ck(Dedup.exactDuplicates(cleaned)
+          .select(col("keep_doc_id").as(idCol)))
+        val keepers = cleaned.join(keepIds, Seq(idCol), "left_semi")
         val losers = Dedup.nearDuplicates(keepers,
             numHashes = params.numHashes, rowsPerBand = params.rowsPerBand,
             shingleSize = params.shingleSize,
