@@ -126,17 +126,19 @@ object TextStats {
     * Scale shape: the naive all-terms self-join is quadratic in document
     * length; pruning to a bounded vocabulary FIRST (broadcast semi join
     * on the top-k terms) caps the per-document fan-out at vocabK before
-    * any pairing happens. The pair self-join keys on doc_id over an
-    * explicitly repartitioned relation, so both sides reuse ONE exchange
-    * (the q18 co-partitioning trick), and the final cut is a bounded
-    * TakeOrdered. */
+    * any pairing happens. The pruned (doc_id, term) relation is
+    * structurally materialized (bounded: ≤ vocabK rows/doc) — the
+    * self-join references it twice, and the pre-r18 ReuseExchange bet
+    * (co-partition and hope) lost to AQE's broadcast conversion, so
+    * BOTH sides re-ran the corpus tokenize AND the vocabulary's own
+    * two-exchange top-k (4 corpus text scans in the q88 plan). The
+    * final cut is a bounded TakeOrdered. */
   def cooccurrence(docs: DataFrame, vocabK: Int = 30, topPairs: Int = 100,
                    textCol: String = "text"): DataFrame = {
     val vocab = vocabulary(docs, vocabK, textCol).select("term")
-    val dt = docs
+    val dt = Checkpoints.truncator(docs.sparkSession, None)(docs
       .select(col("doc_id"), explode(array_distinct(tokens(col(textCol)))).as("term"))
-      .join(broadcast(vocab), Seq("term"))
-      .repartition(col("doc_id"))
+      .join(broadcast(vocab), Seq("term")))
     dt.alias("a")
       .join(dt.alias("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
