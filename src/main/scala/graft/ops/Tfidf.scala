@@ -33,22 +33,25 @@ object Tfidf {
 
   def topTerms(docs: DataFrame, textCol: String = "text", k: Int = 5,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // explicit isNotNull keeps both tf consumers' subtrees canonically
-    // identical (the df branch would otherwise get the join's inferred
-    // not-null filter pushed below its aggregate and the window branch
-    // would not), so ReuseExchange serves them from ONE materialization
-    val tf = docs
+    // the term-frequency relation feeds THREE consumers (doc-length
+    // window, document-frequency aggregate, corpus token total); it is
+    // structurally materialized because the old canonical-identity
+    // tricks that let ReuseExchange serve all three from one exchange
+    // (an explicit isNotNull + an always-true tf>0) lost under the
+    // full-suite AQE state — the q45 plan re-scanned and re-exploded
+    // the corpus 3× (the SetSimilarity lesson: never bet a corpus pass
+    // on planner mood). The isNotNull is kept for row-identical output
+    // under any tokens() change.
+    val tf = Checkpoints.truncator(docs.sparkSession, None)(docs
       .select(col("doc_id"), explode(TextStats.tokens(col(textCol))).as("term"))
       .where(col("term").isNotNull)
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val byDoc = Window.partitionBy("doc_id")
     val withLen = tf.withColumn("doc_len", sum("tf").over(byDoc))
-    // the (always-true) tf>0 filter stops Catalyst from pruning the
-    // count out of this branch's partial aggregate — without it the df
-    // subtree degrades to a distinct-only aggregate, no longer matches
-    // the tf branch, and the corpus is scanned+exploded a second time
-    val df_ = tf.where(col("tf") > 0).groupBy("term").agg(count(lit(1)).as("df"))
+    // (the pre-materialization always-true tf>0 canonicalization trick
+    // is gone with the ReuseExchange bet — df reads checkpoint blocks)
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus scalars: n_docs from a zero-data-column count (row-group
     // metadata scan), tot_tokens from the same reused tf exchange
     // (Σ tf ≡ Σ token-count; empty docs contribute 0 to both)
