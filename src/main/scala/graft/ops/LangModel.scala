@@ -60,15 +60,17 @@ object LangModel {
 
   private def unigramScoreDirect(docs: DataFrame, idCol: String,
                                  textCol: String): DataFrame = {
-    val tf = docs
+    // tf feeds three consumers (corpus counts, token total, scoring
+    // join) — structurally materialized (r18): the always-true-guard
+    // canonicalization that was meant to make ReuseExchange serve all
+    // three from one exchange lost under full-suite AQE state and the
+    // q61 plan re-scanned + re-tokenized the corpus 3×
+    val tf = Checkpoints.truncator(docs.sparkSession, None)(docs
       .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
       .where(col("tok").isNotNull)
       .groupBy(col(idCol), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    // both corpus statistics fold the SAME tf exchange (see Tfidf: the
-    // always-true guard keeps the counts subtree canonically identical
-    // so ReuseExchange fires instead of re-scanning the corpus)
-    val counts = tf.where(col("tf") > 0).groupBy("tok")
+      .agg(count(lit(1)).as("tf")))
+    val counts = tf.groupBy("tok")
       .agg(sum("tf").cast("long").as("cnt"))
     val total = tf.agg(sum("tf").cast("long").as("total_tokens"))
     tf.join(broadcast(counts), "tok")

@@ -65,8 +65,13 @@ object QualityFilters {
   def curriculumBuckets(docs: DataFrame, nBuckets: Int = 10,
                         textCol: String = "text"): DataFrame = {
     require(nBuckets >= 2, s"nBuckets ($nBuckets) must be >= 2")
-    val stats = TextStats.statsFor(docs, textCol)
-      .select(col("doc_id"), col("n_chars"), col("quality_score"))
+    // the slim stats relation feeds the histogram AND the final bucket
+    // projection — materialized once (r18; statsFor's fingerprint +
+    // token-stats pass re-ran per reference: 2 corpus text scans in
+    // the q99 plan, 3 with the histogram total before its fold)
+    val stats = Checkpoints.truncator(docs.sparkSession, None)(
+      TextStats.statsFor(docs, textCol)
+        .select(col("doc_id"), col("n_chars"), col("quality_score")))
     val hist = stats.groupBy("n_chars").agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("n_chars")
