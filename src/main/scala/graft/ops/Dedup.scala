@@ -931,9 +931,14 @@ object Dedup {
     * key and the per-doc reduce is a map-side-combining count. */
   def dupGramStats(docs: DataFrame, shingleSize: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val grams = docs.select(col(idCol),
+    // the exploded gram relation feeds BOTH the cross-doc aggregate and
+    // the flag join — materialized once (r18; the segmentDedup lesson:
+    // two references re-ran the tokenize + shingle-md5 corpus pass,
+    // 2 text scans in the q79 plan)
+    val grams = Checkpoints.truncator(docs.sparkSession, None)(
+      docs.select(col(idCol),
         explode(graft.functions.TextExpressions.shingle_hashes(
-          TextStats.tokens(col(textCol)), shingleSize)).as("g"))
+          TextStats.tokens(col(textCol)), shingleSize)).as("g")))
     val cross = grams.groupBy("g")
       .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
       .where(col("mn") =!= col("mx"))

@@ -38,8 +38,12 @@ object QualityFilters {
   def relativeQualityGate(docs: DataFrame, quantile: Double = 0.5,
                           textCol: String = "text"): DataFrame = {
     require(quantile > 0 && quantile <= 1, s"quantile $quantile out of (0, 1]")
-    val stats = TextStats.statsFor(docs, textCol)
-      .select("doc_id", "lang_pred", "quality_score")
+    // stats feeds the per-language cutoffs AND the gate join —
+    // materialized once (r18; statsFor re-ran per reference: 2 corpus
+    // text scans in the q57 plan)
+    val stats = Checkpoints.truncator(docs.sparkSession, None)(
+      TextStats.statsFor(docs, textCol)
+        .select("doc_id", "lang_pred", "quality_score"))
     val cutoffs = stats.groupBy("lang_pred")
       .agg(expr(s"percentile(quality_score, $quantile)").as("lang_cutoff"))
     stats.join(broadcast(cutoffs), Seq("lang_pred"))

@@ -24,10 +24,14 @@ object Sketches {
     * heavier token collides in all `d` rows. */
   def cmsFrequency(docs: DataFrame, d: Int = 4, w: Int = 32, k: Int = 20,
                    textCol: String = "text"): DataFrame = {
-    val toks = docs
+    // the aggregated (tok, cnt) relation feeds the sketch aggregate AND
+    // the exact top-k — materialized once (r18; vocabulary-sized; the
+    // lost ReuseExchange bet re-ran the corpus explode per consumer:
+    // 2 text scans in the q75 plan)
+    val toks = graft.ops.Checkpoints.truncator(docs.sparkSession, None)(docs
       .select(explode(TextStats.tokens(col(textCol))).as("tok"))
       .where(col("tok").isNotNull)
-      .groupBy("tok").agg(count(lit(1)).cast("long").as("cnt"))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("cnt")))
     val sketch = toks.agg(
       SketchExpressions.count_min_sketch_agg(col("tok"), col("cnt"), d, w).as("sk"))
     toks.orderBy(col("cnt").desc, col("tok")).limit(k)
