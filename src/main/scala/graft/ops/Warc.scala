@@ -181,12 +181,21 @@ object Warc {
           else base
         val rr = new graft.io.WarcRecordReader
         rr.initializeSequential(in)
+        // close the reader (and its gzip Inflater's native buffer) the
+        // moment the last record is consumed — the iterator has no
+        // other close path, and leaving it to GC finalization builds up
+        // native memory in long-running streams over many .gz segments
         new Iterator[String] {
-          private var has = rr.nextKeyValue()
+          private def advance(): Boolean = {
+            val more = rr.nextKeyValue()
+            if (!more) rr.close()
+            more
+          }
+          private var has = advance()
           def hasNext: Boolean = has
           def next(): String = {
             val v = rr.getCurrentValue.toString
-            has = rr.nextKeyValue()
+            has = advance()
             v
           }
         }
