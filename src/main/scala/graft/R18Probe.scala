@@ -46,6 +46,39 @@ object R18Probe {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
         }
+      case "q121" =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        import org.apache.spark.sql.functions._
+        for (r <- 1 to 2) {
+          println(s"-- round $r")
+          var pool: org.apache.spark.sql.DataFrame = null
+          var sel: org.apache.spark.sql.DataFrame = null
+          var curated: org.apache.spark.sql.DataFrame = null
+          wall("curate (lazy)") { curated = graft.ops.Curation.curate(docs) }
+          wall("pool ck") {
+            pool = graft.ops.Checkpoints.truncator(spark, None)(
+              docs.select("doc_id", "text", "source")
+                .join(curated.select("doc_id", "lang_pred"), Seq("doc_id")))
+          }
+          var selected: org.apache.spark.sql.DataFrame = null
+          wall("dsir selectWithin") {
+            selected = graft.ops.Dsir.selectTopFractionWithin(pool,
+              col("lang_pred") === "en", fractionPpm = 500000L)
+          }
+          var model: graft.ops.LangModel.BpeModel = null
+          wall("trainBpeModel") { model = LangModel.trainBpeModel(docs, nMerges = 4) }
+          wall("sel ck") {
+            sel = graft.ops.Checkpoints.truncator(spark, None)(
+              docs.join(selected.select("doc_id"), Seq("doc_id")))
+          }
+          wall("bpeEncodeWithModel+pack noop") {
+            noop(graft.ops.Packer.packTokenized(
+              LangModel.bpeEncodeWithModel(sel, model).select("doc_id", "n_tokens"),
+              capacityTokens = 64, numGroups = 8))
+          }
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       case other => println(s"unknown probe $other")
     }
     spark.stop()
